@@ -1,0 +1,82 @@
+"""Input loading: on-disk files or registry references.
+
+Semantics from the reference (tnengine/TnEngine.scala:173-191): an
+``Input`` is either a prior command's output key (``on_disk=False``) or a
+path (``on_disk=True``). On-disk inputs with a ``delimiter`` are delimited
+text with header + schema inference; otherwise Parquet. We extend the
+format surface with explicit ``format`` (parquet/csv/json/orc) while
+keeping the reference's JSON shape valid.
+
+Scale note: inferSchema on CSV is a full extra pass over the data — fine
+for QC-plan inputs (the reference's contract), but plans can pass
+``schema`` (a DDL string) to skip it for 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Input:
+    """One input of a command.
+
+    ref: registry key (on_disk=False) or filesystem path (on_disk=True).
+    delimiter: if set and on_disk, read delimited text w/ header+inference
+               (reference: tnengine/TnEngine.scala:179-184).
+    format: optional explicit reader format (extension).
+    schema: optional DDL schema string to skip inference (extension).
+    """
+
+    ref: str
+    on_disk: bool = True
+    delimiter: str | None = None
+    format: str | None = None
+    schema: str | None = None
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "Input":
+        return cls(
+            ref=obj["ref"],
+            on_disk=obj.get("onDisk", obj.get("on_disk", True)),
+            delimiter=obj.get("delimiter"),
+            format=obj.get("format"),
+            schema=obj.get("schema"),
+        )
+
+
+def load_input(
+    spark: SparkSession, inp: Input, registry: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Resolve an Input to a DataFrame (reference: TnEngine.scala:173-191)."""
+    if not inp.on_disk:
+        if registry is None or inp.ref not in registry:
+            raise KeyError(
+                f"Input key '{inp.ref}' not found in registry; "
+                f"known keys: {sorted(registry) if registry else []}"
+            )
+        return registry[inp.ref]
+
+    fmt = inp.format
+    if fmt is None:
+        fmt = "csv" if inp.delimiter is not None else "parquet"
+
+    reader = spark.read
+    if inp.schema:
+        reader = reader.schema(inp.schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option(
+            "delimiter", inp.delimiter or ","
+        )
+        if not inp.schema:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(inp.ref)
+    if fmt == "json":
+        return reader.json(inp.ref)
+    if fmt == "orc":
+        return reader.orc(inp.ref)
+    if fmt == "parquet":
+        return reader.parquet(inp.ref)
+    raise ValueError(f"Unsupported input format: {fmt!r}")

@@ -1,0 +1,38 @@
+"""Command-output persistence: registry + optional Parquet write + table mount.
+
+Reference semantics (tnengine/TnEngine.scala:214-229): every command's
+result is registered under its outputKey; ``cache`` pins it; ``outputPath``
+overwrite-writes Parquet; ``tableName`` mounts the written Parquet as an
+external table. We use MEMORY_AND_DISK persistence (safer than the
+reference's MEMORY_ONLY default at scale) and the modern
+``spark.catalog.createTable`` (Spark 2.x ``createExternalTable`` is gone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+def store_output(
+    spark: SparkSession,
+    df: DataFrame,
+    output_key: str,
+    registry: dict[str, DataFrame],
+    cache: bool = False,
+    output_path: str | None = None,
+    table_name: str | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    if cache:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    registry[output_key] = df
+    if output_path:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(output_path)
+        if table_name:
+            spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+            spark.catalog.createTable(table_name, path=output_path, source="parquet")
+    return df
