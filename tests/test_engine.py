@@ -1,0 +1,353 @@
+"""Plan engine e2e tests: parse + execute JSON plans, registry wiring,
+nested plans, variable substitution, error handling, report output
+(reference suite: tnengine/TnEngineTest.scala, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from topnotch_spark.engine import TnEngine
+from topnotch_spark.plans.model import ErrorCmd
+from topnotch_spark.plans.parser import collect_errors, parse_commands
+from topnotch_spark.plans.readers import FileReader
+
+
+@pytest.fixture()
+def engine(spark):
+    return TnEngine(spark)
+
+
+@pytest.fixture(scope="module")
+def input_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "input.parquet")
+    spark.createDataFrame(
+        [
+            (1, 2.0, "Failure1", False),
+            (3, 4.0, "Failure2", True),
+            (5, 6.0, "Failure3", False),
+            (7, 8.0, "Failure4", True),
+        ],
+        "Ints long, Doubles double, Strings string, Booleans boolean",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_example_plan_shape(engine, tmp_path, input_parquet):
+    """The reference's example plan (example/plan.json + assertions.json)
+    runs unmodified modulo paths."""
+    _write(
+        tmp_path,
+        "assertions.json",
+        {
+            "assertions": [
+                {"query": "Ints > 1", "description": "Ints must be greater than 1", "threshold": 0.01},
+                {"query": "Booleans = true", "description": "Booleans must be true", "threshold": 0.1},
+            ]
+        },
+    )
+    out_path = str(tmp_path / "out.parquet")
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "assertion",
+                    "externalParamsFile": "assertions.json",
+                    "input": {"ref": input_parquet, "onDisk": True},
+                    "outputKey": "exampleAssertionReport",
+                    "outputPath": out_path,
+                }
+            ],
+        },
+    )
+    failed = engine.run(plan)
+    assert failed == 2  # 1/4 > 0.01 and 2/4 > 0.1
+    # invalid rows written to parquet
+    out = engine.spark.read.parquet(out_path)
+    assert out.count() == 2  # Ints=1 fails both rules; Ints=5 fails r2
+    assert "__REASON_INVALID__" in out.columns
+    # report file exists with plan echo + one assertion section
+    report = json.loads((tmp_path / "reports" / "plan.json").read_text())
+    assert len(report) == 2
+    assert report[1]["outputKey"] == "exampleAssertionReport"
+    assert len(report[1]["assertionReports"]) == 2
+    rep0 = report[1]["assertionReports"][0]
+    assert rep0["fractionInvalid"] == 0.25
+    assert rep0["numInvalid"] == 1
+    # column restriction: only the queried column appears in samples
+    assert list(rep0["sampleInvalid"][0].keys()) == ["ints"]
+
+
+def test_view_then_assertion_registry(engine, tmp_path, input_parquet):
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "commands": [
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["t"], "query": "SELECT Ints, Booleans FROM t WHERE Ints > 1"},
+                    "inputs": [{"ref": input_parquet, "onDisk": True}],
+                    "outputKey": "filtered",
+                },
+                {
+                    "command": "assertion",
+                    "params": {"assertions": [{"query": "Booleans = true", "description": "b", "threshold": 0.5}]},
+                    "input": {"ref": "filtered", "onDisk": False},
+                    "outputKey": "checked",
+                },
+            ],
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        },
+    )
+    failed = engine.run(plan)
+    assert failed == 0  # 1/3 invalid ≤ 0.5
+    assert engine.registry["filtered"].count() == 3
+    assert engine.registry["checked"].count() == 1
+
+
+def test_diff_plan(engine, tmp_path, spark):
+    p1 = str(tmp_path / "d1.parquet")
+    p2 = str(tmp_path / "d2.parquet")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double").write.parquet(p1)
+    spark.createDataFrame([(1, 10.0), (2, 25.0)], "k long, v double").write.parquet(p2)
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "diff",
+                    "params": {
+                        "input1Columns": {"joinColumns": ["k"], "diffColumns": ["v"]},
+                        "input2Columns": {"joinColumns": ["k"], "diffColumns": ["v"]},
+                    },
+                    "input1": {"ref": p1, "onDisk": True},
+                    "input1Name": "old",
+                    "input2": {"ref": p2, "onDisk": True},
+                    "input2Name": "new",
+                    "outputKey": "thediff",
+                }
+            ],
+        },
+    )
+    assert engine.run(plan) == 0
+    rows = {r["old_k"]: r for r in engine.registry["thediff"].collect()}
+    assert rows[2]["old_v__minus__new_v"] == -5.0
+
+
+def test_nested_plan_shared_scope(engine, tmp_path, input_parquet):
+    nested = _write(
+        tmp_path,
+        "nested.json",
+        {
+            "commands": [
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["t"], "query": "SELECT * FROM t"},
+                    "inputs": [{"ref": input_parquet, "onDisk": True}],
+                    "outputKey": "inner_out",
+                }
+            ]
+        },
+    )
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {"command": "plan", "externalParamsFile": "nested.json", "outputKey": "unused"},
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["x"], "query": "SELECT count(*) AS n FROM x"},
+                    "inputs": [{"ref": "inner_out", "onDisk": False}],
+                    "outputKey": "outer_out",
+                },
+            ],
+        },
+    )
+    assert engine.run(plan) == 0
+    assert engine.registry["outer_out"].collect()[0]["n"] == 4
+
+
+def test_variable_substitution(engine, tmp_path, input_parquet):
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "assertion",
+                    "params": {"assertions": [{"query": "Ints > ${minval}", "description": "d", "threshold": 0.5}]},
+                    "input": {"ref": input_parquet, "onDisk": True},
+                    "outputKey": "k",
+                }
+            ],
+        },
+    )
+    failed = engine.run(plan, variables={"minval": "100"})
+    assert failed == 1  # all rows < 100 → fraction 1.0 > 0.5
+
+
+def test_invalid_input_becomes_error(spark, tmp_path):
+    reader = FileReader()
+    root = {
+        "path": str(tmp_path),
+        "commands": [
+            {
+                "command": "view",
+                "params": {"tableAliases": ["t"], "query": "SELECT 1"},
+                "inputs": [{"ref": "/does/not/exist.parquet", "onDisk": True}],
+                "outputKey": "k",
+            }
+        ],
+    }
+    cmds = parse_commands(root, reader, spark=spark)
+    assert isinstance(cmds[0], ErrorCmd)
+    assert "invalid" in cmds[0].error_str
+    assert collect_errors(cmds) is not None
+
+
+def test_registry_ref_defined_later_is_error(spark):
+    root = {
+        "commands": [
+            {
+                "command": "view",
+                "params": {"tableAliases": ["t"], "query": "SELECT 1"},
+                "inputs": [{"ref": "not_yet", "onDisk": False}],
+                "outputKey": "k",
+            }
+        ]
+    }
+    cmds = parse_commands(root, FileReader(), spark=spark)
+    assert isinstance(cmds[0], ErrorCmd)
+
+
+def test_unknown_command_is_error(spark):
+    root = {"commands": [{"command": "bogus", "outputKey": "k"}]}
+    cmds = parse_commands(root, FileReader(), spark=spark)
+    assert isinstance(cmds[0], ErrorCmd)
+    assert "invalid" in cmds[0].error_str
+
+
+def test_halt_on_errors(engine, tmp_path):
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["t"], "query": "SELECT 1"},
+                    "inputs": [{"ref": "/nope.parquet", "onDisk": True}],
+                    "outputKey": "k",
+                }
+            ],
+        },
+    )
+    with pytest.raises(ValueError, match="Possible error"):
+        engine.run(plan, halt_if_potential_errors=True)
+
+
+def test_cache_flag(engine, tmp_path, input_parquet):
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["t"], "query": "SELECT * FROM t"},
+                    "inputs": [{"ref": input_parquet, "onDisk": True}],
+                    "outputKey": "cached_out",
+                    "cache": True,
+                }
+            ],
+        },
+    )
+    engine.run(plan)
+    assert engine.registry["cached_out"].storageLevel.useMemory
+
+
+def test_table_mount(engine, tmp_path, input_parquet):
+    out_path = str(tmp_path / "mounted.parquet")
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["t"], "query": "SELECT * FROM t"},
+                    "inputs": [{"ref": input_parquet, "onDisk": True}],
+                    "outputKey": "k",
+                    "outputPath": out_path,
+                    "tableName": "mounted_table",
+                }
+            ],
+        },
+    )
+    engine.run(plan)
+    assert engine.spark.sql("SELECT count(*) AS n FROM mounted_table").collect()[0]["n"] == 4
+    engine.spark.sql("DROP TABLE mounted_table")
+
+
+def test_cli_exit_codes(tmp_path, input_parquet, spark):
+    from topnotch_spark import cli
+
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "assertion",
+                    "params": {"assertions": [{"query": "Ints > 100", "description": "d", "threshold": 0.0}]},
+                    "input": {"ref": input_parquet, "onDisk": True},
+                    "outputKey": "k",
+                }
+            ],
+        },
+    )
+    assert cli.main(["-l", plan]) == 3
+    assert cli.main([]) == 4
+
+
+def test_csv_input(engine, tmp_path):
+    csv = tmp_path / "data.csv"
+    csv.write_text("a|b\n1|x\n2|y\n")
+    plan = _write(
+        tmp_path,
+        "plan.json",
+        {
+            "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+            "commands": [
+                {
+                    "command": "view",
+                    "params": {"tableAliases": ["t"], "query": "SELECT * FROM t WHERE a > 1"},
+                    "inputs": [{"ref": str(csv), "onDisk": True, "delimiter": "|"}],
+                    "outputKey": "k",
+                }
+            ],
+        },
+    )
+    engine.run(plan)
+    assert engine.registry["k"].collect()[0]["b"] == "y"
