@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end plan (assertion command over
+sf0.001 lineitem) and returns the invalid-rows DataFrame. ``queries()``
+exposes one entry per implemented operator (SURVEY.md §2) and
+``oracle_sql()`` the DuckDB-equivalent SQL for each. Column names/aliases
+match pairwise; doubles from aggregation are rounded identically on both
+sides.
 """
 
 from __future__ import annotations
@@ -13,26 +14,206 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from topnotch_spark import catalog
+from topnotch_spark.operators.assertions import run_assertions
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full assertion command on sf0.001 lineitem — fused-count
+    rule evaluation + single-pass invalid-row union."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = catalog.load(spark, sf_dir, "lineitem")
+    result = run_assertions(df, "flagship", catalog.LINEITEM_RULES)
+    return result.df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(catalog.ALL)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _rules_reason_sql() -> str:
+    cases = ",\n        ".join(
+        f"CASE WHEN {r.query} THEN NULL ELSE '{r.description}' END"
+        for r in catalog.LINEITEM_RULES
+    )
+    return cases
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    reason_cases = _rules_reason_sql()
+    eps = 1e-6
+    return {
+        "view_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                        AS sum_qty,
+                   round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+                   round(avg(l_quantity), 4)                                        AS avg_qty,
+                   round(avg(l_extendedprice), 4)                                   AS avg_price,
+                   round(avg(l_discount), 6)                                        AS avg_disc,
+                   count(*)                                                         AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "view_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+            GROUP BY n_name
+        """,
+        "view_topk_per_group": """
+            SELECT p_brand, p_partkey, p_retailprice
+            FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey ASC
+                     ) AS rk
+              FROM part
+            ) ranked
+            WHERE rk <= 3
+        """,
+        "view_sessionize_events": """
+            SELECT user_id,
+                   session_id,
+                   count(*)             AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM (
+              SELECT user_id, value,
+                     sum(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS session_id
+              FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS NULL THEN 1
+                            WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 + INTERVAL 30 MINUTE THEN 1
+                            ELSE 0 END AS is_new_session
+                FROM events
+              ) flagged
+            ) sessions
+            GROUP BY user_id, session_id
+        """,
+        "assertion_invalid_rows": f"""
+            SELECT * FROM (
+              SELECT l.*,
+                     concat_ws(' &&& ',
+        {reason_cases}) AS "__REASON_INVALID__"
+              FROM lineitem l
+            ) tagged
+            WHERE "__REASON_INVALID__" <> ''
+        """,
+        "assertion_metrics": f"""
+            WITH tot AS (
+              SELECT count(*) AS total,
+                     CAST(sum(CASE WHEN NOT(l_discount <= 0.06) THEN 1 ELSE 0 END) AS BIGINT) AS i0,
+                     CAST(sum(CASE WHEN NOT(l_quantity < 50) THEN 1 ELSE 0 END) AS BIGINT)    AS i1,
+                     CAST(sum(CASE WHEN NOT(l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS i2
+              FROM lineitem
+            )
+            SELECT '{catalog.LINEITEM_RULES[0].description}' AS description, i0 AS num_invalid,
+                   round(i0 * 1.0 / total, 8) AS fraction_invalid,
+                   i0 * 1.0 / total > {catalog.LINEITEM_RULES[0].threshold} AS failed FROM tot
+            UNION ALL
+            SELECT '{catalog.LINEITEM_RULES[1].description}', i1,
+                   round(i1 * 1.0 / total, 8), i1 * 1.0 / total > {catalog.LINEITEM_RULES[1].threshold} FROM tot
+            UNION ALL
+            SELECT '{catalog.LINEITEM_RULES[2].description}', i2,
+                   round(i2 * 1.0 / total, 8), i2 * 1.0 / total > {catalog.LINEITEM_RULES[2].threshold} FROM tot
+        """,
+        "assertion_window_context": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT DISTINCT l_orderkey FROM lineitem WHERE NOT(l_discount <= 0.06)
+            )
+        """,
+        "diff_orders": f"""
+            WITH first_t AS (
+              SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+            ),
+            second_t AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 13 = 5 THEN CAST(NULL AS DOUBLE)
+                          WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'CHANGED'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 97 != 3
+            )
+            SELECT f.o_orderkey      AS first_o_orderkey,
+                   s.o_orderkey      AS second_o_orderkey,
+                   f.o_totalprice    AS first_o_totalprice,
+                   s.o_totalprice    AS second_o_totalprice,
+                   CASE WHEN f.o_totalprice IS NOT NULL AND s.o_totalprice IS NOT NULL
+                        THEN CASE WHEN abs(f.o_totalprice - s.o_totalprice) >= {eps}
+                                  THEN f.o_totalprice - s.o_totalprice ELSE 0.0 END
+                        ELSE NULL END AS first_o_totalprice__minus__second_o_totalprice,
+                   CASE WHEN f.o_totalprice IS NULL AND s.o_totalprice IS NULL THEN 'both null'
+                        WHEN f.o_totalprice IS NULL THEN 'only first null'
+                        WHEN s.o_totalprice IS NULL THEN 'only second null'
+                        WHEN abs(f.o_totalprice - s.o_totalprice) <= {eps} THEN 'equal'
+                        ELSE 'both not null, same type, not equal'
+                        END AS first_o_totalprice__equals__second_o_totalprice,
+                   f.o_orderpriority AS first_o_orderpriority,
+                   s.o_orderpriority AS second_o_orderpriority,
+                   CASE WHEN f.o_orderpriority IS NULL AND s.o_orderpriority IS NULL THEN 'both null'
+                        WHEN f.o_orderpriority IS NULL THEN 'only first null'
+                        WHEN s.o_orderpriority IS NULL THEN 'only second null'
+                        WHEN f.o_orderpriority = s.o_orderpriority THEN 'equal'
+                        ELSE 'both not null, same type, not equal'
+                        END AS first_o_orderpriority__equals__second_o_orderpriority
+            FROM first_t f FULL OUTER JOIN second_t s ON f.o_orderkey = s.o_orderkey
+        """,
+        "diff_orders_changed_only": f"""
+            WITH first_t AS (
+              SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+            ),
+            second_t AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 13 = 5 THEN CAST(NULL AS DOUBLE)
+                          WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'CHANGED'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 97 != 3
+            )
+            SELECT f.o_orderkey      AS first_o_orderkey,
+                   s.o_orderkey      AS second_o_orderkey,
+                   f.o_totalprice    AS first_o_totalprice,
+                   s.o_totalprice    AS second_o_totalprice,
+                   CASE WHEN f.o_totalprice IS NOT NULL AND s.o_totalprice IS NOT NULL
+                        THEN CASE WHEN abs(f.o_totalprice - s.o_totalprice) >= {eps}
+                                  THEN f.o_totalprice - s.o_totalprice ELSE 0.0 END
+                        ELSE NULL END AS first_o_totalprice__minus__second_o_totalprice,
+                   CASE WHEN f.o_totalprice IS NULL AND s.o_totalprice IS NULL THEN 'both null'
+                        WHEN f.o_totalprice IS NULL THEN 'only first null'
+                        WHEN s.o_totalprice IS NULL THEN 'only second null'
+                        WHEN abs(f.o_totalprice - s.o_totalprice) <= {eps} THEN 'equal'
+                        ELSE 'both not null, same type, not equal'
+                        END AS first_o_totalprice__equals__second_o_totalprice,
+                   f.o_orderpriority AS first_o_orderpriority,
+                   s.o_orderpriority AS second_o_orderpriority,
+                   CASE WHEN f.o_orderpriority IS NULL AND s.o_orderpriority IS NULL THEN 'both null'
+                        WHEN f.o_orderpriority IS NULL THEN 'only first null'
+                        WHEN s.o_orderpriority IS NULL THEN 'only second null'
+                        WHEN f.o_orderpriority = s.o_orderpriority THEN 'equal'
+                        ELSE 'both not null, same type, not equal'
+                        END AS first_o_orderpriority__equals__second_o_orderpriority
+            FROM first_t f FULL OUTER JOIN second_t s ON f.o_orderkey = s.o_orderkey
+            WHERE (NOT (f.o_totalprice IS NOT DISTINCT FROM s.o_totalprice)
+                   OR (f.o_totalprice IS NOT NULL AND s.o_totalprice IS NOT NULL
+                       AND abs(f.o_totalprice - s.o_totalprice) >= {eps})
+                   OR NOT (f.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority))
+        """,
+    }

@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via the noop sink (computes everything,
+writes nothing). A warmup pass of the first query absorbs JVM/codegen
+startup so per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from topnotch_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    # warmup: absorb session/codegen startup
+    try:
+        force(next(iter(qs.values()))(spark, sf_dir))
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures as null, keep benching
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            times[name] = None
+    total = round(sum(t for t in times.values() if t is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

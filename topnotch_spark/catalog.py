@@ -1,0 +1,290 @@
+"""Query catalog: each entry demonstrates one implemented operator from
+SURVEY.md §2 on the driver's TPC-H-ish test tables, with a matching ANSI-SQL
+oracle (DuckDB) defined in ``__spark_entry__.py``.
+
+Each function takes (spark, sf_dir) and returns a DataFrame. Every computed
+column is aliased identically to the oracle SQL. Doubles coming from
+aggregation are rounded in BOTH engines to dodge last-ulp float noise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.assertions import (
+    AssertionRule,
+    identify_invalid_rows,
+)
+from topnotch_spark.operators.diff import DiffParams, DiffSide, create_diff
+from topnotch_spark.operators.view import ViewParams, create_view
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), read as epoch-nanos long
+        # (session.py nanosAsLong); truncate to micros like DuckDB's
+        # TIMESTAMP_NS → TIMESTAMP cast so oracles agree.
+        # integer `div` — float division would lose precision above 2^53 ns
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# O7 view: delegated SQL surface
+# --------------------------------------------------------------------------
+
+def view_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary via the view operator (O7)."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "lineitem")],
+        ViewParams(
+            ("lineitem_v",),
+            """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                        AS sum_qty,
+                   round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+                   round(avg(l_quantity), 4)                                        AS avg_qty,
+                   round(avg(l_extendedprice), 4)                                   AS avg_price,
+                   round(avg(l_discount), 6)                                        AS avg_disc,
+                   count(*)                                                         AS count_order
+            FROM lineitem_v
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """,
+        ),
+    )
+
+
+def view_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join + agg via the view operator; small dims broadcast."""
+    return create_view(
+        spark,
+        [
+            load(spark, sf_dir, "customer"),
+            load(spark, sf_dir, "orders"),
+            load(spark, sf_dir, "lineitem"),
+            load(spark, sf_dir, "nation"),
+            load(spark, sf_dir, "region"),
+        ],
+        ViewParams(
+            ("customer_v", "orders_v", "lineitem_v", "nation_v", "region_v"),
+            """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM customer_v
+            JOIN orders_v   ON c_custkey = o_custkey
+            JOIN lineitem_v ON l_orderkey = o_orderkey
+            JOIN nation_v   ON c_nationkey = n_nationkey
+            JOIN region_v   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+            GROUP BY n_name
+            """,
+        ),
+    )
+
+
+def view_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k per group (delegated analytic surface, §2.3)."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "part")],
+        ViewParams(
+            ("part_v",),
+            """
+            SELECT p_brand, p_partkey, p_retailprice
+            FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey ASC
+                     ) AS rk
+              FROM part_v
+            ) ranked
+            WHERE rk <= 3
+            """,
+        ),
+    )
+
+
+def view_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum windows (30-min gap)."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "events")],
+        ViewParams(
+            ("events_v",),
+            """
+            SELECT user_id,
+                   session_id,
+                   count(*)                    AS n_events,
+                   round(sum(value), 2)        AS session_value
+            FROM (
+              SELECT user_id, value,
+                     sum(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS session_id
+              FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS NULL THEN 1
+                            WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 + INTERVAL 30 MINUTE THEN 1
+                            ELSE 0 END AS is_new_session
+                FROM events_v
+              ) flagged
+            ) sessions
+            GROUP BY user_id, session_id
+            """,
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# O8-O10 assertions
+# --------------------------------------------------------------------------
+
+LINEITEM_RULES = [
+    AssertionRule(
+        query="l_discount <= 0.06",
+        description="discount must not exceed 6 percent",
+        threshold=0.1,
+    ),
+    AssertionRule(
+        query="l_quantity < 50",
+        description="quantity under 50",
+        threshold=0.01,
+    ),
+    AssertionRule(
+        query="l_extendedprice > 0",
+        description="positive price",
+        threshold=0.0,
+    ),
+]
+
+
+def assertion_invalid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: single-pass invalid-row union with merged reasons."""
+    return identify_invalid_rows(load(spark, sf_dir, "lineitem"), LINEITEM_RULES)
+
+
+def assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8+O10: per-rule invalid counts / fractions / pass-fail, computed in
+    ONE fused aggregation job then unpivoted to one row per rule."""
+    df = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for i, rule in enumerate(LINEITEM_RULES):
+        aggs.append(
+            F.sum(F.when(F.expr(f"NOT({rule.query})"), 1).otherwise(0)).alias(f"__inv_{i}__")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{rule.description}', __inv_{i}__, cast({rule.threshold} as double)"
+        for i, rule in enumerate(LINEITEM_RULES)
+    )
+    return wide.selectExpr(
+        "__total__",
+        f"stack({len(LINEITEM_RULES)}, {stack_args}) as (description, num_invalid, threshold)",
+    ).selectExpr(
+        "description",
+        "num_invalid",
+        "round(num_invalid / __total__, 8) as fraction_invalid",
+        "cast(num_invalid / __total__ > threshold as boolean) as failed",
+    )
+
+
+def assertion_window_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 (deterministic distributed form): for every order containing an
+    invalid line, return the full ordered partition of that order."""
+    df = load(spark, sf_dir, "lineitem")
+    invalid_keys = (
+        df.filter("NOT(l_discount <= 0.06)").select("l_orderkey").distinct()
+    )
+    return (
+        df.join(invalid_keys, "l_orderkey", "left_semi")
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O12-O16 diff
+# --------------------------------------------------------------------------
+
+def _orders_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """orders vs a deterministically perturbed copy: value drift on keys
+    %7==0, nulls on %13==5, dropped rows on %97==3, string change on %11==0."""
+    orders = load(spark, sf_dir, "orders")
+    first = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    second = (
+        orders.filter("o_orderkey % 97 != 3")
+        .selectExpr(
+            "o_orderkey",
+            """CASE WHEN o_orderkey % 13 = 5 THEN CAST(NULL AS DOUBLE)
+                    WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice""",
+            """CASE WHEN o_orderkey % 11 = 0 THEN 'CHANGED'
+                    ELSE o_orderpriority END AS o_orderpriority""",
+        )
+    )
+    return first, second
+
+
+def diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12-O13: keyed outer-join diff with status + minus columns."""
+    first, second = _orders_pair(spark, sf_dir)
+    return create_diff(
+        first,
+        "first",
+        second,
+        "second",
+        DiffParams(
+            DiffSide(("o_orderkey",), ("o_totalprice", "o_orderpriority")),
+            DiffSide(("o_orderkey",), ("o_totalprice", "o_orderpriority")),
+        ),
+        validate=False,  # keys provably unique (derived from a unique key)
+    )
+
+
+def diff_orders_changed_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: same diff with filterEqualRows=True."""
+    first, second = _orders_pair(spark, sf_dir)
+    return create_diff(
+        first,
+        "first",
+        second,
+        "second",
+        DiffParams(
+            DiffSide(("o_orderkey",), ("o_totalprice", "o_orderpriority")),
+            DiffSide(("o_orderkey",), ("o_totalprice", "o_orderpriority")),
+        ),
+        filter_equal_rows=True,
+        validate=False,
+    )
+
+
+ALL = {
+    "view_tpch_q1": view_tpch_q1,
+    "view_revenue_by_nation": view_revenue_by_nation,
+    "view_topk_per_group": view_topk_per_group,
+    "view_sessionize_events": view_sessionize_events,
+    "assertion_invalid_rows": assertion_invalid_rows,
+    "assertion_metrics": assertion_metrics,
+    "assertion_window_context": assertion_window_context,
+    "diff_orders": diff_orders,
+    "diff_orders_changed_only": diff_orders_changed_only,
+}

@@ -30,6 +30,10 @@ _DEFAULTS: dict[str, str] = {
     # locally, useful on a busy cluster.
     "spark.scheduler.mode": "FAIR",
     "spark.sql.parquet.filterPushdown": "true",
+    # Parquet TIMESTAMP(NANOS) (e.g. the driver's events table) has no Spark
+    # timestamp type; read as epoch-nanos long and convert at the source
+    # (sources.inputs.load_input / catalog.load truncate to micros).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
 }
