@@ -14,8 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from topnotch_spark import catalog
+from topnotch_spark import catalog, oracles
 from topnotch_spark.operators.assertions import run_assertions
+from topnotch_spark.operators.textqc import LANG_MARKERS
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,7 +43,31 @@ def _rules_reason_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     reason_cases = _rules_reason_sql()
     eps = 1e-6
-    return {
+    ext = {
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_fingerprint": oracles.dedup_fingerprint_sql(),
+        "dedup_minhash_lsh": oracles.dedup_minhash_sql(
+            num_hashes=16, bands=4, threshold=0.5, shingle_n=5
+        ),
+        "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_sql(
+            threshold=0.5, shingle_n=5
+        ),
+        "dedup_simhash": oracles.dedup_simhash_sql(
+            bits=32, band_bits=16, max_hamming=2, shingle_n=3
+        ),
+        "dedup_embedding": oracles.dedup_embedding_sql(
+            dim=64, threshold=0.25, n_planes=4
+        ),
+        "similarity_topk": oracles.similarity_topk_sql(dim=64, k=10, n_queries=5),
+        "similarity_ann": oracles.similarity_ann_sql(
+            dim=64, k=10, n_queries=5, n_planes=8
+        ),
+        "text_token_stats": oracles.text_token_stats_sql(),
+        "text_quality": oracles.text_quality_sql(LANG_MARKERS["en"]),
+        "text_langid": oracles.text_langid_sql(LANG_MARKERS),
+        "text_fingerprints": oracles.text_fingerprints_sql(),
+    }
+    return ext | {
         "view_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                        AS sum_qty,

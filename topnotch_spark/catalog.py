@@ -277,6 +277,96 @@ def diff_orders_changed_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Extensions (SURVEY.md §7 phase E): dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=4, threshold=0.5, shingle_n=5,
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.5, shingle_n=5,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=32, band_bits=16, max_hamming=2,
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.25, n_planes=4,
+    )
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter("vec_id < 5"), k=10)
+
+
+def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.similarity import srp_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return srp_ann_topk(emb, emb.filter("vec_id < 5"), k=10, n_planes=8)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.textqc import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.textqc import quality_scores
+
+    return quality_scores(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.textqc import language_id
+
+    return language_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.textqc import fingerprints
+
+    return fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 ALL = {
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
@@ -287,4 +377,16 @@ ALL = {
     "assertion_window_context": assertion_window_context,
     "diff_orders": diff_orders,
     "diff_orders_changed_only": diff_orders_changed_only,
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "similarity_topk": similarity_topk,
+    "similarity_ann": similarity_ann,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprints": text_fingerprints,
 }

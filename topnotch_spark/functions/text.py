@@ -1,0 +1,121 @@
+"""Text-analysis column builders (Spark side).
+
+All builders are pure `pyspark.sql.functions` compositions — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so they run at full speed on a
+cluster and scale linearly with data size.
+
+Determinism contract: every derived value is computed from md5 hex strings
+and integer/string operations that behave identically in ANSI SQL engines,
+so the DuckDB oracles in __spark_entry__ can reproduce results bit-for-bit.
+
+Token model (shared by dedup/text/similarity operators):
+    tokens(text) = non-empty pieces of lower(trim(text)) split on \\s+
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles ('w1 w2 w3'), distinct, from a token-array
+    column. IMPORTANT: pass a materialized column REFERENCE (project the
+    token array first), not the tokens(...) expression itself — Catalyst
+    does not common-subexpression-eliminate inside higher-order-function
+    lambdas, so an inline token expression would be re-evaluated per
+    element_at, turning shingling quadratic per document.
+    """
+    # start positions 0..size-n (empty when size < n)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Convenience scalar form of shingling — fine for small inputs/tests;
+    hot paths should project tokens() first and use shingles_from_tokens."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def sorted_token_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token list. Catches word-order-shuffled duplicates that exact-hash
+    dedup misses."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col))))
+    )
+
+
+def _nibble(hexstr: Column, pos_1based: int) -> Column:
+    """Value 0..15 of the hex digit at 1-based position ``pos`` — instr on
+    a hex alphabet so the same formula runs on any SQL engine."""
+    digit = F.substring(hexstr, pos_1based, 1)
+    return F.instr(F.lit("0123456789abcdef"), digit) - 1
+
+
+def md5_bit(hexstr: Column, bit: int) -> Column:
+    """Bit ``bit`` (0 = MSB of first hex digit's nibble... we use:
+    nibble = hex digit at position bit//4 + 1; bit-in-nibble = 3 - bit%4)
+    of an md5 hex string, as 0/1 int."""
+    nib = _nibble(hexstr, bit // 4 + 1)
+    shift = 3 - (bit % 4)
+    return F.floor(nib / F.lit(2**shift)).cast("int") % 2
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash over the token set: for each bit, sum +1/-1 votes from each
+    distinct token's md5, take the sign. Returned as a ``bits``-length
+    '0'/'1' string (MSB first) — string form is engine-portable and
+    directly usable for banding/hamming comparisons.
+
+    Scalar-expression formulation (aggregate over the token array), so it
+    runs inside a single projection — one pass, no explode/shuffle.
+    """
+    toks = F.array_distinct(tokens(col))
+    def bit_col(b: int) -> Column:
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + (md5_bit(F.md5(t), b) * 2 - 1),
+        )
+        return F.when(votes > 0, F.lit("1")).otherwise(F.lit("0"))
+    return F.concat(*[bit_col(b) for b in range(bits)])
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return F.when(total > 0, alpha / total).otherwise(F.lit(0.0))

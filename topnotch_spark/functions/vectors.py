@@ -1,0 +1,64 @@
+"""Vector/embedding column builders (Spark side).
+
+All pure `pyspark.sql.functions` higher-order-function compositions over
+``array<float>`` columns — JVM-side, no Python. Dot products fold
+left-to-right over the array, so results are bit-deterministic and
+reproducible by any engine that sums in array order (the DuckDB oracles
+unnest WITH ORDINALITY and fold in the same order).
+
+Sign-random-projection (SRP) bucketing gives the LSH/ANN scale path: the
+hyperplane "randomness" is derived from md5 of (plane, dim) so every
+engine — and every executor — computes the same planes with no driver
+state, broadcast, or RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _plane_sign(plane: int, dim_idx: Column) -> Column:
+    """Deterministic ±1 for (plane, dimension): +1 iff the first hex nibble
+    of md5('p<plane>_d<dim>') is >= 8."""
+    h = F.md5(F.concat(F.lit(f"p{plane}_d"), dim_idx.cast("string")))
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return F.when(nib >= 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def srp_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-random-projection bucket id: ``n_planes``-char '0'/'1' string.
+
+    At 100 TB scale this is the blocking key for near-dup joins: the
+    all-pairs O(n²) comparison becomes a per-bucket join (expected bucket
+    size n / 2^planes), a plain shuffle-on-key operation.
+    """
+    def bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double") * _plane_sign(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(p) for p in range(n_planes)])

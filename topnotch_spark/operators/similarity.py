@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Query vectors are broadcast (small side), so the "scan" side streams
+  once with no shuffle; the only shuffle is the top-k window per query.
+- ``srp_ann_topk``: the scale path — sign-random-projection bucketing
+  restricts each query to its own bucket's candidates (expected n/2^planes
+  of the corpus), turning the cross join into an equi-join on the bucket
+  key. Recall < 1 by construction; raise n_planes for tighter buckets or
+  probe multiple buckets for higher recall.
+
+Determinism: cosines are rounded and ranked with an id tiebreak so results
+are stable across engines and runs (ties broken by vec id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from topnotch_spark.functions.vectors import cosine, srp_bucket
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding itself)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv__"), F.col("__cv__")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _ranked_topk(pairs, k)
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv__"), F.col("__cv__")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _ranked_topk(pairs, k)

@@ -1,0 +1,117 @@
+"""Text-analysis operators: token statistics, quality scoring,
+language identification, document fingerprinting.
+
+All pure-`pyspark.sql.functions` projections (single pass, codegen'd, no
+shuffle except where a groupBy is the point of the query). Designed so a
+quality/language column can feed directly into an assertion command, e.g.
+``{"query": "quality_score >= 0.5", ...}`` over the profiled output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from topnotch_spark.functions.text import (
+    alpha_ratio,
+    simhash,
+    sorted_token_fingerprint,
+    stopword_ratio,
+    tokens,
+)
+
+# tiny marker lexicons for the language-ID heuristic (n-gram/stopword
+# scoring); deliberately small + deterministic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht", "das"],
+    "fr": ["le", "la", "et", "est", "les", "des"],
+    "es": ["el", "los", "las", "es", "y", "que"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        F.when(n > 0, F.round(total_len / n, 4)).otherwise(F.lit(0.0)).alias(
+            "avg_token_len"
+        ),
+        F.when(n > 0, F.round(nd / n, 4)).otherwise(F.lit(0.0)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, stopwords: list[str] | None = None
+) -> DataFrame:
+    """Composite quality score in [0,1]: length norm (saturates at 200
+    tokens), alpha-char ratio, stopword presence, repetition penalty."""
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    alpha = alpha_ratio(text_col)
+    sw_ratio = stopword_ratio(text_col, sw)
+    rep = F.when(n > 0, nd / n).otherwise(F.lit(0.0))  # 1 = no repetition
+    score = F.round(
+        length_score * 0.25 + alpha * 0.25 + F.least(sw_ratio * 5, F.lit(1.0)) * 0.2
+        + rep * 0.3,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(rep, 6).alias("distinct_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("passes_quality"),
+    )
+
+
+def _lang_score(text_col: str, markers: list[str]) -> Column:
+    toks = tokens(text_col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language ID with a CJK-character override.
+    Deterministic argmax with fixed language order tiebreak."""
+    scores = {lang: _lang_score(text_col, m) for lang, m in LANG_MARKERS.items()}
+    # \x{...} escapes parse identically in Java regex (Spark) and RE2 (DuckDB)
+    has_cjk = F.col(text_col).rlike("[\\x{4e00}-\\x{9fff}]")
+    best_score = F.greatest(*scores.values())
+    pred = F.when(has_cjk, F.lit("zh"))
+    for lang in LANG_MARKERS:  # insertion order = tiebreak priority
+        pred = pred.when(scores[lang] == best_score, F.lit(lang))
+    cols = [F.col(id_col)]
+    cols += [F.round(scores[lang], 6).alias(f"score_{lang}") for lang in LANG_MARKERS]
+    cols += [
+        pred.alias("predicted_lang"),
+        F.round(best_score, 6).alias("lang_confidence"),
+    ]
+    out = df.select(*cols)
+    return out
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document fingerprints: exact md5, order-insensitive token
+    fingerprint, and 32-bit simhash bit-string."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("exact_md5"),
+        sorted_token_fingerprint(text_col).alias("token_fingerprint"),
+        simhash(text_col, 32).alias("simhash32"),
+    )

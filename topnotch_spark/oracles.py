@@ -1,0 +1,400 @@
+"""DuckDB oracle-SQL generators for the extension operators.
+
+Each generator mirrors, expression for expression, the Spark-side builders
+in functions/text.py, functions/vectors.py and the operators built on them
+— same md5-derived hashing, same token model, same fold order — so results
+match the Spark output bit-for-bit. The SQL is verbose (e.g. 32 per-bit
+simhash expressions) because it is *generated*, not hand-maintained.
+"""
+
+from __future__ import annotations
+
+MINHASH_INIT = "f" * 16
+
+# ---- text building blocks (mirror functions/text.py) ----------------------
+
+TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim({col})), '\\s+'), t -> t <> '')"
+)
+
+
+def tokens(col: str = "text") -> str:
+    return TOKENS.format(col=col)
+
+
+def shingles(col: str = "text", n: int = 3) -> str:
+    """Distinct word n-gram shingles; 1-based list indexing in DuckDB."""
+    parts = " || ' ' || ".join(f"__t__[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"CASE WHEN len(__t__) >= {n} THEN generate_series(1, len(__t__) - {n - 1}) "
+        f"ELSE [] END, i -> {parts}))"
+    )
+
+
+def sorted_token_fingerprint() -> str:
+    return "md5(array_to_string(list_sort(list_distinct(__t__)), ' '))"
+
+
+def nibble(hexstr: str, pos_1based: str) -> str:
+    return f"(strpos('0123456789abcdef', substr({hexstr}, {pos_1based}, 1)) - 1)"
+
+
+def md5_bit(hexstr: str, bit: int) -> str:
+    pos = bit // 4 + 1
+    shift = 3 - (bit % 4)
+    return f"(CAST(floor({nibble(hexstr, str(pos))} / {2 ** shift}) AS INTEGER) % 2)"
+
+
+def simhash_expr(bits: int = 32) -> str:
+    """SimHash bit-string over __dt__ (distinct tokens list)."""
+    bit_exprs = []
+    for b in range(bits):
+        votes = (
+            f"coalesce(list_sum(list_transform(__dt__, "
+            f"t -> {md5_bit('md5(t)', b)} * 2 - 1)), 0)"
+        )
+        bit_exprs.append(f"CASE WHEN {votes} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bit_exprs)
+
+
+def minhash_component(h: int) -> str:
+    return (
+        f"coalesce(list_min(list_transform(__sh__, "
+        f"s -> substr(md5('h{h}_' || s), 1, 16))), '{MINHASH_INIT}')"
+    )
+
+
+# ---- vector building blocks (mirror functions/vectors.py) -----------------
+
+def dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"coalesce(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), 0.0)"
+    )
+
+
+def cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"({dot(a, b, dim)} / "
+        f"(sqrt({dot(a, a, dim)}) * sqrt({dot(b, b, dim)})))"
+    )
+
+
+def srp_bucket(vec: str, dim: int, n_planes: int = 8) -> str:
+    bit_exprs = []
+    for p in range(n_planes):
+        plane_hash = f"md5('p{p}_d' || (i - 1))"
+        sign = (
+            f"CASE WHEN {nibble(plane_hash, '1')} >= 8 "
+            f"THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            f"coalesce(list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i]::DOUBLE * {sign})), 0.0)"
+        )
+        bit_exprs.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bit_exprs)
+
+
+# ---- full oracle queries ---------------------------------------------------
+
+_DOC_BASE = f"""
+    WITH toked AS (
+      SELECT doc_id, text, {tokens()} AS __t__ FROM documents
+    )
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+        SELECT doc_id,
+               md5(text) AS dup_key,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents
+    """
+
+
+def dedup_fingerprint_sql() -> str:
+    return f"""
+        {_DOC_BASE},
+        keyed AS (
+          SELECT doc_id, {sorted_token_fingerprint()} AS dup_key FROM toked
+        )
+        SELECT doc_id, dup_key,
+               count(*) OVER (PARTITION BY dup_key) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY dup_key) AS keep
+        FROM keyed
+    """
+
+
+def dedup_minhash_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, shingle_n: int = 3
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n               ".join(
+        f"{minhash_component(h)} AS sig_{h}" for h in range(num_hashes)
+    )
+    band_cols = ",\n               ".join(
+        "md5("
+        + " || '|' || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = "\n          UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, band_{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (
+          SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0
+        ),
+        sigs AS (
+          SELECT id, {sig_cols} FROM base
+        ),
+        banded AS (
+          SELECT id, {band_cols} FROM sigs
+        ),
+        buckets AS (
+          {band_union}
+        ),
+        candidates AS (
+          SELECT DISTINCT a.id AS id_1, b.id AS id_2
+          FROM buckets a JOIN buckets b
+            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+          WHERE a.id < b.id
+        )
+        SELECT c.id_1, c.id_2,
+               CASE WHEN len(list_distinct(s1.__sh__ || s2.__sh__)) > 0
+                    THEN len(list_intersect(s1.__sh__, s2.__sh__)) * 1.0
+                         / len(list_distinct(s1.__sh__ || s2.__sh__))
+                    ELSE 0.0 END AS jaccard
+        FROM candidates c
+        JOIN base s1 ON c.id_1 = s1.id
+        JOIN base s2 ON c.id_2 = s2.id
+        WHERE CASE WHEN len(list_distinct(s1.__sh__ || s2.__sh__)) > 0
+                   THEN len(list_intersect(s1.__sh__, s2.__sh__)) * 1.0
+                        / len(list_distinct(s1.__sh__ || s2.__sh__))
+                   ELSE 0.0 END >= {threshold}
+    """
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.3, shingle_n: int = 3) -> str:
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0),
+        sizes AS (SELECT id, len(__sh__) AS n_sh FROM base),
+        ex AS (SELECT id, unnest(__sh__) AS shingle FROM base),
+        common AS (
+          SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle
+          WHERE a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_1, id_2,
+               n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id_1 = s1.id
+        JOIN sizes s2 ON id_2 = s2.id
+        WHERE n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common) >= {threshold}
+    """
+
+
+def dedup_simhash_sql(
+    bits: int = 32, band_bits: int = 16, max_hamming: int = 2, shingle_n: int = 3
+) -> str:
+    n_bands = bits // band_bits
+    band_union = "\n          UNION ALL ".join(
+        f"SELECT id, sh, {b} AS band_idx, substr(sh, {b * band_bits + 1}, {band_bits}) AS bucket FROM hashed"
+        for b in range(n_bands)
+    )
+    hamming = (
+        f"CAST(coalesce(list_sum(list_transform(generate_series(1, {bits}), "
+        f"i -> CASE WHEN substr(sh_1, i, 1) <> substr(sh_2, i, 1) THEN 1 ELSE 0 END)), 0) AS BIGINT)"
+    )
+    return f"""
+        {_DOC_BASE},
+        distinct_toks AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __dt__ FROM toked
+        ),
+        hashed AS (
+          SELECT id, {simhash_expr(bits)} AS sh FROM distinct_toks
+        ),
+        buckets AS (
+          {band_union}
+        ),
+        candidates AS (
+          SELECT DISTINCT a.id AS id_1, a.sh AS sh_1, b.id AS id_2, b.sh AS sh_2
+          FROM buckets a JOIN buckets b
+            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+          WHERE a.id < b.id
+        )
+        SELECT id_1, id_2, {hamming} AS hamming
+        FROM candidates
+        WHERE {hamming} <= {max_hamming}
+    """
+
+
+def dedup_embedding_sql(
+    dim: int = 64, threshold: float = 0.25, n_planes: int = 4, round_digits: int = 6
+) -> str:
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id, embedding AS vec,
+                 {srp_bucket('embedding', dim, n_planes)} AS bucket
+          FROM embeddings
+        )
+        SELECT a.id AS id_1, b.id AS id_2,
+               round({cosine('a.vec', 'b.vec', dim)}, {round_digits}) AS cos_sim
+        FROM base a JOIN base b ON a.bucket = b.bucket
+        WHERE a.id < b.id
+          AND round({cosine('a.vec', 'b.vec', dim)}, {round_digits}) >= {threshold}
+    """
+
+
+def similarity_topk_sql(
+    dim: int = 64, k: int = 10, n_queries: int = 5, round_digits: int = 6
+) -> str:
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {n_queries}
+        ),
+        pairs AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round({cosine('q.qv', 'c.embedding', dim)}, {round_digits}) AS cos_sim
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM pairs
+        ) ranked WHERE rank <= {k}
+    """
+
+
+def similarity_ann_sql(
+    dim: int = 64, k: int = 10, n_queries: int = 5, n_planes: int = 8,
+    round_digits: int = 6,
+) -> str:
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 {srp_bucket('embedding', dim, n_planes)} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv, bucket FROM base
+          WHERE vec_id < {n_queries}
+        ),
+        pairs AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round({cosine('q.qv', 'c.embedding', dim)}, {round_digits}) AS cos_sim
+          FROM base c JOIN q ON c.bucket = q.bucket
+          WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM pairs
+        ) ranked WHERE rank <= {k}
+    """
+
+
+def text_token_stats_sql() -> str:
+    return f"""
+        {_DOC_BASE}
+        SELECT doc_id,
+               CAST(len(__t__) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(__t__)) AS INTEGER) AS n_distinct_tokens,
+               CASE WHEN len(__t__) > 0
+                    THEN round(CAST(coalesce(list_sum(list_transform(__t__, t -> length(t))), 0) AS DOUBLE) / len(__t__), 4)
+                    ELSE 0.0 END AS avg_token_len,
+               CASE WHEN len(__t__) > 0
+                    THEN round(len(list_distinct(__t__)) * 1.0 / len(__t__), 4)
+                    ELSE 0.0 END AS type_token_ratio
+        FROM toked
+    """
+
+
+def _stopword_ratio(markers: list[str]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "CASE WHEN len(__t__) > 0 THEN "
+        f"len(list_filter(__t__, t -> t IN ({in_list}))) * 1.0 / len(__t__) "
+        "ELSE 0.0 END"
+    )
+
+
+def text_quality_sql(stopwords: list[str]) -> str:
+    alpha = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) "
+        "ELSE 0.0 END"
+    )
+    sw = _stopword_ratio(stopwords)
+    rep = (
+        "CASE WHEN len(__t__) > 0 THEN len(list_distinct(__t__)) * 1.0 / len(__t__) "
+        "ELSE 0.0 END"
+    )
+    length_score = "least(len(__t__) / 200.0, 1.0)"
+    score = (
+        f"round({length_score} * 0.25 + {alpha} * 0.25 "
+        f"+ least({sw} * 5, 1.0) * 0.2 + {rep} * 0.3, 6)"
+    )
+    return f"""
+        {_DOC_BASE}
+        SELECT doc_id,
+               CAST(len(__t__) AS INTEGER) AS n_tokens,
+               round({alpha}, 6) AS alpha_ratio,
+               round({sw}, 6) AS stopword_ratio,
+               round({rep}, 6) AS distinct_ratio,
+               {score} AS quality_score,
+               {score} >= 0.5 AS passes_quality
+        FROM toked
+    """
+
+
+def text_langid_sql(lang_markers: dict[str, list[str]]) -> str:
+    scores = {lang: _stopword_ratio(m) for lang, m in lang_markers.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    pred = "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'"
+    for lang in lang_markers:
+        pred += f" WHEN {scores[lang]} = {best} THEN '{lang}'"
+    pred += " END"
+    score_cols = ",\n               ".join(
+        f"round({scores[lang]}, 6) AS score_{lang}" for lang in lang_markers
+    )
+    return f"""
+        {_DOC_BASE}
+        SELECT doc_id,
+               {score_cols},
+               {pred} AS predicted_lang,
+               round({best}, 6) AS lang_confidence
+        FROM toked
+    """
+
+
+def text_fingerprints_sql() -> str:
+    return f"""
+        {_DOC_BASE},
+        distinct_toks AS (
+          SELECT doc_id, text, __t__, list_distinct(__t__) AS __dt__ FROM toked
+        )
+        SELECT doc_id,
+               md5(text) AS exact_md5,
+               {sorted_token_fingerprint()} AS token_fingerprint,
+               {simhash_expr(32)} AS simhash32
+        FROM distinct_toks
+    """
