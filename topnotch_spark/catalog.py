@@ -325,7 +325,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_near_dups(
         load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.25, n_planes=4,
+        threshold=0.25, n_planes=4, dim=64,
     )
 
 
@@ -340,7 +340,7 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import srp_ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return srp_ann_topk(emb, emb.filter("vec_id < 5"), k=10, n_planes=8)
+    return srp_ann_topk(emb, emb.filter("vec_id < 5"), k=10, n_planes=8, dim=64)
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

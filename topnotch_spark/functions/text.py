@@ -86,24 +86,57 @@ def md5_bit(hexstr: Column, bit: int) -> Column:
     return F.floor(nib / F.lit(2**shift)).cast("int") % 2
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
-    """SimHash over the token set: for each bit, sum +1/-1 votes from each
-    distinct token's md5, take the sign. Returned as a ``bits``-length
-    '0'/'1' string (MSB first) — string form is engine-portable and
-    directly usable for banding/hamming comparisons.
+def hash_bits_int(hexstr: Column, bits: int = 32) -> Column:
+    """First ``bits`` bits of an md5 hex string as a bigint (MSB-first) —
+    bit b of the result equals ``md5_bit(hexstr, b)``. One string→int
+    conversion replaces per-bit nibble arithmetic. Requires bits <= 60
+    (hex prefix must fit a bigint)."""
+    n_hex = (bits + 3) // 4
+    return F.conv(F.substring(hexstr, 1, n_hex), 16, 10).cast("bigint")
 
-    Scalar-expression formulation (aggregate over the token array), so it
-    runs inside a single projection — one pass, no explode/shuffle.
+
+def simhash_from_array(features: Column, bits: int = 32) -> Column:
+    """SimHash over an array of feature strings: for each bit, sum +1/-1
+    votes from each feature's md5, take the sign. Returned as a
+    ``bits``-length '0'/'1' string (MSB first) — string form is
+    engine-portable and directly usable for banding/hamming comparisons.
+
+    Scalar-expression formulation (aggregate over the array), so it runs
+    inside a single projection — one pass, no explode/shuffle. Each
+    feature is hashed ONCE into a bigint (inner transform), then all bit
+    votes fold over the hash array with an array accumulator — a per-bit
+    formulation would re-evaluate md5 per feature per bit (measured ~5x
+    slower at 5k docs). Bit b of hash h is extracted with exact double
+    arithmetic (h < 2^32 <= 2^53) so any SQL engine reproduces it.
     """
-    toks = F.array_distinct(tokens(col))
-    def bit_col(b: int) -> Column:
-        votes = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc + (md5_bit(F.md5(t), b) * 2 - 1),
-        )
-        return F.when(votes > 0, F.lit("1")).otherwise(F.lit("0"))
-    return F.concat(*[bit_col(b) for b in range(bits)])
+    hashes = F.transform(
+        features, lambda t: hash_bits_int(F.md5(t), bits).cast("double")
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0.0), bits),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, i: v
+            + (
+                F.floor(h / F.pow(F.lit(2.0), (F.lit(bits - 1) - i).cast("double")))
+                .cast("bigint") % 2
+            ).cast("double")
+            * 2
+            - 1,
+        ),
+    )
+    return F.array_join(
+        F.transform(
+            votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash over the distinct-token set of a text column."""
+    return simhash_from_array(F.array_distinct(tokens(col)), bits)
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:

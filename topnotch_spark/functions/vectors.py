@@ -14,6 +14,8 @@ state, broadcast, or RNG.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,13 +45,46 @@ def _plane_sign(plane: int, dim_idx: Column) -> Column:
     return F.when(nib >= 8, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def srp_bucket(vec: Column, n_planes: int = 8) -> Column:
+def plane_signs(plane: int, dim: int) -> list[float]:
+    """The ``dim`` ±1 signs of one SRP hyperplane, computed driver-side.
+
+    Exactly the values `_plane_sign` produces executor-side: +1 iff the
+    first hex nibble of md5('p<plane>_d<dim>') >= 8. Python's md5 == any
+    engine's md5, so precomputing here changes nothing semantically — it
+    just removes dim × planes md5 evaluations *per row* from the plan.
+    """
+    return [
+        1.0
+        if int(hashlib.md5(f"p{plane}_d{i}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column:
     """Sign-random-projection bucket id: ``n_planes``-char '0'/'1' string.
 
     At 100 TB scale this is the blocking key for near-dup joins: the
     all-pairs O(n²) comparison becomes a per-bucket join (expected bucket
     size n / 2^planes), a plain shuffle-on-key operation.
+
+    Pass ``dim`` when the embedding width is known: the hyperplane signs
+    are then embedded as literal arrays (computed once on the driver)
+    instead of re-deriving md5('p<plane>_d<dim>') for every row × plane ×
+    dimension — same bucket ids, ~10× cheaper projection.
     """
+    if dim is not None:
+        def bit_fast(p: int) -> Column:
+            signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
+            proj = F.aggregate(
+                F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+        return F.concat(*[bit_fast(p) for p in range(n_planes)])
+
     def bit(p: int) -> Column:
         proj = F.aggregate(
             F.transform(

@@ -27,27 +27,68 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from topnotch_spark.functions.text import (
-    shingles_from_tokens,
     sorted_token_fingerprint,
     tokens,
     word_shingles,
 )
+from topnotch_spark.functions.vectors import srp_bucket
 
 
-def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingles) with tokens materialized first — see
-    shingles_from_tokens for why the two-step projection matters."""
-    return (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks__"))
-        .select("id", shingles_from_tokens(F.col("__toks__"), n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shs): distinct word n-gram shingles as an array per document.
+
+    Zero-shuffle formulation: tokens are projected once, each shingle is a
+    ``slice`` + ``array_join`` over the token array, and distinctness is
+    array-side (``array_distinct``), so no exchange is needed anywhere —
+    the whole thing is a projection over the scan. Beware two slower
+    formulations measured at sf0.1: per-position ``element_at`` chains
+    (~6x slower — interpreted HOF eval re-touches the array n times per
+    shingle) and a posexplode+lead window (adds a full shuffle+sort).
+    Docs with fewer than ``n`` tokens are dropped (no shingles).
+    """
+    tokdf = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks__"))
+    starts = F.when(
+        F.size("__toks__") >= n, F.sequence(F.lit(1), F.size("__toks__") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh_arr = F.transform(
+        starts, lambda i: F.array_join(F.slice("__toks__", i, n), " ")
     )
-from topnotch_spark.functions.vectors import cosine, srp_bucket
+    return tokdf.select("id", F.array_distinct(sh_arr).alias("shs")).filter(
+        F.size("shs") > 0
+    )
 
-MINHASH_INIT = "f" * 16  # > any md5-prefix value
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles, exploded: one row per (id, sh)."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("shs").alias("sh")
+    )
+
+
+# MinHash hashing scheme, shared with the DuckDB oracle generator:
+# each shingle is md5-hashed ONCE into a 60-bit int (15 hex chars), then
+# num_hashes affine re-hashes (a_h * H + b_h) mod P give the per-function
+# values — 16x less hashing than md5-per-hash-function, identical
+# collision statistics. P = 2^31 - 1 keeps a_h * H within int64.
+MINHASH_P = 2**31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine coefficients (a_h, b_h), identical on every
+    engine/driver — derived from fixed odd multipliers, no RNG."""
+    a = [((2 * h + 1) * 2654435761) % MINHASH_P or 1 for h in range(num_hashes)]
+    b = [(h * 40503 * 65537) % MINHASH_P for h in range(num_hashes)]
+    return a, b
+
+
+def hash60(sh: Column) -> Column:
+    """First 60 bits of md5 as bigint, reduced mod MINHASH_P."""
+    return (
+        F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("bigint") % MINHASH_P
+    )
 
 def keyed_dedup(
     df: DataFrame, id_col: str, key: Column, key_name: str = "dup_key"
@@ -82,18 +123,19 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature_col(text_col: str, num_hashes: int, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash components. Component h = min over
-    shingles of the 16-hex-char prefix of md5('h<h>_' || shingle) — string
-    min equals numeric min on fixed-width hex, and is engine-portable."""
-    shingles = word_shingles(text_col, shingle_n)
+    """Array of ``num_hashes`` minhash components as a scalar expression —
+    same affine scheme as minhash_lsh_dedup (one md5 per shingle, affine
+    re-hashes mod MINHASH_P), usable inside a single projection."""
+    a_co, b_co = minhash_coeffs(num_hashes)
+    hashes = F.transform(word_shingles(text_col, shingle_n), lambda s: hash60(s))
+
     def one(h: int) -> Column:
         return F.aggregate(
-            shingles,
-            F.lit(MINHASH_INIT),
-            lambda acc, s: F.least(
-                acc, F.substring(F.md5(F.concat(F.lit(f"h{h}_"), s)), 1, 16)
-            ),
+            hashes,
+            F.lit(MINHASH_P),
+            lambda acc, hp: F.least(acc, (F.lit(a_co[h]) * hp + F.lit(b_co[h])) % MINHASH_P),
         )
+
     return F.array(*[one(h) for h in range(num_hashes)])
 
 
@@ -134,21 +176,28 @@ def minhash_lsh_dedup(
     """MinHash-LSH near-dup pairs: banding for candidates, exact Jaccard
     for verification. Returns (id_1, id_2, jaccard) with id_1 < id_2.
 
-    Execution shape (the 100 TB path): shingles are exploded ONCE; each
-    shingle's md5 is computed once per hash seed inside a single groupBy(id)
-    with ``num_hashes`` min-aggregates (map-side partial agg → one shuffle
-    on id). Candidates come from an equi-join on (band, bucket); exact
-    Jaccard verification reuses the same exploded table restricted to
-    candidate pairs — no O(n²) stage anywhere."""
+    Execution shape (the 100 TB path): the per-doc shingle array is built
+    shuffle-free and persisted (it feeds both the signature branch and the
+    verification joins). Each shingle is md5-hashed once; ``num_hashes``
+    affine re-hashes are min-aggregated in a single groupBy(id) (map-side
+    partial agg → one shuffle on id). Candidates come from an equi-join on
+    (band, bucket) — the banding bound, not O(n²) — and are verified with
+    exact Jaccard via array_intersect on the persisted arrays, so the
+    verification cost is |candidates|, not |corpus|."""
     rows_per_band = num_hashes // bands
-    shingled = _shingled(df, id_col, text_col, shingle_n)
-    exploded = shingled.select("id", F.explode("shingles").alias("sh"))
+    arr = shingle_arrays(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a_co, b_co = minhash_coeffs(num_hashes)
 
+    exploded = arr.select("id", F.explode("shs").alias("sh")).select(
+        "id", hash60(F.col("sh")).alias("hp")
+    )
     sigs = exploded.groupBy("id").agg(
         *[
-            F.min(
-                F.substring(F.md5(F.concat(F.lit(f"h{h}_"), F.col("sh"))), 1, 16)
-            ).alias(f"sig_{h}")
+            F.min((F.lit(a_co[h]) * F.col("hp") + F.lit(b_co[h])) % MINHASH_P).alias(
+                f"sig_{h}"
+            )
             for h in range(num_hashes)
         ]
     )
@@ -173,27 +222,16 @@ def minhash_lsh_dedup(
         .select("id_1", "id_2")
         .distinct()
     )
-    # exact-Jaccard verify on candidates via the exploded shingle table
-    sizes = shingled.select("id", F.size("shingles").alias("n_sh"))
-    a = exploded.select(F.col("id").alias("id_1"), F.col("sh").alias("sh"))
-    b = exploded.select(F.col("id").alias("id_2"), F.col("sh").alias("sh"))
-    common = (
-        candidates.join(a, "id_1")
-        .join(b, ["id_2", "sh"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # exact-Jaccard verify: join the (tiny) candidate set back to the
+    # persisted shingle arrays; |intersect| / |union| per pair
+    s1 = arr.select(F.col("id").alias("id_1"), F.col("shs").alias("__sh1__"))
+    s2 = arr.select(F.col("id").alias("id_2"), F.col("shs").alias("__sh2__"))
+    inter = F.size(F.array_intersect("__sh1__", "__sh2__"))
+    union = F.size(F.array_union("__sh1__", "__sh2__"))
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id_1", "n_sh": "n_1"}), "id_1")
-        .join(sizes.withColumnsRenamed({"id": "id_2", "n_sh": "n_2"}), "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            (
-                F.col("n_common")
-                / (F.col("n_1") + F.col("n_2") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
+        candidates.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select("id_1", "id_2", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -211,9 +249,11 @@ def ngram_jaccard_pairs(
 
     The shingle is the blocking key — pairs sharing no shingle are never
     materialized, so the join is |pairs sharing ≥1 shingle|, not O(n²)."""
-    base = _shingled(df, id_col, text_col, shingle_n)
-    sizes = base.select("id", F.size("shingles").alias("n_sh"))
-    exploded = base.select("id", F.explode("shingles").alias("shingle"))
+    arr = shingle_arrays(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK  # feeds explode + both size joins
+    )
+    exploded = arr.select("id", F.explode("shs").alias("shingle"))
+    sizes = arr.select("id", F.size("shs").alias("n_sh"))
     common = (
         exploded.alias("a")
         .join(exploded.alias("b"), "shingle")
@@ -254,19 +294,24 @@ def simhash_dedup(
     simhashes near-random even over a small vocabulary, so band buckets
     stay selective and the candidate join stays small.
 
-    Execution shape: distinct shingles are exploded once, each shingle's
-    md5 is computed ONCE, and all ``bits`` per-bit ±1 votes are summed in a
-    single groupBy(id) — map-side combine, one shuffle — instead of
-    re-hashing every feature per bit."""
-    from topnotch_spark.functions.text import md5_bit
+    Execution shape: shingles are exploded once, each shingle's md5 is
+    hashed ONCE into a bigint, and all ``bits`` per-bit ±1 votes are
+    summed in a single groupBy(id) with shiftright/AND bit extraction —
+    map-side combine, one shuffle. Measured faster than both array-fold
+    formulations (array-accumulator and per-bit folds) at sf0.1, which
+    pay per-element interpreted-HOF overhead. The (id, simhash) table is
+    persisted because it feeds both sides of the candidate self-join."""
+    from topnotch_spark.functions.text import hash_bits_int
 
     n_bands = bits // band_bits
-    tok = _shingled(df, id_col, text_col, shingle_n).select(
-        "id", F.explode("shingles").alias("t")
-    ).withColumn("__h__", F.md5("t"))
-    votes = tok.groupBy("id").agg(
+    ex = shingle_rows(df, id_col, text_col, shingle_n).select(
+        "id", hash_bits_int(F.md5("sh"), bits).alias("h")
+    )
+    votes = ex.groupBy("id").agg(
         *[
-            F.sum(md5_bit(F.col("__h__"), b) * 2 - 1).alias(f"v_{b}")
+            F.sum(
+                F.shiftright("h", bits - 1 - b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v_{b}")
             for b in range(bits)
         ]
     )
@@ -276,7 +321,9 @@ def simhash_dedup(
             for b in range(bits)
         ]
     )
-    base = votes.select("id", sh_col.alias("sh"))
+    base = votes.select("id", sh_col.alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_cols = [
         F.substring("sh", b * band_bits + 1, band_bits).alias(f"band_{b}")
         for b in range(n_bands)
@@ -313,20 +360,33 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with SRP-bucket blocking.
     Returns (id_1, id_2, cos_sim) with id_1 < id_2. Bucketing bounds the
-    candidate join (same-bucket only); cosine verifies."""
+    candidate join (same-bucket only); cosine verifies. Pass ``dim`` when
+    the embedding width is known — the SRP planes become driver-computed
+    literals (see srp_bucket). Norms are projected per row before the
+    join so per-pair work is one dot-product fold, not three."""
+    from topnotch_spark.functions.vectors import dot, norm
+
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     left = base.select(
-        F.col("id").alias("id_1"), F.col("vec").alias("__v1__"), "bucket"
+        F.col("id").alias("id_1"),
+        F.col("vec").alias("__v1__"),
+        F.col("nrm").alias("__n1__"),
+        "bucket",
     )
     right = base.select(
-        F.col("id").alias("id_2"), F.col("vec").alias("__v2__"), "bucket"
+        F.col("id").alias("id_2"),
+        F.col("vec").alias("__v2__"),
+        F.col("nrm").alias("__n2__"),
+        "bucket",
     )
     return (
         left.join(right, "bucket")
@@ -334,9 +394,11 @@ def embedding_near_dups(
         .select(
             "id_1",
             "id_2",
-            F.round(cosine(F.col("__v1__"), F.col("__v2__")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("__v1__"), F.col("__v2__"))
+                / (F.col("__n1__") * F.col("__n2__")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

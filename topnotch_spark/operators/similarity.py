@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from topnotch_spark.functions.vectors import cosine, srp_bucket
+from topnotch_spark.functions.vectors import dot, norm, srp_bucket
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -40,12 +40,20 @@ def brute_force_topk(
     k: int = 10,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector (excluding itself)."""
+    """Exact top-k neighbors for each query vector (excluding itself).
+
+    Norms are projected per row BEFORE the join, so the per-pair work is a
+    single dot-product fold — not three (dot + both norms re-derived per
+    pair), which costs 3x at |corpus| x |queries| pairs."""
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -53,9 +61,11 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv__"), F.col("__cv__")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(pairs, k)
@@ -69,17 +79,22 @@ def srp_ann_topk(
     k: int = 10,
     n_planes: int = 8,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's SRP bucket."""
+    """Approximate top-k: candidates limited to the query's SRP bucket.
+    Pass ``dim`` when known — SRP planes become literals (see srp_bucket).
+    Norms are projected per row before the join (see brute_force_topk)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("__cn__"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("__qn__"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")
@@ -87,9 +102,11 @@ def srp_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv__"), F.col("__cv__")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(pairs, k)

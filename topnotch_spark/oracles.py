@@ -9,8 +9,6 @@ simhash expressions) because it is *generated*, not hand-maintained.
 
 from __future__ import annotations
 
-MINHASH_INIT = "f" * 16
-
 # ---- text building blocks (mirror functions/text.py) ----------------------
 
 TOKENS = (
@@ -58,10 +56,17 @@ def simhash_expr(bits: int = 32) -> str:
     return " || ".join(bit_exprs)
 
 
-def minhash_component(h: int) -> str:
+def minhash_component(h: int, num_hashes: int) -> str:
+    """Affine minhash component mirroring operators/dedup.py: one md5 per
+    shingle → 60-bit int mod P, then (a_h * H + b_h) mod P, min over
+    shingles. DuckDB parses hex via '0x…'::BIGINT; Spark uses conv()."""
+    from topnotch_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    hp = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
     return (
         f"coalesce(list_min(list_transform(__sh__, "
-        f"s -> substr(md5('h{h}_' || s), 1, 16))), '{MINHASH_INIT}')"
+        f"s -> ({a[h]} * {hp} + {b[h]}) % {MINHASH_P})), {MINHASH_P})"
     )
 
 
@@ -134,11 +139,13 @@ def dedup_minhash_sql(
 ) -> str:
     rows_per_band = num_hashes // bands
     sig_cols = ",\n               ".join(
-        f"{minhash_component(h)} AS sig_{h}" for h in range(num_hashes)
+        f"{minhash_component(h, num_hashes)} AS sig_{h}" for h in range(num_hashes)
     )
     band_cols = ",\n               ".join(
         "md5("
-        + " || '|' || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " || '|' || ".join(
+            f"sig_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
         + f") AS band_{b}"
         for b in range(bands)
     )
