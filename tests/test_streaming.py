@@ -1,0 +1,150 @@
+"""Structured Streaming extension tests.
+
+Strategy: replay the driver's ``events`` table as a file-source stream
+(split into 3 time-ordered parquet files, maxFilesPerTrigger=1 +
+availableNow => 3 deterministic micro-batches) and check stream results
+against the equivalent batch computation — the streaming analogue of the
+DuckDB-oracle gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import df_equals
+from topnotch_spark import catalog
+from topnotch_spark.operators.assertions import AssertionRule, run_assertions
+from topnotch_spark.streaming import (
+    run_stream_to_table,
+    run_streaming_assertions,
+    sessionize_stream,
+    stream_from_parquet,
+    windowed_event_metrics,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+BATCH_DIR = "/root/repo/.tmp/test_stream_events"
+CUTS = ("2024-01-11", "2024-01-21")
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events split into 3 time-ordered parquet files in one directory."""
+    if os.path.exists(BATCH_DIR):
+        shutil.rmtree(BATCH_DIR)
+    os.makedirs(BATCH_DIR)
+    # catalog.load converts the driver's TIMESTAMP(NANOS) ts to micros, so
+    # the re-written batch files carry a plain timestamp column
+    ev = catalog.load(spark, SF_DIR, "events")
+    ranges = [
+        ev.filter(f"ts < timestamp'{CUTS[0]}'"),
+        ev.filter(f"ts >= timestamp'{CUTS[0]}' AND ts < timestamp'{CUTS[1]}'"),
+        ev.filter(f"ts >= timestamp'{CUTS[1]}'"),
+    ]
+    for i, r in enumerate(ranges):
+        stage = f"{BATCH_DIR}/_stage{i}"
+        r.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        shutil.move(os.path.join(stage, part), f"{BATCH_DIR}/{i:03d}.parquet")
+        shutil.rmtree(stage)
+    yield BATCH_DIR
+    shutil.rmtree(BATCH_DIR, ignore_errors=True)
+
+
+def test_windowed_metrics_stream_matches_batch(spark, events_dir):
+    stream = stream_from_parquet(spark, events_dir)
+    streamed = run_stream_to_table(
+        windowed_event_metrics(stream, window_duration="1 hour"),
+        output_mode="complete",
+    )
+    batch = windowed_event_metrics(
+        catalog.load(spark, SF_DIR, "events"), window_duration="1 hour"
+    )
+    assert streamed.count() > 0
+    assert df_equals(streamed, batch)
+
+
+def test_windowed_metrics_sliding(spark, events_dir):
+    stream = stream_from_parquet(spark, events_dir)
+    streamed = run_stream_to_table(
+        windowed_event_metrics(stream, window_duration="1 hour", slide="30 minutes"),
+        output_mode="complete",
+    )
+    batch = windowed_event_metrics(
+        catalog.load(spark, SF_DIR, "events"),
+        window_duration="1 hour",
+        slide="30 minutes",
+    )
+    assert df_equals(streamed, batch)
+
+
+def test_streaming_assertions_match_batch(spark, events_dir):
+    rules = [
+        AssertionRule("value >= 0", "value must be non-negative", 0.01),
+        AssertionRule("event_type <> 'error'", "no error events", 0.05),
+        AssertionRule("user_id is not null", "user id present", 0.0),
+    ]
+    stream = stream_from_parquet(spark, events_dir, max_files_per_trigger=1)
+    summary = run_streaming_assertions(stream, rules)
+    assert len(summary.batches) >= 3  # one micro-batch per file
+
+    batch_df = catalog.load(spark, SF_DIR, "events")
+    batch_res = run_assertions(batch_df, "batch", rules, with_samples=False)
+    for merged, ref in zip(summary.reports, batch_res.reports):
+        assert merged.num_invalid == ref.num_invalid
+        assert merged.fraction_invalid == pytest.approx(ref.fraction_invalid)
+        assert merged.failed == ref.failed
+    assert summary.num_failed == batch_res.num_failed
+
+
+def _batch_sessions(spark, gap_seconds=1800):
+    """Reference sessionization computed in batch (lag + cumulative sum)."""
+    ev = catalog.load(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lag_ts = F.lag("ts").over(w)
+    is_new = (
+        lag_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > gap_seconds * 1_000_000)
+    )
+    sess = (
+        ev.withColumn("__new__", is_new.cast("int"))
+        .withColumn(
+            "session_id",
+            F.sum("__new__").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_id")
+    )
+    return sess
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
+    stream = stream_from_parquet(spark, events_dir, max_files_per_trigger=1)
+    sessions = run_stream_to_table(
+        sessionize_stream(stream, gap_seconds=1800), output_mode="append"
+    )
+    emitted = sessions.collect()
+    # multi-batch replay must close a substantial number of sessions
+    assert len(emitted) > 0
+
+    ref = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _batch_sessions(spark).collect()
+    }
+    for r in emitted:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in ref, f"streamed session not in batch reference: {key}"
+    # no session may be emitted twice
+    assert len(emitted) == len(
+        {(r["user_id"], r["session_start"]) for r in emitted}
+    )

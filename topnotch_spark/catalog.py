@@ -367,6 +367,80 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# --------------------------------------------------------------------------
+# Structured Streaming extensions (SURVEY.md §2.3): the events table is
+# replayed as a file-source stream (3 time-split files, availableNow) and
+# the streaming result is returned as a batch DataFrame for the oracle gate
+# --------------------------------------------------------------------------
+
+# assertion rules used by the streaming assertion query AND its oracle
+STREAM_RULES: list[tuple[str, str, float]] = [
+    ("value >= 0", "value must be non-negative", 0.01),
+    ("event_type <> 'error'", "no error events", 0.05),
+    ("user_id is not null", "user id present", 0.0),
+]
+
+
+def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+        windowed_event_metrics,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        windowed_event_metrics(stream, window_duration="1 hour"),
+        output_mode="complete",
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful gap-sessionization (applyInPandasWithState) over the
+    events stream. Emits every session CLOSED by the final watermark:
+    equals the batch sessionization minus sessions still open at
+    max(ts) - 30min (the oracle encodes exactly that)."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        sessionize_stream,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        sessionize_stream(stream, gap_seconds=1800), output_mode="append"
+    )
+
+
+def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule stream-level assertion metrics: the batch rule evaluator
+    runs per micro-batch (foreachBatch), counts merge across batches."""
+    from topnotch_spark.operators.assertions import AssertionRule
+    from topnotch_spark.streaming import (
+        run_streaming_assertions,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    rules = [AssertionRule(q, d, t) for q, d, t in STREAM_RULES]
+    summary = run_streaming_assertions(stream, rules)
+    rows = [
+        (r.description, r.num_invalid, r.fraction_invalid, r.failed)
+        for r in summary.reports
+    ]
+    return spark.createDataFrame(
+        rows,
+        "description string, num_invalid long, fraction_invalid double, failed boolean",
+    )
+
+
 ALL = {
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
@@ -389,4 +463,7 @@ ALL = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
+    "streaming_window_metrics": streaming_window_metrics,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_assertion_metrics": streaming_assertion_metrics,
 }

@@ -393,6 +393,83 @@ def text_langid_sql(lang_markers: dict[str, list[str]]) -> str:
     """
 
 
+def streaming_window_metrics_sql(window: str = "1 hour") -> str:
+    """Batch equivalent of the streaming tumbling-window aggregation.
+    complete output mode emits every window, so the oracle is a plain
+    GROUP BY time_bucket. ts is TIMESTAMP_NS in parquet; CAST truncates
+    to micros exactly like the Spark-side load conversion."""
+    bucket = f"time_bucket(INTERVAL {window}, CAST(ts AS TIMESTAMP))"
+    return f"""
+        SELECT {bucket} AS window_start,
+               {bucket} + INTERVAL {window} AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """
+
+
+def streaming_sessionize_sql(gap_minutes: int = 30) -> str:
+    """Sessions the streaming operator CLOSES: batch gap-sessionization
+    minus sessions still open at the final watermark (the availableNow
+    run's last watermark is max(ts), so a session is closed iff
+    session_end + gap < max(ts) — verified empirically, see
+    streaming/stateful.py)."""
+    return f"""
+        WITH base AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts > lag(ts) OVER w + INTERVAL {gap_minutes} MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id, sid,
+                 min(ts) AS session_start,
+                 max(ts) AS session_end,
+                 count(*) AS n_events
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM agg
+        WHERE session_end + INTERVAL {gap_minutes} MINUTE
+              < (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+    """
+
+
+def streaming_assertion_metrics_sql(rules: list[tuple[str, str, float]]) -> str:
+    """Stream-level merged assertion metrics == batch metrics over the
+    whole table (verified by tests/test_streaming.py). Invalid count uses
+    NOT(query) — NULL predicates count as valid, matching the batch
+    evaluator's filter semantics."""
+    selects = []
+    for query, description, threshold in rules:
+        desc = description.replace("'", "''")
+        selects.append(f"""
+          SELECT '{desc}' AS description,
+                 count(*) FILTER (WHERE NOT({query})) AS num_invalid,
+                 count(*) FILTER (WHERE NOT({query})) * 1.0 / count(*)
+                     AS fraction_invalid,
+                 (count(*) FILTER (WHERE NOT({query})) * 1.0 / count(*))
+                     > {threshold} AS failed
+          FROM events""")
+    return "\n          UNION ALL\n".join(selects)
+
+
 def text_fingerprints_sql() -> str:
     return f"""
         {_DOC_BASE},

@@ -1,0 +1,17 @@
+from topnotch_spark.streaming.ops import (
+    StreamingAssertionSummary,
+    run_stream_to_table,
+    run_streaming_assertions,
+    stream_from_parquet,
+    windowed_event_metrics,
+)
+from topnotch_spark.streaming.stateful import sessionize_stream
+
+__all__ = [
+    "StreamingAssertionSummary",
+    "run_stream_to_table",
+    "run_streaming_assertions",
+    "stream_from_parquet",
+    "windowed_event_metrics",
+    "sessionize_stream",
+]

@@ -1,0 +1,242 @@
+"""Structured Streaming extensions (SURVEY.md §2.3 / §7E).
+
+The reference engine is batch-only (its SparkSession is plain batch,
+tnengine/TnEngine.scala:34-40, and no streaming API appears anywhere in
+src/main). These operators extend the same QC semantics to streams the
+idiomatic Spark way:
+
+- ``stream_from_parquet``: file-source stream over parquet (the driver's
+  ``events`` table replayed as a stream; at scale this is the same code
+  path as a continuously-landing parquet/Delta directory).
+- ``windowed_event_metrics``: watermark + tumbling/sliding ``window()``
+  aggregation. Works identically on a batch DataFrame (window() is a
+  plain grouping expression), which is how the DuckDB oracle reproduces
+  it.
+- ``run_streaming_assertions``: re-uses the BATCH rule evaluator
+  (operators/assertions.run_assertions) per micro-batch via
+  ``foreachBatch``, then merges per-batch counts into stream-level
+  fractions — the reference's fraction/threshold semantics, incrementally.
+
+Scale notes: the windowed aggregation is a standard streaming state-store
+aggregation — state is bounded by (watermark horizon / slide) x groups,
+and late data beyond the watermark is dropped. foreachBatch assertion
+evaluation adds no state at all: each micro-batch is a bounded DataFrame
+and the fused one-job count evaluator runs on it as-is.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.assertions import (
+    AssertionReport,
+    AssertionRule,
+    AssertionResult,
+    run_assertions,
+)
+
+DEFAULT_CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
+REPLAY_ROOT = "/root/repo/.tmp/events_replay"
+REPLAY_CUTS = ("2024-01-11", "2024-01-21")
+
+
+def events_replay_dir(
+    spark: SparkSession, sf_dir: str, cuts: tuple[str, ...] = REPLAY_CUTS
+) -> str:
+    """Materialize the events table as time-ordered parquet files (one per
+    cut range) so a file-source stream replays it as deterministic
+    micro-batches with maxFilesPerTrigger=1. Also normalizes the driver's
+    TIMESTAMP(NANOS) ts to micros (catalog.load) so the streaming schema
+    is a plain timestamp. Idempotent per sf_dir — built once, reused."""
+    from topnotch_spark import catalog
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    dest = f"{REPLAY_ROOT}/{base}"
+    marker = os.path.join(dest, "_REPLAY_READY")
+    if os.path.exists(marker):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    ev = catalog.load(spark, sf_dir, "events")
+    bounds = [None, *cuts, None]
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = ev
+        if lo is not None:
+            part = part.filter(f"ts >= timestamp'{lo}'")
+        if hi is not None:
+            part = part.filter(f"ts < timestamp'{hi}'")
+        stage = f"{dest}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        shutil.move(os.path.join(stage, pf), f"{dest}/{i:03d}.parquet")
+        shutil.rmtree(stage)
+    with open(marker, "w") as f:
+        f.write("")
+    return dest
+
+
+def stream_from_parquet(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Parquet file-source stream. ``path`` may be a file, directory or
+    glob. Schema is taken from a batch read when not supplied (streaming
+    file sources require an explicit schema).
+
+    ``max_files_per_trigger`` bounds each micro-batch; with the
+    availableNow trigger this replays existing files as a deterministic
+    sequence of micro-batches — how the tests drive multi-batch behavior.
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_metrics(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "1 hour",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(time-window, event_type) counts and value stats.
+
+    On a streaming DataFrame: watermarked stateful aggregation (late rows
+    beyond ``watermark_delay`` are dropped, state is evicted as the
+    watermark passes window ends). On a batch DataFrame the same code is a
+    plain groupBy — used by tests and the DuckDB oracle for equivalence.
+    """
+    e = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        e.groupBy(win.alias("win"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col(type_col),
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory sink and return the result table. Each call uses a fresh
+    checkpoint + sink name, so it is safe to re-invoke (bench loops)."""
+    name = f"tn_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or f"{DEFAULT_CHECKPOINT_ROOT}/{name}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@dataclass
+class StreamingBatchResult:
+    batch_id: int
+    total: int
+    result: AssertionResult
+
+
+@dataclass
+class StreamingAssertionSummary:
+    """Stream-level rollup of per-micro-batch assertion runs."""
+
+    batches: list[StreamingBatchResult]
+    reports: list[AssertionReport]  # merged across batches
+    num_failed: int  # rules whose stream-level fraction exceeds threshold
+
+
+def run_streaming_assertions(
+    stream_df: DataFrame,
+    rules: list[AssertionRule],
+    checkpoint_dir: str | None = None,
+    with_samples: bool = False,
+) -> StreamingAssertionSummary:
+    """Evaluate assertion rules over a stream, one micro-batch at a time,
+    re-using the batch evaluator via foreachBatch.
+
+    Per batch this runs the fused one-job count evaluator; afterwards the
+    per-batch (num_invalid, total) pairs are merged so
+    ``fraction_invalid`` reflects the WHOLE stream — matching what the
+    batch engine would report on the union of all micro-batches. Sampling
+    defaults off in streaming (per-batch samples are rarely wanted and
+    cost an extra job per batch per rule).
+    """
+    batches: list[StreamingBatchResult] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        total = batch_df.count()
+        res = run_assertions(
+            batch_df, f"batch_{batch_id}", rules, with_samples=with_samples
+        )
+        batches.append(StreamingBatchResult(batch_id, total, res))
+
+    name = f"tn_assert_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or f"{DEFAULT_CHECKPOINT_ROOT}/{name}"
+    q = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    grand_total = sum(b.total for b in batches)
+    merged: list[AssertionReport] = []
+    for i, rule in enumerate(rules):
+        num_invalid = sum(b.result.reports[i].num_invalid for b in batches)
+        fraction = (num_invalid / grand_total) if grand_total > 0 else 0.0
+        merged.append(
+            AssertionReport(
+                query=rule.query,
+                description=rule.description,
+                threshold=rule.threshold,
+                fraction_invalid=fraction,
+                num_invalid=num_invalid,
+                sample_invalid=[
+                    r for b in batches for r in b.result.reports[i].sample_invalid
+                ][:20],
+                user_summary_statistics={},
+                user_defined_features=tuple(
+                    (rule.user_defined_features or {}).keys()
+                ),
+            )
+        )
+    num_failed = sum(1 for r in merged if r.failed)
+    return StreamingAssertionSummary(batches, merged, num_failed)
