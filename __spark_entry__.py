@@ -66,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.text_quality_sql(LANG_MARKERS["en"]),
         "text_langid": oracles.text_langid_sql(LANG_MARKERS),
         "text_fingerprints": oracles.text_fingerprints_sql(),
+        "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),
         "streaming_window_metrics": oracles.streaming_window_metrics_sql(),
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(

@@ -367,6 +367,18 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media analytics over a binary column (documents text
+    encoded as UTF-8 blobs — the testdata has no real media table, but the
+    operator is byte-agnostic). Exercises Arrow-batched mapInPandas."""
+    from topnotch_spark.operators.multimodal import byte_stats
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return byte_stats(docs, "content", keep_cols=("doc_id",))
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming extensions (SURVEY.md §2.3): the events table is
 # replayed as a file-source stream (3 time-split files, availableNow) and
@@ -463,6 +475,7 @@ ALL = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
+    "multimodal_byte_stats": multimodal_byte_stats,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,
     "streaming_assertion_metrics": streaming_assertion_metrics,

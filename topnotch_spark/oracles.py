@@ -393,6 +393,43 @@ def text_langid_sql(lang_markers: dict[str, list[str]]) -> str:
     """
 
 
+def multimodal_byte_stats_sql(bins: int = 16) -> str:
+    """Mirror of operators/multimodal.byte_stats over encode(text):
+    high-nibble counts come from the odd positions of hex(blob) (exact
+    integers); entropy re-derives from those counts with the same
+    ascending-bin accumulation order, so doubles match bit-for-bit."""
+    digits = "0123456789ABCDEF"
+    hist_cols = ",\n               ".join(
+        f"len(list_filter(hx_digits, d -> d = '{digits[i]}')) AS h{i}"
+        for i in range(bins)
+    )
+    ent_terms = " + ".join(
+        f"(CASE WHEN h{i} > 0 THEN -(h{i} * 1.0 / size_bytes) * "
+        f"log2(h{i} * 1.0 / size_bytes) ELSE 0.0 END)"
+        for i in range(bins)
+    )
+    return f"""
+        WITH blobs AS (
+          SELECT doc_id, encode(text) AS b FROM documents
+        ),
+        hexed AS (
+          SELECT doc_id, octet_length(b) AS size_bytes,
+                 list_transform(generate_series(1, octet_length(b)),
+                                k -> substr(hex(b), 2*k - 1, 1)) AS hx_digits
+          FROM blobs
+        ),
+        histo AS (
+          SELECT doc_id, size_bytes,
+               {hist_cols}
+          FROM hexed
+        )
+        SELECT doc_id, size_bytes,
+               {', '.join(f'h{i}' for i in range(bins))},
+               round({ent_terms}, 6) AS nibble_entropy
+        FROM histo
+    """
+
+
 def streaming_window_metrics_sql(window: str = "1 hour") -> str:
     """Batch equivalent of the streaming tumbling-window aggregation.
     complete output mode emits every window, so the oracle is a plain
