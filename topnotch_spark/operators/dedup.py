@@ -242,18 +242,35 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.3,
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs, blocked on shared shingles:
     explode → self-equi-join on shingle → count common → Jaccard.
     Returns (id_1, id_2, jaccard) with id_1 < id_2.
 
     The shingle is the blocking key — pairs sharing no shingle are never
-    materialized, so the join is |pairs sharing ≥1 shingle|, not O(n²)."""
+    materialized, so the join is |pairs sharing ≥1 shingle|, not O(n²).
+
+    Scale valve: a shingle occurring in k documents contributes k² rows to
+    the self-join, so one viral phrase can dominate the whole job at
+    corpus scale. ``max_shingle_df`` drops shingles whose document
+    frequency exceeds the cap from the JOIN ONLY (sizes keep counting
+    them): common boilerplate shingles carry almost no Jaccard signal, so
+    the measured similarity only drops slightly (strictly conservative —
+    never creates false positives). Default None = exact semantics."""
     arr = shingle_arrays(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK  # feeds explode + both size joins
     )
     exploded = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     common = (
         exploded.alias("a")
         .join(exploded.alias("b"), "shingle")
