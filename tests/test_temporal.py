@@ -1,0 +1,96 @@
+"""As-of join and range join unit tests with hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from topnotch_spark.operators.temporal import asof_join, range_join_pairs
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(100)), (1, _ts(200)), (1, _ts(50)), (2, _ts(100))],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(90), "a"), (1, _ts(150), "b"), (2, _ts(500), "c")],
+        "k int, ts timestamp, tag string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["ts_r"], r["tag_r"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["tag"], suffix="_r",
+        ).collect()
+    }
+    assert out[(1, _ts(100))] == (_ts(90), "a")   # latest at-or-before
+    assert out[(1, _ts(200))] == (_ts(150), "b")
+    assert out[(1, _ts(50))] == (None, None)      # nothing before
+    assert out[(2, _ts(100))] == (None, None)     # right is in the future
+
+
+def test_asof_join_equality_matches(spark):
+    left = spark.createDataFrame([(1, _ts(100))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(100), "same")], "k int, ts timestamp, tag string"
+    )
+    r = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["tag"], suffix="_r",
+    ).collect()[0]
+    assert r["tag_r"] == "same"  # ts equality is a match (ASOF >= semantics)
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(100))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), "old")], "k int, ts timestamp, tag string"
+    )
+    with_tol = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["tag"], suffix="_r", tolerance_seconds=60,
+    ).collect()[0]
+    assert with_tol["tag_r"] is None  # 90s gap > 60s tolerance
+    without = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["tag"], suffix="_r", tolerance_seconds=120,
+    ).collect()[0]
+    assert without["tag_r"] == "old"
+
+
+def test_range_join_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, _ts(0)),
+            (1, 11, _ts(30)),    # 30s after id 10 -> pair
+            (1, 12, _ts(100)),   # 70s after 11 (no), 100s after 10 (no)
+            (2, 20, _ts(0)),     # other key, no cross-key pairs
+            (1, 13, _ts(30)),    # same ts as 11 -> pair with 11 (id order)
+        ],
+        "k int, id int, ts timestamp",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dt_seconds"]
+        for r in range_join_pairs(
+            df, on=["k"], ts_col="ts", id_col="id", tolerance_seconds=60
+        ).collect()
+    }
+    # (11,12) is 70s apart -> excluded; (11,13) tie broken by id order
+    assert pairs == {(10, 11): 30.0, (10, 13): 30.0, (11, 13): 0.0}
+
+
+def test_range_join_bucket_boundary(spark):
+    # pair straddling a bucket boundary must still be found
+    df = spark.createDataFrame(
+        [(1, 1, _ts(59)), (1, 2, _ts(61))], "k int, id int, ts timestamp"
+    )
+    got = range_join_pairs(
+        df, on=["k"], ts_col="ts", id_col="id", tolerance_seconds=60
+    ).collect()
+    assert len(got) == 1 and got[0]["dt_seconds"] == 2.0

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from topnotch_spark.operators.assertions import (
@@ -367,6 +367,48 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: the user's latest click at-or-before it
+    (merge-sorted as-of join — one shuffle, no range-join explosion).
+    Clicks are deduped to one per (user, ts) for engine-independent tie
+    behavior."""
+    from topnotch_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter("event_type = 'error'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter("__rn__ = 1")
+        .drop("__rn__")
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        suffix="_click",
+    )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of same-user events within 1 hour (bucket-banded range
+    self-join: fan-out bounded to adjacent tolerance-width buckets)."""
+    from topnotch_spark.operators.temporal import range_join_pairs
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return range_join_pairs(
+        ev, on=["user_id"], ts_col="ts", id_col="event_id",
+        tolerance_seconds=3600,
+    )
+
+
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level media analytics over a binary column (documents text
     encoded as UTF-8 blobs — the testdata has no real media table, but the
@@ -475,6 +517,8 @@ ALL = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
+    "asof_error_click": asof_error_click,
+    "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,

@@ -1,0 +1,157 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bounded range self-join (beyond-reference extensions, SURVEY.md §7E).
+
+Both are built from DataFrame primitives so Catalyst/AQE keep owning the
+physical strategy — no Python in the hot path.
+
+**As-of join** (``asof_join``): for each left row, the latest right row
+with ``right_ts <= left_ts`` sharing the join keys. Implemented the
+merge-sorted way: tag and union both inputs, then one window pass
+(partition by keys, order by ts with right-before-left tiebreak) carries
+the most recent right payload forward via ``last(..., ignorenulls)``.
+Cost: ONE shuffle on the keys over |L|+|R| rows — no range-condition
+join, no per-row probing, no skew beyond what the key distribution
+already has. This is the textbook distributed as-of shape (financial
+tick joins at billions of rows use exactly this).
+
+**Range self-join** (``range_join_pairs``): all pairs of rows sharing
+keys within a time tolerance. Equi-join on coarse time buckets (bucket
+width = tolerance) restricted to adjacent buckets, then the exact
+|dt| <= tolerance filter — the bucketing bounds the join fan-out to
+pairs at most one bucket apart instead of |group|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join: each left row gains the payload of the latest
+    right row with ``right_ts <= left_ts`` (equality matches), same keys.
+
+    ``right_cols``: right payload columns to carry (emitted with
+    ``suffix``; the matched timestamp is ``<right_ts><suffix>``).
+    ``tolerance_seconds``: matches older than the tolerance are nulled.
+    Right-side ties on (keys, ts) resolve to the row latest in
+    ``right_cols[0]`` order — pre-deduplicate if that matters.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__ts__"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__evt_ts__"),
+        F.lit(0).alias("__side__"),
+        payload.alias("__payload__"),
+    )
+    l_cols = left.columns
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__evt_ts__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(r.schema["__payload__"].dataType).alias("__payload__"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => equality matches
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__evt_ts__").asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match__", F.last("__payload__", ignorenulls=True).over(w)
+    ).filter(F.col("__side__") == 1)
+    matched_ts = F.col("__match__.__ts__")
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
+            <= tolerance_seconds * 1_000_000
+        )
+        carried = carried.withColumn(
+            "__match__", F.when(in_tol, F.col("__match__"))
+        )
+        matched_ts = F.col("__match__.__ts__")
+    out = carried.select(
+        *l_cols,
+        matched_ts.alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def range_join_pairs(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str,
+    id_col: str,
+    tolerance_seconds: int,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """All ordered pairs (a, b) sharing ``on`` keys with
+    ``0 < ts_b - ts_a <= tolerance`` — e.g. "events of the same user
+    within 60s". Banding on tolerance-width buckets bounds fan-out: a
+    qualifying pair is always in the same or adjacent bucket, so each row
+    joins at most two buckets instead of the whole group.
+
+    Pairs are ordered by (ts, id) to make (a, b) deterministic; output is
+    one row per pair: keys, a/b ids, a/b timestamps, dt_seconds.
+    """
+    keep = keep_cols or []
+    us = F.unix_micros(F.col(ts_col))
+    tol_us = tolerance_seconds * 1_000_000
+    base = df.select(
+        *[F.col(c) for c in on],
+        F.col(id_col).alias("__id__"),
+        us.alias("__us__"),
+        *[F.col(c) for c in keep],
+    )
+    # each left row probes its own bucket and the next one
+    a = base.select(
+        *on,
+        F.col("__id__").alias("id_a"),
+        F.col("__us__").alias("us_a"),
+        *[F.col(c).alias(f"{c}_a") for c in keep],
+        F.explode(
+            F.array(
+                (F.col("__us__") / tol_us).cast("bigint"),
+                (F.col("__us__") / tol_us).cast("bigint") + 1,
+            )
+        ).alias("__bucket__"),
+    )
+    b = base.select(
+        *on,
+        F.col("__id__").alias("id_b"),
+        F.col("__us__").alias("us_b"),
+        *[F.col(c).alias(f"{c}_b") for c in keep],
+        (F.col("__us__") / tol_us).cast("bigint").alias("__bucket__"),
+    )
+    dt = F.col("us_b") - F.col("us_a")
+    pair_order = (F.col("us_a") < F.col("us_b")) | (
+        (F.col("us_a") == F.col("us_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        a.join(b, [*on, "__bucket__"])
+        .filter(pair_order & (dt <= tol_us))
+        .select(
+            *on,
+            "id_a",
+            "id_b",
+            F.timestamp_micros(F.col("us_a")).alias(f"{ts_col}_a"),
+            F.timestamp_micros(F.col("us_b")).alias(f"{ts_col}_b"),
+            (dt / 1_000_000.0).alias("dt_seconds"),
+            *[F.col(f"{c}_a") for c in keep],
+            *[F.col(f"{c}_b") for c in keep],
+        )
+    )

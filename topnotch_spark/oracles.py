@@ -393,6 +393,54 @@ def text_langid_sql(lang_markers: dict[str, list[str]]) -> str:
     """
 
 
+def asof_error_click_sql() -> str:
+    """Native DuckDB ASOF LEFT JOIN mirrors the Spark merge-sorted as-of
+    (equality matches; clicks pre-deduped per (user, ts) by max event_id
+    in BOTH engines so ties are engine-independent)."""
+    return """
+        WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'error'
+        ),
+        c0 AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                   ORDER BY event_id DESC
+                 ) AS rn
+          FROM events WHERE event_type = 'click'
+        ),
+        c AS (SELECT user_id, ts, event_id, value FROM c0 WHERE rn = 1)
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               c.ts AS ts_click,
+               c.event_id AS event_id_click,
+               c.value AS value_click
+        FROM e ASOF LEFT JOIN c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """
+
+
+def range_join_events_sql(tolerance_seconds: int = 3600) -> str:
+    """Plain inequality self-join (DuckDB's IEJoin handles it); the Spark
+    side gets the same rows via bucket banding."""
+    tol_us = tolerance_seconds * 1_000_000
+    return f"""
+        WITH b AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        )
+        SELECT a.user_id,
+               a.event_id AS id_a,
+               b.event_id AS id_b,
+               a.ts AS ts_a,
+               b.ts AS ts_b,
+               (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS dt_seconds
+        FROM b a JOIN b b
+          ON a.user_id = b.user_id
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= {tol_us}
+    """
+
+
 def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """Mirror of operators/multimodal.byte_stats over encode(text):
     high-nibble counts come from the odd positions of hex(blob) (exact
