@@ -1,0 +1,143 @@
+"""E2E: a JSON plan mixing reference commands (view/assertion) with
+extension commands (dedup/text/similarity/asof) through the real engine."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from topnotch_spark.engine import TnEngine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def plan_path(tmp_path):
+    plan = {
+        "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "exact", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "exactDups",
+            },
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "jaccard", "idColumn": "doc_id",
+                           "textColumn": "text", "threshold": 0.5,
+                           "shingleN": 5},
+                "outputKey": "nearDups",
+            },
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "quality", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "docQuality",
+            },
+            {
+                "command": "assertion",
+                "input": {"ref": "docQuality", "onDisk": False},
+                "params": {"assertions": [{
+                    "query": "quality_score >= 0 AND quality_score <= 1",
+                    "description": "quality score in range",
+                    "threshold": 0.0,
+                }]},
+                "outputKey": "qualityCheck",
+            },
+            {
+                "command": "similarity",
+                "corpus": {"ref": f"{SF}/embeddings.parquet", "onDisk": True},
+                "queries": {"ref": f"{SF}/embeddings.parquet", "onDisk": True},
+                "params": {"method": "ann", "idColumn": "vec_id",
+                           "vecColumn": "embedding", "k": 5, "nPlanes": 8,
+                           "dim": 64},
+                "outputKey": "neighbors",
+            },
+            {
+                "command": "view",
+                "inputs": [{"ref": f"{SF}/events.parquet", "onDisk": True}],
+                "params": {
+                    "tableAliases": ["raw_events"],
+                    # driver parquet stores ts as TIMESTAMP(NANOS) (read as
+                    # epoch-nanos long); a view is the user-facing way to
+                    # normalize it
+                    "query": (
+                        "SELECT event_id, user_id, "
+                        "timestamp_micros(ts div 1000) AS ts, event_type, value "
+                        "FROM raw_events"
+                    ),
+                },
+                "outputKey": "events",
+            },
+            {
+                "command": "view",
+                "inputs": [{"ref": "events", "onDisk": False}],
+                "params": {"tableAliases": ["ev"],
+                           "query": "SELECT * FROM ev WHERE event_type = 'error'"},
+                "outputKey": "errors",
+            },
+            {
+                "command": "view",
+                "inputs": [{"ref": "events", "onDisk": False}],
+                "params": {"tableAliases": ["ev"],
+                           "query": "SELECT * FROM ev WHERE event_type = 'click'"},
+                "outputKey": "clicks",
+            },
+            {
+                "command": "asof",
+                "left": {"ref": "errors", "onDisk": False},
+                "right": {"ref": "clicks", "onDisk": False},
+                "params": {"on": ["user_id"], "leftTs": "ts", "rightTs": "ts",
+                           "rightCols": ["event_id"], "suffix": "_click"},
+                "outputKey": "errorsWithLastClick",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    return str(p)
+
+
+def test_extension_plan_end_to_end(spark, plan_path):
+    engine = TnEngine(spark)
+    num_failed = engine.run(plan_path)
+    assert num_failed == 0
+
+    reg = engine.registry
+    assert set(reg) >= {
+        "exactDups", "nearDups", "docQuality", "qualityCheck", "neighbors",
+        "errorsWithLastClick",
+    }
+    assert reg["exactDups"].count() == 500
+    assert {"id_1", "id_2", "jaccard"} <= set(reg["nearDups"].columns)
+    assert reg["docQuality"].filter("passes_quality").count() > 0
+    assert reg["qualityCheck"].count() == 0  # no invalid rows
+    nb = reg["neighbors"]
+    assert {"query_id", "neighbor_id", "cos_sim", "rank"} <= set(nb.columns)
+    awl = reg["errorsWithLastClick"]
+    assert {"ts_click", "event_id_click"} <= set(awl.columns)
+    assert awl.count() == reg["errors"].count()
+    # at least one error has a preceding click
+    assert awl.filter("event_id_click IS NOT NULL").count() > 0
+
+
+def test_unknown_extension_method_is_runtime_error(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "quantum", "idColumn": "doc_id"},
+                "outputKey": "x",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        TnEngine(spark).run(str(p))

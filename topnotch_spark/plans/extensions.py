@@ -1,0 +1,235 @@
+"""Extension plan commands: dedup / text / similarity / asof as
+first-class command types in the same JSON plan envelope the reference
+defines (SURVEY.md §7E — "new command types in the same plan JSON").
+
+A user plan mixes them freely with assertion/diff/view:
+
+    {"commands": [
+      {"command": "dedup", "input": {"ref": "/data/docs", "onDisk": true},
+       "params": {"method": "minhash", "idColumn": "doc_id",
+                  "textColumn": "text", "numHashes": 16, "bands": 4,
+                  "threshold": 0.5, "shingleN": 5},
+       "outputKey": "nearDups"},
+      {"command": "assertion", "input": {"ref": "nearDups", "onDisk": false},
+       "params": {"assertions": [{"query": "jaccard < 0.9",
+                  "description": "no hard dups", "threshold": 0.01}]},
+       "outputKey": "dupCheck"}
+    ]}
+
+Each command implements ``execute(engine) -> DataFrame`` (duck-typed
+hook in engine.run_command) and registers itself in
+``parser.EXTENSION_COMMANDS`` when this module loads.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from topnotch_spark.plans.model import Command
+from topnotch_spark.sources.inputs import Input, load_input
+
+
+def _opt(params: dict, *names: str) -> dict[str, Any]:
+    """Pick camelCase JSON options into snake_case kwargs, skipping absents."""
+    out: dict[str, Any] = {}
+    for name in names:
+        snake = "".join(
+            f"_{c.lower()}" if c.isupper() else c for c in name
+        ).lstrip("_")
+        if name in params:
+            out[snake] = params[name]
+    return out
+
+
+@dataclass(frozen=True)
+class DedupCmd(Command):
+    """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
+    jaccard|simhash|embedding, "idColumn", "textColumn"|"vecColumn",
+    + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
+    maxHamming/nPlanes/dim/maxShingleDf/roundDigits)}}"""
+
+    input: Input = None  # type: ignore[assignment]
+    method: str = "exact"
+    id_column: str = "id"
+    value_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "DedupCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            method=p["method"],
+            id_column=p["idColumn"],
+            value_column=p.get("textColumn", p.get("vecColumn", "text")),
+            options=_opt(
+                p, "numHashes", "bands", "threshold", "shingleN", "bits",
+                "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
+                "roundDigits",
+            ),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators import dedup as D
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        fns = {
+            "exact": D.exact_dedup,
+            "fingerprint": D.fingerprint_dedup,
+            "minhash": D.minhash_lsh_dedup,
+            "jaccard": D.ngram_jaccard_pairs,
+            "simhash": D.simhash_dedup,
+            "embedding": D.embedding_near_dups,
+        }
+        if self.method not in fns:
+            raise ValueError(f"unknown dedup method: {self.method}")
+        return fns[self.method](df, self.id_column, self.value_column, **self.options)
+
+
+@dataclass(frozen=True)
+class TextCmd(Command):
+    """{"command": "text", "params": {"method": tokenStats|quality|langid|
+    fingerprints, "idColumn", "textColumn", ["stopwords"]}}"""
+
+    input: Input = None  # type: ignore[assignment]
+    method: str = "tokenStats"
+    id_column: str = "id"
+    text_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "TextCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            method=p["method"],
+            id_column=p["idColumn"],
+            text_column=p.get("textColumn", "text"),
+            options=_opt(p, "stopwords"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators import textqc as T
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        fns = {
+            "tokenStats": T.token_stats,
+            "quality": T.quality_scores,
+            "langid": T.language_id,
+            "fingerprints": T.fingerprints,
+        }
+        if self.method not in fns:
+            raise ValueError(f"unknown text method: {self.method}")
+        return fns[self.method](df, self.id_column, self.text_column, **self.options)
+
+
+@dataclass(frozen=True)
+class SimilarityCmd(Command):
+    """{"command": "similarity", "params": {"method": bruteForce|ann,
+    "idColumn", "vecColumn", "k", ["nPlanes", "dim", "roundDigits"]},
+    "corpus": <input>, "queries": <input>}"""
+
+    corpus: Input = None  # type: ignore[assignment]
+    queries: Input = None  # type: ignore[assignment]
+    method: str = "bruteForce"
+    id_column: str = "vec_id"
+    vec_column: str = "embedding"
+    options: dict = field(default_factory=dict)
+
+    # parser discovers inputs via `inputs` attribute (duck-typed)
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.corpus, self.queries]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SimilarityCmd":
+        p = obj["params"]
+        return cls(
+            corpus=Input.from_json(obj["corpus"]),
+            queries=Input.from_json(obj["queries"]),
+            method=p["method"],
+            id_column=p.get("idColumn", "vec_id"),
+            vec_column=p.get("vecColumn", "embedding"),
+            options=_opt(p, "k", "nPlanes", "dim", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators import similarity as S
+
+        corpus = load_input(engine.spark, self.corpus, engine.registry)
+        queries = load_input(engine.spark, self.queries, engine.registry)
+        fns = {"bruteForce": S.brute_force_topk, "ann": S.srp_ann_topk}
+        if self.method not in fns:
+            raise ValueError(f"unknown similarity method: {self.method}")
+        return fns[self.method](
+            corpus, queries, id_col=self.id_column, vec_col=self.vec_column,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
+class AsofCmd(Command):
+    """{"command": "asof", "left": <input>, "right": <input>,
+    "params": {"on": [...], "leftTs", "rightTs", "rightCols",
+    ["suffix", "toleranceSeconds"]}}"""
+
+    left: Input = None  # type: ignore[assignment]
+    right: Input = None  # type: ignore[assignment]
+    on: tuple[str, ...] = ()
+    left_ts: str = "ts"
+    right_ts: str = "ts"
+    right_cols: tuple[str, ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.left, self.right]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "AsofCmd":
+        p = obj["params"]
+        return cls(
+            left=Input.from_json(obj["left"]),
+            right=Input.from_json(obj["right"]),
+            on=tuple(p["on"]),
+            left_ts=p["leftTs"],
+            right_ts=p["rightTs"],
+            right_cols=tuple(p["rightCols"]),
+            options=_opt(p, "suffix", "toleranceSeconds"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.temporal import asof_join
+
+        return asof_join(
+            load_input(engine.spark, self.left, engine.registry),
+            load_input(engine.spark, self.right, engine.registry),
+            on=list(self.on),
+            left_ts=self.left_ts,
+            right_ts=self.right_ts,
+            right_cols=list(self.right_cols),
+            **self.options,
+        )
+
+
+def register() -> None:
+    from topnotch_spark.plans.parser import EXTENSION_COMMANDS
+
+    EXTENSION_COMMANDS.update(
+        {
+            "dedup": DedupCmd.from_json,
+            "text": TextCmd.from_json,
+            "similarity": SimilarityCmd.from_json,
+            "asof": AsofCmd.from_json,
+        }
+    )
+
+
+register()

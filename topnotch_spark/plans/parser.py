@@ -79,6 +79,8 @@ def parse_commands(
     defined_output_keys: set[str] | None = None,
     spark=None,
 ) -> list[Command]:
+    from topnotch_spark.plans import extensions  # noqa: F401  (registers commands)
+
     if defined_output_keys is None:
         defined_output_keys = set()
     out: list[Command] = []
@@ -115,7 +117,8 @@ def parse_commands(
                         error_str=(
                             f"The value {kind}, which is given with key command "
                             "to specify the command type, is invalid. It must be "
-                            "diff, assertion, or view."
+                            "diff, assertion, view, plan, or one of: "
+                            + ", ".join(sorted(EXTENSION_COMMANDS))
                         ),
                         cmd_idx=i,
                     )
