@@ -1,0 +1,111 @@
+"""Dedup operator unit tests on hand-crafted corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    shingle_arrays,
+    simhash_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "dog lazy the over jumps fox brown quick the"),          # word-shuffle of 1
+        (4, "the quick brown fox jumps over the lazy cat today"),    # near-dup of 1
+        (5, "completely different content about databases and spark"),
+        (6, "tiny"),                                                  # < n tokens
+        (7, ""),                                                      # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["group_size"] == 2 and out[2]["group_size"] == 2
+    assert out[1]["keep"] is True and out[2]["keep"] is False  # min id kept
+    assert out[3]["group_size"] == 1 and out[3]["keep"] is True
+    assert len(out) == 7  # every row classified, none dropped
+
+
+def test_fingerprint_dedup_catches_word_shuffle(spark, docs):
+    out = {r["doc_id"]: r for r in fingerprint_dedup(docs, "doc_id", "text").collect()}
+    # 1, 2 and 3 share the sorted-distinct-token fingerprint
+    assert out[1]["dup_key"] == out[2]["dup_key"] == out[3]["dup_key"]
+    assert out[1]["group_size"] == 3
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [True, False, False]
+
+
+def test_shingle_arrays_edges(spark, docs):
+    arrs = {r["id"]: r["shs"] for r in shingle_arrays(docs, "doc_id", "text", 3).collect()}
+    assert 6 not in arrs and 7 not in arrs           # too short: dropped
+    assert arrs[1][0] == "the quick brown"           # order preserved
+    assert len(arrs[1]) == 7                         # 9 tokens -> 7 trigrams
+    assert len(set(arrs[1])) == len(arrs[1])         # distinct
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    # doc1 trigram set vs doc4: doc1 has 7, doc4 (10 tokens) has 8,
+    # shared = 6 ("over the lazy" diverges at the tail) -> J = 6/9
+    pairs = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, shingle_n=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 4)] == pytest.approx(6 / 9)
+    assert (1, 5) not in pairs
+
+
+def test_minhash_finds_true_dups_and_verifies(spark, docs):
+    pairs = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in minhash_lsh_dedup(
+            docs, "doc_id", "text", num_hashes=16, bands=4,
+            threshold=0.5, shingle_n=3,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # identical docs always collide
+    for (a, b), j in pairs.items():
+        assert j >= 0.5                  # verification threshold enforced
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    out = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in simhash_dedup(
+            docs, "doc_id", "text", bits=32, band_bits=16, max_hamming=3
+        ).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert all(h <= 3 for h in out.values())
+
+
+def test_embedding_near_dups(spark):
+    v = [1.0] + [0.0] * 7
+    v_close = [0.99] + [0.01] * 7
+    v_far = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, v_close), (4, v_far)],
+        "vec_id int, embedding array<double>",
+    )
+    pairs = {
+        (r["id_1"], r["id_2"]): r["cos_sim"]
+        for r in embedding_near_dups(
+            df, "vec_id", "embedding", threshold=0.9, n_planes=2, dim=8
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.99
+    assert all(b != 4 and a != 4 for a, b in pairs)  # orthogonal vector excluded

@@ -1,0 +1,132 @@
+"""Text-analysis and similarity operator unit tests (known answers)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from topnotch_spark.functions.text import simhash, tokens
+from topnotch_spark.functions.vectors import plane_signs
+from topnotch_spark.operators.similarity import brute_force_topk, srp_ann_topk
+from topnotch_spark.operators.textqc import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox and the lazy dog"),
+        (2, "aaa aaa aaa aaa"),
+        (3, ""),
+        (4, "der hund und die katze ist nicht da"),
+        (5, "12345 67890 !!!"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_token_stats_values(spark, docs):
+    out = {r["doc_id"]: r for r in token_stats(docs, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["n_distinct_tokens"] == 7          # 'the' twice (lowercased)
+    assert out[2]["n_tokens"] == 4 and out[2]["n_distinct_tokens"] == 1
+    assert out[2]["type_token_ratio"] == 0.25
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_token_len"] == 0.0
+    # doc2: all tokens length 3
+    assert out[2]["avg_token_len"] == 3.0
+
+
+def test_quality_scores_bounds_and_signal(spark, docs):
+    out = {r["doc_id"]: r for r in quality_scores(docs, "doc_id", "text").collect()}
+    for r in out.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    assert out[1]["quality_score"] > out[5]["quality_score"]  # prose > digits
+    assert out[2]["distinct_ratio"] == 0.25                   # repetition penalty
+    assert out[3]["quality_score"] == 0.0                     # empty text
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r for r in language_id(docs, "doc_id", "text").collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[4]["predicted_lang"] == "de"
+    # CJK override
+    zh = spark.createDataFrame([(9, "你好世界")], "doc_id int, text string")
+    assert language_id(zh, "doc_id", "text").collect()[0]["predicted_lang"] == "zh"
+
+
+def test_fingerprints_simhash_reference(spark):
+    """simhash must equal a pure-Python reimplementation of the spec."""
+    text = "alpha beta gamma delta"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = fingerprints(df, "doc_id", "text").collect()[0]["simhash32"]
+
+    toks = []
+    for t in text.lower().split():
+        if t and t not in toks:
+            toks.append(t)
+    votes = [0] * 32
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            votes[b] += 1 if (h >> (31 - b)) & 1 else -1
+    expect = "".join("1" if v > 0 else "0" for v in votes)
+    assert got == expect
+
+
+def test_fingerprints_exact_md5(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id int, text string")
+    r = fingerprints(df, "doc_id", "text").collect()[0]
+    assert r["exact_md5"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_plane_signs_match_sql_formula(spark):
+    """Driver-side literal planes == executor-side md5 derivation."""
+    for p in range(3):
+        signs = plane_signs(p, 8)
+        for i, s in enumerate(signs):
+            nib = int(hashlib.md5(f"p{p}_d{i}".encode()).hexdigest()[0], 16)
+            assert s == (1.0 if nib >= 8 else -1.0)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.8, 0.2, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_brute_force_topk_ranking(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    out = brute_force_topk(vectors, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 4, 2]   # by cosine desc
+    assert out[0]["cos_sim"] > out[1]["cos_sim"] > out[2]["cos_sim"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_brute_force_excludes_self(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    out = brute_force_topk(vectors, q, k=10).collect()
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_ann_results_subset_of_exact(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(vectors, q, k=10).collect()
+    }
+    ann = srp_ann_topk(vectors, q, k=10, n_planes=2, dim=3).collect()
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and exact[key] == r["cos_sim"]
