@@ -28,14 +28,23 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as epoch-nanos long
-        # (session.py nanosAsLong); truncate to micros like DuckDB's
-        # TIMESTAMP_NS → TIMESTAMP cast so oracles agree.
-        # integer `div` — float division would lose precision above 2^53 ns
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        # ts is parquet TIMESTAMP(NANOS). Depending on the session the
+        # caller hands us (the driver builds its own), Spark either needs
+        # legacy.parquet.nanosAsLong to read it at all (as epoch-nanos
+        # long) or may surface it as a timestamp directly. Set the flag
+        # defensively (runtime-settable SQL conf), then normalize long →
+        # micros with integer `div` (float division would lose precision
+        # above 2^53 ns) so oracles agree with DuckDB's TIMESTAMP_NS cast.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------------

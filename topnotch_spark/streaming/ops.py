@@ -148,22 +148,40 @@ def run_stream_to_table(
     stream_df: DataFrame,
     output_mode: str = "complete",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = 16,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory sink and return the result table. Each call uses a fresh
-    checkpoint + sink name, so it is safe to re-invoke (bench loops)."""
+    checkpoint + sink name, so it is safe to re-invoke (bench loops).
+
+    ``state_partitions`` temporarily pins ``spark.sql.shuffle.partitions``
+    for the run: stateful streaming creates one state store (files,
+    commit log) PER shuffle partition per batch, so an oversized default
+    (e.g. 200 from a vanilla session) multiplies checkpoint I/O for no
+    parallelism gain at test scale. On a cluster pass None and size the
+    session conf to the key cardinality instead.
+    """
+    spark = stream_df.sparkSession
     name = f"tn_stream_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or f"{DEFAULT_CHECKPOINT_ROOT}/{name}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @dataclass
