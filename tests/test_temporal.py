@@ -94,3 +94,63 @@ def test_range_join_bucket_boundary(spark):
         df, on=["k"], ts_col="ts", id_col="id", tolerance_seconds=60
     ).collect()
     assert len(got) == 1 and got[0]["dt_seconds"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-validation against naive Python references (seeded)
+# ---------------------------------------------------------------------------
+
+def _random_events(seed: int, n: int, n_keys: int):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(n_keys), i, _ts(rng.randrange(0, 5000)))
+        for i in range(n)
+    ]
+
+
+def test_asof_join_matches_naive_reference(spark):
+    left_rows = _random_events(1, 120, 5)
+    right_rows = [
+        (k, i + 1000, t) for (k, i, t) in _random_events(2, 80, 5)
+    ]
+    # dedupe right per (k, ts) keeping max id — the operator's documented
+    # tie contract
+    best = {}
+    for k, i, t in right_rows:
+        if (k, t) not in best or i > best[(k, t)][1]:
+            best[(k, t)] = (k, i, t)
+    right_rows = list(best.values())
+
+    left = spark.createDataFrame(left_rows, "k int, id int, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k int, rid int, ts timestamp")
+    got = {
+        r["id"]: r["rid_r"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], suffix="_r",
+        ).collect()
+    }
+    for k, i, t in left_rows:
+        cands = [(rt, ri) for (rk, ri, rt) in right_rows if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, f"left id {i}"
+
+
+def test_range_join_matches_naive_reference(spark):
+    rows = _random_events(3, 100, 4)
+    df = spark.createDataFrame(rows, "k int, id int, ts timestamp")
+    tol = 120
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in range_join_pairs(
+            df, on=["k"], ts_col="ts", id_col="id", tolerance_seconds=tol
+        ).collect()
+    }
+    expect = set()
+    for (k1, i1, t1) in rows:
+        for (k2, i2, t2) in rows:
+            if k1 == k2 and (t1, i1) < (t2, i2) and (t2 - t1).total_seconds() <= tol:
+                expect.add((i1, i2))
+    assert got == expect
