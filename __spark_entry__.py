@@ -62,6 +62,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann": oracles.similarity_ann_sql(
             dim=64, k=10, n_queries=5, n_planes=8
         ),
+        "similarity_ivf": oracles.similarity_ivf_sql(
+            dim=64, k=10, n_queries=5, n_centroids=16, n_probe=4
+        ),
         "text_token_stats": oracles.text_token_stats_sql(),
         "text_quality": oracles.text_quality_sql(LANG_MARKERS["en"]),
         "text_langid": oracles.text_langid_sql(LANG_MARKERS),

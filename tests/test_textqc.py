@@ -130,3 +130,33 @@ def test_ann_results_subset_of_exact(spark, vectors):
     for r in ann:
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact and exact[key] == r["cos_sim"]
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vectors):
+    """Probing every list makes IVF exact — candidates = whole corpus."""
+    from topnotch_spark.operators.similarity import ivf_topk
+
+    q = vectors.filter("vec_id = 0")
+    exact = [
+        (r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in brute_force_topk(vectors, q, k=4).orderBy("rank").collect()
+    ]
+    ivf = [
+        (r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in ivf_topk(
+            vectors, q, k=4, n_centroids=3, n_probe=3
+        ).orderBy("rank").collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_subset_of_exact(spark, vectors):
+    from topnotch_spark.operators.similarity import ivf_topk
+
+    q = vectors.filter("vec_id = 0")
+    exact = {
+        r["neighbor_id"]: r["cos_sim"]
+        for r in brute_force_topk(vectors, q, k=10).collect()
+    }
+    for r in ivf_topk(vectors, q, k=10, n_centroids=3, n_probe=1).collect():
+        assert exact[r["neighbor_id"]] == r["cos_sim"]

@@ -352,6 +352,15 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_ann_topk(emb, emb.filter("vec_id < 5"), k=10, n_planes=8, dim=64)
 
 
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from topnotch_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter("vec_id < 5"), k=10, n_centroids=16, n_probe=4
+    )
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.textqc import token_stats
 
@@ -522,6 +531,7 @@ ALL = {
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
     "similarity_ann": similarity_ann,
+    "similarity_ivf": similarity_ivf,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,

@@ -71,6 +71,76 @@ def brute_force_topk(
     return _ranked_topk(pairs, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are assigned to their
+    nearest centroid (inverted lists); each query probes its ``n_probe``
+    nearest centroids and ranks only those lists' members — candidate
+    cost is ~(n_probe / n_centroids) of the corpus per query.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    deterministic with no RNG or iterative training, so any engine
+    reproduces the exact same index (a k-means refinement would slot in
+    here without changing the query path). Assignment ties break toward
+    the lower centroid id in every engine (identical float ops + explicit
+    ordering).
+
+    Scale shape: assignment is a broadcast cross join against
+    ``n_centroids`` rows (tiny) + one window per id; the candidate join
+    is an equi-join on centroid_id — the inverted-list bucket — so the
+    whole thing is broadcast + one keyed shuffle, never |corpus|x|queries|.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec__")
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, keep: int) -> DataFrame:
+        from topnotch_spark.functions.vectors import cosine
+
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__cc__", cosine(F.col(out_vec), F.col("__cvec__")))
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__cc__").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= keep)
+            .select(out_id, out_vec, "centroid_id")
+        )
+
+    corpus_lists = assign(corpus, "neighbor_id", "__cv__", 1)
+    probes = assign(queries, "query_id", "__qv__", n_probe)
+    pairs = (
+        probes.join(corpus_lists, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (norm(F.col("__qv__")) * norm(F.col("__cv__"))),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(pairs, k)
+
+
 def srp_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

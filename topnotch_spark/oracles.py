@@ -319,6 +319,52 @@ def similarity_ann_sql(
     """
 
 
+def similarity_ivf_sql(
+    dim: int = 64, k: int = 10, n_queries: int = 5, n_centroids: int = 16,
+    n_probe: int = 4, round_digits: int = 6,
+) -> str:
+    """IVF-flat mirror: deterministic centroids (lowest ids), nearest-
+    centroid assignment with lower-id tiebreak, n_probe lists per query."""
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 {cosine('e.embedding', 'c.cvec', dim)} AS cc
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, embedding, centroid_id,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cc DESC, centroid_id ASC
+                 ) AS rn
+          FROM scored
+        ),
+        corpus_lists AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+          FROM assign WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS qv, centroid_id
+          FROM assign WHERE rn <= {n_probe} AND vec_id < {n_queries}
+        ),
+        pairs AS (
+          SELECT p.query_id, cl.neighbor_id,
+                 round({cosine('p.qv', 'cl.cv', dim)}, {round_digits}) AS cos_sim
+          FROM probes p JOIN corpus_lists cl USING (centroid_id)
+          WHERE cl.neighbor_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM pairs
+        ) ranked WHERE rank <= {k}
+    """
+
+
 def text_token_stats_sql() -> str:
     return f"""
         {_DOC_BASE}
