@@ -72,6 +72,12 @@ def oracle_sql() -> dict[str, str]:
         "asof_error_click": oracles.asof_error_click_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),
+        "profile_lineitem": oracles.profile_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            round_digits=4,
+        ),
+        "streaming_dedup": oracles.streaming_dedup_sql(),
         "streaming_window_metrics": oracles.streaming_window_metrics_sql(),
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(

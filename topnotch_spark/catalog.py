@@ -489,6 +489,36 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric column profile of lineitem (QC staple)."""
+    from topnotch_spark.operators.profile import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        round_digits=4,
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first arrival per (user_id, event_type)
+    across micro-batches; final state = the distinct key set."""
+    from topnotch_spark.streaming import stream_from_parquet
+    from topnotch_spark.streaming.ops import (
+        dedup_stream,
+        events_replay_dir,
+        run_stream_to_table,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    dd = dedup_stream(
+        stream.select("user_id", "event_type"), ["user_id", "event_type"]
+    )
+    return run_stream_to_table(dd, output_mode="append")
+
+
 def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule stream-level assertion metrics: the batch rule evaluator
     runs per micro-batch (foreachBatch), counts merge across batches."""
@@ -539,7 +569,9 @@ ALL = {
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,
+    "profile_lineitem": profile_lineitem,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,
     "streaming_assertion_metrics": streaming_assertion_metrics,
+    "streaming_dedup": streaming_dedup,
 }

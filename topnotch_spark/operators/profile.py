@@ -1,0 +1,66 @@
+"""Column profiling: per-column statistics in one aggregation pass.
+
+A QC staple the reference lacks (its users run ad-hoc view queries for
+this): count / nulls / distinct / min / max / avg / stddev per column,
+computed in a SINGLE aggregation job — all expressions ride one
+map-side-combined agg; the only "shuffle" is the final one-row reduce
+plus Spark's expand for exact distinct counts.
+
+Scale notes: exact ``count(distinct)`` over many columns multiplies scan
+rows via EXPAND — fine into the tens of columns; pass ``exact=False``
+at 100 TB to switch to ``approx_count_distinct`` (HLL, no expand). The
+unpivot to one-row-per-column happens AFTER aggregation on a single row,
+so it costs nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, n, n_null, n_distinct, min_value, max_value, avg_value,
+    stddev_value). Non-numeric columns get null avg/stddev and min/max of
+    their cast-to-double (null for strings); restrict ``columns`` to
+    numerics when min/max matter cross-engine (float formatting of
+    casts differs between engines)."""
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    cols = columns if columns is not None else [
+        f.name for f in df.schema.fields
+    ]
+    distinct_fn = F.count_distinct if exact else F.approx_count_distinct
+
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        num = col.cast("double") if c in numeric else F.lit(None).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            distinct_fn(col).alias(f"__nd_{c}"),
+            F.min(num).alias(f"__min_{c}"),
+            F.max(num).alias(f"__max_{c}"),
+            F.round(F.avg(num), round_digits).alias(f"__avg_{c}"),
+            F.round(F.stddev(num), round_digits).alias(f"__std_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __min_{c}, __max_{c}, "
+        f"__avg_{c}, __std_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n, n_null, n_distinct, min_value, max_value, "
+        "avg_value, stddev_value)"
+    )

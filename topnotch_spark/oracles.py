@@ -524,6 +524,29 @@ def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """
 
 
+def profile_sql(table: str, columns: list[str], round_digits: int = 4) -> str:
+    """Mirror of operators/profile.profile_columns for numeric columns."""
+    selects = []
+    for c in columns:
+        selects.append(f"""
+          SELECT '{c}' AS "column",
+                 count(*) AS n,
+                 count(*) FILTER (WHERE {c} IS NULL) AS n_null,
+                 count(DISTINCT {c}) AS n_distinct,
+                 min({c}::DOUBLE) AS min_value,
+                 max({c}::DOUBLE) AS max_value,
+                 round(avg({c}::DOUBLE), {round_digits}) AS avg_value,
+                 round(stddev({c}::DOUBLE), {round_digits}) AS stddev_value
+          FROM {table}""")
+    return "\n          UNION ALL\n".join(selects)
+
+
+def streaming_dedup_sql() -> str:
+    """Streaming first-arrival dedup on key columns == the distinct key
+    set once the stream drains."""
+    return "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def streaming_window_metrics_sql(window: str = "1 hour") -> str:
     """Batch equivalent of the streaming tumbling-window aggregation.
     complete output mode emits every window, so the oracle is a plain

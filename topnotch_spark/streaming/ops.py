@@ -184,6 +184,31 @@ def run_stream_to_table(
     return spark.table(name)
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    watermark_col: str | None = None,
+    watermark_delay: str = "1 hour",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming deduplication on key columns: emits the first arrival
+    per key, suppressing every later duplicate across micro-batches.
+
+    State = one entry per distinct key, forever — the right default for
+    id-style keys bounded by the domain. For unbounded keys pass a
+    watermark column and ``within_watermark=True``
+    (dropDuplicatesWithinWatermark): duplicates are only suppressed
+    within the watermark horizon and state is evicted past it — the
+    standard trade for infinite streams.
+    """
+    s = stream_df
+    if watermark_col is not None:
+        s = s.withWatermark(watermark_col, watermark_delay)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
+
+
 @dataclass
 class StreamingBatchResult:
     batch_id: int
