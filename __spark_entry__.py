@@ -78,6 +78,13 @@ def oracle_sql() -> dict[str, str]:
             round_digits=4,
         ),
         "streaming_dedup": oracles.streaming_dedup_sql(),
+        "view_cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
         "streaming_window_metrics": oracles.streaming_window_metrics_sql(),
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(

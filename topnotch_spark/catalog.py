@@ -105,6 +105,25 @@ def view_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets rollup (delegated SQL surface, SURVEY §2.2 —
+    available for free via spark.sql, inventoried explicitly)."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "lineitem")],
+        ViewParams(
+            ("lineitem_v",),
+            """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem_v
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            """,
+        ),
+    )
+
+
 def view_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k per group (delegated analytic surface, §2.3)."""
     return create_view(
@@ -546,6 +565,7 @@ def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALL = {
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
+    "view_cube_revenue": view_cube_revenue,
     "view_topk_per_group": view_topk_per_group,
     "view_sessionize_events": view_sessionize_events,
     "assertion_invalid_rows": assertion_invalid_rows,
