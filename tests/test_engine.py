@@ -351,3 +351,23 @@ def test_csv_input(engine, tmp_path):
     )
     engine.run(plan)
     assert engine.registry["k"].collect()[0]["b"] == "y"
+
+
+def test_json_and_orc_inputs(spark, tmp_path):
+    """Extension input formats round-trip through load_input."""
+    from topnotch_spark.sources.inputs import Input, load_input
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    jpath, opath = str(tmp_path / "j"), str(tmp_path / "o")
+    df.write.json(jpath)
+    df.write.orc(opath)
+
+    j = load_input(spark, Input(ref=jpath, format="json"))
+    assert {(r["id"], r["s"]) for r in j.collect()} == {(1, "a"), (2, "b")}
+    o = load_input(spark, Input(ref=opath, format="orc"))
+    assert {(r["id"], r["s"]) for r in o.collect()} == {(1, "a"), (2, "b")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Unsupported input format"):
+        load_input(spark, Input(ref=jpath, format="avro"))

@@ -503,8 +503,12 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = events_replay_dir(spark, sf_dir)
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    # ~100 distinct users: 8 state partitions halve the per-batch state
+    # store + Python-worker overhead vs 16 with identical output
     return run_stream_to_table(
-        sessionize_stream(stream, gap_seconds=1800), output_mode="append"
+        sessionize_stream(stream, gap_seconds=1800),
+        output_mode="append",
+        state_partitions=8,
     )
 
 
