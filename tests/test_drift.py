@@ -1,0 +1,50 @@
+"""Distribution-drift (PSI) operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.drift import histogram_drift, psi
+
+
+def test_identical_distributions_zero_psi(spark):
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    assert psi(df, df, "x") == pytest.approx(0.0, abs=1e-12)
+
+
+def test_shifted_distribution_positive_psi(spark):
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    cur = ref.select((F.col("x") * 2).alias("x"))  # half clamps into top bucket
+    total = psi(ref, cur, "x")
+    assert total > 0.25  # classic "significant shift" threshold
+
+
+def test_histogram_buckets_hand_computed(spark):
+    # ref uniform over [0, 10): buckets are [0,1), [1,2), ... [9,10]
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(10)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(0.5,), (0.6,), (9.5,), (100.0,), (-5.0,)], "x double"
+    )
+    rows = {r["bucket"]: r for r in histogram_drift(ref, cur, "x", 10).collect()}
+    assert len(rows) == 10
+    # ref: exactly one value per bucket... x=9 lands in bucket 9 ((9-0)/0.9=10 -> clamp)
+    assert rows[0]["n_ref"] == 1
+    # cur: 0.5, 0.6, -5.0 clamp/fall into bucket 0; 9.5 and 100.0 into bucket 9
+    assert rows[0]["n_cur"] == 3
+    assert rows[9]["n_cur"] == 2
+    assert sum(r["n_cur"] for r in rows.values()) == 5
+    # bounds span the REFERENCE range [0, 9]: width = 0.9, last hi = 9.0
+    assert rows[0]["lo"] == 0.0 and rows[9]["hi"] == pytest.approx(9.0)
+
+
+def test_empty_bucket_smoothing(spark):
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    cur = spark.createDataFrame([(0.1,)], "x double")  # 9 empty cur buckets
+    out = histogram_drift(ref, cur, "x", 10).collect()
+    for r in out:
+        assert r["psi_term"] is not None and math.isfinite(r["psi_term"])

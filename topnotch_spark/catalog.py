@@ -512,6 +512,21 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI histogram drift of o_totalprice vs a +10%-on-every-5th-order
+    perturbation (deterministic 'current' dataset)."""
+    from topnotch_spark.operators.drift import histogram_drift
+
+    orders = load(spark, sf_dir, "orders")
+    cur = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return histogram_drift(orders, cur, "o_totalprice", n_buckets=10)
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass numeric column profile of lineitem (QC staple)."""
     from topnotch_spark.operators.profile import profile_columns
@@ -593,6 +608,7 @@ ALL = {
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,
+    "drift_orders_totalprice": drift_orders_totalprice,
     "profile_lineitem": profile_lineitem,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,

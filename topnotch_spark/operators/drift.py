@@ -1,0 +1,103 @@
+"""Distribution-drift detection: fixed-width histogram compare + PSI.
+
+The row-level diff (operators/diff.py) answers "which rows changed"; this
+answers "did the DISTRIBUTION of a column shift" between a reference and
+a current dataset — the standard QC gate for training-data refreshes and
+model-input monitoring (Population Stability Index).
+
+Semantics (engine-portable, no RNG, no approximation):
+- bucket bounds are ``n_buckets`` equal-width intervals over the
+  REFERENCE min/max (nulls excluded); out-of-range current values clamp
+  into the edge buckets;
+- per bucket: counts, fractions, and the PSI term
+  ``(q - p) * ln(q / p)`` with zero fractions smoothed to ``eps`` (the
+  standard PSI convention, and a determinism requirement — ln(0) is not
+  an option);
+- total PSI = sum of terms (classic read: <0.1 stable, 0.1-0.25 drifting,
+  >0.25 shifted).
+
+Execution shape: one tiny min/max aggregation on the reference (two
+scalars to the driver — unavoidable, bounds gate the bucketing), then
+ONE groupBy per side on the bucket index + a broadcast join against the
+``n_buckets``-row spine. Scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-bucket drift table: (bucket, lo, hi, n_ref, n_cur, frac_ref,
+    frac_cur, psi_term). Sum psi_term for the total PSI."""
+    spark = ref.sparkSession
+    r = ref.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("x")
+    )
+    c = cur.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("x")
+    )
+    mn, mx = r.agg(F.min("x"), F.max("x")).collect()[0]
+    mn, mx = float(mn), float(mx)
+    width = (mx - mn) / n_buckets
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        idx = F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+        return df.select(idx.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        spine.join(bucketed(r, "n_ref"), "bucket", "left")
+        .join(bucketed(c, "n_cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    # n_buckets rows only — a frame-wide window total costs nothing here
+    total_r = F.sum("n_ref").over(Window.partitionBy())
+    total_c = F.sum("n_cur").over(Window.partitionBy())
+    frac_r = F.col("n_ref") / total_r
+    frac_c = F.col("n_cur") / total_c
+    p = F.when(frac_r == 0, F.lit(eps)).otherwise(frac_r)
+    q = F.when(frac_c == 0, F.lit(eps)).otherwise(frac_c)
+    return joined.select(
+        "bucket",
+        (F.lit(mn) + F.col("bucket") * F.lit(width)).alias("lo"),
+        (F.lit(mn) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+        "n_ref",
+        "n_cur",
+        F.round(frac_r, round_digits).alias("frac_ref"),
+        F.round(frac_c, round_digits).alias("frac_cur"),
+        F.round((q - p) * F.log(q / p), round_digits).alias("psi_term"),
+    )
+
+
+def psi(
+    ref: DataFrame, cur: DataFrame, col: str, n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> float:
+    """Total Population Stability Index (driver-side scalar)."""
+    row = (
+        histogram_drift(ref, cur, col, n_buckets, eps, round_digits=12)
+        .agg(F.sum("psi_term"))
+        .collect()[0]
+    )
+    return float(row[0])

@@ -524,6 +524,67 @@ def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """
 
 
+def drift_sql(
+    n_buckets: int = 10, eps: float = 1e-6, round_digits: int = 6
+) -> str:
+    """Mirror of operators/drift.histogram_drift for the catalog's
+    orders-totalprice drift query: equal-width buckets over the reference
+    min/max, edge-clamped, PSI terms with eps smoothing. All double math
+    is the same IEEE ops in the same order as the Spark side."""
+    n = n_buckets
+    return f"""
+        WITH ref AS (
+          SELECT o_totalprice::DOUBLE AS x FROM orders
+          WHERE o_totalprice IS NOT NULL
+        ),
+        cur AS (
+          SELECT (CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                       ELSE o_totalprice END)::DOUBLE AS x
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        b AS (
+          SELECT min(x) AS mn, (max(x) - min(x)) / {n} AS width FROM ref
+        ),
+        spine AS (SELECT unnest(generate_series(0, {n - 1})) AS bucket),
+        rb AS (
+          SELECT least(greatest(CAST(floor((x - mn) / width) AS INT), 0),
+                       {n - 1}) AS bucket, count(*) AS n_ref
+          FROM ref CROSS JOIN b GROUP BY 1
+        ),
+        cb AS (
+          SELECT least(greatest(CAST(floor((x - mn) / width) AS INT), 0),
+                       {n - 1}) AS bucket, count(*) AS n_cur
+          FROM cur CROSS JOIN b GROUP BY 1
+        ),
+        j AS (
+          SELECT s.bucket,
+                 coalesce(n_ref, 0) AS n_ref,
+                 coalesce(n_cur, 0) AS n_cur
+          FROM spine s LEFT JOIN rb ON s.bucket = rb.bucket
+                       LEFT JOIN cb ON s.bucket = cb.bucket
+        ),
+        fr AS (
+          SELECT bucket, n_ref, n_cur,
+                 n_ref / (sum(n_ref) OVER ())::DOUBLE AS frac_ref_raw,
+                 n_cur / (sum(n_cur) OVER ())::DOUBLE AS frac_cur_raw
+          FROM j
+        )
+        SELECT f.bucket,
+               mn + f.bucket * width AS lo,
+               mn + (f.bucket + 1) * width AS hi,
+               f.n_ref, f.n_cur,
+               round(frac_ref_raw, {round_digits}) AS frac_ref,
+               round(frac_cur_raw, {round_digits}) AS frac_cur,
+               round(
+                 ((CASE WHEN frac_cur_raw = 0 THEN {eps} ELSE frac_cur_raw END)
+                  - (CASE WHEN frac_ref_raw = 0 THEN {eps} ELSE frac_ref_raw END))
+                 * ln((CASE WHEN frac_cur_raw = 0 THEN {eps} ELSE frac_cur_raw END)
+                      / (CASE WHEN frac_ref_raw = 0 THEN {eps} ELSE frac_ref_raw END)),
+                 {round_digits}) AS psi_term
+        FROM fr f CROSS JOIN b
+    """
+
+
 def profile_sql(table: str, columns: list[str], round_digits: int = 4) -> str:
     """Mirror of operators/profile.profile_columns for numeric columns."""
     selects = []
