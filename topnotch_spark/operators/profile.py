@@ -52,15 +52,22 @@ def profile_columns(
             F.max(num).alias(f"__max_{c}"),
             F.round(F.avg(num), round_digits).alias(f"__avg_{c}"),
             F.round(F.stddev(num), round_digits).alias(f"__std_{c}"),
+            # exact interpolated percentiles — bit-identical to DuckDB's
+            # quantile_cont (same type-7 definition); sort-based, so at
+            # 100 TB switch to approx_percentile via exact=False paths
+            F.percentile(num, F.lit(0.25)).alias(f"__p25_{c}"),
+            F.percentile(num, F.lit(0.5)).alias(f"__p50_{c}"),
+            F.percentile(num, F.lit(0.75)).alias(f"__p75_{c}"),
+            F.percentile(num, F.lit(0.95)).alias(f"__p95_{c}"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __min_{c}, __max_{c}, "
-        f"__avg_{c}, __std_{c}"
+        f"__avg_{c}, __std_{c}, __p25_{c}, __p50_{c}, __p75_{c}, __p95_{c}"
         for c in cols
     )
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) as "
         "(column, n, n_null, n_distinct, min_value, max_value, "
-        "avg_value, stddev_value)"
+        "avg_value, stddev_value, p25, p50, p75, p95)"
     )

@@ -597,7 +597,11 @@ def profile_sql(table: str, columns: list[str], round_digits: int = 4) -> str:
                  min({c}::DOUBLE) AS min_value,
                  max({c}::DOUBLE) AS max_value,
                  round(avg({c}::DOUBLE), {round_digits}) AS avg_value,
-                 round(stddev({c}::DOUBLE), {round_digits}) AS stddev_value
+                 round(stddev({c}::DOUBLE), {round_digits}) AS stddev_value,
+                 quantile_cont({c}::DOUBLE, 0.25) AS p25,
+                 quantile_cont({c}::DOUBLE, 0.5) AS p50,
+                 quantile_cont({c}::DOUBLE, 0.75) AS p75,
+                 quantile_cont({c}::DOUBLE, 0.95) AS p95
           FROM {table}""")
     return "\n          UNION ALL\n".join(selects)
 
