@@ -96,6 +96,19 @@ def plan_path(tmp_path):
                            "rightCols": ["event_id"], "suffix": "_click"},
                 "outputKey": "errorsWithLastClick",
             },
+            {
+                "command": "profile",
+                "input": {"ref": "events", "onDisk": False},
+                "params": {"columns": ["value", "user_id"]},
+                "outputKey": "eventProfile",
+            },
+            {
+                "command": "drift",
+                "reference": {"ref": "clicks", "onDisk": False},
+                "current": {"ref": "errors", "onDisk": False},
+                "params": {"column": "value", "nBuckets": 8},
+                "outputKey": "clickErrorDrift",
+            },
         ],
     }
     p = tmp_path / "plan.json"
@@ -124,6 +137,11 @@ def test_extension_plan_end_to_end(spark, plan_path):
     assert awl.count() == reg["errors"].count()
     # at least one error has a preceding click
     assert awl.filter("event_id_click IS NOT NULL").count() > 0
+    prof = {r["column"]: r for r in reg["eventProfile"].collect()}
+    assert set(prof) == {"value", "user_id"} and prof["value"]["n"] > 0
+    drift = reg["clickErrorDrift"].collect()
+    assert len(drift) == 8
+    assert all(r["psi_term"] is not None for r in drift)
 
 
 def test_unknown_extension_method_is_runtime_error(spark, tmp_path):

@@ -219,6 +219,70 @@ class AsofCmd(Command):
         )
 
 
+@dataclass(frozen=True)
+class ProfileCmd(Command):
+    """{"command": "profile", "params": {["columns"], ["exact"],
+    ["roundDigits"]}} — single-pass column statistics."""
+
+    input: Input = None  # type: ignore[assignment]
+    columns: tuple[str, ...] | None = None
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "ProfileCmd":
+        p = obj.get("params", {})
+        return cls(
+            input=Input.from_json(obj["input"]),
+            columns=tuple(p["columns"]) if "columns" in p else None,
+            options=_opt(p, "exact", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.profile import profile_columns
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        cols = list(self.columns) if self.columns is not None else None
+        return profile_columns(df, cols, **self.options)
+
+
+@dataclass(frozen=True)
+class DriftCmd(Command):
+    """{"command": "drift", "reference": <input>, "current": <input>,
+    "params": {"column", ["nBuckets", "eps", "roundDigits"]}} —
+    PSI histogram drift between two datasets."""
+
+    reference: Input = None  # type: ignore[assignment]
+    current: Input = None  # type: ignore[assignment]
+    column: str = ""
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.reference, self.current]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "DriftCmd":
+        p = obj["params"]
+        return cls(
+            reference=Input.from_json(obj["reference"]),
+            current=Input.from_json(obj["current"]),
+            column=p["column"],
+            options=_opt(p, "nBuckets", "eps", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.drift import histogram_drift
+
+        return histogram_drift(
+            load_input(engine.spark, self.reference, engine.registry),
+            load_input(engine.spark, self.current, engine.registry),
+            self.column,
+            **self.options,
+        )
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
@@ -228,6 +292,8 @@ def register() -> None:
             "text": TextCmd.from_json,
             "similarity": SimilarityCmd.from_json,
             "asof": AsofCmd.from_json,
+            "profile": ProfileCmd.from_json,
+            "drift": DriftCmd.from_json,
         }
     )
 
