@@ -160,3 +160,18 @@ def test_ivf_partial_probe_subset_of_exact(spark, vectors):
     }
     for r in ivf_topk(vectors, q, k=10, n_centroids=3, n_probe=1).collect():
         assert exact[r["neighbor_id"]] == r["cos_sim"]
+
+
+def test_bpe_ish_token_count_known_string(spark):
+    from topnotch_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(1, " Hello world, it's 2024!! foo_bar"), (2, ""), (3, "abc")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_ish_token_count("text").alias("n")).collect()
+    }
+    # pieces: ' Hello', ' world', ',', ' it', "'s", ' 2024', '!!', ' foo', '_', 'bar'
+    assert out == {1: 10, 2: 0, 3: 1}

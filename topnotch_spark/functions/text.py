@@ -29,36 +29,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-flavored pre-tokenizer regex, restricted to constructs RE2 also
+# supports (no lookarounds, explicit ASCII classes) so the DuckDB oracle
+# runs the IDENTICAL pattern: contractions, space-prefixed letter runs,
+# digit runs, punctuation runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-style token count (BPE-ish pre-tokenization): the cheap
+    JVM-side proxy for LLM token budgeting — counts pre-merge pieces, so
+    it upper-bounds and tracks real BPE token counts without a vocab."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
-
-
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles ('w1 w2 w3'), distinct, from a token-array
-    column. IMPORTANT: pass a materialized column REFERENCE (project the
-    token array first), not the tokens(...) expression itself — Catalyst
-    does not common-subexpression-eliminate inside higher-order-function
-    lambdas, so an inline token expression would be re-evaluated per
-    element_at, turning shingling quadratic per document.
-    """
-    # start positions 0..size-n (empty when size < n)
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
-
-
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Convenience scalar form of shingling — fine for small inputs/tests;
-    hot paths should project tokens() first and use shingles_from_tokens."""
-    return shingles_from_tokens(tokens(col), n)
 
 
 def sorted_token_fingerprint(col: Column | str) -> Column:
@@ -70,27 +57,10 @@ def sorted_token_fingerprint(col: Column | str) -> Column:
     )
 
 
-def _nibble(hexstr: Column, pos_1based: int) -> Column:
-    """Value 0..15 of the hex digit at 1-based position ``pos`` — instr on
-    a hex alphabet so the same formula runs on any SQL engine."""
-    digit = F.substring(hexstr, pos_1based, 1)
-    return F.instr(F.lit("0123456789abcdef"), digit) - 1
-
-
-def md5_bit(hexstr: Column, bit: int) -> Column:
-    """Bit ``bit`` (0 = MSB of first hex digit's nibble... we use:
-    nibble = hex digit at position bit//4 + 1; bit-in-nibble = 3 - bit%4)
-    of an md5 hex string, as 0/1 int."""
-    nib = _nibble(hexstr, bit // 4 + 1)
-    shift = 3 - (bit % 4)
-    return F.floor(nib / F.lit(2**shift)).cast("int") % 2
-
-
 def hash_bits_int(hexstr: Column, bits: int = 32) -> Column:
-    """First ``bits`` bits of an md5 hex string as a bigint (MSB-first) —
-    bit b of the result equals ``md5_bit(hexstr, b)``. One string→int
-    conversion replaces per-bit nibble arithmetic. Requires bits <= 60
-    (hex prefix must fit a bigint)."""
+    """First ``bits`` bits of an md5 hex string as a bigint (MSB-first).
+    One string→int conversion replaces per-bit nibble arithmetic.
+    Requires bits <= 60 (hex prefix must fit a bigint)."""
     n_hex = (bits + 3) // 4
     return F.conv(F.substring(hexstr, 1, n_hex), 16, 10).cast("bigint")
 

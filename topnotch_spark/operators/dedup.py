@@ -29,11 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from topnotch_spark.functions.text import (
-    sorted_token_fingerprint,
-    tokens,
-    word_shingles,
-)
+from topnotch_spark.functions.text import sorted_token_fingerprint, tokens
 from topnotch_spark.functions.vectors import srp_bucket
 
 
@@ -91,6 +87,7 @@ def hash60(sh: Column) -> Column:
         F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("bigint") % MINHASH_P
     )
 
+
 def keyed_dedup(
     df: DataFrame, id_col: str, key: Column, key_name: str = "dup_key"
 ) -> DataFrame:
@@ -121,48 +118,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return keyed_dedup(df, id_col, sorted_token_fingerprint(text_col), "dup_key")
-
-
-def minhash_signature_col(text_col: str, num_hashes: int, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` minhash components as a scalar expression —
-    same affine scheme as minhash_lsh_dedup (one md5 per shingle, affine
-    re-hashes mod MINHASH_P), usable inside a single projection."""
-    a_co, b_co = minhash_coeffs(num_hashes)
-    hashes = F.transform(word_shingles(text_col, shingle_n), lambda s: hash60(s))
-
-    def one(h: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(MINHASH_P),
-            lambda acc, hp: F.least(acc, (F.lit(a_co[h]) * hp + F.lit(b_co[h])) % MINHASH_P),
-        )
-
-    return F.array(*[one(h) for h in range(num_hashes)])
-
-
-def jaccard_pairs_from_candidates(
-    shingled: DataFrame, candidates: DataFrame, threshold: float
-) -> DataFrame:
-    """Verify candidate (id_1, id_2) pairs with exact shingle Jaccard.
-    ``shingled``: (id, shingles array). Output: id_1, id_2, jaccard."""
-    s1 = shingled.select(
-        F.col("id").alias("id_1"), F.col("shingles").alias("__sh1__")
-    )
-    s2 = shingled.select(
-        F.col("id").alias("id_2"), F.col("shingles").alias("__sh2__")
-    )
-    inter = F.size(F.array_intersect(F.col("__sh1__"), F.col("__sh2__")))
-    union = F.size(F.array_union(F.col("__sh1__"), F.col("__sh2__")))
-    return (
-        candidates.join(s1, "id_1")
-        .join(s2, "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
 
 
 def minhash_lsh_dedup(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from topnotch_spark.functions.text import (
     alpha_ratio,
+    bpe_ish_token_count,
     simhash,
     sorted_token_fingerprint,
     stopword_ratio,
@@ -41,6 +42,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n.alias("n_tokens"),
         nd.alias("n_distinct_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         F.when(n > 0, F.round(total_len / n, 4)).otherwise(F.lit(0.0)).alias(
             "avg_token_len"
         ),

@@ -366,11 +366,15 @@ def similarity_ivf_sql(
 
 
 def text_token_stats_sql() -> str:
+    from topnotch_spark.functions.text import BPE_ISH_PATTERN
+
     return f"""
         {_DOC_BASE}
         SELECT doc_id,
                CAST(len(__t__) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct(__t__)) AS INTEGER) AS n_distinct_tokens,
+               CAST(len(regexp_extract_all(text, $${BPE_ISH_PATTERN}$$))
+                    AS INTEGER) AS n_bpe_tokens,
                CASE WHEN len(__t__) > 0
                     THEN round(CAST(coalesce(list_sum(list_transform(__t__, t -> length(t))), 0) AS DOUBLE) / len(__t__), 4)
                     ELSE 0.0 END AS avg_token_len,
