@@ -79,6 +79,15 @@ def oracle_sql() -> dict[str, str]:
             round_digits=4,
         ),
         "streaming_dedup": oracles.streaming_dedup_sql(),
+        "streaming_enriched_metrics": """
+            SELECT time_bucket(INTERVAL 1 day, CAST(e.ts AS TIMESTAMP))
+                       AS window_start,
+                   c.c_nationkey,
+                   count(*) AS n_events,
+                   round(sum(e.value), 6) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
+        """,
         "view_cube_revenue": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_extendedprice), 2) AS revenue,

@@ -557,6 +557,42 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(dd, output_mode="append")
 
 
+def streaming_enriched_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast — re-read per micro-batch, never
+    stateful), then a watermarked daily window aggregation per nation."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id").withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("c_nationkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "c_nationkey",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(agg, output_mode="complete")
+
+
 def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule stream-level assertion metrics: the batch rule evaluator
     runs per micro-batch (foreachBatch), counts merge across batches."""
@@ -614,4 +650,5 @@ ALL = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_assertion_metrics": streaming_assertion_metrics,
     "streaming_dedup": streaming_dedup,
+    "streaming_enriched_metrics": streaming_enriched_metrics,
 }
