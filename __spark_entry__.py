@@ -53,7 +53,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.5, shingle_n=5
         ),
         "dedup_simhash": oracles.dedup_simhash_sql(
-            bits=32, band_bits=16, max_hamming=2, shingle_n=3
+            bits=32, band_bits=8, max_hamming=2, shingle_n=3
         ),
         "dedup_embedding": oracles.dedup_embedding_sql(
             dim=64, threshold=0.25, n_planes=4

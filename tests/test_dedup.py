@@ -85,7 +85,7 @@ def test_simhash_identical_docs_zero_hamming(spark, docs):
     out = {
         (r["id_1"], r["id_2"]): r["hamming"]
         for r in simhash_dedup(
-            docs, "doc_id", "text", bits=32, band_bits=16, max_hamming=3
+            docs, "doc_id", "text", bits=32, band_bits=8, max_hamming=3
         ).collect()
     }
     assert out[(1, 2)] == 0
@@ -109,3 +109,15 @@ def test_embedding_near_dups(spark):
     assert pairs[(1, 2)] == 1.0
     assert (1, 3) in pairs and pairs[(1, 3)] > 0.99
     assert all(b != 4 and a != 4 for a, b in pairs)  # orthogonal vector excluded
+
+
+def test_exact_dedup_null_text_not_dropped(spark):
+    """NULL keys must group together and survive (window semantics),
+    not vanish through an equi-join."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert len(out) == 3
+    assert out[2]["group_size"] == 2 and out[3]["group_size"] == 2
+    assert out[2]["keep"] is True and out[3]["keep"] is False

@@ -48,3 +48,13 @@ def test_empty_bucket_smoothing(spark):
     out = histogram_drift(ref, cur, "x", 10).collect()
     for r in out:
         assert r["psi_term"] is not None and math.isfinite(r["psi_term"])
+
+
+def test_drift_empty_and_constant_reference_raise(spark):
+    empty = spark.createDataFrame([], "x double")
+    cur = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="no non-null"):
+        histogram_drift(empty, cur, "x")
+    const = spark.createDataFrame([(2.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="constant"):
+        histogram_drift(const, cur, "x")

@@ -115,3 +115,11 @@ def test_byte_stats_matches_numpy(spark, media_df):
                 p = c / len(blob)
                 ent -= p * math.log2(p)
         assert r["nibble_entropy"] == pytest.approx(round(ent, 6), abs=1e-9)
+
+
+def test_sample_video_frames_empty_video(spark):
+    """A zero-frame TNVID must contribute nothing, not crash the Arrow
+    serializer with a column-less empty frame."""
+    vid = encode_tnvid(2, 2, [])
+    df = spark.createDataFrame([(1, vid)], "media_id int, content binary")
+    assert sample_video_frames(df, every_n=2).count() == 0

@@ -344,7 +344,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return simhash_dedup(
         load(spark, sf_dir, "documents"), "doc_id", "text",
-        bits=32, band_bits=16, max_hamming=2,
+        bits=32, band_bits=8, max_hamming=2,
     )
 
 

@@ -60,8 +60,15 @@ def sorted_token_fingerprint(col: Column | str) -> Column:
 def hash_bits_int(hexstr: Column, bits: int = 32) -> Column:
     """First ``bits`` bits of an md5 hex string as a bigint (MSB-first).
     One string→int conversion replaces per-bit nibble arithmetic.
-    Requires bits <= 60 (hex prefix must fit a bigint)."""
-    n_hex = (bits + 3) // 4
+    ``bits`` must be a multiple of 4 (whole hex digits — otherwise the
+    low bits of the value would not be the documented MSB-first prefix)
+    and <= 52 so downstream double-arithmetic bit extraction
+    (simhash_from_array) stays exact."""
+    if bits % 4 != 0 or not (0 < bits <= 52):
+        raise ValueError(
+            f"hash_bits_int: bits must be a multiple of 4 in (0, 52], got {bits}"
+        )
+    n_hex = bits // 4
     return F.conv(F.substring(hexstr, 1, n_hex), 16, 10).cast("bigint")
 
 

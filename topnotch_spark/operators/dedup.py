@@ -95,20 +95,20 @@ def keyed_dedup(
 
     Returns id, key, group_size and keep flag — callers either filter
     ``keep`` (dedup) or ``group_size > 1`` (duplicate report). One shuffle
-    on the key; partial aggregation map-side.
+    on the key (window partitioning). Window form rather than
+    groupBy+self-join: joins drop NULL keys (NULL never equi-joins), so
+    a NULL text row would silently vanish; window partitioning groups
+    NULL keys together, matching SQL window semantics exactly.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_name)
     keyed = df.select(F.col(id_col), key.alias(key_name))
-    groups = keyed.groupBy(key_name).agg(
-        F.min(id_col).alias("__keep_id__"), F.count(F.lit(1)).alias("group_size")
-    )
-    return (
-        keyed.join(groups, key_name)
-        .select(
-            id_col,
-            key_name,
-            "group_size",
-            (F.col(id_col) == F.col("__keep_id__")).alias("keep"),
-        )
+    return keyed.select(
+        id_col,
+        key_name,
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )
 
 

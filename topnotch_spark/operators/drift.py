@@ -46,7 +46,17 @@ def histogram_drift(
         F.col(col).cast("double").alias("x")
     )
     mn, mx = r.agg(F.min("x"), F.max("x")).collect()[0]
+    if mn is None:
+        raise ValueError(
+            f"histogram_drift: reference has no non-null values in '{col}'"
+        )
     mn, mx = float(mn), float(mx)
+    if mx == mn:
+        raise ValueError(
+            f"histogram_drift: reference column '{col}' is constant "
+            f"({mn!r}) — equal-width bucketing is undefined; drift on a "
+            "constant reduces to an equality assertion"
+        )
     width = (mx - mn) / n_buckets
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:

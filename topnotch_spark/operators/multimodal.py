@@ -137,7 +137,8 @@ def decode_media(
             for _, r in pdf.iterrows():
                 d = _decode_one(bytes(r[bin_col]))
                 rows.append({**{c: r[c] for c in keep}, **d})
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, out_schema)
 
@@ -172,7 +173,8 @@ def resize_images(
                     {**{c: r[c] for c in keep},
                      "content": encode_tnimg(out_w, out_h, resized.tobytes())}
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, out_schema)
 
@@ -206,7 +208,9 @@ def sample_video_frames(
                         {**{c: r[c] for c in keep}, "frame_idx": i,
                          "frame": encode_tnimg(w, h, frame)}
                     )
-            yield pd.DataFrame(rows)
+            if rows:
+                if rows:
+                    yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, out_schema)
 
@@ -243,6 +247,7 @@ def byte_stats(
                      **{f"h{i}": int(hist[i]) for i in range(HIST_BINS)},
                      "nibble_entropy": round(ent, 6)}
                 )
-            yield pd.DataFrame(rows)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, out_schema)

@@ -106,11 +106,17 @@ def ivf_topk(
         )
     )
 
-    def assign(df: DataFrame, out_id: str, out_vec: str, keep: int) -> DataFrame:
+    def assign(
+        df: DataFrame, out_id: str, out_vec: str, out_norm: str, keep: int
+    ) -> DataFrame:
         from topnotch_spark.functions.vectors import cosine
 
         scored = (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                norm(F.col(vec_col)).alias(out_norm),  # once per row, pre-join
+            )
             .crossJoin(F.broadcast(cents))
             .withColumn("__cc__", cosine(F.col(out_vec), F.col("__cvec__")))
         )
@@ -120,11 +126,11 @@ def ivf_topk(
         return (
             scored.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= keep)
-            .select(out_id, out_vec, "centroid_id")
+            .select(out_id, out_vec, out_norm, "centroid_id")
         )
 
-    corpus_lists = assign(corpus, "neighbor_id", "__cv__", 1)
-    probes = assign(queries, "query_id", "__qv__", n_probe)
+    corpus_lists = assign(corpus, "neighbor_id", "__cv__", "__cn__", 1)
+    probes = assign(queries, "query_id", "__qv__", "__qn__", n_probe)
     pairs = (
         probes.join(corpus_lists, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -133,7 +139,7 @@ def ivf_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("__qv__"), F.col("__cv__"))
-                / (norm(F.col("__qv__")) * norm(F.col("__cv__"))),
+                / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
         )

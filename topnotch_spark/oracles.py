@@ -229,8 +229,13 @@ def dedup_simhash_sql(
     )
     return f"""
         {_DOC_BASE},
-        distinct_toks AS (
+        distinct_toks0 AS (
           SELECT doc_id AS id, {shingles(n=shingle_n)} AS __dt__ FROM toked
+        ),
+        -- docs with fewer than n tokens have no shingles: dropped, exactly
+        -- like the Spark side's shingle_arrays size() > 0 filter
+        distinct_toks AS (
+          SELECT id, __dt__ FROM distinct_toks0 WHERE len(__dt__) > 0
         ),
         hashed AS (
           SELECT id, {simhash_expr(bits)} AS sh FROM distinct_toks

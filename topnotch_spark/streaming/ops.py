@@ -179,8 +179,13 @@ def run_stream_to_table(
         )
         q.awaitTermination()
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_partitions is not None:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            else:
+                # conf was never explicitly set: unset back to the
+                # built-in default instead of pinning our override
+                spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name)
 
 
