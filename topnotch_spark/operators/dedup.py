@@ -21,6 +21,12 @@ handles skewed buckets (a hot shingle/bucket is split by skew-join).
 For 100 TB corpora the band/bucket keys are the partitioning keys; tune
 ``num_minhashes``/``bands``/``n_planes`` to trade candidate recall vs
 join fan-out.
+
+Cache lifecycle: minhash/jaccard/simhash persist their shingle tables
+(multi-branch plans) and cannot unpersist them — the returned DataFrame
+is lazily derived from the cached one. Long-lived sessions running many
+dedups should either `spark.catalog.clearCache()` between corpora or, at
+real scale, replace the persist with a parquet checkpoint (SCALE.md §6).
 """
 
 from __future__ import annotations
