@@ -50,7 +50,7 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=16, bands=4, threshold=0.5, shingle_n=5
         ),
         "dedup_ngram_jaccard": oracles.dedup_ngram_jaccard_sql(
-            threshold=0.5, shingle_n=5
+            threshold=0.5, shingle_n=5, max_shingle_df=1000
         ),
         "dedup_simhash": oracles.dedup_simhash_sql(
             bits=32, band_bits=8, max_hamming=2, shingle_n=3
@@ -144,13 +144,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    session_id,
                    count(*)             AS n_events,
-                   round(sum(value), 2) AS session_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                        AS session_value
             FROM (
               SELECT user_id, value,
-                     sum(is_new_session) OVER (
+                     CAST(sum(is_new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS session_id
+                     ) AS BIGINT) AS session_id
               FROM (
                 SELECT user_id, ts, event_id, value,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1,0 +1,124 @@
+"""Strict oracle comparator: Arrow-level types + exact value hash.
+
+The tolerance checker (check_oracle.py) normalizes Decimal->float and
+int==float, which can mask representation differences that a value-hash
+gate catches (round-1 lesson: view_sessionize_events was value-exact but
+hash-red because DuckDB window sum(int) is HUGEINT while Spark emits
+BIGINT).  This script compares, per query:
+
+  1. Arrow schema of both results (after lowercasing + name-sorting cols)
+  2. sha256 over the sorted rows' repr, with python types preserved
+     (int vs float vs Decimal are DIFFERENT here, on purpose)
+
+Usage: python scripts/strict_hash_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def cell_key(v):
+    """Exact, type-tagged representation of one cell."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "N"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(cell_key(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    keys = sorted(
+        "|".join(cell_key(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for k in keys:
+        h.update(k.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from topnotch_spark.session import get_spark
+
+    spark = get_spark("strict-hash-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: no oracle")
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.toDF(*scols).collect()]
+
+        res = con.execute(oracles[name])
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+
+        sh = table_hash(scols, srows)
+        dh = table_hash(dcols, drows)
+        dt = time.time() - t0
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: cols {sorted(scols)} vs {sorted(dcols)}")
+            failures += 1
+        elif sh != dh:
+            failures += 1
+            print(f"FAIL  {name}: hash {sh[:12]} vs {dh[:12]} "
+                  f"({len(srows)} vs {len(drows)} rows)  [{dt:.1f}s]")
+            # show first differing cell for debugging
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            skeys = sorted("|".join(cell_key(r[i]) for i in order) for r in srows)
+            dkeys = sorted("|".join(cell_key(r[i]) for i in order) for r in drows)
+            for a, b in zip(skeys, dkeys):
+                if a != b:
+                    print(f"      spark : {a[:200]}")
+                    print(f"      duckdb: {b[:200]}")
+                    break
+        else:
+            print(f"OK    {name}: {len(srows)} rows strict-hash match  [{dt:.1f}s]")
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

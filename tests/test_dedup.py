@@ -121,3 +121,76 @@ def test_exact_dedup_null_text_not_dropped(spark):
     assert len(out) == 3
     assert out[2]["group_size"] == 2 and out[3]["group_size"] == 2
     assert out[2]["keep"] is True and out[3]["keep"] is False
+
+
+def test_ngram_jaccard_viral_shingle_valve(spark):
+    """A shingle shared by every document must not explode the self-join:
+    with max_shingle_df capped below the corpus size, the viral shingle is
+    dropped from the JOIN (candidate rows bounded) while sizes still count
+    it (conservative Jaccard). Default cap is on (1000)."""
+    viral = "breaking news update tonight"
+    rows = [(i, f"{viral} story number {i} detail {i}") for i in range(1, 41)]
+    rows.append((100, "breaking news update tonight story number 1 detail 1"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # Uncapped: the viral 4-token window makes every doc pair a candidate.
+    exact = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.05, shingle_n=4, max_shingle_df=None
+    )
+    # Capped at 5: shingles in >5 docs leave the join; only true near-dups
+    # (1, 100) still share rare shingles ("story number 1 detail").
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.05, shingle_n=4, max_shingle_df=5
+    )
+    exact_pairs = {(r["id_1"], r["id_2"]) for r in exact.collect()}
+    capped_rows = {(r["id_1"], r["id_2"]): r["jaccard"] for r in capped.collect()}
+
+    assert len(exact_pairs) > 100          # quadratic blow-up demonstrated
+    assert set(capped_rows) == {(1, 100)}  # candidates bounded to real dup
+    assert capped_rows[(1, 100)] <= 1.0    # conservative (join-only drop)
+
+    # The candidate join itself is bounded, not just the final threshold cut:
+    # count (id_1, id_2) candidates before the Jaccard filter via df stats.
+    from topnotch_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(df, "doc_id", "text", 4)
+    dfreq = sh.groupBy("sh").count()
+    joinable = dfreq.filter(F.col("count") <= 5)
+    n_candidate_rows = (
+        sh.join(joinable.select("sh"), "sh")
+        .groupBy("sh").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .collect()[0][0]
+    )
+    assert n_candidate_rows < 50  # vs ~40*41/2 * n_shingles uncapped
+
+
+def test_dedup_persist_lifecycle(spark):
+    """Two corpora through minhash/jaccard/simhash without clearCache():
+    dedup_scope releases every tracked intermediate, storage returns to
+    baseline."""
+    from topnotch_spark.operators.dedup import (
+        _PERSISTED,
+        dedup_scope,
+        unpersist_intermediates,
+    )
+
+    unpersist_intermediates()  # clean slate
+
+    def cached_rdd_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = cached_rdd_count()
+    for corpus in range(2):
+        rows = [
+            (i, f"corpus {corpus} document {i} alpha beta gamma delta")
+            for i in range(1, 30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        with dedup_scope():
+            minhash_lsh_dedup(df, "doc_id", "text").count()
+            ngram_jaccard_pairs(df, "doc_id", "text").count()
+            simhash_dedup(df, "doc_id", "text").count()
+            assert len(_PERSISTED) >= 3
+        assert len(_PERSISTED) == 0
+    assert cached_rdd_count() == base

@@ -154,3 +154,33 @@ def test_range_join_matches_naive_reference(spark):
             if k1 == k2 and (t1, i1) < (t2, i2) and (t2 - t1).total_seconds() <= tol:
                 expect.add((i1, i2))
     assert got == expect
+
+
+def test_range_join_pre_1970_timestamps(spark):
+    """Negative epoch micros must bucket with floor, not truncate-toward-
+    zero: a pair straddling a bucket boundary below 1970 would otherwise
+    be silently dropped."""
+    import datetime as dt
+
+    from topnotch_spark.operators.temporal import range_join_pairs
+
+    rows = [
+        (1, "u", dt.datetime(1969, 12, 31, 23, 59, 30)),   # -30s epoch
+        (2, "u", dt.datetime(1970, 1, 1, 0, 0, 20)),        # +20s epoch
+        (3, "u", dt.datetime(1969, 12, 31, 23, 58, 0)),     # -120s epoch
+        (4, "u", dt.datetime(1969, 12, 31, 23, 58, 50)),    # -70s epoch
+    ]
+    df = spark.createDataFrame(rows, "event_id int, user_id string, ts timestamp")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dt_seconds"]
+        for r in range_join_pairs(
+            df, ["user_id"], "ts", "event_id", tolerance_seconds=60
+        ).collect()
+    }
+    # (1, 2): -30s -> +20s = 50s apart, straddles the epoch-0 boundary
+    assert pairs[(1, 2)] == 50.0
+    # (3, 4): -120s -> -70s = 50s apart, straddles the -60s boundary
+    assert pairs[(3, 4)] == 50.0
+    # (4, 1): -70s -> -30s = 40s apart, same negative bucket
+    assert pairs[(4, 1)] == 40.0
+    assert (3, 2) not in pairs and (3, 1) not in pairs  # > 60s apart

@@ -158,13 +158,14 @@ def view_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id,
                    session_id,
                    count(*)                    AS n_events,
-                   round(sum(value), 2)        AS session_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                               AS session_value
             FROM (
               SELECT user_id, value,
-                     sum(is_new_session) OVER (
+                     CAST(sum(is_new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS session_id
+                     ) AS BIGINT) AS session_id
               FROM (
                 SELECT user_id, ts, event_id, value,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -23,13 +23,20 @@ For 100 TB corpora the band/bucket keys are the partitioning keys; tune
 join fan-out.
 
 Cache lifecycle: minhash/jaccard/simhash persist their shingle tables
-(multi-branch plans) and cannot unpersist them — the returned DataFrame
-is lazily derived from the cached one. Long-lived sessions running many
-dedups should either `spark.catalog.clearCache()` between corpora or, at
-real scale, replace the persist with a parquet checkpoint (SCALE.md §6).
+(multi-branch plans); the returned DataFrame is lazily derived from the
+cached one, so the operator itself cannot unpersist. Every such persist
+is tracked: consume the result (an action), then call
+``unpersist_intermediates()`` — or wrap the whole consume in a
+``dedup_scope()`` context manager — to release the storage without the
+``spark.catalog.clearCache()`` sledgehammer. Unpersisting before the
+result is consumed is safe but recomputes the lineage. At real scale,
+replace the persist with a parquet checkpoint (SCALE.md §6).
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +44,46 @@ from pyspark.storagelevel import StorageLevel
 
 from topnotch_spark.functions.text import sorted_token_fingerprint, tokens
 from topnotch_spark.functions.vectors import srp_bucket
+
+# Shingle/signature tables persisted by the operators below, in creation
+# order. Intentionally process-global: the catalog/plan layer runs dedup
+# commands back-to-back in one session and frees them between corpora.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register for unpersist_intermediates()."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def unpersist_intermediates(blocking: bool = False) -> int:
+    """Release every intermediate persisted by dedup operators so far.
+
+    Call after the returned DataFrames have been consumed (actions run).
+    Returns the number of tables released. Safe to call twice."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking)
+        n += 1
+    return n
+
+
+@contextmanager
+def dedup_scope() -> Iterator[None]:
+    """Scope whose exit unpersists intermediates created inside it::
+
+        with dedup_scope():
+            pairs = minhash_lsh_dedup(docs, "doc_id", "text")
+            pairs.write.parquet(out)   # consume INSIDE the scope
+    """
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        while len(_PERSISTED) > mark:
+            _PERSISTED.pop().unpersist(False)
 
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -147,9 +194,7 @@ def minhash_lsh_dedup(
     exact Jaccard via array_intersect on the persisted arrays, so the
     verification cost is |candidates|, not |corpus|."""
     rows_per_band = num_hashes // bands
-    arr = shingle_arrays(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    arr = _persist(shingle_arrays(df, id_col, text_col, shingle_n))
     a_co, b_co = minhash_coeffs(num_hashes)
 
     exploded = arr.select("id", F.explode("shs").alias("sh")).select(
@@ -204,7 +249,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.3,
     shingle_n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs, blocked on shared shingles:
     explode → self-equi-join on shingle → count common → Jaccard.
@@ -219,10 +264,12 @@ def ngram_jaccard_pairs(
     frequency exceeds the cap from the JOIN ONLY (sizes keep counting
     them): common boilerplate shingles carry almost no Jaccard signal, so
     the measured similarity only drops slightly (strictly conservative —
-    never creates false positives). Default None = exact semantics."""
-    arr = shingle_arrays(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK  # feeds explode + both size joins
-    )
+    never creates false positives). Default 1000 — the safe-at-scale
+    setting; pass ``max_shingle_df=None`` to explicitly opt in to exact
+    all-pairs-sharing-a-shingle semantics (quadratic in the hottest
+    shingle's document frequency)."""
+    # feeds explode + both size joins
+    arr = _persist(shingle_arrays(df, id_col, text_col, shingle_n))
     exploded = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("n_sh"))
     if max_shingle_df is not None:
@@ -300,9 +347,7 @@ def simhash_dedup(
             for b in range(bits)
         ]
     )
-    base = votes.select("id", sh_col.alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = _persist(votes.select("id", sh_col.alias("sh")))
     band_cols = [
         F.substring("sh", b * band_bits + 1, band_bits).alias(f"band_{b}")
         for b in range(n_bands)

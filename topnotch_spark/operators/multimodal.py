@@ -134,9 +134,10 @@ def decode_media(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                d = _decode_one(bytes(r[bin_col]))
-                rows.append({**{c: r[c] for c in keep}, **d})
+            keep_vals = [pdf[c].values for c in keep]
+            for i, blob in enumerate(pdf[bin_col].values):
+                d = _decode_one(bytes(blob))
+                rows.append({**{c: v[i] for c, v in zip(keep, keep_vals)}, **d})
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -160,8 +161,9 @@ def resize_images(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                d = _decode_one(bytes(r[bin_col]))
+            keep_vals = [pdf[c].values for c in keep]
+            for i, blob in enumerate(pdf[bin_col].values):
+                d = _decode_one(bytes(blob))
                 if d["media_type"] != "application/x-tnimg":
                     raise ValueError("resize_images expects TNIMG blobs")
                 w, h = d["width"], d["height"]
@@ -170,7 +172,7 @@ def resize_images(
                 xi = (np.arange(out_w) * w) // out_w
                 resized = img[np.ix_(yi, xi)]
                 rows.append(
-                    {**{c: r[c] for c in keep},
+                    {**{c: v[i] for c, v in zip(keep, keep_vals)},
                      "content": encode_tnimg(out_w, out_h, resized.tobytes())}
                 )
             if rows:
@@ -196,8 +198,9 @@ def sample_video_frames(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                d = _decode_one(bytes(r[bin_col]))
+            keep_vals = [pdf[c].values for c in keep]
+            for j, blob in enumerate(pdf[bin_col].values):
+                d = _decode_one(bytes(blob))
                 if d["media_type"] != "application/x-tnvid":
                     raise ValueError("sample_video_frames expects TNVID blobs")
                 w, h, nf = d["width"], d["height"], d["n_frames"]
@@ -205,12 +208,12 @@ def sample_video_frames(
                 for i in range(0, nf, every_n):
                     frame = d["payload"][i * fsize : (i + 1) * fsize]
                     rows.append(
-                        {**{c: r[c] for c in keep}, "frame_idx": i,
+                        {**{c: v[j] for c, v in zip(keep, keep_vals)},
+                         "frame_idx": i,
                          "frame": encode_tnimg(w, h, frame)}
                     )
             if rows:
-                if rows:
-                    yield pd.DataFrame(rows)
+                yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, out_schema)
 
@@ -233,8 +236,9 @@ def byte_stats(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = np.frombuffer(bytes(r[bin_col]), dtype=np.uint8)
+            keep_vals = [pdf[c].values for c in keep]
+            for j, blob in enumerate(pdf[bin_col].values):
+                data = np.frombuffer(bytes(blob), dtype=np.uint8)
                 hist = np.bincount(data >> 4, minlength=HIST_BINS)
                 total = int(data.size)
                 ent = 0.0
@@ -243,7 +247,8 @@ def byte_stats(
                         p = c / total
                         ent -= p * math.log2(p)
                 rows.append(
-                    {**{c: r[c] for c in keep}, "size_bytes": total,
+                    {**{c: v[j] for c, v in zip(keep, keep_vals)},
+                     "size_bytes": total,
                      **{f"h{i}": int(hist[i]) for i in range(HIST_BINS)},
                      "nibble_entropy": round(ent, 6)}
                 )

@@ -125,8 +125,11 @@ def range_join_pairs(
         *[F.col(c).alias(f"{c}_a") for c in keep],
         F.explode(
             F.array(
-                (F.col("__us__") / tol_us).cast("bigint"),
-                (F.col("__us__") / tol_us).cast("bigint") + 1,
+                # floor, not cast-truncation: negative epoch micros
+                # (pre-1970 timestamps) must bucket consistently or
+                # adjacent-bucket probing silently drops pairs.
+                F.floor(F.col("__us__") / tol_us).cast("bigint"),
+                F.floor(F.col("__us__") / tol_us).cast("bigint") + 1,
             )
         ).alias("__bucket__"),
     )
@@ -135,7 +138,7 @@ def range_join_pairs(
         F.col("__id__").alias("id_b"),
         F.col("__us__").alias("us_b"),
         *[F.col(c).alias(f"{c}_b") for c in keep],
-        (F.col("__us__") / tol_us).cast("bigint").alias("__bucket__"),
+        F.floor(F.col("__us__") / tol_us).cast("bigint").alias("__bucket__"),
     )
     dt = F.col("us_b") - F.col("us_a")
     pair_order = (F.col("us_a") < F.col("us_b")) | (

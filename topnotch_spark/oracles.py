@@ -191,7 +191,23 @@ def dedup_minhash_sql(
     """
 
 
-def dedup_ngram_jaccard_sql(threshold: float = 0.3, shingle_n: int = 3) -> str:
+def dedup_ngram_jaccard_sql(
+    threshold: float = 0.3,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = 1000,
+) -> str:
+    # Mirror of the Spark hot-shingle valve: shingles with document
+    # frequency > cap are excluded from the JOIN only; sizes still count
+    # them (dedup.ngram_jaccard_pairs semantics).
+    df_filter = (
+        f"""joinable AS (
+          SELECT shingle FROM ex GROUP BY shingle
+          HAVING count(*) <= {max_shingle_df}
+        ),
+        exj AS (SELECT ex.id, ex.shingle FROM ex JOIN joinable USING (shingle))"""
+        if max_shingle_df is not None
+        else "exj AS (SELECT id, shingle FROM ex)"
+    )
     return f"""
         {_DOC_BASE},
         shingled AS (
@@ -200,9 +216,10 @@ def dedup_ngram_jaccard_sql(threshold: float = 0.3, shingle_n: int = 3) -> str:
         base AS (SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0),
         sizes AS (SELECT id, len(__sh__) AS n_sh FROM base),
         ex AS (SELECT id, unnest(__sh__) AS shingle FROM base),
+        {df_filter},
         common AS (
           SELECT a.id AS id_1, b.id AS id_2, count(*) AS n_common
-          FROM ex a JOIN ex b ON a.shingle = b.shingle
+          FROM exj a JOIN exj b ON a.shingle = b.shingle
           WHERE a.id < b.id
           GROUP BY 1, 2
         )
