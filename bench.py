@@ -1,17 +1,25 @@
 """Benchmark harness: runs the headline query catalog at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "spread": {...}, "reps": N, "sf": ...}
 
 Each query is fully executed via the noop sink (computes everything,
 writes nothing). A warmup pass of the first query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state throughput.
+
+Run-to-run variance on local[32] measured at +/-25%, so each query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and "queries" carries per-query
+MEDIANS; "spread" carries max-min per query so a noisy run is visible.
+"value" is the sum of medians. Round-over-round comparisons should use
+these medians, not single runs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,15 +45,26 @@ def main() -> None:
     except Exception:
         pass
 
-    times: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            force(fn(spark, sf_dir))
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # record failures as null, keep benching
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            times[name] = None
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    # round-robin over the catalog so a machine-wide disturbance hits one
+    # rep of many queries rather than all reps of one query
+    for _ in range(reps):
+        for name, fn in qs.items():
+            t0 = time.time()
+            try:
+                force(fn(spark, sf_dir))
+                samples[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # record failures as null, keep benching
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+    times = {
+        name: round(statistics.median(ts), 3) if ts else None
+        for name, ts in samples.items()
+    }
+    spread = {
+        name: round(max(ts) - min(ts), 3) if ts else None
+        for name, ts in samples.items()
+    }
     total = round(sum(t for t in times.values() if t is not None), 3)
     print(
         json.dumps(
@@ -54,6 +73,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )

@@ -233,3 +233,63 @@ class TestSampleWindows:
         ]
         res = run_assertions(windows_df, "k", rules)
         assert res.reports[0].sample_window_report is None
+
+
+class TestOwnFeatureMetricSemantics:
+    """Per-rule metrics use input + ONLY that rule's own features
+    (reference checkAssertion :50-55); the invalid-row union stays
+    cumulative (:121-133)."""
+
+    def test_duplicate_feature_names_use_own_definition(self, spark):
+        # Both rules define "total" differently. Per-rule metrics must give
+        # each rule its own definition (fusing against a combined frame
+        # would silently pick one); the invalid-row union then crashes on
+        # the ambiguous cumulative column, exactly as the reference's
+        # identifyInvalidRows fold does (reports first, crash after).
+        from topnotch_spark.operators.assertions import (
+            _fused_metrics,
+            _own_frame,
+        )
+
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "Ints int, Doubles double")
+        rules = [
+            _rule(
+                "total > 5",
+                "r1",  # total = Ints + Doubles: 11, 22 -> none invalid
+                user_defined_features={"total": "Ints + Doubles"},
+            ),
+            _rule(
+                "total > 5",
+                "r2",  # total = Ints: 1, 2 -> both invalid
+                user_defined_features={"total": "Ints"},
+            ),
+        ]
+        own = [_own_frame(df, r) for r in rules]
+        total, counts, _ = _fused_metrics(df, own, rules)
+        assert total == 2
+        assert counts == [0, 2]  # each rule saw its OWN total
+        # the full run still crashes on the cumulative invalid-row union,
+        # matching the reference's ambiguous-column AnalysisException
+        with pytest.raises(Exception):
+            run_assertions(df, "k", rules, with_samples=False)
+
+    def test_query_referencing_other_rules_feature_raises(self, spark):
+        # The reference's checkAssertion would crash resolving a column
+        # that only another rule defines; so do we, samples on or off.
+        df = spark.createDataFrame([(1, 10.0)], "Ints int, Doubles double")
+        rules = [
+            _rule("total > 5", "r1", user_defined_features={"total": "Ints + Doubles"}),
+            _rule("total < 100", "r2"),  # "total" is r1's feature, not r2's
+        ]
+        with pytest.raises(Exception):
+            run_assertions(df, "k", rules, with_samples=False)
+
+    def test_unique_features_still_fused_and_correct(self, spark):
+        df = spark.createDataFrame([(1, 10.0), (5, 1.0)], "Ints int, Doubles double")
+        rules = [
+            _rule("t1 > 5", "r1", user_defined_features={"t1": "Ints + Doubles"}),
+            _rule("t2 < 4", "r2", user_defined_features={"t2": "Ints"}),
+        ]
+        res = run_assertions(df, "k", rules, with_samples=False)
+        assert res.reports[0].num_invalid == 0   # 11, 6 both > 5
+        assert res.reports[1].num_invalid == 1   # Ints=5 not < 4

@@ -371,3 +371,30 @@ def test_json_and_orc_inputs(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="Unsupported input format"):
         load_input(spark, Input(ref=jpath, format="avro"))
+
+
+def test_classpath_plan_read(engine, input_parquet, monkeypatch, tmp_path):
+    """A plan bundled inside the package loads through FileReader's
+    package-resource fallback, mirroring the reference's classpath read
+    (TnReader.scala:104-118, TnEngineTest readFromClasspathPlan). The cwd
+    holds no such file, so only the resource lookup can satisfy it."""
+    monkeypatch.chdir(tmp_path)  # ensure no CWD fallback can hit
+    reader = FileReader(variables={"inputPath": input_parquet})
+    obj = reader.read_configuration(
+        "topnotch_spark/resources/classpath_example_plan.json"
+    )
+    assert obj["path"] == "/"  # reference sets path to the classpath root
+    assert collect_errors(parse_commands(obj, reader, spark=engine.spark)) is None
+    # and end-to-end through the engine entrypoint
+    failed = engine.run(
+        "topnotch_spark/resources/classpath_example_plan.json",
+        variables={"inputPath": input_parquet},
+    )
+    assert failed == 0
+    assert engine.registry["bundledView"].count() == 4
+
+
+def test_classpath_miss_still_raises(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        FileReader().read_configuration("topnotch_spark/resources/nope.json")

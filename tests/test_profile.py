@@ -35,3 +35,46 @@ def test_profile_two_branch_plan(spark):
     prof = profile_columns(df, ["a", "b"])
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 2
+
+
+def test_approx_profile_bounded_error(spark):
+    """The exact=False scale path (HLL distinct + sketch percentiles) must
+    stay within its documented error bounds vs the exact profile, and the
+    two paths must agree exactly on the exact statistics (n, nulls, min,
+    max, avg, stddev)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 500), rng.gauss(100.0, 15.0)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(8)
+
+    exact = {r["column"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    approx = {
+        r["column"]: r
+        for r in profile_columns(df, ["k", "v"], exact=False).collect()
+    }
+    assert set(exact) == set(approx) == {"k", "v"}
+    for c in ("k", "v"):
+        e, a = exact[c], approx[c]
+        # exact stats identical on both paths
+        for fld in ("n", "n_null", "min_value", "max_value", "avg_value",
+                    "stddev_value"):
+            assert a[fld] == e[fld], (c, fld)
+        # HLL relative error: default rsd 5%, allow 10% slack
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= 0.10 * e["n_distinct"]
+        # sketch percentile rank error eps = 1/accuracy -> tight here;
+        # compare by value with a generous tolerance of 2% of the range
+        spread = e["max_value"] - e["min_value"]
+        for fld in ("p25", "p50", "p75", "p95"):
+            assert abs(a[fld] - e[fld]) <= 0.02 * spread, (c, fld)
+
+
+def test_approx_profile_single_job_plan(spark):
+    """exact=False must be ONE aggregation (no EXPAND, no crossJoin of a
+    second agg): the optimized plan contains no Expand node and only one
+    source scan."""
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    plan = profile_columns(df, ["k", "v"], exact=False)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Expand" not in plan
+    assert plan.lower().count("localrelation") + plan.lower().count("logicalrdd") == 1

@@ -540,6 +540,23 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile path demonstrated: HLL distinct counts +
+    sketched percentiles, ONE fused aggregation job (no EXPAND, no sort
+    buffer). Approximate values are engine-specific, so this entry has no
+    DuckDB value oracle (driver records rows+schema); the error bounds
+    vs the exact profile are asserted in tests/test_profile.py."""
+    from topnotch_spark.operators.profile import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact=False,
+        round_digits=4,
+    )
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first arrival per (user_id, event_type)
     across micro-batches; final state = the distinct key set."""
@@ -647,6 +664,7 @@ ALL = {
     "multimodal_byte_stats": multimodal_byte_stats,
     "drift_orders_totalprice": drift_orders_totalprice,
     "profile_lineitem": profile_lineitem,
+    "profile_lineitem_approx": profile_lineitem_approx,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,
     "streaming_assertion_metrics": streaming_assertion_metrics,

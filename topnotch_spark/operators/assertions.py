@@ -26,7 +26,12 @@ Scale design (the reference's shape is its hot spot, BASELINE.md):
   aggregation job using conditional aggregation / SQL ``FILTER (WHERE …)``
   — map-side partial aggregation, no shuffle beyond a single 1-row
   reduce. Falls back to per-rule jobs only if a user summary expression
-  can't accept a FILTER clause (multi-aggregate arithmetic).
+  can't accept a FILTER clause (multi-aggregate arithmetic), or if a
+  feature name is defined differently by two rules / shadows an input
+  column (fusing would change which definition a rule sees — per-rule
+  metrics use input + ONLY that rule's own features, checkAssertion
+  :50-55, while the invalid-row union applies features cumulatively,
+  :121-133).
 - Sample windows are computed with a broadcast semi-join (≤20 key rows)
   instead of the reference's collect-the-world join (:95). Only rows
   belonging to sampled windows ever reach the driver.
@@ -133,7 +138,9 @@ def _featured_frames(input_df: DataFrame, rules: list[AssertionRule]) -> list[Da
     """frames[i] = input with features of rules 0..i applied cumulatively.
 
     Mirrors the reference's fold in identifyInvalidRows (:121-133): rule i's
-    query may reference features of any earlier rule plus its own.
+    query may reference features of any earlier rule plus its own. This
+    cumulative view applies ONLY to the invalid-row output — per-rule
+    metrics use :func:`_own_frame` (reference checkAssertion :50-55).
     """
     frames: list[DataFrame] = []
     df = input_df
@@ -143,6 +150,15 @@ def _featured_frames(input_df: DataFrame, rules: list[AssertionRule]) -> list[Da
             df = df.selectExpr("*", *feats)
         frames.append(df)
     return frames
+
+
+def _own_frame(input_df: DataFrame, rule: AssertionRule) -> DataFrame:
+    """Input plus ONLY this rule's features — the frame checkAssertion
+    evaluates a rule's count/summary/samples against (reference
+    TnAssertionRunner.scala:50-55). A query referencing another rule's
+    feature fails analysis here, exactly as it does in the reference."""
+    feats = _feature_exprs(rule.user_defined_features)
+    return input_df.selectExpr("*", *feats) if feats else input_df
 
 
 def identify_invalid_rows(input_df: DataFrame, rules: list[AssertionRule]) -> DataFrame:
@@ -198,16 +214,83 @@ def _is_single_agg_call(expr: str) -> bool:
     return depth == 0
 
 
+def _per_rule_metrics(
+    input_df: DataFrame, own_frames: list[DataFrame], rules: list[AssertionRule]
+) -> tuple[int, list[int], list[dict[str, Any] | None]]:
+    """Reference-shaped 1 + N jobs, used when fusing is unsound (a feature
+    name is defined differently by two rules, or shadows an input column):
+    one total count plus one aggregation per rule over input + that rule's
+    own features. Each rule's invalid count and fusable summary stats still
+    share the rule's single job."""
+    total = input_df.count()
+    invalid_counts: list[int] = []
+    summaries: list[dict[str, Any] | None] = []
+    for i, rule in enumerate(rules):
+        invalid_pred = f"NOT({rule.query})"
+        aggs: list[Column] = [
+            F.sum(F.when(F.expr(invalid_pred), 1).otherwise(0)).alias("__inv__")
+        ]
+        fused = True
+        if rule.user_defined_summary_expr:
+            rule_aggs: list[Column] = []
+            try:
+                for name, expr in rule.user_defined_summary_expr.items():
+                    if not _is_single_agg_call(expr):
+                        raise ValueError("not a single aggregate call")
+                    rule_aggs.append(
+                        F.expr(f"{expr} FILTER (WHERE {invalid_pred})").alias(
+                            f"__sum__{name}"
+                        )
+                    )
+            except Exception:
+                fused = False
+            if fused:
+                aggs.extend(rule_aggs)
+        row = own_frames[i].agg(*aggs).collect()[0]
+        invalid_counts.append(int(row["__inv__"] or 0))
+        if not rule.user_defined_summary_expr:
+            summaries.append({})
+        elif fused:
+            summaries.append(
+                {name: row[f"__sum__{name}"] for name in rule.user_defined_summary_expr}
+            )
+        else:
+            summaries.append(None)
+    return total, invalid_counts, summaries
+
+
 def _fused_metrics(
-    frames: list[DataFrame], rules: list[AssertionRule]
+    input_df: DataFrame, own_frames: list[DataFrame], rules: list[AssertionRule]
 ) -> tuple[int, list[int], list[dict[str, Any] | None]]:
     """ONE aggregation job: total count + per-rule invalid counts + per-rule
     summary stats (vs the reference's 1 + N + N jobs).
 
+    Per-rule semantics are the reference's checkAssertion (:50-55): each
+    rule sees input + ONLY its own features. Fusing evaluates every rule
+    against one frame holding the union of all rules' features applied to
+    the input, which is equivalent exactly when feature names are globally
+    unique and shadow no input column — otherwise this falls back to
+    :func:`_per_rule_metrics` (reference 1 + N shape) so each rule sees its
+    own definition.
+
     Returns (total, invalid_counts, summaries) where summaries[i] is None if
     rule i's summary stats could not be fused (computed separately later).
     """
-    final_df = frames[-1]
+    input_cols = {c.lower() for c in input_df.columns}
+    all_feats: dict[str, str] = {}  # lowercase name -> expr, insertion order
+    for rule in rules:
+        for name, expr in (rule.user_defined_features or {}).items():
+            ln = name.lower()
+            if ln in input_cols or all_feats.get(ln, expr) != expr:
+                return _per_rule_metrics(input_df, own_frames, rules)
+            all_feats.setdefault(ln, expr)
+    final_df = (
+        input_df.selectExpr(
+            "*", *[f"{e} as {n}" for n, e in all_feats.items()]
+        )
+        if all_feats
+        else input_df
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
     fused_summary: list[bool] = []
     for i, rule in enumerate(rules):
@@ -301,13 +384,18 @@ def run_assertions(
     if not rules:
         return AssertionResult(identify_invalid_rows(input_df, []), 0, [])
 
-    frames = _featured_frames(input_df, rules)
-    total, invalid_counts, summaries = _fused_metrics(frames, rules)
+    own_frames = [_own_frame(input_df, rule) for rule in rules]
+    # Build the per-rule filters eagerly: analysis runs now (no job), so a
+    # query referencing another rule's feature raises here — matching the
+    # reference's checkAssertion crash — even when with_samples=False.
+    invalid_dfs = [
+        own_frames[i].filter(f"NOT({rule.query})") for i, rule in enumerate(rules)
+    ]
+    total, invalid_counts, summaries = _fused_metrics(input_df, own_frames, rules)
 
     reports: list[AssertionReport] = []
     for i, rule in enumerate(rules):
-        featured = frames[i]
-        invalid_df = featured.filter(f"NOT({rule.query})")
+        invalid_df = invalid_dfs[i]
         summary = summaries[i]
         if summary is None:  # non-fusable summary exprs: dedicated job
             srow = invalid_df.selectExpr(
@@ -318,7 +406,11 @@ def run_assertions(
         window_report = None
         if with_samples:
             sample_rows = invalid_df.limit(SAMPLE_NUM).collect()
-            window_report = _sample_windows(sample_rows, featured, rule.sample_window_params)
+            # windows come from the ORIGINAL input, without features
+            # (reference getSampleWindows(invalidSamplesDF, df, ...) :66)
+            window_report = _sample_windows(
+                sample_rows, input_df, rule.sample_window_params
+            )
         fraction = (invalid_counts[i] / total) if total > 0 else 0.0
         reports.append(
             AssertionReport(

@@ -8,9 +8,13 @@ plus Spark's expand for exact distinct counts.
 
 Scale notes: exact ``count(distinct)`` over many columns multiplies scan
 rows via EXPAND — fine into the tens of columns; pass ``exact=False``
-at 100 TB to switch to ``approx_count_distinct`` (HLL, no expand). The
-unpivot to one-row-per-column happens AFTER aggregation on a single row,
-so it costs nothing.
+at 100 TB to switch to ``approx_count_distinct`` (HLL, no expand) AND
+``approx_percentile`` (Greenwald-Khanna sketch, bounded memory instead of
+a full sort buffer). The approx path additionally fuses percentiles into
+the SAME single aggregation job (the exact path must split them: a sort
+buffer inside the EXPAND re-buffers every expanded copy — measured 20x).
+The unpivot to one-row-per-column happens AFTER aggregation on a single
+row, so it costs nothing.
 """
 
 from __future__ import annotations
@@ -25,13 +29,19 @@ def profile_columns(
     columns: list[str] | None = None,
     exact: bool = True,
     round_digits: int = 6,
+    percentile_accuracy: int = 10_000,
 ) -> DataFrame:
     """One row per profiled column:
     (column, n, n_null, n_distinct, min_value, max_value, avg_value,
-    stddev_value). Non-numeric columns get null avg/stddev and min/max of
-    their cast-to-double (null for strings); restrict ``columns`` to
-    numerics when min/max matter cross-engine (float formatting of
-    casts differs between engines)."""
+    stddev_value, p25, p50, p75, p95). Non-numeric columns get null
+    avg/stddev and min/max of their cast-to-double (null for strings);
+    restrict ``columns`` to numerics when min/max matter cross-engine
+    (float formatting of casts differs between engines).
+
+    ``exact=False`` is the 100 TB path: HLL distinct counts (relative
+    error ~1.6%) and sketched percentiles (rank error ≤ n /
+    ``percentile_accuracy``), one fused aggregation job, no EXPAND, no
+    sort buffer."""
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
@@ -54,19 +64,34 @@ def profile_columns(
             F.round(F.avg(num), round_digits).alias(f"__avg_{c}"),
             F.round(F.stddev(num), round_digits).alias(f"__std_{c}"),
         ]
-        # exact interpolated percentiles — bit-identical to DuckDB's
-        # quantile_cont (same type-7 definition). KEPT IN A SEPARATE
-        # AGGREGATION: exact count_distinct rewrites its agg into an
-        # EXPAND (one row copy per distinct-column), and a sort-based
-        # percentile buffer inside that agg would re-buffer every
-        # expanded copy — measured 20x slower fused than split. The two
-        # one-row results cross-join for free.
-        pct_aggs.append(
-            F.percentile(
-                num, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
-            ).alias(f"__pct_{c}")
-        )
-    one = df.agg(*aggs).crossJoin(df.agg(*pct_aggs))
+        pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+        if exact:
+            # exact interpolated percentiles — bit-identical to DuckDB's
+            # quantile_cont (same type-7 definition). KEPT IN A SEPARATE
+            # AGGREGATION: exact count_distinct rewrites its agg into an
+            # EXPAND (one row copy per distinct-column), and a sort-based
+            # percentile buffer inside that agg would re-buffer every
+            # expanded copy — measured 20x slower fused than split. The
+            # two one-row results cross-join for free.
+            pct_aggs.append(F.percentile(num, pcts).alias(f"__pct_{c}"))
+        else:
+            # sketch percentiles ride the SAME agg: no EXPAND in the HLL
+            # plan, so fusing costs nothing and saves a job. Cast to
+            # double: approx_percentile returns the input type.
+            aggs.append(
+                F.expr(
+                    f"transform(approx_percentile(CAST({c} AS DOUBLE), "
+                    f"array(0.25D, 0.5D, 0.75D, 0.95D), "
+                    f"{percentile_accuracy}), x -> CAST(x AS DOUBLE))"
+                ).alias(f"__pct_{c}")
+                if c in numeric
+                else F.lit(None)
+                .cast("array<double>")
+                .alias(f"__pct_{c}")
+            )
+    one = df.agg(*aggs)
+    if pct_aggs:
+        one = one.crossJoin(df.agg(*pct_aggs))
     stack_args = ", ".join(
         f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __min_{c}, __max_{c}, "
         f"__avg_{c}, __std_{c}, "

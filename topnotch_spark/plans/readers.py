@@ -14,6 +14,30 @@ from __future__ import annotations
 import json
 import os
 import urllib.request
+from pathlib import PurePosixPath
+
+
+def _read_package_resource(config_path: str) -> str | None:
+    """Classpath analog of TnReader.scala:104-118: the JVM resolves
+    ``configPath`` against the classpath root, letting plans ship inside
+    jars. The Python equivalent is a resource inside an installed package:
+    ``a/b/plan.json`` is tried as package ``a.b`` + resource ``plan.json``,
+    longest package prefix first. Returns the text, or None if no package
+    owns the path."""
+    from importlib import resources
+
+    parts = PurePosixPath(config_path.lstrip("/")).parts
+    for split in range(len(parts) - 1, 0, -1):
+        pkg = ".".join(parts[:split])
+        try:
+            node = resources.files(pkg)
+        except (ModuleNotFoundError, TypeError, ValueError):
+            continue
+        for p in parts[split:]:
+            node = node / p
+        if node.is_file():
+            return node.read_text(encoding="utf-8")
+    return None
 
 
 def replace_variables(text: str, variables: dict[str, str] | None) -> str:
@@ -38,6 +62,14 @@ class FileReader:
                     obj = json.loads(replace_variables(f.read(), self.variables))
                 obj.setdefault("path", os.path.dirname(os.path.abspath(cand)))
                 return obj
+        # last resort: a resource bundled inside an installed package —
+        # the reference's classpath lookup (TnReader.scala:104-118),
+        # which sets path="/" so nested refs resolve from the root.
+        text = _read_package_resource(config_path)
+        if text is not None:
+            obj = json.loads(replace_variables(text, self.variables))
+            obj.setdefault("path", "/")
+            return obj
         raise FileNotFoundError(f"Can't find file {config_path}.")
 
 

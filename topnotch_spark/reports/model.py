@@ -28,6 +28,10 @@ from pyspark.sql import Row
 from topnotch_spark.operators.assertions import AssertionReport
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# backquoted identifiers (`weird col`) are single tokens to Hive's parser
+# (reference harvests them whole via TOK_TABLE_OR_COL); extract them before
+# the plain-identifier scan would split them on whitespace
+_BACKQUOTE_RE = re.compile(r"`([^`]*)`")
 # words that can appear in predicates but are never column refs we care
 # about; harmless if over-broad because of the sample-column intersection
 _SQL_KEYWORDS = {
@@ -57,11 +61,20 @@ def query_is_parsable(query: str, spark=None) -> bool:
 
 
 def harvest_identifiers(query: str) -> list[str]:
-    """Candidate table/column identifiers in a predicate string."""
+    """Candidate table/column identifiers in a predicate string.
+
+    Deliberately over-broad (dotted paths like ``struct1.int`` contribute
+    both parts; false positives are removed by the sample-column
+    intersection in :func:`report_columns`) — the same net behavior as the
+    reference's Hive-AST walk (TnAssertionReport.scala:114-152), which also
+    collects table tokens that never match a column. Backquoted
+    identifiers are kept whole, as Hive treats them."""
     text = _strip_string_literals(query)
+    backquoted = _BACKQUOTE_RE.findall(text)
+    text = _BACKQUOTE_RE.sub(" ", text)
     # drop function names: identifiers immediately followed by '('
     text = re.sub(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", " (", text)
-    return [
+    return backquoted + [
         tok
         for tok in _IDENT_RE.findall(text)
         if tok.lower() not in _SQL_KEYWORDS
