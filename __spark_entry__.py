@@ -58,6 +58,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.dedup_embedding_sql(
             dim=64, threshold=0.25, n_planes=4
         ),
+        "dedup_clusters": oracles.dedup_clusters_sql(
+            num_hashes=16, bands=4, threshold=0.5, shingle_n=5
+        ),
         "similarity_topk": oracles.similarity_topk_sql(dim=64, k=10, n_queries=5),
         "similarity_ann": oracles.similarity_ann_sql(
             dim=64, k=10, n_queries=5, n_planes=8

@@ -358,6 +358,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → connected components → per-doc cluster
+    assignment + canonical ``keep`` flag (the actual corpus-dedup step)."""
+    from topnotch_spark.operators.cluster import dup_clusters
+    from topnotch_spark.operators.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=4, threshold=0.5, shingle_n=5,
+    )
+    return dup_clusters(pairs)
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import brute_force_topk
 
@@ -652,6 +665,7 @@ ALL = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
     "similarity_topk": similarity_topk,
     "similarity_ann": similarity_ann,
     "similarity_ivf": similarity_ivf,

@@ -1,0 +1,121 @@
+"""Connected components over duplicate pairs → dedup clusters.
+
+Near-dup detection (``operators/dedup.py``) emits *pairs*; an actual
+dedup pass over a corpus needs *clusters* — "docs {2, 17, 404} are all
+the same article, keep exactly one" — i.e. the connected components of
+the pair graph. (The reference engine has no graph stage at all; this is
+part of the LLM-pipeline extension surface, not a port of
+tnengine/TnEngine.scala.)
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round every node takes the min of its own label
+and its neighbors' labels; converged when no label changes. Each round
+is one hash join (labels into edges on the dst side) + one partial-agg
+groupBy — both shuffle on node id, so successive rounds reuse the same
+hash partitioning. Rounds needed = graph diameter, and near-dup
+clusters are short chains of near-identical docs (diameter ≤ a few),
+so 3-5 rounds is typical. For adversarial long-chain graphs the
+O(log n)-round alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) is the drop-in upgrade; min-propagation is preferred here
+because each round is strictly cheaper (no edge-set rewriting) and
+real dup graphs are diameter-bounded.
+
+Scale notes (100 TB):
+- ``localCheckpoint`` after every round truncates lineage — without it
+  the plan doubles per iteration and Catalyst analysis time explodes.
+  On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+  ``checkpoint()`` (survives executor loss; localCheckpoint does not).
+- The label frame is (id, comp): two longs per *node in a dup pair* —
+  much smaller than the corpus, since most docs are in no pair.
+- Convergence check is a 1-row count per round (bounded driver data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``pairs``; cluster_id = min id
+    in the component. Raises if ``max_iter`` rounds don't converge."""
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetric closure: propagate along both directions of each pair
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # start: own id, tightened by direct neighbors (saves one round)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("nbr_min")).alias("comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            # neighbor minimum this round: comp of b flows to a
+            nbr = (
+                sym.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("bcomp").alias("nbr_comp"))
+            )
+            proposed = labels.join(
+                nbr.select(F.col("a").alias("id"), "nbr_comp"), "id"
+            ).select(
+                "id",
+                "comp",
+                F.least(F.col("comp"), F.col("nbr_comp")).alias("new_comp"),
+            )
+            proposed = proposed.localCheckpoint(eager=True)
+            changed = (
+                proposed.filter(F.col("new_comp") != F.col("comp")).limit(1).count()
+            )
+            labels = proposed.select("id", F.col("new_comp").alias("comp"))
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "pathological chain graph — use more rounds or star contraction"
+        )
+    finally:
+        sym.unpersist()
+
+
+def dup_clusters(pairs: DataFrame, src: str = "id_1", dst: str = "id_2") -> DataFrame:
+    """(id, cluster_id, cluster_size, keep) per clustered doc.
+
+    ``keep`` marks the canonical representative (min id); filtering
+    ``~keep`` yields exactly the rows to drop from the corpus. One extra
+    window pass over the (small) label frame — partitioned by
+    cluster_id, no driver data.
+    """
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src, dst)
+    w = Window.partitionBy("cluster_id")
+    return comps.select(
+        "id",
+        F.col("comp").alias("cluster_id"),
+    ).select(
+        "id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

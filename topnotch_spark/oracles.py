@@ -191,6 +191,38 @@ def dedup_minhash_sql(
     """
 
 
+def dedup_clusters_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, shingle_n: int = 3
+) -> str:
+    """Connected components over the minhash pair graph, as a recursive
+    CTE: ``walk`` enumerates (node, origin) for every origin that can
+    reach the node; min(origin) per node = component min id. Mirrors
+    operators/cluster.py min-label propagation exactly."""
+    pairs = dedup_minhash_sql(num_hashes, bands, threshold, shingle_n)
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_1, id_2 FROM ({pairs})
+        ),
+        edges AS (
+          SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION
+          SELECT id_2, id_1 FROM pairs
+        ),
+        walk(id, comp) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
+        ),
+        comps AS (
+          SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id
+        )
+        SELECT id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               id = cluster_id AS keep
+        FROM comps
+    """
+
+
 def dedup_ngram_jaccard_sql(
     threshold: float = 0.3,
     shingle_n: int = 3,
