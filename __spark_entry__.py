@@ -72,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.text_quality_sql(LANG_MARKERS["en"]),
         "text_langid": oracles.text_langid_sql(LANG_MARKERS),
         "text_fingerprints": oracles.text_fingerprints_sql(),
+        "text_chunks": oracles.text_chunks_sql(size=400, overlap=100),
         "asof_error_click": oracles.asof_error_click_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),

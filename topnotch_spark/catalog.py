@@ -418,6 +418,16 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size char windows per document (LLM pre-tokenize
+    / long-doc embedding split); zero-shuffle posexplode fan-out."""
+    from topnotch_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", size=400, overlap=100
+    )
+
+
 def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event: the user's latest click at-or-before it
     (merge-sorted as-of join — one shuffle, no range-join explosion).
@@ -673,6 +683,7 @@ ALL = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
+    "text_chunks": text_chunks,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,

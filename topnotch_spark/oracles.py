@@ -419,6 +419,29 @@ def similarity_ivf_sql(
     """
 
 
+def text_chunks_sql(size: int = 400, overlap: int = 100) -> str:
+    """Mirror of operators/chunking.py: same starts, same substr window."""
+    step = size - overlap
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE length(text) > 0
+        ),
+        st AS (
+          SELECT doc_id, text, n,
+                 unnest(generate_series(0, n - 1, {step})) AS s
+          FROM docs
+        )
+        SELECT doc_id,
+               s // {step} AS chunk_idx,
+               s AS chunk_start,
+               substr(text, CAST(s + 1 AS INT), {size}) AS chunk_text,
+               length(substr(text, CAST(s + 1 AS INT), {size})) AS chunk_len,
+               (n - 1) // {step} + 1 AS n_chunks
+        FROM st
+    """
+
+
 def text_token_stats_sql() -> str:
     from topnotch_spark.functions.text import BPE_ISH_PATTERN
 
