@@ -73,6 +73,15 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": oracles.text_langid_sql(LANG_MARKERS),
         "text_fingerprints": oracles.text_fingerprints_sql(),
         "text_chunks": oracles.text_chunks_sql(size=400, overlap=100),
+        "text_pii_scrub": oracles.text_pii_scrub_sql(),
+        "text_quality_filter": oracles.text_quality_filter_sql(
+            LANG_MARKERS["en"]
+        ),
+        "sample_stratified": oracles.sample_stratified_sql(catalog.SAMPLE_RATES),
+        "pack_token_shards": oracles.pack_token_shards_sql(budget=2000),
+        "drift_ks_totalprice": oracles.drift_ks_sql(
+            "orders", "o_totalprice", "o_orderstatus = 'F'"
+        ),
         "asof_error_click": oracles.asof_error_click_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),

@@ -1,0 +1,145 @@
+"""Curation-operator semantics: PII redaction, quality rule chain,
+deterministic stratified sampling, token-budget packing, KS statistic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.curation import (
+    pack_token_shards,
+    pii_scrub,
+    quality_filter,
+    stratified_sample,
+)
+from topnotch_spark.operators.drift import ks_statistic
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---- PII scrub ------------------------------------------------------------
+
+def test_pii_scrub_redacts_and_counts(spark):
+    text = (
+        "mail a@b.co and c.d+x@e.org, ssn 123-45-6789, "
+        "call 555-123-4567 or 555.987.6543, host 10.1.2.3"
+    )
+    row = pii_scrub(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert (row["n_email"], row["n_ssn"], row["n_phone"], row["n_ipv4"]) == (
+        2, 1, 2, 1,
+    )
+    clean = row["clean_text"]
+    assert "<EMAIL>" in clean and "<SSN>" in clean and "<PHONE>" in clean
+    assert "<IP>" in clean
+    assert "a@b.co" not in clean and "123-45-6789" not in clean
+    assert "10.1.2.3" not in clean
+
+
+def test_pii_scrub_clean_text_untouched(spark):
+    row = pii_scrub(
+        _docs(spark, [(1, "no pii here, just words")]), "doc_id", "text"
+    ).collect()[0]
+    assert row["clean_text"] == "no pii here, just words"
+    assert row["n_email"] == row["n_ssn"] == row["n_phone"] == row["n_ipv4"] == 0
+
+
+# ---- quality filter -------------------------------------------------------
+
+def test_quality_filter_reasons(spark):
+    good = "the cat sat on the mat and then the dog sat on the log today"
+    short = "tiny text"
+    digits = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"
+    out = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            _docs(spark, [(1, good), (2, short), (3, digits)]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["drop_reasons"] == ""
+    assert not out[2]["keep"] and "too_short" in out[2]["drop_reasons"]
+    assert not out[3]["keep"] and "low_alpha" in out[3]["drop_reasons"]
+
+
+# ---- stratified sample ----------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = stratified_sample(df, "doc_id", "lang", rates).collect()
+    b = stratified_sample(df, "doc_id", "lang", rates).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    n_en = sum(1 for r in a if r["lang"] == "en")
+    n_de = sum(1 for r in a if r["lang"] == "de")
+    assert 400 <= n_en <= 600  # 1000 * 0.5 ± slack
+    assert 50 <= n_de <= 160  # 1000 * 0.1 ± slack
+
+
+def test_stratified_sample_edge_rates(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    assert stratified_sample(df, "doc_id", "lang", {"en": 1.0}).count() == 100
+    assert stratified_sample(df, "doc_id", "lang", {"en": 0.0}).count() == 0
+    # stratum not in rates -> default_rate
+    assert stratified_sample(df, "doc_id", "lang", {"xx": 1.0}).count() == 0
+    assert (
+        stratified_sample(df, "doc_id", "lang", {"xx": 0.0}, default_rate=1.0).count()
+        == 100
+    )
+
+
+# ---- token packing --------------------------------------------------------
+
+def test_pack_token_shards_budget_math(spark):
+    # 4 docs x 3 tokens, budget 6 -> shards [0,0,1,1]
+    rows = [(i, "a b c") for i in range(4)]
+    out = sorted(
+        pack_token_shards(_docs(spark, rows), "doc_id", "text", budget=6).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["shard_id"] for r in out] == [0, 0, 1, 1]
+    assert all(r["n_tokens"] == 3 for r in out)
+
+
+def test_pack_token_shards_partitioned(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "a b", "x"), (3, "a b", "y"), (4, "a b", "y")],
+        "doc_id long, text string, part string",
+    )
+    out = pack_token_shards(
+        df, "doc_id", "text", budget=2, partition_col="part"
+    ).collect()
+    by_id = {r["doc_id"]: (r["part"], r["shard_id"]) for r in out}
+    # packing restarts per partition
+    assert by_id[1] == ("x", 0) and by_id[2] == ("x", 1)
+    assert by_id[3] == ("y", 0) and by_id[4] == ("y", 1)
+
+
+# ---- KS statistic ---------------------------------------------------------
+
+def test_ks_identical_is_zero(spark):
+    df = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    row = ks_statistic(df, df, "x").collect()[0]
+    assert row["ks_stat"] == 0.0
+    assert row["n_ref"] == row["n_cur"] == 100
+
+
+def test_ks_disjoint_is_one(spark):
+    lo = spark.range(50).select(F.col("id").cast("double").alias("x"))
+    hi = spark.range(50).select((F.col("id") + 1000).cast("double").alias("x"))
+    assert ks_statistic(lo, hi, "x").collect()[0]["ks_stat"] == 1.0
+
+
+def test_ks_known_value(spark):
+    # ref = {1,2,3,4}, cur = {3,4,5,6}: max gap at v=2 -> |2/4 - 0| = 0.5
+    ref = _vals(spark, [1, 2, 3, 4])
+    cur = _vals(spark, [3, 4, 5, 6])
+    assert ks_statistic(ref, cur, "x").collect()[0]["ks_stat"] == 0.5
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "x double")

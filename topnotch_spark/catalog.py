@@ -428,6 +428,67 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents augmented with synthetic PII spans
+    (the raw corpus has none — the augmentation makes counts non-zero
+    and is mirrored verbatim in oracles.PII_AUGMENT_SQL)."""
+    from topnotch_spark.operators.curation import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ssn 123-45-6789 tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug, "doc_id", "text")
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style drop-rule chain with per-doc failure reasons."""
+    from topnotch_spark.operators.curation import quality_filter
+
+    return quality_filter(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (md5-threshold)."""
+    from topnotch_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "lang", SAMPLE_RATES
+    )
+
+
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (global contiguous numbering)."""
+    from topnotch_spark.operators.curation import pack_token_shards as pack
+
+    return pack(load(spark, sf_dir, "documents"), "doc_id", "text", budget=2000)
+
+
+def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS: finished vs open orders' total price."""
+    from topnotch_spark.operators.drift import ks_statistic
+
+    orders = load(spark, sf_dir, "orders")
+    return ks_statistic(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") != "F"),
+        "o_totalprice",
+    )
+
+
 def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event: the user's latest click at-or-before it
     (merge-sorted as-of join — one shuffle, no range-join explosion).
@@ -684,6 +745,11 @@ ALL = {
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
     "text_chunks": text_chunks,
+    "text_pii_scrub": text_pii_scrub,
+    "text_quality_filter": text_quality_filter,
+    "sample_stratified": sample_stratified,
+    "pack_token_shards": pack_token_shards,
+    "drift_ks_totalprice": drift_ks_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,

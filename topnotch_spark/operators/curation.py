@@ -1,0 +1,172 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction, rule-chain quality filtering, deterministic stratified
+sampling, and token-budget shard packing.
+
+All four are pure-JVM single-pass projections or window passes — no
+Python UDFs, no collects — so they scale linearly with corpus bytes.
+(The reference engine has none of these; LLM-pipeline extension surface,
+same tier as operators/dedup.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, regex, replacement) — applied IN ORDER; regexes restricted to the
+# Java-regex ∩ RE2 common dialect (\b, \d, bounded repeats; no lookaround)
+# so the DuckDB oracle (oracles.text_pii_scrub_sql) runs them verbatim.
+DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans; per-pattern match counts on the original
+    text (patterns are mutually disjoint by construction), replacements
+    chained in pattern order. One projection, zero shuffle."""
+    pats = patterns if patterns is not None else DEFAULT_PII_PATTERNS
+    txt = F.col(text_col)
+    cleaned = txt
+    counts = []
+    for name, regex, token in pats:
+        counts.append(
+            F.regexp_count(txt, F.lit(regex)).cast("long").alias(f"n_{name}")
+        )
+        cleaned = F.regexp_replace(cleaned, regex, token)
+    return df.select(F.col(id_col), *counts, cleaned.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# Quality filter chain
+# ---------------------------------------------------------------------------
+
+# (rule_name, DROP condition) over the quality_scores() metric columns.
+# Conditions are ANSI-SQL strings evaluated by BOTH engines (F.expr here,
+# verbatim text in the DuckDB oracle) — single source of truth, so the
+# rule chain can never drift between engine and oracle.
+DEFAULT_QUALITY_FILTER_RULES: list[tuple[str, str]] = [
+    ("too_short", "n_tokens < 10"),
+    ("too_long", "n_tokens > 5000"),
+    ("low_alpha", "alpha_ratio < 0.5"),
+    ("no_stopwords", "stopword_ratio < 0.005"),
+    ("repetitive", "distinct_ratio < 0.3"),
+]
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple[str, str]] | None = None,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style rule chain: evaluate every drop-rule, keep docs that
+    fail none, report the failed rule names. Metrics come from
+    textqc.quality_scores (rounded, so boundary comparisons are
+    bit-identical across engines); the rule pass is a second projection
+    on the same scan — still zero shuffle."""
+    from topnotch_spark.operators.textqc import quality_scores
+
+    rls = rules if rules is not None else DEFAULT_QUALITY_FILTER_RULES
+    metrics = quality_scores(df, id_col, text_col, stopwords)
+    reasons = F.concat_ws(
+        ",", *[F.when(F.expr(cond), F.lit(name)) for name, cond in rls]
+    )
+    return metrics.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        reasons.alias("drop_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def _rate_threshold_hex(rate: float) -> str:
+    """First-8-hex-chars threshold for a [0,1) keep rate."""
+    return format(int(rate * 16**8), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strat_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample, deterministic and engine-portable:
+    keep row iff the first 8 hex chars of md5(stratum ':' id) fall below
+    the stratum's rate threshold. No RNG, no seed plumbing — the same
+    row set on every engine, every run, any partitioning (the classic
+    hash-sample trick for reproducible corpus subsets). Zero shuffle."""
+    key = F.md5(
+        F.concat_ws(":", F.col(strat_col), F.col(id_col).cast("string"))
+    ).substr(1, 8)
+    cond = None
+    for stratum, rate in sorted(rates.items()):
+        this = (F.col(strat_col) == stratum) & (
+            F.lit(rate >= 1.0) | (key < F.lit(_rate_threshold_hex(min(rate, 1.0))))
+        )
+        cond = this if cond is None else cond | this
+    others = ~F.col(strat_col).isin(list(rates)) & (
+        F.lit(default_rate >= 1.0)
+        | (key < F.lit(_rate_threshold_hex(min(default_rate, 1.0))))
+    )
+    cond = others if cond is None else cond | others
+    return df.filter(cond).select(F.col(id_col), F.col(strat_col))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing
+# ---------------------------------------------------------------------------
+
+def pack_token_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2000,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Assign docs to training shards by cumulative token budget:
+    shard_id = exclusive-prefix-sum(n_tokens) // budget, ordered by id.
+
+    With ``partition_col=None`` the prefix sum is one global ordered
+    window — fine up to ~10^8 docs (the window input is (id, n_tokens),
+    two longs/doc), and required when shard numbering must be globally
+    contiguous. At 100 TB pass ``partition_col`` (e.g. a date or a
+    hash-bucket column): packing then runs per-partition in parallel and
+    shard_id is unique per (partition, shard) — which is what training
+    shard layouts want anyway (shards nested under date/source dirs)."""
+    from topnotch_spark.functions.text import tokens
+
+    n = F.size(tokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    ).orderBy(id_col)
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    base = df.select(
+        F.col(id_col),
+        *([F.col(partition_col)] if partition_col else []),
+        n.alias("n_tokens"),
+    )
+    return base.select(
+        "*", F.floor(cum_excl / budget).cast("long").alias("shard_id")
+    )

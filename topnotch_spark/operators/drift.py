@@ -100,6 +100,56 @@ def histogram_drift(
     )
 
 
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic as a 1-row frame
+    (ks_stat, n_ref, n_cur): max |ECDF_ref(x) − ECDF_cur(x)| over the
+    union of observed values. Complements PSI: parameter-free (no bucket
+    count), sensitive to any distributional difference.
+
+    Execution shape: union both sides tagged, ONE groupBy on the value
+    (collapses to distinct-value cardinality — the big reduction), then
+    a single ordered window for the running ECDFs and a 1-row max. The
+    ordered window is one sort over (distinct values × 3 longs); for a
+    100 TB column with ~billions of distinct doubles, pre-bucket the
+    values (histogram_drift's grid) and run the same ECDF on bucket
+    counts — same code path, bounded input, KS-approximate to bucket
+    width."""
+    r = ref.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v"), F.lit(1).alias("g")
+    )
+    c = cur.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v"), F.lit(0).alias("g")
+    )
+    per_v = (
+        r.union(c)
+        .groupBy("v")
+        .agg(
+            F.sum("g").cast("long").alias("c_ref"),
+            (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c_cur"),
+        )
+    )
+    w = Window.partitionBy().orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    ecdf = per_v.select(
+        (F.sum("c_ref").over(w) / F.sum("c_ref").over(tot)).alias("f_ref"),
+        (F.sum("c_cur").over(w) / F.sum("c_cur").over(tot)).alias("f_cur"),
+        F.sum("c_ref").over(tot).alias("n_ref"),
+        F.sum("c_cur").over(tot).alias("n_cur"),
+    )
+    return ecdf.groupBy("n_ref", "n_cur").agg(
+        F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), round_digits).alias(
+            "ks_stat"
+        )
+    ).select("ks_stat", "n_ref", "n_cur")
+
+
 def psi(
     ref: DataFrame, cur: DataFrame, col: str, n_buckets: int = 10,
     eps: float = 1e-6,

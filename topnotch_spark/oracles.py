@@ -520,6 +520,120 @@ def text_langid_sql(lang_markers: dict[str, list[str]]) -> str:
     """
 
 
+PII_AUGMENT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR) || ' ssn 123-45-6789 tel 555-123-4567'"
+)
+
+
+def text_pii_scrub_sql() -> str:
+    """Mirror of operators/curation.py pii_scrub over the PII-augmented
+    documents (counts on original text, replacements chained in order)."""
+    from topnotch_spark.operators.curation import DEFAULT_PII_PATTERNS
+
+    count_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, $${regex}$$)) AS BIGINT) AS n_{name}"
+        for name, regex, _ in DEFAULT_PII_PATTERNS
+    )
+    cleaned = "text"
+    for _, regex, token in DEFAULT_PII_PATTERNS:
+        cleaned = f"regexp_replace({cleaned}, $${regex}$$, '{token}', 'g')"
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, {PII_AUGMENT_SQL} AS text FROM documents
+        )
+        SELECT doc_id,
+               {count_cols},
+               {cleaned} AS clean_text
+        FROM aug
+    """
+
+
+def text_quality_filter_sql(stopwords: list[str]) -> str:
+    """Rule chain over the text_quality metrics — the rule strings come
+    verbatim from curation.DEFAULT_QUALITY_FILTER_RULES (single source)."""
+    from topnotch_spark.operators.curation import DEFAULT_QUALITY_FILTER_RULES
+
+    cases = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END"
+        for name, cond in DEFAULT_QUALITY_FILTER_RULES
+    )
+    return f"""
+        SELECT doc_id, n_tokens, drop_reasons, drop_reasons = '' AS keep
+        FROM (
+          SELECT doc_id, n_tokens, concat_ws(',', {cases}) AS drop_reasons
+          FROM ({text_quality_sql(stopwords)})
+        )
+    """
+
+
+def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0) -> str:
+    """Mirror of curation.stratified_sample: md5-hex threshold per
+    stratum (identical md5 hex on both engines ⇒ identical row set)."""
+    from topnotch_spark.operators.curation import _rate_threshold_hex
+
+    key = "substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    whens = "\n               ".join(
+        f"WHEN '{s}' THEN "
+        + ("TRUE" if r >= 1.0 else f"{key} < '{_rate_threshold_hex(r)}'")
+        for s, r in sorted(rates.items())
+    )
+    dflt = (
+        "TRUE" if default_rate >= 1.0
+        else f"{key} < '{_rate_threshold_hex(default_rate)}'"
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CASE lang
+               {whens}
+               ELSE {dflt}
+              END
+    """
+
+
+def drift_ks_sql(table: str, col: str, ref_predicate: str) -> str:
+    """Mirror of operators/drift.py ks_statistic: distinct-value collapse,
+    running ECDFs in one ordered window, 1-row max."""
+    return f"""
+        WITH vals AS (
+          SELECT CAST({col} AS DOUBLE) AS v,
+                 CASE WHEN {ref_predicate} THEN 1 ELSE 0 END AS g
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        per_v AS (
+          SELECT v,
+                 CAST(sum(g) AS BIGINT) AS c_ref,
+                 CAST(count(*) - sum(g) AS BIGINT) AS c_cur
+          FROM vals GROUP BY v
+        ),
+        ecdf AS (
+          SELECT sum(c_ref) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / sum(c_ref) OVER () AS f_ref,
+                 sum(c_cur) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / sum(c_cur) OVER () AS f_cur,
+                 sum(c_ref) OVER () AS n_ref,
+                 sum(c_cur) OVER () AS n_cur
+          FROM per_v
+        )
+        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat, n_ref, n_cur
+        FROM ecdf GROUP BY n_ref, n_cur
+    """
+
+
+def pack_token_shards_sql(budget: int = 2000) -> str:
+    """Mirror of curation.pack_token_shards (global ordered packing)."""
+    return f"""
+        {_DOC_BASE}
+        SELECT doc_id,
+               CAST(len(__t__) AS BIGINT) AS n_tokens,
+               CAST(floor(coalesce(sum(CAST(len(__t__) AS BIGINT))
+                     OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) / {budget}) AS BIGINT) AS shard_id
+        FROM toked
+    """
+
+
 def asof_error_click_sql() -> str:
     """Native DuckDB ASOF LEFT JOIN mirrors the Spark merge-sorted as-of
     (equality matches; clicks pre-deduped per (user, ts) by max event_id
