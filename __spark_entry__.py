@@ -78,6 +78,9 @@ def oracle_sql() -> dict[str, str]:
             LANG_MARKERS["en"]
         ),
         "sample_stratified": oracles.sample_stratified_sql(catalog.SAMPLE_RATES),
+        "text_vocab_topk": oracles.text_vocab_topk_sql(k=50),
+        "embedding_centroids": oracles.embedding_centroids_sql(),
+        "streaming_error_click_join": oracles.streaming_error_click_join_sql(3600),
         "pack_token_shards": oracles.pack_token_shards_sql(budget=2000),
         "drift_ks_totalprice": oracles.drift_ks_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'"

@@ -1,0 +1,83 @@
+"""Unit tests for vocab_topk, label_centroids, stream_stream_time_join."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.similarity import label_centroids
+from topnotch_spark.operators.textqc import vocab_topk
+from topnotch_spark.streaming.ops import (
+    run_stream_to_table,
+    stream_from_parquet,
+    stream_stream_time_join,
+)
+
+
+def test_vocab_topk_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b"), (3, "c")], "doc_id long, text string"
+    )
+    out = vocab_topk(df, "doc_id", "text", k=2).collect()
+    assert [(r["token"], r["n_total"], r["n_docs"]) for r in out] == [
+        ("a", 3, 2),
+        ("b", 3, 2),  # tie on n_total -> token asc
+    ]
+
+
+def test_vocab_topk_k_bounds(spark):
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    assert vocab_topk(df, "doc_id", "text", k=50).count() == 2
+
+
+def test_label_centroids_means(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<float>",
+    )
+    out = {r["label"]: r for r in label_centroids(df).collect()}
+    assert out[0]["n_vectors"] == 2 and out[0]["centroid"] == [2.0, 3.0]
+    assert out[1]["n_vectors"] == 1 and out[1]["centroid"] == [10.0, 20.0]
+
+
+def test_stream_stream_time_join_batch_and_stream(spark, tmp_path):
+    # two micro-batch files, a click in batch 1 pairing with an error in
+    # batch 2 (cross-batch state), plus an out-of-range click
+    rows1 = [(1, "click", 100, "2024-01-01 10:00:00")]
+    rows2 = [
+        (2, "error", 100, "2024-01-01 10:30:00"),
+        (3, "click", 100, "2024-01-01 12:00:00"),
+        (4, "error", 100, "2024-01-01 12:10:00"),
+        (5, "error", 200, "2024-01-01 10:30:00"),  # no click for user
+    ]
+    schema = "event_id long, event_type string, user_id long, ts timestamp"
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            [(a, b, c, __import__("datetime").datetime.fromisoformat(d)) for a, b, c, d in rows],
+            schema,
+        ).coalesce(1).write.parquet(f"{src}/part{i}")
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = stream_stream_time_join(
+        errors, clicks, ("user_id", "c_user"), ("error_ts", "click_ts"),
+        tolerance_seconds=3600,
+    ).select("error_id", "click_id")
+    got = {
+        (r["error_id"], r["click_id"])
+        for r in run_stream_to_table(joined, output_mode="append").collect()
+    }
+    # error 2 pairs with click 1 (30 min, cross-batch); error 4 with
+    # click 3 (10 min); click 1 is >1h before error 4 -> excluded
+    assert got == {(2, 1), (4, 3)}

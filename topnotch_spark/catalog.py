@@ -428,6 +428,20 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by TF with DF alongside."""
+    from topnotch_spark.operators.textqc import vocab_topk
+
+    return vocab_topk(load(spark, sf_dir, "documents"), "doc_id", "text", k=50)
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes / IVF coarse seeds)."""
+    from topnotch_spark.operators.similarity import label_centroids
+
+    return label_centroids(load(spark, sf_dir, "embeddings"), "label", "embedding")
+
+
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents augmented with synthetic PII spans
     (the raw corpus has none — the augmentation makes counts non-zero
@@ -719,6 +733,43 @@ def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range: each error event
+    paired with the same user's clicks in the preceding hour. Both sides
+    watermarked; state bounded by watermark + tolerance, not stream
+    length."""
+    from topnotch_spark.streaming import stream_from_parquet
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        run_stream_to_table,
+        stream_stream_time_join,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = stream_stream_time_join(
+        errors, clicks, ("user_id", "c_user_id"), ("error_ts", "click_ts"),
+        tolerance_seconds=3600,
+    )
+    out = joined.select(
+        "error_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    return run_stream_to_table(out, output_mode="append")
+
+
 ALL = {
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
@@ -747,6 +798,8 @@ ALL = {
     "text_chunks": text_chunks,
     "text_pii_scrub": text_pii_scrub,
     "text_quality_filter": text_quality_filter,
+    "text_vocab_topk": text_vocab_topk,
+    "embedding_centroids": embedding_centroids,
     "sample_stratified": sample_stratified,
     "pack_token_shards": pack_token_shards,
     "drift_ks_totalprice": drift_ks_totalprice,
@@ -761,4 +814,5 @@ ALL = {
     "streaming_assertion_metrics": streaming_assertion_metrics,
     "streaming_dedup": streaming_dedup,
     "streaming_enriched_metrics": streaming_enriched_metrics,
+    "streaming_error_click_join": streaming_error_click_join,
 }

@@ -186,3 +186,46 @@ def srp_ann_topk(
         )
     )
     return _ranked_topk(pairs, k)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding: (label, n_vectors, centroid) — the
+    building block for IVF coarse quantizers, class prototypes, and
+    cluster drift monitoring.
+
+    Execution shape: posexplode to (label, dim_pos, value) then ONE
+    groupBy(label, pos) with map-side partial sums — shuffle volume is
+    (labels × dim) partial aggregates per partition, not the exploded
+    stream — and a second tiny groupBy(label) that reassembles the
+    ordered array via sort_array(collect_list(struct(pos, avg))). Both
+    aggs are linear scans; nothing is collected to the driver. Values
+    are summed as doubles (float32 inputs sum exactly in a 53-bit
+    mantissa at these magnitudes) and the mean is rounded, so results
+    are engine-stable."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.round(F.col("s") / F.col("n"), round_digits).alias("avg"),
+                    )
+                )
+            ),
+            lambda x: x["avg"],
+        ).alias("centroid"),
+    )

@@ -121,6 +121,32 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.select(*cols)
 
 
+def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by term frequency with
+    document frequency alongside (token, n_total, n_docs).
+
+    Execution shape: explode → ONE groupBy(token) with map-side partial
+    aggregation (counts combine before the shuffle, so shuffle volume is
+    the distinct-vocab size per partition, not the token stream), then a
+    global top-k — Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver), not a full sort.
+    Deterministic total order: (n_total desc, token asc). The
+    count_distinct(doc) rewrites to a two-phase agg on (token, id) —
+    fine at any scale since that pair set is ≤ the exploded stream."""
+    tok = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("__id__").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document fingerprints: exact md5, order-insensitive token
     fingerprint, and 32-bit simhash bit-string."""

@@ -634,6 +634,58 @@ def pack_token_shards_sql(budget: int = 2000) -> str:
     """
 
 
+def text_vocab_topk_sql(k: int = 50) -> str:
+    return f"""
+        {_DOC_BASE},
+        tok AS (SELECT doc_id, unnest(__t__) AS token FROM toked),
+        stats AS (
+          SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+          FROM tok GROUP BY token
+        )
+        SELECT token, n_total, n_docs FROM stats
+        ORDER BY n_total DESC, token LIMIT {k}
+    """
+
+
+def embedding_centroids_sql(round_digits: int = 6) -> str:
+    """Mirror of similarity.label_centroids (parallel unnests zip in
+    DuckDB; 1-based pos only orders the list, never emitted)."""
+    return f"""
+        WITH ex AS (
+          SELECT label, unnest(embedding) AS val,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings
+        ),
+        per_dim AS (
+          SELECT label, pos, sum(CAST(val AS DOUBLE)) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ex GROUP BY label, pos
+        )
+        SELECT label, max(n) AS n_vectors,
+               list(round(s / n, {round_digits}) ORDER BY pos) AS centroid
+        FROM per_dim GROUP BY label
+    """
+
+
+def streaming_error_click_join_sql(tolerance_seconds: int = 3600) -> str:
+    """Batch twin of the stream-stream range join: every (error, click)
+    pair per user with the click in [error_ts − tolerance, error_ts]."""
+    tol_us = tolerance_seconds * 1_000_000
+    return f"""
+        WITH b AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events
+        )
+        SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+               epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+        FROM b e JOIN b c
+          ON e.user_id = c.user_id
+         AND c.ts <= e.ts
+         AND epoch_us(e.ts) - epoch_us(c.ts) <= {tol_us}
+        WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """
+
+
 def asof_error_click_sql() -> str:
     """Native DuckDB ASOF LEFT JOIN mirrors the Spark merge-sorted as-of
     (equality matches; clicks pre-deduped per (user, ts) by max event_id

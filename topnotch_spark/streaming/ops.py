@@ -214,6 +214,42 @@ def dedup_stream(
     return s.dropDuplicates(keys)
 
 
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: tuple[str, str],
+    ts_cols: tuple[str, str],
+    tolerance_seconds: int = 3600,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint:
+    rows pair when keys match and ``right_ts ∈ [left_ts − tolerance,
+    left_ts]``. The canonical Structured Streaming unbounded join —
+    both sides are watermarked so the state store can evict: a right row
+    is dropped once the watermark passes ``right_ts + tolerance``
+    (can no longer match any future left row), a left row once the
+    watermark passes ``left_ts`` — state is bounded by
+    (watermark horizon + tolerance) × arrival rate, NOT by stream
+    length. ``watermark_delay`` must exceed the max event-time disorder
+    across micro-batches or late pairs are dropped (documented Spark
+    semantics; the replay source is time-ordered so 2 h ≫ disorder = 0).
+
+    Works identically on batch frames (watermarks are no-ops there),
+    which is how tests and the DuckDB oracle reproduce it.
+    """
+    lk, rk = key
+    lts, rts = ts_cols
+    l = left.withWatermark(lts, watermark_delay) if left.isStreaming else left
+    r = right.withWatermark(rts, watermark_delay) if right.isStreaming else right
+    tol_us = tolerance_seconds * 1_000_000
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(rts) <= F.col(lts))
+        & (F.unix_micros(F.col(lts)) - F.unix_micros(F.col(rts)) <= tol_us)
+    )
+    return l.join(r, cond, "inner")
+
+
 @dataclass
 class StreamingBatchResult:
     batch_id: int
