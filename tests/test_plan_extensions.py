@@ -159,3 +159,65 @@ def test_unknown_extension_method_is_runtime_error(spark, tmp_path):
     p.write_text(json.dumps(plan))
     with pytest.raises(ValueError, match="unknown dedup method"):
         TnEngine(spark).run(str(p))
+
+
+def test_round2_commands_end_to_end(spark, tmp_path):
+    """clusters/chunk/piiScrub/qualityFilter/vocabTopK/packShards/sample/
+    drift-ks as plan commands through the real engine."""
+    docs = {"ref": f"{SF}/documents.parquet", "onDisk": True}
+    events = {"ref": f"{SF}/events.parquet", "onDisk": True}
+    plan = {
+        "commands": [
+            {"command": "dedup", "input": docs,
+             "params": {"method": "clusters", "idColumn": "doc_id",
+                        "textColumn": "text", "numHashes": 16, "bands": 4,
+                        "threshold": 0.5, "shingleN": 5},
+             "outputKey": "dupClusters"},
+            {"command": "text", "input": docs,
+             "params": {"method": "chunk", "idColumn": "doc_id",
+                        "textColumn": "text", "size": 200, "overlap": 50},
+             "outputKey": "chunks"},
+            {"command": "text", "input": docs,
+             "params": {"method": "piiScrub", "idColumn": "doc_id",
+                        "textColumn": "text"},
+             "outputKey": "scrubbed"},
+            {"command": "text", "input": docs,
+             "params": {"method": "qualityFilter", "idColumn": "doc_id",
+                        "textColumn": "text"},
+             "outputKey": "filtered"},
+            {"command": "text", "input": docs,
+             "params": {"method": "vocabTopK", "idColumn": "doc_id",
+                        "textColumn": "text", "k": 10},
+             "outputKey": "vocab"},
+            {"command": "text", "input": docs,
+             "params": {"method": "packShards", "idColumn": "doc_id",
+                        "textColumn": "text", "budget": 1000},
+             "outputKey": "shards"},
+            {"command": "sample", "input": docs,
+             "params": {"idColumn": "doc_id", "stratColumn": "lang",
+                        "rates": {"en": 0.5, "de": 0.25}},
+             "outputKey": "sampled"},
+            {"command": "drift", "reference": events, "current": events,
+             "params": {"column": "value", "method": "ks"},
+             "outputKey": "ksDrift"},
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    reg = engine.registry
+    assert {"id", "cluster_id", "cluster_size", "keep"} <= set(
+        reg["dupClusters"].columns
+    )
+    assert reg["chunks"].count() > 500  # fan-out happened
+    assert reg["scrubbed"].columns[-1] == "clean_text"
+    assert reg["filtered"].filter("keep").count() > 0
+    assert reg["vocab"].count() == 10
+    shards = reg["shards"]
+    assert shards.count() == 500 and "shard_id" in shards.columns
+    sampled = reg["sampled"]
+    langs = {r["lang"] for r in sampled.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    ks = reg["ksDrift"].collect()[0]
+    assert ks["ks_stat"] == 0.0  # same dataset both sides

@@ -47,9 +47,12 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 @dataclass(frozen=True)
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
-    jaccard|simhash|embedding, "idColumn", "textColumn"|"vecColumn",
+    jaccard|simhash|embedding|clusters, "idColumn", "textColumn"|"vecColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
-    maxHamming/nPlanes/dim/maxShingleDf/roundDigits)}}"""
+    maxHamming/nPlanes/dim/maxShingleDf/roundDigits)}}.
+
+    ``clusters`` runs the minhash pair stage then connected components
+    (operators/cluster.py) — per-doc (cluster_id, cluster_size, keep)."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "exact"
@@ -84,16 +87,26 @@ class DedupCmd(Command):
             "jaccard": D.ngram_jaccard_pairs,
             "simhash": D.simhash_dedup,
             "embedding": D.embedding_near_dups,
+            "clusters": self._clusters,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
         return fns[self.method](df, self.id_column, self.value_column, **self.options)
 
+    @staticmethod
+    def _clusters(df: DataFrame, id_col: str, text_col: str, **opts) -> DataFrame:
+        from topnotch_spark.operators.cluster import dup_clusters
+        from topnotch_spark.operators.dedup import minhash_lsh_dedup
+
+        return dup_clusters(minhash_lsh_dedup(df, id_col, text_col, **opts))
+
 
 @dataclass(frozen=True)
 class TextCmd(Command):
     """{"command": "text", "params": {"method": tokenStats|quality|langid|
-    fingerprints, "idColumn", "textColumn", ["stopwords"]}}"""
+    fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards,
+    "idColumn", "textColumn", ["stopwords"/"size"/"overlap"/"k"/
+    "budget"/"partitionCol"]}}"""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -109,12 +122,16 @@ class TextCmd(Command):
             method=p["method"],
             id_column=p["idColumn"],
             text_column=p.get("textColumn", "text"),
-            options=_opt(p, "stopwords"),
+            options=_opt(
+                p, "stopwords", "size", "overlap", "k", "budget", "partitionCol"
+            ),
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators import curation as C
         from topnotch_spark.operators import textqc as T
+        from topnotch_spark.operators.chunking import chunk_documents
 
         df = load_input(engine.spark, self.input, engine.registry)
         fns = {
@@ -122,6 +139,11 @@ class TextCmd(Command):
             "quality": T.quality_scores,
             "langid": T.language_id,
             "fingerprints": T.fingerprints,
+            "chunk": chunk_documents,
+            "piiScrub": C.pii_scrub,
+            "qualityFilter": C.quality_filter,
+            "vocabTopK": T.vocab_topk,
+            "packShards": C.pack_token_shards,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
@@ -249,12 +271,14 @@ class ProfileCmd(Command):
 @dataclass(frozen=True)
 class DriftCmd(Command):
     """{"command": "drift", "reference": <input>, "current": <input>,
-    "params": {"column", ["nBuckets", "eps", "roundDigits"]}} —
-    PSI histogram drift between two datasets."""
+    "params": {"column", ["method": psi|ks], ["nBuckets", "eps",
+    "roundDigits"]}} — PSI histogram drift (default) or exact two-sample
+    KS between two datasets."""
 
     reference: Input = None  # type: ignore[assignment]
     current: Input = None  # type: ignore[assignment]
     column: str = ""
+    method: str = "psi"
     options: dict = field(default_factory=dict)
 
     @property
@@ -268,17 +292,58 @@ class DriftCmd(Command):
             reference=Input.from_json(obj["reference"]),
             current=Input.from_json(obj["current"]),
             column=p["column"],
+            method=p.get("method", "psi"),
             options=_opt(p, "nBuckets", "eps", "roundDigits"),
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.drift import histogram_drift
+        from topnotch_spark.operators.drift import histogram_drift, ks_statistic
 
-        return histogram_drift(
-            load_input(engine.spark, self.reference, engine.registry),
-            load_input(engine.spark, self.current, engine.registry),
-            self.column,
+        ref = load_input(engine.spark, self.reference, engine.registry)
+        cur = load_input(engine.spark, self.current, engine.registry)
+        if self.method == "ks":
+            opts = {
+                k: v for k, v in self.options.items() if k == "round_digits"
+            }
+            return ks_statistic(ref, cur, self.column, **opts)
+        if self.method != "psi":
+            raise ValueError(f"unknown drift method: {self.method}")
+        return histogram_drift(ref, cur, self.column, **self.options)
+
+
+@dataclass(frozen=True)
+class SampleCmd(Command):
+    """{"command": "sample", "input": <input>, "params": {"idColumn",
+    "stratColumn", "rates": {stratum: rate}, ["defaultRate"]}} —
+    deterministic md5-threshold stratified sampling."""
+
+    input: Input = None  # type: ignore[assignment]
+    id_column: str = "id"
+    strat_column: str = ""
+    rates: tuple[tuple[str, float], ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SampleCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            id_column=p["idColumn"],
+            strat_column=p["stratColumn"],
+            rates=tuple(sorted(p["rates"].items())),
+            options=_opt(p, "defaultRate"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.curation import stratified_sample
+
+        return stratified_sample(
+            load_input(engine.spark, self.input, engine.registry),
+            self.id_column,
+            self.strat_column,
+            dict(self.rates),
             **self.options,
         )
 
@@ -294,6 +359,7 @@ def register() -> None:
             "asof": AsofCmd.from_json,
             "profile": ProfileCmd.from_json,
             "drift": DriftCmd.from_json,
+            "sample": SampleCmd.from_json,
         }
     )
 
