@@ -241,11 +241,19 @@ def stream_stream_time_join(
     lts, rts = ts_cols
     l = left.withWatermark(lts, watermark_delay) if left.isStreaming else left
     r = right.withWatermark(rts, watermark_delay) if right.isStreaming else right
-    tol_us = tolerance_seconds * 1_000_000
+    # The range bound MUST be plain timestamp ± INTERVAL arithmetic:
+    # StreamingJoinHelper can only derive the state-eviction watermark
+    # from conditions it can parse — wrapping the columns in unix_micros()
+    # defeats the extraction and state is then held until the global
+    # watermark instead of being evicted at ts + tolerance (observed as
+    # "Failed to extract state value watermark" warnings).
     cond = (
         (F.col(lk) == F.col(rk))
         & (F.col(rts) <= F.col(lts))
-        & (F.unix_micros(F.col(lts)) - F.unix_micros(F.col(rts)) <= tol_us)
+        & (
+            F.col(rts)
+            >= F.col(lts) - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        )
     )
     return l.join(r, cond, "inner")
 
