@@ -148,3 +148,32 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
     assert len(emitted) == len(
         {(r["user_id"], r["session_start"]) for r in emitted}
     )
+
+
+def test_session_window_metrics_gap_boundary(spark):
+    """Built-in session_window: diff > gap starts a NEW session — a
+    window that merely touches (diff == gap) MERGES; batch mode mirrors
+    streaming semantics."""
+    import datetime as dt
+
+    from topnotch_spark.streaming.ops import session_window_metrics
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=29), 2.0),  # same session
+        (1, t0 + dt.timedelta(minutes=59), 4.0),  # exactly 30min: MERGES
+        (1, t0 + dt.timedelta(minutes=95), 8.0),  # 36min gap -> new session
+        (2, t0, 16.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = session_window_metrics(df).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in u1] == [3, 1]
+    assert u1[0]["sum_value"] == 7.0 and u1[1]["sum_value"] == 8.0
+    # session_end = last event + gap
+    assert u1[0]["session_end"] == t0 + dt.timedelta(minutes=89)
+    assert by_user[2][0]["n_events"] == 1

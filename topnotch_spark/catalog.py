@@ -733,6 +733,23 @@ def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the built-in session_window state-store agg (the
+    idiomatic counterpart to the applyInPandasWithState sessionizer)."""
+    from topnotch_spark.streaming import stream_from_parquet
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        run_stream_to_table,
+        session_window_metrics,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        session_window_metrics(stream), output_mode="append"
+    )
+
+
 def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range: each error event
     paired with the same user's clicks in the preceding hour. Both sides
@@ -819,4 +836,5 @@ ALL = {
     "streaming_dedup": streaming_dedup,
     "streaming_enriched_metrics": streaming_enriched_metrics,
     "streaming_error_click_join": streaming_error_click_join,
+    "streaming_session_window": streaming_session_window,
 }

@@ -917,6 +917,46 @@ def streaming_sessionize_sql(gap_minutes: int = 30) -> str:
     """
 
 
+def streaming_session_window_sql(gap_minutes: int = 30) -> str:
+    """Batch twin of the built-in session_window aggregation: gap
+    islands with session_end = last_ts + gap (Spark's window end), new
+    session on diff > gap (touching windows MERGE — verified against a
+    boundary fixture in test_streaming.py), closed-session filter at the
+    final watermark (= max ts with 0s delay)."""
+    return f"""
+        WITH base AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        ),
+        marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts > lag(ts) OVER w + INTERVAL {gap_minutes} MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM marked
+        ),
+        agg AS (
+          SELECT user_id,
+                 min(ts) AS session_start,
+                 max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+                 count(*) AS n_events,
+                 round(sum(value), 6) AS sum_value
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM agg
+        WHERE session_end < (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+    """
+
+
 def streaming_assertion_metrics_sql(rules: list[tuple[str, str, float]]) -> str:
     """Stream-level merged assertion metrics == batch metrics over the
     whole table (verified by tests/test_streaming.py). Invalid count uses

@@ -214,6 +214,45 @@ def dedup_stream(
     return s.dropDuplicates(keys)
 
 
+def session_window_metrics(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap-sessionization via the BUILT-IN ``session_window`` aggregation
+    — the idiomatic Structured Streaming session operator (state-store
+    managed, window-merge on overlap), complementing the custom
+    ``applyInPandasWithState`` sessionizer in streaming/stateful.py which
+    exists for semantics session_window can't express (per-session custom
+    Python state). Session = [first_ts, last_ts + gap); a new event
+    starts a new session iff it arrives MORE than gap after the previous
+    one — windows that merely touch are merged. In append mode a session emits once the
+    watermark passes its end; sessions still open at the final watermark
+    are unemitted — same closure rule as the stateful sessionizer.
+    State per active session is the running aggregate only; eviction at
+    watermark, so state ∝ active sessions, not history."""
+    e = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
+    return (
+        e.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_stream_time_join(
     left: DataFrame,
     right: DataFrame,
