@@ -86,6 +86,9 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_totalprice": oracles.drift_ks_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'"
         ),
+        "drift_ks_binned": oracles.drift_ks_binned_sql(
+            "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
+        ),
         "asof_error_click": oracles.asof_error_click_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),

@@ -143,3 +143,19 @@ def test_ks_known_value(spark):
 
 def _vals(spark, xs):
     return spark.createDataFrame([(float(x),) for x in xs], "x double")
+
+
+def test_ks_binned_approximates_exact(spark):
+    import pytest as _pytest
+
+    ref = spark.range(1000).select((F.col("id") % 97).cast("double").alias("x"))
+    cur = spark.range(1000).select(((F.col("id") % 97) + 20).cast("double").alias("x"))
+    exact = ks_statistic(ref, cur, "x").collect()[0]["ks_stat"]
+    binned = ks_statistic(ref, cur, "x", bins=32).collect()[0]["ks_stat"]
+    # binned is an approximation bounded by bucket coarseness
+    assert abs(binned - exact) < 0.15
+    assert 0.0 < binned <= 1.0
+    with _pytest.raises(ValueError, match="empty or constant"):
+        ks_statistic(
+            spark.range(5).select(F.lit(1.0).alias("x")), cur, "x", bins=8
+        )

@@ -503,6 +503,20 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB KS path: same statistic over a 32-bin reference grid —
+    ECDF input bounded by bin count instead of distinct-value count."""
+    from topnotch_spark.operators.drift import ks_statistic
+
+    orders = load(spark, sf_dir, "orders")
+    return ks_statistic(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") != "F"),
+        "o_totalprice",
+        bins=32,
+    )
+
+
 def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event: the user's latest click at-or-before it
     (merge-sorted as-of join — one shuffle, no range-join explosion).
@@ -824,6 +838,7 @@ ALL = {
     "sample_stratified": sample_stratified,
     "pack_token_shards": pack_token_shards,
     "drift_ks_totalprice": drift_ks_totalprice,
+    "drift_ks_binned": drift_ks_binned,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,

@@ -105,6 +105,7 @@ def ks_statistic(
     cur: DataFrame,
     col: str,
     round_digits: int = 6,
+    bins: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic as a 1-row frame
     (ks_stat, n_ref, n_cur): max |ECDF_ref(x) − ECDF_cur(x)| over the
@@ -115,16 +116,34 @@ def ks_statistic(
     (collapses to distinct-value cardinality — the big reduction), then
     a single ordered window for the running ECDFs and a 1-row max. The
     ordered window is one sort over (distinct values × 3 longs); for a
-    100 TB column with ~billions of distinct doubles, pre-bucket the
-    values (histogram_drift's grid) and run the same ECDF on bucket
-    counts — same code path, bounded input, KS-approximate to bucket
-    width."""
+    100 TB column with ~billions of distinct doubles, pass ``bins``:
+    values pre-bucket onto a fixed grid over the REFERENCE min/max
+    (histogram_drift's grid — one 2-scalar fetch), the ECDF runs over at
+    most ``bins`` rows, and the statistic is KS-approximate to bucket
+    width. Same code path either way."""
     r = ref.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("v"), F.lit(1).alias("g")
     )
     c = cur.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("v"), F.lit(0).alias("g")
     )
+    if bins is not None:
+        mn, mx = r.agg(F.min("v"), F.max("v")).collect()[0]
+        if mn is None or mx == mn:
+            raise ValueError(
+                f"ks_statistic(bins=...): reference '{col}' is empty or "
+                "constant — binned grid undefined"
+            )
+        width = (float(mx) - float(mn)) / bins
+        idx = F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.lit(float(mn))) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        ).cast("double")
+        r = r.select(idx.alias("v"), "g")
+        c = c.select(idx.alias("v"), "g")
     per_v = (
         r.union(c)
         .groupBy("v")

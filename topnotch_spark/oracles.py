@@ -621,6 +621,48 @@ def drift_ks_sql(table: str, col: str, ref_predicate: str) -> str:
     """
 
 
+def drift_ks_binned_sql(
+    table: str, col: str, ref_predicate: str, bins: int
+) -> str:
+    """Binned-KS twin: same grid arithmetic as ks_statistic(bins=N) —
+    width = (mx − mn)/bins over the REFERENCE side, clamp to edge bins.
+    Division/floor order mirrors the Spark expressions so doubles match
+    bit-for-bit."""
+    return f"""
+        WITH raw AS (
+          SELECT CAST({col} AS DOUBLE) AS x,
+                 CASE WHEN {ref_predicate} THEN 1 ELSE 0 END AS g
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        stats AS (
+          SELECT min(x) AS mn, (max(x) - min(x)) / {bins} AS width
+          FROM raw WHERE g = 1
+        ),
+        vals AS (
+          SELECT CAST(least(greatest(floor((x - mn) / width), 0),
+                            {bins - 1}) AS DOUBLE) AS v, g
+          FROM raw, stats
+        ),
+        per_v AS (
+          SELECT v,
+                 CAST(sum(g) AS BIGINT) AS c_ref,
+                 CAST(count(*) - sum(g) AS BIGINT) AS c_cur
+          FROM vals GROUP BY v
+        ),
+        ecdf AS (
+          SELECT sum(c_ref) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / sum(c_ref) OVER () AS f_ref,
+                 sum(c_cur) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / sum(c_cur) OVER () AS f_cur,
+                 sum(c_ref) OVER () AS n_ref,
+                 sum(c_cur) OVER () AS n_cur
+          FROM per_v
+        )
+        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat, n_ref, n_cur
+        FROM ecdf GROUP BY n_ref, n_cur
+    """
+
+
 def pack_token_shards_sql(budget: int = 2000) -> str:
     """Mirror of curation.pack_token_shards (global ordered packing)."""
     return f"""

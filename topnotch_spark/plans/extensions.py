@@ -272,8 +272,9 @@ class ProfileCmd(Command):
 class DriftCmd(Command):
     """{"command": "drift", "reference": <input>, "current": <input>,
     "params": {"column", ["method": psi|ks], ["nBuckets", "eps",
-    "roundDigits"]}} — PSI histogram drift (default) or exact two-sample
-    KS between two datasets."""
+    "roundDigits", "bins"]}} — PSI histogram drift (default) or
+    two-sample KS (exact, or grid-binned via "bins") between two
+    datasets."""
 
     reference: Input = None  # type: ignore[assignment]
     current: Input = None  # type: ignore[assignment]
@@ -293,7 +294,7 @@ class DriftCmd(Command):
             current=Input.from_json(obj["current"]),
             column=p["column"],
             method=p.get("method", "psi"),
-            options=_opt(p, "nBuckets", "eps", "roundDigits"),
+            options=_opt(p, "nBuckets", "eps", "roundDigits", "bins"),
             **cls._common(obj),
         )
 
@@ -304,7 +305,9 @@ class DriftCmd(Command):
         cur = load_input(engine.spark, self.current, engine.registry)
         if self.method == "ks":
             opts = {
-                k: v for k, v in self.options.items() if k == "round_digits"
+                k: v
+                for k, v in self.options.items()
+                if k in ("round_digits", "bins")
             }
             return ks_statistic(ref, cur, self.column, **opts)
         if self.method != "psi":
