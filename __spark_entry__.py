@@ -89,6 +89,12 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_binned": oracles.drift_ks_binned_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
+        "text_repetition": oracles.text_repetition_sql(shingle_n=3),
+        "latest_event_per_user": oracles.latest_event_per_user_sql(),
+        "outliers_totalprice": oracles.outliers_zscore_sql(
+            "orders", "o_totalprice", ["o_orderstatus"],
+            ["o_orderkey", "o_orderstatus", "o_totalprice"], k=3.0,
+        ),
         "asof_error_click": oracles.asof_error_click_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),

@@ -78,3 +78,19 @@ def test_approx_profile_single_job_plan(spark):
         .optimizedPlan().toString()
     assert "Expand" not in plan
     assert plan.lower().count("localrelation") + plan.lower().count("logicalrdd") == 1
+
+
+def test_zscore_outliers_flags_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.operators.profile import zscore_outliers
+
+    base = [(i, "g", 10.0) for i in range(20)] + [(99, "g", 1000.0)]
+    df = spark.createDataFrame(base, "id long, grp string, v double")
+    out = {r["id"]: r for r in zscore_outliers(df, "v", ["grp"], k=3.0).collect()}
+    assert out[99]["is_outlier"]
+    assert not any(out[i]["is_outlier"] for i in range(20))
+    # constant group -> zscore 0, no flags
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
+    rows = zscore_outliers(const, "v", None).collect()
+    assert all(r["zscore"] == 0.0 and not r["is_outlier"] for r in rows)

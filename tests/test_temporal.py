@@ -184,3 +184,24 @@ def test_range_join_pre_1970_timestamps(spark):
     # (4, 1): -70s -> -30s = 40s apart, same negative bucket
     assert pairs[(4, 1)] == 40.0
     assert (3, 2) not in pairs and (3, 1) not in pairs  # > 60s apart
+
+
+def test_latest_per_key_tiebreak(spark):
+    import datetime as dt
+
+    from topnotch_spark.operators.temporal import latest_per_key
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 100, t, "a"),
+            (2, 100, t, "b"),              # same ts: higher id wins
+            (3, 100, t - dt.timedelta(1), "c"),
+            (4, 200, t, "d"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {r["user_id"]: r for r in latest_per_key(df, ["user_id"], "ts", "event_id").collect()}
+    assert out[100]["event_id"] == 2
+    assert out[200]["event_id"] == 4
+    assert len(out) == 2

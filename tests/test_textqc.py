@@ -175,3 +175,23 @@ def test_bpe_ish_token_count_known_string(spark):
     }
     # pieces: ' Hello', ' world', ',', ' it', "'s", ' 2024', '!!', ' foo', '_', 'bar'
     assert out == {1: 10, 2: 0, 3: 1}
+
+
+def test_repetition_stats_fractions(spark):
+    from topnotch_spark.operators.textqc import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 9 tokens/3 distinct; 7 shingles/3 distinct
+            (2, "w x y z"),             # no repetition
+            (3, "q"),                   # too short for shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 9 and r1["n_shingles"] == 7
+    assert r1["dup_token_frac"] == round(1 - 3 / 9, 6)
+    assert r1["dup_shingle_frac"] == round(1 - 3 / 7, 6)
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["dup_shingle_frac"] == 0.0
+    assert out[3]["n_shingles"] == 0

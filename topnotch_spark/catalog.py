@@ -503,6 +503,34 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-token / duplicate-3-gram fractions."""
+    from topnotch_spark.operators.textqc import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: the most recent event per user (ts desc,
+    event_id desc tiebreak)."""
+    from topnotch_spark.operators.temporal import latest_per_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return latest_per_key(ev, ["user_id"], "ts", "event_id")
+
+
+def outliers_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status z-score outlier flags on order totals."""
+    from topnotch_spark.operators.profile import zscore_outliers
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return zscore_outliers(orders, "o_totalprice", ["o_orderstatus"], k=3.0)
+
+
 def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB KS path: same statistic over a 32-bin reference grid —
     ECDF input bounded by bin count instead of distinct-value count."""
@@ -839,6 +867,9 @@ ALL = {
     "pack_token_shards": pack_token_shards,
     "drift_ks_totalprice": drift_ks_totalprice,
     "drift_ks_binned": drift_ks_binned,
+    "text_repetition": text_repetition,
+    "latest_event_per_user": latest_event_per_user,
+    "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,

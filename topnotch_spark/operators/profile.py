@@ -19,7 +19,7 @@ row, so it costs nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -103,4 +103,29 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args}) as "
         "(column, n, n_null, n_distinct, min_value, max_value, "
         "avg_value, stddev_value, p25, p50, p75, p95)"
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Flag rows whose value is > k sample-standard-deviations from the
+    (per-group) mean. One window pass over the group partitioning (or a
+    frame-wide window when ungrouped — the stats are 2 doubles/group, so
+    even the ungrouped case is a cheap broadcast-style pass); no driver
+    collection. The classic first-line QC screen for numeric columns."""
+    part = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    )
+    mean = F.mean(F.col(value_col)).over(part)
+    std = F.stddev_samp(F.col(value_col)).over(part)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        F.round(z, round_digits).alias("zscore"),
+        (F.abs(F.round(z, round_digits)) > k).alias("is_outlier"),
     )

@@ -158,3 +158,25 @@ def range_join_pairs(
             *[F.col(f"{c}_b") for c in keep],
         )
     )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the most recent row per key (SCD-style compaction /
+    "current state" view): row_number over (ts desc, tiebreak desc) = 1.
+    One shuffle on the key columns; the deterministic tiebreak makes the
+    result engine-stable when timestamps collide. At scale this is the
+    standard log-compaction read — pre-bucketing the input on the key
+    columns deletes the exchange entirely (sources/bucketing.py)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )

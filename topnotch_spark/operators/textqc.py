@@ -121,6 +121,37 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.select(*cols)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Within-document repetition signals (Gopher/C4-style quality
+    filters): duplicate-token and duplicate-n-gram fractions. A document
+    whose n-grams are mostly repeats is boilerplate/template spam even
+    when its token mix looks fine. Pure projection, zero shuffle; one
+    compiled-regex pass extracts the overlapping shingles (same
+    formulation as dedup.shingle_arrays, NOT de-duplicated — the
+    multiplicity is the signal here)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    nd_tok = F.size(F.array_distinct(toks))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    pat = r"(?<=^|\s)(?=((?:\S+ ){" + str(shingle_n - 1) + r"}\S+))"
+    shs = F.regexp_extract_all(norm, F.lit(pat), 1)
+    n_sh = F.size(shs)
+    nd_sh = F.size(F.array_distinct(shs))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, F.round(1 - nd_tok / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        n_sh.alias("n_shingles"),
+        F.when(n_sh > 0, F.round(1 - nd_sh / n_sh, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_shingle_frac"),
+    )
+
+
 def vocab_topk(df: DataFrame, id_col: str, text_col: str, k: int = 50) -> DataFrame:
     """Corpus vocabulary head: top-k tokens by term frequency with
     document frequency alongside (token, n_total, n_docs).

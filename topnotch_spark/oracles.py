@@ -676,6 +676,72 @@ def pack_token_shards_sql(budget: int = 2000) -> str:
     """
 
 
+def text_repetition_sql(shingle_n: int = 3) -> str:
+    """Mirror of textqc.repetition_stats: NON-distinct shingles via the
+    token-slice formulation (RE2 has no lookahead; equivalence with the
+    Spark regex extraction is established in dedup tests)."""
+    parts = " || ' ' || ".join(f"__t__[i + {j}]" for j in range(shingle_n))
+    raw_shingles = (
+        f"list_transform(CASE WHEN len(__t__) >= {shingle_n} "
+        f"THEN generate_series(1, len(__t__) - {shingle_n - 1}) "
+        f"ELSE [] END, i -> {parts})"
+    )
+    return f"""
+        {_DOC_BASE},
+        sh AS (
+          SELECT doc_id, __t__, {raw_shingles} AS __sh__ FROM toked
+        )
+        SELECT doc_id,
+               CAST(len(__t__) AS INTEGER) AS n_tokens,
+               CASE WHEN len(__t__) > 0
+                    THEN round(1 - len(list_distinct(__t__)) * 1.0 / len(__t__), 6)
+                    ELSE 0.0 END AS dup_token_frac,
+               CAST(len(__sh__) AS INTEGER) AS n_shingles,
+               CASE WHEN len(__sh__) > 0
+                    THEN round(1 - len(list_distinct(__sh__)) * 1.0 / len(__sh__), 6)
+                    ELSE 0.0 END AS dup_shingle_frac
+        FROM sh
+    """
+
+
+def latest_event_per_user_sql() -> str:
+    return """
+        WITH ranked AS (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                 value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ) AS rn
+          FROM events
+        )
+        SELECT event_id, ts, user_id, event_type, value
+        FROM ranked WHERE rn = 1
+    """
+
+
+def outliers_zscore_sql(
+    table: str, col: str, group_cols: list[str], keep_cols: list[str],
+    k: float = 3.0,
+) -> str:
+    part = ", ".join(group_cols) if group_cols else ""
+    over = f"PARTITION BY {part}" if part else ""
+    keep = ", ".join(keep_cols)
+    return f"""
+        WITH stats AS (
+          SELECT {keep},
+                 avg({col}) OVER ({over}) AS m,
+                 stddev_samp({col}) OVER ({over}) AS s
+          FROM {table}
+        )
+        SELECT {keep},
+               CASE WHEN s > 0 THEN round(({col} - m) / s, 6)
+                    ELSE 0.0 END AS zscore,
+               abs(CASE WHEN s > 0 THEN round(({col} - m) / s, 6)
+                        ELSE 0.0 END) > {k} AS is_outlier
+        FROM stats
+    """
+
+
 def text_vocab_topk_sql(k: int = 50) -> str:
     return f"""
         {_DOC_BASE},
