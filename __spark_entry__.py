@@ -90,6 +90,9 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
+        "decontaminate_overlap": oracles.cross_corpus_overlap_sql(
+            catalog.BENCH_SOURCES, shingle_n=5
+        ),
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
         "outliers_totalprice": oracles.outliers_zscore_sql(
             "orders", "o_totalprice", ["o_orderstatus"],

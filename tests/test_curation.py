@@ -159,3 +159,41 @@ def test_ks_binned_approximates_exact(spark):
         ks_statistic(
             spark.range(5).select(F.lit(1.0).alias("x")), cur, "x", bins=8
         )
+
+
+# ---- decontamination ------------------------------------------------------
+
+def test_cross_corpus_overlap_detects_leak(spark):
+    from topnotch_spark.operators.curation import cross_corpus_overlap
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = _docs(spark, [
+        (1, "prefix words alpha beta gamma delta epsilon suffix"),  # leak
+        (2, "totally different text with no overlap at all here"),
+    ])
+    out = cross_corpus_overlap(
+        corpus, bench, "doc_id", "text", shingle_n=5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["corpus_id"], r["bench_id"]) == (1, 100)
+    # bench has 2 distinct 5-grams; 1 is shared
+    assert r["n_common"] == 1 and r["overlap_frac"] == 0.5
+
+
+def test_cross_corpus_overlap_df_cap_drops_hot_shingle(spark):
+    from topnotch_spark.operators.curation import cross_corpus_overlap
+
+    hot = "one two three four five"
+    bench = _docs(spark, [(100, hot)])
+    corpus = _docs(spark, [(i, hot) for i in range(5)])
+    # cap 3 < df 5 -> the only shingle is dropped from the join
+    out = cross_corpus_overlap(
+        corpus, bench, "doc_id", "text", shingle_n=5, max_shingle_df=3
+    ).collect()
+    assert out == []
+    # without the cap all 5 pairs surface
+    assert (
+        cross_corpus_overlap(corpus, bench, "doc_id", "text", shingle_n=5).count()
+        == 5
+    )

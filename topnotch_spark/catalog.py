@@ -503,6 +503,20 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_SOURCES = ["src0", "src1"]
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage screen: 5-gram overlap between the training
+    slice (source ∉ BENCH_SOURCES) and the held-out slice."""
+    from topnotch_spark.operators.curation import cross_corpus_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin(BENCH_SOURCES))
+    corpus = docs.filter(~F.col("source").isin(BENCH_SOURCES))
+    return cross_corpus_overlap(corpus, bench, "doc_id", "text", shingle_n=5)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate-token / duplicate-3-gram fractions."""
     from topnotch_spark.operators.textqc import repetition_stats
@@ -868,6 +882,7 @@ ALL = {
     "drift_ks_totalprice": drift_ks_totalprice,
     "drift_ks_binned": drift_ks_binned,
     "text_repetition": text_repetition,
+    "decontaminate_overlap": decontaminate_overlap,
     "latest_event_per_user": latest_event_per_user,
     "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,

@@ -170,3 +170,66 @@ def pack_token_shards(
     return base.select(
         "*", F.floor(cum_excl / budget).cast("long").alias("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_common: int = 1,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Decontamination screen: which corpus docs share word n-grams with
+    a benchmark/eval set (the GPT-3/FineWeb-style leakage check, done as
+    a JOIN, not pairwise scans).
+
+    Returns (corpus_id, bench_id, n_common, overlap_frac) where
+    overlap_frac = shared distinct shingles / the BENCHMARK doc's
+    distinct shingles (the side you care about leaking).
+
+    Execution shape: per-doc distinct shingles on both sides (one regex
+    pass each, zero shuffle), equi-join on the shingle string with the
+    BENCHMARK side broadcast — eval suites are tiny next to a training
+    corpus, so the join is map-side and the corpus streams once. One
+    groupBy on the (corpus, bench) pair. ``max_shingle_df`` drops
+    corpus-side shingles above a document-frequency cap from the join
+    (stopword-like n-grams at corpus scale); the benchmark side is never
+    capped — a capped bench shingle would silently hide leakage."""
+    from topnotch_spark.operators.dedup import shingle_arrays
+
+    c = shingle_arrays(corpus, id_col, text_col, shingle_n).select(
+        F.col("id").alias("corpus_id"), F.explode("shs").alias("sh")
+    )
+    if max_shingle_df is not None:
+        df_caps = (
+            c.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        c = c.join(df_caps, "sh")
+    b_arr = shingle_arrays(benchmark, id_col, text_col, shingle_n).select(
+        F.col("id").alias("bench_id"),
+        F.col("shs").alias("bshs"),
+        F.size("shs").alias("bench_size"),
+    )
+    b = b_arr.select(
+        "bench_id", "bench_size", F.explode("bshs").alias("sh")
+    )
+    pairs = (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("corpus_id", "bench_id", "bench_size")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return pairs.select(
+        "corpus_id",
+        "bench_id",
+        "n_common",
+        F.round(F.col("n_common") / F.col("bench_size"), 6).alias("overlap_frac"),
+    )

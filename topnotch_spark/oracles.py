@@ -742,6 +742,43 @@ def outliers_zscore_sql(
     """
 
 
+def cross_corpus_overlap_sql(
+    bench_sources: list[str], shingle_n: int = 5, min_common: int = 1
+) -> str:
+    """Mirror of curation.cross_corpus_overlap over a source-based split
+    of the documents table (bench = listed sources, corpus = the rest)."""
+    srcs = ", ".join(f"'{s}'" for s in bench_sources)
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, source, {tokens()} AS __t__ FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id, source, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (
+          SELECT doc_id, source, __sh__ FROM shingled WHERE len(__sh__) > 0
+        ),
+        c AS (
+          SELECT doc_id AS corpus_id, unnest(__sh__) AS sh
+          FROM base WHERE source NOT IN ({srcs})
+        ),
+        b AS (
+          SELECT doc_id AS bench_id, len(__sh__) AS bench_size,
+                 unnest(__sh__) AS sh
+          FROM base WHERE source IN ({srcs})
+        ),
+        pairs AS (
+          SELECT corpus_id, bench_id, bench_size,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM c JOIN b USING (sh)
+          GROUP BY corpus_id, bench_id, bench_size
+        )
+        SELECT corpus_id, bench_id, n_common,
+               round(n_common * 1.0 / bench_size, 6) AS overlap_frac
+        FROM pairs WHERE n_common >= {min_common}
+    """
+
+
 def text_vocab_topk_sql(k: int = 50) -> str:
     return f"""
         {_DOC_BASE},
