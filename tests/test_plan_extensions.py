@@ -221,3 +221,34 @@ def test_round2_commands_end_to_end(spark, tmp_path):
     assert langs <= {"en", "de"}
     ks = reg["ksDrift"].collect()[0]
     assert ks["ks_stat"] == 0.0  # same dataset both sides
+
+
+def test_decontaminate_command(spark, tmp_path):
+    plan = {
+        "commands": [
+            {"command": "view",
+             "inputs": [{"ref": f"{SF}/documents.parquet", "onDisk": True}],
+             "params": {"tableAliases": ["docs"],
+                        "query": "SELECT * FROM docs WHERE source IN ('src0','src1')"},
+             "outputKey": "bench"},
+            {"command": "view",
+             "inputs": [{"ref": f"{SF}/documents.parquet", "onDisk": True}],
+             "params": {"tableAliases": ["docs"],
+                        "query": "SELECT * FROM docs WHERE source NOT IN ('src0','src1')"},
+             "outputKey": "corpus"},
+            {"command": "decontaminate",
+             "corpus": {"ref": "corpus", "onDisk": False},
+             "benchmark": {"ref": "bench", "onDisk": False},
+             "params": {"idColumn": "doc_id", "textColumn": "text",
+                        "shingleN": 5},
+             "outputKey": "leaks"},
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    leaks = engine.registry["leaks"]
+    assert {"corpus_id", "bench_id", "n_common", "overlap_frac"} == set(
+        leaks.columns
+    )

@@ -316,6 +316,46 @@ class DriftCmd(Command):
 
 
 @dataclass(frozen=True)
+class DeconCmd(Command):
+    """{"command": "decontaminate", "corpus": <input>, "benchmark":
+    <input>, "params": {"idColumn", "textColumn", ["shingleN",
+    "minCommon", "maxShingleDf"]}} — cross-corpus n-gram overlap."""
+
+    corpus: Input = None  # type: ignore[assignment]
+    benchmark: Input = None  # type: ignore[assignment]
+    id_column: str = "id"
+    text_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.corpus, self.benchmark]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "DeconCmd":
+        p = obj["params"]
+        return cls(
+            corpus=Input.from_json(obj["corpus"]),
+            benchmark=Input.from_json(obj["benchmark"]),
+            id_column=p["idColumn"],
+            text_column=p.get("textColumn", "text"),
+            options=_opt(p, "shingleN", "minCommon", "maxShingleDf"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.curation import cross_corpus_overlap
+
+        return cross_corpus_overlap(
+            load_input(engine.spark, self.corpus, engine.registry),
+            load_input(engine.spark, self.benchmark, engine.registry),
+            self.id_column,
+            self.text_column,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
 class SampleCmd(Command):
     """{"command": "sample", "input": <input>, "params": {"idColumn",
     "stratColumn", "rates": {stratum: rate}, ["defaultRate"]}} —
@@ -363,6 +403,7 @@ def register() -> None:
             "profile": ProfileCmd.from_json,
             "drift": DriftCmd.from_json,
             "sample": SampleCmd.from_json,
+            "decontaminate": DeconCmd.from_json,
         }
     )
 
