@@ -78,6 +78,8 @@ def oracle_sql() -> dict[str, str]:
             LANG_MARKERS["en"]
         ),
         "sample_stratified": oracles.sample_stratified_sql(catalog.SAMPLE_RATES),
+        "sample_stratified_topn": oracles.sample_stratified_topn_sql(20),
+        "text_tfidf_keywords": oracles.text_tfidf_keywords_sql(k=3),
         "text_vocab_topk": oracles.text_vocab_topk_sql(k=50),
         "embedding_centroids": oracles.embedding_centroids_sql(),
         "streaming_error_click_join": oracles.streaming_error_click_join_sql(3600),

@@ -197,3 +197,22 @@ def test_cross_corpus_overlap_df_cap_drops_hot_shingle(spark):
         cross_corpus_overlap(corpus, bench, "doc_id", "text", shingle_n=5).count()
         == 5
     )
+
+
+def test_stratified_topn_exact_counts(spark):
+    from topnotch_spark.operators.curation import stratified_topn
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_topn(df, "doc_id", "lang", 7).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["en"]) == 7 and len(by_lang["de"]) == 7
+    # deterministic across invocations
+    again = stratified_topn(df, "doc_id", "lang", 7).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+    # n larger than stratum -> whole stratum
+    assert stratified_topn(df, "doc_id", "lang", 60).count() == 100

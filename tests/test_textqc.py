@@ -195,3 +195,27 @@ def test_repetition_stats_fractions(spark):
     assert r1["dup_shingle_frac"] == round(1 - 3 / 7, 6)
     assert out[2]["dup_token_frac"] == 0.0 and out[2]["dup_shingle_frac"] == 0.0
     assert out[3]["n_shingles"] == 0
+
+
+def test_tfidf_keywords_ranking(spark):
+    import math
+
+    from topnotch_spark.operators.textqc import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared"),
+            (3, "durian shared shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_keywords(df, "doc_id", "text", k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=1 -> ln(3); shared df=3 -> 0
+    assert out[(1, 1)]["token"] == "apple"
+    assert out[(1, 1)]["tfidf"] == round(2 * math.log(3.0), 6)
+    assert out[(1, 2)]["token"] == "banana"
+    # 'shared' scores ln(3/3)=0 everywhere -> never rank 1
+    assert all(
+        r["token"] != "shared" or r["tfidf"] == 0.0 for r in out.values()
+    )

@@ -484,6 +484,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, deterministic md5 order."""
+    from topnotch_spark.operators.curation import stratified_topn
+
+    return stratified_topn(load(spark, sf_dir, "documents"), "doc_id", "lang", 20)
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document."""
+    from topnotch_spark.operators.textqc import tfidf_keywords
+
+    return tfidf_keywords(load(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment (global contiguous numbering)."""
     from topnotch_spark.operators.curation import pack_token_shards as pack
@@ -878,6 +892,8 @@ ALL = {
     "text_vocab_topk": text_vocab_topk,
     "embedding_centroids": embedding_centroids,
     "sample_stratified": sample_stratified,
+    "sample_stratified_topn": sample_stratified_topn,
+    "text_tfidf_keywords": text_tfidf_keywords,
     "pack_token_shards": pack_token_shards,
     "drift_ks_totalprice": drift_ks_totalprice,
     "drift_ks_binned": drift_ks_binned,

@@ -233,3 +233,25 @@ def cross_corpus_overlap(
         "n_common",
         F.round(F.col("n_common") / F.col("bench_size"), 6).alias("overlap_frac"),
     )
+
+
+def stratified_topn(
+    df: DataFrame,
+    id_col: str,
+    strat_col: str,
+    n: int,
+) -> DataFrame:
+    """Exactly-n-per-stratum selection ("1M docs per language"): rank
+    rows inside each stratum by md5(stratum ':' id) — a deterministic
+    pseudo-random order — and keep the first n. The fixed-COUNT
+    complement to ``stratified_sample``'s fixed-RATE draw. One shuffle
+    on the stratum (row_number window); engine-portable like the rate
+    sampler (same md5 everywhere)."""
+    key = F.md5(F.concat_ws(":", F.col(strat_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strat_col).orderBy(key, F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(strat_col))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )

@@ -9,7 +9,7 @@ quality/language column can feed directly into an assertion command, e.g.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from topnotch_spark.functions.text import (
@@ -186,4 +186,38 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("exact_md5"),
         sorted_token_fingerprint(text_col).alias("token_fingerprint"),
         simhash(text_col, 32).alias("simhash32"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document: tf(token, doc) × ln(N/df).
+
+    Execution shape: explode → ONE groupBy(id, token) for tf (map-side
+    partial), a vocab-sized groupBy(token) for document frequency, a
+    token-keyed join (the df table is vocab-sized — broadcastable at any
+    realistic vocab), then a per-doc top-k window. N is a single count
+    scalar (1 driver value, computed once). Deterministic tiebreak
+    (score desc, token asc)."""
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("__id__", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "__id__",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("__id__").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id__").alias(f"{id_col}"), "token", "tfidf", "rank")
     )

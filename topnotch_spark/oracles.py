@@ -742,6 +742,52 @@ def outliers_zscore_sql(
     """
 
 
+def sample_stratified_topn_sql(n: int) -> str:
+    """Mirror of curation.stratified_topn: md5 pseudo-random order,
+    row_number ≤ n per stratum."""
+    return f"""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        SELECT doc_id, lang FROM ranked WHERE rn <= {n}
+    """
+
+
+def text_tfidf_keywords_sql(k: int = 3) -> str:
+    """Mirror of textqc.tfidf_keywords; N is a scalar subquery (the
+    Spark side uses the same count as a literal)."""
+    return f"""
+        {_DOC_BASE},
+        tok AS (SELECT doc_id, unnest(__t__) AS token FROM toked),
+        tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, token
+        ),
+        dfreq AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.token,
+                 round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                                  / dfreq.df_t), 6) AS tfidf
+          FROM tf JOIN dfreq USING (token)
+        ),
+        ranked AS (
+          SELECT doc_id, token, tfidf,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                 ) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def cross_corpus_overlap_sql(
     bench_sources: list[str], shingle_n: int = 5, min_common: int = 1
 ) -> str:
