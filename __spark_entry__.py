@@ -61,6 +61,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracles.dedup_clusters_sql(
             num_hashes=16, bands=4, threshold=0.5, shingle_n=5
         ),
+        "dedup_keep_best": oracles.dedup_keep_best_sql(
+            LANG_MARKERS["en"], num_hashes=16, bands=4, threshold=0.5, shingle_n=5
+        ),
         "similarity_topk": oracles.similarity_topk_sql(dim=64, k=10, n_queries=5),
         "similarity_ann": oracles.similarity_ann_sql(
             dim=64, k=10, n_queries=5, n_planes=8

@@ -57,3 +57,18 @@ def test_nonconvergence_raises(spark):
         connected_components(
             _pairs(spark, [(i, i + 1) for i in range(1, 8)]), max_iter=1
         )
+
+
+def test_keep_best_in_cluster_prefers_score(spark):
+    from topnotch_spark.operators.cluster import keep_best_in_cluster
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (8, 9)])
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (8, 0.4), (9, 0.4)],
+        "id long, q double",
+    )
+    out = {r["id"]: r for r in keep_best_in_cluster(pairs, scores, "q").collect()}
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    # tie on score -> min id wins
+    assert out[8]["keep"] and not out[9]["keep"]
+    assert out[2]["cluster_id"] == 1 and out[9]["cluster_id"] == 8

@@ -371,6 +371,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production dedup flow: near-dup pairs → connected
+    components → keep the highest-quality doc per cluster."""
+    from topnotch_spark.operators.cluster import keep_best_in_cluster
+    from topnotch_spark.operators.dedup import minhash_lsh_dedup
+    from topnotch_spark.operators.textqc import quality_scores
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5, shingle_n=5
+    )
+    scores = quality_scores(docs, "doc_id", "text")
+    return keep_best_in_cluster(pairs, scores, "quality_score", "doc_id")
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import brute_force_topk
 
@@ -879,6 +894,7 @@ ALL = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "similarity_topk": similarity_topk,
     "similarity_ann": similarity_ann,
     "similarity_ivf": similarity_ivf,

@@ -98,6 +98,42 @@ def connected_components(
         sym.unpersist()
 
 
+def keep_best_in_cluster(
+    pairs: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "id",
+    src: str = "id_1",
+    dst: str = "id_2",
+) -> DataFrame:
+    """The full production dedup flow: pairs → components → keep the
+    HIGHEST-scoring doc per cluster (not the arbitrary min id) — "of
+    these 5 copies, keep the cleanest one".
+
+    ``scores`` maps ``id_col`` → ``score_col`` (e.g. quality_score from
+    textqc.quality_scores). Ties break on min id, so the result is
+    deterministic. One join (components × scores, both ≪ corpus) plus
+    one window over cluster_id."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, src, dst).select(
+        "id", F.col("comp").alias("cluster_id")
+    )
+    scored = comps.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s__")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__s__").desc(), F.col("id").asc()
+    )
+    return scored.select(
+        "id",
+        "cluster_id",
+        F.col("__s__").alias(score_col),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def dup_clusters(pairs: DataFrame, src: str = "id_1", dst: str = "id_2") -> DataFrame:
     """(id, cluster_id, cluster_size, keep) per clustered doc.
 

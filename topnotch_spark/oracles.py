@@ -223,6 +223,49 @@ def dedup_clusters_sql(
     """
 
 
+def dedup_keep_best_sql(
+    stopwords: list[str],
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """Components + highest-quality-keeper: mirrors
+    cluster.keep_best_in_cluster fed by textqc.quality_scores."""
+    pairs = dedup_minhash_sql(num_hashes, bands, threshold, shingle_n)
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_1, id_2 FROM ({pairs})
+        ),
+        edges AS (
+          SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION
+          SELECT id_2, id_1 FROM pairs
+        ),
+        walk(id, comp) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
+        ),
+        comps AS (
+          SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id
+        ),
+        quality AS (
+          SELECT doc_id, quality_score FROM ({text_quality_sql(stopwords)})
+        ),
+        scored AS (
+          SELECT c.id, c.cluster_id, q.quality_score
+          FROM comps c JOIN quality q ON c.id = q.doc_id
+        )
+        SELECT id, cluster_id, quality_score,
+               row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY quality_score DESC, id ASC
+               ) = 1 AS keep
+        FROM scored
+    """
+
+
 def dedup_ngram_jaccard_sql(
     threshold: float = 0.3,
     shingle_n: int = 3,
