@@ -99,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
             catalog.BENCH_SOURCES, shingle_n=5
         ),
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
+        "timeseries_resample": oracles.timeseries_resample_sql(1),
         "outliers_totalprice": oracles.outliers_zscore_sql(
             "orders", "o_totalprice", ["o_orderstatus"],
             ["o_orderkey", "o_orderstatus", "o_totalprice"], k=3.0,

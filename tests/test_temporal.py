@@ -205,3 +205,29 @@ def test_latest_per_key_tiebreak(spark):
     assert out[100]["event_id"] == 2
     assert out[200]["event_id"] == 4
     assert len(out) == 2
+
+
+def test_resample_timeseries_fills_gaps(spark):
+    import datetime as dt
+
+    from topnotch_spark.operators.temporal import resample_timeseries
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (d(1), "a", 1.0),
+        (d(1, 5), "a", 2.0),
+        (d(4), "a", 4.0),   # days 2-3 missing for a
+        (d(2), "b", 8.0),   # b missing days 1, 3, 4
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["event_type"], r["bucket_start"].day): (r["n_events"], r["sum_value"])
+        for r in resample_timeseries(df, "ts", "event_type", "value").collect()
+    }
+    # dense grid: 4 days x 2 types
+    assert len(out) == 8
+    assert out[("a", 1)] == (2, 3.0)
+    assert out[("a", 2)] == (0, 0.0)
+    assert out[("a", 4)] == (1, 4.0)
+    assert out[("b", 2)] == (1, 8.0)
+    assert out[("b", 3)] == (0, 0.0)

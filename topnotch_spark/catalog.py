@@ -574,6 +574,15 @@ def outliers_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(orders, "o_totalprice", ["o_orderstatus"], k=3.0)
 
 
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample of events per type (dense spine)."""
+    from topnotch_spark.operators.temporal import resample_timeseries
+
+    return resample_timeseries(
+        load(spark, sf_dir, "events"), "ts", "event_type", "value", "1 day"
+    )
+
+
 def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB KS path: same statistic over a 32-bin reference grid —
     ECDF input bounded by bin count instead of distinct-value count."""
@@ -916,6 +925,7 @@ ALL = {
     "text_repetition": text_repetition,
     "decontaminate_overlap": decontaminate_overlap,
     "latest_event_per_user": latest_event_per_user,
+    "timeseries_resample": timeseries_resample,
     "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,

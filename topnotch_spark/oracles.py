@@ -920,6 +920,42 @@ def streaming_error_click_join_sql(tolerance_seconds: int = 3600) -> str:
     """
 
 
+def timeseries_resample_sql(bucket_days: int = 1) -> str:
+    """Mirror of temporal.resample_timeseries: time_bucket == Spark's
+    window().start for epoch-anchored day buckets; dense spine from
+    generate_series over the observed bucket range."""
+    iv = f"INTERVAL {bucket_days} DAY"
+    return f"""
+        WITH base AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        ),
+        per AS (
+          SELECT time_bucket({iv}, ts) AS bucket_start, event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(value), 6) AS sum_value
+          FROM base GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT min(time_bucket({iv}, ts)) AS mn,
+                 max(time_bucket({iv}, ts)) AS mx
+          FROM base
+        ),
+        buckets AS (
+          SELECT unnest(generate_series(mn, mx, {iv})) AS bucket_start
+          FROM bounds
+        ),
+        spine AS (
+          SELECT b.bucket_start, t.event_type
+          FROM buckets b, (SELECT DISTINCT event_type FROM base) t
+        )
+        SELECT s.bucket_start, s.event_type,
+               coalesce(p.n_events, 0) AS n_events,
+               coalesce(p.sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN per p
+          ON s.bucket_start = p.bucket_start AND s.event_type = p.event_type
+    """
+
+
 def asof_error_click_sql() -> str:
     """Native DuckDB ASOF LEFT JOIN mirrors the Spark merge-sorted as-of
     (equality matches; clicks pre-deduped per (user, ts) by max event_id
