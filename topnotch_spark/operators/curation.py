@@ -1,11 +1,12 @@
 """Corpus-curation operators for LLM training-data pipelines: PII
 redaction, rule-chain quality filtering, deterministic stratified
-sampling, and token-budget shard packing.
+sampling (by rate and by exact count), token-budget shard packing, and
+benchmark decontamination.
 
-All four are pure-JVM single-pass projections or window passes — no
-Python UDFs, no collects — so they scale linearly with corpus bytes.
-(The reference engine has none of these; LLM-pipeline extension surface,
-same tier as operators/dedup.py.)
+All are pure-JVM projections, window passes, or (for decontamination) a
+broadcast equi-join — no Python UDFs, no collects — so they scale
+linearly with corpus bytes. (The reference engine has none of these;
+LLM-pipeline extension surface, same tier as operators/dedup.py.)
 """
 
 from __future__ import annotations

@@ -1,5 +1,6 @@
 """Text-analysis operators: token statistics, quality scoring,
-language identification, document fingerprinting.
+language identification, document fingerprinting, repetition stats,
+vocabulary top-k, TF-IDF keywords.
 
 All pure-`pyspark.sql.functions` projections (single pass, codegen'd, no
 shuffle except where a groupBy is the point of the query). Designed so a
