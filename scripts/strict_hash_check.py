@@ -105,10 +105,12 @@ def main() -> int:
             failures += 1
             print(f"FAIL  {name}: hash {sh[:12]} vs {dh[:12]} "
                   f"({len(srows)} vs {len(drows)} rows)  [{dt:.1f}s]")
-            # show first differing cell for debugging
-            order = sorted(range(len(scols)), key=lambda i: scols[i])
-            skeys = sorted("|".join(cell_key(r[i]) for i in order) for r in srows)
-            dkeys = sorted("|".join(cell_key(r[i]) for i in order) for r in drows)
+            # show first differing cell for debugging — each side sorted
+            # by ITS OWN column layout (they may differ physically)
+            sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            skeys = sorted("|".join(cell_key(r[i]) for i in sorder) for r in srows)
+            dkeys = sorted("|".join(cell_key(r[i]) for i in dorder) for r in drows)
             for a, b in zip(skeys, dkeys):
                 if a != b:
                     print(f"      spark : {a[:200]}")

@@ -13,17 +13,31 @@ def _docs(spark, rows):
 
 
 def test_window_and_overlap(spark):
-    text = "abcdefghij"  # len 10, size 4, overlap 2 -> starts 0,2,4,6,8
+    # len 10, size 4, overlap 2 -> starts 0,2,4,6 (start 8 would yield
+    # "ij", a strict substring of "ghij" -> suppressed)
+    text = "abcdefghij"
     out = chunk_documents(
         _docs(spark, [(1, text)]), "doc_id", "text", size=4, overlap=2
     ).collect()
     chunks = {r["chunk_idx"]: r for r in out}
-    assert [chunks[i]["chunk_text"] for i in range(5)] == [
-        "abcd", "cdef", "efgh", "ghij", "ij",
+    assert [chunks[i]["chunk_text"] for i in range(4)] == [
+        "abcd", "cdef", "efgh", "ghij",
     ]
-    assert all(r["n_chunks"] == 5 for r in out)
-    assert chunks[4]["chunk_len"] == 2  # tail shorter than size
+    assert all(r["n_chunks"] == 4 for r in out)
     assert chunks[3]["chunk_start"] == 6
+
+
+def test_no_redundant_tail_chunk(spark):
+    # doc exactly `size` long: one chunk only, not a duplicated tail
+    out = chunk_documents(
+        _docs(spark, [(1, "x" * 400)]), "doc_id", "text", size=400, overlap=100
+    ).collect()
+    assert len(out) == 1 and out[0]["n_chunks"] == 1
+    # tail longer than overlap still emitted
+    out2 = chunk_documents(
+        _docs(spark, [(1, "x" * 500)]), "doc_id", "text", size=400, overlap=100
+    ).collect()
+    assert len(out2) == 2 and out2[1 if out2[0]["chunk_idx"] == 0 else 0]["chunk_len"] == 200
 
 
 def test_doc_shorter_than_size(spark):

@@ -216,3 +216,23 @@ def test_stratified_topn_exact_counts(spark):
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
     # n larger than stratum -> whole stratum
     assert stratified_topn(df, "doc_id", "lang", 60).count() == 100
+
+
+def test_stratified_sample_null_stratum_uses_default(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None)], "doc_id long, lang string"
+    )
+    # default_rate=1.0 keeps NULL-stratum rows
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", "lang", {"en": 1.0}, default_rate=1.0
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+    # default_rate=0 drops them
+    got0 = {
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", "lang", {"en": 1.0}).collect()
+    }
+    assert got0 == {1}

@@ -58,3 +58,14 @@ def test_drift_empty_and_constant_reference_raise(spark):
     const = spark.createDataFrame([(2.0,), (2.0,)], "x double")
     with pytest.raises(ValueError, match="constant"):
         histogram_drift(const, cur, "x")
+
+
+def test_ks_empty_side_yields_null_not_crash(spark):
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.operators.drift import ks_statistic
+
+    vals = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    empty = vals.filter("x < 0")
+    row = ks_statistic(vals, empty, "x").collect()[0]
+    assert row["ks_stat"] is None and row["n_cur"] == 0 and row["n_ref"] == 10

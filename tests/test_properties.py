@@ -22,10 +22,13 @@ ASCII = st.text(
 )
 
 
-def _py_chunks(text: str, size: int, step: int) -> list[tuple[int, int, str]]:
+def _py_chunks(
+    text: str, size: int, step: int, overlap: int
+) -> list[tuple[int, int, str]]:
+    last_start = max(len(text) - overlap - 1, 0)
     return [
         (i, s, text[s : s + size])
-        for i, s in enumerate(range(0, len(text), step))
+        for i, s in enumerate(range(0, last_start + 1, step))
     ]
 
 
@@ -46,7 +49,7 @@ def test_chunking_matches_python_reference(spark, texts, size, overlap_frac):
         (i, ci): (s, c)
         for i, t in enumerate(texts)
         if len(t) > 0
-        for ci, s, c in _py_chunks(t, size, step)
+        for ci, s, c in _py_chunks(t, size, step, overlap)
     }
     assert got == want
 

@@ -91,9 +91,19 @@ class TnEngine:
             [self._cmd_echo(c) for c in cmds if not isinstance(c, ErrorCmd)]
         )
         num_failed = 0
-        for cmd in cmds:
-            num_failed += self.run_command(cmd, writer)
-        writer.write_report(report_key)
+        try:
+            for cmd in cmds:
+                num_failed += self.run_command(cmd, writer)
+            writer.write_report(report_key)
+        finally:
+            # release shingle/signature tables persisted by dedup-family
+            # commands during this plan: a long-lived session running many
+            # plans must not accumulate MEMORY_AND_DISK intermediates.
+            # Registry outputs stay valid — access after this point just
+            # recomputes the (truncated) lineage.
+            from topnotch_spark.operators.dedup import unpersist_intermediates
+
+            unpersist_intermediates()
         return num_failed
 
     def run_command(self, cmd: Command, writer=None) -> int:

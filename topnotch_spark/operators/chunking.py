@@ -31,13 +31,19 @@ def chunk_documents(
     advancing by ``size - overlap``. Empty docs yield no chunks; the
     final chunk may be shorter than ``size``. All counters are BIGINT to
     match ANSI-SQL engines bit-for-bit.
+
+    A start is emitted only while ``start < len − overlap`` (plus start
+    0): a later start would produce a chunk of ≤ ``overlap`` chars that
+    is a strict substring of the previous chunk — systematically
+    duplicated text in a training corpus. Every character is still
+    covered exactly once by the non-overlap portions.
     """
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
     step = size - overlap
     txt = F.col(text_col)
     n = F.length(txt)
-    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step))
     exploded = (
         df.filter(n > 0)
         .select(
@@ -54,5 +60,7 @@ def chunk_documents(
         F.col("chunk_start").cast("long").alias("chunk_start"),
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("chunk_len"),
-        (F.floor((F.col("__n__") - 1) / step) + 1).cast("long").alias("n_chunks"),
+        (
+            F.floor(F.greatest(F.col("__n__") - overlap - 1, F.lit(0)) / step) + 1
+        ).cast("long").alias("n_chunks"),
     )

@@ -114,17 +114,22 @@ def stratified_sample(
     keep row iff the first 8 hex chars of md5(stratum ':' id) fall below
     the stratum's rate threshold. No RNG, no seed plumbing — the same
     row set on every engine, every run, any partitioning (the classic
-    hash-sample trick for reproducible corpus subsets). Zero shuffle."""
+    hash-sample trick for reproducible corpus subsets). Zero shuffle.
+
+    NULL strata are normalized to '' and follow ``default_rate`` —
+    without the coalesce, ``== stratum`` / ``isin`` three-valued logic
+    silently drops every NULL-stratum row regardless of rate."""
+    strat = F.coalesce(F.col(strat_col), F.lit(""))
     key = F.md5(
-        F.concat_ws(":", F.col(strat_col), F.col(id_col).cast("string"))
+        F.concat_ws(":", strat, F.col(id_col).cast("string"))
     ).substr(1, 8)
     cond = None
     for stratum, rate in sorted(rates.items()):
-        this = (F.col(strat_col) == stratum) & (
+        this = (strat == stratum) & (
             F.lit(rate >= 1.0) | (key < F.lit(_rate_threshold_hex(min(rate, 1.0))))
         )
         cond = this if cond is None else cond | this
-    others = ~F.col(strat_col).isin(list(rates)) & (
+    others = ~strat.isin(list(rates)) & (
         F.lit(default_rate >= 1.0)
         | (key < F.lit(_rate_threshold_hex(min(default_rate, 1.0))))
     )

@@ -28,9 +28,13 @@ cached one, so the operator itself cannot unpersist. Every such persist
 is tracked: consume the result (an action), then call
 ``unpersist_intermediates()`` — or wrap the whole consume in a
 ``dedup_scope()`` context manager — to release the storage without the
-``spark.catalog.clearCache()`` sledgehammer. Unpersisting before the
-result is consumed is safe but recomputes the lineage. At real scale,
-replace the persist with a parquet checkpoint (SCALE.md §6).
+``spark.catalog.clearCache()`` sledgehammer. The plan engine does this
+automatically at the end of every plan run
+(engine.execute_commands → unpersist_intermediates), so back-to-back
+plans in one session do not accumulate storage; direct API callers
+manage the scope themselves. Unpersisting before the result is consumed
+is safe but recomputes the lineage. At real scale, replace the persist
+with a parquet checkpoint (SCALE.md §6).
 """
 
 from __future__ import annotations

@@ -156,9 +156,16 @@ def ks_statistic(
         Window.unboundedPreceding, Window.currentRow
     )
     tot = Window.partitionBy()
+    # try_divide: an empty side (n=0) yields ks_stat NULL instead of an
+    # ANSI DIVIDE_BY_ZERO abort — a drift gate over an empty partition
+    # reports "no statistic", it doesn't kill the plan run
     ecdf = per_v.select(
-        (F.sum("c_ref").over(w) / F.sum("c_ref").over(tot)).alias("f_ref"),
-        (F.sum("c_cur").over(w) / F.sum("c_cur").over(tot)).alias("f_cur"),
+        F.try_divide(F.sum("c_ref").over(w), F.sum("c_ref").over(tot)).alias(
+            "f_ref"
+        ),
+        F.try_divide(F.sum("c_cur").over(w), F.sum("c_cur").over(tot)).alias(
+            "f_cur"
+        ),
         F.sum("c_ref").over(tot).alias("n_ref"),
         F.sum("c_cur").over(tot).alias("n_cur"),
     )

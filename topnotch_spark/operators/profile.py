@@ -114,18 +114,30 @@ def zscore_outliers(
     round_digits: int = 6,
 ) -> DataFrame:
     """Flag rows whose value is > k sample-standard-deviations from the
-    (per-group) mean. One window pass over the group partitioning (or a
-    frame-wide window when ungrouped — the stats are 2 doubles/group, so
-    even the ungrouped case is a cheap broadcast-style pass); no driver
-    collection. The classic first-line QC screen for numeric columns."""
-    part = (
-        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    )
-    mean = F.mean(F.col(value_col)).over(part)
-    std = F.stddev_samp(F.col(value_col)).over(part)
-    z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
-    return df.select(
-        "*",
+    (per-group) mean. Grouped: one window pass over the group
+    partitioning (2 doubles of state per group). Ungrouped: a 1-row
+    scalar aggregate broadcast-joined back to the rows — NOT an
+    unpartitioned window, which would funnel the whole dataset through a
+    single task. No driver collection either way. The classic first-line
+    QC screen for numeric columns."""
+    if group_cols:
+        part = Window.partitionBy(*group_cols)
+        mean = F.mean(F.col(value_col)).over(part)
+        std = F.stddev_samp(F.col(value_col)).over(part)
+        z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
+        base = df
+    else:
+        stats = df.agg(
+            F.mean(F.col(value_col)).alias("__m__"),
+            F.stddev_samp(F.col(value_col)).alias("__s__"),
+        )
+        base = df.crossJoin(F.broadcast(stats))
+        z = F.when(
+            F.col("__s__") > 0, (F.col(value_col) - F.col("__m__")) / F.col("__s__")
+        ).otherwise(F.lit(0.0))
+    out = base.select(
+        *[F.col(c) for c in df.columns],
         F.round(z, round_digits).alias("zscore"),
         (F.abs(F.round(z, round_digits)) > k).alias("is_outlier"),
     )
+    return out

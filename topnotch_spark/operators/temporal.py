@@ -195,11 +195,11 @@ def resample_timeseries(
     sum_value=0) — so downstream window math (moving averages, gap
     detection) never trips over missing rows.
 
-    Execution shape: one groupBy(group, bucket) over the scan, then a
-    LEFT join from the dense spine. The spine is (distinct groups ×
-    bucket count) — tiny, built from one 2-scalar min/max fetch and a
-    broadcast-joined `sequence` explode, so the fill costs no extra pass
-    over the data. Scan-bound at any scale."""
+    Execution shape: ONE groupBy(group, bucket) over the scan; the
+    aggregated frame (≪ input) is locally checkpointed and everything
+    else — the min/max bucket bounds, the distinct groups, the dense
+    spine — derives from it, so the raw data really is scanned exactly
+    once. Scan-bound at any scale."""
     win = F.window(F.col(ts_col), bucket)
     per = (
         df.groupBy(win.alias("w"), F.col(group_col))
@@ -213,15 +213,15 @@ def resample_timeseries(
             "n_events",
             "sum_value",
         )
+        .localCheckpoint(eager=True)
     )
-    bounds = df.select(
-        F.min(F.window(F.col(ts_col), bucket).start).alias("mn"),
-        F.max(F.window(F.col(ts_col), bucket).start).alias("mx"),
+    bounds = per.agg(
+        F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx")
     ).collect()[0]
     if bounds["mn"] is None:
         return per  # empty input: nothing to fill
     spark = df.sparkSession
-    groups = df.select(F.col(group_col)).distinct()
+    groups = per.select(F.col(group_col)).distinct()
     spine = groups.crossJoin(
         F.broadcast(
             spark.range(1).select(

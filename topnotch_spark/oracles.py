@@ -463,7 +463,8 @@ def similarity_ivf_sql(
 
 
 def text_chunks_sql(size: int = 400, overlap: int = 100) -> str:
-    """Mirror of operators/chunking.py: same starts, same substr window."""
+    """Mirror of operators/chunking.py: same starts (capped so no chunk
+    is a strict substring of its predecessor), same substr window."""
     step = size - overlap
     return f"""
         WITH docs AS (
@@ -472,7 +473,8 @@ def text_chunks_sql(size: int = 400, overlap: int = 100) -> str:
         ),
         st AS (
           SELECT doc_id, text, n,
-                 unnest(generate_series(0, n - 1, {step})) AS s
+                 unnest(generate_series(0, greatest(n - {overlap} - 1, 0),
+                                        {step})) AS s
           FROM docs
         )
         SELECT doc_id,
@@ -480,7 +482,7 @@ def text_chunks_sql(size: int = 400, overlap: int = 100) -> str:
                s AS chunk_start,
                substr(text, CAST(s + 1 AS INT), {size}) AS chunk_text,
                length(substr(text, CAST(s + 1 AS INT), {size})) AS chunk_len,
-               (n - 1) // {step} + 1 AS n_chunks
+               greatest(n - {overlap} - 1, 0) // {step} + 1 AS n_chunks
         FROM st
     """
 
@@ -613,10 +615,12 @@ def text_quality_filter_sql(stopwords: list[str]) -> str:
 
 def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0) -> str:
     """Mirror of curation.stratified_sample: md5-hex threshold per
-    stratum (identical md5 hex on both engines ⇒ identical row set)."""
+    stratum (identical md5 hex on both engines ⇒ identical row set).
+    NULL strata coalesce to '' and take the default rate, as in the
+    operator."""
     from topnotch_spark.operators.curation import _rate_threshold_hex
 
-    key = "substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    key = "substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 8)"
     whens = "\n               ".join(
         f"WHEN '{s}' THEN "
         + ("TRUE" if r >= 1.0 else f"{key} < '{_rate_threshold_hex(r)}'")
@@ -628,7 +632,7 @@ def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0) ->
     )
     return f"""
         SELECT doc_id, lang FROM documents
-        WHERE CASE lang
+        WHERE CASE coalesce(lang, '')
                {whens}
                ELSE {dflt}
               END

@@ -303,15 +303,20 @@ class DriftCmd(Command):
 
         ref = load_input(engine.spark, self.reference, engine.registry)
         cur = load_input(engine.spark, self.current, engine.registry)
-        if self.method == "ks":
-            opts = {
-                k: v
-                for k, v in self.options.items()
-                if k in ("round_digits", "bins")
-            }
-            return ks_statistic(ref, cur, self.column, **opts)
-        if self.method != "psi":
+        allowed = {
+            "ks": {"round_digits", "bins"},
+            "psi": {"n_buckets", "eps", "round_digits"},
+        }
+        if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
+        stray = set(self.options) - allowed[self.method]
+        if stray:
+            raise ValueError(
+                f"drift method '{self.method}' does not accept options "
+                f"{sorted(stray)}; allowed: {sorted(allowed[self.method])}"
+            )
+        if self.method == "ks":
+            return ks_statistic(ref, cur, self.column, **self.options)
         return histogram_drift(ref, cur, self.column, **self.options)
 
 
