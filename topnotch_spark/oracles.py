@@ -1145,7 +1145,7 @@ def streaming_window_metrics_sql(window: str = "1 hour") -> str:
                event_type,
                count(*) AS n_events,
                round(sum(value), 6) AS sum_value,
-               round(avg(value), 6) AS avg_value
+               round(round(sum(value), 6) / count(*), 6) AS avg_value
         FROM events
         GROUP BY 1, 2, 3
     """

@@ -131,7 +131,14 @@ def windowed_event_metrics(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("sum_value"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            # avg derived from the ROUNDED sum, not an independent AVG
+            # aggregate: parallel partial-sum order vs a sequential
+            # engine can drift a raw avg by one ulp across the round()
+            # boundary (observed at sf0.1); once the rounded sums agree,
+            # round(sum/n) agrees by construction.
+            F.round(F.round(F.sum(value_col), 6) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
         )
         .select(
             F.col("win.start").alias("window_start"),
