@@ -252,3 +252,31 @@ def test_decontaminate_command(spark, tmp_path):
     assert {"corpus_id", "bench_id", "n_common", "overlap_frac"} == set(
         leaks.columns
     )
+
+
+def test_llm_pipeline_plan_chains_stages(spark):
+    """The full curation pipeline as ONE chained plan: quality gate →
+    cluster dedup → PII scrub → chunk/shard, each stage reading the
+    previous stage's registry output."""
+    from topnotch_spark.plans.readers import FileReader
+
+    engine = TnEngine(spark)
+    num_failed = engine.run(
+        "/root/repo/examples/llm_pipeline_plan.json",
+        variables={"sfDir": SF},
+    )
+    assert num_failed == 0
+    reg = engine.registry
+    n_raw = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n_quality = reg["qualityDocs"].count()
+    n_dedup = reg["dedupedDocs"].count()
+    assert n_quality <= n_raw
+    assert n_dedup <= n_quality
+    # scrub preserved row count; chunking fans out
+    assert reg["cleanDocs"].count() == n_dedup
+    assert reg["chunks"].count() >= n_dedup
+    assert reg["trainingShards"].count() == n_dedup
+    # dup clusters kept exactly one doc per cluster
+    clusters = reg["dupClusters"]
+    kept = clusters.filter("keep").count()
+    assert kept == clusters.select("cluster_id").distinct().count()
