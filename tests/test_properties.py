@@ -102,3 +102,39 @@ def test_pack_shards_matches_prefix_sum(spark, token_counts, budget):
     for i, n in enumerate(token_counts):
         assert got[i] == (n, cum // budget)
         cum += n
+
+
+# ---- empty-input robustness (not hypothesis; plain edge fixtures) ---------
+
+def test_empty_inputs_do_not_crash(spark):
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.operators.cluster import connected_components, dup_clusters
+    from topnotch_spark.operators.curation import (
+        cross_corpus_overlap,
+        pii_scrub,
+        quality_filter,
+        stratified_sample,
+        stratified_topn,
+    )
+    from topnotch_spark.operators.temporal import latest_per_key, resample_timeseries
+    from topnotch_spark.operators.textqc import tfidf_keywords, vocab_topk
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_1 long, id_2 long")
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert connected_components(pairs).count() == 0
+    assert dup_clusters(pairs).count() == 0
+    assert chunk_documents(docs, "doc_id", "text").count() == 0
+    assert pii_scrub(docs, "doc_id", "text").count() == 0
+    assert quality_filter(docs, "doc_id", "text").count() == 0
+    assert stratified_sample(docs, "doc_id", "text", {"en": 0.5}).count() == 0
+    assert stratified_topn(docs, "doc_id", "text", 5).count() == 0
+    assert vocab_topk(docs, "doc_id", "text").count() == 0
+    assert tfidf_keywords(docs, "doc_id", "text").count() == 0
+    assert pack_token_shards(docs, "doc_id", "text").count() == 0
+    assert latest_per_key(events, ["user_id"], "ts", "event_id").count() == 0
+    assert resample_timeseries(events, "ts", "user_id", "value").count() == 0
+    assert cross_corpus_overlap(docs, docs, "doc_id", "text").count() == 0
