@@ -100,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
         "timeseries_resample": oracles.timeseries_resample_sql(1),
+        "events_json_props": oracles.events_json_props_sql(),
         "outliers_totalprice": oracles.outliers_zscore_sql(
             "orders", "o_totalprice", ["o_orderstatus"],
             ["o_orderkey", "o_orderstatus", "o_totalprice"], k=3.0,

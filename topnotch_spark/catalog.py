@@ -574,6 +574,28 @@ def outliers_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(orders, "o_totalprice", ["o_orderstatus"], k=3.0)
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing: parse the JSON ``props`` column and
+    aggregate the extracted field per event type. ``get_json_object`` is
+    a JVM expression (codegen'd, no Python); at scale prefer parsing
+    ONCE with ``from_json`` into a struct column over repeated
+    ``get_json_object`` calls per field."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            # int sums are exact, so the derived avg is deterministic
+            F.round(F.sum("k") / F.count(F.lit(1)), 6).alias("avg_k"),
+        )
+    )
+
+
 def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily resample of events per type (dense spine)."""
     from topnotch_spark.operators.temporal import resample_timeseries
@@ -926,6 +948,7 @@ ALL = {
     "decontaminate_overlap": decontaminate_overlap,
     "latest_event_per_user": latest_event_per_user,
     "timeseries_resample": timeseries_resample,
+    "events_json_props": events_json_props,
     "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,

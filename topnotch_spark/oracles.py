@@ -924,6 +924,24 @@ def streaming_error_click_join_sql(tolerance_seconds: int = 3600) -> str:
     """
 
 
+def events_json_props_sql() -> str:
+    """Mirror of catalog.events_json_props (DuckDB JSON extension)."""
+    return """
+        WITH parsed AS (
+          SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(k) AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               round(sum(k) * 1.0 / count(*), 6) AS avg_k
+        FROM parsed GROUP BY event_type
+    """
+
+
 def timeseries_resample_sql(bucket_days: int = 1) -> str:
     """Mirror of temporal.resample_timeseries: time_bucket == Spark's
     window().start for epoch-anchored day buckets; dense spine from
