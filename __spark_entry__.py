@@ -108,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_error_click": oracles.asof_error_click_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),
+        "multimodal_blob_dedup": oracles.multimodal_blob_dedup_sql(),
         "drift_orders_totalprice": oracles.drift_sql(10),
         "profile_lineitem": oracles.profile_sql(
             "lineitem",

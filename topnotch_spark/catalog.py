@@ -673,6 +673,19 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(docs, "content", keep_cols=("doc_id",))
 
 
+def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media-level dedup: md5 over the raw BYTES (not text), the
+    standard first pass over an image/audio corpus — format-agnostic,
+    JVM-side, one shuffle. Reuses keyed_dedup, which is column-type
+    agnostic."""
+    from topnotch_spark.operators.dedup import keyed_dedup
+
+    blobs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return keyed_dedup(blobs, "doc_id", F.md5(F.col("content")), "blob_key")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming extensions (SURVEY.md §2.3): the events table is
 # replayed as a file-source stream (3 time-split files, availableNow) and
@@ -953,6 +966,7 @@ ALL = {
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,
+    "multimodal_blob_dedup": multimodal_blob_dedup,
     "drift_orders_totalprice": drift_orders_totalprice,
     "profile_lineitem": profile_lineitem,
     "profile_lineitem_approx": profile_lineitem_approx,

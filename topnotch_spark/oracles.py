@@ -1026,6 +1026,20 @@ def range_join_events_sql(tolerance_seconds: int = 3600) -> str:
     """
 
 
+def multimodal_blob_dedup_sql() -> str:
+    """md5 over raw bytes: DuckDB's md5(VARCHAR) hashes the string's
+    UTF-8 bytes — exactly the bytes Spark hashes after
+    ``encode(text, 'UTF-8')``, so no BLOB cast is needed (DuckDB has no
+    md5(BLOB) overload)."""
+    return """
+        SELECT doc_id,
+               md5(text) AS blob_key,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents
+    """
+
+
 def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """Mirror of operators/multimodal.byte_stats over encode(text):
     high-nibble counts come from the odd positions of hex(blob) (exact
