@@ -236,3 +236,17 @@ def test_stratified_sample_null_stratum_uses_default(spark):
         for r in stratified_sample(df, "doc_id", "lang", {"en": 1.0}).collect()
     }
     assert got0 == {1}
+
+
+def test_stratified_sample_null_distinct_from_empty_string(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, lang string"
+    )
+    # '' has an explicit 0-rate; NULL must still follow default_rate=1.0
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", "lang", {"": 0.0}, default_rate=1.0
+        ).collect()
+    }
+    assert got == {2}

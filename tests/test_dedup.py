@@ -194,3 +194,16 @@ def test_dedup_persist_lifecycle(spark):
             assert len(_PERSISTED) >= 3
         assert len(_PERSISTED) == 0
     assert cached_rdd_count() == base
+
+
+def test_unpersist_intermediates_mark_scoping(spark):
+    from topnotch_spark.operators import dedup
+
+    dedup.unpersist_intermediates()  # clean slate
+    dedup._persist(spark.range(3).toDF("a"))
+    mark = dedup.intermediates_mark()
+    dedup._persist(spark.range(4).toDF("b"))
+    # mark-scoped release frees only the later entry
+    assert dedup.unpersist_intermediates(mark=mark) == 1
+    assert dedup.intermediates_mark() == 1
+    assert dedup.unpersist_intermediates() == 1

@@ -69,3 +69,13 @@ def test_ks_empty_side_yields_null_not_crash(spark):
     empty = vals.filter("x < 0")
     row = ks_statistic(vals, empty, "x").collect()[0]
     assert row["ks_stat"] is None and row["n_cur"] == 0 and row["n_ref"] == 10
+
+
+def test_ks_both_sides_empty_single_row(spark):
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.operators.drift import ks_statistic
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    row = ks_statistic(empty, empty, "x").collect()[0]
+    assert row["ks_stat"] is None and row["n_ref"] == 0 and row["n_cur"] == 0

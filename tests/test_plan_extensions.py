@@ -258,8 +258,6 @@ def test_llm_pipeline_plan_chains_stages(spark):
     """The full curation pipeline as ONE chained plan: quality gate →
     cluster dedup → PII scrub → chunk/shard, each stage reading the
     previous stage's registry output."""
-    from topnotch_spark.plans.readers import FileReader
-
     engine = TnEngine(spark)
     num_failed = engine.run(
         "/root/repo/examples/llm_pipeline_plan.json",

@@ -94,3 +94,15 @@ def test_zscore_outliers_flags_extremes(spark):
     const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, v double")
     rows = zscore_outliers(const, "v", None).collect()
     assert all(r["zscore"] == 0.0 and not r["is_outlier"] for r in rows)
+
+
+def test_zscore_ungrouped_tolerates_reserved_names(spark):
+    from topnotch_spark.operators.profile import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "x"), (2, 2.0, "y"), (3, 30.0, "z")],
+        "id long, v double, __m__ string",
+    )
+    out = zscore_outliers(df, "v", None, k=1.0).collect()
+    assert len(out) == 3 and {r["id"] for r in out if r["is_outlier"]} == {3}
+    assert set(out[0].asDict()) == {"id", "v", "__m__", "zscore", "is_outlier"}

@@ -90,6 +90,12 @@ class TnEngine:
         writer.add_section(
             [self._cmd_echo(c) for c in cmds if not isinstance(c, ErrorCmd)]
         )
+        from topnotch_spark.operators.dedup import (
+            intermediates_mark,
+            unpersist_intermediates,
+        )
+
+        mark = intermediates_mark()
         num_failed = 0
         try:
             for cmd in cmds:
@@ -97,13 +103,12 @@ class TnEngine:
             writer.write_report(report_key)
         finally:
             # release shingle/signature tables persisted by dedup-family
-            # commands during this plan: a long-lived session running many
-            # plans must not accumulate MEMORY_AND_DISK intermediates.
-            # Registry outputs stay valid — access after this point just
-            # recomputes the (truncated) lineage.
-            from topnotch_spark.operators.dedup import unpersist_intermediates
-
-            unpersist_intermediates()
+            # commands during THIS plan (mark-scoped, so a concurrent
+            # engine's or an enclosing dedup_scope's entries are left
+            # alone): a long-lived session running many plans must not
+            # accumulate MEMORY_AND_DISK intermediates. Registry outputs
+            # stay valid — access after this point just recomputes.
+            unpersist_intermediates(mark=mark)
         return num_failed
 
     def run_command(self, cmd: Command, writer=None) -> int:

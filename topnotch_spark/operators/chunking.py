@@ -5,7 +5,8 @@ embedding long docs (context-window-bounded models).
 Pure JVM formulation, zero shuffle: ``sequence(0, length-1, step)``
 builds the chunk-start array, ``posexplode`` fans it out (the generator
 runs inside whole-stage codegen — no Python), ``substr`` slices. Output
-row count is ceil(len/step) per doc, so the scan stays narrow and the
+row count is floor(max(len−overlap−1, 0)/step)+1 per doc (≈ len/step,
+minus a suppressed ≤-overlap tail), so the scan stays narrow and the
 operator scales linearly with corpus bytes; at 100 TB the only knob that
 matters is keeping downstream partition sizes sane after the ~len/step×
 row fan-out (``spark.sql.files.maxPartitionBytes`` already bounds the

@@ -116,12 +116,17 @@ def stratified_sample(
     row set on every engine, every run, any partitioning (the classic
     hash-sample trick for reproducible corpus subsets). Zero shuffle.
 
-    NULL strata are normalized to '' and follow ``default_rate`` —
-    without the coalesce, ``== stratum`` / ``isin`` three-valued logic
-    silently drops every NULL-stratum row regardless of rate."""
-    strat = F.coalesce(F.col(strat_col), F.lit(""))
+    NULL strata always follow ``default_rate`` (even when ``''`` has its
+    own entry in ``rates`` — NULL is not the empty string); their hash
+    key coalesces to '', so NULL and ''-stratum rows draw the same
+    pseudo-random sequence (coupled, documented). Without explicit NULL
+    handling, ``== stratum`` / ``isin`` three-valued logic would
+    silently drop every NULL-stratum row regardless of rate."""
+    strat = F.col(strat_col)
     key = F.md5(
-        F.concat_ws(":", strat, F.col(id_col).cast("string"))
+        F.concat_ws(
+            ":", F.coalesce(strat, F.lit("")), F.col(id_col).cast("string")
+        )
     ).substr(1, 8)
     cond = None
     for stratum, rate in sorted(rates.items()):
@@ -129,7 +134,7 @@ def stratified_sample(
             F.lit(rate >= 1.0) | (key < F.lit(_rate_threshold_hex(min(rate, 1.0))))
         )
         cond = this if cond is None else cond | this
-    others = ~strat.isin(list(rates)) & (
+    others = (strat.isNull() | ~strat.isin(list(rates))) & (
         F.lit(default_rate >= 1.0)
         | (key < F.lit(_rate_threshold_hex(min(default_rate, 1.0))))
     )

@@ -49,9 +49,11 @@ from pyspark.storagelevel import StorageLevel
 from topnotch_spark.functions.text import sorted_token_fingerprint, tokens
 from topnotch_spark.functions.vectors import srp_bucket
 
-# Shingle/signature tables persisted by the operators below, in creation
-# order. Intentionally process-global: the catalog/plan layer runs dedup
-# commands back-to-back in one session and frees them between corpora.
+# Intermediates persisted by the operators below (and by
+# temporal.resample_timeseries, which shares this registry), in creation
+# order. Intentionally process-global: the plan engine frees its own
+# plan's entries per run (mark-scoped), and direct API callers use
+# unpersist_intermediates()/dedup_scope().
 _PERSISTED: list[DataFrame] = []
 
 
@@ -62,13 +64,22 @@ def _persist(df: DataFrame) -> DataFrame:
     return out
 
 
-def unpersist_intermediates(blocking: bool = False) -> int:
-    """Release every intermediate persisted by dedup operators so far.
+def intermediates_mark() -> int:
+    """Current registry position; pass to ``unpersist_intermediates`` to
+    release only intermediates created after this point (lets an engine
+    free its OWN plan's tables without clobbering a concurrent engine's
+    or an enclosing ``dedup_scope``'s entries in the same process)."""
+    return len(_PERSISTED)
+
+
+def unpersist_intermediates(blocking: bool = False, mark: int = 0) -> int:
+    """Release intermediates persisted by dedup-family operators since
+    ``mark`` (default 0 = all of them).
 
     Call after the returned DataFrames have been consumed (actions run).
     Returns the number of tables released. Safe to call twice."""
     n = 0
-    while _PERSISTED:
+    while len(_PERSISTED) > mark:
         _PERSISTED.pop().unpersist(blocking)
         n += 1
     return n

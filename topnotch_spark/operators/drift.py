@@ -169,11 +169,15 @@ def ks_statistic(
         F.sum("c_ref").over(tot).alias("n_ref"),
         F.sum("c_cur").over(tot).alias("n_cur"),
     )
-    return ecdf.groupBy("n_ref", "n_cur").agg(
+    # ungrouped agg: ALWAYS exactly one row — both-sides-empty yields
+    # (NULL, 0, 0) instead of an empty frame, so .collect()[0] is safe
+    return ecdf.agg(
         F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), round_digits).alias(
             "ks_stat"
-        )
-    ).select("ks_stat", "n_ref", "n_cur")
+        ),
+        F.coalesce(F.max("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).alias("n_cur"),
+    )
 
 
 def psi(

@@ -127,13 +127,17 @@ def zscore_outliers(
         z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
         base = df
     else:
+        # collision-proof temp names (the input may already carry __m__)
+        m_col, s_col = "__m__", "__s__"
+        while m_col in df.columns or s_col in df.columns:
+            m_col, s_col = m_col + "_", s_col + "_"
         stats = df.agg(
-            F.mean(F.col(value_col)).alias("__m__"),
-            F.stddev_samp(F.col(value_col)).alias("__s__"),
+            F.mean(F.col(value_col)).alias(m_col),
+            F.stddev_samp(F.col(value_col)).alias(s_col),
         )
         base = df.crossJoin(F.broadcast(stats))
         z = F.when(
-            F.col("__s__") > 0, (F.col(value_col) - F.col("__m__")) / F.col("__s__")
+            F.col(s_col) > 0, (F.col(value_col) - F.col(m_col)) / F.col(s_col)
         ).otherwise(F.lit(0.0))
     out = base.select(
         *[F.col(c) for c in df.columns],

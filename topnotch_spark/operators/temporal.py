@@ -196,10 +196,15 @@ def resample_timeseries(
     detection) never trips over missing rows.
 
     Execution shape: ONE groupBy(group, bucket) over the scan; the
-    aggregated frame (≪ input) is locally checkpointed and everything
-    else — the min/max bucket bounds, the distinct groups, the dense
-    spine — derives from it, so the raw data really is scanned exactly
-    once. Scan-bound at any scale."""
+    aggregated frame (≪ input) is persisted — registered in the shared
+    intermediates registry, so the plan engine frees it per run and
+    ``dedup_scope``/``unpersist_intermediates`` work for direct callers
+    — and everything else (min/max bounds, distinct groups, the dense
+    spine) derives from it, so the raw data is scanned once. Persist
+    keeps lineage (unlike a localCheckpoint), so losing a cached block
+    on a real cluster recomputes instead of failing the job.
+    Scan-bound at any scale."""
+    from topnotch_spark.operators.dedup import _persist
     win = F.window(F.col(ts_col), bucket)
     per = (
         df.groupBy(win.alias("w"), F.col(group_col))
@@ -213,8 +218,8 @@ def resample_timeseries(
             "n_events",
             "sum_value",
         )
-        .localCheckpoint(eager=True)
     )
+    per = _persist(per)
     bounds = per.agg(
         F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx")
     ).collect()[0]

@@ -616,8 +616,9 @@ def text_quality_filter_sql(stopwords: list[str]) -> str:
 def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0) -> str:
     """Mirror of curation.stratified_sample: md5-hex threshold per
     stratum (identical md5 hex on both engines ⇒ identical row set).
-    NULL strata coalesce to '' and take the default rate, as in the
-    operator."""
+    NULL strata take the default rate (keyed as ''), as in the
+    operator — the explicit IS NULL branch keeps NULL distinct from a
+    ''-keyed rates entry."""
     from topnotch_spark.operators.curation import _rate_threshold_hex
 
     key = "substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 8)"
@@ -632,9 +633,11 @@ def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0) ->
     )
     return f"""
         SELECT doc_id, lang FROM documents
-        WHERE CASE coalesce(lang, '')
-               {whens}
-               ELSE {dflt}
+        WHERE CASE WHEN lang IS NULL THEN {dflt}
+              ELSE CASE lang
+                    {whens}
+                    ELSE {dflt}
+                   END
               END
     """
 
@@ -663,8 +666,10 @@ def drift_ks_sql(table: str, col: str, ref_predicate: str) -> str:
                  sum(c_cur) OVER () AS n_cur
           FROM per_v
         )
-        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat, n_ref, n_cur
-        FROM ecdf GROUP BY n_ref, n_cur
+        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat,
+               coalesce(max(n_ref), 0) AS n_ref,
+               coalesce(max(n_cur), 0) AS n_cur
+        FROM ecdf
     """
 
 
@@ -705,8 +710,10 @@ def drift_ks_binned_sql(
                  sum(c_cur) OVER () AS n_cur
           FROM per_v
         )
-        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat, n_ref, n_cur
-        FROM ecdf GROUP BY n_ref, n_cur
+        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat,
+               coalesce(max(n_ref), 0) AS n_ref,
+               coalesce(max(n_cur), 0) AS n_cur
+        FROM ecdf
     """
 
 
