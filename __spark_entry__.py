@@ -87,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": oracles.embedding_centroids_sql(),
         "streaming_error_click_join": oracles.streaming_error_click_join_sql(3600),
         "streaming_session_window": oracles.streaming_session_window_sql(30),
+        "streaming_drift_monitor": oracles.streaming_drift_sql(10),
         "pack_token_shards": oracles.pack_token_shards_sql(budget=2000),
         "drift_ks_totalprice": oracles.drift_ks_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'"

@@ -177,3 +177,26 @@ def test_session_window_metrics_gap_boundary(spark):
     # session_end = last event + gap
     assert u1[0]["session_end"] == t0 + dt.timedelta(minutes=89)
     assert by_user[2][0]["n_events"] == 1
+
+
+def test_streaming_drift_equals_batch(spark, tmp_path):
+    """Accumulated per-batch counts == one batch histogram_drift pass."""
+    import datetime as dt
+
+    from topnotch_spark.operators.drift import histogram_drift
+    from topnotch_spark.streaming.ops import run_streaming_drift, stream_from_parquet
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, float(i % 7) + (1.0 if i % 3 == 0 else 0.0)) for i in range(60)]
+    schema = "event_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "drift_replay")
+    for k in range(2):  # two files -> two micro-batches
+        df.filter(f"event_id % 2 = {k}").coalesce(1).write.parquet(f"{src}/p{k}")
+    ref = df.filter("event_id % 5 = 0")
+    stream = stream_from_parquet(spark, f"{src}/p*", schema=schema,
+                                 max_files_per_trigger=1)
+    got = run_streaming_drift(ref, stream, "value", n_buckets=5).collect()
+    want = histogram_drift(ref, df, "value", n_buckets=5).collect()
+    key = lambda r: r["bucket"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)

@@ -862,6 +862,21 @@ def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the streamed event values against the static 'click'
+    distribution — per-bucket integer counts accumulate across
+    micro-batches, so the stream result equals the batch operator."""
+    from topnotch_spark.streaming import stream_from_parquet
+    from topnotch_spark.streaming.ops import events_replay_dir, run_streaming_drift
+
+    ref = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_streaming_drift(ref, stream, "value", n_buckets=10)
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessions via the built-in session_window state-store agg (the
     idiomatic counterpart to the applyInPandasWithState sessionizer)."""
@@ -977,4 +992,5 @@ ALL = {
     "streaming_enriched_metrics": streaming_enriched_metrics,
     "streaming_error_click_join": streaming_error_click_join,
     "streaming_session_window": streaming_session_window,
+    "streaming_drift_monitor": streaming_drift_monitor,
 }

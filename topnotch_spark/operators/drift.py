@@ -81,7 +81,21 @@ def histogram_drift(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    # n_buckets rows only — a frame-wide window total costs nothing here
+    return psi_table(joined, mn, width, eps, round_digits)
+
+
+def psi_table(
+    joined: DataFrame,
+    mn: float,
+    width: float,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI arithmetic over a (bucket, n_ref, n_cur) count frame — shared
+    by the batch path (histogram_drift) and the streaming accumulator
+    (streaming/ops.run_streaming_drift), so the two can never drift in
+    their double math. Input is n_buckets rows; the frame-wide window
+    totals cost nothing at that size."""
     total_r = F.sum("n_ref").over(Window.partitionBy())
     total_c = F.sum("n_cur").over(Window.partitionBy())
     frac_r = F.col("n_ref") / total_r

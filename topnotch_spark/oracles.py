@@ -1230,6 +1230,65 @@ def streaming_sessionize_sql(gap_minutes: int = 30) -> str:
     """
 
 
+def streaming_drift_sql(
+    n_buckets: int = 10, eps: float = 1e-6, round_digits: int = 6
+) -> str:
+    """Batch twin of the streaming drift monitor: the stream's
+    accumulated counts equal a plain batch histogram over all events,
+    referenced against the click-only distribution. Same formulas as
+    drift_sql."""
+    n = n_buckets
+    return f"""
+        WITH ref AS (
+          SELECT value::DOUBLE AS x FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL
+        ),
+        cur AS (
+          SELECT value::DOUBLE AS x FROM events WHERE value IS NOT NULL
+        ),
+        b AS (
+          SELECT min(x) AS mn, (max(x) - min(x)) / {n} AS width FROM ref
+        ),
+        spine AS (SELECT unnest(generate_series(0, {n - 1})) AS bucket),
+        rb AS (
+          SELECT least(greatest(CAST(floor((x - mn) / width) AS INT), 0),
+                       {n - 1}) AS bucket, count(*) AS n_ref
+          FROM ref CROSS JOIN b GROUP BY 1
+        ),
+        cb AS (
+          SELECT least(greatest(CAST(floor((x - mn) / width) AS INT), 0),
+                       {n - 1}) AS bucket, count(*) AS n_cur
+          FROM cur CROSS JOIN b GROUP BY 1
+        ),
+        j AS (
+          SELECT s.bucket,
+                 coalesce(n_ref, 0) AS n_ref,
+                 coalesce(n_cur, 0) AS n_cur
+          FROM spine s LEFT JOIN rb ON s.bucket = rb.bucket
+                       LEFT JOIN cb ON s.bucket = cb.bucket
+        ),
+        fr AS (
+          SELECT bucket, n_ref, n_cur,
+                 n_ref / (sum(n_ref) OVER ())::DOUBLE AS frac_ref_raw,
+                 n_cur / (sum(n_cur) OVER ())::DOUBLE AS frac_cur_raw
+          FROM j
+        )
+        SELECT f.bucket,
+               mn + f.bucket * width AS lo,
+               mn + (f.bucket + 1) * width AS hi,
+               f.n_ref, f.n_cur,
+               round(frac_ref_raw, {round_digits}) AS frac_ref,
+               round(frac_cur_raw, {round_digits}) AS frac_cur,
+               round(
+                 ((CASE WHEN frac_cur_raw = 0 THEN {eps} ELSE frac_cur_raw END)
+                  - (CASE WHEN frac_ref_raw = 0 THEN {eps} ELSE frac_ref_raw END))
+                 * ln((CASE WHEN frac_cur_raw = 0 THEN {eps} ELSE frac_cur_raw END)
+                      / (CASE WHEN frac_ref_raw = 0 THEN {eps} ELSE frac_ref_raw END)),
+                 {round_digits}) AS psi_term
+        FROM fr f CROSS JOIN b
+    """
+
+
 def streaming_session_window_sql(gap_minutes: int = 30) -> str:
     """Batch twin of the built-in session_window aggregation: gap
     islands with session_end = last_ts + gap (Spark's window end), new

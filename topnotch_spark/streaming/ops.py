@@ -221,6 +221,84 @@ def dedup_stream(
     return s.dropDuplicates(keys)
 
 
+def run_streaming_drift(
+    ref: DataFrame,
+    stream: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Streaming PSI drift monitor: histogram a STREAM against a static
+    reference distribution.
+
+    Bucket bounds come from the batch reference (one 2-scalar fetch,
+    exactly as histogram_drift); each micro-batch is reduced to its
+    per-bucket counts (≤ n_buckets rows to the driver per batch — the
+    foreachBatch body runs driver-side, same pattern as
+    run_streaming_assertions) and the integer counts accumulate across
+    batches, so the result is bit-identical to running the batch
+    operator over the whole stream. The final table reuses
+    drift.psi_table — the SAME expression code as the batch path. No
+    streaming state store at all: the only state is n_buckets longs on
+    the driver."""
+    from topnotch_spark.operators.drift import psi_table
+
+    spark = ref.sparkSession
+    r = ref.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("x")
+    )
+    mn, mx = r.agg(F.min("x"), F.max("x")).collect()[0]
+    if mn is None or mx == mn:
+        raise ValueError(
+            f"run_streaming_drift: reference '{col}' is empty or constant"
+        )
+    mn, mx = float(mn), float(mx)
+    width = (mx - mn) / n_buckets
+
+    def idx(frame: DataFrame) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+        return frame.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    ref_counts = {row["bucket"]: row["n"] for row in idx(r).collect()}
+    cur_counts: dict[int, int] = {}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = idx(
+            batch_df.filter(F.col(col).isNotNull()).select(
+                F.col(col).cast("double").alias("x")
+            )
+        ).collect()
+        for row in rows:
+            cur_counts[row["bucket"]] = cur_counts.get(row["bucket"], 0) + row["n"]
+
+    name = f"tn_drift_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{DEFAULT_CHECKPOINT_ROOT}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    joined = spark.createDataFrame(
+        [
+            (b, ref_counts.get(b, 0), cur_counts.get(b, 0))
+            for b in range(n_buckets)
+        ],
+        "bucket int, n_ref long, n_cur long",
+    )
+    return psi_table(joined, mn, width, eps, round_digits)
+
+
 def session_window_metrics(
     events: DataFrame,
     ts_col: str = "ts",
