@@ -80,31 +80,40 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are assigned to their
     nearest centroid (inverted lists); each query probes its ``n_probe``
     nearest centroids and ranks only those lists' members — candidate
     cost is ~(n_probe / n_centroids) of the corpus per query.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors —
+    Default centroids are the ``n_centroids`` lowest-id corpus vectors —
     deterministic with no RNG or iterative training, so any engine
-    reproduces the exact same index (a k-means refinement would slot in
-    here without changing the query path). Assignment ties break toward
-    the lower centroid id in every engine (identical float ops + explicit
-    ordering).
+    reproduces the exact same index (the catalog's oracle-checked
+    configuration). Pass ``centroids`` — e.g. the frame from
+    ``kmeans_centroids`` (columns centroid_id, centroid) — to query
+    against a TRAINED index with the identical query path. Assignment
+    ties break toward the lower centroid id in every engine (identical
+    float ops + explicit ordering).
 
     Scale shape: assignment is a broadcast cross join against
     ``n_centroids`` rows (tiny) + one window per id; the candidate join
     is an equi-join on centroid_id — the inverted-list bucket — so the
     whole thing is broadcast + one keyed shuffle, never |corpus|x|queries|.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec__")
+    if centroids is not None:
+        cents = centroids.select(
+            "centroid_id", F.col("centroid").alias("__cvec__")
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("__cvec__"),
+            )
+        )
 
     def assign(
         df: DataFrame, out_id: str, out_vec: str, out_norm: str, keep: int
@@ -229,3 +238,102 @@ def label_centroids(
             lambda x: x["avg"],
         ).alias("centroid"),
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    max_iter: int = 5,
+):
+    """Deterministic spherical k-means (Lloyd's) over an embedding
+    column: the trained upgrade for ivf_topk's seeded centroids.
+
+    Determinism, by construction: init = the ``n_centroids`` lowest-id
+    vectors (no RNG), assignment = max-cosine with centroid-id tiebreak,
+    means recomputed in a fixed order — identical output on every run
+    and cluster layout. Returns ``(centroids, assignments)``:
+    centroids (centroid_id, centroid: array<double>, n_members),
+    assignments (id, centroid_id).
+
+    Scale shape per iteration: assignment is a broadcast cross join
+    against ``n_centroids`` rows + one per-id window (same shape as
+    ivf_topk.assign); mean recompute is posexplode → groupBy(centroid,
+    dim) with map-side partial sums. The ONLY driver data is the
+    k × dim centroid matrix (collected to build the next broadcast
+    literal — tiny by definition) and a 1-row convergence count.
+    Early-stops when no vector changes assignment."""
+    from topnotch_spark.functions.vectors import cosine
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_rows = base.orderBy("id").limit(n_centroids).collect()
+    cents = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)
+    ]
+    assignments = None
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            cents, "centroid_id int, cvec array<double>"
+        )
+        scored = base.crossJoin(F.broadcast(cdf)).withColumn(
+            "__cc__", cosine(F.col("v"), F.col("cvec"))
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("__cc__").desc(), F.col("centroid_id").asc()
+        )
+        new_assign = (
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("id", "v", "centroid_id")
+            .localCheckpoint(eager=True)
+        )
+        if assignments is not None:
+            changed = (
+                new_assign.alias("n")
+                .join(assignments.alias("o"), "id")
+                .filter(F.col("n.centroid_id") != F.col("o.centroid_id"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                assignments = new_assign
+                break
+        assignments = new_assign
+        per_dim = (
+            assignments.select(
+                "centroid_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        counts: dict[int, int] = {}
+        for r in per_dim:
+            sums.setdefault(r["centroid_id"], {})[r["pos"]] = r["s"]
+            counts[r["centroid_id"]] = r["n"]
+        cents = [
+            (
+                cid,
+                [
+                    sums[cid][p] / counts[cid]
+                    for p in sorted(sums[cid])
+                ]
+                if cid in sums
+                else vec,  # empty cluster keeps its previous centroid
+            )
+            for cid, vec in cents
+        ]
+    cdf = spark.createDataFrame(cents, "centroid_id int, centroid array<double>")
+    members = assignments.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    centroids = cdf.join(members, "centroid_id", "left").select(
+        "centroid_id",
+        "centroid",
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
+    )
+    return centroids, assignments.select("id", "centroid_id")
