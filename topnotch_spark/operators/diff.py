@@ -242,3 +242,36 @@ def create_diff(
             _keep_row_pred(list(zip(dcols1, dcols2)), types, thresholds)
         )
     return result
+
+
+def schema_diff(df1, df2, name1: str = "first", name2: str = "second"):
+    """Schema-level compare (the metadata complement to the row-level
+    diff): one row per column that exists in either frame, with its type
+    on each side and a status — 'added' (only second), 'removed' (only
+    first), 'type_changed', or 'same'. Case-insensitive names, like the
+    row diff's column matching. Pure driver-side metadata (schemas are
+    already local); the result is a tiny createDataFrame, no jobs run.
+
+    The standard pre-flight for pipeline upgrades: run schema_diff
+    before a row diff so a renamed/retyped column is reported as such
+    instead of surfacing as a million spurious row mismatches."""
+    s1 = {f.name.lower(): f.dataType.simpleString() for f in df1.schema.fields}
+    s2 = {f.name.lower(): f.dataType.simpleString() for f in df2.schema.fields}
+    rows = []
+    for col in sorted(s1.keys() | s2.keys()):
+        t1, t2 = s1.get(col), s2.get(col)
+        if t1 is None:
+            status = "added"
+        elif t2 is None:
+            status = "removed"
+        elif t1 != t2:
+            status = "type_changed"
+        else:
+            status = "same"
+        rows.append((col, status, t1, t2))
+    spark = df1.sparkSession
+    return spark.createDataFrame(
+        rows,
+        f"column string, status string, type_{name1} string, "
+        f"type_{name2} string",
+    )
