@@ -104,9 +104,10 @@ class DedupCmd(Command):
 @dataclass(frozen=True)
 class TextCmd(Command):
     """{"command": "text", "params": {"method": tokenStats|quality|langid|
-    fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards,
-    "idColumn", "textColumn", ["stopwords"/"size"/"overlap"/"k"/
-    "budget"/"partitionCol"]}}"""
+    fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards|
+    repetition|tfidfKeywords, "idColumn", "textColumn",
+    ["stopwords"/"size"/"overlap"/"k"/"budget"/"partitionCol"/
+    "shingleN"]}}"""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -123,7 +124,8 @@ class TextCmd(Command):
             id_column=p["idColumn"],
             text_column=p.get("textColumn", "text"),
             options=_opt(
-                p, "stopwords", "size", "overlap", "k", "budget", "partitionCol"
+                p, "stopwords", "size", "overlap", "k", "budget",
+                "partitionCol", "shingleN",
             ),
             **cls._common(obj),
         )
@@ -144,6 +146,8 @@ class TextCmd(Command):
             "qualityFilter": C.quality_filter,
             "vocabTopK": T.vocab_topk,
             "packShards": C.pack_token_shards,
+            "repetition": T.repetition_stats,
+            "tfidfKeywords": T.tfidf_keywords,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
