@@ -72,3 +72,15 @@ def test_keep_best_in_cluster_prefers_score(spark):
     # tie on score -> min id wins
     assert out[8]["keep"] and not out[9]["keep"]
     assert out[2]["cluster_id"] == 1 and out[9]["cluster_id"] == 8
+
+
+def test_keep_best_unscored_members_rank_last(spark):
+    from topnotch_spark.operators.cluster import keep_best_in_cluster
+
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    # doc 3 has no score row: it must still appear, and never win
+    scores = spark.createDataFrame([(1, 0.2), (2, 0.9)], "id long, q double")
+    out = {r["id"]: r for r in keep_best_in_cluster(pairs, scores, "q").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[3]["q"] is None

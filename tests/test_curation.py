@@ -250,3 +250,37 @@ def test_stratified_sample_null_distinct_from_empty_string(spark):
         ).collect()
     }
     assert got == {2}
+
+
+def test_quality_filter_null_text_dropped(spark):
+    out = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            _docs(spark, [(1, None), (2, "")]), "doc_id", "text"
+        ).collect()
+    }
+    assert not out[1]["keep"] and "null_text" in out[1]["drop_reasons"]
+    assert not out[2]["keep"] and "too_short" in out[2]["drop_reasons"]
+
+
+def test_pii_counts_reflect_actual_redactions(spark):
+    # the email swallows the ipv4-looking host: no <IP> redaction occurs,
+    # so n_ipv4 must be 0 (counts are staged, not taken on the original)
+    row = pii_scrub(
+        _docs(spark, [(1, "mail user@1.2.3.4.net ok")]), "doc_id", "text"
+    ).collect()[0]
+    assert row["n_email"] == 1 and row["n_ipv4"] == 0
+    assert "<EMAIL>" in row["clean_text"] and "<IP>" not in row["clean_text"]
+
+
+def test_stratified_topn_null_stratum_is_own_group(spark):
+    from topnotch_spark.operators.curation import stratified_topn
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, None)], "doc_id long, lang string"
+    )
+    out = stratified_topn(df, "doc_id", "lang", 2).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang[None]) == 2 and by_lang["en"] == [1]

@@ -196,14 +196,17 @@ def test_dedup_persist_lifecycle(spark):
     assert cached_rdd_count() == base
 
 
-def test_unpersist_intermediates_mark_scoping(spark):
+def test_release_new_intermediates_identity_scoping(spark):
     from topnotch_spark.operators import dedup
 
     dedup.unpersist_intermediates()  # clean slate
-    dedup._persist(spark.range(3).toDF("a"))
-    mark = dedup.intermediates_mark()
+    a = dedup._persist(spark.range(3).toDF("a"))
+    snap = dedup.snapshot_intermediates()
     dedup._persist(spark.range(4).toDF("b"))
-    # mark-scoped release frees only the later entry
-    assert dedup.unpersist_intermediates(mark=mark) == 1
-    assert dedup.intermediates_mark() == 1
+    # interleaved foreign entry AFTER the snapshot of another owner
+    dedup._persist(spark.range(5).toDF("c"))
+    # snapshot-scoped release frees exactly the post-snapshot entries,
+    # preserving the pre-existing one
+    assert dedup.release_new_intermediates(snap) == 2
+    assert dedup._PERSISTED == [a]
     assert dedup.unpersist_intermediates() == 1

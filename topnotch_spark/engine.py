@@ -91,11 +91,11 @@ class TnEngine:
             [self._cmd_echo(c) for c in cmds if not isinstance(c, ErrorCmd)]
         )
         from topnotch_spark.operators.dedup import (
-            intermediates_mark,
-            unpersist_intermediates,
+            release_new_intermediates,
+            snapshot_intermediates,
         )
 
-        mark = intermediates_mark()
+        snap = snapshot_intermediates()
         num_failed = 0
         try:
             for cmd in cmds:
@@ -103,12 +103,13 @@ class TnEngine:
             writer.write_report(report_key)
         finally:
             # release shingle/signature tables persisted by dedup-family
-            # commands during THIS plan (mark-scoped, so a concurrent
-            # engine's or an enclosing dedup_scope's entries are left
-            # alone): a long-lived session running many plans must not
-            # accumulate MEMORY_AND_DISK intermediates. Registry outputs
-            # stay valid — access after this point just recomputes.
-            unpersist_intermediates(mark=mark)
+            # commands during THIS plan (identity-snapshot-scoped, so a
+            # concurrent engine's or an enclosing dedup_scope's entries
+            # are left alone even when interleaved): a long-lived
+            # session running many plans must not accumulate
+            # MEMORY_AND_DISK intermediates. Registry outputs stay
+            # valid — access after this point just recomputes.
+            release_new_intermediates(snap)
         return num_failed
 
     def run_command(self, cmd: Command, writer=None) -> int:

@@ -26,6 +26,10 @@ Scale notes (100 TB):
   the plan doubles per iteration and Catalyst analysis time explodes.
   On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
   ``checkpoint()`` (survives executor loss; localCheckpoint does not).
+  Prior rounds' checkpoint blocks are reclaimed asynchronously by
+  Spark's ContextCleaner once the loop rebinds the variable (the old
+  frame goes unreferenced), so steady-state footprint is ~2 label
+  frames, not O(rounds).
 - The label frame is (id, comp): two longs per *node in a dup pair* —
   much smaller than the corpus, since most docs are in no pair.
 - Convergence check is a 1-row count per round (bounded driver data).
@@ -111,9 +115,12 @@ def keep_best_in_cluster(
     these 5 copies, keep the cleanest one".
 
     ``scores`` maps ``id_col`` → ``score_col`` (e.g. quality_score from
-    textqc.quality_scores). Ties break on min id, so the result is
-    deterministic. One join (components × scores, both ≪ corpus) plus
-    one window over cluster_id."""
+    textqc.quality_scores). Cluster members MISSING from ``scores`` are
+    kept in the output with a NULL score and rank LAST (an unscored doc
+    must never silently vanish from a dedup report, and must not win
+    the keeper slot over a scored one). Ties break on min id, so the
+    result is deterministic. One LEFT join (components × scores, both
+    ≪ corpus) plus one window over cluster_id."""
     from pyspark.sql import Window
 
     comps = connected_components(pairs, src, dst).select(
@@ -122,9 +129,10 @@ def keep_best_in_cluster(
     scored = comps.join(
         scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s__")),
         "id",
+        "left",
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("__s__").desc(), F.col("id").asc()
+        F.col("__s__").desc_nulls_last(), F.col("id").asc()
     )
     return scored.select(
         "id",

@@ -35,16 +35,18 @@ def pii_scrub(
     text_col: str,
     patterns: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
-    """Redact PII-shaped spans; per-pattern match counts on the original
-    text (patterns are mutually disjoint by construction), replacements
-    chained in pattern order. One projection, zero shuffle."""
+    """Redact PII-shaped spans; replacements chained in pattern order,
+    and each pattern's count taken on the text AS IT STANDS when that
+    pattern runs (after earlier replacements) — so counts equal the
+    redactions actually performed even when patterns overlap (an email
+    like user@1.2.3.4.net is one <EMAIL>, not also an <IP>). One
+    projection, zero shuffle."""
     pats = patterns if patterns is not None else DEFAULT_PII_PATTERNS
-    txt = F.col(text_col)
-    cleaned = txt
+    cleaned = F.col(text_col)
     counts = []
     for name, regex, token in pats:
         counts.append(
-            F.regexp_count(txt, F.lit(regex)).cast("long").alias(f"n_{name}")
+            F.regexp_count(cleaned, F.lit(regex)).cast("long").alias(f"n_{name}")
         )
         cleaned = F.regexp_replace(cleaned, regex, token)
     return df.select(F.col(id_col), *counts, cleaned.alias("clean_text"))
@@ -59,6 +61,10 @@ def pii_scrub(
 # verbatim text in the DuckDB oracle) — single source of truth, so the
 # rule chain can never drift between engine and oracle.
 DEFAULT_QUALITY_FILTER_RULES: list[tuple[str, str]] = [
+    # NULL text yields NULL metrics, and NULL predicates record no
+    # reason under three-valued logic — without this explicit rule a
+    # NULL-text garbage doc would sail through the whole chain
+    ("null_text", "n_tokens IS NULL"),
     ("too_short", "n_tokens < 10"),
     ("too_long", "n_tokens > 5000"),
     ("low_alpha", "alpha_ratio < 0.5"),
@@ -257,8 +263,16 @@ def stratified_topn(
     pseudo-random order — and keep the first n. The fixed-COUNT
     complement to ``stratified_sample``'s fixed-RATE draw. One shuffle
     on the stratum (row_number window); engine-portable like the rate
-    sampler (same md5 everywhere)."""
-    key = F.md5(F.concat_ws(":", F.col(strat_col), F.col(id_col).cast("string")))
+    sampler (same md5 everywhere). NULL strata form their own partition
+    with keys coalesced to '' — same convention as stratified_sample,
+    and what the SQL twin computes."""
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col(strat_col), F.lit("")),
+            F.col(id_col).cast("string"),
+        )
+    )
     w = Window.partitionBy(strat_col).orderBy(key, F.col(id_col))
     return (
         df.select(F.col(id_col), F.col(strat_col))

@@ -64,22 +64,36 @@ def _persist(df: DataFrame) -> DataFrame:
     return out
 
 
-def intermediates_mark() -> int:
-    """Current registry position; pass to ``unpersist_intermediates`` to
-    release only intermediates created after this point (lets an engine
-    free its OWN plan's tables without clobbering a concurrent engine's
-    or an enclosing ``dedup_scope``'s entries in the same process)."""
-    return len(_PERSISTED)
+def snapshot_intermediates() -> set[int]:
+    """Identity snapshot of the current registry; pass to
+    ``release_new_intermediates`` to free exactly the entries created
+    AFTER the snapshot — correct even when another engine or scope in
+    the same process interleaves its own persists (a positional mark
+    would pop the other owner's live tables)."""
+    return {id(df) for df in _PERSISTED}
 
 
-def unpersist_intermediates(blocking: bool = False, mark: int = 0) -> int:
-    """Release intermediates persisted by dedup-family operators since
-    ``mark`` (default 0 = all of them).
+def release_new_intermediates(
+    snapshot: set[int], blocking: bool = False
+) -> int:
+    """Unpersist and remove every registry entry not in ``snapshot``,
+    leaving pre-existing (other owners') entries untouched and in
+    order. Returns the number released."""
+    mine = [df for df in _PERSISTED if id(df) not in snapshot]
+    _PERSISTED[:] = [df for df in _PERSISTED if id(df) in snapshot]
+    for df in mine:
+        df.unpersist(blocking)
+    return len(mine)
+
+
+def unpersist_intermediates(blocking: bool = False) -> int:
+    """Release every intermediate persisted by dedup-family operators so
+    far (the whole registry — use snapshot/release for scoped cleanup).
 
     Call after the returned DataFrames have been consumed (actions run).
     Returns the number of tables released. Safe to call twice."""
     n = 0
-    while len(_PERSISTED) > mark:
+    while _PERSISTED:
         _PERSISTED.pop().unpersist(blocking)
         n += 1
     return n
@@ -87,18 +101,18 @@ def unpersist_intermediates(blocking: bool = False, mark: int = 0) -> int:
 
 @contextmanager
 def dedup_scope() -> Iterator[None]:
-    """Scope whose exit unpersists intermediates created inside it::
+    """Scope whose exit unpersists intermediates created inside it
+    (identity-scoped — safe alongside other concurrent scopes)::
 
         with dedup_scope():
             pairs = minhash_lsh_dedup(docs, "doc_id", "text")
             pairs.write.parquet(out)   # consume INSIDE the scope
     """
-    mark = len(_PERSISTED)
+    snap = snapshot_intermediates()
     try:
         yield
     finally:
-        while len(_PERSISTED) > mark:
-            _PERSISTED.pop().unpersist(False)
+        release_new_intermediates(snap)
 
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

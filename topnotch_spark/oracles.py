@@ -574,23 +574,27 @@ PII_AUGMENT_SQL = (
 
 def text_pii_scrub_sql() -> str:
     """Mirror of operators/curation.py pii_scrub over the PII-augmented
-    documents (counts on original text, replacements chained in order)."""
+    documents: each pattern's count is taken on the text after EARLIER
+    patterns' replacements (the redactions actually performed),
+    replacements chained in order."""
     from topnotch_spark.operators.curation import DEFAULT_PII_PATTERNS
 
-    count_cols = ",\n               ".join(
-        f"CAST(len(regexp_extract_all(text, $${regex}$$)) AS BIGINT) AS n_{name}"
-        for name, regex, _ in DEFAULT_PII_PATTERNS
-    )
-    cleaned = "text"
-    for _, regex, token in DEFAULT_PII_PATTERNS:
-        cleaned = f"regexp_replace({cleaned}, $${regex}$$, '{token}', 'g')"
+    count_cols = []
+    staged = "text"
+    for name, regex, token in DEFAULT_PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({staged}, $${regex}$$)) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        staged = f"regexp_replace({staged}, $${regex}$$, '{token}', 'g')"
+    counts = ",\n               ".join(count_cols)
     return f"""
         WITH aug AS (
           SELECT doc_id, {PII_AUGMENT_SQL} AS text FROM documents
         )
         SELECT doc_id,
-               {count_cols},
-               {cleaned} AS clean_text
+               {counts},
+               {staged} AS clean_text
         FROM aug
     """
 
@@ -797,14 +801,16 @@ def outliers_zscore_sql(
 
 
 def sample_stratified_topn_sql(n: int) -> str:
-    """Mirror of curation.stratified_topn: md5 pseudo-random order,
+    """Mirror of curation.stratified_topn: md5 pseudo-random order
+    (NULL strata keyed as '', partitioned as their own group),
     row_number ≤ n per stratum."""
     return f"""
         WITH ranked AS (
           SELECT doc_id, lang,
                  row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                   ORDER BY md5(coalesce(lang, '') || ':'
+                               || CAST(doc_id AS VARCHAR)), doc_id
                  ) AS rn
           FROM documents
         )

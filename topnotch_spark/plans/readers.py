@@ -23,15 +23,25 @@ def _read_package_resource(config_path: str) -> str | None:
     jars. The Python equivalent is a resource inside an installed package:
     ``a/b/plan.json`` is tried as package ``a.b`` + resource ``plan.json``,
     longest package prefix first. Returns the text, or None if no package
-    owns the path."""
+    owns the path.
+
+    ``resources.files`` IMPORTS the named package — which runs arbitrary
+    top-level code for whatever happens to share a typo'd path's first
+    segment (``scripts/plan.json`` would import a ``scripts`` module
+    from sys.path). Only already-imported packages and the engine's own
+    namespace are eligible, and any import-time failure is treated as
+    "no such resource" rather than propagated as a confusing error."""
+    import sys
     from importlib import resources
 
     parts = PurePosixPath(config_path.lstrip("/")).parts
     for split in range(len(parts) - 1, 0, -1):
         pkg = ".".join(parts[:split])
+        if pkg not in sys.modules and not pkg.startswith("topnotch_spark"):
+            continue
         try:
             node = resources.files(pkg)
-        except (ModuleNotFoundError, TypeError, ValueError):
+        except Exception:  # unimportable/broken module ⇒ not a resource root
             continue
         for p in parts[split:]:
             node = node / p

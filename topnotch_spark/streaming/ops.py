@@ -270,8 +270,14 @@ def run_streaming_drift(
 
     ref_counts = {row["bucket"]: row["n"] for row in idx(r).collect()}
     cur_counts: dict[int, int] = {}
+    seen_batches: set[int] = set()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a restart can re-deliver the
+        # last uncommitted batch — dedup on batch_id or counts double
+        if batch_id in seen_batches:
+            return
+        seen_batches.add(batch_id)
         rows = idx(
             batch_df.filter(F.col(col).isNotNull()).select(
                 F.col(col).cast("double").alias("x")
