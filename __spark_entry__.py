@@ -102,6 +102,13 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
         "timeseries_resample": oracles.timeseries_resample_sql(1),
         "events_json_props": oracles.events_json_props_sql(),
+        "salted_join_revenue": """
+            SELECT c_nationkey,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
         "outliers_totalprice": oracles.outliers_zscore_sql(
             "orders", "o_totalprice", ["o_orderstatus"],
             ["o_orderkey", "o_orderstatus", "o_totalprice"], k=3.0,

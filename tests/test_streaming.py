@@ -200,3 +200,38 @@ def test_streaming_drift_equals_batch(spark, tmp_path):
     want = histogram_drift(ref, df, "value", n_buckets=5).collect()
     key = lambda r: r["bucket"]  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_running_user_stats_gated_or_exact(spark, tmp_path):
+    """transformWithState surface: with protobuf present the stream's
+    final snapshots equal the batch aggregate; without it (this
+    container) the operator fails fast with a clear message instead of
+    an opaque mid-query worker crash."""
+    import pytest
+
+    from topnotch_spark.streaming.ops import run_stream_to_table, stream_from_parquet
+    from topnotch_spark.streaming.stateful import running_user_stats
+
+    rows = [(1, 100, 5.0), (2, 100, 1.0), (3, 200, 7.0), (4, 100, 3.0)]
+    schema = "event_id long, user_id long, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "tws")
+    for k in range(2):
+        df.filter(f"event_id % 2 = {k}").coalesce(1).write.parquet(f"{src}/p{k}")
+    stream = stream_from_parquet(spark, f"{src}/p*", schema=schema,
+                                 max_files_per_trigger=1)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_stats(stream)
+        return
+    out = run_stream_to_table(running_user_stats(stream), output_mode="append")
+    final = {
+        r["user_id"]: (r["n_events"], r["min_value"], r["max_value"])
+        for r in out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "min_value", "max_value")).alias("s"))
+        .select("user_id", "s.*")
+        .collect()
+    }
+    assert final == {100: (3, 1.0, 5.0), 200: (1, 7.0, 7.0)}

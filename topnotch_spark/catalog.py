@@ -574,6 +574,27 @@ def outliers_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(orders, "o_totalprice", ["o_orderstatus"], k=3.0)
 
 
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tooling under the oracle: revenue per nation computed through
+    a SALTED orders⋈customer join — the result must be row-identical to
+    the plain-SQL join (the salt spreads hot keys without changing
+    semantics; the DuckDB twin is the unsalted join)."""
+    from topnotch_spark.operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        on=["c_custkey"],
+        salt=8,
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured processing: parse the JSON ``props`` column and
     aggregate the extracted field per event type. ``get_json_object`` is
@@ -977,6 +998,7 @@ ALL = {
     "latest_event_per_user": latest_event_per_user,
     "timeseries_resample": timeseries_resample,
     "events_json_props": events_json_props,
+    "salted_join_revenue": salted_join_revenue,
     "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,

@@ -127,3 +127,98 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 next-gen arbitrary state API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RunningUserStats(StatefulProcessor):
+    """StatefulProcessor for ``transformWithStateInPandas`` — the Spark 4
+    successor to applyInPandasWithState (typed state handles, composable
+    value/list/map state, timers). Maintains per-user running
+    (n_events, min_value, max_value) and emits the cumulative snapshot
+    whenever the user appears in a micro-batch.
+
+    The state is deliberately ORDER-INDEPENDENT arithmetic — a count and
+    two extrema — so the final snapshot is bit-identical to a batch
+    aggregate regardless of batch boundaries (a running double SUM would
+    drift by summation order; see the windowed-metrics avg note in
+    streaming/ops.py). State per user: one long + two doubles."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        self._state = handle.getValueState(
+            "stats",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("mn", DoubleType()),
+                    StructField("mx", DoubleType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, mn, mx = (0, None, None)
+        if self._state.exists():
+            n, mn, mx = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            vals = pdf["value"].dropna()
+            if len(vals):
+                bmn, bmx = float(vals.min()), float(vals.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        self._state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user cumulative stats via transformWithStateInPandas; emits a
+    snapshot row per (user, micro-batch-with-activity). Downstream, the
+    max-n snapshot per user equals the batch aggregate exactly.
+
+    Environment gate: the transformWithState state-server protocol
+    speaks protobuf between the JVM and the Python driver worker. When
+    ``google.protobuf`` is not installed (it is not a pyspark hard
+    dependency) the worker crashes opaquely mid-query — so we fail fast
+    and clearly here instead. ``applyInPandasWithState``
+    (sessionize_stream above) covers arbitrary-state needs without the
+    extra dependency."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (state-server protocol), which is not installed in "
+            "this environment; use applyInPandasWithState-based "
+            "operators (e.g. sessionize_stream) instead"
+        ) from e
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserStats(),
+        outputStructType=(
+            "user_id long, n_events long, min_value double, max_value double"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )
