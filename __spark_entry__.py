@@ -102,6 +102,12 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
         "timeseries_resample": oracles.timeseries_resample_sql(1),
         "events_json_props": oracles.events_json_props_sql(),
+        "customers_without_events": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+            )
+        """,
         "salted_join_revenue": """
             SELECT c_nationkey,
                    count(*) AS n_orders,

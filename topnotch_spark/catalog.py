@@ -574,6 +574,19 @@ def outliers_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(orders, "o_totalprice", ["o_orderstatus"], k=3.0)
 
 
+def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant-entity / referential check via LEFT ANTI join: customers
+    with no event activity. The anti join is the DataFrame-native
+    NOT EXISTS — Catalyst plans it as a broadcast/hash anti join (no
+    row explosion, null-safe), the canonical shape for orphan and
+    dormancy QC at any scale."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    events = load(spark, sf_dir, "events").select("user_id")
+    return cust.join(
+        events, cust.c_custkey == events.user_id, "left_anti"
+    )
+
+
 def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew tooling under the oracle: revenue per nation computed through
     a SALTED orders⋈customer join — the result must be row-identical to
@@ -999,6 +1012,7 @@ ALL = {
     "timeseries_resample": timeseries_resample,
     "events_json_props": events_json_props,
     "salted_join_revenue": salted_join_revenue,
+    "customers_without_events": customers_without_events,
     "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
