@@ -89,6 +89,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_session_window": oracles.streaming_session_window_sql(30),
         "streaming_drift_monitor": oracles.streaming_drift_sql(10),
         "pack_token_shards": oracles.pack_token_shards_sql(budget=2000),
+        "pack_token_shards_partitioned":
+            oracles.pack_token_shards_partitioned_sql(
+                budget=2000, partition_col="source"
+            ),
         "drift_ks_totalprice": oracles.drift_ks_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'"
         ),

@@ -9,6 +9,15 @@ BIGINT).  This script compares, per query:
   1. Arrow schema of both results (after lowercasing + name-sorting cols)
   2. sha256 over the sorted rows' repr, with python types preserved
      (int vs float vs Decimal are DIFFERENT here, on purpose)
+  3. PANDAS dtype kinds of both sides (Spark limit(0).toPandas() vs a
+     DuckDB LIMIT-0 .df() probe — the mapping is type-driven, so zero
+     rows suffice). This is the round-2 lesson: DuckDB sum(BIGINT) is
+     HUGEINT, which pandas renders float64 while Spark emits int64 —
+     value-identical rows, different external-driver hash. fetchall()
+     (step 2) folds HUGEINT back to Python int and CANNOT see it.
+  4. No complex-typed (array/map/struct) output column — the driver's
+     pandas canonicalizer cannot sort them (round-2 embedding_centroids
+     err); oracle-checked catalog queries must emit scalar columns only.
 
 Usage: python scripts/strict_hash_check.py [sf_dir] [query ...]
 """
@@ -60,6 +69,35 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+def dtype_mismatches(sdf, con, sql):
+    """(column, spark_kind, duckdb_kind) triples whose pandas dtype KINDS
+    differ. Kind-level (i/u/f/O/M/b), not exact-width: int32 vs int64
+    hashes identically under value repr, int vs float does not. The
+    object-vs-datetime pair is excluded (Spark dates land as object,
+    DuckDB dates as datetime64 — value canonicalizers agree on those)."""
+    spdf = sdf.limit(0).toPandas()
+    skinds = {c.lower(): spdf[c].dtype.kind for c in spdf.columns}
+    dpdf = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").df()
+    dkinds = {c.lower(): dpdf[c].dtype.kind for c in dpdf.columns}
+    bad = []
+    for col in sorted(set(skinds) & set(dkinds)):
+        a, b = skinds[col], dkinds[col]
+        if a == b or {a, b} <= {"i", "u"} or {a, b} == {"O", "M"}:
+            continue
+        bad.append((col, a, b))
+    return bad
+
+
+def complex_cols(sdf):
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -88,6 +126,21 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
+        cc = complex_cols(sdf)
+        if cc:
+            print(f"FAIL  {name}: complex-typed output columns {cc} — "
+                  "the driver's pandas canonicalizer cannot sort these; "
+                  "explode/flatten the catalog query")
+            failures += 1
+            continue
+        dm = dtype_mismatches(sdf, con, oracles[name])
+        if dm:
+            print(f"FAIL  {name}: pandas dtype-kind mismatch "
+                  f"(col, spark, duckdb): {dm} — the external driver's "
+                  "hash is dtype-sensitive; CAST the oracle (HUGEINT "
+                  "sums -> BIGINT) or the Spark column")
+            failures += 1
+            continue
         scols = [c.lower() for c in sdf.columns]
         srows = [tuple(r) for r in sdf.toDF(*scols).collect()]
 

@@ -398,3 +398,13 @@ def test_classpath_miss_still_raises(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     with pytest.raises(FileNotFoundError):
         FileReader().read_configuration("topnotch_spark/resources/nope.json")
+
+
+def test_session_reference_parity_defaults(spark):
+    """The session factory carries the reference's scheduler settings
+    (TnEngine.scala:38-39): FAIR scheduling AND speculative execution,
+    plus the case-insensitivity the HiveQL surface assumes."""
+    assert spark.conf.get("spark.scheduler.mode") == "FAIR"
+    assert spark.conf.get("spark.speculation") == "true"
+    assert spark.conf.get("spark.sql.caseSensitive") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -235,3 +235,50 @@ def test_running_user_stats_gated_or_exact(spark, tmp_path):
         .collect()
     }
     assert final == {100: (3, 1.0, 5.0), 200: (1, 7.0, 7.0)}
+
+
+def test_session_window_end_at_final_watermark_oracle_parity(spark, tmp_path):
+    """Boundary fixture for the closed-session filter: Spark append mode
+    EMITS a session whose end EQUALS the final watermark (watermark >=
+    end closes the window), so the DuckDB twin's filter must be
+    ``session_end <= max(ts)``, not ``<``. Fixture: user 1's session
+    ends exactly gap after its only event, and user 2's event at exactly
+    that instant sets the final watermark."""
+    import datetime as dt
+
+    import duckdb
+
+    from topnotch_spark.oracles import streaming_session_window_sql
+    from topnotch_spark.streaming.ops import session_window_metrics
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, t0, 1.0),
+        # exactly gap later: final watermark == user 1's session_end
+        (2, 2, t0 + dt.timedelta(minutes=30), 2.0),
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "swb")
+    for k in (1, 2):
+        df.filter(f"event_id = {k}").coalesce(1).write.parquet(f"{src}/p{k}")
+    stream = stream_from_parquet(
+        spark, f"{src}/p*", schema=schema, max_files_per_trigger=1
+    )
+    got = run_stream_to_table(
+        session_window_metrics(stream), output_mode="append"
+    ).collect()
+    # user 1's session emits (end == final watermark); user 2's stays open
+    assert [(r["user_id"], r["n_events"]) for r in got] == [(1, 1)]
+
+    pq = str(tmp_path / "swb_all")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{pq}/*.parquet'")
+    want = sorted(con.execute(streaming_session_window_sql(30)).fetchall())
+    got_rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         r["sum_value"])
+        for r in got
+    )
+    assert got_rows == want

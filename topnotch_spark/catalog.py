@@ -451,10 +451,17 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label mean embedding (class prototypes / IVF coarse seeds)."""
+    """Per-label mean embedding (class prototypes / IVF coarse seeds),
+    emitted as exploded scalar rows (label, n_vectors, pos, value) so
+    every output column is hashable by a pandas canonicalizer — the
+    array-returning ``label_centroids`` API is unchanged for library
+    users; only this oracle-checked query flattens."""
     from topnotch_spark.operators.similarity import label_centroids
 
-    return label_centroids(load(spark, sf_dir, "embeddings"), "label", "embedding")
+    cents = label_centroids(load(spark, sf_dir, "embeddings"), "label", "embedding")
+    return cents.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("pos", "value")
+    )
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,14 +521,39 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget shard assignment (global contiguous numbering)."""
+    """Token-budget shard assignment with GLOBAL contiguous numbering —
+    inherently serial (one single-partition window, WindowExec warns):
+    a global exclusive prefix sum has no parallel decomposition that
+    keeps shard ids contiguous. Fine to ~10^8 docs; the 100 TB path is
+    ``pack_token_shards_partitioned``."""
     from topnotch_spark.operators.curation import pack_token_shards as pack
 
     return pack(load(spark, sf_dir, "documents"), "doc_id", "text", budget=2000)
 
 
+def pack_token_shards_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shard-packing path: prefix sums run per ``source``
+    partition in parallel (no single-partition WindowExec); shard_id is
+    unique per (source, shard) — the layout training shards want anyway
+    (shards nested under source/date dirs)."""
+    from topnotch_spark.operators.curation import pack_token_shards as pack
+
+    return pack(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        budget=2000,
+        partition_col="source",
+    )
+
+
 def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample KS: finished vs open orders' total price."""
+    """Two-sample KS: finished vs open orders' total price.
+
+    ``bins=None`` pins the exact path so the oracle result is
+    data-independent (the library default is ``bins="auto"``, which
+    switches to a bounded grid above 1M distinct values — the 100 TB
+    behavior, demonstrated by ``drift_ks_binned``)."""
     from topnotch_spark.operators.drift import ks_statistic
 
     orders = load(spark, sf_dir, "orders")
@@ -529,6 +561,7 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderstatus") == "F"),
         orders.filter(F.col("o_orderstatus") != "F"),
         "o_totalprice",
+        bins=None,
     )
 
 
@@ -1004,6 +1037,7 @@ ALL = {
     "sample_stratified_topn": sample_stratified_topn,
     "text_tfidf_keywords": text_tfidf_keywords,
     "pack_token_shards": pack_token_shards,
+    "pack_token_shards_partitioned": pack_token_shards_partitioned,
     "drift_ks_totalprice": drift_ks_totalprice,
     "drift_ks_binned": drift_ks_binned,
     "text_repetition": text_repetition,

@@ -200,7 +200,7 @@ def cross_corpus_overlap(
     text_col: str,
     shingle_n: int = 5,
     min_common: int = 1,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Decontamination screen: which corpus docs share word n-grams with
     a benchmark/eval set (the GPT-3/FineWeb-style leakage check, done as
@@ -216,8 +216,14 @@ def cross_corpus_overlap(
     corpus, so the join is map-side and the corpus streams once. One
     groupBy on the (corpus, bench) pair. ``max_shingle_df`` drops
     corpus-side shingles above a document-frequency cap from the join
-    (stopword-like n-grams at corpus scale); the benchmark side is never
-    capped — a capped bench shingle would silently hide leakage."""
+    (stopword-like n-grams at corpus scale) — bounded BY DEFAULT, like
+    dedup.ngram_jaccard_pairs' valve, so one viral n-gram in a large
+    bench suite cannot fan the equi-join out; pass ``None`` to disable.
+    The benchmark side is never capped — a capped bench shingle would
+    silently hide leakage. Note the cap also removes those shingles
+    from ``n_common``/``overlap_frac`` for the few pairs that share
+    them (documented trade: a >cap-frequency n-gram carries no leakage
+    signal)."""
     from topnotch_spark.operators.dedup import shingle_arrays
 
     c = shingle_arrays(corpus, id_col, text_col, shingle_n).select(

@@ -119,9 +119,11 @@ def ks_statistic(
     cur: DataFrame,
     col: str,
     round_digits: int = 6,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
+    auto_bins: int = 1024,
+    auto_distinct_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov statistic as a 1-row frame
+    """Two-sample Kolmogorov–Smirnov statistic as a 1-row frame
     (ks_stat, n_ref, n_cur): max |ECDF_ref(x) − ECDF_cur(x)| over the
     union of observed values. Complements PSI: parameter-free (no bucket
     count), sensitive to any distributional difference.
@@ -129,18 +131,36 @@ def ks_statistic(
     Execution shape: union both sides tagged, ONE groupBy on the value
     (collapses to distinct-value cardinality — the big reduction), then
     a single ordered window for the running ECDFs and a 1-row max. The
-    ordered window is one sort over (distinct values × 3 longs); for a
-    100 TB column with ~billions of distinct doubles, pass ``bins``:
-    values pre-bucket onto a fixed grid over the REFERENCE min/max
-    (histogram_drift's grid — one 2-scalar fetch), the ECDF runs over at
-    most ``bins`` rows, and the statistic is KS-approximate to bucket
-    width. Same code path either way."""
+    statistic is computed INTEGER-EXACT: the per-row gap is
+    ``|cum_ref·n_cur − cum_cur·n_ref|`` over decimal(38,0) cumulative
+    counts (exact for any count the engine can hold), with one double
+    division at the very end — no per-row float division, so the result
+    is identical on any engine/partitioning.
+
+    The exact path's ordered window is one sort over (distinct values ×
+    3 longs) — a scale hazard on high-cardinality columns at 100 TB. The
+    default ``bins="auto"`` therefore probes ``approx_count_distinct``
+    (one scan, no extra shuffle) and switches to a fixed
+    ``auto_bins``-bucket grid over the REFERENCE min/max when the
+    distinct count exceeds ``auto_distinct_threshold``; the ECDF then
+    runs over at most ``auto_bins`` rows and the statistic is
+    KS-approximate to bucket width. Pass ``bins=None`` to force exact
+    (sf-scale / known-low-cardinality data) or ``bins=N`` to pin the
+    grid — pinned modes never probe, so oracle-checked results are
+    data-independent."""
     r = ref.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("v"), F.lit(1).alias("g")
     )
     c = cur.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("v"), F.lit(0).alias("g")
     )
+    if bins == "auto":
+        approx = (
+            r.select("v").union(c.select("v"))
+            .agg(F.approx_count_distinct("v").alias("d"))
+            .collect()[0]["d"]
+        )
+        bins = auto_bins if approx > auto_distinct_threshold else None
     if bins is not None:
         mn, mx = r.agg(F.min("v"), F.max("v")).collect()[0]
         if mn is None or mx == mn:
@@ -170,25 +190,28 @@ def ks_statistic(
         Window.unboundedPreceding, Window.currentRow
     )
     tot = Window.partitionBy()
-    # try_divide: an empty side (n=0) yields ks_stat NULL instead of an
-    # ANSI DIVIDE_BY_ZERO abort — a drift gate over an empty partition
-    # reports "no statistic", it doesn't kill the plan run
+    # integer cross-multiplication: |cum_ref·n_cur − cum_cur·n_ref| in
+    # decimal(38,0) (exact up to 1e38 — counts can reach ~1e19 a side
+    # before overflow) — the ECDF gap without any per-row division
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.sum("c_ref").over(w).cast(dec) * F.sum("c_cur").over(tot).cast(dec)
+        - F.sum("c_cur").over(w).cast(dec) * F.sum("c_ref").over(tot).cast(dec)
+    )
     ecdf = per_v.select(
-        F.try_divide(F.sum("c_ref").over(w), F.sum("c_ref").over(tot)).alias(
-            "f_ref"
-        ),
-        F.try_divide(F.sum("c_cur").over(w), F.sum("c_cur").over(tot)).alias(
-            "f_cur"
-        ),
+        gap.alias("gap"),
         F.sum("c_ref").over(tot).alias("n_ref"),
         F.sum("c_cur").over(tot).alias("n_cur"),
     )
     # ungrouped agg: ALWAYS exactly one row — both-sides-empty yields
-    # (NULL, 0, 0) instead of an empty frame, so .collect()[0] is safe
+    # (NULL, 0, 0) instead of an empty frame, so .collect()[0] is safe;
+    # an empty SIDE yields ks_stat NULL ("no statistic"), not an abort
+    denom = F.max("n_ref").cast("double") * F.max("n_cur").cast("double")
     return ecdf.agg(
-        F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), round_digits).alias(
-            "ks_stat"
-        ),
+        F.when(
+            denom > 0,
+            F.round(F.max("gap").cast("double") / denom, round_digits),
+        ).alias("ks_stat"),
         F.coalesce(F.max("n_ref"), F.lit(0)).alias("n_ref"),
         F.coalesce(F.max("n_cur"), F.lit(0)).alias("n_cur"),
     )

@@ -252,8 +252,12 @@ def kmeans_centroids(
 
     Determinism, by construction: init = the ``n_centroids`` lowest-id
     vectors (no RNG), assignment = max-cosine with centroid-id tiebreak,
-    means recomputed in a fixed order — identical output on every run
-    and cluster layout. Returns ``(centroids, assignments)``:
+    means recomputed in a fixed order — deterministic GIVEN a fixed
+    partitioning. (The per-dimension means are distributed double
+    partial sums, so accumulation order across partitions can move a
+    centroid component by an ulp between cluster layouts and flip a
+    borderline assignment; rerunning on the same layout is stable.)
+    Returns ``(centroids, assignments)``:
     centroids (centroid_id, centroid: array<double>, n_members),
     assignments (id, centroid_id).
 

@@ -254,13 +254,16 @@ def dedup_keep_best_sql(
           SELECT doc_id, quality_score FROM ({text_quality_sql(stopwords)})
         ),
         scored AS (
+          -- LEFT join: keep_best_in_cluster keeps unscored cluster
+          -- members (NULL score, ranked last) — an unscored doc must
+          -- never silently vanish from a dedup report
           SELECT c.id, c.cluster_id, q.quality_score
-          FROM comps c JOIN quality q ON c.id = q.doc_id
+          FROM comps c LEFT JOIN quality q ON c.id = q.doc_id
         )
         SELECT id, cluster_id, quality_score,
                row_number() OVER (
                  PARTITION BY cluster_id
-                 ORDER BY quality_score DESC, id ASC
+                 ORDER BY quality_score DESC NULLS LAST, id ASC
                ) = 1 AS keep
         FROM scored
     """
@@ -646,9 +649,39 @@ def sample_stratified_sql(rates: dict[str, float], default_rate: float = 0.0) ->
     """
 
 
+def _ks_ecdf_tail_sql() -> str:
+    """Shared ECDF-gap tail of the two KS oracles: integer
+    cross-multiplied gap |cum_ref·n_cur − cum_cur·n_ref| (HUGEINT-exact
+    in DuckDB, decimal-exact in Spark) with ONE double division at the
+    end — mirrors drift.ks_statistic's arithmetic bit-for-bit. The outer
+    n_ref/n_cur are CAST to BIGINT because DuckDB sum(BIGINT) yields
+    HUGEINT, which pandas renders as float64 while Spark emits int64
+    (the round-2 driver-gate red)."""
+    return """
+        ecdf AS (
+          SELECT abs(sum(c_ref) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) * sum(c_cur) OVER ()
+                     - sum(c_cur) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) * sum(c_ref) OVER ())
+                     AS gap,
+                 sum(c_ref) OVER () AS n_ref,
+                 sum(c_cur) OVER () AS n_cur
+          FROM per_v
+        )
+        SELECT CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+                    THEN round(CAST(max(gap) AS DOUBLE)
+                               / (CAST(max(n_ref) AS DOUBLE)
+                                  * CAST(max(n_cur) AS DOUBLE)), 6)
+               END AS ks_stat,
+               CAST(coalesce(max(n_ref), 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(max(n_cur), 0) AS BIGINT) AS n_cur
+        FROM ecdf
+    """
+
+
 def drift_ks_sql(table: str, col: str, ref_predicate: str) -> str:
     """Mirror of operators/drift.py ks_statistic: distinct-value collapse,
-    running ECDFs in one ordered window, 1-row max."""
+    integer cross-multiplied ECDF gap in one ordered window, 1-row max."""
     return f"""
         WITH vals AS (
           SELECT CAST({col} AS DOUBLE) AS v,
@@ -661,19 +694,7 @@ def drift_ks_sql(table: str, col: str, ref_predicate: str) -> str:
                  CAST(count(*) - sum(g) AS BIGINT) AS c_cur
           FROM vals GROUP BY v
         ),
-        ecdf AS (
-          SELECT sum(c_ref) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) / sum(c_ref) OVER () AS f_ref,
-                 sum(c_cur) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) / sum(c_cur) OVER () AS f_cur,
-                 sum(c_ref) OVER () AS n_ref,
-                 sum(c_cur) OVER () AS n_cur
-          FROM per_v
-        )
-        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat,
-               coalesce(max(n_ref), 0) AS n_ref,
-               coalesce(max(n_cur), 0) AS n_cur
-        FROM ecdf
+        {_ks_ecdf_tail_sql()}
     """
 
 
@@ -705,19 +726,26 @@ def drift_ks_binned_sql(
                  CAST(count(*) - sum(g) AS BIGINT) AS c_cur
           FROM vals GROUP BY v
         ),
-        ecdf AS (
-          SELECT sum(c_ref) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) / sum(c_ref) OVER () AS f_ref,
-                 sum(c_cur) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) / sum(c_cur) OVER () AS f_cur,
-                 sum(c_ref) OVER () AS n_ref,
-                 sum(c_cur) OVER () AS n_cur
-          FROM per_v
+        {_ks_ecdf_tail_sql()}
+    """
+
+
+def pack_token_shards_partitioned_sql(
+    budget: int = 2000, partition_col: str = "source"
+) -> str:
+    """Mirror of curation.pack_token_shards(partition_col=...): prefix
+    sums per partition — the parallel 100 TB path."""
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, {partition_col}, {tokens()} AS __t__ FROM documents
         )
-        SELECT round(max(abs(f_ref - f_cur)), 6) AS ks_stat,
-               coalesce(max(n_ref), 0) AS n_ref,
-               coalesce(max(n_cur), 0) AS n_cur
-        FROM ecdf
+        SELECT doc_id, {partition_col},
+               CAST(len(__t__) AS BIGINT) AS n_tokens,
+               CAST(floor(coalesce(sum(CAST(len(__t__) AS BIGINT))
+                     OVER (PARTITION BY {partition_col} ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) / {budget}) AS BIGINT) AS shard_id
+        FROM toked
     """
 
 
@@ -849,11 +877,31 @@ def text_tfidf_keywords_sql(k: int = 3) -> str:
 
 
 def cross_corpus_overlap_sql(
-    bench_sources: list[str], shingle_n: int = 5, min_common: int = 1
+    bench_sources: list[str],
+    shingle_n: int = 5,
+    min_common: int = 1,
+    max_shingle_df: int | None = 10_000,
 ) -> str:
     """Mirror of curation.cross_corpus_overlap over a source-based split
-    of the documents table (bench = listed sources, corpus = the rest)."""
+    of the documents table (bench = listed sources, corpus = the rest),
+    including the corpus-side document-frequency valve."""
     srcs = ", ".join(f"'{s}'" for s in bench_sources)
+    c_valve = (
+        f"""c_raw AS (
+          SELECT doc_id AS corpus_id, unnest(__sh__) AS sh
+          FROM base WHERE source NOT IN ({srcs})
+        ),
+        joinable AS (
+          SELECT sh FROM c_raw GROUP BY sh
+          HAVING count(*) <= {max_shingle_df}
+        ),
+        c AS (SELECT corpus_id, sh FROM c_raw JOIN joinable USING (sh))"""
+        if max_shingle_df is not None
+        else f"""c AS (
+          SELECT doc_id AS corpus_id, unnest(__sh__) AS sh
+          FROM base WHERE source NOT IN ({srcs})
+        )"""
+    )
     return f"""
         WITH toked AS (
           SELECT doc_id, source, {tokens()} AS __t__ FROM documents
@@ -864,10 +912,7 @@ def cross_corpus_overlap_sql(
         base AS (
           SELECT doc_id, source, __sh__ FROM shingled WHERE len(__sh__) > 0
         ),
-        c AS (
-          SELECT doc_id AS corpus_id, unnest(__sh__) AS sh
-          FROM base WHERE source NOT IN ({srcs})
-        ),
+        {c_valve},
         b AS (
           SELECT doc_id AS bench_id, len(__sh__) AS bench_size,
                  unnest(__sh__) AS sh
@@ -899,8 +944,9 @@ def text_vocab_topk_sql(k: int = 50) -> str:
 
 
 def embedding_centroids_sql(round_digits: int = 6) -> str:
-    """Mirror of similarity.label_centroids (parallel unnests zip in
-    DuckDB; 1-based pos only orders the list, never emitted)."""
+    """Mirror of the flattened embedding_centroids catalog query
+    (parallel unnests zip in DuckDB; pos re-based to Spark posexplode's
+    0-based int)."""
     return f"""
         WITH ex AS (
           SELECT label, unnest(embedding) AS val,
@@ -912,9 +958,10 @@ def embedding_centroids_sql(round_digits: int = 6) -> str:
                  CAST(count(*) AS BIGINT) AS n
           FROM ex GROUP BY label, pos
         )
-        SELECT label, max(n) AS n_vectors,
-               list(round(s / n, {round_digits}) ORDER BY pos) AS centroid
-        FROM per_dim GROUP BY label
+        SELECT label, n AS n_vectors,
+               CAST(pos - 1 AS INTEGER) AS pos,
+               round(s / n, {round_digits}) AS value
+        FROM per_dim
     """
 
 
@@ -947,7 +994,9 @@ def events_json_props_sql() -> str:
         )
         SELECT event_type,
                count(*) AS n_events,
-               sum(k) AS sum_k,
+               -- DuckDB sum(BIGINT) is HUGEINT -> pandas float64; Spark
+               -- emits int64 — CAST keeps the driver's dtype-aware hash green
+               CAST(sum(k) AS BIGINT) AS sum_k,
                min(k) AS min_k,
                max(k) AS max_k,
                round(sum(k) * 1.0 / count(*), 6) AS avg_k
@@ -1331,7 +1380,9 @@ def streaming_session_window_sql(gap_minutes: int = 30) -> str:
         )
         SELECT user_id, session_start, session_end, n_events, sum_value
         FROM agg
-        WHERE session_end < (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+        -- <= not <: Spark append mode emits a session whose end EQUALS
+        -- the final watermark (watermark >= end closes the window)
+        WHERE session_end <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
     """
 
 

@@ -27,8 +27,9 @@ _DEFAULTS: dict[str, str] = {
     # (reference: SparkApplicationTester.scala:23-24).
     "spark.sql.caseSensitive": "false",
     # Reference runs FAIR + speculation (TnEngine.scala:38-39); harmless
-    # locally, useful on a busy cluster.
+    # locally, straggler insurance on a real cluster.
     "spark.scheduler.mode": "FAIR",
+    "spark.speculation": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # Parquet TIMESTAMP(NANOS) (e.g. the driver's events table) has no Spark
     # timestamp type; read as epoch-nanos long and convert at the source
