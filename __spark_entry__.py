@@ -112,6 +112,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
             )
         """,
+        "text_normalize": oracles.text_normalize_sql(),
+        "fk_integrity": oracles.fk_integrity_sql([
+            ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("events->customer", "events", "user_id", "customer", "c_custkey"),
+        ]),
+        "key_skew_orders": oracles.key_skew_topk_sql("orders", "o_custkey", k=10),
+        "dedup_containment": oracles.dedup_containment_sql(
+            threshold=0.5, shingle_n=5, max_shingle_df=1000
+        ),
+        "embedding_quantize": oracles.embedding_quantize_sql(),
         "salted_join_revenue": """
             SELECT c_nationkey,
                    count(*) AS n_orders,

@@ -66,19 +66,23 @@ def main() -> None:
         for name, ts in samples.items()
     }
     total = round(sum(t for t in times.values() if t is not None), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "reps": reps,
-                "sf": sf,
-            }
-        )
+    compact = {
+        "metric": "catalog_total_wallclock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "reps": reps,
+        "sf": sf,
+    }
+    # stdout stays ONE compact line (the driver records it verbatim and
+    # truncates long lines — the round-2 lesson); the full payload incl.
+    # per-query spread goes to bench_out.json next to this script
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as f:
+        json.dump({**compact, "spread": spread, "samples": samples}, f, indent=1)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -284,3 +284,21 @@ def test_stratified_topn_null_stratum_is_own_group(spark):
     for r in out:
         by_lang.setdefault(r["lang"], []).append(r["doc_id"])
     assert len(by_lang[None]) == 2 and by_lang["en"] == [1]
+
+
+def test_normalize_text_cleanup_and_flag(spark):
+    from topnotch_spark.operators.curation import normalize_text
+
+    rows = [
+        (1, "Hello\tWorld\x00!"),     # tab + NUL -> collapsed space
+        (2, "already clean"),          # unchanged
+        (3, "  MiXeD   Case  "),       # trim + collapse + lower
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df, "doc_id", "text").collect()}
+    assert out[1]["norm_text"] == "hello world !"
+    assert out[1]["changed"] is True
+    assert out[2]["norm_text"] == "already clean"
+    assert out[2]["changed"] is False
+    assert out[3]["norm_text"] == "mixed case"
+    assert out[3]["n_chars_raw"] == 16 and out[3]["n_chars_norm"] == 10

@@ -210,3 +210,49 @@ def test_release_new_intermediates_identity_scoping(spark):
     assert dedup.release_new_intermediates(snap) == 2
     assert dedup._PERSISTED == [a]
     assert dedup.unpersist_intermediates() == 1
+
+
+def test_containment_directed_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment(short->long)
+    is 1.0 while Jaccard stays below any useful threshold."""
+    from topnotch_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "intro words here " + short + " then a very long tail "
+        + " ".join(f"tok{i}" for i in range(40))
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_1"], r["id_2"]): r
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.5, shingle_n=5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)]["containment"] == 1.0
+    # the reverse direction is far below threshold (long is not in short)
+    assert (2, 1) not in pairs
+    # Jaccard misses the subset entirely at the same threshold
+    assert (
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, shingle_n=5).count()
+        == 0
+    )
+
+
+def test_containment_valve_drops_hot_shingle(spark):
+    from topnotch_spark.operators.dedup import containment_pairs
+
+    hot = "one two three four five"
+    df = spark.createDataFrame(
+        [(i, hot) for i in range(5)], "doc_id long, text string"
+    )
+    # every doc shares the single shingle; df 5 > cap 3 -> no pairs
+    assert containment_pairs(
+        df, "doc_id", "text", threshold=0.1, shingle_n=5, max_shingle_df=3
+    ).count() == 0
+    # without the valve all 20 directed pairs surface at containment 1.0
+    assert containment_pairs(
+        df, "doc_id", "text", threshold=0.99, shingle_n=5, max_shingle_df=None
+    ).count() == 20

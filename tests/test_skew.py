@@ -62,3 +62,26 @@ def test_salted_join_spreads_hot_key(spark):
     )
     assert len(per_salt) == 8                      # hot key hits all salts
     assert max(r["count"] for r in per_salt) < 900  # no salt owns the key
+
+
+def test_key_skew_topk_ranks_and_fracs(spark):
+    from topnotch_spark.operators.skew import key_skew_topk
+
+    left, _ = _skewed_frames(spark)
+    out = key_skew_topk(left, ["k"], k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # hottest key first with its exact share
+    assert out[0]["k"] == 1 and out[0]["n_rows"] == 900
+    assert out[0]["frac"] == 0.9
+    # ties (all remaining keys have 1 row) break on key ascending
+    assert out[1]["k"] == 900 and out[2]["k"] == 901
+
+
+def test_key_skew_topk_k_exceeds_cardinality(spark):
+    from topnotch_spark.operators.skew import key_skew_topk
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    out = key_skew_topk(df, ["k"], k=10).collect()
+    assert len(out) == 2
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in out] == [(1, 2, 1), (2, 1, 2)]
+    assert abs(sum(r["frac"] for r in out) - 1.0) < 1e-9

@@ -568,6 +568,71 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_SOURCES = ["src0", "src1"]
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup (control chars, whitespace, case) with
+    per-doc change flags — the pass that runs ahead of dedup."""
+    from topnotch_spark.operators.curation import normalize_text
+
+    return normalize_text(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity suite: one summary row per
+    child→parent relation (orphans + NULL-FK counts)."""
+    from topnotch_spark.operators.integrity import referential_integrity_suite
+
+    return referential_integrity_suite([
+        (
+            "lineitem->orders",
+            load(spark, sf_dir, "lineitem"),
+            ["l_orderkey"],
+            load(spark, sf_dir, "orders"),
+            ["o_orderkey"],
+        ),
+        (
+            "orders->customer",
+            load(spark, sf_dir, "orders"),
+            ["o_custkey"],
+            load(spark, sf_dir, "customer"),
+            ["c_custkey"],
+        ),
+        (
+            "events->customer",
+            load(spark, sf_dir, "events"),
+            ["user_id"],
+            load(spark, sf_dir, "customer"),
+            ["c_custkey"],
+        ),
+    ])
+
+
+def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of orders.o_custkey: the 10 hottest
+    customers with their row share — the pre-join skew diagnostic."""
+    from topnotch_spark.operators.skew import key_skew_topk
+
+    return key_skew_topk(load(spark, sf_dir, "orders"), ["o_custkey"], k=10)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dup pairs (|A∩B|/|A| ≥ 0.5 over
+    5-gram shingles): catches subset/quoted docs Jaccard misses."""
+    from topnotch_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.5, shingle_n=5,
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column,
+    exploded to scalar rows — the 4× ANN-index compression step."""
+    from topnotch_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage screen: 5-gram overlap between the training
     slice (source ∉ BENCH_SOURCES) and the held-out slice."""
@@ -1047,6 +1112,11 @@ ALL = {
     "events_json_props": events_json_props,
     "salted_join_revenue": salted_join_revenue,
     "customers_without_events": customers_without_events,
+    "text_normalize": text_normalize,
+    "fk_integrity": fk_integrity,
+    "key_skew_orders": key_skew_orders,
+    "dedup_containment": dedup_containment,
+    "embedding_quantize": embedding_quantize,
     "outliers_totalprice": outliers_totalprice,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,

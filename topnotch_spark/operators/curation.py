@@ -149,6 +149,39 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text cleanup ahead of dedup/tokenization: strip C0
+    control chars + DEL to spaces, collapse whitespace runs, trim,
+    lowercase. Emits (id, norm_text, n_chars_raw, n_chars_norm,
+    changed) — ``changed`` flags docs the normalization touched, so the
+    pass doubles as a dirty-input metric for assertions.
+
+    One JVM projection (two compiled regex passes), zero shuffle; the
+    regexes live in the Java-regex ∩ RE2 dialect so the DuckDB oracle
+    runs them verbatim. Unicode NFC/confusable folding is deliberately
+    out: it needs ICU (a Pandas-UDF extension point), and byte-level
+    dedup upstream of it stays valid."""
+    raw = F.col(text_col)
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(raw, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("norm_text"),
+        F.length(raw).alias("n_chars_raw"),
+        F.length(cleaned).alias("n_chars_norm"),
+        (cleaned != raw).alias("changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget shard packing
 # ---------------------------------------------------------------------------
 

@@ -331,6 +331,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """DIRECTED near-dup containment pairs: |A∩B| / |A| ≥ threshold over
+    distinct word n-gram shingles. Returns (id_1, id_2, n_common,
+    size_1, containment) where id_1 is the CONTAINED side — the measure
+    that catches quotes, boilerplate wrappers, and subset documents that
+    Jaccard misses (a small doc fully embedded in a large one has high
+    containment but low Jaccard, because the union is dominated by the
+    large doc). Pairs are directed: both (a,b) and (b,a) can appear,
+    each judged against its own left-side size.
+
+    Execution shape is ngram_jaccard_pairs' blocked self-join (shingle =
+    blocking key; never O(n²)), with the same default-on
+    ``max_shingle_df`` valve: shingles above the document-frequency cap
+    leave the JOIN only, sizes still count them — strictly conservative
+    for the containment score."""
+    arr = _persist(shingle_arrays(df, id_col, text_col, shingle_n))
+    exploded = arr.select("id", F.explode("shs").alias("shingle"))
+    sizes = arr.select("id", F.size("shs").alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    common = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"id": "id_1", "n_sh": "size_1"}), "id_1"
+        )
+        .select(
+            "id_1",
+            "id_2",
+            "n_common",
+            "size_1",
+            F.round(F.col("n_common") / F.col("size_1"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,

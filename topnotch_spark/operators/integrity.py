@@ -1,0 +1,76 @@
+"""Cross-table referential-integrity checks.
+
+The reference's assertion command validates rows against predicates on
+ONE table (tnassertion/TnAssertionRunner.scala:49-68); real QC also asks
+the cross-table question "does every child row point at a parent that
+exists". This module answers it as a 1-row-per-relation summary that can
+feed a plan assertion (``orphan_frac <= t``) — the FK complement to the
+single-table rule surface, same spirit as operators/diff.py's
+two-dataset compare.
+
+Semantics:
+- a NULL foreign key is NOT an orphan (SQL FK convention: NULL opts out
+  of the constraint) — it is counted separately as ``n_null_fk`` so a
+  quietly-nulling FK column is still visible;
+- an orphan is a child row whose (fully non-null) FK tuple matches no
+  parent PK tuple.
+
+Execution shape per relation: one filter + left_anti join child→parent
+(Catalyst broadcasts the parent side when it is small; at 100 TB the
+anti join shuffles on the key — unavoidable, and AQE handles skew) plus
+two 1-row aggregates cross-joined; nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: list[str],
+    pk: list[str],
+    relation: str,
+) -> DataFrame:
+    """1-row summary (relation, n_child, n_null_fk, n_orphans,
+    orphan_frac) for one child→parent relation."""
+    if len(fk) != len(pk) or not fk:
+        raise ValueError("fk and pk must be non-empty and same length")
+    fk_nn = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in fk]
+    )
+    totals = child.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(~fk_nn, 1).otherwise(0)).cast("long").alias("n_null_fk"),
+    )
+    keyed = child.filter(fk_nn).select(
+        *[F.col(c).alias(p) for c, p in zip(fk, pk)]
+    )
+    orphans = keyed.join(
+        parent.select(*pk).dropDuplicates(pk), pk, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    return totals.crossJoin(orphans).select(
+        F.lit(relation).alias("relation"),
+        "n_child",
+        "n_null_fk",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
+    )
+
+
+def referential_integrity_suite(
+    relations: list[tuple[str, DataFrame, list[str], DataFrame, list[str]]],
+) -> DataFrame:
+    """Union of ``referential_integrity`` summaries: one row per
+    (name, child, fk, parent, pk) relation, in input order by name."""
+    out = None
+    for name, child, fk, parent, pk in relations:
+        one = referential_integrity(child, parent, fk, pk, name)
+        out = one if out is None else out.unionByName(one)
+    if out is None:
+        raise ValueError("relations must be non-empty")
+    return out

@@ -240,6 +240,48 @@ def label_centroids(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization, the standard 4×
+    compression for ANN indexes at corpus scale: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) clamped to [−127, 127]. Emits
+    exploded scalar rows (vec_id, pos, q, scale) — dequantize with
+    ``q * scale``; worst-case per-component error is scale/2.
+
+    Engine-portable by construction: floor(x + 0.5) instead of round()
+    (round-half rules differ across engines; floor does not), and every
+    intermediate is the same IEEE double expression on both sides.
+    Execution: one projection + posexplode, zero shuffle, no driver
+    data; at 100 TB this is a streaming map over the embedding column.
+    Zero vectors quantize to q = 0 with scale = 0 (guarded division)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    ex = df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.posexplode(v).alias("pos", "val"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.least(
+            F.greatest(
+                F.floor(F.col("val") / F.col("scale") + F.lit(0.5)),
+                F.lit(-127),
+            ),
+            F.lit(127),
+        ),
+    ).otherwise(F.lit(0))
+    return ex.select(
+        id_col,
+        "pos",
+        q.cast("int").alias("q"),
+        F.round("scale", 9).alias("scale"),
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str = "vec_id",

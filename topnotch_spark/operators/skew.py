@@ -48,3 +48,38 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return salted.join(replicated, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def key_skew_topk(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
+    """Join-key skew profile: the k heaviest key values with their row
+    counts and share of the table — the measurement that decides whether
+    a join needs ``salted_join``/AQE skew handling BEFORE it blows up,
+    and the partner diagnostic to the fixes above.
+
+    Returns (keys..., n_rows, frac, rank), rank 1 = hottest; total order
+    (count desc, keys asc) so ties are deterministic.
+
+    Execution shape: one map-side-combined groupBy over the keys, a
+    1-row total, then orderBy+limit — which Spark plans as
+    TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    driver), NOT a global sort; the rank window runs over the k
+    surviving rows only. Nothing here is proportional to key
+    cardinality except the groupBy itself."""
+    from pyspark.sql import Window
+
+    kcols = [F.col(c) for c in keys]
+    counts = df.groupBy(*kcols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total__"))
+    top = counts.orderBy(F.col("n_rows").desc(), *[c.asc() for c in kcols]).limit(k)
+    w = Window.partitionBy().orderBy(
+        F.col("n_rows").desc(), *[F.col(c).asc() for c in keys]
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total__"), 6).alias("frac"),
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+    )

@@ -876,6 +876,137 @@ def text_tfidf_keywords_sql(k: int = 3) -> str:
     """
 
 
+def text_normalize_sql() -> str:
+    """Mirror of curation.normalize_text (regexes are Java ∩ RE2, run
+    verbatim; lengths cast to Spark's int)."""
+    norm = (
+        "lower(trim(regexp_replace(regexp_replace(text, "
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+        SELECT doc_id,
+               {norm} AS norm_text,
+               CAST(length(text) AS INTEGER) AS n_chars_raw,
+               CAST(length({norm}) AS INTEGER) AS n_chars_norm,
+               {norm} <> text AS changed
+        FROM documents
+    """
+
+
+def fk_integrity_sql(
+    relations: list[tuple[str, str, str, str, str]],
+) -> str:
+    """Mirror of integrity.referential_integrity_suite over
+    (name, child_table, fk_col, parent_table, pk_col) relations. NULL
+    FKs opt out of the constraint (counted separately); HUGEINT-risk
+    sums are cast to BIGINT."""
+    parts = []
+    for name, child, fk, parent, pk in relations:
+        orphan = (
+            f"CASE WHEN c.{fk} IS NOT NULL AND NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}) "
+            f"THEN 1 ELSE 0 END"
+        )
+        parts.append(f"""
+          SELECT '{name}' AS relation,
+                 count(*) AS n_child,
+                 CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null_fk,
+                 CAST(sum({orphan}) AS BIGINT) AS n_orphans,
+                 round(sum({orphan}) * 1.0 / count(*), 6) AS orphan_frac
+          FROM {child} c""")
+    return "\n          UNION ALL\n".join(parts)
+
+
+def key_skew_topk_sql(table: str, key: str, k: int = 10) -> str:
+    """Mirror of skew.key_skew_topk for a single key column."""
+    return f"""
+        WITH counts AS (
+          SELECT {key}, CAST(count(*) AS BIGINT) AS n_rows
+          FROM {table} GROUP BY {key}
+        ),
+        tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM counts),
+        top AS (
+          SELECT {key}, n_rows FROM counts
+          ORDER BY n_rows DESC, {key} ASC LIMIT {k}
+        )
+        SELECT {key}, n_rows,
+               round(n_rows * 1.0 / total, 6) AS frac,
+               CAST(row_number() OVER (ORDER BY n_rows DESC, {key} ASC)
+                    AS INTEGER) AS rank
+        FROM top CROSS JOIN tot
+    """
+
+
+def dedup_containment_sql(
+    threshold: float = 0.5,
+    shingle_n: int = 5,
+    max_shingle_df: int | None = 1000,
+) -> str:
+    """Mirror of dedup.containment_pairs: DIRECTED pairs, score =
+    |A∩B| / |A|, same join-only DF valve as the Jaccard twin."""
+    df_filter = (
+        f"""joinable AS (
+          SELECT shingle FROM ex GROUP BY shingle
+          HAVING count(*) <= {max_shingle_df}
+        ),
+        exj AS (SELECT ex.id, ex.shingle FROM ex JOIN joinable USING (shingle))"""
+        if max_shingle_df is not None
+        else "exj AS (SELECT id, shingle FROM ex)"
+    )
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0),
+        sizes AS (SELECT id, len(__sh__) AS n_sh FROM base),
+        ex AS (SELECT id, unnest(__sh__) AS shingle FROM base),
+        {df_filter},
+        common AS (
+          SELECT a.id AS id_1, b.id AS id_2, CAST(count(*) AS BIGINT) AS n_common
+          FROM exj a JOIN exj b ON a.shingle = b.shingle
+          WHERE a.id <> b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_1, id_2, n_common,
+               CAST(s1.n_sh AS INTEGER) AS size_1,
+               round(n_common * 1.0 / s1.n_sh, 6) AS containment
+        FROM common JOIN sizes s1 ON id_1 = s1.id
+        WHERE round(n_common * 1.0 / s1.n_sh, 6) >= {threshold}
+    """
+
+
+def embedding_quantize_sql() -> str:
+    """Mirror of similarity.quantize_embeddings: symmetric per-vector
+    int8 SQ with floor(x + 0.5) rounding (round-half rules are engine-
+    specific; floor is not) and 0-based pos."""
+    return """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, vd,
+                 list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+          FROM v
+        ),
+        ex AS (
+          SELECT vec_id, scale, unnest(vd) AS val,
+                 unnest(generate_series(1, len(vd))) AS pos
+          FROM s
+        )
+        SELECT vec_id,
+               CAST(pos - 1 AS INTEGER) AS pos,
+               CAST(CASE WHEN scale > 0
+                    THEN least(greatest(floor(val / scale + 0.5), -127), 127)
+                    ELSE 0 END AS INTEGER) AS q,
+               round(scale, 9) AS scale
+        FROM ex
+    """
+
+
 def cross_corpus_overlap_sql(
     bench_sources: list[str],
     shingle_n: int = 5,
