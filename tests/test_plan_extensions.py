@@ -278,3 +278,70 @@ def test_llm_pipeline_plan_chains_stages(spark):
     clusters = reg["dupClusters"]
     kept = clusters.filter("keep").count()
     assert kept == clusters.select("cluster_id").distinct().count()
+
+
+def test_integrity_and_skew_commands(spark, tmp_path):
+    plan = {
+        "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        "commands": [
+            {
+                "command": "integrity",
+                "relations": [
+                    {
+                        "name": "orders->customer",
+                        "child": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                        "fk": ["o_custkey"],
+                        "parent": {"ref": f"{SF}/customer.parquet", "onDisk": True},
+                        "pk": ["c_custkey"],
+                    },
+                ],
+                "outputKey": "fkCheck",
+            },
+            {
+                "command": "assertion",
+                "input": {"ref": "fkCheck", "onDisk": False},
+                "params": {"assertions": [{
+                    "query": "orphan_frac <= 0.0",
+                    "description": "no FK orphans",
+                    "threshold": 0.0,
+                }]},
+                "outputKey": "fkAssert",
+            },
+            {
+                "command": "skewProfile",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"keys": ["o_custkey"], "k": 5},
+                "outputKey": "hotKeys",
+            },
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "normalize", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "normDocs",
+            },
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "containment", "idColumn": "doc_id",
+                           "textColumn": "text", "threshold": 0.5,
+                           "shingleN": 5},
+                "outputKey": "contained",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    eng = TnEngine(spark)
+    result = eng.run_plan_file(str(p))
+    reg = eng.registry
+    fk = reg["fkCheck"].collect()
+    assert [r["relation"] for r in fk] == ["orders->customer"]
+    # orders FKs are complete in the synthetic data -> assertion passes
+    assert result.num_failed == 0
+    hot = reg["hotKeys"].collect()
+    assert len(hot) == 5 and hot[0]["rank"] == 1
+    assert reg["normDocs"].columns == [
+        "doc_id", "norm_text", "n_chars_raw", "n_chars_norm", "changed"
+    ]
+    assert "containment" in reg["contained"].columns

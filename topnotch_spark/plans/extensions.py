@@ -47,7 +47,8 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 @dataclass(frozen=True)
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
-    jaccard|simhash|embedding|clusters, "idColumn", "textColumn"|"vecColumn",
+    jaccard|containment|simhash|embedding|clusters, "idColumn",
+    "textColumn"|"vecColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
     maxHamming/nPlanes/dim/maxShingleDf/roundDigits)}}.
 
@@ -85,6 +86,7 @@ class DedupCmd(Command):
             "fingerprint": D.fingerprint_dedup,
             "minhash": D.minhash_lsh_dedup,
             "jaccard": D.ngram_jaccard_pairs,
+            "containment": D.containment_pairs,
             "simhash": D.simhash_dedup,
             "embedding": D.embedding_near_dups,
             "clusters": self._clusters,
@@ -105,7 +107,7 @@ class DedupCmd(Command):
 class TextCmd(Command):
     """{"command": "text", "params": {"method": tokenStats|quality|langid|
     fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards|
-    repetition|tfidfKeywords, "idColumn", "textColumn",
+    repetition|tfidfKeywords|normalize, "idColumn", "textColumn",
     ["stopwords"/"size"/"overlap"/"k"/"budget"/"partitionCol"/
     "shingleN"]}}"""
 
@@ -148,6 +150,7 @@ class TextCmd(Command):
             "packShards": C.pack_token_shards,
             "repetition": T.repetition_stats,
             "tfidfKeywords": T.tfidf_keywords,
+            "normalize": C.normalize_text,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
@@ -400,6 +403,81 @@ class SampleCmd(Command):
         )
 
 
+@dataclass(frozen=True)
+class IntegrityCmd(Command):
+    """{"command": "integrity", "relations": [{"name", "child": <input>,
+    "fk": [...], "parent": <input>, "pk": [...]}]} — one summary row per
+    child→parent relation (orphans + NULL-FK accounting)."""
+
+    relations: tuple[tuple[str, Input, tuple[str, ...], Input, tuple[str, ...]], ...] = ()
+
+    @property
+    def inputs(self) -> list[Input]:
+        out: list[Input] = []
+        for _, child, _, parent, _ in self.relations:
+            out.extend([child, parent])
+        return out
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "IntegrityCmd":
+        rels = tuple(
+            (
+                r["name"],
+                Input.from_json(r["child"]),
+                tuple(r["fk"]),
+                Input.from_json(r["parent"]),
+                tuple(r["pk"]),
+            )
+            for r in obj["relations"]
+        )
+        return cls(relations=rels, **cls._common(obj))
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.integrity import referential_integrity_suite
+
+        resolved = [
+            (
+                name,
+                load_input(engine.spark, child, engine.registry),
+                list(fk),
+                load_input(engine.spark, parent, engine.registry),
+                list(pk),
+            )
+            for name, child, fk, parent, pk in self.relations
+        ]
+        return referential_integrity_suite(resolved)
+
+
+@dataclass(frozen=True)
+class SkewCmd(Command):
+    """{"command": "skewProfile", "input": <input>, "params":
+    {"keys": [...], ["k"]}} — top-k heaviest key values with row share
+    (the pre-join skew diagnostic for salted_join / AQE tuning)."""
+
+    input: Input = None  # type: ignore[assignment]
+    keys: tuple[str, ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SkewCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            keys=tuple(p["keys"]),
+            options=_opt(p, "k"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.skew import key_skew_topk
+
+        return key_skew_topk(
+            load_input(engine.spark, self.input, engine.registry),
+            list(self.keys),
+            **self.options,
+        )
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
@@ -413,6 +491,8 @@ def register() -> None:
             "drift": DriftCmd.from_json,
             "sample": SampleCmd.from_json,
             "decontaminate": DeconCmd.from_json,
+            "integrity": IntegrityCmd.from_json,
+            "skewProfile": SkewCmd.from_json,
         }
     )
 
