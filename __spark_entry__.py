@@ -166,6 +166,20 @@ def oracle_sql() -> dict[str, str]:
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(
             catalog.STREAM_RULES
         ),
+        "events_throttle_dedup": oracles.events_throttle_dedup_sql(300),
+        "event_transitions": oracles.event_transitions_sql(),
+        "winsorize_totalprice": oracles.winsorize_sql(
+            "orders",
+            "o_totalprice",
+            ["o_orderkey", "o_orderstatus", "o_totalprice"],
+            ["o_orderstatus"],
+            lower_p=0.05,
+            upper_p=0.95,
+        ),
+        "train_split_assign": oracles.hash_split_sql(catalog.SPLIT_FRACTIONS),
+        "quality_bands_by_source": oracles.quality_bands_sql(n_bands=4),
+        "embedding_norm_outliers": oracles.embedding_norm_outliers_sql(k=2.0),
+        "token_histogram": oracles.token_histogram_sql(),
     }
     return ext | {
         "view_tpch_q1": """

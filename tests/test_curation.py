@@ -302,3 +302,56 @@ def test_normalize_text_cleanup_and_flag(spark):
     assert out[2]["changed"] is False
     assert out[3]["norm_text"] == "mixed case"
     assert out[3]["n_chars_raw"] == 16 and out[3]["n_chars_norm"] == 10
+
+
+def test_winsorize_grouped_bounds_and_clip(spark):
+    from topnotch_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 101)],
+        "id int, grp string, v double",
+    )
+    out = winsorize(df, "v", ["grp"], lower_p=0.05, upper_p=0.95).collect()
+    # percentile over 1..100: p05 = 1 + 0.05*99 = 5.95, p95 = 95.05
+    lo, hi = out[0]["lo"], out[0]["hi"]
+    assert lo == 5.95 and hi == 95.05
+    clipped = {r["id"]: r["v_clipped"] for r in out}
+    assert clipped[1] == 5.95 and clipped[100] == 95.05 and clipped[50] == 50.0
+
+
+def test_winsorize_ungrouped_approx_path(spark):
+    from topnotch_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id int, v double"
+    )
+    out = winsorize(df, "v", None, exact=False).collect()
+    assert all(r["lo"] <= r["v_clipped"] <= r["hi"] for r in out)
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    from topnotch_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["id"]: r["split"] for r in hash_split(df, "id", fr).collect()}
+    out2 = {r["id"]: r["split"] for r in hash_split(df, "id", fr).collect()}
+    assert out == out2  # deterministic
+    counts = {s: 0 for s in fr}
+    for s in out.values():
+        counts[s] += 1
+    assert 700 < counts["train"] < 900  # ~80% of 1000
+    # growth stability: the same ids keep their split in a superset
+    bigger = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out3 = {r["id"]: r["split"] for r in hash_split(bigger, "id", fr).collect()}
+    assert all(out3[i] == out[i] for i in out)
+
+
+def test_hash_split_empty_fractions_raises(spark):
+    import pytest
+
+    from topnotch_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        hash_split(df, "id", {})

@@ -63,12 +63,12 @@ def plan_path(tmp_path):
                 "inputs": [{"ref": f"{SF}/events.parquet", "onDisk": True}],
                 "params": {
                     "tableAliases": ["raw_events"],
-                    # driver parquet stores ts as TIMESTAMP(NANOS) (read as
-                    # epoch-nanos long); a view is the user-facing way to
-                    # normalize it
+                    # driver parquet stores ts without a zone (TIMESTAMP_NTZ,
+                    # which watermark/unix_micros reject); a view is the
+                    # user-facing way to normalize it to the session-zone type
                     "query": (
                         "SELECT event_id, user_id, "
-                        "timestamp_micros(ts div 1000) AS ts, event_type, value "
+                        "CAST(ts AS TIMESTAMP) AS ts, event_type, value "
                         "FROM raw_events"
                     ),
                 },
@@ -333,12 +333,12 @@ def test_integrity_and_skew_commands(spark, tmp_path):
     p = tmp_path / "plan.json"
     p.write_text(json.dumps(plan))
     eng = TnEngine(spark)
-    result = eng.run_plan_file(str(p))
+    num_failed = eng.run(str(p))
     reg = eng.registry
     fk = reg["fkCheck"].collect()
     assert [r["relation"] for r in fk] == ["orders->customer"]
     # orders FKs are complete in the synthetic data -> assertion passes
-    assert result.num_failed == 0
+    assert num_failed == 0
     hot = reg["hotKeys"].collect()
     assert len(hot) == 5 and hot[0]["rank"] == 1
     assert reg["normDocs"].columns == [

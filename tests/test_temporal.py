@@ -231,3 +231,67 @@ def test_resample_timeseries_fills_gaps(spark):
     assert out[("a", 4)] == (1, 4.0)
     assert out[("b", 2)] == (1, 8.0)
     assert out[("b", 3)] == (0, 0.0)
+
+
+def test_throttle_dedup_gap_semantics(spark):
+    from topnotch_spark.operators.temporal import throttle_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a", _ts(0)),       # first per key -> kept
+            (2, 10, "a", _ts(100)),     # 100s gap <= 300 -> dropped
+            (3, 10, "a", _ts(500)),     # 400s gap > 300 -> kept
+            (4, 10, "b", _ts(100)),     # different key -> first, kept
+            (5, 20, "a", _ts(100)),     # different user -> first, kept
+        ],
+        "event_id int, user_id int, event_type string, ts timestamp",
+    )
+    rows = {
+        r["event_id"]: (r["kept"], r["gap_seconds"])
+        for r in throttle_dedup(
+            df, ["user_id", "event_type"], "ts", "event_id", 300
+        ).collect()
+    }
+    assert rows[1] == (True, None)
+    assert rows[2] == (False, 100.0)
+    assert rows[3] == (True, 400.0)
+    assert rows[4][0] is True and rows[5][0] is True
+
+
+def test_throttle_dedup_tie_order(spark):
+    from topnotch_spark.operators.temporal import throttle_dedup
+
+    # equal timestamps: the tiebreak id orders the lag chain
+    df = spark.createDataFrame(
+        [(2, 1, "x", _ts(0)), (1, 1, "x", _ts(0))],
+        "event_id int, user_id int, event_type string, ts timestamp",
+    )
+    rows = {
+        r["event_id"]: r["kept"]
+        for r in throttle_dedup(df, ["user_id", "event_type"], "ts",
+                                "event_id", 60).collect()
+    }
+    assert rows[1] is True and rows[2] is False  # 0s gap <= 60
+
+
+def test_transition_counts(spark):
+    from topnotch_spark.operators.temporal import transition_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, _ts(0), "view"),
+            (2, 1, _ts(10), "click"),
+            (3, 1, _ts(20), "view"),
+            (4, 2, _ts(0), "view"),
+            (5, 2, _ts(5), "click"),
+        ],
+        "event_id int, user_id int, ts timestamp, event_type string",
+    )
+    out = {
+        (r["prev_state"], r["next_state"]): r["n_transitions"]
+        for r in transition_counts(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    # user1: view->click, click->view; user2: view->click
+    assert out == {("view", "click"): 2, ("click", "view"): 1}

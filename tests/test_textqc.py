@@ -219,3 +219,36 @@ def test_tfidf_keywords_ranking(spark):
     assert all(
         r["token"] != "shared" or r["tfidf"] == 0.0 for r in out.values()
     )
+
+
+def test_quality_bands_partitioned(spark):
+    from topnotch_spark.operators.textqc import quality_bands
+
+    df = spark.createDataFrame(
+        [(i, "s1" if i <= 8 else "s2", i * 10) for i in range(1, 13)],
+        "doc_id int, source string, n_chars int",
+    )
+    out = {
+        r["doc_id"]: r["band"]
+        for r in quality_bands(df, "doc_id", "n_chars", "source", 4).collect()
+    }
+    # s1 has 8 docs -> 2 per band in order of n_chars
+    assert [out[i] for i in range(1, 9)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # s2 has 4 docs -> 1 per band
+    assert [out[i] for i in range(9, 13)] == [1, 2, 3, 4]
+
+
+def test_token_length_histogram_buckets(spark):
+    from topnotch_spark.operators.textqc import token_length_histogram
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("a b",), ("a b c d e",)], "text string"
+    )
+    out = {
+        r["log2_bucket"]: (r["n_docs"], r["min_tokens"], r["max_tokens"])
+        for r in token_length_histogram(df, "text").collect()
+    }
+    assert out[-1] == (1, 0, 0)   # empty doc
+    assert out[0] == (1, 1, 1)    # 1 token -> log2 = 0
+    assert out[1] == (1, 2, 2)    # 2 tokens -> log2 = 1
+    assert out[2] == (1, 5, 5)    # 5 tokens -> floor(log2 5) = 2

@@ -81,3 +81,29 @@ def test_stream_stream_time_join_batch_and_stream(spark, tmp_path):
     # error 2 pairs with click 1 (30 min, cross-batch); error 4 with
     # click 3 (10 min); click 1 is >1h before error 4 -> excluded
     assert got == {(2, 1), (4, 3)}
+
+
+def test_embedding_norm_outliers_flags_extreme(spark):
+    from topnotch_spark.operators.similarity import embedding_norm_outliers
+
+    rows = [(i, [1.0, 0.0, 0.0], 1) for i in range(10)]
+    rows.append((99, [100.0, 0.0, 0.0], 1))  # broken-encoder vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: (r["l2_norm"], r["is_outlier"])
+           for r in embedding_norm_outliers(df, k=2.0).collect()}
+    assert out[0][0] == 1.0
+    assert out[99][0] == 100.0
+    assert out[99][1] is True
+    assert not any(v[1] for k, v in out.items() if k != 99)
+
+
+def test_embedding_norm_outliers_zero_std(spark):
+    from topnotch_spark.operators.similarity import embedding_norm_outliers
+
+    df = spark.createDataFrame(
+        [(i, [3.0, 4.0], 7) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_norm_outliers(df).collect()
+    assert all(r["l2_norm"] == 5.0 and r["zscore"] == 0.0
+               and r["is_outlier"] is False for r in out)

@@ -41,8 +41,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Newer testdata writes TIMESTAMP(MICROS, isAdjustedToUTC=false),
+            # which Spark reads as TIMESTAMP_NTZ — a type withWatermark and
+            # unix_micros() reject. The session runs in UTC, so casting to
+            # the LTZ timestamp type reinterprets the same wall-clock value
+            # without shifting it, matching DuckDB's naive TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1067,6 +1075,89 @@ def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(out, output_mode="append", state_partitions=8)
 
 
+def events_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based temporal dedup over the event stream: repeat
+    (user, event_type) fires within 5 minutes of the previous event are
+    flagged — one lag() window pass."""
+    from topnotch_spark.operators.temporal import throttle_dedup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return throttle_dedup(
+        ev, ["user_id", "event_type"], "ts", "event_id", min_gap_seconds=300
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user ordered
+    sequences (lag window + bounded groupBy) — sequence mining for
+    session-flow priors."""
+    from topnotch_spark.operators.temporal import transition_counts
+
+    return transition_counts(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id", "event_type"
+    )
+
+
+def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status winsorization of order totals to the exact [p05, p95]
+    band (heavy-tail guard). Exact percentiles here for the oracle; the
+    operator's ``exact=False`` t-digest path is the 100 TB default."""
+    from topnotch_spark.operators.curation import winsorize
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return winsorize(
+        orders, "o_totalprice", ["o_orderstatus"], lower_p=0.05, upper_p=0.95
+    )
+
+
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment per document —
+    seedless, engine-portable, stable under corpus growth. Zero
+    shuffle."""
+    from topnotch_spark.operators.curation import hash_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(docs, "doc_id", SPLIT_FRACTIONS)
+
+
+def quality_bands_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quartiles via ntile(4) — the stratification
+    used to mix training batches across quality bands. Partitioned by
+    source, so no single-partition window at scale."""
+    from topnotch_spark.operators.textqc import quality_bands
+
+    return quality_bands(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        partition_col="source",
+        n_bands=4,
+    )
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm z-score screen over the embedding table — the
+    cheap broken-encoder detector (JVM fold per row, one window pass)."""
+    from topnotch_spark.operators.similarity import embedding_norm_outliers as op
+
+    return op(load(spark, sf_dir, "embeddings"), k=2.0)
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-count histogram in power-of-two buckets, computed in
+    integer space (length(bin(n))-1) — the one-glance length profile."""
+    from topnotch_spark.operators.textqc import token_length_histogram
+
+    return token_length_histogram(load(spark, sf_dir, "documents"), "text")
+
+
 ALL = {
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
@@ -1133,4 +1224,11 @@ ALL = {
     "streaming_error_click_join": streaming_error_click_join,
     "streaming_session_window": streaming_session_window,
     "streaming_drift_monitor": streaming_drift_monitor,
+    "events_throttle_dedup": events_throttle_dedup,
+    "event_transitions": event_transitions,
+    "winsorize_totalprice": winsorize_totalprice,
+    "train_split_assign": train_split_assign,
+    "quality_bands_by_source": quality_bands_by_source,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "token_histogram": token_histogram,
 }

@@ -319,3 +319,98 @@ def stratified_topn(
         .filter(F.col("__rn__") <= n)
         .drop("__rn__")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization (percentile clipping)
+# ---------------------------------------------------------------------------
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+    exact: bool = True,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Clip a numeric column to its (per-group) [lower_p, upper_p]
+    percentile band — the standard heavy-tail guard before loss
+    weighting / feature scaling in a training pipeline.
+
+    ``exact=True`` computes true percentiles (one sort-based aggregate
+    per group; linear interpolation, the quantile_cont definition) —
+    right for oracle-checked QC and for grouped data where each group
+    fits a partition's sort. At 100 TB ungrouped, pass ``exact=False``
+    for approx_percentile (t-digest sketch, one pass, mergeable — the
+    scale default; bounds then carry sketch error, which clipping
+    tolerates by construction).
+
+    Output: input columns + lo / hi bounds + ``<value_col>_clipped``.
+    Execution shape: one groupBy aggregate over the groups (tiny next
+    to the input) joined back — AQE broadcasts it when small.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    bounds_expr = [
+        F.round(
+            F.expr(f"{fn}({value_col}, {p})").cast("double"), round_digits
+        ).alias(name)
+        for name, p in (("lo", lower_p), ("hi", upper_p))
+    ]
+    v = F.col(value_col)
+    clipped = F.round(
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")), round_digits
+    )
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(*bounds_expr)
+        base = df.join(bounds, group_cols)
+    else:
+        base = df.crossJoin(F.broadcast(df.agg(*bounds_expr)))
+    return base.select(
+        *[F.col(c) for c in df.columns],
+        "lo",
+        "hi",
+        clipped.alias(f"{value_col}_clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashing
+    its id — deterministic, engine-portable, seedless: the same row
+    lands in the same split on every engine, every run, any
+    partitioning, and membership survives corpus growth (a row's split
+    never changes when other rows are added — the property random
+    shuffles lack). Fractions must sum to <= 1; any remainder falls in
+    the last split.
+
+    Mechanism: first 8 hex chars of md5(salt ':' id) compared against
+    cumulative fraction thresholds (fixed-width lowercase hex compares
+    like the integer it encodes — same trick as stratified_sample).
+    Zero shuffle, one projection.
+    """
+    if not fractions:
+        raise ValueError("hash_split: fractions must be non-empty")
+    names = list(fractions)
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ).substr(1, 8)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    # build the CASE chain from the last threshold down so evaluation
+    # order matches the cumulative boundaries
+    thresholds: list[tuple[str, str]] = []
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        thresholds.append((name, _rate_threshold_hex(min(cum, 1.0))))
+    for name, thr in reversed(thresholds):
+        expr = F.when(key < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.select("*", expr.alias("split"))

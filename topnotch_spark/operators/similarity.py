@@ -383,3 +383,39 @@ def kmeans_centroids(
         F.coalesce("n_members", F.lit(0)).alias("n_members"),
     )
     return centroids, assignments.select("id", "centroid_id")
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Flag embeddings whose L2 norm is > k sample-stddevs from their
+    label's mean norm — the cheap first screen for broken encoders,
+    zero vectors, and mis-scaled batches before any ANN indexing.
+
+    Execution shape: the norm is one JVM-side sequential fold per row
+    (functions.vectors.norm — double accumulation, no Python), rounded
+    once so downstream stats are engine-stable; mean/stddev per label is
+    one window pass over the label partitioning (2 doubles of state per
+    label). One shuffle total, nothing collected to the driver."""
+    from topnotch_spark.functions.vectors import norm
+
+    rn = F.round(norm(F.col(vec_col)), round_digits)
+    base = df.select(
+        F.col(id_col), F.col(label_col), rn.alias("l2_norm")
+    )
+    part = Window.partitionBy(label_col)
+    mean = F.mean("l2_norm").over(part)
+    std = F.stddev_samp("l2_norm").over(part)
+    z = F.when(std > 0, (F.col("l2_norm") - mean) / std).otherwise(F.lit(0.0))
+    return base.select(
+        id_col,
+        label_col,
+        "l2_norm",
+        F.round(z, round_digits).alias("zscore"),
+        (F.abs(F.round(z, round_digits)) > k).alias("is_outlier"),
+    )

@@ -182,6 +182,74 @@ def latest_per_key(
     )
 
 
+def throttle_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Gap-based temporal dedup: flag a row as kept iff the immediately
+    preceding row with the same keys is more than ``min_gap_seconds``
+    older (the first row per key is always kept). The classic
+    bot/duplicate-fire screen over clickstreams ("drop repeat events
+    inside N seconds").
+
+    Semantics note: the gap is measured to the PREVIOUS event, kept or
+    not — that makes it one lag() window pass (one shuffle on the keys,
+    SQL-expressible, oracle-exact). True throttling relative to the last
+    *kept* event is a sequential per-key scan (applyInPandasWithState in
+    streaming; a session_window variant in batch) and is deliberately a
+    different operator.
+
+    Output: input columns + gap_seconds (null on the first row per key)
+    + ``kept``. One window pass, no driver collection; state per row is
+    a single lag value, so the pass is scan-bound at any scale.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - prev_us
+    return df.select(
+        "*",
+        F.round(gap_us / 1_000_000.0, 6).alias("gap_seconds"),
+        (prev_us.isNull() | (gap_us > min_gap_seconds * 1_000_000)).alias(
+            "kept"
+        ),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order transition (bigram) counts over per-key ordered event
+    sequences: for each key, order by (ts, tiebreak) and count
+    (previous state -> state) pairs across all keys. The training-data
+    flavor of sequence mining — the output is the Markov transition
+    matrix of the event stream (session-flow analysis, anomalous-flow
+    screens, next-event priors).
+
+    Execution shape: one lag() window pass (shuffle on the key) + one
+    groupBy over the bounded (state x state) pair space — partial
+    aggregation map-side, so the shuffled agg input is at most
+    |states|^2 rows per task regardless of input size."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = df.select(
+        F.lag(F.col(state_col)).over(w).alias("prev_state"),
+        F.col(state_col).alias("next_state"),
+    ).filter(F.col("prev_state").isNotNull())
+    return pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
 def resample_timeseries(
     df: DataFrame,
     ts_col: str,

@@ -222,3 +222,58 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(F.col("__id__").alias(f"{id_col}"), "token", "tfidf", "rank")
     )
+
+
+def quality_bands(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    partition_col: str | None = None,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Equal-count quality banding: ntile(n) over (order_col, id) within
+    each partition — "quartile by length per source" style stratification
+    used to mix training batches across quality strata. The id tiebreak
+    makes band edges deterministic when order values collide.
+
+    One row_number-class window pass (shuffle on the partition column);
+    with no partition column, banding a full corpus globally is a
+    single-partition sort by construction — partition it (per source /
+    per shard) at scale, which is also the semantics training mixes
+    want."""
+    part = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    )
+    w = part.orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col),
+        *([F.col(partition_col)] if partition_col else []),
+        F.col(order_col),
+        F.ntile(n_bands).over(w).alias("band"),
+    )
+
+
+def token_length_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-level histogram of document token counts in power-of-two
+    buckets (bucket = floor(log2(n_tokens)), -1 for empty docs) — the
+    one-glance length profile of a training corpus (truncation planning,
+    packing-budget choice).
+
+    log2 is computed in integer space as length(bin(n)) - 1, so bucket
+    edges carry no float rounding. One projection + one groupBy over
+    ~60 possible buckets: partial aggregation makes the shuffle a few
+    rows per task at any corpus size."""
+    n = F.size(tokens(text_col)).cast("long")
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(n)) - 1).cast("int")
+    )
+    return (
+        df.select(n.alias("n_tokens"), bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )

@@ -1548,3 +1548,166 @@ def text_fingerprints_sql() -> str:
                {simhash_expr(32)} AS simhash32
         FROM distinct_toks
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: temporal dedup, transitions, winsorize, hash split,
+# quality bands, embedding norms, token histogram
+# ---------------------------------------------------------------------------
+
+def events_throttle_dedup_sql(min_gap_seconds: int = 300) -> str:
+    """Mirror of temporal.throttle_dedup on (user_id, event_type)."""
+    gap_us = min_gap_seconds * 1_000_000
+    return f"""
+        WITH lagged AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ) AS prev_us
+          FROM events
+        )
+        SELECT event_id, user_id, event_type, ts,
+               round((epoch_us(ts) - prev_us) / 1000000.0, 6) AS gap_seconds,
+               (prev_us IS NULL OR epoch_us(ts) - prev_us > {gap_us}) AS kept
+        FROM lagged
+    """
+
+
+def event_transitions_sql() -> str:
+    """Mirror of temporal.transition_counts per user over (ts, event_id)."""
+    return """
+        WITH seq AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ) AS prev_state,
+                 event_type AS next_state
+          FROM events
+        )
+        SELECT prev_state, next_state, count(*) AS n_transitions
+        FROM seq WHERE prev_state IS NOT NULL
+        GROUP BY prev_state, next_state
+    """
+
+
+def winsorize_sql(
+    table: str,
+    value_col: str,
+    keep_cols: list[str],
+    group_cols: list[str],
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+    round_digits: int = 4,
+) -> str:
+    """Mirror of curation.winsorize (exact path): quantile_cont is the
+    same linear-interpolation definition as Spark's percentile()."""
+    keep = ", ".join(keep_cols)
+    grp = ", ".join(group_cols)
+    using = ", ".join(group_cols)
+    return f"""
+        WITH bounds AS (
+          SELECT {grp},
+                 round(quantile_cont({value_col}, {lower_p}), {round_digits})
+                     AS lo,
+                 round(quantile_cont({value_col}, {upper_p}), {round_digits})
+                     AS hi
+          FROM {table} GROUP BY {grp}
+        )
+        SELECT {keep}, lo, hi,
+               round(least(greatest({value_col}, lo), hi), {round_digits})
+                   AS {value_col}_clipped
+        FROM {table} JOIN bounds USING ({using})
+    """
+
+
+def hash_split_sql(
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+    table: str = "documents",
+    salt: str = "split",
+) -> str:
+    """Mirror of curation.hash_split: identical cumulative-threshold
+    accumulation (same float math) and md5 prefix compare."""
+    from topnotch_spark.operators.curation import _rate_threshold_hex
+
+    names = list(fractions)
+    cum = 0.0
+    cases = []
+    key = f"substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8)"
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        thr = _rate_threshold_hex(min(cum, 1.0))
+        cases.append(f"WHEN {key} < '{thr}' THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    keep = ", ".join(keep_cols)
+    return f"SELECT {keep}, {case} AS split FROM {table}"
+
+
+def quality_bands_sql(
+    n_bands: int = 4,
+    order_col: str = "n_chars",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """Mirror of textqc.quality_bands: ntile over the same total order."""
+    return f"""
+        SELECT {id_col}, {partition_col}, {order_col},
+               CAST(ntile({n_bands}) OVER (
+                 PARTITION BY {partition_col}
+                 ORDER BY {order_col}, {id_col}
+               ) AS INTEGER) AS band
+        FROM {table}
+    """
+
+
+def embedding_norm_outliers_sql(k: float = 2.0, round_digits: int = 6) -> str:
+    """Mirror of similarity.embedding_norm_outliers: the norm is the
+    same left-fold double accumulation (list_sum over the squared
+    elements in array order), rounded before the stats so both engines
+    window over identical doubles."""
+    return f"""
+        WITH norms AS (
+          SELECT vec_id, label,
+                 round(sqrt(coalesce(list_sum(list_transform(
+                   embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                 )), 0.0)), {round_digits}) AS l2_norm
+          FROM embeddings
+        ),
+        stats AS (
+          SELECT vec_id, label, l2_norm,
+                 avg(l2_norm) OVER (PARTITION BY label) AS m,
+                 stddev_samp(l2_norm) OVER (PARTITION BY label) AS s
+          FROM norms
+        )
+        SELECT vec_id, label, l2_norm,
+               CASE WHEN s > 0 THEN round((l2_norm - m) / s, {round_digits})
+                    ELSE 0.0 END AS zscore,
+               abs(CASE WHEN s > 0
+                        THEN round((l2_norm - m) / s, {round_digits})
+                        ELSE 0.0 END) > {k} AS is_outlier
+        FROM stats
+    """
+
+
+def token_histogram_sql() -> str:
+    """Mirror of textqc.token_length_histogram: integer log2 via
+    length(bin(n)) - 1; sums cast to BIGINT (DuckDB sum() yields
+    HUGEINT — the round-2 dtype lesson)."""
+    return f"""
+        {_DOC_BASE},
+        counted AS (
+          SELECT CAST(len(__t__) AS BIGINT) AS n_tokens FROM toked
+        )
+        SELECT CAST(CASE WHEN n_tokens <= 0 THEN -1
+                         ELSE length(bin(n_tokens)) - 1 END AS INTEGER)
+                   AS log2_bucket,
+               count(*) AS n_docs,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM counted
+        GROUP BY 1
+    """

@@ -60,7 +60,14 @@ def events_replay_dir(
     dest = f"{REPLAY_ROOT}/{base}"
     marker = os.path.join(dest, "_REPLAY_READY")
     if os.path.exists(marker):
-        return dest
+        # Guard against a replay dir built from stale testdata whose ts was
+        # not yet normalized to the plain (LTZ) timestamp type — watermarks
+        # reject TIMESTAMP_NTZ, so rebuild rather than reuse.
+        try:
+            if dict(spark.read.parquet(dest).dtypes).get("ts") == "timestamp":
+                return dest
+        except Exception:
+            pass
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest, exist_ok=True)
     ev = catalog.load(spark, sf_dir, "events")
