@@ -180,6 +180,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_bands_by_source": oracles.quality_bands_sql(n_bands=4),
         "embedding_norm_outliers": oracles.embedding_norm_outliers_sql(k=2.0),
         "token_histogram": oracles.token_histogram_sql(),
+        "event_funnel": oracles.event_funnel_sql(catalog.FUNNEL_STAGES),
+        "text_unigram_logprob": oracles.text_unigram_logprob_sql(),
+        "source_mix": oracles.source_mix_sql(alpha=0.5),
+        "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(),
     }
     return ext | {
         "view_tpch_q1": """

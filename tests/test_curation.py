@@ -355,3 +355,18 @@ def test_hash_split_empty_fractions_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         hash_split(df, "id", {})
+
+
+def test_source_mix_weights_alpha(spark):
+    from topnotch_spark.operators.curation import source_mix_weights
+
+    # s1 has 9x the tokens of s2; alpha=0.5 compresses the ratio to 3x
+    df = spark.createDataFrame(
+        [("s1", "t " * 90), ("s2", "t " * 10)], "source string, text string"
+    )
+    out = {r["source"]: r for r in
+           source_mix_weights(df, "source", "text", alpha=0.5).collect()}
+    assert out["s1"]["token_share"] == 0.9
+    assert out["s2"]["token_share"] == 0.1
+    assert abs(out["s1"]["mix_weight"] / out["s2"]["mix_weight"] - 3.0) < 1e-4
+    assert abs(out["s1"]["mix_weight"] + out["s2"]["mix_weight"] - 1.0) < 1e-5

@@ -256,3 +256,18 @@ def test_containment_valve_drops_hot_shingle(spark):
     assert containment_pairs(
         df, "doc_id", "text", threshold=0.99, shingle_n=5, max_shingle_df=None
     ).count() == 20
+
+
+def test_dedup_rate_by_group_cross_group_dups(spark):
+    from topnotch_spark.operators.dedup import dedup_rate_by_group
+
+    # "same" appears in both sources: keeper is the global min doc_id,
+    # so s2's copy counts as a dup against s1's keeper
+    df = spark.createDataFrame(
+        [(1, "same", "s1"), (2, "same", "s2"), (3, "uniq", "s2")],
+        "doc_id int, text string, source string",
+    )
+    out = {r["source"]: (r["n_docs"], r["n_keepers"], r["dup_rate"])
+           for r in dedup_rate_by_group(df, "doc_id", "text", "source").collect()}
+    assert out["s1"] == (1, 1, 0.0)
+    assert out["s2"] == (2, 1, 0.5)

@@ -295,3 +295,38 @@ def test_transition_counts(spark):
     }
     # user1: view->click, click->view; user2: view->click
     assert out == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_funnel_stages_strict_order(spark):
+    from topnotch_spark.operators.temporal import funnel_stages
+
+    df = spark.createDataFrame(
+        [
+            # u1 completes the funnel in order
+            (1, _ts(0), "view"), (1, _ts(10), "click"), (1, _ts(20), "buy"),
+            # u2 clicks BEFORE viewing -> stops at view
+            (2, _ts(10), "click"), (2, _ts(20), "view"),
+            # u3 views+clicks but never buys
+            (3, _ts(0), "view"), (3, _ts(5), "click"),
+            # u4 only buys -> counts nowhere
+            (4, _ts(0), "buy"),
+        ],
+        "user_id int, ts timestamp, event_type string",
+    )
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(
+            df, "user_id", "ts", "event_type", ["view", "click", "buy"]
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "buy": 1}
+
+
+def test_funnel_stages_empty_raises(spark):
+    import pytest
+
+    from topnotch_spark.operators.temporal import funnel_stages
+
+    df = spark.createDataFrame([], "user_id int, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        funnel_stages(df, "user_id", "ts", "event_type", [])

@@ -252,3 +252,30 @@ def test_token_length_histogram_buckets(spark):
     assert out[0] == (1, 1, 1)    # 1 token -> log2 = 0
     assert out[1] == (1, 2, 2)    # 2 tokens -> log2 = 1
     assert out[2] == (1, 5, 5)    # 5 tokens -> floor(log2 5) = 2
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    import math
+
+    from topnotch_spark.operators.textqc import unigram_logprob
+
+    # 4 tokens total, each appearing once -> p = 1/4 for every token
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+           for r in unigram_logprob(df, "doc_id", "text").collect()}
+    expect = round(-math.log(0.25), 4)
+    assert out[1] == (2, expect) and out[2] == (2, expect)
+    assert out[3] == (0, None)  # empty doc survives with NULL score
+
+
+def test_unigram_logprob_rare_token_scores_higher(spark):
+    from topnotch_spark.operators.textqc import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[2] > out[1]

@@ -1158,6 +1158,49 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(load(spark, sf_dir, "documents"), "text")
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users reaching
+    view -> click -> purchase, each stage strictly after the previous
+    one's first qualifying event (aggregate-sized joins, fully lazy)."""
+    from topnotch_spark.operators.temporal import funnel_stages
+
+    return funnel_stages(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        FUNNEL_STAGES,
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency screen: per-doc mean negative log-prob
+    under the corpus's own unigram LM (vocab-sized broadcast join)."""
+    from topnotch_spark.operators.textqc import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) corpus mixing weights per source
+    from token shares — the multi-source sampling-ratio report."""
+    from topnotch_spark.operators.curation import source_mix_weights
+
+    return source_mix_weights(
+        load(spark, sf_dir, "documents"), "source", "text", alpha=0.5
+    )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication accounting per source: corpus-wide exact-dup groups
+    rolled up to (n_docs, n_keepers, dup_rate) per slice."""
+    from topnotch_spark.operators.dedup import dedup_rate_by_group
+
+    return dedup_rate_by_group(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 ALL = {
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
@@ -1231,4 +1274,8 @@ ALL = {
     "quality_bands_by_source": quality_bands_by_source,
     "embedding_norm_outliers": embedding_norm_outliers,
     "token_histogram": token_histogram,
+    "event_funnel": event_funnel,
+    "text_unigram_logprob": text_unigram_logprob,
+    "source_mix": source_mix,
+    "dedup_rate_by_source": dedup_rate_by_source,
 }

@@ -414,3 +414,51 @@ def hash_split(
     for name, thr in reversed(thresholds):
         expr = F.when(key < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.select("*", expr.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing weights
+# ---------------------------------------------------------------------------
+
+def source_mix_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus source: token
+    share s_g = tokens_g / total, weight w_g ∝ s_g^alpha normalized to
+    sum 1 — the standard multi-source mixing rule (alpha=1 proportional,
+    alpha=0 uniform, 0.5 the usual up-weighting of small sources).
+
+    Execution shape: ONE groupBy(source) over the scan (token counting
+    is a per-row projection, partial aggregation map-side), then the
+    normalization constants come from a 1-row aggregate of the
+    group-sized frame, broadcast back — no second scan, no global
+    window. Output is |sources| rows."""
+    from topnotch_spark.functions.text import tokens
+
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col)).cast("long")).alias("n_tokens"),
+    )
+    from topnotch_spark.operators.dedup import _persist
+
+    per = _persist(per)
+    tot = per.agg(
+        F.sum("n_tokens").alias("__total__"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("__z__"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total__"), round_digits).alias(
+            "token_share"
+        ),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("__z__"),
+            round_digits,
+        ).alias("mix_weight"),
+    )

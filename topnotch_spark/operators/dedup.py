@@ -510,3 +510,30 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_rate_by_group(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """Duplication accounting per corpus slice: corpus-wide exact dedup
+    (md5 content groups, min-id keeper), rolled up by ``group_col`` —
+    which sources are copy-heavy, and how many docs a dedup pass would
+    drop from each. Composes keyed_dedup's keep flags with one bounded
+    groupBy; the rollup shuffle carries |groups| partial rows per task.
+    Output: (group, n_docs, n_keepers, dup_rate)."""
+    flags = keyed_dedup(
+        df.select(F.col(id_col), F.col(text_col), F.col(group_col)),
+        id_col,
+        F.md5(F.col(text_col)),
+        "dup_key",
+    )
+    joined = flags.join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keepers"),
+        F.round(
+            1.0 - F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )

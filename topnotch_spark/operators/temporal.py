@@ -314,3 +314,67 @@ def resample_timeseries(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered conversion funnel: for each stage i, count the users who
+    performed stages[0..i] in temporal order (each stage strictly after
+    the previous one's first qualifying event). The product-analytics
+    staple (view -> click -> purchase), done with aggregates and tiny
+    joins — no per-user sequence collection.
+
+    Execution shape: stage 0 is one filtered groupBy(user) min(ts); each
+    later stage joins the event scan (filtered to that stage's type —
+    predicate pushed to the parquet scan) against the previous stage's
+    per-user frame (n_users rows, ≪ events, persisted since it feeds
+    both its count and the next stage) and takes min(ts) after it. k
+    stages cost k filtered scans + k user-keyed joins of
+    aggregate-sized frames; per-user state is one timestamp per stage.
+    Fully lazy — the result is a union of k one-row aggregates, nothing
+    counted on the driver. Output: (stage_idx, stage, n_users),
+    n_users non-increasing.
+    """
+    from topnotch_spark.operators.dedup import _persist
+
+    if not stages:
+        raise ValueError("funnel_stages: stages must be non-empty")
+    prev = _persist(
+        df.filter(F.col(state_col) == stages[0])
+        .groupBy(F.col(user_col).alias("__u__"))
+        .agg(F.min(ts_col).alias("__t__"))
+    )
+    stage_counts = [
+        prev.agg(
+            F.lit(0).alias("stage_idx"),
+            F.lit(stages[0]).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=1):
+        prev = _persist(
+            df.filter(F.col(state_col) == stage)
+            .join(
+                prev,
+                (F.col(user_col) == F.col("__u__"))
+                & (F.col(ts_col) > F.col("__t__")),
+            )
+            .groupBy("__u__")
+            .agg(F.min(ts_col).alias("__t__"))
+        )
+        stage_counts.append(
+            prev.agg(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = stage_counts[0]
+    for frame in stage_counts[1:]:
+        out = out.unionByName(frame)
+    return out

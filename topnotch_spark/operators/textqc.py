@@ -277,3 +277,44 @@ def token_length_histogram(df: DataFrame, text_col: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
+) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own unigram language model — the cheap perplexity-style fluency
+    screen (high avg_neg_logprob = rare-token-heavy doc: gibberish,
+    boilerplate IDs, wrong-language fragments).
+
+    Execution shape: explode -> ONE vocab-sized groupBy(token) for
+    counts, total tokens as a 1-row broadcast, per-token ln p joined
+    back (vocab table broadcastable at any realistic size), ONE
+    groupBy(doc) for the mean, left-joined to the input so empty docs
+    survive with NULL score. Two shuffles (vocab, doc) over exploded
+    tokens — the same shape as TF-IDF, scan-bound at corpus scale."""
+    tok = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("total")).alias("__lp__")
+    )
+    per_doc = (
+        tok.join(F.broadcast(logp), "token")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.col("__lp__")), round_digits).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    return df.select(F.col(id_col)).join(
+        per_doc.withColumnRenamed("__id__", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_neg_logprob",
+    )

@@ -1711,3 +1711,92 @@ def token_histogram_sql() -> str:
         FROM counted
         GROUP BY 1
     """
+
+
+def event_funnel_sql(stages: list[str]) -> str:
+    """Mirror of temporal.funnel_stages: each stage's per-user first
+    time strictly after the previous stage's."""
+    ctes = [
+        f"""s0 AS (
+          SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+          WHERE event_type = '{stages[0]}' GROUP BY user_id
+        )"""
+    ]
+    for i, stage in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"""s{i} AS (
+          SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+          FROM events e JOIN s{i - 1} p
+            ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) > p.t
+          WHERE e.event_type = '{stage}' GROUP BY e.user_id
+        )"""
+        )
+    selects = [
+        f"SELECT {i} AS stage_idx, '{s}' AS stage, count(*) AS n_users FROM s{i}"
+        for i, s in enumerate(stages)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def text_unigram_logprob_sql(round_digits: int = 4) -> str:
+    """Mirror of textqc.unigram_logprob: ln(c/total) per token, per-doc
+    mean of the negative, empty docs kept with NULL score."""
+    return f"""
+        {_DOC_BASE},
+        tok AS (SELECT doc_id, unnest(__t__) AS token FROM toked),
+        vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+        lp AS (
+          SELECT token, ln(c / CAST(total AS DOUBLE)) AS lp FROM vocab, tot
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 round(avg(-lp), {round_digits}) AS avg_neg_logprob
+          FROM tok JOIN lp USING (token) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               per.avg_neg_logprob
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+def source_mix_sql(alpha: float = 0.5, round_digits: int = 6) -> str:
+    """Mirror of curation.source_mix_weights (token-share temperature
+    weights); sums cast to BIGINT per the HUGEINT dtype rule."""
+    return f"""
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len({tokens()})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                 sum(pow(CAST(n_tokens AS DOUBLE), {alpha})) AS z
+          FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / CAST(total AS DOUBLE), {round_digits})
+                   AS token_share,
+               round(pow(CAST(n_tokens AS DOUBLE), {alpha}) / z,
+                     {round_digits}) AS mix_weight
+        FROM per, tot
+    """
+
+
+def dedup_rate_by_source_sql(round_digits: int = 6) -> str:
+    """Mirror of dedup.dedup_rate_by_group over documents/source."""
+    return f"""
+        WITH flags AS (
+          SELECT doc_id, source,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keepers,
+               round(1.0 - sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                           / CAST(count(*) AS DOUBLE), {round_digits})
+                   AS dup_rate
+        FROM flags GROUP BY source
+    """
