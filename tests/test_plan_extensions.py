@@ -345,3 +345,62 @@ def test_integrity_and_skew_commands(spark, tmp_path):
         "doc_id", "norm_text", "n_chars_raw", "n_chars_norm", "changed"
     ]
     assert "containment" in reg["contained"].columns
+
+
+def test_sequence_split_winsorize_corpusstats_commands(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "throttle",
+                           "keyColumns": ["user_id", "event_type"],
+                           "tsColumn": "ts", "tiebreakColumn": "event_id",
+                           "minGapSeconds": 300},
+                "outputKey": "throttled",
+            },
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "funnel", "userColumn": "user_id",
+                           "tsColumn": "ts", "stateColumn": "event_type",
+                           "stages": ["view", "click", "purchase"]},
+                "outputKey": "funnel",
+            },
+            {
+                "command": "split",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"idColumn": "doc_id",
+                           "fractions": {"train": 0.8, "val": 0.1,
+                                         "test": 0.1}},
+                "outputKey": "splits",
+            },
+            {
+                "command": "winsorize",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"valueColumn": "o_totalprice",
+                           "groupColumns": ["o_orderstatus"]},
+                "outputKey": "clipped",
+            },
+            {
+                "command": "corpusStats",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "mix", "groupColumn": "source",
+                           "textColumn": "text", "alpha": 0.5},
+                "outputKey": "mix",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    eng = TnEngine(spark)
+    assert eng.run(str(p)) == 0
+    reg = eng.registry
+    assert "kept" in reg["throttled"].columns
+    funnel = {r["stage"]: r["n_users"] for r in reg["funnel"].collect()}
+    assert funnel["view"] >= funnel["click"] >= funnel["purchase"] > 0
+    splits = {r["split"] for r in reg["splits"].collect()}
+    assert splits <= {"train", "val", "test"}
+    assert "o_totalprice_clipped" in reg["clipped"].columns
+    mix = reg["mix"].collect()
+    assert abs(sum(r["mix_weight"] for r in mix) - 1.0) < 1e-4

@@ -76,7 +76,8 @@ def asof_join(
     matched_ts = F.col("__match__.__ts__")
     if tolerance_seconds is not None:
         in_tol = (
-            F.unix_micros(F.col(left_ts)) - F.unix_micros(matched_ts)
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(matched_ts.cast("timestamp"))
             <= tolerance_seconds * 1_000_000
         )
         carried = carried.withColumn(
@@ -109,7 +110,8 @@ def range_join_pairs(
     one row per pair: keys, a/b ids, a/b timestamps, dt_seconds.
     """
     keep = keep_cols or []
-    us = F.unix_micros(F.col(ts_col))
+    # NTZ-tolerant (see throttle_dedup)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     tol_us = tolerance_seconds * 1_000_000
     base = df.select(
         *[F.col(c) for c in on],
@@ -209,8 +211,12 @@ def throttle_dedup(
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    gap_us = F.unix_micros(F.col(ts_col)) - prev_us
+    # cast("timestamp") makes TIMESTAMP_NTZ inputs (e.g. zone-less
+    # parquet read through the generic plan path) acceptable to
+    # unix_micros; it is a no-op on already-LTZ columns
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    gap_us = ts_us - prev_us
     return df.select(
         "*",
         F.round(gap_us / 1_000_000.0, 6).alias("gap_seconds"),

@@ -151,6 +151,7 @@ class TextCmd(Command):
             "repetition": T.repetition_stats,
             "tfidfKeywords": T.tfidf_keywords,
             "normalize": C.normalize_text,
+            "unigramLogprob": T.unigram_logprob,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
@@ -478,6 +479,173 @@ class SkewCmd(Command):
         )
 
 
+@dataclass(frozen=True)
+class SplitCmd(Command):
+    """{"command": "split", "input": <input>, "params": {"idColumn",
+    "fractions": {split: fraction}, ["salt"]}} — deterministic
+    hash-based train/val/test assignment (seedless, growth-stable)."""
+
+    input: Input = None  # type: ignore[assignment]
+    id_column: str = "id"
+    fractions: tuple[tuple[str, float], ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SplitCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            id_column=p["idColumn"],
+            # insertion order is the split-boundary order, so keep it
+            fractions=tuple(p["fractions"].items()),
+            options=_opt(p, "salt"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.curation import hash_split
+
+        return hash_split(
+            load_input(engine.spark, self.input, engine.registry),
+            self.id_column,
+            dict(self.fractions),
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
+class SequenceCmd(Command):
+    """{"command": "sequence", "input": <input>, "params": {"method":
+    throttle|transitions|funnel, "tsColumn", "tiebreakColumn",
+    throttle: {"keyColumns", "minGapSeconds"},
+    transitions/funnel: {"keyColumn"/"userColumn", "stateColumn",
+    funnel: "stages"}}} — per-key ordered-sequence operators over event
+    streams."""
+
+    input: Input = None  # type: ignore[assignment]
+    method: str = "throttle"
+    params: tuple[tuple[str, Any], ...] = ()
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SequenceCmd":
+        p = dict(obj["params"])
+        method = p.pop("method")
+        return cls(
+            input=Input.from_json(obj["input"]),
+            method=method,
+            params=tuple(sorted(p.items())),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators import temporal as Tm
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        p = dict(self.params)
+        ts = p.get("tsColumn", "ts")
+        tiebreak = p.get("tiebreakColumn", "id")
+        if self.method == "throttle":
+            return Tm.throttle_dedup(
+                df, list(p["keyColumns"]), ts, tiebreak, p["minGapSeconds"]
+            )
+        if self.method == "transitions":
+            return Tm.transition_counts(
+                df, p["keyColumn"], ts, tiebreak, p["stateColumn"]
+            )
+        if self.method == "funnel":
+            return Tm.funnel_stages(
+                df, p["userColumn"], ts, p["stateColumn"], list(p["stages"])
+            )
+        raise ValueError(f"unknown sequence method: {self.method}")
+
+
+@dataclass(frozen=True)
+class WinsorizeCmd(Command):
+    """{"command": "winsorize", "input": <input>, "params":
+    {"valueColumn", ["groupColumns", "lowerP", "upperP", "exact",
+    "roundDigits"]}} — percentile clipping; exact=false selects the
+    t-digest approx path for scale."""
+
+    input: Input = None  # type: ignore[assignment]
+    value_column: str = ""
+    group_columns: tuple[str, ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "WinsorizeCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            value_column=p["valueColumn"],
+            group_columns=tuple(p.get("groupColumns", [])),
+            options=_opt(p, "lowerP", "upperP", "exact", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.curation import winsorize
+
+        return winsorize(
+            load_input(engine.spark, self.input, engine.registry),
+            self.value_column,
+            list(self.group_columns) or None,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
+class CorpusStatsCmd(Command):
+    """{"command": "corpusStats", "input": <input>, "params": {"method":
+    mix|dedupRate|tokenHistogram|qualityBands, per-method columns}} —
+    corpus-level rollups for training-mix planning."""
+
+    input: Input = None  # type: ignore[assignment]
+    method: str = "mix"
+    params: tuple[tuple[str, Any], ...] = ()
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "CorpusStatsCmd":
+        p = dict(obj["params"])
+        method = p.pop("method")
+        return cls(
+            input=Input.from_json(obj["input"]),
+            method=method,
+            params=tuple(sorted(p.items())),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.curation import source_mix_weights
+        from topnotch_spark.operators.dedup import dedup_rate_by_group
+        from topnotch_spark.operators.textqc import (
+            quality_bands,
+            token_length_histogram,
+        )
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        p = dict(self.params)
+        text = p.get("textColumn", "text")
+        if self.method == "mix":
+            return source_mix_weights(
+                df, p["groupColumn"], text, alpha=p.get("alpha", 0.5)
+            )
+        if self.method == "dedupRate":
+            return dedup_rate_by_group(
+                df, p["idColumn"], text, p["groupColumn"]
+            )
+        if self.method == "tokenHistogram":
+            return token_length_histogram(df, text)
+        if self.method == "qualityBands":
+            return quality_bands(
+                df,
+                p["idColumn"],
+                p["orderColumn"],
+                p.get("partitionCol"),
+                p.get("nBands", 4),
+            )
+        raise ValueError(f"unknown corpusStats method: {self.method}")
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
@@ -493,6 +661,10 @@ def register() -> None:
             "decontaminate": DeconCmd.from_json,
             "integrity": IntegrityCmd.from_json,
             "skewProfile": SkewCmd.from_json,
+            "split": SplitCmd.from_json,
+            "sequence": SequenceCmd.from_json,
+            "winsorize": WinsorizeCmd.from_json,
+            "corpusStats": CorpusStatsCmd.from_json,
         }
     )
 
