@@ -26,11 +26,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from topnotch_spark.operators.dedup import dedup_scope  # noqa: E402
 from topnotch_spark.session import get_spark  # noqa: E402
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def run_query(fn, spark, sf_dir) -> None:
+    # Release operator-persisted intermediates after each run (the plan
+    # engine does this per run; without it 76 queries x reps accumulate
+    # cached tables and later reps slow under BlockManager churn).
+    with dedup_scope():
+        force(fn(spark, sf_dir))
 
 
 def main() -> None:
@@ -41,7 +50,7 @@ def main() -> None:
     qs = entrymod.queries()
     # warmup: absorb session/codegen startup
     try:
-        force(next(iter(qs.values()))(spark, sf_dir))
+        run_query(next(iter(qs.values())), spark, sf_dir)
     except Exception:
         pass
 
@@ -53,7 +62,7 @@ def main() -> None:
         for name, fn in qs.items():
             t0 = time.time()
             try:
-                force(fn(spark, sf_dir))
+                run_query(fn, spark, sf_dir)
                 samples[name].append(round(time.time() - t0, 3))
             except Exception as e:  # record failures as null, keep benching
                 print(f"bench error in {name}: {e}", file=sys.stderr)
