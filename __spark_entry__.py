@@ -181,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_outliers": oracles.embedding_norm_outliers_sql(k=2.0),
         "token_histogram": oracles.token_histogram_sql(),
         "event_funnel": oracles.event_funnel_sql(catalog.FUNNEL_STAGES),
+        "streaming_transitions": oracles.event_transitions_sql(),
         "text_unigram_logprob": oracles.text_unigram_logprob_sql(),
         "source_mix": oracles.source_mix_sql(alpha=0.5),
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(),

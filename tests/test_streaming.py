@@ -282,3 +282,50 @@ def test_session_window_end_at_final_watermark_oracle_parity(spark, tmp_path):
         for r in got
     )
     assert got_rows == want
+
+
+def test_transitions_stream_cross_batch(spark, tmp_path):
+    """A transition straddling two micro-batches must be counted — the
+    whole reason the operator is stateful rather than per-batch lag."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+        transitions_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # batch 0: user 1 view; batch 1: user 1 click (cross-batch pair),
+    # user 1 view (in-batch pair), user 2 single event (no pair)
+    batches = [
+        [(1, ts(0), 1, "view")],
+        [(2, ts(10), 1, "click"), (3, ts(20), 1, "view"), (4, ts(5), 2, "view")],
+    ]
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    pairs = run_stream_to_table(
+        transitions_stream(stream), output_mode="append", state_partitions=4
+    )
+    counts = {
+        (r["prev_state"], r["next_state"]): r["n"]
+        for r in pairs.groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {("view", "click"): 1, ("click", "view"): 1}

@@ -1158,6 +1158,29 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(load(spark, sf_dir, "documents"), "text")
 
 
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_transitions: per-user last-state carried
+    across micro-batches in applyInPandasWithState (a stateless per-batch
+    lag would drop every boundary-straddling transition), then one
+    bounded groupBy over the emitted pair stream. Stream ≡ batch exactly,
+    so the oracle is the batch SQL."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+        transitions_stream,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    pairs = run_stream_to_table(
+        transitions_stream(stream), output_mode="append", state_partitions=8
+    )
+    return pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -1274,6 +1297,7 @@ ALL = {
     "quality_bands_by_source": quality_bands_by_source,
     "embedding_norm_outliers": embedding_norm_outliers,
     "token_histogram": token_histogram,
+    "streaming_transitions": streaming_transitions,
     "event_funnel": event_funnel,
     "text_unigram_logprob": text_unigram_logprob,
     "source_mix": source_mix,

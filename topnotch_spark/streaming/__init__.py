@@ -5,7 +5,7 @@ from topnotch_spark.streaming.ops import (
     stream_from_parquet,
     windowed_event_metrics,
 )
-from topnotch_spark.streaming.stateful import sessionize_stream
+from topnotch_spark.streaming.stateful import sessionize_stream, transitions_stream
 
 __all__ = [
     "StreamingAssertionSummary",
@@ -14,4 +14,5 @@ __all__ = [
     "stream_from_parquet",
     "windowed_event_metrics",
     "sessionize_stream",
+    "transitions_stream",
 ]

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -221,4 +222,94 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         ),
         outputMode="Append",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming transition pairs (cross-batch-correct sequence bigrams)
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_state", StringType()),
+        StructField("next_state", StringType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_state", StringType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def transitions_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-user (previous state -> state) transition pairs over a
+    stream — the streaming twin of ``temporal.transition_counts``.
+
+    Summing per-batch counts of a stateless lag would DROP every
+    transition that straddles a micro-batch boundary; carrying the last
+    (state, ts) per user in ``applyInPandasWithState`` makes the pair
+    stream exactly equal to the batch lag() result when events arrive
+    time-ordered (the replay contract; late arrivals beyond the
+    watermark are dropped, as in any watermarked op).
+
+    State per user: one string + one long. Output: append stream of
+    (user_id, prev_state, next_state) pairs; aggregate downstream
+    (bounded |states|² space) per batch or at the end.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeouts registered; defensive
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values([ts_col, tiebreak_col])
+        states = rows[state_col].tolist()
+        ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        if state.exists:
+            last_state, last_us = state.get
+        else:
+            last_state, last_us = None, None
+
+        pairs: list[dict[str, Any]] = []
+        for st, t in zip(states, ts_us):
+            if last_state is not None:
+                pairs.append(
+                    {
+                        "user_id": user_id,
+                        "prev_state": last_state,
+                        "next_state": st,
+                    }
+                )
+            last_state, last_us = st, int(t)
+        state.update((last_state, last_us))
+        if pairs:
+            yield pd.DataFrame(pairs)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
