@@ -408,3 +408,62 @@ def test_session_reference_parity_defaults(spark):
     assert spark.conf.get("spark.speculation") == "true"
     assert spark.conf.get("spark.sql.caseSensitive") == "false"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_output_format_sinks(spark, tmp_path):
+    """outputFormat extension: csv/json/orc sinks + csv roundtrip +
+    partitionBy layout + unsupported-format rejection."""
+    import json as jsonlib
+
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "view",
+                "inputs": [{"ref": "/root/testdata/sf0.001/nation.parquet",
+                            "onDisk": True}],
+                "params": {"tableAliases": ["n"],
+                           "query": "SELECT n_nationkey, n_name, n_regionkey FROM n"},
+                "outputKey": "nations",
+                "outputPath": str(tmp_path / "nations_csv"),
+                "outputFormat": "csv",
+            },
+            {
+                "command": "view",
+                "inputs": [{"ref": "nations", "onDisk": False}],
+                "params": {"tableAliases": ["n"], "query": "SELECT * FROM n"},
+                "outputKey": "nationsJson",
+                "outputPath": str(tmp_path / "nations_json"),
+                "outputFormat": "json",
+                "partitionBy": ["n_regionkey"],
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(jsonlib.dumps(plan))
+    assert TnEngine(spark).run(str(p)) == 0
+    back = (
+        spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(str(tmp_path / "nations_csv"))
+    )
+    assert back.count() == 25 and set(back.columns) == {
+        "n_nationkey", "n_name", "n_regionkey"
+    }
+    # partitioned json layout: one directory per region key
+    parts = [d for d in (tmp_path / "nations_json").iterdir()
+             if d.name.startswith("n_regionkey=")]
+    assert len(parts) == 5
+    jback = spark.read.json(str(tmp_path / "nations_json"))
+    assert jback.count() == 25
+
+
+def test_output_format_unsupported_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from topnotch_spark.sources.outputs import store_output
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="Unsupported output format"):
+        store_output(spark, df, "x", {}, output_path=str(tmp_path / "x"),
+                     output_format="avro")

@@ -162,6 +162,8 @@ class TnEngine:
             cache=cmd.cache,
             output_path=cmd.output_path,
             table_name=cmd.table_name,
+            partition_by=list(cmd.partition_by) or None,
+            output_format=cmd.output_format,
         )
 
     @staticmethod

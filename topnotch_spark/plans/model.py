@@ -25,6 +25,9 @@ class Command:
     cache: bool = False
     output_path: str | None = None
     table_name: str | None = None
+    # extensions beyond the reference envelope: sink format + layout
+    output_format: str = "parquet"
+    partition_by: tuple[str, ...] = ()
 
     @staticmethod
     def _common(obj: dict) -> dict:
@@ -33,6 +36,8 @@ class Command:
             cache=bool(obj.get("cache", False)),
             output_path=obj.get("outputPath"),
             table_name=obj.get("tableName"),
+            output_format=obj.get("outputFormat", "parquet"),
+            partition_by=tuple(obj.get("partitionBy", [])),
         )
 
 

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 
+_SINK_FORMATS = ("parquet", "orc", "csv", "json")
+
+
 def store_output(
     spark: SparkSession,
     df: DataFrame,
@@ -23,7 +26,13 @@ def store_output(
     output_path: str | None = None,
     table_name: str | None = None,
     partition_by: list[str] | None = None,
+    output_format: str = "parquet",
 ) -> DataFrame:
+    if output_format not in _SINK_FORMATS:
+        raise ValueError(
+            f"Unsupported output format: {output_format!r} "
+            f"(supported: {', '.join(_SINK_FORMATS)})"
+        )
     if cache:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     registry[output_key] = df
@@ -31,8 +40,12 @@ def store_output(
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(output_path)
+        if output_format == "csv":
+            writer = writer.option("header", "true")
+        writer.format(output_format).save(output_path)
         if table_name:
             spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-            spark.catalog.createTable(table_name, path=output_path, source="parquet")
+            spark.catalog.createTable(
+                table_name, path=output_path, source=output_format
+            )
     return df
