@@ -182,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "token_histogram": oracles.token_histogram_sql(),
         "event_funnel": oracles.event_funnel_sql(catalog.FUNNEL_STAGES),
         "streaming_transitions": oracles.event_transitions_sql(),
+        "streaming_funnel": oracles.event_funnel_sql(catalog.FUNNEL_STAGES),
         "text_unigram_logprob": oracles.text_unigram_logprob_sql(),
         "source_mix": oracles.source_mix_sql(alpha=0.5),
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(),

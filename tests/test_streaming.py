@@ -329,3 +329,56 @@ def test_transitions_stream_cross_batch(spark, tmp_path):
         .collect()
     }
     assert counts == {("view", "click"): 1, ("click", "view"): 1}
+
+
+def test_funnel_stream_no_rerun_after_completion(spark, tmp_path):
+    """Completed users must not re-enter the funnel in later batches,
+    and cross-batch advances must count (stage state carries over)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.stateful import funnel_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # batch 0: user 1 view+click; batch 1: user 1 buy (cross-batch
+    # completion) THEN a second full view->click->buy pass that must be
+    # ignored; user 2 clicks before viewing -> stuck at view
+    batches = [
+        [(1, ts(0), 1, "view"), (2, ts(10), 1, "click"),
+         (3, ts(0), 2, "click")],
+        [(4, ts(20), 1, "buy"), (5, ts(30), 1, "view"),
+         (6, ts(40), 1, "click"), (7, ts(50), 1, "buy"),
+         (8, ts(60), 2, "view")],
+    ]
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    advances = run_stream_to_table(
+        funnel_stream(stream, ["view", "click", "buy"]),
+        output_mode="append",
+        state_partitions=4,
+    )
+    counts = {
+        r["stage_idx"]: r["n"]
+        for r in advances.groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {0: 2, 1: 1, 2: 1}  # u1+u2 view; only u1 click+buy

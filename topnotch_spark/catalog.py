@@ -1184,6 +1184,39 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_funnel: per-user stage advances emitted
+    from applyInPandasWithState (2 longs of state per active user,
+    dropped on completion); counts per stage equal the batch funnel for
+    time-ordered replay, so the oracle is the batch SQL. A literal
+    stage spine keeps zero-user stages present."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+    from topnotch_spark.streaming.stateful import funnel_stream
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    advances = run_stream_to_table(
+        funnel_stream(stream, FUNNEL_STAGES),
+        output_mode="append",
+        state_partitions=8,
+    )
+    counts = advances.groupBy(
+        F.col("stage_idx").cast("int").alias("stage_idx")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    spine = spark.createDataFrame(
+        list(enumerate(FUNNEL_STAGES)), "stage_idx int, stage string"
+    )
+    return spine.join(counts, "stage_idx", "left").select(
+        "stage_idx",
+        "stage",
+        F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+    )
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the event stream: users reaching
     view -> click -> purchase, each stage strictly after the previous
@@ -1298,6 +1331,7 @@ ALL = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "token_histogram": token_histogram,
     "streaming_transitions": streaming_transitions,
+    "streaming_funnel": streaming_funnel,
     "event_funnel": event_funnel,
     "text_unigram_logprob": text_unigram_logprob,
     "source_mix": source_mix,

@@ -313,3 +313,103 @@ def transitions_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conversion funnel (stage advances with cross-batch state)
+# ---------------------------------------------------------------------------
+
+FUNNEL_ADVANCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage_idx", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),     # next stage index to reach
+        StructField("last_us", LongType()),   # ts of the last advance
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``temporal.funnel_stages``: emit one row per
+    user STAGE ADVANCE (user_id, stage_idx, ts). For time-ordered
+    arrival (the replay contract) the greedy first-qualifying-event
+    advance equals the batch min-after-previous semantics exactly, so
+    counts per stage_idx reproduce the batch funnel.
+
+    State per user: (next stage index, last advance ts) — two longs; a
+    terminal stage==len(stages) marker persists after completion so
+    later batches cannot re-run the funnel. One exchange on the user
+    key per micro-batch.
+    """
+    n_stages = len(stages)
+    if n_stages == 0:
+        raise ValueError("funnel_stream: stages must be non-empty")
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeouts registered; defensive
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, tiebreak_col])
+        if state.exists:
+            stage, last_us = state.get
+        else:
+            stage, last_us = 0, None
+
+        advances: list[dict[str, Any]] = []
+        for st, t in zip(
+            rows[state_col].tolist(),
+            (rows[ts_col].astype("int64") // 1000).tolist(),
+        ):
+            if stage >= n_stages:
+                break
+            t = int(t)
+            if stage_of.get(st) == stage and (
+                stage == 0 or t > last_us
+            ):
+                advances.append(
+                    {
+                        "user_id": user_id,
+                        "stage_idx": stage,
+                        "ts": pd.Timestamp(t, unit="us"),
+                    }
+                )
+                stage, last_us = stage + 1, t
+        # completed users keep a terminal (stage == n_stages) marker —
+        # removing the state would let later batches re-run the funnel
+        # from stage 0 and double-count advances
+        state.update((stage, last_us if last_us is not None else -1))
+        if advances:
+            yield pd.DataFrame(advances)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_ADVANCE_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
