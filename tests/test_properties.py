@@ -138,3 +138,124 @@ def test_empty_inputs_do_not_crash(spark):
     assert latest_per_key(events, ["user_id"], "ts", "event_id").count() == 0
     assert resample_timeseries(events, "ts", "user_id", "value").count() == 0
     assert cross_corpus_overlap(docs, docs, "doc_id", "text").count() == 0
+
+
+def _py_hash_split(ids, fractions, salt="split"):
+    import hashlib
+
+    from topnotch_spark.operators.curation import _rate_threshold_hex
+
+    names = list(fractions)
+    thresholds = []
+    cum = 0.0
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        thresholds.append((name, _rate_threshold_hex(min(cum, 1.0))))
+    out = {}
+    for i in ids:
+        key = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8]
+        out[i] = next(
+            (name for name, thr in thresholds if key < thr), names[-1]
+        )
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=50, unique=True),
+    f_train=st.integers(1, 98),
+    f_val=st.integers(1, 98),
+)
+def test_hash_split_matches_python_reference(spark, ids, f_train, f_val):
+    from topnotch_spark.operators.curation import hash_split
+
+    f_train = min(f_train, 99 - f_val)
+    fractions = {"train": f_train / 100, "val": f_val / 100, "test": 0.0}
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["split"] for r in hash_split(df, "id", fractions).collect()}
+    assert got == _py_hash_split(ids, fractions)
+
+
+def _py_throttle(rows, gap_s):
+    # rows: (id, key, ts_seconds) — flag kept iff prev same-key event
+    # is more than gap away
+    out = {}
+    by_key: dict[str, list] = {}
+    for rid, key, ts in sorted(rows, key=lambda r: (r[2], r[0])):
+        prev = by_key.get(key)
+        out[rid] = prev is None or ts - prev > gap_s
+        by_key[key] = ts
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 3600),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    gap=st.integers(1, 600),
+)
+def test_throttle_matches_python_reference(spark, rows, gap):
+    import datetime as dt
+
+    from topnotch_spark.operators.temporal import throttle_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(rid, k, t0 + dt.timedelta(seconds=s)) for rid, k, s in rows],
+        "event_id long, key string, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["kept"]
+        for r in throttle_dedup(df, ["key"], "ts", "event_id", gap).collect()
+    }
+    assert got == _py_throttle(rows, gap)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=2, max_size=60
+    )
+)
+def test_winsorize_bounds_invariant(spark, vals):
+    from topnotch_spark.operators.curation import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    out = winsorize(df, "v", None).collect()
+    for r in out:
+        assert r["lo"] <= r["hi"]
+        assert r["lo"] <= r["v_clipped"] <= r["hi"]
+        # clipping only moves values outside the band
+        if r["lo"] <= round(r["v"], 4) <= r["hi"]:
+            assert r["v_clipped"] == round(r["v"], 4)
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(1, 40),
+    n_bands=st.integers(1, 6),
+)
+def test_quality_bands_sizes_balanced(spark, n, n_bands):
+    from topnotch_spark.operators.textqc import quality_bands
+
+    df = spark.createDataFrame(
+        [(i, "s", i * 7 % 13) for i in range(n)],
+        "doc_id int, source string, score int",
+    )
+    out = quality_bands(df, "doc_id", "score", "source", n_bands).collect()
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["band"]] = sizes.get(r["band"], 0) + 1
+    # ntile: band sizes differ by at most 1, bands numbered from 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert set(sizes) == set(range(1, min(n, n_bands) + 1))
