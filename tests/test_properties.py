@@ -259,3 +259,55 @@ def test_quality_bands_sizes_balanced(spark, n, n_bands):
     # ntile: band sizes differ by at most 1, bands numbered from 1
     assert max(sizes.values()) - min(sizes.values()) <= 1
     assert set(sizes) == set(range(1, min(n, n_bands) + 1))
+
+
+def test_empty_inputs_round4_operators(spark):
+    from topnotch_spark.operators.curation import (
+        hash_split,
+        source_mix_weights,
+        winsorize,
+    )
+    from topnotch_spark.operators.dedup import dedup_rate_by_group
+    from topnotch_spark.operators.similarity import embedding_norm_outliers
+    from topnotch_spark.operators.temporal import (
+        funnel_stages,
+        throttle_dedup,
+        transition_counts,
+    )
+    from topnotch_spark.operators.textqc import (
+        quality_bands,
+        token_length_histogram,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    embs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert throttle_dedup(
+        events, ["user_id", "event_type"], "ts", "event_id", 60
+    ).count() == 0
+    assert transition_counts(
+        events, "user_id", "ts", "event_id", "event_type"
+    ).count() == 0
+    # funnel on empty input: one row per stage, all zero
+    funnel = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(
+            events, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert funnel == {"view": 0, "click": 0}
+    assert winsorize(
+        spark.createDataFrame([], "id long, v double"), "v", None
+    ).count() == 0
+    assert hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}).count() == 0
+    assert source_mix_weights(docs, "source", "text").count() == 0
+    assert dedup_rate_by_group(docs, "doc_id", "text", "source").count() == 0
+    assert quality_bands(docs, "doc_id", "text", "source").count() == 0
+    assert token_length_histogram(docs, "text").count() == 0
+    assert unigram_logprob(docs, "doc_id", "text").count() == 0
+    assert embedding_norm_outliers(embs).count() == 0
