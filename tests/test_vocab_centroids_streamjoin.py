@@ -107,3 +107,30 @@ def test_embedding_norm_outliers_zero_std(spark):
     out = embedding_norm_outliers(df).collect()
     assert all(r["l2_norm"] == 5.0 and r["zscore"] == 0.0
                and r["is_outlier"] is False for r in out)
+
+
+def test_project_embeddings_preserves_plane_math(spark):
+    from topnotch_spark.functions.vectors import plane_signs
+    from topnotch_spark.operators.similarity import project_embeddings
+
+    dim = 4
+    vec = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["pos"]: r["value"]
+        for r in project_embeddings(df, out_dim=3, dim=dim).collect()
+    }
+    for p in range(3):
+        want = round(sum(x * s for x, s in zip(vec, plane_signs(p, dim))), 6)
+        assert out[p] == want
+    # JL sanity: projections of identical vectors are identical
+    df2 = spark.createDataFrame(
+        [(1, vec), (2, vec)], "vec_id long, embedding array<float>"
+    )
+    rows = project_embeddings(df2, out_dim=2, dim=dim).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], {})[r["pos"]] = r["value"]
+    assert by_id[1] == by_id[2]

@@ -1150,6 +1150,17 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(load(spark, sf_dir, "embeddings"), k=2.0)
 
 
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection reduction of the 64-d embeddings to 8 dims via
+    driver-literal ±1 planes — zero shuffle, one JVM fold per output
+    value; exploded scalar rows for the oracle."""
+    from topnotch_spark.operators.similarity import project_embeddings
+
+    return project_embeddings(
+        load(spark, sf_dir, "embeddings"), out_dim=8, dim=64
+    )
+
+
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-count histogram in power-of-two buckets, computed in
     integer space (length(bin(n))-1) — the one-glance length profile."""
@@ -1329,6 +1340,7 @@ ALL = {
     "train_split_assign": train_split_assign,
     "quality_bands_by_source": quality_bands_by_source,
     "embedding_norm_outliers": embedding_norm_outliers,
+    "embedding_project": embedding_project,
     "token_histogram": token_histogram,
     "streaming_transitions": streaming_transitions,
     "streaming_funnel": streaming_funnel,

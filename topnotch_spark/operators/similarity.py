@@ -419,3 +419,41 @@ def embedding_norm_outliers(
         F.round(z, round_digits).alias("zscore"),
         (F.abs(F.round(z, round_digits)) > k).alias("is_outlier"),
     )
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Random-projection dimensionality reduction: out[p] = <x, s_p>
+    with deterministic ±1 hyperplanes (functions.vectors.plane_signs,
+    the same md5 convention SRP bucketing uses) — the cheap JL-style
+    compression step ahead of ANN indexing or coarse clustering.
+
+    The planes are driver-computed literals (out_dim x dim doubles —
+    bytes, not data), so each output value is ONE JVM fold per plane:
+    no shuffle, no Python, scan-bound at any scale. Output is exploded
+    scalar rows (id, pos, value) so oracle checking and columnar sinks
+    stay simple; collect back with sort_array(collect_list(...)) when
+    an array is wanted."""
+    from topnotch_spark.functions.vectors import dot, plane_signs
+
+    projections = F.array(
+        *[
+            F.round(
+                dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in plane_signs(p, dim)]),
+                ),
+                round_digits,
+            )
+            for p in range(out_dim)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(projections).alias("pos", "value")
+    )

@@ -1800,3 +1800,25 @@ def dedup_rate_by_source_sql(round_digits: int = 6) -> str:
                    AS dup_rate
         FROM flags GROUP BY source
     """
+
+
+def project_embeddings_sql(
+    out_dim: int = 8, dim: int = 64, round_digits: int = 6
+) -> str:
+    """Mirror of similarity.project_embeddings: identical literal ±1
+    planes (md5 'p<plane>_d<dim>' convention), same left-fold double
+    accumulation via list_sum over the per-element products."""
+    from topnotch_spark.functions.vectors import plane_signs
+
+    selects = []
+    for p in range(out_dim):
+        signs = ", ".join(str(s) for s in plane_signs(p, dim))
+        proj = (
+            f"coalesce(list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> embedding[i]::DOUBLE * (list_value({signs}))[i])), 0.0)"
+        )
+        selects.append(
+            f"SELECT vec_id, {p} AS pos, round({proj}, {round_digits}) "
+            "AS value FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
