@@ -180,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_bands_by_source": oracles.quality_bands_sql(n_bands=4),
         "embedding_norm_outliers": oracles.embedding_norm_outliers_sql(k=2.0),
         "embedding_project": oracles.project_embeddings_sql(out_dim=8, dim=64),
+        "source_lang_mix": oracles.lang_mix_sql(LANG_MARKERS),
         "token_histogram": oracles.token_histogram_sql(),
         "event_funnel": oracles.event_funnel_sql(catalog.FUNNEL_STAGES),
         "streaming_transitions": oracles.event_transitions_sql(),

@@ -279,3 +279,24 @@ def test_unigram_logprob_rare_token_scores_higher(spark):
     out = {r["doc_id"]: r["avg_neg_logprob"]
            for r in unigram_logprob(df, "doc_id", "text").collect()}
     assert out[2] > out[1]
+
+
+def test_lang_mix_shares(spark):
+    from topnotch_spark.operators.textqc import lang_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat of the house", "s1"),
+            (2, "the dog and the bird", "s1"),
+            (3, "der hund ist nicht das", "s1"),
+            (4, "el que los las es y", "s2"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = {
+        (r["source"], r["predicted_lang"]): (r["n_docs"], r["share"])
+        for r in lang_mix(df, "doc_id", "text", "source").collect()
+    }
+    assert out[("s1", "en")] == (2, round(2 / 3, 6))
+    assert out[("s1", "de")] == (1, round(1 / 3, 6))
+    assert out[("s2", "es")] == (1, 1.0)

@@ -1150,6 +1150,16 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(load(spark, sf_dir, "embeddings"), k=2.0)
 
 
+def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per source (langid rollup + windowed share
+    over the bounded sources x langs frame)."""
+    from topnotch_spark.operators.textqc import lang_mix
+
+    return lang_mix(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
+
+
 def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection reduction of the 64-d embeddings to 8 dims via
     driver-literal ±1 planes — zero shuffle, one JVM fold per output
@@ -1341,6 +1351,7 @@ ALL = {
     "quality_bands_by_source": quality_bands_by_source,
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_project": embedding_project,
+    "source_lang_mix": source_lang_mix,
     "token_histogram": token_histogram,
     "streaming_transitions": streaming_transitions,
     "streaming_funnel": streaming_funnel,

@@ -318,3 +318,39 @@ def unigram_logprob(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "avg_neg_logprob",
     )
+
+
+def lang_mix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Language composition per corpus slice: language_id's predicted
+    language rolled up to (group, lang, n_docs, share) — the
+    contamination/coverage report a multilingual corpus needs per
+    source before mixing.
+
+    Execution shape: the langid projection is zero-shuffle; ONE
+    groupBy(group, lang) over it (map-side combined), then the share
+    normalizes via a window over the rollup frame itself —
+    |groups| x |langs| rows, so the window input is bounded regardless
+    of corpus size."""
+    lang = language_id(df, id_col, text_col).select(
+        F.col(id_col), F.col("predicted_lang")
+    )
+    per = (
+        lang.join(df.select(F.col(id_col), F.col(group_col)), id_col)
+        .groupBy(group_col, "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy(group_col)
+    return per.select(
+        group_col,
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w), round_digits
+        ).alias("share"),
+    )

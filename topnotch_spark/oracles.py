@@ -1822,3 +1822,27 @@ def project_embeddings_sql(
             "AS value FROM embeddings"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def lang_mix_sql(lang_markers: dict[str, list[str]], round_digits: int = 6) -> str:
+    """Mirror of textqc.lang_mix: the langid CASE chain rolled up per
+    source with a window-normalized share."""
+    scores = {lang: _stopword_ratio(m) for lang, m in lang_markers.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    # t.text: both toked and documents carry a text column in the join
+    pred = "CASE WHEN regexp_matches(t.text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'"
+    for lang in lang_markers:
+        pred += f" WHEN {scores[lang]} = {best} THEN '{lang}'"
+    pred += " END"
+    return f"""
+        {_DOC_BASE},
+        lid AS (
+          SELECT t.doc_id, d.source, {pred} AS predicted_lang
+          FROM toked t JOIN documents d ON t.doc_id = d.doc_id
+        )
+        SELECT source, predicted_lang, count(*) AS n_docs,
+               round(count(*) / CAST(sum(count(*))
+                     OVER (PARTITION BY source) AS DOUBLE), {round_digits})
+                   AS share
+        FROM lid GROUP BY source, predicted_lang
+    """
