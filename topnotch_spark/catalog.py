@@ -1278,7 +1278,43 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordering contract: the driver's CORRECTNESS gate records oracle rows for
+# the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
+# never received a driver row (streaming, multimodal, profile, temporal,
+# and every round-4 addition) at the front; the 20 slots after them re-check
+# part of the r02-green set.  Entries 51-80 are covered each round by
+# scripts/strict_hash_check.py (stricter than the driver gate).
 ALL = {
+    "asof_error_click": asof_error_click,
+    "range_join_events": range_join_events,
+    "multimodal_byte_stats": multimodal_byte_stats,
+    "multimodal_blob_dedup": multimodal_blob_dedup,
+    "drift_orders_totalprice": drift_orders_totalprice,
+    "profile_lineitem": profile_lineitem,
+    "profile_lineitem_approx": profile_lineitem_approx,
+    "streaming_window_metrics": streaming_window_metrics,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_assertion_metrics": streaming_assertion_metrics,
+    "streaming_dedup": streaming_dedup,
+    "streaming_enriched_metrics": streaming_enriched_metrics,
+    "streaming_error_click_join": streaming_error_click_join,
+    "streaming_session_window": streaming_session_window,
+    "streaming_drift_monitor": streaming_drift_monitor,
+    "events_throttle_dedup": events_throttle_dedup,
+    "event_transitions": event_transitions,
+    "winsorize_totalprice": winsorize_totalprice,
+    "train_split_assign": train_split_assign,
+    "quality_bands_by_source": quality_bands_by_source,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "embedding_project": embedding_project,
+    "source_lang_mix": source_lang_mix,
+    "token_histogram": token_histogram,
+    "streaming_transitions": streaming_transitions,
+    "streaming_funnel": streaming_funnel,
+    "event_funnel": event_funnel,
+    "text_unigram_logprob": text_unigram_logprob,
+    "source_mix": source_mix,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,
@@ -1329,34 +1365,4 @@ ALL = {
     "dedup_containment": dedup_containment,
     "embedding_quantize": embedding_quantize,
     "outliers_totalprice": outliers_totalprice,
-    "asof_error_click": asof_error_click,
-    "range_join_events": range_join_events,
-    "multimodal_byte_stats": multimodal_byte_stats,
-    "multimodal_blob_dedup": multimodal_blob_dedup,
-    "drift_orders_totalprice": drift_orders_totalprice,
-    "profile_lineitem": profile_lineitem,
-    "profile_lineitem_approx": profile_lineitem_approx,
-    "streaming_window_metrics": streaming_window_metrics,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_assertion_metrics": streaming_assertion_metrics,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enriched_metrics": streaming_enriched_metrics,
-    "streaming_error_click_join": streaming_error_click_join,
-    "streaming_session_window": streaming_session_window,
-    "streaming_drift_monitor": streaming_drift_monitor,
-    "events_throttle_dedup": events_throttle_dedup,
-    "event_transitions": event_transitions,
-    "winsorize_totalprice": winsorize_totalprice,
-    "train_split_assign": train_split_assign,
-    "quality_bands_by_source": quality_bands_by_source,
-    "embedding_norm_outliers": embedding_norm_outliers,
-    "embedding_project": embedding_project,
-    "source_lang_mix": source_lang_mix,
-    "token_histogram": token_histogram,
-    "streaming_transitions": streaming_transitions,
-    "streaming_funnel": streaming_funnel,
-    "event_funnel": event_funnel,
-    "text_unigram_logprob": text_unigram_logprob,
-    "source_mix": source_mix,
-    "dedup_rate_by_source": dedup_rate_by_source,
 }
