@@ -83,15 +83,29 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
     }
-    # stdout stays ONE compact line (the driver records it verbatim and
-    # truncates long lines — the round-2 lesson); the full payload incl.
-    # per-query spread goes to bench_out.json next to this script
+    # Full payload incl. per-query spread goes to bench_out.json next to
+    # this script; stdout gets the full compact line FIRST and a short
+    # always-parseable summary line LAST (the driver records the captured
+    # output tail, and an 80-query one-liner can be truncated there — the
+    # round-4 lesson: BENCH_r04 parsed:null).
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
     with open(out_path, "w") as f:
         json.dump({**compact, "spread": spread, "samples": samples}, f, indent=1)
     print(json.dumps(compact, separators=(",", ":")))
+    n_failed = sum(1 for t in times.values() if t is None)
+    summary = {
+        "metric": "catalog_total_wallclock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "n_failed": n_failed,
+        "reps": reps,
+        "sf": sf,
+        "detail": "bench_out.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
