@@ -98,7 +98,9 @@ def test_pack_token_shards_budget_math(spark):
     # 4 docs x 3 tokens, budget 6 -> shards [0,0,1,1]
     rows = [(i, "a b c") for i in range(4)]
     out = sorted(
-        pack_token_shards(_docs(spark, rows), "doc_id", "text", budget=6).collect(),
+        pack_token_shards(
+            _docs(spark, rows), "doc_id", "text", budget=6, global_ordering=True
+        ).collect(),
         key=lambda r: r["doc_id"],
     )
     assert [r["shard_id"] for r in out] == [0, 0, 1, 1]
@@ -370,3 +372,12 @@ def test_source_mix_weights_alpha(spark):
     assert out["s2"]["token_share"] == 0.1
     assert abs(out["s1"]["mix_weight"] / out["s2"]["mix_weight"] - 3.0) < 1e-4
     assert abs(out["s1"]["mix_weight"] + out["s2"]["mix_weight"] - 1.0) < 1e-5
+
+
+def test_pack_token_shards_requires_explicit_global(spark):
+    # the single-partition global window is opt-in at 100 TB scale
+    import pytest
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="global_ordering=True"):
+        pack_token_shards(df, "doc_id", "text", budget=6)

@@ -96,7 +96,9 @@ def test_pack_shards_matches_prefix_sum(spark, token_counts, budget):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: (r["n_tokens"], r["shard_id"])
-        for r in pack_token_shards(df, "doc_id", "text", budget=budget).collect()
+        for r in pack_token_shards(
+            df, "doc_id", "text", budget=budget, global_ordering=True
+        ).collect()
     }
     cum = 0
     for i, n in enumerate(token_counts):
@@ -134,7 +136,9 @@ def test_empty_inputs_do_not_crash(spark):
     assert stratified_topn(docs, "doc_id", "text", 5).count() == 0
     assert vocab_topk(docs, "doc_id", "text").count() == 0
     assert tfidf_keywords(docs, "doc_id", "text").count() == 0
-    assert pack_token_shards(docs, "doc_id", "text").count() == 0
+    assert (
+        pack_token_shards(docs, "doc_id", "text", global_ordering=True).count() == 0
+    )
     assert latest_per_key(events, ["user_id"], "ts", "event_id").count() == 0
     assert resample_timeseries(events, "ts", "user_id", "value").count() == 0
     assert cross_corpus_overlap(docs, docs, "doc_id", "text").count() == 0

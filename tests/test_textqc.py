@@ -300,3 +300,18 @@ def test_lang_mix_shares(spark):
     assert out[("s1", "en")] == (2, round(2 / 3, 6))
     assert out[("s1", "de")] == (1, round(1 / 3, 6))
     assert out[("s2", "es")] == (1, 1.0)
+
+
+def test_quality_bands_requires_explicit_global(spark):
+    # the single-partition global sort is opt-in at 100 TB scale
+    import pytest
+
+    from topnotch_spark.operators.textqc import quality_bands
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError, match="global_ordering=True"):
+        quality_bands(df, "doc_id", "n_chars")
+    got = quality_bands(
+        df, "doc_id", "n_chars", n_bands=2, global_ordering=True
+    ).collect()
+    assert [r["band"] for r in got] == [1]

@@ -536,7 +536,13 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pack_token_shards_partitioned``."""
     from topnotch_spark.operators.curation import pack_token_shards as pack
 
-    return pack(load(spark, sf_dir, "documents"), "doc_id", "text", budget=2000)
+    return pack(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        budget=2000,
+        global_ordering=True,
+    )
 
 
 def pack_token_shards_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

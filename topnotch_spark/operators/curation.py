@@ -191,19 +191,29 @@ def pack_token_shards(
     text_col: str,
     budget: int = 2000,
     partition_col: str | None = None,
+    global_ordering: bool = False,
 ) -> DataFrame:
     """Assign docs to training shards by cumulative token budget:
     shard_id = exclusive-prefix-sum(n_tokens) // budget, ordered by id.
 
-    With ``partition_col=None`` the prefix sum is one global ordered
-    window — fine up to ~10^8 docs (the window input is (id, n_tokens),
-    two longs/doc), and required when shard numbering must be globally
-    contiguous. At 100 TB pass ``partition_col`` (e.g. a date or a
-    hash-bucket column): packing then runs per-partition in parallel and
-    shard_id is unique per (partition, shard) — which is what training
-    shard layouts want anyway (shards nested under date/source dirs)."""
+    The scale-safe path is ``partition_col`` (e.g. a date or hash-bucket
+    column): packing runs per-partition in parallel and shard_id is
+    unique per (partition, shard) — which is what training shard layouts
+    want anyway (shards nested under date/source dirs). A global prefix
+    sum is one single-partition ordered window by construction — fine up
+    to ~10^8 docs (the window input is (id, n_tokens), two longs/doc),
+    and required only when shard numbering must be globally contiguous —
+    so it is an explicit opt-in: ``global_ordering=True``. Calling with
+    neither raises rather than silently serializing a 100 TB corpus
+    through one task."""
     from topnotch_spark.functions.text import tokens
 
+    if partition_col is None and not global_ordering:
+        raise ValueError(
+            "pack_token_shards without partition_col builds a single-partition "
+            "global window; pass partition_col=<col> for the parallel path or "
+            "global_ordering=True to opt in to globally contiguous shard ids"
+        )
     n = F.size(tokens(text_col)).cast("long")
     w = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()

@@ -230,17 +230,24 @@ def quality_bands(
     order_col: str,
     partition_col: str | None = None,
     n_bands: int = 4,
+    global_ordering: bool = False,
 ) -> DataFrame:
     """Equal-count quality banding: ntile(n) over (order_col, id) within
     each partition — "quartile by length per source" style stratification
     used to mix training batches across quality strata. The id tiebreak
     makes band edges deterministic when order values collide.
 
-    One row_number-class window pass (shuffle on the partition column);
-    with no partition column, banding a full corpus globally is a
-    single-partition sort by construction — partition it (per source /
-    per shard) at scale, which is also the semantics training mixes
-    want."""
+    One row_number-class window pass (shuffle on the partition column).
+    Banding a full corpus globally is a single-partition sort by
+    construction, so it requires an explicit ``global_ordering=True``
+    opt-in; the default path partitions (per source / per shard), which
+    is also the semantics training mixes want."""
+    if partition_col is None and not global_ordering:
+        raise ValueError(
+            "quality_bands without partition_col builds a single-partition "
+            "global sort; pass partition_col=<col> for the parallel path or "
+            "global_ordering=True to opt in to corpus-global bands"
+        )
     part = (
         Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
     )

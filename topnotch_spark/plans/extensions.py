@@ -642,6 +642,7 @@ class CorpusStatsCmd(Command):
                 p["orderColumn"],
                 p.get("partitionCol"),
                 p.get("nBands", 4),
+                global_ordering=bool(p.get("globalOrdering", False)),
             )
         raise ValueError(f"unknown corpusStats method: {self.method}")
 
