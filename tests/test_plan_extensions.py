@@ -191,7 +191,8 @@ def test_round2_commands_end_to_end(spark, tmp_path):
              "outputKey": "vocab"},
             {"command": "text", "input": docs,
              "params": {"method": "packShards", "idColumn": "doc_id",
-                        "textColumn": "text", "budget": 1000},
+                        "textColumn": "text", "budget": 1000,
+                        "globalOrdering": True},
              "outputKey": "shards"},
             {"command": "sample", "input": docs,
              "params": {"idColumn": "doc_id", "stratColumn": "lang",
@@ -404,3 +405,78 @@ def test_sequence_split_winsorize_corpusstats_commands(spark, tmp_path):
     assert "o_totalprice_clipped" in reg["clipped"].columns
     mix = reg["mix"].collect()
     assert abs(sum(r["mix_weight"] for r in mix) - 1.0) < 1e-4
+
+
+def test_checkpoint_dir_minhash_identical_and_cleaned(spark, tmp_path):
+    """SCALE.md §6 valve: with a plan-level checkpointDir the dedup
+    intermediates spill to parquet, the pair output is identical to the
+    in-memory-persist run, and the files are deleted after the plan."""
+    import os
+
+    from topnotch_spark.operators.dedup import (
+        dedup_scope,
+        minhash_lsh_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with dedup_scope():
+        baseline = sorted(
+            map(tuple, minhash_lsh_dedup(docs, "doc_id", "text").collect())
+        )
+    ckpt = tmp_path / "ckpt"
+    with dedup_scope(checkpoint_dir=str(ckpt)):
+        got = sorted(
+            map(tuple, minhash_lsh_dedup(docs, "doc_id", "text").collect())
+        )
+        # the shingle table actually spilled to parquet
+        assert any(d.startswith("tn_ckpt_") for d in os.listdir(ckpt))
+    assert got == baseline
+    # scope exit deleted the checkpoint files
+    assert os.listdir(ckpt) == []
+
+
+def test_checkpoint_dir_connected_components(spark, tmp_path):
+    """connected_components under a checkpoint dir: parquet per-round
+    truncation, same clusters, final round cleaned up by the scope."""
+    import os
+
+    from topnotch_spark.operators.cluster import dup_clusters
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_1 long, id_2 long"
+    )
+    baseline = sorted(map(tuple, dup_clusters(pairs).collect()))
+    ckpt = tmp_path / "cc_ckpt"
+    with dedup_scope(checkpoint_dir=str(ckpt)):
+        got = sorted(map(tuple, dup_clusters(pairs).collect()))
+    assert got == baseline
+    assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+
+def test_plan_level_checkpoint_dir(spark, tmp_path):
+    """checkpointDir in the plan envelope routes dedup intermediates to
+    parquet for the duration of the plan run."""
+    import os
+
+    plan = {
+        "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        "checkpointDir": str(tmp_path / "plan_ckpt"),
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "minhash", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "nearDups",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    assert "nearDups" in engine.registry
+    # files existed during the run and are gone after it
+    ckpt = tmp_path / "plan_ckpt"
+    assert not os.path.exists(ckpt) or os.listdir(ckpt) == []

@@ -80,9 +80,20 @@ class TnEngine:
                 msg,
             )
 
-        return self.execute_commands(
-            cmds, report_key or os.path.basename(plan_path), writer
-        )
+        # plan-level "checkpointDir": spill dedup-family intermediates to
+        # parquet under this dir for the duration of the plan (the 100 TB
+        # valve — see operators/dedup.py set_checkpoint_dir)
+        from topnotch_spark.operators.dedup import set_checkpoint_dir
+
+        ckpt = root.get("checkpointDir") if isinstance(root, dict) else None
+        prev = set_checkpoint_dir(ckpt) if ckpt else None
+        try:
+            return self.execute_commands(
+                cmds, report_key or os.path.basename(plan_path), writer
+            )
+        finally:
+            if ckpt:
+                set_checkpoint_dir(prev)
 
     # ---- command loop -----------------------------------------------------
     def execute_commands(self, cmds: list[Command], report_key: str, writer) -> int:

@@ -42,6 +42,24 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _truncate_round(df: DataFrame, prev_path: str | None) -> tuple[DataFrame, str | None]:
+    """Per-round lineage truncation: localCheckpoint normally; a parquet
+    roundtrip when the dedup-family checkpoint dir is set (survives
+    executor loss — the real-cluster path). Deletes the previous round's
+    files once the new round is materialized."""
+    from topnotch_spark.operators import dedup as _d
+
+    if _d._CHECKPOINT_DIR is None:
+        return df.localCheckpoint(eager=True), None
+    _d._CHECKPOINT_SEQ += 1
+    path = f"{_d._CHECKPOINT_DIR.rstrip('/')}/cc_round_{_d._CHECKPOINT_SEQ}"
+    df.write.mode("overwrite").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    if prev_path is not None:
+        _d._delete_path(out, prev_path)
+    return out, path
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_1",
@@ -58,14 +76,14 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # start: own id, tightened by direct neighbors (saves one round)
-    labels = (
+    labels, ckpt_path = _truncate_round(
         sym.groupBy("a")
         .agg(F.min("b").alias("nbr_min"))
         .select(
             F.col("a").alias("id"),
             F.least(F.col("a"), F.col("nbr_min")).alias("comp"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        None,
     )
     try:
         for _ in range(max_iter):
@@ -87,13 +105,25 @@ def connected_components(
                 "comp",
                 F.least(F.col("comp"), F.col("nbr_comp")).alias("new_comp"),
             )
-            proposed = proposed.localCheckpoint(eager=True)
+            proposed, ckpt_path = _truncate_round(proposed, ckpt_path)
             changed = (
                 proposed.filter(F.col("new_comp") != F.col("comp")).limit(1).count()
             )
             labels = proposed.select("id", F.col("new_comp").alias("comp"))
             if changed == 0:
+                if ckpt_path is not None:
+                    # the returned frame reads the final round's parquet:
+                    # hand the path to the dedup registry so dedup_scope /
+                    # the plan engine deletes it on release
+                    from topnotch_spark.operators import dedup as _d
+
+                    _d._PERSISTED.append(labels)
+                    _d._CHECKPOINTED[id(labels)] = ckpt_path
                 return labels
+        if ckpt_path is not None:
+            from topnotch_spark.operators import dedup as _d
+
+            _d._delete_path(sym, ckpt_path)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "pathological chain graph — use more rounds or star contraction"

@@ -56,12 +56,66 @@ from topnotch_spark.functions.vectors import srp_bucket
 # unpersist_intermediates()/dedup_scope().
 _PERSISTED: list[DataFrame] = []
 
+# When set, _persist() spills intermediates to parquet under this
+# directory instead of executor storage (SCALE.md §6: at 100 TB the
+# shingle/signature tables of a multi-branch dedup plan do not fit the
+# BlockManager; a parquet checkpoint also truncates lineage). Entries
+# are tracked in _CHECKPOINTED (id(df) → path) and the path is deleted
+# on release. Set via set_checkpoint_dir(), the checkpoint_dir argument
+# of dedup_scope(), or a plan-level "checkpointDir" field.
+_CHECKPOINT_DIR: str | None = None
+_CHECKPOINTED: dict[int, str] = {}
+_CHECKPOINT_SEQ = 0
+
+
+def set_checkpoint_dir(path: str | None) -> str | None:
+    """Route subsequent dedup-family intermediates to parquet under
+    ``path`` (any Hadoop-FS scheme) instead of persist(MEMORY_AND_DISK);
+    ``None`` restores in-memory persist. Returns the previous setting."""
+    global _CHECKPOINT_DIR
+    prev = _CHECKPOINT_DIR
+    _CHECKPOINT_DIR = path
+    return prev
+
+
+def _delete_path(df: DataFrame, path: str) -> None:
+    """Best-effort recursive delete via the Hadoop FileSystem API (works
+    for local paths, HDFS, and object stores alike)."""
+    try:
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # cleanup must never fail the query
+        pass
+
 
 def _persist(df: DataFrame) -> DataFrame:
-    """persist(MEMORY_AND_DISK) + register for unpersist_intermediates()."""
+    """Materialize + register an intermediate for reuse across branches:
+    parquet checkpoint when a checkpoint dir is set (scale path), else
+    persist(MEMORY_AND_DISK). Released by unpersist_intermediates() /
+    release_new_intermediates()."""
+    global _CHECKPOINT_SEQ
+    if _CHECKPOINT_DIR is not None:
+        _CHECKPOINT_SEQ += 1
+        path = f"{_CHECKPOINT_DIR.rstrip('/')}/tn_ckpt_{_CHECKPOINT_SEQ}"
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        _PERSISTED.append(out)
+        _CHECKPOINTED[id(out)] = path
+        return out
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(out)
     return out
+
+
+def _release(df: DataFrame, blocking: bool = False) -> None:
+    """Free one registry entry: drop the parquet checkpoint or unpersist."""
+    path = _CHECKPOINTED.pop(id(df), None)
+    if path is not None:
+        _delete_path(df, path)
+    else:
+        df.unpersist(blocking)
 
 
 def snapshot_intermediates() -> set[int]:
@@ -82,7 +136,7 @@ def release_new_intermediates(
     mine = [df for df in _PERSISTED if id(df) not in snapshot]
     _PERSISTED[:] = [df for df in _PERSISTED if id(df) in snapshot]
     for df in mine:
-        df.unpersist(blocking)
+        _release(df, blocking)
     return len(mine)
 
 
@@ -94,24 +148,31 @@ def unpersist_intermediates(blocking: bool = False) -> int:
     Returns the number of tables released. Safe to call twice."""
     n = 0
     while _PERSISTED:
-        _PERSISTED.pop().unpersist(blocking)
+        _release(_PERSISTED.pop(), blocking)
         n += 1
     return n
 
 
 @contextmanager
-def dedup_scope() -> Iterator[None]:
-    """Scope whose exit unpersists intermediates created inside it
+def dedup_scope(checkpoint_dir: str | None = None) -> Iterator[None]:
+    """Scope whose exit releases intermediates created inside it
     (identity-scoped — safe alongside other concurrent scopes)::
 
         with dedup_scope():
             pairs = minhash_lsh_dedup(docs, "doc_id", "text")
             pairs.write.parquet(out)   # consume INSIDE the scope
-    """
+
+    With ``checkpoint_dir`` set, intermediates inside the scope spill to
+    parquet under that directory instead of executor storage (and the
+    files are deleted on exit) — the 100 TB valve for multi-branch dedup
+    plans whose shingle/signature tables exceed BlockManager capacity."""
     snap = snapshot_intermediates()
+    prev = set_checkpoint_dir(checkpoint_dir) if checkpoint_dir else _CHECKPOINT_DIR
     try:
         yield
     finally:
+        if checkpoint_dir:
+            set_checkpoint_dir(prev)
         release_new_intermediates(snap)
 
 

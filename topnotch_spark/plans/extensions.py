@@ -127,7 +127,7 @@ class TextCmd(Command):
             text_column=p.get("textColumn", "text"),
             options=_opt(
                 p, "stopwords", "size", "overlap", "k", "budget",
-                "partitionCol", "shingleN",
+                "partitionCol", "shingleN", "globalOrdering",
             ),
             **cls._common(obj),
         )
@@ -543,7 +543,9 @@ class SequenceCmd(Command):
         df = load_input(engine.spark, self.input, engine.registry)
         p = dict(self.params)
         ts = p.get("tsColumn", "ts")
-        tiebreak = p.get("tiebreakColumn", "id")
+        # default matches the events-table convention used throughout the
+        # repo (an 'id' default resolved to nothing and failed obscurely)
+        tiebreak = p.get("tiebreakColumn", "event_id")
         if self.method == "throttle":
             return Tm.throttle_dedup(
                 df, list(p["keyColumns"]), ts, tiebreak, p["minGapSeconds"]
