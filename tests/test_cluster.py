@@ -51,6 +51,26 @@ def test_dup_clusters_sizes_and_keep(spark):
     }
 
 
+def test_long_chain_converges_within_default_budget(spark):
+    """Pathological 50-link chain (diameter 50): pointer jumping must
+    collapse it within the default max_iter=25 — O(log d) rounds, where
+    plain min-propagation would need 50."""
+    comps = _comp_map(
+        connected_components(_pairs(spark, [(i, i + 1) for i in range(50)]))
+    )
+    assert comps == {i: 0 for i in range(51)}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # even a tight budget of 8 rounds covers diameter 50 via path halving
+    comps = _comp_map(
+        connected_components(
+            _pairs(spark, [(i, i + 1) for i in range(50)]), max_iter=8
+        )
+    )
+    assert set(comps.values()) == {0}
+
+
 def test_nonconvergence_raises(spark):
     # a 6-chain cannot converge in 1 round (initial tightening + 1)
     with pytest.raises(RuntimeError, match="did not converge"):

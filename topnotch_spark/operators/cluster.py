@@ -7,19 +7,20 @@ the pair graph. (The reference engine has no graph stage at all; this is
 part of the LLM-pipeline extension surface, not a port of
 tnengine/TnEngine.scala.)
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with its own id; each round every node takes the min of its own label
-and its neighbors' labels; converged when no label changes. Each round
-is one hash join (labels into edges on the dst side) + one partial-agg
-groupBy — both shuffle on node id, so successive rounds reuse the same
-hash partitioning. Rounds needed = graph diameter, and near-dup
-clusters are short chains of near-identical docs (diameter ≤ a few),
-so 3-5 rounds is typical. For adversarial long-chain graphs the
-O(log n)-round alternating large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC 2014) is the drop-in upgrade; min-propagation is preferred here
-because each round is strictly cheaper (no edge-set rewriting) and
-real dup graphs are diameter-bounded.
+Algorithm: iterative min-label propagation with pointer jumping.
+Every node starts labeled with its own id; each round every node takes
+the min of its own label and its neighbors' labels, then jumps one
+level (``comp := comp(comp)``, path-halving). The neighbor step is one
+hash join (labels into edges on the dst side) + one partial-agg
+groupBy; the jump step is one self-join of the label frame — all
+shuffle on node id, so successive rounds reuse the same hash
+partitioning. The jump makes convergence O(log diameter) instead of
+O(diameter) (same bound as the alternating large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014, without its per-round edge-set rewriting): a
+10^6-link pathological chain converges in ~20 rounds, and the default
+``max_iter=25`` covers any component a real corpus can produce. A
+convergence failure raises rather than silently under-merging.
 
 Scale notes (100 TB):
 - ``localCheckpoint`` after every round truncates lineage — without it
@@ -104,6 +105,21 @@ def connected_components(
                 "id",
                 "comp",
                 F.least(F.col("comp"), F.col("nbr_comp")).alias("new_comp"),
+            )
+            # pointer jumping (path halving): comp := comp(comp). Labels
+            # only ever decrease, and every label IS a node id present in
+            # the frame, so the lookup is total; coalesce guards the
+            # left-join shape. Turns O(diameter) rounds into O(log d).
+            jump = labels.select(
+                F.col("id").alias("new_comp"), F.col("comp").alias("jump_comp")
+            )
+            proposed = proposed.join(jump, "new_comp", "left").select(
+                "id",
+                "comp",
+                F.least(
+                    F.col("new_comp"),
+                    F.coalesce(F.col("jump_comp"), F.col("new_comp")),
+                ).alias("new_comp"),
             )
             proposed, ckpt_path = _truncate_round(proposed, ckpt_path)
             changed = (
