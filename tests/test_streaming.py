@@ -150,6 +150,49 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, events_dir):
     )
 
 
+def test_multi_file_per_cut_replay_matches_single_file(spark):
+    """events_replay_dir(files_per_cut=4): each cut split into 4
+    contiguous time-range files, mtimes pinned in replay order — the
+    stream sees 12 micro-batches instead of 3, and both a stateless
+    windowed aggregation and the custom stateful sessionizer must
+    produce results identical to the single-file layout."""
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    multi = events_replay_dir(spark, SF_DIR, files_per_cut=4)
+    files = [f for f in os.listdir(multi) if f.endswith(".parquet")]
+    assert len(files) == 12
+    # mtimes strictly increasing in name order
+    mtimes = [os.path.getmtime(os.path.join(multi, f)) for f in sorted(files)]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+
+    stream = stream_from_parquet(spark, multi, max_files_per_trigger=1)
+    streamed = run_stream_to_table(
+        windowed_event_metrics(stream, window_duration="1 hour"),
+        output_mode="complete",
+    )
+    batch = windowed_event_metrics(
+        catalog.load(spark, SF_DIR, "events"), window_duration="1 hour"
+    )
+    assert df_equals(streamed, batch)
+
+    stream2 = stream_from_parquet(spark, multi, max_files_per_trigger=1)
+    sessions = run_stream_to_table(
+        sessionize_stream(stream2, gap_seconds=1800), output_mode="append"
+    )
+    emitted = sessions.collect()
+    assert len(emitted) > 0
+    ref = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _batch_sessions(spark).collect()
+    }
+    for r in emitted:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in ref, f"streamed session not in batch reference: {key}"
+    assert len(emitted) == len(
+        {(r["user_id"], r["session_start"]) for r in emitted}
+    )
+
+
 def test_session_window_metrics_gap_boundary(spark):
     """Built-in session_window: diff > gap starts a NEW session — a
     window that merely touches (diff == gap) MERGES; batch mode mirrors

@@ -47,17 +47,32 @@ REPLAY_CUTS = ("2024-01-11", "2024-01-21")
 
 
 def events_replay_dir(
-    spark: SparkSession, sf_dir: str, cuts: tuple[str, ...] = REPLAY_CUTS
+    spark: SparkSession,
+    sf_dir: str,
+    cuts: tuple[str, ...] = REPLAY_CUTS,
+    files_per_cut: int = 1,
 ) -> str:
-    """Materialize the events table as time-ordered parquet files (one per
-    cut range) so a file-source stream replays it as deterministic
-    micro-batches with maxFilesPerTrigger=1. Also normalizes the driver's
-    TIMESTAMP(NANOS) ts to micros (catalog.load) so the streaming schema
-    is a plain timestamp. Idempotent per sf_dir — built once, reused."""
+    """Materialize the events table as time-ordered parquet files so a
+    file-source stream replays it as deterministic micro-batches with
+    maxFilesPerTrigger=1. Also normalizes the driver's TIMESTAMP(NANOS)
+    ts to micros (catalog.load) so the streaming schema is a plain
+    timestamp. Idempotent per (sf_dir, files_per_cut) — built once,
+    reused.
+
+    ``files_per_cut`` > 1 splits each cut into that many contiguous
+    time-range sub-files (repartitionByRange on (ts, event_id)), so
+    micro-batch boundaries are exercised with multiple files per cut —
+    closer to a real continuously-landing directory than one giant file
+    per cut. Sub-files keep global time order (range partitioning is
+    contiguous) and file mtimes are pinned strictly increasing in name
+    order, so FileStreamSource's (mtime, path) ordering replays them
+    deterministically; streaming results are hash-identical to the
+    single-file layout (tested)."""
     from topnotch_spark import catalog
 
     base = os.path.basename(os.path.normpath(sf_dir))
-    dest = f"{REPLAY_ROOT}/{base}"
+    suffix = "" if files_per_cut == 1 else f"_f{files_per_cut}"
+    dest = f"{REPLAY_ROOT}/{base}{suffix}"
     marker = os.path.join(dest, "_REPLAY_READY")
     if os.path.exists(marker):
         # Guard against a replay dir built from stale testdata whose ts was
@@ -72,6 +87,7 @@ def events_replay_dir(
     os.makedirs(dest, exist_ok=True)
     ev = catalog.load(spark, sf_dir, "events")
     bounds = [None, *cuts, None]
+    out_files: list[str] = []
     for i in range(len(bounds) - 1):
         lo, hi = bounds[i], bounds[i + 1]
         part = ev
@@ -80,10 +96,24 @@ def events_replay_dir(
         if hi is not None:
             part = part.filter(f"ts < timestamp'{hi}'")
         stage = f"{dest}/_stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        pf = next(f for f in os.listdir(stage) if f.startswith("part-"))
-        shutil.move(os.path.join(stage, pf), f"{dest}/{i:03d}.parquet")
+        if files_per_cut == 1:
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+        else:
+            part.repartitionByRange(
+                files_per_cut, "ts", "event_id"
+            ).write.mode("overwrite").parquet(stage)
+        pfs = sorted(f for f in os.listdir(stage) if f.startswith("part-"))
+        for j, pf in enumerate(pfs):
+            name = f"{dest}/{i:03d}_{j:02d}.parquet"
+            shutil.move(os.path.join(stage, pf), name)
+            out_files.append(name)
         shutil.rmtree(stage)
+    # strictly increasing mtimes in replay order: FileStreamSource picks
+    # files by (modification time, path), and same-millisecond writes
+    # would otherwise leave the order to the filesystem
+    now = int(os.path.getmtime(out_files[0])) if out_files else 0
+    for k, name in enumerate(out_files):
+        os.utime(name, (now + k, now + k))
     with open(marker, "w") as f:
         f.write("")
     return dest
