@@ -64,10 +64,45 @@ def test_decode_media_metadata(spark, media_df):
     assert (rows[3]["n_frames"], rows[3]["width"], rows[3]["height"]) == (5, 2, 2)
 
 
+def _pillow_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(
+    _pillow_available(),
+    reason="Pillow installed: real image magics route to the adapter",
+)
 def test_decode_stub_raises_on_real_codec(spark, media_df):
     jpeg_only = media_df.filter("media_id = 4")
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         decode_media(jpeg_only).collect()
+
+
+@pytest.mark.skipif(
+    not _pillow_available(),
+    reason="Pillow not installed in this container (TN* formats are the oracle path)",
+)
+def test_decode_real_png_via_pillow_adapter(spark):
+    """Optional real-codec path: a genuine PNG decodes through the SAME
+    mapInPandas plumbing as the TN* formats, emitting the identical
+    schema with an 8-bit grayscale payload."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id int, content binary"
+    )
+    row = decode_media(df).collect()[0]
+    assert row["media_type"] == "image/png"
+    assert (row["width"], row["height"], row["n_frames"]) == (8, 6, 1)
+    assert bytes(row["payload"]) == px.tobytes()
 
 
 def test_resize_nearest_neighbor(spark):

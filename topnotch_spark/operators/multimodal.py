@@ -7,11 +7,12 @@ columns plus typed metadata, processed with Arrow-batched ``mapInPandas``
 - plumbing (schemas, batch iteration, partitioning) is REAL and tested;
 - byte-level analytics (size, high-nibble histogram, entropy, magic-byte
   media sniffing) are REAL computations (numpy over Arrow buffers);
-- actual image/audio codec decoding is STUBBED: the container has no
-  media libraries, so ``decode_media`` handles the deterministic TN*
-  synthetic formats below and raises ``NotImplementedError`` for real
-  codecs (JPEG/PNG/WAV/MP4). Swapping the stub for Pillow/ffmpeg changes
-  only the per-batch function body, not the Spark plumbing.
+- actual codec decoding: ``decode_media`` handles the deterministic TN*
+  synthetic formats below (the oracle path), decodes real JPEG/PNG/GIF
+  through an optional Pillow adapter when the library is installed
+  (it is not in the test container), and raises ``NotImplementedError``
+  for everything else (WAV/MP4 — swapping in soundfile/ffmpeg changes
+  only the per-batch decode function, not the Spark plumbing).
 
 Synthetic container formats (big-endian, deterministic, self-describing):
 - ``TNIMG`` : magic(5) | width u16 | height u16 | w*h grayscale bytes
@@ -90,10 +91,37 @@ def encode_tnvid(width: int, height: int, frames: list[bytes]) -> bytes:
     )
 
 
+def _pillow_decode(blob: bytes) -> dict[str, Any] | None:
+    """Optional real-codec adapter: decode JPEG/PNG/GIF via Pillow when
+    the library is present (it is not in the test container — the TN*
+    synthetic formats remain the oracle path). Returns None when Pillow
+    is unavailable so ``_decode_one`` falls through to its honest
+    NotImplementedError. Payload is the 8-bit grayscale pixel buffer —
+    the same shape the TNIMG path emits, so downstream numpy stages work
+    unchanged on real images."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    with Image.open(io.BytesIO(blob)) as im:
+        w, h = im.size
+        n_frames = int(getattr(im, "n_frames", 1))
+        fmt = (im.format or "unknown").lower()
+        payload = im.convert("L").tobytes()
+    return {"media_type": f"image/{fmt}", "width": w, "height": h,
+            "n_frames": n_frames, "sample_rate": None, "payload": payload}
+
+
+_REAL_IMAGE_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8")
+
+
 def _decode_one(blob: bytes) -> dict[str, Any]:
-    """STUB decode: parses TN* synthetic containers; real codecs raise.
-    Replace this one function with Pillow/soundfile/ffmpeg to get real
-    decoding — the mapInPandas plumbing above it is production-shaped."""
+    """Decode: parses TN* synthetic containers; real image codecs go
+    through the optional Pillow adapter when installed, else raise.
+    Swapping in soundfile/ffmpeg for audio/video changes only this
+    function — the mapInPandas plumbing above it is production-shaped."""
     if blob.startswith(b"TNIMG"):
         w, h = struct.unpack(">HH", blob[5:9])
         return {"media_type": "application/x-tnimg", "width": w, "height": h,
@@ -109,6 +137,10 @@ def _decode_one(blob: bytes) -> dict[str, Any]:
         return {"media_type": "application/x-tnvid", "width": w, "height": h,
                 "n_frames": nf, "sample_rate": None,
                 "payload": blob[11 : 11 + nf * w * h]}
+    if blob.startswith(_REAL_IMAGE_MAGICS):
+        decoded = _pillow_decode(blob)
+        if decoded is not None:
+            return decoded
     raise NotImplementedError(
         "real media codecs are not available in this environment; "
         "only TN* synthetic containers decode (stub — see module docstring)"
