@@ -458,6 +458,30 @@ def test_output_format_sinks(spark, tmp_path):
     assert jback.count() == 25
 
 
+def test_csv_table_mount_skips_header(spark, tmp_path):
+    """A csv sink mount must pass the same header/inferSchema options to
+    createTable that the writer used — otherwise the header row comes
+    back as data with an all-string schema."""
+    from topnotch_spark.sources.outputs import store_output
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    try:
+        store_output(
+            spark, df, "nations", {},
+            output_path=str(tmp_path / "nations_csv"),
+            table_name="tn_test_csv_mount",
+            output_format="csv",
+        )
+        mounted = spark.table("tn_test_csv_mount")
+        assert mounted.count() == 25
+        assert dict(mounted.dtypes)["n_nationkey"] in ("int", "bigint")
+        assert mounted.filter("n_name = 'n_name'").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tn_test_csv_mount")
+
+
 def test_output_format_unsupported_raises(spark, tmp_path):
     import pytest as _pytest
 

@@ -45,7 +45,13 @@ def store_output(
         writer.format(output_format).save(output_path)
         if table_name:
             spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+            # Mount options must mirror the writer options, else a csv
+            # mount would re-read its own header row as data with an
+            # all-string schema.
+            mount_opts: dict[str, str] = {}
+            if output_format == "csv":
+                mount_opts = {"header": "true", "inferSchema": "true"}
             spark.catalog.createTable(
-                table_name, path=output_path, source=output_format
+                table_name, path=output_path, source=output_format, **mount_opts
             )
     return df
