@@ -19,7 +19,12 @@ BIGINT).  This script compares, per query:
      pandas canonicalizer cannot sort them (round-2 embedding_centroids
      err); oracle-checked catalog queries must emit scalar columns only.
 
-Usage: python scripts/strict_hash_check.py [sf_dir] [query ...]
+Usage: python scripts/strict_hash_check.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, per-query results are also written as a committed-able
+artifact (one object per query: status/rows/hashes/seconds), so the
+full-catalog evidence lives in the repo even when the external driver's
+correctness file is capped below the catalog size.
 """
 
 from __future__ import annotations
@@ -99,8 +104,14 @@ def complex_cols(sdf):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -123,6 +134,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"skip  {name}: no oracle")
+            results[name] = {"status": "skip", "reason": "no oracle"}
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
@@ -132,6 +144,7 @@ def main() -> int:
                   "the driver's pandas canonicalizer cannot sort these; "
                   "explode/flatten the catalog query")
             failures += 1
+            results[name] = {"status": "fail", "reason": f"complex cols {cc}"}
             continue
         dm = dtype_mismatches(sdf, con, oracles[name])
         if dm:
@@ -140,6 +153,7 @@ def main() -> int:
                   "hash is dtype-sensitive; CAST the oracle (HUGEINT "
                   "sums -> BIGINT) or the Spark column")
             failures += 1
+            results[name] = {"status": "fail", "reason": f"dtype kinds {dm}"}
             continue
         scols = [c.lower() for c in sdf.columns]
         srows = [tuple(r) for r in sdf.toDF(*scols).collect()]
@@ -151,6 +165,17 @@ def main() -> int:
         sh = table_hash(scols, srows)
         dh = table_hash(dcols, drows)
         dt = time.time() - t0
+        results[name] = {
+            "status": "ok" if sorted(scols) == sorted(dcols) and sh == dh
+            else "fail",
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "spark_hash": sh[:16],
+            "oracle_hash": dh[:16],
+            "hash_match": sh == dh,
+            "schema_match": sorted(scols) == sorted(dcols),
+            "seconds": round(dt, 2),
+        }
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: cols {sorted(scols)} vs {sorted(dcols)}")
             failures += 1
@@ -172,6 +197,18 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(srows)} rows strict-hash match  [{dt:.1f}s]")
     print("failures:", failures)
+    if json_out:
+        import json as jsonlib
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_failures": failures,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            jsonlib.dump(payload, f, indent=1, sort_keys=True)
+        print("wrote", json_out)
     return 1 if failures else 0
 
 
