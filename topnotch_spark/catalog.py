@@ -566,7 +566,7 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``bins=None`` pins the exact path so the oracle result is
     data-independent (the library default is ``bins="auto"``, which
-    switches to a bounded grid above 1M distinct values — the 100 TB
+    switches to a bounded grid above 250k distinct values — the 100 TB
     behavior, demonstrated by ``drift_ks_binned``)."""
     from topnotch_spark.operators.drift import ks_statistic
 

@@ -121,7 +121,7 @@ def ks_statistic(
     round_digits: int = 6,
     bins: int | str | None = "auto",
     auto_bins: int = 1024,
-    auto_distinct_threshold: int = 1_000_000,
+    auto_distinct_threshold: int = 250_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic as a 1-row frame
     (ks_stat, n_ref, n_cur): max |ECDF_ref(x) − ECDF_cur(x)| over the
@@ -142,7 +142,10 @@ def ks_statistic(
     default ``bins="auto"`` therefore probes ``approx_count_distinct``
     (one scan, no extra shuffle) and switches to a fixed
     ``auto_bins``-bucket grid over the REFERENCE min/max when the
-    distinct count exceeds ``auto_distinct_threshold``; the ECDF then
+    distinct count exceeds ``auto_distinct_threshold`` (a conservative
+    250k — the exact path's single-partition sort stays under ~10 MB of
+    window state, and anything wider than that belongs on the grid); the
+    ECDF then
     runs over at most ``auto_bins`` rows and the statistic is
     KS-approximate to bucket width. Pass ``bins=None`` to force exact
     (sf-scale / known-low-cardinality data) or ``bins=N`` to pin the
