@@ -308,8 +308,16 @@ def minhash_lsh_dedup(
     ]
     banded = sigs.select("id", *band_cols)
     stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
-    buckets = banded.selectExpr(
-        "id", f"stack({bands}, {stack_expr}) as (band_idx, bucket)"
+    # persist the bucket table: the self-join below references it on BOTH
+    # sides, and Spark computes each side's subtree independently (no
+    # ReusedExchange once one side sits under a BroadcastExchange) — so
+    # without this the whole explode→md5→16-way min-agg signature
+    # pipeline runs twice over the corpus. The bucket table itself is
+    # tiny (bands rows of (id, band_idx, md5) per doc).
+    buckets = _persist(
+        banded.selectExpr(
+            "id", f"stack({bands}, {stack_expr}) as (band_idx, bucket)"
+        )
     )
     left = buckets.select(F.col("id").alias("id_1"), "band_idx", "bucket")
     right = buckets.select(F.col("id").alias("id_2"), "band_idx", "bucket")
@@ -363,7 +371,10 @@ def ngram_jaccard_pairs(
     exploded = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("n_sh"))
     if max_shingle_df is not None:
-        hot = (
+        # persisted: the anti-join below sits on BOTH sides of the
+        # self-join, so an unpersisted hot table would re-aggregate the
+        # whole exploded corpus twice
+        hot = _persist(
             exploded.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
@@ -418,7 +429,9 @@ def containment_pairs(
     exploded = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("n_sh"))
     if max_shingle_df is not None:
-        hot = (
+        # persisted for the same both-sides-of-the-self-join reason as
+        # ngram_jaccard_pairs
+        hot = _persist(
             exploded.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
