@@ -188,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": oracles.text_unigram_logprob_sql(),
         "source_mix": oracles.source_mix_sql(alpha=0.5),
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(),
+        "dedup_lines_footer": oracles.dedup_lines_sql(),
+        "weighted_sample_bylength": oracles.weighted_sample_sql(),
     }
     return ext | {
         "view_tpch_q1": """

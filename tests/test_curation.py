@@ -381,3 +381,98 @@ def test_pack_token_shards_requires_explicit_global(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="global_ordering=True"):
         pack_token_shards(df, "doc_id", "text", budget=6)
+
+
+# ---- cross-document line dedup -------------------------------------------
+
+def test_dedup_lines_strips_shared_boilerplate(spark):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    df = _docs(spark, [
+        (1, "unique alpha\nCOOKIE BANNER\nbody one"),
+        (2, "unique beta\nCOOKIE BANNER\nbody two"),
+        (3, "unique gamma\nbody three"),
+    ])
+    out = {r["id"]: r for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert out[1]["text"] == "unique alpha\nbody one"
+    assert out[2]["text"] == "unique beta\nbody two"
+    assert out[3]["text"] == "unique gamma\nbody three"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 0)
+
+
+def test_dedup_lines_fully_boilerplate_doc_stays_empty(spark):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    df = _docs(spark, [(1, "SAME"), (2, "SAME"), (3, "other")])
+    out = {r["id"]: r for r in dedup_lines(df, "doc_id", "text").collect()}
+    # both copies removed everywhere, docs stay in the output
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 1
+    assert out[3]["text"] == "other" and out[3]["n_removed"] == 0
+
+
+def test_dedup_lines_short_lines_exempt(spark):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    # blank separator lines repeat across docs but must survive
+    df = _docs(spark, [(1, "a\n\nb"), (2, "c\n\nd")])
+    out = {r["id"]: r["text"]
+           for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert out == {1: "a\n\nb", 2: "c\n\nd"}
+
+
+def test_dedup_lines_df_counts_documents_not_occurrences(spark):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    # the repeated line appears twice WITHIN one doc only: document
+    # frequency is 1, so it must be kept
+    df = _docs(spark, [(1, "x\nx\ny")])
+    out = dedup_lines(df, "doc_id", "text").collect()[0]
+    assert out["text"] == "x\nx\ny" and out["n_removed"] == 0
+
+
+def test_dedup_lines_custom_separator_and_cap(spark):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    df = _docs(spark, [(1, "p|q"), (2, "p|r"), (3, "p|s")])
+    keep2 = {r["id"]: r["text"] for r in
+             dedup_lines(df, "doc_id", "text", sep="|", max_line_df=2).collect()}
+    assert keep2 == {1: "q", 2: "r", 3: "s"}  # p in 3 docs > cap 2
+    keep3 = {r["id"]: r["text"] for r in
+             dedup_lines(df, "doc_id", "text", sep="|", max_line_df=3).collect()}
+    assert keep3 == {1: "p|q", 2: "p|r", 3: "p|s"}
+
+
+# ---- weighted deterministic sampling -------------------------------------
+
+def test_weighted_sample_extremes_and_null(spark):
+    from topnotch_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in [(1, 1.0), (2, 0.0), (3, None), (4, 5.0), (5, -2.0)]],
+        "doc_id long, w double",
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect()}
+    assert 1 in kept          # weight 1 always keeps
+    assert 2 not in kept      # weight 0 always drops
+    assert 3 not in kept      # NULL weight drops
+    assert 4 in kept          # clamped to 1
+    assert 5 not in kept      # clamped to 0
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    from pyspark.sql import functions as F
+    from topnotch_spark.operators.curation import weighted_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    k3 = {r["doc_id"] for r in
+          weighted_sample(df, "doc_id", F.lit(0.3)).collect()}
+    k7 = {r["doc_id"] for r in
+          weighted_sample(df.repartition(7), "doc_id", F.lit(0.7)).collect()}
+    assert k3 <= k7                       # same salt: keep sets nest
+    assert abs(len(k3) / 2000 - 0.3) < 0.05
+    assert abs(len(k7) / 2000 - 0.7) < 0.05
+    again = {r["doc_id"] for r in
+             weighted_sample(df.repartition(13), "doc_id", F.lit(0.3)).collect()}
+    assert again == k3                    # partitioning-independent

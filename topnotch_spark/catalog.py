@@ -1284,12 +1284,41 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lines_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup, demonstrated on a constructed
+    boilerplate footer: every document gains a second line shared by its
+    whole source ('mirrored via <source>'); the operator must strip the
+    repeated footer (document frequency > 1) while keeping each unique
+    body line, restoring the original text."""
+    from topnotch_spark.operators.curation import dedup_lines
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.concat(F.lit("mirrored via "), F.col("source"))
+        ).alias("text"),
+    )
+    return dedup_lines(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+def weighted_sample_bylength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli downsample: keep probability
+    rises with document length (n_chars/400 clamped to 1) — the
+    quality-weighted corpus sampler, seedless and engine-portable."""
+    from topnotch_spark.operators.curation import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.col("n_chars") / F.lit(400.0)
+    return weighted_sample(docs, "doc_id", w).select("doc_id", "lang", "source")
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
 # and every round-4 addition) at the front; the 20 slots after them re-check
-# part of the r02-green set.  Entries 51-80 are covered each round by
-# scripts/strict_hash_check.py (stricter than the driver gate).
+# part of the r02-green set.  Entries 51+ are covered each round by
+# scripts/strict_hash_check.py (stricter than the driver gate), recorded in
+# the committed CORRECTNESS_FULL_r*.json artifact.
 ALL = {
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
@@ -1371,4 +1400,6 @@ ALL = {
     "dedup_containment": dedup_containment,
     "embedding_quantize": embedding_quantize,
     "outliers_totalprice": outliers_totalprice,
+    "dedup_lines_footer": dedup_lines_footer,
+    "weighted_sample_bylength": weighted_sample_bylength,
 }

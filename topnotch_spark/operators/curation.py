@@ -426,6 +426,114 @@ def hash_split(
     return df.select("*", expr.alias("split"))
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: "F.Column | str",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row Bernoulli sample with a PER-ROW keep probability —
+    deterministic, engine-portable, seedless (the weighted generalization
+    of stratified_sample's fixed-rate trick): keep a row iff the first
+    8 hex chars of md5(salt ':' id), read as a 32-bit fraction, fall
+    below ``clamp(weight, 0, 1)``. Same row set on every engine, every
+    run, any partitioning; membership survives corpus growth. The
+    standard quality-weighted corpus downsampler: weight 1 always keeps,
+    0 always drops, 0.3 keeps ~30% of rows carrying that weight.
+
+    ``weight`` is a column (or name) evaluated per row — e.g. a quality
+    score, a per-source mix weight joined on, or any expression. NULL
+    weights drop the row (NULL < x is never true) — document weights
+    before sampling. Zero shuffle, one projection."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    frac = (
+        F.conv(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    return df.filter(frac < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_line_df: int = 1,
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4/CCNet-style cross-document line deduplication: split every
+    document on ``sep``, drop each line whose corpus-wide DOCUMENT
+    frequency exceeds ``max_line_df`` (the nav-bar/footer/cookie-banner
+    boilerplate that repeats across pages), and reassemble the survivors
+    in original order. Lines shorter than ``min_chars`` are exempt —
+    never counted, never removed — so blank separator lines keep the
+    document's structure. Returns (id, text, n_lines, n_removed); a
+    document whose every line is boilerplate stays in the output with
+    empty text (dropping rows silently is a filter's job, not a
+    rewriter's).
+
+    Execution shape (100 TB): posexplode (narrow) → distinct(id, line) +
+    groupBy(line) for document frequencies (one shuffle on the line) →
+    LEFT ANTI equi-join of lines against the hot set (second shuffle on
+    the line — NOT a broadcast: at corpus scale the boilerplate set is
+    unbounded) → groupBy(id) reassembly via array_sort(collect_list)
+    (third shuffle, on id). Exempt lines can never enter the hot set, so
+    the anti-join preserves them by construction. No UDFs, no driver
+    data, skew on viral lines handled by AQE.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    )
+    hot = (
+        lines.filter(F.length("line") >= min_chars)
+        .select("id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("__text__"),
+        F.count(F.lit(1)).alias("__n_kept__"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), _re.escape(sep)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col), n_lines.alias("n_lines"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("__text__", F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__n_kept__", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus mixing weights
 # ---------------------------------------------------------------------------

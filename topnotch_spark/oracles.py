@@ -1846,3 +1846,62 @@ def lang_mix_sql(lang_markers: dict[str, list[str]], round_digits: int = 6) -> s
                    AS share
         FROM lid GROUP BY source, predicted_lang
     """
+
+
+def dedup_lines_sql(max_line_df: int = 1, min_chars: int = 1) -> str:
+    """Mirror of curation.dedup_lines over the footer-constructed corpus
+    (catalog.dedup_lines_footer): same split, same document-frequency
+    cap with the short-line exemption, same in-order reassembly
+    (string_agg ORDER BY position = Spark's array_sort on (pos, line)).
+    n_lines/n_removed CAST to BIGINT for dtype-kind parity."""
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text || chr(10) || 'mirrored via ' || source AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, u.pos, u.line
+          FROM docs, LATERAL (
+            SELECT generate_subscripts(string_split(docs.text, chr(10)), 1)
+                       AS pos,
+                   unnest(string_split(docs.text, chr(10))) AS line
+          ) u
+        ),
+        hot AS (
+          SELECT line
+          FROM (SELECT DISTINCT doc_id, line FROM lines
+                WHERE length(line) >= {min_chars})
+          GROUP BY line HAVING count(*) > {max_line_df}
+        ),
+        kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l LEFT JOIN hot h ON l.line = h.line
+          WHERE h.line IS NULL
+        ),
+        reb AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text2,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(r.text2, '') AS text,
+               CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0)
+                    AS BIGINT) AS n_removed
+        FROM docs d LEFT JOIN reb r ON d.doc_id = r.doc_id
+    """
+
+
+def weighted_sample_sql(salt: str = "wsample") -> str:
+    """Mirror of curation.weighted_sample with the n_chars/400 length
+    weight (catalog.weighted_sample_bylength): identical md5 hex on both
+    engines, identical 32-bit fraction and clamp arithmetic in IEEE
+    double, so the kept row set matches exactly."""
+    frac = (
+        f"(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0)"
+    )
+    return f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {frac} < least(greatest(n_chars / 400.0, 0.0), 1.0)
+    """
