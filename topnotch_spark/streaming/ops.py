@@ -204,7 +204,16 @@ def run_stream_to_table(
     (e.g. 200 from a vanilla session) multiplies checkpoint I/O for no
     parallelism gain at test scale. On a cluster pass None and size the
     session conf to the key cardinality instead.
+
+    The memory-sink table is NOT left registered: its rows live in
+    driver/executor memory for the session's lifetime otherwise (dozens
+    of leaked result tables measurably degrade a long bench session).
+    The result is re-registered through the dedup-intermediate registry
+    (persist or parquet checkpoint) and the sink view dropped, so a
+    ``dedup_scope()`` / plan-run release frees everything.
     """
+    from topnotch_spark.operators.dedup import _persist
+
     spark = stream_df.sparkSession
     name = f"tn_stream_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or f"{DEFAULT_CHECKPOINT_ROOT}/{name}"
@@ -230,7 +239,10 @@ def run_stream_to_table(
                 # conf was never explicitly set: unset back to the
                 # built-in default instead of pinning our override
                 spark.conf.unset("spark.sql.shuffle.partitions")
-    return spark.table(name)
+    out = _persist(spark.table(name))
+    out.count()  # materialize the copy before the sink view goes away
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def dedup_stream(
