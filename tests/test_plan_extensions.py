@@ -224,6 +224,58 @@ def test_round2_commands_end_to_end(spark, tmp_path):
     assert ks["ks_stat"] == 0.0  # same dataset both sides
 
 
+def test_line_dedup_and_weighted_sample_commands(spark, tmp_path):
+    """dedup method=lines and sample weightColumn form through the real
+    engine: boilerplate footer stripped, weighted keep deterministic."""
+    docs = {"ref": f"{SF}/documents.parquet", "onDisk": True}
+    plan = {
+        "commands": [
+            {"command": "view", "inputs": [docs],
+             "params": {"tableAliases": ["d"],
+                        "query": "SELECT doc_id, text || '\\n' || "
+                                 "'footer ' || source AS text, "
+                                 "n_chars / 400.0 AS w FROM d"},
+             "outputKey": "withFooter"},
+            {"command": "dedup",
+             "input": {"ref": "withFooter", "onDisk": False},
+             "params": {"method": "lines", "idColumn": "doc_id",
+                        "textColumn": "text", "maxLineDf": 1},
+             "outputKey": "lineDeduped"},
+            {"command": "sample",
+             "input": {"ref": "withFooter", "onDisk": False},
+             "params": {"idColumn": "doc_id", "weightColumn": "w"},
+             "outputKey": "weighted"},
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    deduped = engine.registry["lineDeduped"]
+    assert deduped.count() == 500
+    # sources have >1 doc at sf0.001, so every footer line is removed
+    assert deduped.filter("text LIKE '%footer %'").count() == 0
+    assert deduped.filter("n_removed >= 1").count() == 500
+    n = engine.registry["weighted"].count()
+    assert 0 < n < 500
+
+
+def test_sample_weight_and_strat_mutually_exclusive(spark, tmp_path):
+    plan = {
+        "commands": [
+            {"command": "sample",
+             "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+             "params": {"idColumn": "doc_id", "weightColumn": "w",
+                        "stratColumn": "lang", "rates": {"en": 0.5}},
+             "outputKey": "bad"},
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        TnEngine(spark).run(str(p))
+
+
 def test_decontaminate_command(spark, tmp_path):
     plan = {
         "commands": [
@@ -257,8 +309,9 @@ def test_decontaminate_command(spark, tmp_path):
 
 def test_llm_pipeline_plan_chains_stages(spark):
     """The full curation pipeline as ONE chained plan: quality gate →
-    cluster dedup → PII scrub → chunk/shard, each stage reading the
-    previous stage's registry output."""
+    line-level boilerplate dedup → cluster dedup → PII scrub →
+    chunk/shard, each stage reading the previous stage's registry
+    output."""
     engine = TnEngine(spark)
     num_failed = engine.run(
         "/root/repo/examples/llm_pipeline_plan.json",
@@ -270,6 +323,7 @@ def test_llm_pipeline_plan_chains_stages(spark):
     n_quality = reg["qualityDocs"].count()
     n_dedup = reg["dedupedDocs"].count()
     assert n_quality <= n_raw
+    assert reg["lineCleanDocs"].count() == n_quality  # rewrite, not filter
     assert n_dedup <= n_quality
     # scrub preserved row count; chunking fans out
     assert reg["cleanDocs"].count() == n_dedup

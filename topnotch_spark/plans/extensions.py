@@ -47,13 +47,17 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 @dataclass(frozen=True)
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
-    jaccard|containment|simhash|embedding|clusters, "idColumn",
+    jaccard|containment|simhash|embedding|clusters|lines, "idColumn",
     "textColumn"|"vecColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
-    maxHamming/nPlanes/dim/maxShingleDf/roundDigits)}}.
+    maxHamming/nPlanes/dim/maxShingleDf/roundDigits/sep/maxLineDf/
+    minChars)}}.
 
     ``clusters`` runs the minhash pair stage then connected components
-    (operators/cluster.py) — per-doc (cluster_id, cluster_size, keep)."""
+    (operators/cluster.py) — per-doc (cluster_id, cluster_size, keep).
+    ``lines`` is cross-document line dedup (C4-style boilerplate
+    removal, curation.dedup_lines): rewrites the text column instead of
+    reporting pairs."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "exact"
@@ -72,7 +76,7 @@ class DedupCmd(Command):
             options=_opt(
                 p, "numHashes", "bands", "threshold", "shingleN", "bits",
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
-                "roundDigits",
+                "roundDigits", "sep", "maxLineDf", "minChars",
             ),
             **cls._common(obj),
         )
@@ -90,6 +94,7 @@ class DedupCmd(Command):
             "simhash": D.simhash_dedup,
             "embedding": D.embedding_near_dups,
             "clusters": self._clusters,
+            "lines": self._lines,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -101,6 +106,12 @@ class DedupCmd(Command):
         from topnotch_spark.operators.dedup import minhash_lsh_dedup
 
         return dup_clusters(minhash_lsh_dedup(df, id_col, text_col, **opts))
+
+    @staticmethod
+    def _lines(df: DataFrame, id_col: str, text_col: str, **opts) -> DataFrame:
+        from topnotch_spark.operators.curation import dedup_lines
+
+        return dedup_lines(df, id_col, text_col, **opts)
 
 
 @dataclass(frozen=True)
@@ -372,17 +383,33 @@ class DeconCmd(Command):
 class SampleCmd(Command):
     """{"command": "sample", "input": <input>, "params": {"idColumn",
     "stratColumn", "rates": {stratum: rate}, ["defaultRate"]}} —
-    deterministic md5-threshold stratified sampling."""
+    deterministic md5-threshold stratified sampling. Alternative form:
+    {"idColumn", "weightColumn", ["salt"]} — per-row weighted Bernoulli
+    (curation.weighted_sample, keep probability = clamp(weight, 0, 1))."""
 
     input: Input = None  # type: ignore[assignment]
     id_column: str = "id"
     strat_column: str = ""
+    weight_column: str = ""
     rates: tuple[tuple[str, float], ...] = ()
     options: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "SampleCmd":
         p = obj["params"]
+        if "weightColumn" in p:
+            if "stratColumn" in p or "rates" in p:
+                raise ValueError(
+                    "sample: weightColumn and stratColumn/rates are "
+                    "mutually exclusive"
+                )
+            return cls(
+                input=Input.from_json(obj["input"]),
+                id_column=p["idColumn"],
+                weight_column=p["weightColumn"],
+                options=_opt(p, "salt"),
+                **cls._common(obj),
+            )
         return cls(
             input=Input.from_json(obj["input"]),
             id_column=p["idColumn"],
@@ -393,13 +420,18 @@ class SampleCmd(Command):
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.curation import stratified_sample
+        from topnotch_spark.operators.curation import (
+            stratified_sample,
+            weighted_sample,
+        )
 
+        df = load_input(engine.spark, self.input, engine.registry)
+        if self.weight_column:
+            return weighted_sample(
+                df, self.id_column, self.weight_column, **self.options
+            )
         return stratified_sample(
-            load_input(engine.spark, self.input, engine.registry),
-            self.id_column,
-            self.strat_column,
-            dict(self.rates),
+            df, self.id_column, self.strat_column, dict(self.rates),
             **self.options,
         )
 
