@@ -66,9 +66,16 @@ def connected_components(
     src: str = "id_1",
     dst: str = "id_2",
     max_iter: int = 25,
+    jump_after: int = 2,
 ) -> DataFrame:
     """(id, cluster_id) for every node in ``pairs``; cluster_id = min id
-    in the component. Raises if ``max_iter`` rounds don't converge."""
+    in the component. Raises if ``max_iter`` rounds don't converge.
+
+    ``jump_after``: pointer jumping starts at that round index — real
+    dup graphs (diameter ≤ a few) converge inside the plain rounds and
+    never pay the jump join's extra shuffle; an adversarial long chain
+    switches to O(log d) halving after the grace rounds. ``0`` jumps
+    from the first round."""
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetric closure: propagate along both directions of each pair
     sym = (
@@ -87,7 +94,7 @@ def connected_components(
         None,
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # neighbor minimum this round: comp of b flows to a
             nbr = (
                 sym.join(
@@ -106,21 +113,26 @@ def connected_components(
                 "comp",
                 F.least(F.col("comp"), F.col("nbr_comp")).alias("new_comp"),
             )
-            # pointer jumping (path halving): comp := comp(comp). Labels
-            # only ever decrease, and every label IS a node id present in
-            # the frame, so the lookup is total; coalesce guards the
-            # left-join shape. Turns O(diameter) rounds into O(log d).
-            jump = labels.select(
-                F.col("id").alias("new_comp"), F.col("comp").alias("jump_comp")
-            )
-            proposed = proposed.join(jump, "new_comp", "left").select(
-                "id",
-                "comp",
-                F.least(
-                    F.col("new_comp"),
-                    F.coalesce(F.col("jump_comp"), F.col("new_comp")),
-                ).alias("new_comp"),
-            )
+            if it >= jump_after:
+                # pointer jumping (path halving): comp := comp(comp).
+                # Labels only ever decrease, and every label IS a node id
+                # present in the frame, so the lookup is total; coalesce
+                # guards the left-join shape. Turns the remaining rounds
+                # from O(diameter) into O(log d) at one extra small
+                # shuffle per round — skipped during the grace rounds
+                # that already finish every real dup graph.
+                jump = labels.select(
+                    F.col("id").alias("new_comp"),
+                    F.col("comp").alias("jump_comp"),
+                )
+                proposed = proposed.join(jump, "new_comp", "left").select(
+                    "id",
+                    "comp",
+                    F.least(
+                        F.col("new_comp"),
+                        F.coalesce(F.col("jump_comp"), F.col("new_comp")),
+                    ).alias("new_comp"),
+                )
             proposed, ckpt_path = _truncate_round(proposed, ckpt_path)
             changed = (
                 proposed.filter(F.col("new_comp") != F.col("comp")).limit(1).count()

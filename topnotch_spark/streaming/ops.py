@@ -205,15 +205,13 @@ def run_stream_to_table(
     parallelism gain at test scale. On a cluster pass None and size the
     session conf to the key cardinality instead.
 
-    The memory-sink table is NOT left registered: its rows live in
-    driver/executor memory for the session's lifetime otherwise (dozens
-    of leaked result tables measurably degrade a long bench session).
-    The result is re-registered through the dedup-intermediate registry
-    (persist or parquet checkpoint) and the sink view dropped, so a
-    ``dedup_scope()`` / plan-run release frees everything.
+    The memory-sink table is NOT left registered: dozens of leaked
+    result tables would otherwise hold their rows in driver memory for
+    the session's lifetime. The returned DataFrame's analyzed plan
+    references the sink relation directly, so dropping the catalog name
+    costs nothing — the rows are freed by GC once the caller's last
+    reference dies, instead of never.
     """
-    from topnotch_spark.operators.dedup import _persist
-
     spark = stream_df.sparkSession
     name = f"tn_stream_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_dir or f"{DEFAULT_CHECKPOINT_ROOT}/{name}"
@@ -239,9 +237,13 @@ def run_stream_to_table(
                 # conf was never explicitly set: unset back to the
                 # built-in default instead of pinning our override
                 spark.conf.unset("spark.sql.shuffle.partitions")
-    out = _persist(spark.table(name))
-    out.count()  # materialize the copy before the sink view goes away
+    out = spark.table(name)
     spark.catalog.dropTempView(name)
+    if checkpoint_dir is None:
+        # the auto-generated checkpoint is single-use (fresh name per
+        # call) — drop it now or a long session accumulates hundreds of
+        # dead commit-log directories
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -343,6 +345,7 @@ def run_streaming_drift(
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(f"{DEFAULT_CHECKPOINT_ROOT}/{name}", ignore_errors=True)
 
     joined = spark.createDataFrame(
         [
@@ -487,6 +490,8 @@ def run_streaming_assertions(
         .start()
     )
     q.awaitTermination()
+    if checkpoint_dir is None:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     grand_total = sum(b.total for b in batches)
     merged: list[AssertionReport] = []
