@@ -190,6 +190,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(),
         "dedup_lines_footer": oracles.dedup_lines_sql(),
         "weighted_sample_bylength": oracles.weighted_sample_sql(),
+        "similarity_ann_recall": oracles.similarity_recall_sql(
+            dim=64, k=10, n_queries=5, n_planes=8, n_centroids=16, n_probe=4
+        ),
     }
     return ext | {
         "view_tpch_q1": """

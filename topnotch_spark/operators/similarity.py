@@ -165,21 +165,56 @@ def srp_ann_topk(
     n_planes: int = 8,
     round_digits: int = 6,
     dim: int | None = None,
+    hamming_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's SRP bucket.
+    """Approximate top-k: candidates limited to the query's SRP bucket(s).
     Pass ``dim`` when known — SRP planes become literals (see srp_bucket).
-    Norms are projected per row before the join (see brute_force_topk)."""
+    Norms are projected per row before the join (see brute_force_topk).
+
+    ``hamming_probes=1`` (default) is standard LSH multiprobe: each query
+    also probes every bucket at Hamming distance 1 (one sign bit flipped
+    — exactly the buckets a near neighbor sitting close to one
+    hyperplane falls into). Candidates grow from n/2^planes to
+    (planes+1)·n/2^planes of the corpus per query — still a bucketed
+    equi-join. ``0`` restores single-bucket probing. Radii ≥ 2 are
+    deliberately unsupported: C(planes, 2) probes buys little over
+    ``ivf_topk``'s ``n_probe`` knob.
+
+    Honest quality note (measure with ``topk_recall``, don't assume):
+    SRP recall depends on how ANGULARLY CLOSE true neighbors are. On
+    tight clusters (cos ≳ 0.9) multiprobe reaches ~0.9 recall at 8
+    planes; on the weak-similarity synthetic test embeddings (best
+    neighbors cos ≈ 0.33 ⇒ expected Hamming ≈ 3 of 8 bits) ANY radius-1
+    scheme stays near 0.1 — there ``ivf_topk`` (n_probe=4/16 ⇒ ~0.9
+    measured) is the right index. That trade-off is exactly what the
+    cataloged ``similarity_ann_recall`` report shows."""
+    if hamming_probes not in (0, 1):
+        raise ValueError("srp_ann_topk: hamming_probes must be 0 or 1")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
         norm(F.col(vec_col)).alias("__cn__"),
         srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
+    qbucket = srp_bucket(F.col(vec_col), n_planes, dim)
+    if hamming_probes == 1:
+        def flip(b, i):
+            return F.concat(
+                F.substring(b, 1, i),
+                F.when(F.substring(b, i + 1, 1) == "1", F.lit("0")).otherwise(
+                    F.lit("1")
+                ),
+                F.substring(b, i + 2, n_planes - i - 1),
+            )
+
+        qbucket = F.explode(
+            F.array(qbucket, *[flip(qbucket, i) for i in range(n_planes)])
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
         norm(F.col(vec_col)).alias("__qn__"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        qbucket.alias("bucket"),
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")
@@ -456,4 +491,44 @@ def project_embeddings(
     )
     return df.select(
         F.col(id_col), F.posexplode(projections).alias("pos", "value")
+    )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-query recall of an approximate neighbor list against the
+    exact one: |approx ∩ exact| / |exact| — THE quality metric for
+    ANN indexes (what "n_probe=4 reaches 0.9 recall" means). Feed it
+    ``srp_ann_topk``/``ivf_topk`` output as ``approx`` and
+    ``brute_force_topk`` as ``exact``; both emit (query_id,
+    neighbor_id, ...), and both are deterministic (rank ties broken on
+    neighbor id), so the recall itself is engine-exact.
+
+    Execution shape: one semi-join on (query, neighbor) + two
+    query-sized groupBys — the frames are |queries| × k rows, so this
+    costs nothing next to the searches themselves. Queries with an
+    empty exact list cannot appear (brute force always returns k rows
+    for a non-trivial corpus); queries missing from ``approx``
+    (e.g. every probed bucket empty) surface as recall 0, not as
+    dropped rows."""
+    e = exact.select(F.col(query_col), F.col(neighbor_col))
+    a = approx.select(F.col(query_col), F.col(neighbor_col))
+    totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        e.join(a, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return totals.join(hits, query_col, "left").select(
+        F.col(query_col),
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), round_digits
+        ).alias("recall"),
     )

@@ -394,6 +394,14 @@ def similarity_ann_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, n_planes: int = 8,
     round_digits: int = 6,
 ) -> str:
+    """Mirrors srp_ann_topk WITH Hamming-1 multiprobe (the operator
+    default): each query probes its own bucket plus every one-bit flip."""
+    flips = ", ".join(
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, {i + 2}, {n_planes - i - 1})"
+        for i in range(n_planes)
+    )
     return f"""
         WITH base AS (
           SELECT vec_id, embedding,
@@ -401,8 +409,9 @@ def similarity_ann_sql(
           FROM embeddings
         ),
         q AS (
-          SELECT vec_id AS query_id, embedding AS qv, bucket FROM base
-          WHERE vec_id < {n_queries}
+          SELECT vec_id AS query_id, embedding AS qv,
+                 unnest([bucket, {flips}]) AS bucket
+          FROM base WHERE vec_id < {n_queries}
         ),
         pairs AS (
           SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -1905,3 +1914,43 @@ def weighted_sample_sql(salt: str = "wsample") -> str:
         SELECT doc_id, lang, source FROM documents
         WHERE {frac} < least(greatest(n_chars / 400.0, 0.0), 1.0)
     """
+
+
+def similarity_recall_sql(
+    dim: int = 64, k: int = 10, n_queries: int = 5, n_planes: int = 8,
+    n_centroids: int = 16, n_probe: int = 4, round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.similarity_ann_recall (topk_recall of BOTH
+    approximate indexes vs brute force): every neighbor list re-derived
+    with the existing oracle builders (each is a full WITH-query, legal
+    as a parenthesized subquery in DuckDB), then |approx ∩ exact| /
+    |exact| per (method, query). Counts CAST to BIGINT for dtype-kind
+    parity; missing-from-approx queries coalesce to 0 hits."""
+    exact = similarity_topk_sql(dim, k, n_queries, round_digits)
+    methods = {
+        "srp": similarity_ann_sql(dim, k, n_queries, n_planes, round_digits),
+        "ivf": similarity_ivf_sql(
+            dim, k, n_queries, n_centroids, n_probe, round_digits
+        ),
+    }
+    parts = []
+    for name, approx in methods.items():
+        parts.append(f"""
+        SELECT '{name}' AS method, t.query_id,
+               CAST(t.n_exact AS BIGINT) AS n_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0) / t.n_exact, {round_digits})
+                   AS recall
+        FROM (
+          SELECT query_id, count(*) AS n_exact
+          FROM ({exact}) GROUP BY query_id
+        ) t
+        LEFT JOIN (
+          SELECT e.query_id, count(*) AS n_hits
+          FROM ({exact}) e
+          JOIN ({approx}) a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+          GROUP BY e.query_id
+        ) h ON t.query_id = h.query_id
+        """)
+    return "\nUNION ALL\n".join(parts)
