@@ -476,3 +476,25 @@ def test_weighted_sample_monotone_and_deterministic(spark):
     again = {r["doc_id"] for r in
              weighted_sample(df.repartition(13), "doc_id", F.lit(0.3)).collect()}
     assert again == k3                    # partitioning-independent
+
+
+def test_dedup_lines_and_weighted_sample_empty_input(spark):
+    from topnotch_spark.operators.curation import dedup_lines, weighted_sample
+
+    empty = spark.createDataFrame([], "doc_id long, text string, w double")
+    assert dedup_lines(empty, "doc_id", "text").count() == 0
+    assert weighted_sample(empty, "doc_id", "w").count() == 0
+
+
+def test_dedup_lines_null_text_rows_survive(spark):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    # a NULL text splits to NULL lines — the doc must not vanish, and
+    # must come back with empty text and zero counted lines
+    df = spark.createDataFrame(
+        [(1, None), (2, "keep me")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["text"] == "keep me"
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 0

@@ -480,7 +480,8 @@ def dedup_lines(
     document's structure. Returns (id, text, n_lines, n_removed); a
     document whose every line is boilerplate stays in the output with
     empty text (dropping rows silently is a filter's job, not a
-    rewriter's).
+    rewriter's). A NULL text is treated as empty — the row survives
+    with '' (a bare ``posexplode(split(NULL))`` would silently drop it).
 
     Execution shape (100 TB): posexplode (narrow) → distinct(id, line) +
     groupBy(line) for document frequencies (one shuffle on the line) →
@@ -493,11 +494,10 @@ def dedup_lines(
     """
     import re as _re
 
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
-            "pos", "line"
-        ),
+        F.posexplode(F.split(text, _re.escape(sep))).alias("pos", "line"),
     )
     hot = (
         lines.filter(F.length("line") >= min_chars)
@@ -519,9 +519,9 @@ def dedup_lines(
         ).alias("__text__"),
         F.count(F.lit(1)).alias("__n_kept__"),
     )
-    n_lines = F.size(F.split(F.col(text_col), _re.escape(sep)))
+    n_lines = F.size(F.split(text, _re.escape(sep)))
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col), n_lines.alias("n_lines"))
+        df.select(F.col(id_col).alias("id"), n_lines.alias("n_lines"))
         .join(rebuilt, "id", "left")
         .select(
             "id",
