@@ -1326,9 +1326,13 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_recall,
     )
 
+    from topnotch_spark.operators.dedup import _persist
+
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 5")
-    exact = brute_force_topk(emb, q, k=10)
+    # shared by both report branches — without the persist the
+    # brute-force scan would run once per branch
+    exact = _persist(brute_force_topk(emb, q, k=10))
     srp = topk_recall(
         srp_ann_topk(emb, q, k=10, n_planes=8, dim=64), exact
     ).select(F.lit("srp").alias("method"), "*")

@@ -511,13 +511,20 @@ def topk_recall(
 
     Execution shape: one semi-join on (query, neighbor) + two
     query-sized groupBys — the frames are |queries| × k rows, so this
-    costs nothing next to the searches themselves. Queries with an
-    empty exact list cannot appear (brute force always returns k rows
-    for a non-trivial corpus); queries missing from ``approx``
-    (e.g. every probed bucket empty) surface as recall 0, not as
-    dropped rows."""
-    e = exact.select(F.col(query_col), F.col(neighbor_col))
-    a = approx.select(F.col(query_col), F.col(neighbor_col))
+    costs nothing next to the searches themselves. Both inputs are
+    persisted through the dedup-intermediate registry: the exact frame
+    feeds two branches (totals + hits), and without the persist its
+    whole search lineage — a brute-force scan of the corpus — would run
+    once per branch. (At sf0.1 the persist is timing-neutral — Spark
+    pipelines the duplicate subtrees in parallel — but at corpus scale
+    four brute-force scans versus one materialization is not a contest.) Queries with an empty exact list cannot appear
+    (brute force always returns k rows for a non-trivial corpus);
+    queries missing from ``approx`` (e.g. every probed bucket empty)
+    surface as recall 0, not as dropped rows."""
+    from topnotch_spark.operators.dedup import _persist
+
+    e = _persist(exact.select(F.col(query_col), F.col(neighbor_col)))
+    a = _persist(approx.select(F.col(query_col), F.col(neighbor_col)))
     totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
     hits = (
         e.join(a, [query_col, neighbor_col], "left_semi")
