@@ -315,3 +315,42 @@ def test_empty_inputs_round4_operators(spark):
     assert token_length_histogram(docs, "text").count() == 0
     assert unigram_logprob(docs, "doc_id", "text").count() == 0
     assert embedding_norm_outliers(embs).count() == 0
+
+
+def _py_dedup_lines(docs: list[str], max_df: int, min_chars: int):
+    """Reference implementation of curation.dedup_lines in plain Python."""
+    split = [d.split("\n") for d in docs]
+    df: dict[str, set[int]] = {}
+    for i, lines in enumerate(split):
+        for ln in lines:
+            if len(ln) >= min_chars:
+                df.setdefault(ln, set()).add(i)
+    hot = {ln for ln, ids in df.items() if len(ids) > max_df}
+    out = []
+    for lines in split:
+        kept = [ln for ln in lines if ln not in hot]
+        out.append(("\n".join(kept), len(lines), len(lines) - len(kept)))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(ASCII, min_size=1, max_size=5).map(lambda ls: "\n".join(ls)),
+        min_size=1,
+        max_size=8,
+    ),
+    max_df=st.integers(min_value=1, max_value=3),
+)
+def test_dedup_lines_matches_reference_model(spark, docs, max_df):
+    from topnotch_spark.operators.curation import dedup_lines
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in dedup_lines(df, "doc_id", "text", max_line_df=max_df).collect()
+    }
+    want = _py_dedup_lines(docs, max_df, 1)
+    assert got == {i: w for i, w in enumerate(want)}
