@@ -193,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_recall": oracles.similarity_recall_sql(
             dim=64, k=10, n_queries=5, n_planes=8, n_centroids=16, n_probe=4
         ),
+        "dedup_duplicate_spans": oracles.duplicate_spans_sql(
+            span_tokens=20, min_occurrences=2
+        ),
     }
     return ext | {
         "view_tpch_q1": """

@@ -271,3 +271,49 @@ def test_dedup_rate_by_group_cross_group_dups(spark):
            for r in dedup_rate_by_group(df, "doc_id", "text", "source").collect()}
     assert out["s1"] == (1, 1, 0.0)
     assert out["s2"] == (2, 1, 0.5)
+
+
+# ---- duplicated-span detection (Lee et al. span-granular dedup) -----------
+
+def test_duplicate_spans_finds_copied_window(spark):
+    from topnotch_spark.operators.dedup import dedup_scope, duplicate_spans
+
+    # the 4-token window "x y z w" is copied into two otherwise-distinct
+    # docs at different offsets; doc 3 shares no 4-token window
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y z w d"),
+            (2, "x y z w q r s t"),
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    with dedup_scope():
+        rows = duplicate_spans(df, "doc_id", "text", span_tokens=4).collect()
+    got = {(r["id"], r["pos"]) for r in rows}
+    assert got == {(1, 3), (2, 0)}
+    for r in rows:
+        assert (r["n_occurrences"], r["n_docs"]) == (2, 2)
+
+
+def test_duplicate_spans_within_doc_repetition(spark):
+    from topnotch_spark.operators.dedup import dedup_scope, duplicate_spans
+
+    # "p q p q p q": the window "p q" occurs 3x within ONE doc
+    df = spark.createDataFrame([(1, "p q p q p q")], "doc_id long, text string")
+    with dedup_scope():
+        rows = duplicate_spans(df, "doc_id", "text", span_tokens=2).collect()
+    by_pos = {r["pos"]: (r["n_occurrences"], r["n_docs"]) for r in rows
+              if r["pos"] in (0, 2, 4)}
+    assert by_pos == {0: (3, 1), 2: (3, 1), 4: (3, 1)}
+
+
+def test_duplicate_spans_short_docs_no_rows(spark):
+    from topnotch_spark.operators.dedup import dedup_scope, duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two")], "doc_id long, text string"
+    )
+    with dedup_scope():
+        # 5-token spans over 2-token docs: nothing to report, no crash
+        assert duplicate_spans(df, "doc_id", "text", span_tokens=5).count() == 0

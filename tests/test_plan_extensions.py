@@ -534,3 +534,24 @@ def test_plan_level_checkpoint_dir(spark, tmp_path):
     # files existed during the run and are gone after it
     ckpt = tmp_path / "plan_ckpt"
     assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+
+def test_duplicate_spans_command(spark, tmp_path):
+    plan = {
+        "commands": [
+            {"command": "dedup",
+             "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+             "params": {"method": "spans", "idColumn": "doc_id",
+                        "textColumn": "text", "spanTokens": 20,
+                        "minOccurrences": 2},
+             "outputKey": "dupSpans"},
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    spans = engine.registry["dupSpans"]
+    assert set(spans.columns) == {"id", "pos", "span_key", "n_occurrences",
+                                  "n_docs"}
+    assert spans.filter("n_occurrences < 2").count() == 0

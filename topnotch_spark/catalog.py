@@ -1312,6 +1312,19 @@ def weighted_sample_bylength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", w).select("doc_id", "lang", "source")
 
 
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular exact dedup (Lee et al. ACL 2022): every 20-token
+    window occurring 2+ times corpus-wide, with its 0-based token offset
+    — catches the copied paragraph inside otherwise-distinct documents
+    that doc-level dedup misses."""
+    from topnotch_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        span_tokens=20, min_occurrences=2,
+    )
+
+
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of BOTH approximate indexes against the brute-force
     exact neighbors — the quality report that picks the index: on these
@@ -1433,4 +1446,5 @@ ALL = {
     "dedup_lines_footer": dedup_lines_footer,
     "weighted_sample_bylength": weighted_sample_bylength,
     "similarity_ann_recall": similarity_ann_recall,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
 }

@@ -611,3 +611,53 @@ def dedup_rate_by_group(
             1.0 - F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection: every ``span_tokens``-token
+    window that occurs ``min_occurrences``+ times corpus-wide, reported
+    as (id, pos, span_key, n_occurrences, n_docs) per occurrence — the
+    span-granular exact dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022), which catches the
+    copied paragraph inside otherwise-distinct documents that doc-level
+    dedup (exact/minhash) misses entirely. ``pos`` is the 0-based token
+    offset, so a downstream rewriter can cut or keep-first the exact
+    window; ``n_docs`` distinguishes cross-document boilerplate from
+    within-document repetition.
+
+    Execution shape (100 TB): spans come from the same one-regex-pass
+    lookahead extraction as ``shingle_arrays`` (no distinct — positions
+    matter), posexploded and md5-keyed: ~n_tokens rows of (id, pos,
+    16-byte key) per document — the standard Spark-shaped alternative to
+    the paper's suffix array, trading its memory locality for two plain
+    shuffles. groupBy(span_key) counts occurrences + distinct docs
+    (map-side partial agg), and the occurrence table joins back on the
+    key (second shuffle on the same key — same partitioning, AQE reuses
+    it). Viral spans skew the key shuffle — AQE skew split applies; no
+    driver data, no UDFs."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    pat = r"(?<=^|\s)(?=((?:\S+ ){" + str(span_tokens - 1) + r"}\S+))"
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias(
+            "pos", "span"
+        ),
+    ).select("id", "pos", F.md5("span").alias("span_key"))
+    spans = _persist(spans)  # feeds both the count and the join-back
+    counts = (
+        spans.groupBy("span_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+    return spans.join(counts, "span_key").select(
+        "id", "pos", "span_key", "n_occurrences", "n_docs"
+    )

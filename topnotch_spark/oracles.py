@@ -1954,3 +1954,39 @@ def similarity_recall_sql(
         ) h ON t.query_id = h.query_id
         """)
     return "\nUNION ALL\n".join(parts)
+
+
+def duplicate_spans_sql(span_tokens: int = 20, min_occurrences: int = 2) -> str:
+    """Mirror of dedup.duplicate_spans: same token model, same
+    ``span_tokens``-token windows joined with single spaces (identical
+    to the Spark regex extraction over whitespace-normalized text), same
+    md5 keying. ``pos`` is 0-based on both engines (generate_subscripts
+    is 1-based, hence the -1); counts CAST to BIGINT for dtype parity."""
+    return f"""
+        {_DOC_BASE},
+        sp AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(__t__) - {span_tokens} + 1, 0)),
+                   i -> array_to_string(__t__[i:i+{span_tokens}-1], ' ')
+                 ) AS spans
+          FROM toked
+        ),
+        occur AS (
+          SELECT doc_id, u.pos - 1 AS pos, md5(u.s) AS span_key
+          FROM sp, LATERAL (
+            SELECT generate_subscripts(spans, 1) AS pos, unnest(spans) AS s
+          ) u
+        ),
+        counts AS (
+          SELECT span_key,
+                 count(*) AS n_occurrences,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM occur GROUP BY span_key
+        )
+        SELECT o.doc_id AS id, o.pos, o.span_key,
+               CAST(c.n_occurrences AS BIGINT) AS n_occurrences,
+               CAST(c.n_docs AS BIGINT) AS n_docs
+        FROM occur o JOIN counts c ON o.span_key = c.span_key
+        WHERE c.n_occurrences >= {min_occurrences}
+    """

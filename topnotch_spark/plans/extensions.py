@@ -47,17 +47,19 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 @dataclass(frozen=True)
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
-    jaccard|containment|simhash|embedding|clusters|lines, "idColumn",
+    jaccard|containment|simhash|embedding|clusters|lines|spans,
+    "idColumn",
     "textColumn"|"vecColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
     maxHamming/nPlanes/dim/maxShingleDf/roundDigits/sep/maxLineDf/
-    minChars)}}.
+    minChars/spanTokens/minOccurrences)}}.
 
     ``clusters`` runs the minhash pair stage then connected components
     (operators/cluster.py) — per-doc (cluster_id, cluster_size, keep).
     ``lines`` is cross-document line dedup (C4-style boilerplate
     removal, curation.dedup_lines): rewrites the text column instead of
-    reporting pairs."""
+    reporting pairs. ``spans`` reports duplicated token windows
+    (dedup.duplicate_spans, Lee et al. span-granular dedup)."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "exact"
@@ -76,7 +78,8 @@ class DedupCmd(Command):
             options=_opt(
                 p, "numHashes", "bands", "threshold", "shingleN", "bits",
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
-                "roundDigits", "sep", "maxLineDf", "minChars",
+                "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
+                "minOccurrences",
             ),
             **cls._common(obj),
         )
@@ -95,6 +98,7 @@ class DedupCmd(Command):
             "embedding": D.embedding_near_dups,
             "clusters": self._clusters,
             "lines": self._lines,
+            "spans": D.duplicate_spans,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
