@@ -196,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_duplicate_spans": oracles.duplicate_spans_sql(
             span_tokens=20, min_occurrences=2
         ),
+        "text_bigram_logprob": oracles.text_bigram_logprob_sql(k=1.0),
     }
     return ext | {
         "view_tpch_q1": """

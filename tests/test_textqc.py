@@ -315,3 +315,43 @@ def test_quality_bands_requires_explicit_global(spark):
         df, "doc_id", "n_chars", n_bands=2, global_ordering=True
     ).collect()
     assert [r["band"] for r in got] == [1]
+
+
+def test_bigram_logprob_closed_form(spark):
+    from math import log
+
+    from topnotch_spark.operators.textqc import bigram_logprob
+
+    # corpus = one doc "a b a b": bigrams ab, ba, ab; c(ab)=2, c(ba)=1;
+    # unigrams a=2, b=2; V=2; add-1: P(b|a)=(2+1)/(2+2), P(a|b)=(1+1)/(2+2)
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    row = bigram_logprob(df, "doc_id", "text").collect()[0]
+    expect = -(log(3 / 4) + log(2 / 4) + log(3 / 4)) / 3
+    assert row["n_bigrams"] == 3
+    assert row["avg_neg_logprob"] == round(expect, 4)
+
+
+def test_bigram_logprob_scores_word_order(spark):
+    """The point of the bigram model: a shuffled-word doc keeps a perfect
+    unigram profile but must score WORSE than in-order text."""
+    from topnotch_spark.operators.textqc import bigram_logprob
+
+    fluent = "the quick fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(8)]
+    rows.append((99, "dog the over quick lazy jumps fox the"))  # same words
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert got[99] > got[0]
+
+
+def test_bigram_logprob_short_docs_null(spark):
+    from topnotch_spark.operators.textqc import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+           for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert got[1] == (0, None) and got[2] == (0, None)
+    assert got[3][0] == 1 and got[3][1] is not None

@@ -1312,6 +1312,14 @@ def weighted_sample_bylength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", w).select("doc_id", "lang", "source")
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency screen (add-1 smoothing): scores word ORDER,
+    catching shuffled-word salads that keep a perfect unigram profile."""
+    from topnotch_spark.operators.textqc import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-granular exact dedup (Lee et al. ACL 2022): every 20-token
     window occurring 2+ times corpus-wide, with its 0-based token offset
@@ -1447,4 +1455,5 @@ ALL = {
     "weighted_sample_bylength": weighted_sample_bylength,
     "similarity_ann_recall": similarity_ann_recall,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "text_bigram_logprob": text_bigram_logprob,
 }

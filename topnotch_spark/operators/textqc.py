@@ -361,3 +361,69 @@ def lang_mix(
             F.col("n_docs") / F.sum("n_docs").over(w), round_digits
         ).alias("share"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own BIGRAM language model with add-k smoothing — the step up from
+    ``unigram_logprob`` that unigram statistics cannot make: it scores
+    word ORDER, so shuffled-word salads and wrong-collocation text
+    (which keep a perfect unigram profile) surface as high
+    ``avg_neg_logprob``. P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V),
+    V = distinct unigrams; per-doc score = mean of −ln P over the doc's
+    bigrams. Emits (id, n_bigrams, avg_neg_logprob); docs with < 2
+    tokens survive with NULL score.
+
+    Execution shape: bigrams come from the same one-regex-pass window
+    extraction as shingles (n=2, no distinct); ONE groupBy(bigram) and
+    ONE groupBy(token) build the model (map-side partial aggs), the
+    model join-back is per-bigram (broadcast when the bigram table
+    fits, shuffle join at corpus scale — vocab² bounded by observed
+    bigrams), then ONE groupBy(doc) for the mean. Same two-shuffle
+    shape and determinism contract as unigram_logprob (ln over
+    identical IEEE doubles on both engines)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    pat = r"(?<=^|\s)(?=((?:\S+ ){1}\S+))"
+    big = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("bg"),
+    )
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    lp = (
+        bg_counts.withColumn("token", F.substring_index("bg", " ", 1))
+        .join(uni, "token")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c2") + F.lit(float(k)))
+                / (F.col("c1") + F.lit(float(k)) * F.col("v"))
+            ).alias("__lp__"),
+        )
+    )
+    per_doc = (
+        big.join(lp, "bg")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.col("__lp__")), round_digits).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    return df.select(F.col(id_col)).join(
+        per_doc.withColumnRenamed("__id__", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logprob",
+    )

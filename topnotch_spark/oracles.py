@@ -1990,3 +1990,40 @@ def duplicate_spans_sql(span_tokens: int = 20, min_occurrences: int = 2) -> str:
         FROM occur o JOIN counts c ON o.span_key = c.span_key
         WHERE c.n_occurrences >= {min_occurrences}
     """
+
+
+def text_bigram_logprob_sql(k: float = 1.0, round_digits: int = 4) -> str:
+    """Mirror of textqc.bigram_logprob: bigrams from the token list
+    (1-based adjacent joins — identical strings to the Spark regex
+    windows), add-k smoothed conditional ln, per-doc mean of the
+    negative, short docs kept with NULL score."""
+    return f"""
+        {_DOC_BASE},
+        bg AS (
+          SELECT doc_id, unnest(
+            list_transform(generate_series(1, greatest(len(__t__) - 1, 0)),
+                           i -> __t__[i] || ' ' || __t__[i + 1])
+          ) AS bg
+          FROM toked
+        ),
+        tok AS (SELECT unnest(__t__) AS token FROM toked),
+        uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+        vs AS (SELECT count(*) AS v FROM uni),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        lp AS (
+          SELECT bgc.bg,
+                 ln((c2 + {float(k)}) / (c1 + {float(k)} * v)) AS lp
+          FROM bgc
+          JOIN uni ON split_part(bgc.bg, ' ', 1) = uni.token
+          CROSS JOIN vs
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(avg(-lp), {round_digits}) AS avg_neg_logprob
+          FROM bg JOIN lp USING (bg) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               per.avg_neg_logprob
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """

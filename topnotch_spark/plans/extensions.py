@@ -167,6 +167,7 @@ class TextCmd(Command):
             "tfidfKeywords": T.tfidf_keywords,
             "normalize": C.normalize_text,
             "unigramLogprob": T.unigram_logprob,
+            "bigramLogprob": T.bigram_logprob,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
