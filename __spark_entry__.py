@@ -58,6 +58,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.dedup_embedding_sql(
             dim=64, threshold=0.25, n_planes=4
         ),
+        "dedup_semantic": oracles.semantic_dedup_sql(
+            dim=64, n_clusters=16, threshold=0.35
+        ),
         "dedup_clusters": oracles.dedup_clusters_sql(
             num_hashes=16, bands=4, threshold=0.5, shingle_n=5
         ),

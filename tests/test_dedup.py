@@ -317,3 +317,46 @@ def test_duplicate_spans_short_docs_no_rows(spark):
     with dedup_scope():
         # 5-token spans over 2-token docs: nothing to report, no crash
         assert duplicate_spans(df, "doc_id", "text", span_tokens=5).count() == 0
+
+
+def test_semantic_dedup_prunes_within_cluster(spark):
+    """Two tight groups in opposite half-spaces: seeded 2-cluster
+    assignment separates them; within each cluster the higher-id twin is
+    pruned, the singleton survives."""
+    from topnotch_spark.operators.dedup import dedup_scope, semantic_dedup
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [0.99, 0.01, 0.0, 0.0]        # near-dup of a
+    b = [0.0, 0.0, 0.0, 1.0]
+    b2 = [0.0, 0.0, 0.01, 0.99]        # near-dup of b
+    lone = [0.0, 1.0, 0.0, 0.0]        # same cluster as a, not a dup
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a2), (4, b2), (5, lone)],
+        "vec_id int, embedding array<double>",
+    )
+    with dedup_scope():
+        out = {
+            r["id"]: (r["centroid_id"], r["keep"])
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", n_clusters=2, threshold=0.9
+            ).collect()
+        }
+    assert len(out) == 5
+    # seeds are ids 1 and 2 -> centroid 1 = a-side, centroid 2 = b-side
+    assert out[1] == (1, True) and out[3] == (1, False)
+    assert out[2] == (2, True) and out[4] == (2, False)
+    assert out[5] == (1, True)  # orthogonal-ish: closest to a, kept
+
+
+def test_semantic_dedup_keeps_all_when_threshold_high(spark):
+    from topnotch_spark.operators.dedup import dedup_scope, semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id int, embedding array<double>",
+    )
+    with dedup_scope():
+        rows = semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, threshold=0.99
+        ).collect()
+    assert all(r["keep"] for r in rows)

@@ -366,6 +366,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: seeded 16-cluster assignment over the embeddings table,
+    within-cluster cosine prune at 0.35 — per-vector keep decision."""
+    from topnotch_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_clusters=16, threshold=0.35,
+    ).withColumnRenamed("id", "vec_id")
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph → connected components → per-doc cluster
     assignment + canonical ``keep`` flag (the actual corpus-dedup step)."""
@@ -1456,4 +1467,5 @@ ALL = {
     "similarity_ann_recall": similarity_ann_recall,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "text_bigram_logprob": text_bigram_logprob,
+    "dedup_semantic": dedup_semantic,
 }

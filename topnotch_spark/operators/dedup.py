@@ -661,3 +661,102 @@ def duplicate_spans(
     return spans.join(counts, "span_key").select(
         "id", "pos", "span_key", "n_occurrences", "n_docs"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune
+    near-duplicate pairs WITHIN each cluster only — the cluster bound is
+    what makes cosine dedup tractable at corpus scale (per-cluster
+    pairwise, never all-pairs). Returns one row per vector:
+    (id, centroid_id, keep) where keep=false iff a lower-id member of
+    the SAME cluster has rounded cosine >= ``threshold``.
+
+    Centroids are the ``n_clusters`` lowest-id vectors — deterministic,
+    no RNG, reproducible by any engine (same scheme as
+    similarity.ivf_topk's seeded index; swap in kmeans_centroids output
+    for a trained clustering with the identical downstream path).
+
+    Execution shape (100 TB): assignment is a broadcast cross join
+    against ``n_clusters`` rows + one per-id window (exactly
+    ivf_topk.assign); the member table is persisted because it feeds
+    both sides of the per-cluster self-join; the prune join is an
+    equi-join on centroid_id, so its cost is sum of squared cluster
+    sizes — size ``n_clusters`` to the corpus (SemDeDup uses ~100k
+    clusters at web scale) and AQE skew-split handles a hot cluster.
+    Norms are projected once per row before any join."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.functions.vectors import cosine, dot, norm
+
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("int")
+            .alias("centroid_id"),
+            F.col(vec_col).alias("__cvec__"),
+        )
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", cosine(F.col("vec"), F.col("__cvec__")))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("__cc__").desc(), F.col("centroid_id").asc()
+    )
+    members = _persist(
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("id", "vec", "nrm", "centroid_id")
+    )
+    left = members.select(
+        F.col("id").alias("id_1"),
+        F.col("vec").alias("__v1__"),
+        F.col("nrm").alias("__n1__"),
+        "centroid_id",
+    )
+    right = members.select(
+        F.col("id").alias("id_2"),
+        F.col("vec").alias("__v2__"),
+        F.col("nrm").alias("__n2__"),
+        "centroid_id",
+    )
+    dominated = (
+        left.join(right, "centroid_id")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            F.round(
+                dot(F.col("__v1__"), F.col("__v2__"))
+                / (F.col("__n1__") * F.col("__n2__")),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col("id_2").alias("__dom__"))
+        .distinct()
+    )
+    return (
+        members.join(
+            dominated, members["id"] == dominated["__dom__"], "left"
+        )
+        .select(
+            "id",
+            "centroid_id",
+            F.col("__dom__").isNull().alias("keep"),
+        )
+    )

@@ -367,6 +367,50 @@ def dedup_embedding_sql(
     """
 
 
+def semantic_dedup_sql(
+    dim: int = 64,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of dedup.semantic_dedup: seeded lowest-id centroids,
+    max-cosine assignment with lower-centroid-id tiebreak, within-cluster
+    rounded-cosine prune against lower ids."""
+    return f"""
+        WITH cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                   AS centroid_id,
+                 cvec
+          FROM (SELECT vec_id, embedding AS cvec FROM embeddings
+                ORDER BY vec_id LIMIT {n_clusters})
+        ),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 {cosine('e.embedding', 'c.cvec', dim)} AS cc
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        members AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT vec_id, embedding, centroid_id,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cc DESC, centroid_id ASC
+                   ) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ),
+        dominated AS (
+          SELECT DISTINCT b.vec_id AS dom
+          FROM members a JOIN members b USING (centroid_id)
+          WHERE a.vec_id < b.vec_id
+            AND round({cosine('a.embedding', 'b.embedding', dim)},
+                      {round_digits}) >= {threshold}
+        )
+        SELECT m.vec_id, m.centroid_id,
+               (d.dom IS NULL) AS keep
+        FROM members m LEFT JOIN dominated d ON m.vec_id = d.dom
+    """
+
+
 def similarity_topk_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, round_digits: int = 6
 ) -> str:
