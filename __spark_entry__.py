@@ -103,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
+        "text_gopher_rules": oracles.gopher_rules_sql(
+            LANG_MARKERS["en"], min_stop_hits=1
+        ),
         "decontaminate_overlap": oracles.cross_corpus_overlap_sql(
             catalog.BENCH_SOURCES, shingle_n=5
         ),

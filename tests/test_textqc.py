@@ -355,3 +355,35 @@ def test_bigram_logprob_short_docs_null(spark):
            for r in bigram_logprob(df, "doc_id", "text").collect()}
     assert got[1] == (0, None) and got[2] == (0, None)
     assert got[3][0] == 1 and got[3][1] is not None
+
+
+def test_gopher_rules_flags(spark):
+    from topnotch_spark.operators.textqc import gopher_rules
+
+    good = ("the cat and the dog have fun with all of that stuff " * 5).strip()
+    bullets = "- one\n- two\n- three"
+    dots = "first line...\nsecond line...\nthird..."
+    symbols = "the " + "# " * 40 + "of and that have with be to"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] and out[1]["r_word_count"] and out[1]["r_stopwords"]
+    assert not out[2]["r_bullet"] and out[2]["bullet_ratio"] == 1.0
+    assert not out[3]["r_ellipsis"] and out[3]["ellipsis_ratio"] == 1.0
+    assert not out[4]["r_symbol"] and not out[4]["r_alpha"]
+    assert out[5]["n_words"] == 0 and not out[5]["keep"]
+
+
+def test_gopher_rules_custom_stopwords(spark):
+    from topnotch_spark.operators.textqc import gopher_rules
+
+    text = ("alpha beta gamma delta epsilon " * 20).strip()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    base = gopher_rules(df, "doc_id", "text").first()
+    assert not base["r_stopwords"]
+    custom = gopher_rules(
+        df, "doc_id", "text", stopwords=["alpha", "beta"], min_stop_hits=2
+    ).first()
+    assert custom["r_stopwords"] and custom["stop_hits"] == 2

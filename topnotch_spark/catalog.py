@@ -676,6 +676,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality-rule set (Rae et al. 2021 A1.1), one
+    boolean per rule + conjunctive keep, per document. Stopword markers
+    are the corpus's English-marker set (the synthetic vocabulary), with
+    the published thresholds otherwise."""
+    from topnotch_spark.operators.textqc import LANG_MARKERS, gopher_rules
+
+    return gopher_rules(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        stopwords=LANG_MARKERS["en"], min_stop_hits=1,
+    )
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log compaction: the most recent event per user (ts desc,
     event_id desc tiebreak)."""
@@ -1468,4 +1481,5 @@ ALL = {
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "text_bigram_logprob": text_bigram_logprob,
     "dedup_semantic": dedup_semantic,
+    "text_gopher_rules": text_gopher_rules,
 }

@@ -427,3 +427,134 @@ def bigram_logprob(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_neg_logprob",
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher",
+# arXiv:2112.11446 Appendix A1.1) — the published heuristic filter set
+# used by most large-scale web-corpus pipelines since.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: list[str] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document Gopher rule evaluation: every rule emitted as its own
+    boolean (so a pipeline can tune/ablate rules without recomputing) plus
+    the conjunctive ``keep``. Thresholds default to the published values.
+
+    Rules: word count in [min,max]; mean word length in [3,10]; '#'/'...'
+    symbol-to-word ratio <= 0.1; <= 90% of lines bullet-led; <= 30% of
+    lines ellipsis-terminated; >= 80% of words containing a letter;
+    >= 2 distinct English stopwords present.
+
+    Execution shape: one narrow projection — every rule is a JVM
+    column expression over the token/line arrays (no shuffle, no UDF,
+    no driver data; at 100 TB this is a streaming map). All ratios are
+    rounded before threshold comparison so any ANSI engine reproduces
+    the exact keep decision at rule boundaries. NULL text is treated as
+    empty (repo convention, same as dedup_lines). ``stopwords`` defaults
+    to the paper's English set; pass corpus-appropriate markers for
+    other domains/languages."""
+    sw_list = stopwords if stopwords is not None else GOPHER_STOPWORDS
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(
+        n_words > 0, F.round(sum_len / n_words, round_digits)
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#")))
+    n_ell = F.floor(
+        (
+            F.length(txt)
+            - F.length(F.replace(txt, F.lit("...")))
+        )
+        / 3
+    ) + (
+        F.length(txt)
+        - F.length(F.replace(txt, F.lit("…")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ell) / n_words, round_digits)
+    ).otherwise(F.lit(0.0))
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*")
+            | F.trim(ln).startswith("•"),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).endswith("...")
+            | F.trim(ln).endswith("…"),
+        )
+    )
+    bullet_ratio = F.round(n_bullet / n_lines, round_digits)
+    ellipsis_ratio = F.round(n_ell_lines / n_lines, round_digits)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, F.round(n_alpha / n_words, round_digits)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in sw_list]),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "r_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_len)
+            & (F.col("mean_word_len") <= max_mean_len)
+        ).alias("r_mean_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("r_symbol"),
+        (F.col("bullet_ratio") <= max_bullet_ratio).alias("r_bullet"),
+        (F.col("ellipsis_ratio") <= max_ellipsis_ratio).alias("r_ellipsis"),
+        (F.col("alpha_ratio") >= min_alpha_ratio).alias("r_alpha"),
+        (F.col("stop_hits") >= min_stop_hits).alias("r_stopwords"),
+    ).select(
+        "*",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_len")
+            & F.col("r_symbol")
+            & F.col("r_bullet")
+            & F.col("r_ellipsis")
+            & F.col("r_alpha")
+            & F.col("r_stopwords")
+        ).alias("keep"),
+    )

@@ -601,6 +601,78 @@ def text_quality_sql(stopwords: list[str]) -> str:
     """
 
 
+def gopher_rules_sql(
+    stopwords: list[str],
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """Mirror of textqc.gopher_rules: same token/line model, same rounded
+    ratios compared to the same thresholds."""
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS txt,
+                 {tokens("coalesce(text, '')")} AS __t__,
+                 string_split(coalesce(text, ''), chr(10)) AS __l__
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+            CAST(len(__t__) AS INTEGER) AS n_words,
+            CASE WHEN len(__t__) > 0 THEN
+              round(list_sum(list_transform(__t__, t -> length(t))) * 1.0
+                    / len(__t__), 6)
+            ELSE 0.0 END AS mean_word_len,
+            CASE WHEN len(__t__) > 0 THEN
+              round(((length(txt) - length(replace(txt, '#', '')))
+                     + ((length(txt) - length(replace(txt, '...', ''))) // 3)
+                     + (length(txt) - length(replace(txt, '…', '')))) * 1.0
+                    / len(__t__), 6)
+            ELSE 0.0 END AS symbol_ratio,
+            round(len(list_filter(__l__, l ->
+                    starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                    OR starts_with(trim(l), '•'))) * 1.0
+                  / len(__l__), 6) AS bullet_ratio,
+            round(len(list_filter(__l__, l ->
+                    ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+                  * 1.0 / len(__l__), 6) AS ellipsis_ratio,
+            CASE WHEN len(__t__) > 0 THEN
+              round(len(list_filter(__t__, t -> regexp_matches(t, '[a-z]')))
+                    * 1.0 / len(__t__), 6)
+            ELSE 0.0 END AS alpha_ratio,
+            CAST(len(list_intersect(list_distinct(__t__), [{sw}]))
+                 AS INTEGER) AS stop_hits
+          FROM base
+        )
+        SELECT *,
+               (n_words >= {min_words} AND n_words <= {max_words})
+                 AS r_word_count,
+               (mean_word_len >= {min_mean_len}
+                AND mean_word_len <= {max_mean_len}) AS r_mean_len,
+               (symbol_ratio <= {max_symbol_ratio}) AS r_symbol,
+               (bullet_ratio <= {max_bullet_ratio}) AS r_bullet,
+               (ellipsis_ratio <= {max_ellipsis_ratio}) AS r_ellipsis,
+               (alpha_ratio >= {min_alpha_ratio}) AS r_alpha,
+               (stop_hits >= {min_stop_hits}) AS r_stopwords,
+               (n_words >= {min_words} AND n_words <= {max_words}
+                AND mean_word_len >= {min_mean_len}
+                AND mean_word_len <= {max_mean_len}
+                AND symbol_ratio <= {max_symbol_ratio}
+                AND bullet_ratio <= {max_bullet_ratio}
+                AND ellipsis_ratio <= {max_ellipsis_ratio}
+                AND alpha_ratio >= {min_alpha_ratio}
+                AND stop_hits >= {min_stop_hits}) AS keep
+        FROM m
+    """
+
+
 def text_langid_sql(lang_markers: dict[str, list[str]]) -> str:
     scores = {lang: _stopword_ratio(m) for lang, m in lang_markers.items()}
     best = "greatest(" + ", ".join(scores.values()) + ")"
