@@ -58,6 +58,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.dedup_embedding_sql(
             dim=64, threshold=0.25, n_planes=4
         ),
+        "dedup_incremental": oracles.dedup_incremental_sql(),
         "dedup_semantic": oracles.semantic_dedup_sql(
             dim=64, n_clusters=16, threshold=0.35
         ),

@@ -360,3 +360,37 @@ def test_semantic_dedup_keeps_all_when_threshold_high(spark):
             df, "vec_id", "embedding", n_clusters=2, threshold=0.99
         ).collect()
     assert all(r["keep"] for r in rows)
+
+
+def test_dedup_against_index(spark):
+    from topnotch_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "fresh"), (12, "fresh"), (13, None)],
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(old, "doc_id", "text")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_index(new, idx, "doc_id", "text").collect()
+    }
+    assert out[10]["in_index"] and out[10]["dup_of"] == 1 and not out[10]["keep"]
+    assert out[11]["keep"] and not out[11]["in_index"]
+    assert not out[12]["keep"]  # within-batch dup of 11
+    assert out[13]["keep"]      # NULL text = empty, novel content
+
+
+def test_build_dedup_index_min_id_per_key(spark):
+    from topnotch_spark.operators.dedup import build_dedup_index
+
+    df = spark.createDataFrame(
+        [(5, "x"), (3, "x"), (7, "y")], "doc_id long, text string"
+    )
+    idx = {r["index_id"] for r in build_dedup_index(df, "doc_id", "text").collect()}
+    assert idx == {3, 7}

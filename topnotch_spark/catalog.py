@@ -377,6 +377,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-N / snapshot-N+1 ingestion: even doc_ids form the already-
+    accepted corpus (index of content hashes only), odd doc_ids arrive as
+    the new batch — deduped against the index AND within the batch."""
+    from topnotch_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_dedup_index(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+    )
+    return dedup_against_index(
+        docs.filter("doc_id % 2 = 1"), index, "doc_id", "text"
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph → connected components → per-doc cluster
     assignment + canonical ``keep`` flag (the actual corpus-dedup step)."""
@@ -1482,4 +1500,5 @@ ALL = {
     "text_bigram_logprob": text_bigram_logprob,
     "dedup_semantic": dedup_semantic,
     "text_gopher_rules": text_gopher_rules,
+    "dedup_incremental": dedup_incremental,
 }

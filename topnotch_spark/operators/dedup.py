@@ -760,3 +760,53 @@ def semantic_dedup(
             F.col("__dom__").isNull().alias("keep"),
         )
     )
+
+
+def build_dedup_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash index of an already-accepted corpus snapshot:
+    (dup_key, index_id) with index_id = the lowest owning id per key.
+    Persist this table (parquet) between pipeline runs — incremental
+    ingestion then never re-reads the old corpus text, only its keys.
+    One groupBy on the 16-byte key; NULL text indexes as empty (repo
+    convention)."""
+    return (
+        df.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("dup_key"),
+            F.col(id_col).alias("index_id"),
+        )
+        .groupBy("dup_key")
+        .agg(F.min("index_id").alias("index_id"))
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame, index: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an existing corpus
+    index (build_dedup_index) plus within the batch itself. Returns one
+    row per batch document: (id, dup_key, in_index, dup_of, keep) —
+    keep iff the content is absent from the index AND this is the
+    lowest-id holder within the batch; ``dup_of`` is the index owner when
+    the index already has the content, else NULL.
+
+    The snapshot-N / snapshot-N+1 shape of a continuously-ingesting
+    pipeline: the old corpus is never rescanned — only its (16-byte key,
+    id) index streams into one equi-join. Execution: within-batch window
+    and index join share the same dup_key shuffle key (AQE reuses the
+    partitioning); membership decisions never leave the executors."""
+    flags = keyed_dedup(
+        batch.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))),
+        "dup_key",
+    )
+    return (
+        flags.join(index, "dup_key", "left")
+        .select(
+            id_col,
+            "dup_key",
+            F.col("index_id").isNotNull().alias("in_index"),
+            F.col("index_id").alias("dup_of"),
+            (F.col("keep") & F.col("index_id").isNull()).alias("keep"),
+        )
+    )

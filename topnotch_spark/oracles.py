@@ -367,6 +367,33 @@ def dedup_embedding_sql(
     """
 
 
+def dedup_incremental_sql() -> str:
+    """Mirror of catalog.dedup_incremental: even-id snapshot index,
+    odd-id batch deduped against it and within itself."""
+    return """
+        WITH index_side AS (
+          SELECT md5(coalesce(text, '')) AS dup_key,
+                 min(doc_id) AS index_id
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        ),
+        batch AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS dup_key
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        flags AS (
+          SELECT doc_id, dup_key,
+                 doc_id = min(doc_id) OVER (PARTITION BY dup_key)
+                   AS first_in_batch
+          FROM batch
+        )
+        SELECT f.doc_id, f.dup_key,
+               (i.index_id IS NOT NULL) AS in_index,
+               i.index_id AS dup_of,
+               (f.first_in_batch AND i.index_id IS NULL) AS keep
+        FROM flags f LEFT JOIN index_side i USING (dup_key)
+    """
+
+
 def semantic_dedup_sql(
     dim: int = 64,
     n_clusters: int = 16,
