@@ -59,6 +59,9 @@ def oracle_sql() -> dict[str, str]:
             dim=64, threshold=0.25, n_planes=4
         ),
         "dedup_incremental": oracles.dedup_incremental_sql(),
+        "bloom_membership": oracles.bloom_membership_sql(
+            m_bits=2048, k_hashes=3
+        ),
         "dedup_semantic": oracles.semantic_dedup_sql(
             dim=64, n_clusters=16, threshold=0.35
         ),

@@ -395,6 +395,35 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom seen-set over the even-doc_id half's content, probed by ALL
+    documents: (doc_id, bloom_hit, exact_hit). bloom_hit && !exact_hit
+    rows are the filter's false positives — visible and bounded; false
+    negatives are impossible by construction. m=2048 bits is deliberately
+    small so the sf0.1 run shows the saturated-filter regime too."""
+    from topnotch_spark.operators.membership import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.coalesce(F.col("text"), F.lit(""))
+    seen = docs.filter("doc_id % 2 = 0")
+    bl = bloom_build(seen, key, m_bits=2048, k_hashes=3)
+    probed = bloom_probe(docs, "doc_id", key, bl, m_bits=2048, k_hashes=3)
+    seen_keys = (
+        seen.select(F.md5(key).alias("k"))
+        .distinct()
+        .withColumn("__seen__", F.lit(True))
+    )
+    exact = (
+        docs.select("doc_id", F.md5(key).alias("k"))
+        .join(F.broadcast(seen_keys), "k", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__seen__", F.lit(False)).alias("exact_hit"),
+        )
+    )
+    return probed.join(exact, "doc_id")
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph → connected components → per-doc cluster
     assignment + canonical ``keep`` flag (the actual corpus-dedup step)."""
@@ -1501,4 +1530,5 @@ ALL = {
     "dedup_semantic": dedup_semantic,
     "text_gopher_rules": text_gopher_rules,
     "dedup_incremental": dedup_incremental,
+    "bloom_membership": bloom_membership,
 }

@@ -367,6 +367,50 @@ def dedup_embedding_sql(
     """
 
 
+def bloom_membership_sql(m_bits: int = 2048, k_hashes: int = 3) -> str:
+    """Mirror of catalog.bloom_membership: identical double-hashed bit
+    positions, 32-bit words, bit_or build, all-bits-set probe."""
+    h1 = "('0x' || substr(md5(key), 1, 15))::BIGINT"
+    h2 = "(('0x' || substr(md5(key), 16, 15))::BIGINT * 2 + 1)"
+    return f"""
+        WITH seen AS (
+          SELECT DISTINCT coalesce(text, '') AS key
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        build_pos AS (
+          SELECT (({h1}) + j * ({h2})) % {m_bits} AS p
+          FROM seen, unnest(generate_series(0, {k_hashes - 1})) AS t(j)
+        ),
+        bloom AS (
+          SELECT p // 32 AS word_idx,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+          FROM build_pos GROUP BY 1
+        ),
+        probes AS (
+          SELECT doc_id, coalesce(text, '') AS key FROM documents
+        ),
+        probe_pos AS (
+          SELECT doc_id, key,
+                 (({h1}) + j * ({h2})) % {m_bits} AS p
+          FROM probes, unnest(generate_series(0, {k_hashes - 1})) AS t(j)
+        ),
+        verdict AS (
+          SELECT doc_id,
+                 min(CASE WHEN b.word IS NOT NULL
+                           AND (b.word & (1::BIGINT << CAST(pp.p % 32 AS INT)))
+                               <> 0
+                          THEN 1 ELSE 0 END) = 1 AS bloom_hit
+          FROM probe_pos pp LEFT JOIN bloom b ON pp.p // 32 = b.word_idx
+          GROUP BY doc_id
+        )
+        SELECT v.doc_id, v.bloom_hit,
+               (s.key IS NOT NULL) AS exact_hit
+        FROM verdict v
+        JOIN probes pr USING (doc_id)
+        LEFT JOIN seen s ON pr.key = s.key
+    """
+
+
 def dedup_incremental_sql() -> str:
     """Mirror of catalog.dedup_incremental: even-id snapshot index,
     odd-id batch deduped against it and within itself."""
