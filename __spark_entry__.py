@@ -88,6 +88,9 @@ def oracle_sql() -> dict[str, str]:
             LANG_MARKERS["en"]
         ),
         "sample_stratified": oracles.sample_stratified_sql(catalog.SAMPLE_RATES),
+        "sample_token_budget": oracles.sample_token_budget_sql(
+            budget_tokens=10_000, alpha=0.5
+        ),
         "sample_stratified_topn": oracles.sample_stratified_topn_sql(20),
         "text_tfidf_keywords": oracles.text_tfidf_keywords_sql(k=3),
         "text_vocab_topk": oracles.text_vocab_topk_sql(k=50),

@@ -498,3 +498,54 @@ def test_dedup_lines_null_text_rows_survive(spark):
     assert set(out) == {1, 2}
     assert out[2]["text"] == "keep me"
     assert out[1]["text"] == "" and out[1]["n_removed"] == 0
+
+
+def test_sample_to_token_budget_fills_targets(spark):
+    from topnotch_spark.operators.curation import sample_to_token_budget
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    rows = [(i, "tok " * (10 + i % 5), f"g{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with dedup_scope():
+        out = sample_to_token_budget(
+            df, "doc_id", "text", "source", budget_tokens=200, alpha=0.5
+        ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    assert set(by_group) == {"g0", "g1"}
+    for g, rs in by_group.items():
+        sel = [r for r in rs if r["selected"]]
+        target = rs[0]["target_tokens"]
+        got = sum(r["n_tokens"] for r in sel)
+        # target met (enough data), overshoot bounded by one doc
+        assert got >= target
+        assert got - max(r["n_tokens"] for r in sel) < target
+        # selection is a prefix of the hash order: cum of any selected row
+        # is <= cum of any unselected row
+        max_sel = max(r["cum_tokens"] for r in sel)
+        unsel = [r["cum_tokens"] for r in rs if not r["selected"]]
+        assert not unsel or max_sel < min(unsel)
+
+
+def test_sample_to_token_budget_deterministic(spark):
+    from topnotch_spark.operators.curation import sample_to_token_budget
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    rows = [(i, "w " * (5 + i % 7), "s") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with dedup_scope():
+        a = {
+            r["doc_id"]: r["selected"]
+            for r in sample_to_token_budget(
+                df, "doc_id", "text", "source", 50
+            ).collect()
+        }
+    with dedup_scope():
+        b = {
+            r["doc_id"]: r["selected"]
+            for r in sample_to_token_budget(
+                df.repartition(7), "doc_id", "text", "source", 50
+            ).collect()
+        }
+    assert a == b  # membership independent of physical layout

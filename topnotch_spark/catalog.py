@@ -1345,6 +1345,18 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a 10k-token global budget: per-source targets
+    from alpha=0.5 temperature weights, filled by deterministic
+    hash-ordered prefixes (overshoot < 1 doc per source)."""
+    from topnotch_spark.operators.curation import sample_to_token_budget
+
+    return sample_to_token_budget(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        budget_tokens=10_000, alpha=0.5,
+    )
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication accounting per source: corpus-wide exact-dup groups
     rolled up to (n_docs, n_keepers, dup_rate) per slice."""
@@ -1531,4 +1543,5 @@ ALL = {
     "text_gopher_rules": text_gopher_rules,
     "dedup_incremental": dedup_incremental,
     "bloom_membership": bloom_membership,
+    "sample_token_budget": sample_token_budget,
 }

@@ -580,3 +580,65 @@ def source_mix_weights(
             round_digits,
         ).alias("mix_weight"),
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mixture sampling to a global token budget: each source gets
+    ``budget * mix_weight`` tokens (temperature-``alpha`` weights from
+    source_mix_weights), filled by a deterministic hash-ordered prefix
+    of the source's documents — the doc that crosses the target is
+    included, so each source overshoots by less than one document and
+    membership is stable under re-runs (seedless md5 order, same
+    property as hash_split/stratified_sample).
+
+    Output per document: (id, group, n_tokens, cum_tokens,
+    target_tokens, selected).
+
+    Execution shape: one groupBy for the per-source token totals
+    (broadcast back as |sources| rows), one window partitioned by
+    source for the prefix sum — parallel across sources, never a global
+    sort. At 100 TB the window sort is per-source; a pathologically
+    dominant source can be pre-split on a salt and re-aggregated since
+    prefix membership only depends on the hash order."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.functions.text import tokens
+
+    weights = source_mix_weights(df, group_col, text_col, alpha, round_digits)
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.coalesce(F.size(tokens(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    target = F.round(
+        F.lit(float(budget_tokens)) * F.col("mix_weight"), round_digits
+    )
+    return (
+        base.join(
+            F.broadcast(weights.select(group_col, "mix_weight")), group_col
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            target.alias("target_tokens"),
+            ((cum - F.col("n_tokens")) < target).alias("selected"),
+        )
+    )

@@ -1980,6 +1980,50 @@ def source_mix_sql(alpha: float = 0.5, round_digits: int = 6) -> str:
     """
 
 
+def sample_token_budget_sql(
+    budget_tokens: int, alpha: float = 0.5, round_digits: int = 6
+) -> str:
+    """Mirror of curation.sample_to_token_budget: same temperature
+    weights, same md5-ordered per-source prefix fill."""
+    return f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len({tokens()})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT sum(pow(CAST(n_tokens AS DOUBLE), {alpha})) AS z FROM per
+        ),
+        wts AS (
+          SELECT source,
+                 round(pow(CAST(n_tokens AS DOUBLE), {alpha}) / z,
+                       {round_digits}) AS mix_weight
+          FROM per, tot
+        ),
+        base AS (
+          SELECT doc_id, source,
+                 CAST(coalesce(len({tokens()}), 0) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum_tokens
+          FROM base
+        )
+        SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+               round({float(budget_tokens)} * w.mix_weight, {round_digits})
+                 AS target_tokens,
+               (c.cum_tokens - c.n_tokens) <
+                 round({float(budget_tokens)} * w.mix_weight, {round_digits})
+                 AS selected
+        FROM cum c JOIN wts w USING (source)
+    """
+
+
 def dedup_rate_by_source_sql(round_digits: int = 6) -> str:
     """Mirror of dedup.dedup_rate_by_group over documents/source."""
     return f"""
