@@ -555,3 +555,105 @@ def test_duplicate_spans_command(spark, tmp_path):
     assert set(spans.columns) == {"id", "pos", "span_key", "n_occurrences",
                                   "n_docs"}
     assert spans.filter("n_occurrences < 2").count() == 0
+
+
+def test_round5_commands_bloom_incremental_semantic_gopher_budget(
+    spark, tmp_path
+):
+    """One chained plan exercising every round-5 plan-surface addition:
+    bloom build → bloom probe against it, incremental dedup against a
+    snapshot, semantic (SemDeDup) over embeddings, gopher rules, and
+    token-budget sampling."""
+    plan = {
+        "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        "commands": [
+            {
+                "command": "bloom",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "build", "keyColumn": "text",
+                           "mBits": 4096, "kHashes": 3},
+                "outputKey": "seenFilter",
+            },
+            {
+                "command": "bloom",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "filter": {"ref": "seenFilter", "onDisk": False},
+                "params": {"method": "probe", "keyColumn": "text",
+                           "idColumn": "doc_id", "mBits": 4096,
+                           "kHashes": 3},
+                "outputKey": "probed",
+            },
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "index": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "incremental", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "incremental",
+            },
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/embeddings.parquet", "onDisk": True},
+                "params": {"method": "semantic", "idColumn": "vec_id",
+                           "vecColumn": "embedding", "nClusters": 4,
+                           "threshold": 0.35},
+                "outputKey": "semantic",
+            },
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "gopher", "idColumn": "doc_id",
+                           "textColumn": "text", "minStopHits": 1,
+                           "stopwords": ["the", "a", "of", "and", "to"]},
+                "outputKey": "gopher",
+            },
+            {
+                "command": "sample",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"idColumn": "doc_id", "textColumn": "text",
+                           "groupColumn": "source", "budgetTokens": 2000},
+                "outputKey": "budgetSample",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    reg = engine.registry
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # every doc was built into the filter, so every probe must hit
+    probed = reg["probed"]
+    assert probed.count() == n_docs
+    assert probed.filter("NOT bloom_hit").count() == 0
+    # the whole corpus IS the index: nothing in the batch survives
+    inc = reg["incremental"]
+    assert inc.count() == n_docs
+    assert inc.filter("keep").count() == 0
+    sem = reg["semantic"]
+    assert sem.count() == spark.read.parquet(
+        f"{SF}/embeddings.parquet"
+    ).count()
+    assert set(sem.columns) == {"id", "centroid_id", "keep"}
+    gopher = reg["gopher"]
+    assert gopher.count() == n_docs and "keep" in gopher.columns
+    sample = reg["budgetSample"]
+    assert sample.count() == n_docs
+    assert 0 < sample.filter("selected").count() < n_docs
+
+
+def test_bloom_probe_without_filter_fails(spark, tmp_path):
+    plan = {
+        "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        "commands": [{
+            "command": "bloom",
+            "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+            "params": {"method": "probe", "keyColumn": "text",
+                       "idColumn": "doc_id"},
+            "outputKey": "x",
+        }],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="probe"):
+        TnEngine(spark).run(str(p))

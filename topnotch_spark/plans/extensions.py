@@ -62,16 +62,24 @@ class DedupCmd(Command):
     (dedup.duplicate_spans, Lee et al. span-granular dedup)."""
 
     input: Input = None  # type: ignore[assignment]
+    index: Input | None = None
     method: str = "exact"
     id_column: str = "id"
     value_column: str = "text"
     options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input] + ([self.index] if self.index is not None else [])
 
     @classmethod
     def from_json(cls, obj: dict) -> "DedupCmd":
         p = obj["params"]
         return cls(
             input=Input.from_json(obj["input"]),
+            index=(
+                Input.from_json(obj["index"]) if "index" in obj else None
+            ),
             method=p["method"],
             id_column=p["idColumn"],
             value_column=p.get("textColumn", p.get("vecColumn", "text")),
@@ -79,7 +87,7 @@ class DedupCmd(Command):
                 p, "numHashes", "bands", "threshold", "shingleN", "bits",
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
-                "minOccurrences",
+                "minOccurrences", "nClusters",
             ),
             **cls._common(obj),
         )
@@ -88,6 +96,22 @@ class DedupCmd(Command):
         from topnotch_spark.operators import dedup as D
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.method == "incremental":
+            if self.index is None:
+                raise ValueError(
+                    'dedup: method "incremental" requires an "index" input '
+                    "(the prior snapshot, raw or prebuilt)"
+                )
+            idx = load_input(engine.spark, self.index, engine.registry)
+            # accept either a prebuilt (dup_key, index_id) table — the
+            # persisted artifact of a previous run — or the raw snapshot
+            if not {"dup_key", "index_id"} <= set(idx.columns):
+                idx = D.build_dedup_index(
+                    idx, self.id_column, self.value_column
+                )
+            return D.dedup_against_index(
+                df, idx, self.id_column, self.value_column
+            )
         fns = {
             "exact": D.exact_dedup,
             "fingerprint": D.fingerprint_dedup,
@@ -96,6 +120,7 @@ class DedupCmd(Command):
             "containment": D.containment_pairs,
             "simhash": D.simhash_dedup,
             "embedding": D.embedding_near_dups,
+            "semantic": D.semantic_dedup,
             "clusters": self._clusters,
             "lines": self._lines,
             "spans": D.duplicate_spans,
@@ -143,6 +168,9 @@ class TextCmd(Command):
             options=_opt(
                 p, "stopwords", "size", "overlap", "k", "budget",
                 "partitionCol", "shingleN", "globalOrdering",
+                "minWords", "maxWords", "minMeanLen", "maxMeanLen",
+                "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
+                "minAlphaRatio", "minStopHits",
             ),
             **cls._common(obj),
         )
@@ -168,6 +196,7 @@ class TextCmd(Command):
             "normalize": C.normalize_text,
             "unigramLogprob": T.unigram_logprob,
             "bigramLogprob": T.bigram_logprob,
+            "gopher": T.gopher_rules,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
@@ -390,18 +419,38 @@ class SampleCmd(Command):
     "stratColumn", "rates": {stratum: rate}, ["defaultRate"]}} —
     deterministic md5-threshold stratified sampling. Alternative form:
     {"idColumn", "weightColumn", ["salt"]} — per-row weighted Bernoulli
-    (curation.weighted_sample, keep probability = clamp(weight, 0, 1))."""
+    (curation.weighted_sample, keep probability = clamp(weight, 0, 1)).
+    Third form: {"idColumn", "textColumn", "groupColumn",
+    "budgetTokens", ["alpha"]} — mixture sampling to a global token
+    budget (curation.sample_to_token_budget)."""
 
     input: Input = None  # type: ignore[assignment]
     id_column: str = "id"
     strat_column: str = ""
     weight_column: str = ""
+    text_column: str = "text"
+    budget_tokens: int = 0
     rates: tuple[tuple[str, float], ...] = ()
     options: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "SampleCmd":
         p = obj["params"]
+        if "budgetTokens" in p:
+            if "weightColumn" in p or "rates" in p:
+                raise ValueError(
+                    "sample: budgetTokens and weightColumn/rates are "
+                    "mutually exclusive"
+                )
+            return cls(
+                input=Input.from_json(obj["input"]),
+                id_column=p["idColumn"],
+                strat_column=p["groupColumn"],
+                text_column=p.get("textColumn", "text"),
+                budget_tokens=int(p["budgetTokens"]),
+                options=_opt(p, "alpha", "roundDigits"),
+                **cls._common(obj),
+            )
         if "weightColumn" in p:
             if "stratColumn" in p or "rates" in p:
                 raise ValueError(
@@ -426,11 +475,17 @@ class SampleCmd(Command):
 
     def execute(self, engine) -> DataFrame:
         from topnotch_spark.operators.curation import (
+            sample_to_token_budget,
             stratified_sample,
             weighted_sample,
         )
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.budget_tokens:
+            return sample_to_token_budget(
+                df, self.id_column, self.text_column, self.strat_column,
+                self.budget_tokens, **self.options,
+            )
         if self.weight_column:
             return weighted_sample(
                 df, self.id_column, self.weight_column, **self.options
@@ -686,12 +741,75 @@ class CorpusStatsCmd(Command):
         raise ValueError(f"unknown corpusStats method: {self.method}")
 
 
+@dataclass(frozen=True)
+class MembershipCmd(Command):
+    """{"command": "bloom", "input": <input>, "params": {"method":
+    build|probe, "keyColumn", ["idColumn", "mBits", "kHashes"]},
+    ["filter": <input>]} — distributed Bloom seen-set. ``build`` emits
+    the (word_idx, word) filter table (persist it via outputs);
+    ``probe`` joins the broadcast ``filter`` input and emits
+    (id, bloom_hit). NULL keys hash as empty strings."""
+
+    input: Input = None  # type: ignore[assignment]
+    filter_input: Input | None = None
+    method: str = "build"
+    key_column: str = "text"
+    id_column: str = "id"
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input] + (
+            [self.filter_input] if self.filter_input is not None else []
+        )
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "MembershipCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            filter_input=(
+                Input.from_json(obj["filter"]) if "filter" in obj else None
+            ),
+            method=p["method"],
+            key_column=p["keyColumn"],
+            id_column=p.get("idColumn", "id"),
+            options=_opt(p, "mBits", "kHashes"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from topnotch_spark.operators.membership import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        key = F.coalesce(F.col(self.key_column).cast("string"), F.lit(""))
+        if self.method == "build":
+            return bloom_build(df, key, **self.options)
+        if self.method == "probe":
+            if self.filter_input is None:
+                raise ValueError(
+                    'bloom: method "probe" requires a "filter" input '
+                    "(the built filter table)"
+                )
+            bloom = load_input(engine.spark, self.filter_input, engine.registry)
+            return bloom_probe(
+                df, self.id_column, key, bloom, **self.options
+            )
+        raise ValueError(f"unknown bloom method: {self.method}")
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
     EXTENSION_COMMANDS.update(
         {
             "dedup": DedupCmd.from_json,
+            "bloom": MembershipCmd.from_json,
             "text": TextCmd.from_json,
             "similarity": SimilarityCmd.from_json,
             "asof": AsofCmd.from_json,
