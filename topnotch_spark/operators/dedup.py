@@ -700,10 +700,9 @@ def semantic_dedup(
         df.orderBy(id_col)
         .limit(n_clusters)
         .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .cast("int")
-            .alias("centroid_id"),
+            # the seed vector's own id IS the cluster id (same scheme as
+            # similarity.ivf_topk) — no global row_number window needed
+            F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("__cvec__"),
         )
     )

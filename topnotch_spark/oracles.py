@@ -449,11 +449,8 @@ def semantic_dedup_sql(
     rounded-cosine prune against lower ids."""
     return f"""
         WITH cents AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
-                   AS centroid_id,
-                 cvec
-          FROM (SELECT vec_id, embedding AS cvec FROM embeddings
-                ORDER BY vec_id LIMIT {n_clusters})
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings ORDER BY vec_id LIMIT {n_clusters}
         ),
         scored AS (
           SELECT e.vec_id, e.embedding, c.centroid_id,
