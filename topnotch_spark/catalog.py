@@ -948,12 +948,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = events_replay_dir(spark, sf_dir)
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
-    # ~100 distinct users: 8 state partitions halve the per-batch state
-    # store + Python-worker overhead vs 16 with identical output
+    # Python-stateful ops are bound by per-partition pandas processing,
+    # not state-store commits: 16 partitions beat 8 (5.3s vs 7.0s
+    # measured idle at sf0.1) — keep the default parallelism
     return run_stream_to_table(
         sessionize_stream(stream, gap_seconds=1800),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=16,
     )
 
 
@@ -1272,7 +1273,7 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_replay_dir(spark, sf_dir)
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
     pairs = run_stream_to_table(
-        transitions_stream(stream), output_mode="append", state_partitions=8
+        transitions_stream(stream), output_mode="append", state_partitions=16
     )
     return pairs.groupBy("prev_state", "next_state").agg(
         F.count(F.lit(1)).alias("n_transitions")
@@ -1300,7 +1301,7 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     advances = run_stream_to_table(
         funnel_stream(stream, FUNNEL_STAGES),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=16,
     )
     counts = advances.groupBy(
         F.col("stage_idx").cast("int").alias("stage_idx")
