@@ -1450,10 +1450,12 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
-# and every round-4 addition) at the front; the 20 slots after them re-check
-# part of the r02-green set.  Entries 51+ are covered each round by
-# scripts/strict_hash_check.py (stricter than the driver gate), recorded in
-# the committed CORRECTNESS_FULL_r*.json artifact.
+# and every round-4 addition) at the front, followed by the five round-5
+# additions (semantic/incremental dedup, gopher, bloom, token-budget
+# sample); the remaining slots re-check part of the r02-green set.
+# Entries 51+ are covered each round by scripts/strict_hash_check.py
+# (stricter than the driver gate), recorded in the committed
+# CORRECTNESS_FULL_r*.json artifact.
 ALL = {
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
@@ -1485,6 +1487,11 @@ ALL = {
     "text_unigram_logprob": text_unigram_logprob,
     "source_mix": source_mix,
     "dedup_rate_by_source": dedup_rate_by_source,
+    "dedup_semantic": dedup_semantic,
+    "text_gopher_rules": text_gopher_rules,
+    "dedup_incremental": dedup_incremental,
+    "bloom_membership": bloom_membership,
+    "sample_token_budget": sample_token_budget,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,
@@ -1540,9 +1547,4 @@ ALL = {
     "similarity_ann_recall": similarity_ann_recall,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "text_bigram_logprob": text_bigram_logprob,
-    "dedup_semantic": dedup_semantic,
-    "text_gopher_rules": text_gopher_rules,
-    "dedup_incremental": dedup_incremental,
-    "bloom_membership": bloom_membership,
-    "sample_token_budget": sample_token_budget,
 }
