@@ -210,6 +210,18 @@ def oracle_sql() -> dict[str, str]:
             span_tokens=20, min_occurrences=2
         ),
         "text_bigram_logprob": oracles.text_bigram_logprob_sql(k=1.0),
+        "text_token_entropy": oracles.token_entropy_sql(),
+        "text_readability": oracles.readability_sql(),
+        "outliers_mad_totalprice": oracles.mad_outliers_sql(
+            "orders",
+            "o_totalprice",
+            ["o_orderpriority"],
+            ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            k=3.5,
+        ),
+        "pivot_order_status": oracles.pivot_orders_sql(),
+        "retention_cohorts_weekly": oracles.retention_cohorts_sql(),
+        "rolling_value_7d": oracles.rolling_window_agg_sql(),
     }
     return ext | {
         "view_tpch_q1": """

@@ -1,0 +1,188 @@
+"""Edge-case tests for the round-5 analytics additions: token entropy,
+readability, MAD outliers, pivot cross-tab, retention cohorts, rolling
+time-range aggregates."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators.profile import mad_outliers, pivot_counts
+from topnotch_spark.operators.temporal import retention_cohorts, rolling_window_agg
+from topnotch_spark.operators.textqc import readability, token_entropy
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTokenEntropy:
+    def test_uniform_distinct_tokens_hit_norm_one(self, spark):
+        out = token_entropy(
+            _docs(spark, [(1, "a b c d")]), "doc_id", "text"
+        ).first()
+        assert out.n_tokens == 4 and out.n_distinct_tokens == 4
+        assert out.token_entropy == 2.0  # log2(4)
+        assert out.norm_entropy == 1.0
+
+    def test_single_token_doc_is_zero_not_negative_zero(self, spark):
+        out = token_entropy(
+            _docs(spark, [(1, "same same same")]), "doc_id", "text"
+        ).first()
+        assert out.token_entropy == 0.0
+        assert math.copysign(1.0, out.token_entropy) == 1.0
+        assert out.norm_entropy == 0.0
+
+    def test_empty_doc(self, spark):
+        out = token_entropy(_docs(spark, [(1, "   ")]), "doc_id", "text").first()
+        assert out.n_tokens == 0
+        assert out.token_entropy == 0.0 and out.norm_entropy == 0.0
+
+    def test_skewed_distribution_below_uniform(self, spark):
+        skew = token_entropy(
+            _docs(spark, [(1, "a a a a a a b")]), "doc_id", "text"
+        ).first()
+        assert 0.0 < skew.token_entropy < 1.0  # < log2(2)
+
+
+class TestReadability:
+    def test_counts_and_band(self, spark):
+        out = readability(
+            _docs(spark, [(1, "The cat sat. The dog ran!")]), "doc_id", "text"
+        ).first()
+        assert out.n_words == 6
+        assert out.n_sentences == 2
+        assert out.readability_band in {
+            "very_easy", "standard", "difficult", "very_difficult"
+        }
+
+    def test_empty_doc_band(self, spark):
+        out = readability(_docs(spark, [(1, "")]), "doc_id", "text").first()
+        assert out.flesch_score is None
+        assert out.readability_band == "empty"
+
+    def test_sentences_floored_at_one(self, spark):
+        out = readability(
+            _docs(spark, [(1, "no terminal punctuation here")]), "doc_id", "text"
+        ).first()
+        assert out.n_sentences == 1
+
+
+class TestMadOutliers:
+    def test_flags_gross_outlier_and_survives_it(self, spark):
+        # mean/stddev z-score on this data would be dragged by the 1e9 row;
+        # median/MAD flags it and nothing else
+        rows = [(i, "g", 100.0 + i) for i in range(20)] + [(99, "g", 1e9)]
+        df = spark.createDataFrame(rows, "id long, grp string, v double")
+        out = mad_outliers(df, "v", ["grp"]).collect()
+        flagged = {r.id for r in out if r.is_outlier}
+        assert flagged == {99}
+
+    def test_constant_group_yields_null_score(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 5.0), (2, "g", 5.0)], "id long, grp string, v double"
+        )
+        out = mad_outliers(df, "v", ["grp"]).collect()
+        assert all(r.robust_z is None and not r.is_outlier for r in out)
+
+    def test_ungrouped_path(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(11)], "id long, v double"
+        )
+        out = mad_outliers(df, "v", None, k=1.0).collect()
+        med = {r.group_median for r in out}
+        assert med == {5.0}
+
+
+class TestPivotCounts:
+    def test_absent_cell_count_zero_sum_null(self, spark):
+        df = spark.createDataFrame(
+            [("p1", "A", 10.0), ("p1", "A", 20.0), ("p2", "B", 5.0)],
+            "grp string, cat string, v double",
+        )
+        out = {
+            r.grp: r
+            for r in pivot_counts(df, "grp", "cat", ["A", "B"], "v").collect()
+        }
+        assert out["p1"].A_cnt == 2 and out["p1"].A_sum == 30.0
+        assert out["p1"].B_cnt == 0 and out["p1"].B_sum is None
+        assert out["p2"].B_cnt == 1
+
+    def test_count_only_mode_uses_value_names(self, spark):
+        df = spark.createDataFrame(
+            [("p1", "A")], "grp string, cat string"
+        )
+        out = pivot_counts(df, "grp", "cat", ["A", "B"])
+        assert set(out.columns) == {"grp", "A", "B"}
+        row = out.first()
+        assert row.A == 1 and row.B == 0
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+class TestRetentionCohorts:
+    def test_week_cells(self, spark):
+        # user 1 first seen week of Jan 1 (Mon), active again 2 weeks later;
+        # user 2 same cohort, never returns
+        rows = [
+            (1, _ts(2)), (1, _ts(16)),
+            (2, _ts(3)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {
+            (str(r.cohort_week), r.weeks_since): r
+            for r in retention_cohorts(df, "user_id", "ts").collect()
+        }
+        assert out[("2024-01-01", 0)].n_active == 2
+        assert out[("2024-01-01", 0)].retention == 1.0
+        cell = out[("2024-01-01", 2)]
+        assert cell.n_active == 1 and cell.cohort_size == 2
+        assert cell.retention == 0.5
+
+    def test_distinct_users_not_events(self, spark):
+        rows = [(1, _ts(2)), (1, _ts(2, 5)), (1, _ts(2, 9))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = retention_cohorts(df, "user_id", "ts").collect()
+        assert len(out) == 1 and out[0].n_active == 1
+
+
+class TestRollingWindowAgg:
+    def test_trailing_window_drops_old_rows(self, spark):
+        rows = [
+            (1, 10, _ts(1), 1.0),
+            (2, 10, _ts(5), 2.0),
+            (3, 10, _ts(20), 4.0),  # >7d after both others
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, v double"
+        )
+        out = {
+            r.event_id: r
+            for r in rolling_window_agg(df, "user_id", "ts", "v").collect()
+        }
+        assert out[1].roll_n == 1 and out[1].roll_sum == 1.0
+        assert out[2].roll_n == 2 and out[2].roll_sum == 3.0
+        assert out[3].roll_n == 1 and out[3].roll_sum == 4.0
+
+    def test_same_timestamp_peers_share_frame(self, spark):
+        rows = [
+            (1, 10, _ts(1), 1.0),
+            (2, 10, _ts(1), 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, v double"
+        )
+        out = rolling_window_agg(df, "user_id", "ts", "v").collect()
+        assert all(r.roll_n == 2 and r.roll_sum == 3.0 for r in out)
+
+    def test_keys_independent(self, spark):
+        rows = [(1, 10, _ts(1), 1.0), (2, 20, _ts(1), 5.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, v double"
+        )
+        out = {r.event_id: r for r in rolling_window_agg(df, "user_id", "ts", "v").collect()}
+        assert out[1].roll_sum == 1.0 and out[2].roll_sum == 5.0

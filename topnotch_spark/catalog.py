@@ -1447,12 +1447,74 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp.unionByName(ivf)
 
 
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon token entropy + normalized form (zero-shuffle
+    projection; gibberish/boilerplate screen)."""
+    from topnotch_spark.operators.textqc import token_entropy
+
+    return token_entropy(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability score + band from shared RE2 regex
+    counts (zero-shuffle projection)."""
+    from topnotch_spark.operators.textqc import readability
+
+    return readability(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def outliers_mad_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier flags on o_totalprice per order
+    priority (two grouped exact medians, broadcast back)."""
+    from topnotch_spark.operators.profile import mad_outliers
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return mad_outliers(orders, "o_totalprice", ["o_orderpriority"], k=3.5)
+
+
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native groupBy().pivot() cross-tab: order count + revenue per
+    (priority × status) with an explicit pivot domain."""
+    from topnotch_spark.operators.profile import pivot_counts
+
+    return pivot_counts(
+        load(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderstatus",
+        ["F", "O", "P"],
+        value_col="o_totalprice",
+    )
+
+
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over events/user_id (first-seen
+    week → share of cohort active N weeks later)."""
+    from topnotch_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling count/sum/avg of event value per user
+    (RANGE window over integer epoch micros)."""
+    from topnotch_spark.operators.temporal import rolling_window_agg
+
+    return rolling_window_agg(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value"
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
-# and every round-4 addition) at the front, followed by the five round-5
+# and every round-4 addition) at the front, followed by the round-5
 # additions (semantic/incremental dedup, gopher, bloom, token-budget
-# sample); the remaining slots re-check part of the r02-green set.
+# sample, token entropy, readability, MAD outliers, pivot, retention
+# cohorts, rolling window); the remaining slots re-check part of the
+# r02-green set (all of which carry 3+ rounds of driver evidence plus
+# the committed full-catalog strict artifact).
 # Entries 51+ are covered each round by scripts/strict_hash_check.py
 # (stricter than the driver gate), recorded in the committed
 # CORRECTNESS_FULL_r*.json artifact.
@@ -1492,6 +1554,12 @@ ALL = {
     "dedup_incremental": dedup_incremental,
     "bloom_membership": bloom_membership,
     "sample_token_budget": sample_token_budget,
+    "text_token_entropy": text_token_entropy,
+    "text_readability": text_readability,
+    "outliers_mad_totalprice": outliers_mad_totalprice,
+    "pivot_order_status": pivot_order_status,
+    "retention_cohorts_weekly": retention_cohorts_weekly,
+    "rolling_value_7d": rolling_value_7d,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

@@ -145,3 +145,90 @@ def zscore_outliers(
         (F.abs(F.round(z, round_digits)) > k).alias("is_outlier"),
     )
     return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Robust (median/MAD) outlier flagging: |0.6745*(x - median)/MAD| > k
+    — the screen that survives the heavy-tailed columns where mean/stddev
+    z-scores drown (a single 1e9 row inflates stddev until nothing else
+    flags). 0.6745 is the standard normal-consistency constant.
+
+    Execution shape: two grouped exact-median aggregates (Spark
+    `median`, an exact percentile — matches DuckDB's interpolating
+    `median`), each a groupBy over the group columns with the per-group
+    result broadcast-joined back to the rows. Group cardinality is
+    assumed dimension-like (priorities, sources, shards); for an
+    ungrouped call the aggregates are 1-row scalars. MAD == 0 (constant
+    group) yields NULL score, never a division blow-up."""
+    gcols = list(group_cols or [])
+    med_col, mad_col = "__med__", "__mad__"
+    while med_col in df.columns or mad_col in df.columns:
+        med_col, mad_col = med_col + "_", mad_col + "_"
+    if gcols:
+        med = df.groupBy(*gcols).agg(F.median(value_col).alias(med_col))
+        with_med = df.join(F.broadcast(med), gcols)
+        mad = (
+            with_med.groupBy(*gcols)
+            .agg(
+                F.median(F.abs(F.col(value_col) - F.col(med_col))).alias(mad_col)
+            )
+        )
+        base = with_med.join(F.broadcast(mad), gcols)
+    else:
+        med = df.agg(F.median(value_col).alias(med_col))
+        with_med = df.crossJoin(F.broadcast(med))
+        mad = with_med.agg(
+            F.median(F.abs(F.col(value_col) - F.col(med_col))).alias(mad_col)
+        )
+        base = with_med.crossJoin(F.broadcast(mad))
+    score = F.when(
+        F.col(mad_col) > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col(med_col)) / F.col(mad_col),
+    )
+    return base.select(
+        *[F.col(c) for c in df.columns],
+        F.round(F.col(med_col), round_digits).alias("group_median"),
+        F.round(F.col(mad_col), round_digits).alias("group_mad"),
+        F.round(score, round_digits).alias("robust_z"),
+        F.coalesce(F.abs(F.round(score, round_digits)) > k, F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    pivot_values: list[str],
+    value_col: str | None = None,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Cross-tab rollup via Spark's native pivot: one row per group, one
+    `<value>_cnt` (and optionally `<value>_sum`) column per pivoted
+    category. `pivot_values` is REQUIRED (not discovered) — passing the
+    explicit domain keeps this a single aggregation job; omitting it
+    would make Spark run a distinct-scan first and would break schema
+    stability whenever a category is absent from a slice.
+
+    One groupBy shuffle with map-side partial aggregation; output width
+    is |pivot_values| × aggs, rows = |groups| — a dimension-sized frame
+    at any corpus scale. Cells with no rows are NULL (count cells 0)."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), round_digits).alias("sum"))
+    out = df.groupBy(group_col).pivot(pivot_col, pivot_values).agg(*aggs)
+    # count cells: absent combination -> 0, not NULL (count semantics)
+    for v in pivot_values:
+        cnt_name = f"{v}_cnt" if value_col is not None else str(v)
+        if cnt_name in out.columns:
+            out = out.withColumn(
+                cnt_name, F.coalesce(F.col(f"`{cnt_name}`"), F.lit(0))
+            )
+    return out

@@ -384,3 +384,83 @@ def funnel_stages(
     for frame in stage_counts[1:]:
         out = out.unionByName(frame)
     return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classic cohort-retention rollup: cohort = ISO week of each key's
+    first event; for every (cohort_week, weeks_since_cohort) cell, how
+    many distinct keys were active and what share of the cohort that is.
+
+    Execution shape: ONE groupBy(key) for first-seen (map-side partial
+    min), broadcast back to the events (cohort table is |keys| rows —
+    broadcastable for dimension-sized key spaces; for billions of keys
+    Spark falls back to a sort-merge join on the same single key shuffle),
+    then ONE groupBy(cohort_week, weeks_since) with a distinct-count.
+    Week arithmetic stays in integer day-space (no float date math)."""
+    first = df.groupBy(key_col).agg(F.min(ts_col).alias("__first_ts__"))
+    first = first.select(
+        key_col,
+        F.date_trunc("week", F.col("__first_ts__")).cast("date").alias(
+            "cohort_week"
+        ),
+    )
+    joined = df.join(first, key_col).select(
+        F.col(key_col),
+        F.col("cohort_week"),
+        F.floor(
+            F.datediff(F.col(ts_col).cast("date"), F.col("cohort_week")) / 7
+        ).cast("bigint").alias("weeks_since"),
+    )
+    cohort_sizes = joined.filter(F.col("weeks_since") == 0).groupBy(
+        "cohort_week"
+    ).agg(F.countDistinct(key_col).alias("cohort_size"))
+    cells = joined.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct(key_col).alias("n_active")
+    )
+    return cells.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"), round_digits
+        ).alias("retention"),
+    )
+
+
+def rolling_window_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 7 * 86400,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Trailing time-range rolling aggregate per key: for every event,
+    count/sum/avg of `value_col` over the preceding `window_seconds`
+    (inclusive of the current row) — the moving-average / rolling-volume
+    primitive for per-entity time series.
+
+    ONE window pass partitioned by key, RANGE-framed over integer epoch
+    MICROSECONDS (`unix_micros`), so tie handling is exact and
+    engine-independent: peers at the same timestamp are all in-frame
+    regardless of physical order, which is what makes the result
+    deterministic (and oracle-reproducible) without a tiebreak column.
+    State per key is the in-frame buffer — bounded by event rate ×
+    window length, the same bound a streaming watermark would give."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        *df.columns,
+        F.count(F.col(value_col)).over(w).alias("roll_n"),
+        F.round(F.sum(F.col(value_col)).over(w), round_digits).alias("roll_sum"),
+        F.round(F.avg(F.col(value_col)).over(w), round_digits).alias("roll_avg"),
+    )

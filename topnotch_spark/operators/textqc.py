@@ -558,3 +558,78 @@ def gopher_rules(
             & F.col("r_stopwords")
         ).alias("keep"),
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) plus
+    the [0,1]-normalized form (entropy / log2(n_distinct)) — the standard
+    gibberish/boilerplate signal: near-0 means one token dominates
+    (repeated boilerplate), near-1 means maximally mixed vocabulary.
+
+    Zero-shuffle: a single codegen'd projection per row. The inner
+    p*log2(p) fold runs over the SORTED distinct-token array so the
+    float summation order is deterministic and engine-independent
+    (matched by the DuckDB oracle at the same rounding)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    dt = F.array_sort(F.array_distinct(toks))
+    nd = F.size(dt)
+    p_of = lambda t: F.size(F.filter(toks, lambda x: x == t)) / n.cast("double")  # noqa: E731
+    ent = -F.aggregate(
+        dt,
+        F.lit(0.0),
+        lambda acc, t: acc + p_of(t) * F.log2(p_of(t)),
+    )
+    # + 0.0 folds IEEE -0.0 (single-token docs) to +0.0 in both engines
+    ent = F.when(n > 0, ent + F.lit(0.0)).otherwise(F.lit(0.0))
+    norm = F.when(nd > 1, ent / F.log2(nd.cast("double"))).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        nd.cast("int").alias("n_distinct_tokens"),
+        F.round(ent, round_digits).alias("token_entropy"),
+        F.round(norm, round_digits).alias("norm_entropy"),
+    )
+
+
+def readability(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
+) -> DataFrame:
+    """Flesch-reading-ease-style readability score from three regex
+    counts (words, sentence breaks, vowel-group syllable proxy) — the
+    cheap fluency screen for filtering OCR junk / minified text out of a
+    training corpus. Pure projection, zero shuffle, both regexes are
+    RE2-compatible so the DuckDB oracle shares them verbatim.
+
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    with sentences floored at 1; empty docs -> NULL score, band 'empty'."""
+    n_words = F.size(tokens(text_col))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables / n_words.cast("double"))
+    )
+    flesch = F.when(n_words > 0, F.round(flesch, round_digits))
+    band = (
+        F.when(n_words == 0, F.lit("empty"))
+        .when(flesch >= 90, F.lit("very_easy"))
+        .when(flesch >= 60, F.lit("standard"))
+        .when(flesch >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_sentences.cast("int").alias("n_sentences"),
+        n_syllables.cast("int").alias("n_syllables"),
+        flesch.alias("flesch_score"),
+        band.alias("readability_band"),
+    )

@@ -2255,3 +2255,171 @@ def text_bigram_logprob_sql(k: float = 1.0, round_digits: int = 4) -> str:
                per.avg_neg_logprob
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
+
+
+def token_entropy_sql(round_digits: int = 6) -> str:
+    """Mirror of textqc.token_entropy: -sum(p*log2(p)) over the SORTED
+    distinct-token list (same fold order as Spark's aggregate), +0.0 to
+    fold -0.0, normalized by log2(n_distinct)."""
+    p = "(len(list_filter(__t__, x -> x = t)) / CAST(len(__t__) AS DOUBLE))"
+    return f"""
+        {_DOC_BASE},
+        ent AS (
+          SELECT doc_id, len(__t__) AS n, len(list_distinct(__t__)) AS nd,
+                 CASE WHEN len(__t__) > 0 THEN
+                   coalesce(-list_sum(list_transform(
+                     list_sort(list_distinct(__t__)),
+                     t -> {p} * log2({p}))), 0.0) + 0.0
+                 ELSE 0.0 END AS e
+          FROM toked
+        )
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_tokens,
+               CAST(nd AS INTEGER) AS n_distinct_tokens,
+               round(e, {round_digits}) AS token_entropy,
+               round(CASE WHEN nd > 1 THEN e / log2(CAST(nd AS DOUBLE))
+                     ELSE 0.0 END, {round_digits}) AS norm_entropy
+        FROM ent
+    """
+
+
+def readability_sql(round_digits: int = 4) -> str:
+    """Mirror of textqc.readability: Flesch-style score from the same
+    RE2-compatible regex counts, band cased on the ROUNDED score."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 len({tokens()}) AS w,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, w, s, y,
+                 CASE WHEN w > 0 THEN
+                   round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                         - 84.6 * (y / CAST(w AS DOUBLE)), {round_digits})
+                 END AS f
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS n_words,
+               CAST(s AS INTEGER) AS n_sentences,
+               CAST(y AS INTEGER) AS n_syllables,
+               f AS flesch_score,
+               CASE WHEN w = 0 THEN 'empty'
+                    WHEN f >= 90 THEN 'very_easy'
+                    WHEN f >= 60 THEN 'standard'
+                    WHEN f >= 30 THEN 'difficult'
+                    ELSE 'very_difficult' END AS readability_band
+        FROM scored
+    """
+
+
+def mad_outliers_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str],
+    keep_cols: list[str],
+    k: float = 3.5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of profile.mad_outliers: exact interpolating median (DuckDB
+    `median` == Spark `median` on doubles), MAD, 0.6745 consistency
+    constant, NULL score for constant groups."""
+    gsel = ", ".join(group_cols)
+    keep = ", ".join(keep_cols)
+    return f"""
+        WITH med AS (
+          SELECT {gsel}, median({value_col}) AS m FROM {table} GROUP BY {gsel}
+        ),
+        mad AS (
+          SELECT t.{group_cols[0]}, median(abs(t.{value_col} - med.m)) AS d
+          FROM {table} t JOIN med USING ({gsel}) GROUP BY t.{group_cols[0]}
+        )
+        SELECT {keep},
+               round(med.m, {round_digits}) AS group_median,
+               round(mad.d, {round_digits}) AS group_mad,
+               round(CASE WHEN mad.d > 0
+                     THEN 0.6745 * (t.{value_col} - med.m) / mad.d END,
+                     {round_digits}) AS robust_z,
+               coalesce(abs(round(CASE WHEN mad.d > 0
+                     THEN 0.6745 * (t.{value_col} - med.m) / mad.d END,
+                     {round_digits})) > {k}, FALSE) AS is_outlier
+        FROM {table} t JOIN med USING ({gsel}) JOIN mad USING ({gsel})
+    """
+
+
+def pivot_orders_sql(round_digits: int = 2) -> str:
+    """Mirror of profile.pivot_counts over orders (priority × status):
+    manual CASE pivot — count cells 0-filled, sum cells NULL when the
+    combination is absent (Spark pivot-sum semantics)."""
+    cells = []
+    for v in ("F", "O", "P"):
+        cells.append(
+            f"count(CASE WHEN o_orderstatus = '{v}' THEN 1 END) AS {v}_cnt"
+        )
+        cells.append(
+            f"round(sum(CASE WHEN o_orderstatus = '{v}' THEN o_totalprice END),"
+            f" {round_digits}) AS {v}_sum"
+        )
+    return (
+        "SELECT o_orderpriority, "
+        + ", ".join(cells)
+        + " FROM orders GROUP BY o_orderpriority"
+    )
+
+
+def retention_cohorts_sql(round_digits: int = 6) -> str:
+    """Mirror of temporal.retention_cohorts on events/user_id: ISO-week
+    cohorts (date_trunc('week') is Monday-start in both engines),
+    integer day arithmetic for weeks_since."""
+    return f"""
+        WITH first AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        joined AS (
+          SELECT e.user_id, f.cohort_week,
+                 CAST(floor(date_diff('day', f.cohort_week,
+                       CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS weeks_since
+          FROM events e JOIN first f USING (user_id)
+        ),
+        sizes AS (
+          SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+          FROM joined WHERE weeks_since = 0 GROUP BY cohort_week
+        ),
+        cells AS (
+          SELECT cohort_week, weeks_since, count(DISTINCT user_id) AS n_active
+          FROM joined GROUP BY cohort_week, weeks_since
+        )
+        SELECT c.cohort_week, c.weeks_since,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(c.n_active / CAST(s.cohort_size AS DOUBLE),
+                     {round_digits}) AS retention
+        FROM cells c JOIN sizes s USING (cohort_week)
+    """
+
+
+def rolling_window_agg_sql(
+    window_seconds: int = 7 * 86400, round_digits: int = 6
+) -> str:
+    """Mirror of temporal.rolling_window_agg on events/user_id/value:
+    RANGE frame over integer epoch microseconds (epoch_us == Spark
+    unix_micros), trailing window inclusive of peers."""
+    lo = window_seconds * 1_000_000
+    frame = (
+        f"OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) "
+        f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               value, props,
+               CAST(count(value) {frame} AS BIGINT) AS roll_n,
+               round(sum(value) {frame}, {round_digits}) AS roll_sum,
+               round(avg(value) {frame}, {round_digits}) AS roll_avg
+        FROM events
+    """
