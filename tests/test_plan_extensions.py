@@ -657,3 +657,78 @@ def test_bloom_probe_without_filter_fails(spark, tmp_path):
     p.write_text(json.dumps(plan))
     with pytest.raises(ValueError, match="probe"):
         TnEngine(spark).run(str(p))
+
+
+def test_analytics_ext_commands(spark, tmp_path):
+    """Chained plan exercising the analytics additions on the plan
+    surface: text tokenEntropy/readability, outliers (zscore + mad),
+    pivot cross-tab, sequence retention + rolling."""
+    plan = {
+        "io": {"writer": "hdfs", "dest": str(tmp_path / "reports")},
+        "commands": [
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "tokenEntropy", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "entropy",
+            },
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "readability", "idColumn": "doc_id",
+                           "textColumn": "text"},
+                "outputKey": "readability",
+            },
+            {
+                "command": "outliers",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"method": "mad", "valueColumn": "o_totalprice",
+                           "groupColumns": ["o_orderpriority"], "k": 3.5},
+                "outputKey": "madFlags",
+            },
+            {
+                "command": "outliers",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"method": "zscore", "valueColumn": "o_totalprice"},
+                "outputKey": "zFlags",
+            },
+            {
+                "command": "pivot",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"groupColumn": "o_orderpriority",
+                           "pivotColumn": "o_orderstatus",
+                           "pivotValues": ["F", "O", "P"],
+                           "valueColumn": "o_totalprice"},
+                "outputKey": "pivoted",
+            },
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "retention", "keyColumn": "user_id",
+                           "tsColumn": "ts"},
+                "outputKey": "retention",
+            },
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "rolling", "keyColumn": "user_id",
+                           "tsColumn": "ts", "valueColumn": "value",
+                           "windowSeconds": 86400},
+                "outputKey": "rolled",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    code = engine.run(str(p))
+    assert code == 0
+    reg = engine.registry
+    assert reg["entropy"].count() > 0
+    assert "flesch_score" in reg["readability"].columns
+    assert "robust_z" in reg["madFlags"].columns
+    assert "zscore" in reg["zFlags"].columns
+    assert {"F_cnt", "O_sum"} <= set(reg["pivoted"].columns)
+    assert {"cohort_week", "retention"} <= set(reg["retention"].columns)
+    assert "roll_avg" in reg["rolled"].columns

@@ -453,9 +453,11 @@ def rolling_window_agg(
     deterministic (and oracle-reproducible) without a tiebreak column.
     State per key is the in-frame buffer — bounded by event rate ×
     window length, the same bound a streaming watermark would give."""
+    # cast normalizes TIMESTAMP_NTZ (raw parquet reads) to the LTZ type
+    # unix_micros requires; a same-type cast is a Catalyst no-op
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     return df.select(

@@ -147,7 +147,8 @@ class DedupCmd(Command):
 class TextCmd(Command):
     """{"command": "text", "params": {"method": tokenStats|quality|langid|
     fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards|
-    repetition|tfidfKeywords|normalize, "idColumn", "textColumn",
+    repetition|tfidfKeywords|normalize|tokenEntropy|readability,
+    "idColumn", "textColumn",
     ["stopwords"/"size"/"overlap"/"k"/"budget"/"partitionCol"/
     "shingleN"]}}"""
 
@@ -197,6 +198,8 @@ class TextCmd(Command):
             "unigramLogprob": T.unigram_logprob,
             "bigramLogprob": T.bigram_logprob,
             "gopher": T.gopher_rules,
+            "tokenEntropy": T.token_entropy,
+            "readability": T.readability,
         }
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
@@ -319,6 +322,87 @@ class ProfileCmd(Command):
         df = load_input(engine.spark, self.input, engine.registry)
         cols = list(self.columns) if self.columns is not None else None
         return profile_columns(df, cols, **self.options)
+
+
+@dataclass(frozen=True)
+class OutliersCmd(Command):
+    """{"command": "outliers", "input": <input>, "params": {"method":
+    zscore|mad, "valueColumn", ["groupColumns", "k", "roundDigits"]}} —
+    mean/stddev z-score flags or robust median/MAD flags (the screen
+    that survives heavy-tailed columns)."""
+
+    input: Input = None  # type: ignore[assignment]
+    method: str = "zscore"
+    value_column: str = "value"
+    group_columns: tuple[str, ...] | None = None
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "OutliersCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            method=p.get("method", "zscore"),
+            value_column=p["valueColumn"],
+            group_columns=(
+                tuple(p["groupColumns"]) if "groupColumns" in p else None
+            ),
+            options=_opt(p, "k", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.profile import mad_outliers, zscore_outliers
+
+        fns = {"zscore": zscore_outliers, "mad": mad_outliers}
+        if self.method not in fns:
+            raise ValueError(f"unknown outliers method: {self.method}")
+        return fns[self.method](
+            load_input(engine.spark, self.input, engine.registry),
+            self.value_column,
+            list(self.group_columns) if self.group_columns else None,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
+class PivotCmd(Command):
+    """{"command": "pivot", "input": <input>, "params": {"groupColumn",
+    "pivotColumn", "pivotValues": [...], ["valueColumn", "roundDigits"]}}
+    — native cross-tab; the explicit value domain keeps it a single
+    aggregation job with a stable schema."""
+
+    input: Input = None  # type: ignore[assignment]
+    group_column: str = ""
+    pivot_column: str = ""
+    pivot_values: tuple[str, ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "PivotCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            group_column=p["groupColumn"],
+            pivot_column=p["pivotColumn"],
+            pivot_values=tuple(p["pivotValues"]),
+            options=_opt(p, "valueColumn", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.profile import pivot_counts
+
+        opts = dict(self.options)
+        if "value_column" in opts:  # JSON valueColumn -> kwarg value_col
+            opts["value_col"] = opts.pop("value_column")
+        return pivot_counts(
+            load_input(engine.spark, self.input, engine.registry),
+            self.group_column,
+            self.pivot_column,
+            list(self.pivot_values),
+            **opts,
+        )
 
 
 @dataclass(frozen=True)
@@ -608,11 +692,12 @@ class SplitCmd(Command):
 @dataclass(frozen=True)
 class SequenceCmd(Command):
     """{"command": "sequence", "input": <input>, "params": {"method":
-    throttle|transitions|funnel, "tsColumn", "tiebreakColumn",
-    throttle: {"keyColumns", "minGapSeconds"},
+    throttle|transitions|funnel|retention|rolling, "tsColumn",
+    "tiebreakColumn", throttle: {"keyColumns", "minGapSeconds"},
     transitions/funnel: {"keyColumn"/"userColumn", "stateColumn",
-    funnel: "stages"}}} — per-key ordered-sequence operators over event
-    streams."""
+    funnel: "stages"}, retention: {"keyColumn"},
+    rolling: {"keyColumn", "valueColumn", ["windowSeconds"]}}} —
+    per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "throttle"
@@ -649,6 +734,15 @@ class SequenceCmd(Command):
         if self.method == "funnel":
             return Tm.funnel_stages(
                 df, p["userColumn"], ts, p["stateColumn"], list(p["stages"])
+            )
+        if self.method == "retention":
+            return Tm.retention_cohorts(df, p["keyColumn"], ts)
+        if self.method == "rolling":
+            kwargs = {}
+            if "windowSeconds" in p:
+                kwargs["window_seconds"] = p["windowSeconds"]
+            return Tm.rolling_window_agg(
+                df, p["keyColumn"], ts, p["valueColumn"], **kwargs
             )
         raise ValueError(f"unknown sequence method: {self.method}")
 
@@ -814,6 +908,8 @@ def register() -> None:
             "similarity": SimilarityCmd.from_json,
             "asof": AsofCmd.from_json,
             "profile": ProfileCmd.from_json,
+            "outliers": OutliersCmd.from_json,
+            "pivot": PivotCmd.from_json,
             "drift": DriftCmd.from_json,
             "sample": SampleCmd.from_json,
             "decontaminate": DeconCmd.from_json,
