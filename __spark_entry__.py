@@ -222,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_order_status": oracles.pivot_orders_sql(),
         "retention_cohorts_weekly": oracles.retention_cohorts_sql(),
         "rolling_value_7d": oracles.rolling_window_agg_sql(),
+        "histogram_equidepth_totalprice": oracles.equidepth_histogram_sql(),
     }
     return ext | {
         "view_tpch_q1": """

@@ -186,3 +186,36 @@ class TestRollingWindowAgg:
         )
         out = {r.event_id: r for r in rolling_window_agg(df, "user_id", "ts", "v").collect()}
         assert out[1].roll_sum == 1.0 and out[2].roll_sum == 5.0
+
+
+class TestEquidepthHistogram:
+    def test_equal_counts_and_boundaries(self, spark):
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "v double"
+        )
+        from topnotch_spark.operators.profile import equidepth_histogram
+        out = {r.bucket: r for r in
+               equidepth_histogram(df, "v", n_buckets=4).collect()}
+        assert sum(r.n_rows for r in out.values()) == 100
+        assert set(out) == {0, 1, 2, 3}
+        # ~25 per bucket on uniform data
+        assert all(20 <= r.n_rows <= 30 for r in out.values())
+        assert out[0].lo_bound is None and out[3].hi_bound is None
+        assert out[1].lo_bound == out[0].hi_bound
+
+    def test_nulls_excluded_and_skew_survives(self, spark):
+        from topnotch_spark.operators.profile import equidepth_histogram
+        rows = [(1.0,)] * 50 + [(1e9,)] * 50 + [(None,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = equidepth_histogram(df, "v", n_buckets=2).collect()
+        assert sum(r.n_rows for r in out) == 100  # NULL dropped
+        # equal-width would put all mass in one bar; equi-depth splits it
+        assert len(out) == 2
+
+    def test_approx_path_runs(self, spark):
+        from topnotch_spark.operators.profile import equidepth_histogram
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "v double"
+        )
+        out = equidepth_histogram(df, "v", n_buckets=4, exact=False).collect()
+        assert sum(r.n_rows for r in out) == 100

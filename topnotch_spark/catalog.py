@@ -1502,7 +1502,17 @@ def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.temporal import rolling_window_agg
 
     return rolling_window_agg(
-        load(spark, sf_dir, "events"), "user_id", "ts", "value"
+        load(spark, sf_dir, "events"), "user_id", "ts", "value", decimals=2
+    )
+
+
+def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of o_totalprice (exact percentile
+    boundaries broadcast, bounded bucket groupBy)."""
+    from topnotch_spark.operators.profile import equidepth_histogram
+
+    return equidepth_histogram(
+        load(spark, sf_dir, "orders"), "o_totalprice", n_buckets=10
     )
 
 
@@ -1560,6 +1570,7 @@ ALL = {
     "pivot_order_status": pivot_order_status,
     "retention_cohorts_weekly": retention_cohorts_weekly,
     "rolling_value_7d": rolling_value_7d,
+    "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

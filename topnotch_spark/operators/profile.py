@@ -232,3 +232,71 @@ def pivot_counts(
                 cnt_name, F.coalesce(F.col(f"`{cnt_name}`"), F.lit(0))
             )
     return out
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    exact: bool = True,
+    round_digits: int = 6,
+    percentile_accuracy: int = 10_000,
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram: bucket boundaries at the
+    i/n_buckets exact interpolated percentiles, then one distributed
+    groupBy over the bucket index — the data-skew-proof histogram
+    (equal-WIDTH histograms collapse onto one bar under heavy tails).
+
+    Two jobs: a 1-row boundary aggregate (exact `percentile`, the same
+    type-7 definition as DuckDB's quantile_cont; ``exact=False`` swaps
+    in the t-digest sketch for the 100 TB path) broadcast to the rows,
+    then a bucket groupBy with map-side partial aggregation (≤ n_buckets
+    rows shuffle). Ties land in the LOWER bucket (bucket = count of
+    boundaries strictly below the value); NULLs are excluded."""
+    probs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    src = df.filter(F.col(value_col).isNotNull())
+    num = F.col(value_col).cast("double")
+    if exact:
+        bounds = src.agg(F.percentile(num, probs).alias("__bounds__"))
+    else:
+        plist = ", ".join(
+            f"{i / n_buckets}D" for i in range(1, n_buckets)
+        )
+        bounds = src.agg(
+            F.expr(
+                f"transform(approx_percentile(CAST({value_col} AS DOUBLE), "
+                f"array({plist}), {percentile_accuracy}), x -> CAST(x AS DOUBLE))"
+            ).alias("__bounds__")
+        )
+    base = src.crossJoin(F.broadcast(bounds))
+    bucket = F.size(F.filter(F.col("__bounds__"), lambda b: b < num))
+    return (
+        base.select(
+            bucket.alias("bucket"),
+            num.alias("__v__"),
+            F.col("__bounds__"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("__v__"), round_digits).alias("min_value"),
+            F.round(F.max("__v__"), round_digits).alias("max_value"),
+            F.round(F.avg("__v__"), round_digits).alias("avg_value"),
+            F.round(
+                F.when(
+                    F.col("bucket") > 0,
+                    F.element_at(F.first("__bounds__"), F.col("bucket")),
+                ),
+                round_digits,
+            ).alias("lo_bound"),
+            F.round(
+                F.when(
+                    F.col("bucket") < n_buckets - 1,
+                    F.element_at(F.first("__bounds__"), F.col("bucket") + 1),
+                ),
+                round_digits,
+            ).alias("hi_bound"),
+        )
+    )

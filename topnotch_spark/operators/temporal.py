@@ -440,6 +440,7 @@ def rolling_window_agg(
     value_col: str,
     window_seconds: int = 7 * 86400,
     round_digits: int = 6,
+    decimals: int | None = None,
 ) -> DataFrame:
     """Trailing time-range rolling aggregate per key: for every event,
     count/sum/avg of `value_col` over the preceding `window_seconds`
@@ -452,7 +453,15 @@ def rolling_window_agg(
     regardless of physical order, which is what makes the result
     deterministic (and oracle-reproducible) without a tiebreak column.
     State per key is the in-frame buffer — bounded by event rate ×
-    window length, the same bound a streaming watermark would give."""
+    window length, the same bound a streaming watermark would give.
+
+    ``decimals``: when the value column is fixed-point (currency, 2dp
+    metrics), pass its decimal count and the windowed sum runs over
+    SCALED INTEGERS — exact, overflow-safe to ~9e18/scale, and
+    independent of each engine's frame-summation order (double sums over
+    large frames differ by ulps between Spark's incremental pass and an
+    oracle's segment tree, which a value-hash gate sees). The avg is a
+    single division of the exact sum, so it is bit-identical too."""
     # cast normalizes TIMESTAMP_NTZ (raw parquet reads) to the LTZ type
     # unix_micros requires; a same-type cast is a Catalyst no-op
     w = (
@@ -460,9 +469,16 @@ def rolling_window_agg(
         .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
+    n = F.count(F.col(value_col)).over(w)
+    if decimals is not None:
+        scale = 10 ** decimals
+        cents = F.round(F.col(value_col) * scale).cast("long")
+        s = F.sum(cents).over(w) / F.lit(float(scale))
+    else:
+        s = F.sum(F.col(value_col)).over(w)
     return df.select(
         *df.columns,
-        F.count(F.col(value_col)).over(w).alias("roll_n"),
-        F.round(F.sum(F.col(value_col)).over(w), round_digits).alias("roll_sum"),
-        F.round(F.avg(F.col(value_col)).over(w), round_digits).alias("roll_avg"),
+        n.alias("roll_n"),
+        F.round(s, round_digits).alias("roll_sum"),
+        F.round(s / n.cast("double"), round_digits).alias("roll_avg"),
     )

@@ -568,22 +568,49 @@ def token_entropy(
     gibberish/boilerplate signal: near-0 means one token dominates
     (repeated boilerplate), near-1 means maximally mixed vocabulary.
 
-    Zero-shuffle: a single codegen'd projection per row. The inner
-    p*log2(p) fold runs over the SORTED distinct-token array so the
-    float summation order is deterministic and engine-independent
-    (matched by the DuckDB oracle at the same rounding)."""
+    Zero-shuffle: a single codegen'd projection per row, O(n log n) in
+    the row's own token count. Entropy comes from the identity
+    H = log2(n) - (Σ c·log2 c)/n where c are the per-token counts,
+    computed as ONE run-length fold over the SORTED token array — never
+    the naive Σ p·log2 p over distinct tokens, whose inner
+    count-filter makes the projection O(distinct × n) and re-evaluates
+    the tokenizer per distinct token (measured 20×+ slower at sf0.1).
+    greatest(·, 0) clamps the ±1-ulp negatives of the subtraction so
+    single-run docs are exactly 0.0 in both engines."""
     toks = tokens(text_col)
     n = F.size(toks)
-    dt = F.array_sort(F.array_distinct(toks))
-    nd = F.size(dt)
-    p_of = lambda t: F.size(F.filter(toks, lambda x: x == t)) / n.cast("double")  # noqa: E731
-    ent = -F.aggregate(
-        dt,
-        F.lit(0.0),
-        lambda acc, t: acc + p_of(t) * F.log2(p_of(t)),
+    st = F.array_sort(toks)
+    nd = F.size(F.array_distinct(toks))
+    # fold state: (prev token, current run length, Σ c·log2 c so far)
+    c_log2_c = (
+        lambda c: c.cast("double") * F.log2(c.cast("double"))  # noqa: E731
     )
-    # + 0.0 folds IEEE -0.0 (single-token docs) to +0.0 in both engines
-    ent = F.when(n > 0, ent + F.lit(0.0)).otherwise(F.lit(0.0))
+    acc = F.aggregate(
+        st,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("tot"),
+        ),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias(
+                "run"
+            ),
+            (
+                a["tot"]
+                + F.when(
+                    (a["run"] > 0) & (t != a["prev"]), c_log2_c(a["run"])
+                ).otherwise(F.lit(0.0))
+            ).alias("tot"),
+        ),
+        lambda a: a["tot"]
+        + F.when(a["run"] > 0, c_log2_c(a["run"])).otherwise(F.lit(0.0)),
+    )
+    ent = F.when(
+        n > 0,
+        F.greatest(F.log2(n.cast("double")) - acc / n.cast("double"), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
     norm = F.when(nd > 1, ent / F.log2(nd.cast("double"))).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),

@@ -2258,20 +2258,29 @@ def text_bigram_logprob_sql(k: float = 1.0, round_digits: int = 4) -> str:
 
 
 def token_entropy_sql(round_digits: int = 6) -> str:
-    """Mirror of textqc.token_entropy: -sum(p*log2(p)) over the SORTED
-    distinct-token list (same fold order as Spark's aggregate), +0.0 to
-    fold -0.0, normalized by log2(n_distinct)."""
-    p = "(len(list_filter(__t__, x -> x = t)) / CAST(len(__t__) AS DOUBLE))"
+    """Mirror of textqc.token_entropy: H = log2(n) - (Σ c·log2 c)/n via
+    per-token counts (greatest-clamped at 0, the same identity the Spark
+    run-length fold computes); ±ulp summation-order noise is absorbed by
+    the shared rounding."""
     return f"""
         {_DOC_BASE},
+        tok AS (SELECT doc_id, unnest(__t__) AS token FROM toked),
+        cnt AS (
+          SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+        ),
+        s AS (
+          SELECT doc_id,
+                 sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+          FROM cnt GROUP BY doc_id
+        ),
         ent AS (
-          SELECT doc_id, len(__t__) AS n, len(list_distinct(__t__)) AS nd,
-                 CASE WHEN len(__t__) > 0 THEN
-                   coalesce(-list_sum(list_transform(
-                     list_sort(list_distinct(__t__)),
-                     t -> {p} * log2({p}))), 0.0) + 0.0
+          SELECT t.doc_id, len(t.__t__) AS n,
+                 len(list_distinct(t.__t__)) AS nd,
+                 CASE WHEN len(t.__t__) > 0 THEN
+                   greatest(log2(CAST(len(t.__t__) AS DOUBLE))
+                            - s.clogc / CAST(len(t.__t__) AS DOUBLE), 0.0)
                  ELSE 0.0 END AS e
-          FROM toked
+          FROM toked t LEFT JOIN s ON t.doc_id = s.doc_id
         )
         SELECT doc_id,
                CAST(n AS INTEGER) AS n_tokens,
@@ -2405,21 +2414,65 @@ def retention_cohorts_sql(round_digits: int = 6) -> str:
 
 
 def rolling_window_agg_sql(
-    window_seconds: int = 7 * 86400, round_digits: int = 6
+    window_seconds: int = 7 * 86400, round_digits: int = 6, decimals: int = 2
 ) -> str:
-    """Mirror of temporal.rolling_window_agg on events/user_id/value:
-    RANGE frame over integer epoch microseconds (epoch_us == Spark
-    unix_micros), trailing window inclusive of peers."""
+    """Mirror of temporal.rolling_window_agg(decimals=2) on
+    events/user_id/value: RANGE frame over integer epoch microseconds
+    (epoch_us == Spark unix_micros), trailing window inclusive of peers.
+    The frame sum runs over scaled integers so it is exact and immune to
+    each engine's float summation order; the avg is one division of that
+    exact sum (bit-identical across engines)."""
     lo = window_seconds * 1_000_000
+    scale = 10 ** decimals
     frame = (
         f"OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) "
         f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW)"
     )
+    s = (
+        f"(CAST(sum(CAST(round(value * {scale}) AS BIGINT)) {frame} AS DOUBLE)"
+        f" / {float(scale)})"
+    )
+    n = f"count(value) {frame}"
     return f"""
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
                value, props,
-               CAST(count(value) {frame} AS BIGINT) AS roll_n,
-               round(sum(value) {frame}, {round_digits}) AS roll_sum,
-               round(avg(value) {frame}, {round_digits}) AS roll_avg
+               CAST({n} AS BIGINT) AS roll_n,
+               round({s}, {round_digits}) AS roll_sum,
+               round({s} / CAST({n} AS DOUBLE), {round_digits}) AS roll_avg
         FROM events
+    """
+
+
+def equidepth_histogram_sql(
+    table: str = "orders",
+    value_col: str = "o_totalprice",
+    n_buckets: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of profile.equidepth_histogram: quantile_cont boundaries
+    (type-7, == Spark exact percentile), ties to the lower bucket."""
+    probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    return f"""
+        WITH src AS (
+          SELECT CAST({value_col} AS DOUBLE) AS v FROM {table}
+          WHERE {value_col} IS NOT NULL
+        ),
+        b AS (SELECT quantile_cont(v, [{probs}]) AS bounds FROM src),
+        tagged AS (
+          SELECT v, CAST(len(list_filter(bounds, x -> x < v)) AS INTEGER)
+                   AS bucket, bounds
+          FROM src, b
+        )
+        SELECT bucket,
+               count(*) AS n_rows,
+               round(min(v), {round_digits}) AS min_value,
+               round(max(v), {round_digits}) AS max_value,
+               round(avg(v), {round_digits}) AS avg_value,
+               round(CASE WHEN bucket > 0
+                     THEN any_value(bounds)[bucket] END,
+                     {round_digits}) AS lo_bound,
+               round(CASE WHEN bucket < {n_buckets - 1}
+                     THEN any_value(bounds)[bucket + 1] END,
+                     {round_digits}) AS hi_bound
+        FROM tagged GROUP BY bucket
     """

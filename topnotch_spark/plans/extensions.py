@@ -300,10 +300,13 @@ class AsofCmd(Command):
 @dataclass(frozen=True)
 class ProfileCmd(Command):
     """{"command": "profile", "params": {["columns"], ["exact"],
-    ["roundDigits"]}} — single-pass column statistics."""
+    ["roundDigits"]}} — single-pass column statistics; or
+    {"params": {"histogramColumn", ["nBuckets", "exact", "roundDigits"]}}
+    — equi-depth histogram of one column."""
 
     input: Input = None  # type: ignore[assignment]
     columns: tuple[str, ...] | None = None
+    histogram_column: str | None = None
     options: dict = field(default_factory=dict)
 
     @classmethod
@@ -312,14 +315,20 @@ class ProfileCmd(Command):
         return cls(
             input=Input.from_json(obj["input"]),
             columns=tuple(p["columns"]) if "columns" in p else None,
-            options=_opt(p, "exact", "roundDigits"),
+            histogram_column=p.get("histogramColumn"),
+            options=_opt(p, "exact", "roundDigits", "nBuckets"),
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.profile import profile_columns
+        from topnotch_spark.operators.profile import (
+            equidepth_histogram,
+            profile_columns,
+        )
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.histogram_column is not None:
+            return equidepth_histogram(df, self.histogram_column, **self.options)
         cols = list(self.columns) if self.columns is not None else None
         return profile_columns(df, cols, **self.options)
 
