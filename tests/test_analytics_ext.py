@@ -219,3 +219,88 @@ class TestEquidepthHistogram:
         )
         out = equidepth_histogram(df, "v", n_buckets=4, exact=False).collect()
         assert sum(r.n_rows for r in out) == 100
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5), "L")],
+            "event_id long, user_id long, ts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(3), 100), (10, _ts(8), 200)],
+            "user_id long, ts timestamp, rid long",
+        )
+        return left, right
+
+    def _join(self, left, right, **kw):
+        from topnotch_spark.operators.temporal import asof_join
+        return asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], **kw
+        ).first()
+
+    def test_forward_picks_earliest_at_or_after(self, spark):
+        left, right = self._frames(spark)
+        row = self._join(left, right, direction="forward")
+        assert row.rid_right == 200
+
+    def test_forward_equality_matches(self, spark):
+        from topnotch_spark.operators.temporal import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, _ts(8))], "event_id long, user_id long, ts timestamp"
+        )
+        _, right = self._frames(spark)
+        row = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], direction="forward",
+        ).first()
+        assert row.rid_right == 200
+
+    def test_nearest_prefers_closer_side(self, spark):
+        left, right = self._frames(spark)
+        # left at day 5: backward gap 2d, forward gap 3d -> backward
+        row = self._join(left, right, direction="nearest")
+        assert row.rid_right == 100
+
+    def test_nearest_tie_resolves_backward(self, spark):
+        from topnotch_spark.operators.temporal import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(3), 1), (10, _ts(7), 2)],
+            "user_id long, ts timestamp, rid long",
+        )
+        row = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], direction="nearest",
+        ).first()
+        assert row.rid_right == 1
+
+    def test_nearest_falls_through_null_side(self, spark):
+        from topnotch_spark.operators.temporal import asof_join
+        left = spark.createDataFrame(
+            [(1, 10, _ts(1))], "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(10, _ts(9), 7)], "user_id long, ts timestamp, rid long"
+        )
+        row = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], direction="nearest",
+        ).first()
+        assert row.rid_right == 7  # no backward match exists
+
+    def test_forward_tolerance_nulls_far_matches(self, spark):
+        left, right = self._frames(spark)
+        row = self._join(
+            left, right, direction="forward", tolerance_seconds=86400
+        )
+        assert row.rid_right is None  # forward gap is 3 days
+
+    def test_unknown_direction_raises(self, spark):
+        left, right = self._frames(spark)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="direction"):
+            self._join(left, right, direction="sideways")

@@ -1516,6 +1516,37 @@ def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: the user's nearest click in time (backward
+    OR forward, ties to backward — pandas merge_asof 'nearest'). Same
+    single-shuffle merge-sorted shape as the backward join; the forward
+    carry reuses the exchange with a second window order."""
+    from topnotch_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter("event_type = 'error'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter("__rn__ = 1")
+        .drop("__rn__")
+    )
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        suffix="_click",
+        direction="nearest",
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1571,6 +1602,7 @@ ALL = {
     "retention_cohorts_weekly": retention_cohorts_weekly,
     "rolling_value_7d": rolling_value_7d,
     "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
+    "asof_nearest_click": asof_nearest_click,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

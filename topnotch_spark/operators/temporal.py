@@ -37,16 +37,30 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_right",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: each left row gains the payload of the latest
-    right row with ``right_ts <= left_ts`` (equality matches), same keys.
+    """Left as-of join: each left row gains the payload of the
+    ``direction``-matched right row sharing the keys (equality matches
+    in every direction — pandas merge_asof semantics):
+
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``
+    - ``forward``: earliest right with ``right_ts >= left_ts``
+    - ``nearest``: whichever of the two is closer in time (exact ties
+      resolve to the backward match)
 
     ``right_cols``: right payload columns to carry (emitted with
     ``suffix``; the matched timestamp is ``<right_ts><suffix>``).
-    ``tolerance_seconds``: matches older than the tolerance are nulled.
-    Right-side ties on (keys, ts) resolve to the row latest in
-    ``right_cols[0]`` order — pre-deduplicate if that matters.
+    ``tolerance_seconds``: matches farther than the tolerance are nulled
+    (for ``nearest``, BEFORE choosing the closer side).
+    Right-side ties on (keys, ts) resolve arbitrarily — pre-deduplicate
+    if that matters.
+
+    Execution shape is unchanged by direction: tag + union + window
+    carry over ONE shuffle on the keys; ``nearest`` adds a second
+    window ORDER (reusing the same exchange) for the forward carry.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction}")
     payload = F.struct(
         F.col(right_ts).alias("__ts__"), *[F.col(c) for c in right_cols]
     )
@@ -64,29 +78,77 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload__"].dataType).alias("__payload__"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts => equality matches
-    w = (
+    # backward: right rows sort BEFORE left at equal ts (side asc) so an
+    # equal-ts right row is inside the trailing frame; forward mirrors
+    # with side desc so it is inside the leading frame.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__evt_ts__").asc(), F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(
-        "__match__", F.last("__payload__", ignorenulls=True).over(w)
-    ).filter(F.col("__side__") == 1)
-    matched_ts = F.col("__match__.__ts__")
-    if tolerance_seconds is not None:
-        in_tol = (
-            F.unix_micros(F.col(left_ts).cast("timestamp"))
-            - F.unix_micros(matched_ts.cast("timestamp"))
-            <= tolerance_seconds * 1_000_000
-        )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__evt_ts__").asc(), F.col("__side__").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned
+    matches = {}
+    if direction in ("backward", "nearest"):
         carried = carried.withColumn(
-            "__match__", F.when(in_tol, F.col("__match__"))
+            "__m_back__", F.last("__payload__", ignorenulls=True).over(w_back)
         )
-        matched_ts = F.col("__match__.__ts__")
+        matches["__m_back__"] = True
+    if direction in ("forward", "nearest"):
+        carried = carried.withColumn(
+            "__m_fwd__", F.first("__payload__", ignorenulls=True).over(w_fwd)
+        )
+        matches["__m_fwd__"] = True
+    carried = carried.filter(F.col("__side__") == 1)
+
+    left_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+
+    def _tol(col_name: str, signed_gap) -> None:
+        if tolerance_seconds is None:
+            return
+        in_tol = signed_gap <= tolerance_seconds * 1_000_000
+        nonlocal carried
+        carried = carried.withColumn(
+            col_name, F.when(in_tol, F.col(col_name))
+        )
+
+    if "__m_back__" in matches:
+        _tol(
+            "__m_back__",
+            left_us
+            - F.unix_micros(F.col("__m_back__.__ts__").cast("timestamp")),
+        )
+    if "__m_fwd__" in matches:
+        _tol(
+            "__m_fwd__",
+            F.unix_micros(F.col("__m_fwd__.__ts__").cast("timestamp"))
+            - left_us,
+        )
+    if direction == "backward":
+        match = F.col("__m_back__")
+    elif direction == "forward":
+        match = F.col("__m_fwd__")
+    else:
+        back_gap = left_us - F.unix_micros(
+            F.col("__m_back__.__ts__").cast("timestamp")
+        )
+        fwd_gap = (
+            F.unix_micros(F.col("__m_fwd__.__ts__").cast("timestamp")) - left_us
+        )
+        match = (
+            F.when(F.col("__m_back__").isNull(), F.col("__m_fwd__"))
+            .when(F.col("__m_fwd__").isNull(), F.col("__m_back__"))
+            .when(back_gap <= fwd_gap, F.col("__m_back__"))
+            .otherwise(F.col("__m_fwd__"))
+        )
+    carried = carried.withColumn("__match__", match)
     out = carried.select(
         *l_cols,
-        matched_ts.alias(f"{right_ts}{suffix}"),
+        F.col("__match__.__ts__").alias(f"{right_ts}{suffix}"),
         *[F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out

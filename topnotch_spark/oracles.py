@@ -2476,3 +2476,48 @@ def equidepth_histogram_sql(
                      {round_digits}) AS hi_bound
         FROM tagged GROUP BY bucket
     """
+
+
+def asof_nearest_click_sql() -> str:
+    """Mirror of catalog.asof_nearest_click: two native DuckDB ASOF
+    joins (backward >= and forward <=) with the closer match chosen per
+    row, ties to backward — pandas merge_asof 'nearest' semantics."""
+    pick = (
+        "CASE WHEN b.bts IS NULL THEN f.{f} "
+        "WHEN f.fts IS NULL THEN b.{b} "
+        "WHEN epoch_us(e.ts) - epoch_us(b.bts) "
+        "  <= epoch_us(f.fts) - epoch_us(e.ts) THEN b.{b} "
+        "ELSE f.{f} END"
+    )
+    return f"""
+        WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'error'
+        ),
+        c0 AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                   ORDER BY event_id DESC
+                 ) AS rn
+          FROM events WHERE event_type = 'click'
+        ),
+        c AS (SELECT user_id, ts, event_id, value FROM c0 WHERE rn = 1),
+        b AS (
+          SELECT e.event_id, c.ts AS bts, c.event_id AS bid, c.value AS bval
+          FROM e ASOF LEFT JOIN c
+            ON e.user_id = c.user_id AND e.ts >= c.ts
+        ),
+        f AS (
+          SELECT e.event_id, c.ts AS fts, c.event_id AS fid, c.value AS fval
+          FROM e ASOF LEFT JOIN c
+            ON e.user_id = c.user_id AND e.ts <= c.ts
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               {pick.format(b='bts', f='fts')} AS ts_click,
+               {pick.format(b='bid', f='fid')} AS event_id_click,
+               {pick.format(b='bval', f='fval')} AS value_click
+        FROM e
+        LEFT JOIN b ON e.event_id = b.event_id
+        LEFT JOIN f ON e.event_id = f.event_id
+    """

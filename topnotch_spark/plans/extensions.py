@@ -255,7 +255,7 @@ class SimilarityCmd(Command):
 class AsofCmd(Command):
     """{"command": "asof", "left": <input>, "right": <input>,
     "params": {"on": [...], "leftTs", "rightTs", "rightCols",
-    ["suffix", "toleranceSeconds"]}}"""
+    ["suffix", "toleranceSeconds", "direction": backward|forward|nearest]}}"""
 
     left: Input = None  # type: ignore[assignment]
     right: Input = None  # type: ignore[assignment]
@@ -279,7 +279,7 @@ class AsofCmd(Command):
             left_ts=p["leftTs"],
             right_ts=p["rightTs"],
             right_cols=tuple(p["rightCols"]),
-            options=_opt(p, "suffix", "toleranceSeconds"),
+            options=_opt(p, "suffix", "toleranceSeconds", "direction"),
             **cls._common(obj),
         )
 
