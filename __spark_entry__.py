@@ -149,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "asof_error_click": oracles.asof_error_click_sql(),
         "asof_nearest_click": oracles.asof_nearest_click_sql(),
+        "fuzzy_customer_names": oracles.fuzzy_match_sql(),
         "range_join_events": oracles.range_join_events_sql(3600),
         "multimodal_byte_stats": oracles.multimodal_byte_stats_sql(),
         "multimodal_blob_dedup": oracles.multimodal_blob_dedup_sql(),

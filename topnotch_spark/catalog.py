@@ -1547,6 +1547,17 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution demo: all customer-name pairs within edit
+    distance 1 via SymSpell deletion-neighborhood blocking (complete for
+    d<=1, one equi-join on deletion keys — never n²)."""
+    from topnotch_spark.operators.fuzzy import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        load(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1603,6 +1614,7 @@ ALL = {
     "rolling_value_7d": rolling_value_7d,
     "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
     "asof_nearest_click": asof_nearest_click,
+    "fuzzy_customer_names": fuzzy_customer_names,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

@@ -175,6 +175,8 @@ class TnEngine:
             table_name=cmd.table_name,
             partition_by=list(cmd.partition_by) or None,
             output_format=cmd.output_format,
+            sort_by=list(cmd.sort_by) or None,
+            sort_partitions=cmd.sort_partitions,
         )
 
     @staticmethod

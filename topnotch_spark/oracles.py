@@ -2521,3 +2521,35 @@ def asof_nearest_click_sql() -> str:
         LEFT JOIN b ON e.event_id = b.event_id
         LEFT JOIN f ON e.event_id = f.event_id
     """
+
+
+def fuzzy_match_sql(
+    table: str = "customer",
+    id_col: str = "c_custkey",
+    text_col: str = "c_name",
+    max_distance: int = 1,
+) -> str:
+    """Mirror of fuzzy.fuzzy_match_pairs: identical deletion-neighborhood
+    blocking (SymSpell), identical md5 keys, identical unit-cost
+    levenshtein verification."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS id, lower(trim({text_col})) AS s FROM {table}
+          WHERE length(lower(trim({text_col}))) > 0
+        ),
+        keyed AS (
+          SELECT id, s, md5(k) AS k FROM (
+            SELECT id, s, unnest(list_append(
+              list_transform(generate_series(1, length(s)),
+                i -> substr(s, 1, i - 1) || substr(s, i + 1)), s)) AS k
+            FROM base) t
+        ),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.s AS text_a, b.s AS text_b
+          FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
+        )
+        SELECT id_a, id_b, text_a, text_b,
+               CAST(levenshtein(text_a, text_b) AS INTEGER) AS distance
+        FROM pairs WHERE levenshtein(text_a, text_b) <= {max_distance}
+    """

@@ -87,7 +87,7 @@ class DedupCmd(Command):
                 p, "numHashes", "bands", "threshold", "shingleN", "bits",
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
-                "minOccurrences", "nClusters",
+                "minOccurrences", "nClusters", "maxDistance", "maxKeyDf",
             ),
             **cls._common(obj),
         )
@@ -124,6 +124,7 @@ class DedupCmd(Command):
             "clusters": self._clusters,
             "lines": self._lines,
             "spans": D.duplicate_spans,
+            "fuzzy": self._fuzzy,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -141,6 +142,12 @@ class DedupCmd(Command):
         from topnotch_spark.operators.curation import dedup_lines
 
         return dedup_lines(df, id_col, text_col, **opts)
+
+    @staticmethod
+    def _fuzzy(df: DataFrame, id_col: str, text_col: str, **opts) -> DataFrame:
+        from topnotch_spark.operators.fuzzy import fuzzy_match_pairs
+
+        return fuzzy_match_pairs(df, id_col, text_col, **opts)
 
 
 @dataclass(frozen=True)

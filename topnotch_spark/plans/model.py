@@ -28,6 +28,8 @@ class Command:
     # extensions beyond the reference envelope: sink format + layout
     output_format: str = "parquet"
     partition_by: tuple[str, ...] = ()
+    sort_by: tuple[str, ...] = ()
+    sort_partitions: int | None = None
 
     @staticmethod
     def _common(obj: dict) -> dict:
@@ -38,6 +40,8 @@ class Command:
             table_name=obj.get("tableName"),
             output_format=obj.get("outputFormat", "parquet"),
             partition_by=tuple(obj.get("partitionBy", [])),
+            sort_by=tuple(obj.get("sortBy", [])),
+            sort_partitions=obj.get("sortPartitions"),
         )
 
 

@@ -11,6 +11,7 @@ reference's MEMORY_ONLY default at scale) and the modern
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
@@ -27,7 +28,19 @@ def store_output(
     table_name: str | None = None,
     partition_by: list[str] | None = None,
     output_format: str = "parquet",
+    sort_by: list[str] | None = None,
+    sort_partitions: int | None = None,
 ) -> DataFrame:
+    """``sort_by`` writes a DATA-SKIPPING layout: rows are range-
+    repartitioned on the sort columns and sorted within each partition,
+    so every output file covers a disjoint range and parquet/ORC
+    row-group min/max stats prune whole files for range predicates on
+    those columns — the poor-man's Z-order, and the right layout for a
+    100 TB table that is usually filtered on one column (date, id
+    range). Costs ONE range-exchange (sampled boundaries) at write time;
+    reads get `PushedFilters` + file skipping for free afterwards.
+    ``sort_partitions`` fixes the output file count (defaults to the
+    session shuffle parallelism)."""
     if output_format not in _SINK_FORMATS:
         raise ValueError(
             f"Unsupported output format: {output_format!r} "
@@ -37,7 +50,15 @@ def store_output(
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     registry[output_key] = df
     if output_path:
-        writer = df.write.mode("overwrite")
+        out_df = df
+        if sort_by:
+            cols = [F.col(c) for c in sort_by]
+            if sort_partitions is not None:
+                out_df = df.repartitionByRange(sort_partitions, *cols)
+            else:
+                out_df = df.repartitionByRange(*cols)
+            out_df = out_df.sortWithinPartitions(*cols)
+        writer = out_df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if output_format == "csv":
