@@ -491,3 +491,53 @@ def test_output_format_unsupported_raises(spark, tmp_path):
     with _pytest.raises(ValueError, match="Unsupported output format"):
         store_output(spark, df, "x", {}, output_path=str(tmp_path / "x"),
                      output_format="avro")
+
+
+def test_sorted_sink_writes_disjoint_file_ranges(spark, tmp_path):
+    """sortBy layout: every written file must cover a disjoint value
+    range of the sort column (that disjointness is exactly what lets
+    parquet min/max stats prune whole files for range predicates)."""
+    import glob
+
+    from topnotch_spark.sources.outputs import store_output
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_sorted")
+    store_output(
+        spark, df, "sorted", {},
+        output_path=out,
+        sort_by=["o_totalprice"],
+        sort_partitions=4,
+    )
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(
+            {"o_totalprice": "min"}
+        ).collect()[0][0], spark.read.parquet(f).agg(
+            {"o_totalprice": "max"}
+        ).collect()[0][0]
+        ranges.append(mm)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges
+    # nothing lost
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_sorted_sink_rows_sorted_within_files(spark, tmp_path):
+    from topnotch_spark.sources.outputs import store_output
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "cast(hash(id) as double) as v"
+    )
+    out = str(tmp_path / "sorted_v")
+    store_output(
+        spark, df, "s", {}, output_path=out, sort_by=["v"], sort_partitions=2
+    )
+    import glob
+
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        vals = [r.v for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)
