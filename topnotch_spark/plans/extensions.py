@@ -47,7 +47,7 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 @dataclass(frozen=True)
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
-    jaccard|containment|simhash|embedding|clusters|lines|spans,
+    jaccard|containment|simhash|embedding|clusters|lines|spans|fuzzy,
     "idColumn",
     "textColumn"|"vecColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
