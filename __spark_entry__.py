@@ -177,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "streaming_window_metrics": oracles.streaming_window_metrics_sql(),
+        "streaming_sliding_metrics": oracles.streaming_sliding_metrics_sql(),
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(
             catalog.STREAM_RULES

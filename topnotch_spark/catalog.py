@@ -934,6 +934,27 @@ def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (2h window, 1h slide) —
+    each event lands in duration/slide = 2 overlapping windows; state
+    per key is windows-per-slide × groups, watermark-evicted."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+        windowed_event_metrics,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        windowed_event_metrics(
+            stream, window_duration="2 hours", slide="1 hour"
+        ),
+        output_mode="complete",
+    )
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful gap-sessionization (applyInPandasWithState) over the
     events stream. Emits every session CLOSED by the final watermark:
@@ -1615,6 +1636,7 @@ ALL = {
     "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
     "asof_nearest_click": asof_nearest_click,
     "fuzzy_customer_names": fuzzy_customer_names,
+    "streaming_sliding_metrics": streaming_sliding_metrics,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

@@ -2553,3 +2553,31 @@ def fuzzy_match_sql(
                CAST(levenshtein(text_a, text_b) AS INTEGER) AS distance
         FROM pairs WHERE levenshtein(text_a, text_b) <= {max_distance}
     """
+
+
+def streaming_sliding_metrics_sql() -> str:
+    """Batch equivalent of the 2h-window/1h-slide streaming aggregation:
+    every event belongs to exactly duration/slide = 2 hourly-aligned
+    windows (Spark's window() start alignment == time_bucket)."""
+    return """
+        WITH base AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        ),
+        w AS (
+          SELECT unnest([
+                   time_bucket(INTERVAL 1 HOUR, ts),
+                   time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR
+                 ]) AS window_start,
+                 ts, event_type, value
+          FROM base
+        )
+        SELECT window_start,
+               window_start + INTERVAL 2 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(round(sum(value), 6) / count(*), 6) AS avg_value
+        FROM w
+        WHERE ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
+        GROUP BY 1, 2, 3
+    """
