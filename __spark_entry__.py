@@ -228,6 +228,19 @@ def oracle_sql() -> dict[str, str]:
         "histogram_equidepth_totalprice": oracles.equidepth_histogram_sql(),
     }
     return ext | {
+        "view_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_small_orders
+            FROM lineitem l1
+            JOIN part p ON p.p_partkey = l1.l_partkey
+            WHERE p.p_brand = 'Brand#2'
+              AND p.p_type = 'ECONOMY'
+              AND l1.l_quantity < (
+                    SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey
+              )
+        """,
         "view_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                        AS sum_qty,

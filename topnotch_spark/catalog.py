@@ -1579,6 +1579,34 @@ def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery via the view operator:
+    yearly revenue lost if small-quantity orders (below 20% of the
+    part's own average quantity) were not taken. Exercises Catalyst's
+    correlated-subquery decorrelation (rewritten to an aggregate +
+    join — no per-row re-scan)."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")],
+        ViewParams(
+            ("lineitem_v", "part_v"),
+            """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_small_orders
+            FROM lineitem_v l1
+            JOIN part_v p ON p.p_partkey = l1.l_partkey
+            WHERE p.p_brand = 'Brand#2'
+              AND p.p_type = 'ECONOMY'
+              AND l1.l_quantity < (
+                    SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem_v l2
+                    WHERE l2.l_partkey = l1.l_partkey
+              )
+            """,
+        ),
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1637,6 +1665,7 @@ ALL = {
     "asof_nearest_click": asof_nearest_click,
     "fuzzy_customer_names": fuzzy_customer_names,
     "streaming_sliding_metrics": streaming_sliding_metrics,
+    "view_small_qty_revenue": view_small_qty_revenue,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,
