@@ -79,3 +79,42 @@ def test_ks_both_sides_empty_single_row(spark):
     empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
     row = ks_statistic(empty, empty, "x").collect()[0]
     assert row["ks_stat"] is None and row["n_ref"] == 0 and row["n_cur"] == 0
+
+
+class TestChi2Drift:
+    def test_identical_distributions_zero_stat(self, spark):
+        from topnotch_spark.operators.drift import chi2_drift
+
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 4, "c string"
+        )
+        out = chi2_drift(df, df, "c").collect()
+        assert sum(r.chi2_term for r in out) == 0.0
+        assert {r.category for r in out} == {"a", "b"}
+
+    def test_shifted_mix_positive_stat_and_counts(self, spark):
+        from topnotch_spark.operators.drift import chi2_drift
+
+        ref = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "c string")
+        cur = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, "c string")
+        out = {r.category: r for r in chi2_drift(ref, cur, "c").collect()}
+        assert out["a"].n_ref == 8 and out["a"].n_cur == 2
+        total = sum(r.chi2_term for r in out.values())
+        # hand-computed 2x2 chi-square: N=20, all expected cells = 5 -> 7.2
+        assert abs(total - 7.2) < 1e-6
+
+    def test_category_missing_on_one_side(self, spark):
+        from topnotch_spark.operators.drift import chi2_drift
+
+        ref = spark.createDataFrame([("a",)] * 5, "c string")
+        cur = spark.createDataFrame([("a",)] * 3 + [("z",)] * 2, "c string")
+        out = {r.category: r for r in chi2_drift(ref, cur, "c").collect()}
+        assert out["z"].n_ref == 0 and out["z"].n_cur == 2
+        assert out["z"].chi2_term > 0
+
+    def test_nulls_folded_to_sentinel(self, spark):
+        from topnotch_spark.operators.drift import chi2_drift
+
+        ref = spark.createDataFrame([("a",), (None,)], "c string")
+        out = chi2_drift(ref, ref, "c").collect()
+        assert {r.category for r in out} == {"a", "__NULL__"}

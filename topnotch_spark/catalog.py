@@ -1607,6 +1607,21 @@ def view_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_chi2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square categorical drift of o_orderpriority vs a
+    deterministic perturbation (every 7th order forced to 1-URGENT)."""
+    from topnotch_spark.operators.drift import chi2_drift
+
+    orders = load(spark, sf_dir, "orders")
+    cur = orders.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.lit("1-URGENT")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return chi2_drift(orders, cur, "o_orderpriority")
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1666,6 +1681,7 @@ ALL = {
     "fuzzy_customer_names": fuzzy_customer_names,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "view_small_qty_revenue": view_small_qty_revenue,
+    "drift_chi2_priority": drift_chi2_priority,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

@@ -231,3 +231,53 @@ def psi(
         .collect()[0]
     )
     return float(row[0])
+
+
+def chi2_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Chi-square two-sample homogeneity test for a CATEGORICAL column —
+    the categorical complement of PSI/KS: did the category mix shift
+    between the reference and current datasets? One row per category
+    with both counts, shares, and the category's chi-square contribution
+    ((O-E)²/E summed over both cells, expected counts under the pooled
+    mix); sum(chi2_term) vs the chi-square critical value at k-1 dof is
+    the caller's accept/reject.
+
+    NULL categories are folded into the '__NULL__' bucket (a full-outer
+    join on a raw NULL key would never match across sides). Two bounded
+    groupBys (map-side combined, |categories| rows each), one outer
+    join, frame-wide totals over k rows — scan-bound at any scale."""
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("__NULL__"))
+    r = ref.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = cur.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    joined = (
+        r.join(c, "category", "full_outer").na.fill(0, ["n_ref", "n_cur"])
+    )
+    w = Window.partitionBy()
+    nr = F.sum("n_ref").over(w).cast("double")
+    nc = F.sum("n_cur").over(w).cast("double")
+    row_total = (F.col("n_ref") + F.col("n_cur")).cast("double")
+    grand = nr + nc
+    e_ref = row_total * nr / grand
+    e_cur = row_total * nc / grand
+    term = F.when(
+        (e_ref > 0) & (e_cur > 0),
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur,
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("n_ref") / nr, round_digits).alias("frac_ref"),
+        F.round(F.col("n_cur") / nc, round_digits).alias("frac_cur"),
+        F.round(term, round_digits).alias("chi2_term"),
+    )

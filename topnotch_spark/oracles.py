@@ -2581,3 +2581,53 @@ def streaming_sliding_metrics_sql() -> str:
         WHERE ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
         GROUP BY 1, 2, 3
     """
+
+
+def drift_chi2_priority_sql(round_digits: int = 6) -> str:
+    """Mirror of catalog.drift_chi2_priority: chi-square homogeneity
+    terms per category, same pooled-expectation arithmetic, NULLs folded
+    to '__NULL__'."""
+    return f"""
+        WITH ref AS (
+          SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '__NULL__')
+                   AS category, count(*) AS n_ref
+          FROM orders GROUP BY 1
+        ),
+        cur0 AS (
+          SELECT CASE WHEN o_orderkey % 7 = 0 THEN '1-URGENT'
+                      ELSE o_orderpriority END AS p
+          FROM orders
+        ),
+        cur AS (
+          SELECT coalesce(CAST(p AS VARCHAR), '__NULL__') AS category,
+                 count(*) AS n_cur
+          FROM cur0 GROUP BY 1
+        ),
+        j AS (
+          SELECT coalesce(ref.category, cur.category) AS category,
+                 coalesce(n_ref, 0) AS n_ref,
+                 coalesce(n_cur, 0) AS n_cur
+          FROM ref FULL OUTER JOIN cur ON ref.category = cur.category
+        ),
+        t AS (
+          SELECT *,
+                 CAST(sum(n_ref) OVER () AS DOUBLE) AS nr,
+                 CAST(sum(n_cur) OVER () AS DOUBLE) AS nc
+          FROM j
+        )
+        SELECT category,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(n_ref / nr, {round_digits}) AS frac_ref,
+               round(n_cur / nc, {round_digits}) AS frac_cur,
+               round(CASE WHEN (n_ref + n_cur) * nr / (nr + nc) > 0
+                           AND (n_ref + n_cur) * nc / (nr + nc) > 0 THEN
+                 (n_ref - (n_ref + n_cur) * nr / (nr + nc))
+                 * (n_ref - (n_ref + n_cur) * nr / (nr + nc))
+                 / ((n_ref + n_cur) * nr / (nr + nc))
+                 + (n_cur - (n_ref + n_cur) * nc / (nr + nc))
+                 * (n_cur - (n_ref + n_cur) * nc / (nr + nc))
+                 / ((n_ref + n_cur) * nc / (nr + nc))
+               ELSE 0.0 END, {round_digits}) AS chi2_term
+        FROM t
+    """

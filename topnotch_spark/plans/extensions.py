@@ -424,10 +424,10 @@ class PivotCmd(Command):
 @dataclass(frozen=True)
 class DriftCmd(Command):
     """{"command": "drift", "reference": <input>, "current": <input>,
-    "params": {"column", ["method": psi|ks], ["nBuckets", "eps",
-    "roundDigits", "bins"]}} — PSI histogram drift (default) or
-    two-sample KS (exact, or grid-binned via "bins") between two
-    datasets."""
+    "params": {"column", ["method": psi|ks|chi2], ["nBuckets", "eps",
+    "roundDigits", "bins"]}} — PSI histogram drift (default),
+    two-sample KS (exact, or grid-binned via "bins"), or chi-square
+    categorical homogeneity between two datasets."""
 
     reference: Input = None  # type: ignore[assignment]
     current: Input = None  # type: ignore[assignment]
@@ -452,13 +452,18 @@ class DriftCmd(Command):
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.drift import histogram_drift, ks_statistic
+        from topnotch_spark.operators.drift import (
+            chi2_drift,
+            histogram_drift,
+            ks_statistic,
+        )
 
         ref = load_input(engine.spark, self.reference, engine.registry)
         cur = load_input(engine.spark, self.current, engine.registry)
         allowed = {
             "ks": {"round_digits", "bins"},
             "psi": {"n_buckets", "eps", "round_digits"},
+            "chi2": {"round_digits"},
         }
         if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
@@ -470,6 +475,8 @@ class DriftCmd(Command):
             )
         if self.method == "ks":
             return ks_statistic(ref, cur, self.column, **self.options)
+        if self.method == "chi2":
+            return chi2_drift(ref, cur, self.column, **self.options)
         return histogram_drift(ref, cur, self.column, **self.options)
 
 
