@@ -179,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_window_metrics": oracles.streaming_window_metrics_sql(),
         "streaming_sliding_metrics": oracles.streaming_sliding_metrics_sql(),
         "drift_chi2_priority": oracles.drift_chi2_priority_sql(),
+        "trend_value_by_user": oracles.trend_per_key_sql(),
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(
             catalog.STREAM_RULES

@@ -304,3 +304,37 @@ class TestAsofDirections:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="direction"):
             self._join(left, right, direction="sideways")
+
+
+class TestTrendPerKey:
+    def test_perfect_line_slope_and_r2(self, spark):
+        from topnotch_spark.operators.temporal import trend_per_key
+        # value rises exactly 1.00/day -> slope 1.0, r2 1.0
+        rows = [(1, _ts(d), 10.0 + d) for d in range(1, 11)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = trend_per_key(df, "k", "ts", "v").first()
+        assert out.n_points == 10
+        assert out.slope_per_day == 1.0
+        assert out.r2 == 1.0
+
+    def test_flat_series_zero_slope(self, spark):
+        from topnotch_spark.operators.temporal import trend_per_key
+        rows = [(1, _ts(d), 5.0) for d in range(1, 6)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = trend_per_key(df, "k", "ts", "v").first()
+        assert out.slope_per_day == 0.0
+        assert out.r2 is None  # deny == 0 for a constant series
+
+    def test_single_day_null_slope(self, spark):
+        from topnotch_spark.operators.temporal import trend_per_key
+        rows = [(1, _ts(1, h), float(h)) for h in range(3)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = trend_per_key(df, "k", "ts", "v").first()
+        assert out.slope_per_day is None and out.r2 is None
+
+    def test_downtrend_negative(self, spark):
+        from topnotch_spark.operators.temporal import trend_per_key
+        rows = [(1, _ts(d), 100.0 - 2 * d) for d in range(1, 8)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = trend_per_key(df, "k", "ts", "v").first()
+        assert out.slope_per_day == -2.0

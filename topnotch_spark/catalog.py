@@ -1622,6 +1622,17 @@ def drift_chi2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_drift(orders, cur, "o_orderpriority")
 
 
+def trend_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time (exact
+    integer-sum least squares: slope/intercept/R² bit-identical across
+    engines; one bounded groupBy)."""
+    from topnotch_spark.operators.temporal import trend_per_key
+
+    return trend_per_key(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value", decimals=2
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1682,6 +1693,7 @@ ALL = {
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "view_small_qty_revenue": view_small_qty_revenue,
     "drift_chi2_priority": drift_chi2_priority,
+    "trend_value_by_user": trend_value_by_user,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

@@ -544,3 +544,75 @@ def rolling_window_agg(
         F.round(s, round_digits).alias("roll_sum"),
         F.round(s / n.cast("double"), round_digits).alias("roll_avg"),
     )
+
+
+def trend_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    decimals: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key least-squares linear trend of a fixed-point metric over
+    time (slope in value-units/day, intercept at epoch day 0, R²) — the
+    monitoring primitive behind "which users/sources are trending
+    up/down".
+
+    ONE groupBy(key) carrying five sums. Determinism trick: x is the
+    integer epoch-day and y the integer scaled value (``decimals``), so
+    every sum is EXACT integer arithmetic (no float summation-order
+    drift between engines — the usual regr_slope cancellation noise);
+    the only floating-point steps are the final divisions, which are
+    bit-identical everywhere. Magnitude check at the defaults: epoch-day
+    ~2·10⁴, cents ~10⁷ ⇒ n·Σxy needs ~n²·2·10¹¹ — safe in int64 up to
+    ~10³ rows/key per 10¹¹-unit budget; beyond that, center x per key
+    first. Constant-x groups (single day) get NULL slope/intercept/R²."""
+    scale = 10 ** decimals
+    x = F.unix_date(F.col(ts_col).cast("timestamp").cast("date")).cast("long")
+    y = F.round(F.col(value_col) * scale).cast("long")
+    g = df.select(F.col(key_col), x.alias("__x__"), y.alias("__y__")).groupBy(
+        key_col
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("sx"),
+        F.sum("__y__").alias("sy"),
+        F.sum(F.col("__x__") * F.col("__y__")).alias("sxy"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("sxx"),
+        F.sum(F.col("__y__") * F.col("__y__")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    den_y = (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    # try_divide: ANSI mode raises on /0 even under a later when() guard
+    # (the projection evaluates eagerly); NULL here == the guard's intent
+    slope_cents = F.try_divide(num, den_x)  # cents per day
+    intercept_cents = (F.col("sy") - slope_cents * F.col("sx")) / F.col("n")
+    r2 = F.try_divide(num * num, den_x * den_y)
+    nz = F.col("__denx__") != 0
+    return g.select(
+        F.col(key_col),
+        F.col("n").cast("bigint").alias("n_points"),
+        den_x.alias("__denx__"),
+        den_y.alias("__deny__"),
+        slope_cents.alias("__s__"),
+        intercept_cents.alias("__i__"),
+        r2.alias("__r2__"),
+    ).select(
+        key_col,
+        "n_points",
+        F.round(F.when(nz, F.col("__s__") / scale), round_digits).alias(
+            "slope_per_day"
+        ),
+        F.round(F.when(nz, F.col("__i__") / scale), round_digits).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(nz & (F.col("__deny__") != 0), F.col("__r2__")),
+            round_digits,
+        ).alias("r2"),
+    )

@@ -2631,3 +2631,56 @@ def drift_chi2_priority_sql(round_digits: int = 6) -> str:
                ELSE 0.0 END, {round_digits}) AS chi2_term
         FROM t
     """
+
+
+def trend_per_key_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    decimals: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of temporal.trend_per_key: least squares over EXACT
+    integer sums (epoch-day x, scaled-integer y); the only float steps
+    are the final divisions, identical in both engines."""
+    scale = 10 ** decimals
+    return f"""
+        WITH base AS (
+          SELECT {key_col} AS k,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(CAST({ts_col} AS TIMESTAMP) AS DATE)) AS x,
+                 CAST(round({value_col} * {scale}) AS BIGINT) AS y
+          FROM {table}
+        ),
+        g AS (
+          SELECT k, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM base GROUP BY k
+        ),
+        t AS (
+          SELECT k, n,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+                 sx, sy
+          FROM g
+        ),
+        s AS (SELECT *, num / denx AS slope_c FROM t)
+        SELECT k AS {key_col},
+               CAST(n AS BIGINT) AS n_points,
+               round(CASE WHEN denx <> 0
+                     THEN slope_c / {scale} END, {round_digits})
+                 AS slope_per_day,
+               round(CASE WHEN denx <> 0
+                     THEN ((sy - slope_c * sx) / n) / {scale} END,
+                     {round_digits}) AS intercept,
+               round(CASE WHEN denx <> 0 AND deny <> 0
+                     THEN (num * num) / (denx * deny) END, {round_digits})
+                 AS r2
+        FROM s
+    """
