@@ -715,11 +715,12 @@ class SplitCmd(Command):
 @dataclass(frozen=True)
 class SequenceCmd(Command):
     """{"command": "sequence", "input": <input>, "params": {"method":
-    throttle|transitions|funnel|retention|rolling, "tsColumn",
+    throttle|transitions|funnel|retention|rolling|trend, "tsColumn",
     "tiebreakColumn", throttle: {"keyColumns", "minGapSeconds"},
     transitions/funnel: {"keyColumn"/"userColumn", "stateColumn",
     funnel: "stages"}, retention: {"keyColumn"},
-    rolling: {"keyColumn", "valueColumn", ["windowSeconds"]}}} —
+    rolling: {"keyColumn", "valueColumn", ["windowSeconds", "decimals"]},
+    trend: {"keyColumn", "valueColumn", ["decimals"]}}} —
     per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
@@ -764,7 +765,16 @@ class SequenceCmd(Command):
             kwargs = {}
             if "windowSeconds" in p:
                 kwargs["window_seconds"] = p["windowSeconds"]
+            if "decimals" in p:
+                kwargs["decimals"] = p["decimals"]
             return Tm.rolling_window_agg(
+                df, p["keyColumn"], ts, p["valueColumn"], **kwargs
+            )
+        if self.method == "trend":
+            kwargs = {}
+            if "decimals" in p:
+                kwargs["decimals"] = p["decimals"]
+            return Tm.trend_per_key(
                 df, p["keyColumn"], ts, p["valueColumn"], **kwargs
             )
         raise ValueError(f"unknown sequence method: {self.method}")
