@@ -354,3 +354,104 @@ def test_dedup_lines_matches_reference_model(spark, docs, max_df):
     }
     want = _py_dedup_lines(docs, max_df, 1)
     assert got == {i: w for i, w in enumerate(want)}
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(**SETTINGS)
+@given(
+    names=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_fuzzy_blocking_complete_vs_bruteforce(spark, names):
+    """Deletion-neighborhood blocking must find EXACTLY the brute-force
+    levenshtein<=1 pairs — completeness is the operator's whole claim."""
+    from topnotch_spark.operators.fuzzy import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_match_pairs(df, "id", "name").collect()
+    }
+    want = {
+        (i, j): _py_lev(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and _py_lev(a, b) <= 1
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 50000)),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_trend_matches_closed_form(spark, rows):
+    """Exact-integer least squares must equal the closed-form fractions
+    computed in unbounded Python ints."""
+    import datetime
+
+    from topnotch_spark.operators.temporal import trend_per_key
+
+    data = [
+        (1, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d),
+         cents / 100.0)
+        for d, cents in rows
+    ]
+    df = spark.createDataFrame(data, "k long, ts timestamp, v double")
+    out = trend_per_key(df, "k", "ts", "v").first()
+    xs = [19723 + d for d, _ in rows]  # 2024-01-01 is epoch day 19723
+    ys = [c for _, c in rows]
+    n = len(rows)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    if den == 0:
+        assert out.slope_per_day is None
+    else:
+        want = round((float(num) / float(den)) / 100.0, 6)
+        assert out.slope_per_day == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60
+    ),
+    n_buckets=st.integers(2, 8),
+)
+def test_equidepth_total_and_monotone(spark, vals, n_buckets):
+    from topnotch_spark.operators.profile import equidepth_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = sorted(
+        equidepth_histogram(df, "v", n_buckets=n_buckets).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_rows for r in out) == len(vals)
+    # bucket value ranges are ordered and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a.max_value <= b.min_value
