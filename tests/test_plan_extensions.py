@@ -717,6 +717,27 @@ def test_analytics_ext_commands(spark, tmp_path):
                            "windowSeconds": 86400},
                 "outputKey": "rolled",
             },
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "trend", "keyColumn": "user_id",
+                           "tsColumn": "ts", "valueColumn": "value"},
+                "outputKey": "trends",
+            },
+            {
+                "command": "dedup",
+                "input": {"ref": f"{SF}/customer.parquet", "onDisk": True},
+                "params": {"method": "fuzzy", "idColumn": "c_custkey",
+                           "textColumn": "c_name"},
+                "outputKey": "fuzzyNames",
+            },
+            {
+                "command": "drift",
+                "reference": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "current": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"method": "chi2", "column": "o_orderpriority"},
+                "outputKey": "chi2Drift",
+            },
         ],
     }
     p = tmp_path / "plan.json"
@@ -732,3 +753,7 @@ def test_analytics_ext_commands(spark, tmp_path):
     assert {"F_cnt", "O_sum"} <= set(reg["pivoted"].columns)
     assert {"cohort_week", "retention"} <= set(reg["retention"].columns)
     assert "roll_avg" in reg["rolled"].columns
+    assert "slope_per_day" in reg["trends"].columns
+    assert {"id_a", "distance"} <= set(reg["fuzzyNames"].columns)
+    # identical ref/cur -> zero chi-square everywhere
+    assert all(r.chi2_term == 0.0 for r in reg["chi2Drift"].collect())
