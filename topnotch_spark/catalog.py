@@ -1636,10 +1636,12 @@ def trend_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
-# and every round-4 addition) at the front, followed by the round-5
-# additions (semantic/incremental dedup, gopher, bloom, token-budget
+# and every round-4 addition) at the front, followed by every round-5
+# addition (semantic/incremental dedup, gopher, bloom, token-budget
 # sample, token entropy, readability, MAD outliers, pivot, retention
-# cohorts, rolling window); the remaining slots re-check part of the
+# cohorts, rolling window, equi-depth histogram, nearest as-of, fuzzy
+# match, sliding streaming window, Q17 correlated subquery, chi-square
+# drift, per-key trend); the remaining slots re-check part of the
 # r02-green set (all of which carry 3+ rounds of driver evidence plus
 # the committed full-catalog strict artifact).
 # Entries 51+ are covered each round by scripts/strict_hash_check.py
