@@ -8,13 +8,17 @@ corpus scale.
 
 Execution shape: one explode (len+1 keys per row, so the exploded
 stream is ~avg_len × input — same order as a shingle pipeline), ONE
-equi-join on the 16-byte key hash, distinct over the surviving pairs,
-then exact `levenshtein` verification on the candidates only (JVM
-built-in, identical unit-cost definition in DuckDB, which is what makes
-the operator oracle-checkable). Hot keys (a deletion shared by many
-strings, e.g. a common template) behave like hot LSH buckets — AQE skew
-splitting covers them; `max_key_df` drops keys above a document
-frequency cap from the join (the same valve the shingle joins use).
+equi-join on the raw deletion key carrying ONLY ids (md5-ing the key
+was measured slower — the hash hex is wider than the keys it encodes,
+and the narrow id-pair distinct halves the shuffle), then the texts
+join back onto the surviving pairs (AQE broadcasts the string table
+when it fits, sort-merges beyond) for exact `levenshtein` verification
+on candidates only (JVM built-in, identical unit-cost definition in
+DuckDB, which is what makes the operator oracle-checkable). Hot keys
+(a deletion shared by many strings, e.g. a common template) behave
+like hot LSH buckets — AQE skew splitting covers them; `max_key_df`
+drops keys above a document frequency cap from the join (the same
+valve the shingle joins use).
 """
 
 from __future__ import annotations
@@ -60,8 +64,8 @@ def fuzzy_match_pairs(
         F.lower(F.trim(F.col(text_col))).alias("__s__"),
     ).filter(F.length("__s__") > 0)
     keyed = base.select(
-        "__id__", "__s__", F.explode(_deletion_keys("__s__")).alias("__k__")
-    ).select("__id__", "__s__", F.md5(F.col("__k__")).alias("__k__"))
+        "__id__", F.explode(_deletion_keys("__s__")).alias("__k__")
+    )
     if max_key_df is not None:
         hot = (
             keyed.groupBy("__k__")
@@ -70,26 +74,25 @@ def fuzzy_match_pairs(
             .select("__k__")
         )
         keyed = keyed.join(F.broadcast(hot), "__k__", "left_anti")
-    a = keyed.select(
-        F.col("__id__").alias("id_a"),
-        F.col("__s__").alias("text_a"),
-        "__k__",
-    )
-    b = keyed.select(
-        F.col("__id__").alias("id_b"),
-        F.col("__s__").alias("text_b"),
-        "__k__",
-    )
-    pairs = (
+    a = keyed.select(F.col("__id__").alias("id_a"), "__k__")
+    b = keyed.select(F.col("__id__").alias("id_b"), "__k__")
+    cand = (
         a.join(b, "__k__")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        "text_a",
-        "text_b",
-        F.levenshtein("text_a", "text_b").alias("distance"),
-    ).filter(F.col("distance") <= max_distance)
+    s1 = base.select(F.col("__id__").alias("id_a"), F.col("__s__").alias("text_a"))
+    s2 = base.select(F.col("__id__").alias("id_b"), F.col("__s__").alias("text_b"))
+    return (
+        cand.join(s1, "id_a")
+        .join(s2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "text_a",
+            "text_b",
+            F.levenshtein("text_a", "text_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

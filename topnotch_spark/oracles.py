@@ -2530,7 +2530,7 @@ def fuzzy_match_sql(
     max_distance: int = 1,
 ) -> str:
     """Mirror of fuzzy.fuzzy_match_pairs: identical deletion-neighborhood
-    blocking (SymSpell), identical md5 keys, identical unit-cost
+    blocking (SymSpell) on the raw deletion keys, identical unit-cost
     levenshtein verification."""
     return f"""
         WITH base AS (
@@ -2538,16 +2538,20 @@ def fuzzy_match_sql(
           WHERE length(lower(trim({text_col}))) > 0
         ),
         keyed AS (
-          SELECT id, s, md5(k) AS k FROM (
-            SELECT id, s, unnest(list_append(
-              list_transform(generate_series(1, length(s)),
-                i -> substr(s, 1, i - 1) || substr(s, i + 1)), s)) AS k
-            FROM base) t
+          SELECT id, unnest(list_append(
+            list_transform(generate_series(1, length(s)),
+              i -> substr(s, 1, i - 1) || substr(s, i + 1)), s)) AS k
+          FROM base
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
         ),
         pairs AS (
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                 a.s AS text_a, b.s AS text_b
-          FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
+          SELECT id_a, id_b, s1.s AS text_a, s2.s AS text_b
+          FROM cand
+          JOIN base s1 ON s1.id = cand.id_a
+          JOIN base s2 ON s2.id = cand.id_b
         )
         SELECT id_a, id_b, text_a, text_b,
                CAST(levenshtein(text_a, text_b) AS INTEGER) AS distance
