@@ -180,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sliding_metrics": oracles.streaming_sliding_metrics_sql(),
         "drift_chi2_priority": oracles.drift_chi2_priority_sql(),
         "trend_value_by_user": oracles.trend_per_key_sql(),
+        "interval_price_band": oracles.interval_price_band_sql(),
+        "scd2_customer_segment": oracles.scd2_customer_segment_sql(),
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(
             catalog.STREAM_RULES

@@ -757,3 +757,69 @@ def test_analytics_ext_commands(spark, tmp_path):
     assert {"id_a", "distance"} <= set(reg["fuzzyNames"].columns)
     # identical ref/cur -> zero chi-square everywhere
     assert all(r.chi2_term == 0.0 for r in reg["chi2Drift"].collect())
+
+
+def test_scd2_interval_compact_plan(spark, tmp_path):
+    """scd2 / intervalJoin / compact commands through the real engine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cur = tmp_path / "cur.parquet"
+    upd = tmp_path / "upd.parquet"
+    import datetime as dt
+    pq.write_table(pa.table({
+        "k": [1, 2], "seg": ["A", "B"],
+        "valid_from": [dt.date(1992, 1, 1)] * 2,
+        "valid_to": pa.array([None, None], type=pa.date32()),
+        "is_current": [True, True],
+    }), cur)
+    pq.write_table(pa.table({
+        "k": [2, 3], "seg": ["B2", "C"],
+        "eff": [dt.date(1996, 6, 1)] * 2,
+    }), upd)
+    frag = tmp_path / "frag"
+    spark.range(1000).repartition(8).write.parquet(str(frag))
+    plan = {
+        "commands": [
+            {
+                "command": "scd2",
+                "current": {"ref": str(cur), "onDisk": True},
+                "updates": {"ref": str(upd), "onDisk": True},
+                "params": {"keys": ["k"], "tracked": ["seg"],
+                           "effectiveColumn": "eff"},
+                "outputKey": "dimHistory",
+            },
+            {
+                "command": "intervalJoin",
+                "facts": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "ranges": {"ref": f"{SF}/nation.parquet", "onDisk": True},
+                "params": {"valueColumn": "o_totalprice",
+                           "loColumn": "n_nationkey", "hiColumn": "n_regionkey",
+                           "rangeColumns": ["n_name"],
+                           "chunkWidth": 100000.0},
+                "outputKey": "bandedOrders",
+            },
+            {
+                "command": "compact",
+                "params": {"source": str(frag),
+                           "dest": str(tmp_path / "compacted"),
+                           "targetFileMB": 512},
+                "outputKey": "compactStats",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    reg = engine.registry
+    hist = {(r["k"], r["is_current"]): r["seg"]
+            for r in reg["dimHistory"].collect()}
+    # 1 untouched, 2 closed + new version, 3 inserted
+    assert hist == {(1, True): "A", (2, False): "B", (2, True): "B2",
+                    (3, True): "C"}
+    # nation lo/hi are tiny ints -> no orders in range; command runs, 0 rows
+    assert reg["bandedOrders"].count() == 0
+    stats = reg["compactStats"].collect()[0]
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    assert spark.read.parquet(str(tmp_path / "compacted")).count() == 1000

@@ -1633,6 +1633,74 @@ def trend_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval lookup join (temporal.interval_join): orders
+    priced into quadratic nation-derived bands via the chunked
+    equi-join, then a per-band rollup over exact scaled-integer sums."""
+    from topnotch_spark.operators.temporal import interval_join
+
+    nk = F.col("n_nationkey")
+    bands = load(spark, sf_dir, "nation").select(
+        nk.alias("band_id"),
+        (nk * nk * F.lit(400.0)).alias("lo"),
+        ((nk + 1) * (nk + 1) * F.lit(400.0)).alias("hi"),
+    )
+    joined = interval_join(
+        load(spark, sf_dir, "orders"), bands, "o_totalprice", "lo", "hi",
+        ["band_id", "lo", "hi"],
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(cents) / 100.0, 2).alias("sum_totalprice"),
+    )
+
+
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history merge (scd.scd2_merge): a derived update
+    batch (every 3rd customer re-priced / re-segmented, five brand-new
+    keys) applied to the customer dim — exercises passthrough, close +
+    insert, and new-key insert in one deterministic result."""
+    from topnotch_spark.operators.scd import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(ck % 3 == 0)
+        .select(
+            "c_custkey",
+            F.when(ck % 5 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.round(
+                F.col("c_acctbal")
+                + F.when(ck % 2 == 0, F.lit(50.25)).otherwise(F.lit(0.0)),
+                2,
+            ).alias("acctbal"),
+            F.to_date(F.lit("1996-06-01")).alias("eff"),
+        )
+        .unionByName(
+            cust.filter(ck <= 5).select(
+                (ck + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("segment"),
+                F.lit(0.0).alias("acctbal"),
+                F.to_date(F.lit("1996-06-01")).alias("eff"),
+            )
+        )
+    )
+    return scd2_merge(
+        current, updates, ["c_custkey"], ["segment", "acctbal"], "eff"
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1696,6 +1764,8 @@ ALL = {
     "view_small_qty_revenue": view_small_qty_revenue,
     "drift_chi2_priority": drift_chi2_priority,
     "trend_value_by_user": trend_value_by_user,
+    "interval_price_band": interval_price_band,
+    "scd2_customer_segment": scd2_customer_segment,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

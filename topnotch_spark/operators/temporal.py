@@ -616,3 +616,74 @@ def trend_per_key(
             round_digits,
         ).alias("r2"),
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    range_cols: list[str],
+    on: list[str] | None = None,
+    chunk_width: float | None = None,
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Point-in-interval lookup join: each fact row matches every range
+    row with ``lo <= value < hi`` (half-open; plus equality on ``on``
+    keys when given) — the IP-to-geo / price-band / bin-lookup primitive.
+
+    A naive theta-join (``value BETWEEN lo AND hi``) is a broadcast
+    nested loop — O(|facts| x |ranges|) comparisons even when almost
+    nothing matches. This chunks the number line at ``chunk_width``:
+    each range explodes to the chunk ids it covers, each fact computes
+    its single chunk id, and the match becomes an EQUI-join on the
+    chunk (+ keys) followed by the exact containment filter. Fan-out is
+    bounded by ceil(range_width / chunk) chunks per range — with the
+    default chunk (the widest range, fetched as one bounded scalar
+    aggregate like drift's min/max spine), every range covers at most
+    two chunks. Overlapping ranges yield one output row per covering
+    range; a fact-range pair can never duplicate (the fact owns exactly
+    one chunk id).
+
+    ``broadcast_ranges`` hints the exploded range side (a dimension
+    table in every realistic use); pass False when the range set itself
+    is huge and let AQE pick the strategy.
+    """
+    on = on or []
+    if chunk_width is None:
+        row = ranges.select(
+            F.max(F.col(hi_col) - F.col(lo_col)).alias("w")
+        ).collect()[0]
+        chunk_width = float(row["w"] or 0.0)
+    if not chunk_width or chunk_width <= 0:
+        raise ValueError(
+            "interval_join: chunk_width must be > 0 "
+            f"(got {chunk_width}; empty or degenerate ranges input?)"
+        )
+    c = F.lit(float(chunk_width))
+    r = (
+        ranges.filter(F.col(lo_col) < F.col(hi_col))
+        .select(
+            *on,
+            F.col(lo_col).alias("__lo__"),
+            F.col(hi_col).alias("__hi__"),
+            *[F.col(x) for x in range_cols],
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / c).cast("bigint"),
+                    F.floor(F.col(hi_col) / c).cast("bigint"),
+                )
+            ).alias("__chunk__"),
+        )
+    )
+    if broadcast_ranges:
+        r = F.broadcast(r)
+    f = facts.withColumn(
+        "__chunk__", F.floor(F.col(value_col) / c).cast("bigint")
+    )
+    out = f.join(r, [*on, "__chunk__"]).filter(
+        (F.col(value_col) >= F.col("__lo__"))
+        & (F.col(value_col) < F.col("__hi__"))
+    )
+    return out.drop("__chunk__", "__lo__", "__hi__")

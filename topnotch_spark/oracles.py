@@ -2688,3 +2688,74 @@ def trend_per_key_sql(
                  AS r2
         FROM s
     """
+
+
+def interval_price_band_sql() -> str:
+    """Mirror of catalog.interval_price_band: the chunked equi-join is
+    an execution strategy only — the oracle states the declarative
+    containment predicate directly (DuckDB's IEJoin handles it) and the
+    same exact scaled-integer revenue sum."""
+    return """
+        WITH bands AS (
+          SELECT n_nationkey AS band_id,
+                 CAST(n_nationkey * n_nationkey * 400 AS DOUBLE) AS lo,
+                 CAST((n_nationkey + 1) * (n_nationkey + 1) * 400
+                      AS DOUBLE) AS hi
+          FROM nation
+        )
+        SELECT band_id, lo, hi,
+               COUNT(*) AS n_orders,
+               round(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS sum_totalprice
+        FROM orders
+        JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band_id, lo, hi
+    """
+
+
+def scd2_customer_segment_sql() -> str:
+    """Mirror of catalog.scd2_customer_segment: the same derived update
+    batch and the SCD2 case analysis (passthrough / close+insert /
+    new-key insert) as explicit set algebra — full outer join + two
+    unions with IS DISTINCT FROM change detection (the SQL spelling of
+    Spark's null-safe <=>)."""
+    return """
+        WITH cur AS (
+          SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+                 DATE '1992-01-01' AS valid_from,
+                 CAST(NULL AS DATE) AS valid_to,
+                 TRUE AS is_current
+          FROM customer
+        ),
+        upd AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0 THEN 'MACHINERY'
+                      ELSE c_mktsegment END AS segment,
+                 round(c_acctbal + CASE WHEN c_custkey % 2 = 0
+                                        THEN 50.25 ELSE 0.0 END, 2)
+                   AS acctbal,
+                 DATE '1996-06-01' AS eff
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEWSEG', 0.0, DATE '1996-06-01'
+          FROM customer WHERE c_custkey <= 5
+        ),
+        j AS (
+          SELECT cur.c_custkey AS ck, upd.c_custkey AS uk,
+                 cur.segment AS cseg, cur.acctbal AS cbal,
+                 cur.valid_from AS vf,
+                 upd.segment AS useg, upd.acctbal AS ubal, upd.eff AS eff,
+                 (cur.segment IS DISTINCT FROM upd.segment
+                  OR cur.acctbal IS DISTINCT FROM upd.acctbal) AS changed
+          FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey
+        )
+        SELECT ck AS c_custkey, cseg AS segment, cbal AS acctbal,
+               vf AS valid_from,
+               CASE WHEN uk IS NOT NULL AND changed THEN eff END
+                 AS valid_to,
+               NOT (uk IS NOT NULL AND changed) AS is_current
+        FROM j WHERE ck IS NOT NULL
+        UNION ALL
+        SELECT uk, useg, ubal, eff, CAST(NULL AS DATE), TRUE
+        FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)
+    """

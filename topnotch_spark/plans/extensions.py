@@ -930,6 +930,137 @@ class MembershipCmd(Command):
         raise ValueError(f"unknown bloom method: {self.method}")
 
 
+@dataclass(frozen=True)
+class ScdCmd(Command):
+    """{"command": "scd2", "current": <input>, "updates": <input>,
+    "params": {"keys": [...], "tracked": [...], "effectiveColumn",
+    ["validFrom", "validTo", "isCurrent", "validate"]}} — SCD2
+    dimension-history merge (operators/scd.scd2_merge)."""
+
+    current: Input = None  # type: ignore[assignment]
+    updates: Input = None  # type: ignore[assignment]
+    keys: tuple[str, ...] = ()
+    tracked: tuple[str, ...] = ()
+    effective_column: str = ""
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.current, self.updates]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "ScdCmd":
+        p = obj["params"]
+        return cls(
+            current=Input.from_json(obj["current"]),
+            updates=Input.from_json(obj["updates"]),
+            keys=tuple(p["keys"]),
+            tracked=tuple(p["tracked"]),
+            effective_column=p["effectiveColumn"],
+            options=_opt(p, "validFrom", "validTo", "isCurrent", "validate"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.scd import scd2_merge
+
+        return scd2_merge(
+            load_input(engine.spark, self.current, engine.registry),
+            load_input(engine.spark, self.updates, engine.registry),
+            keys=list(self.keys),
+            tracked=list(self.tracked),
+            effective_col=self.effective_column,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
+class IntervalJoinCmd(Command):
+    """{"command": "intervalJoin", "facts": <input>, "ranges": <input>,
+    "params": {"valueColumn", "loColumn", "hiColumn",
+    "rangeColumns": [...], ["on": [...], "chunkWidth",
+    "broadcastRanges"]}} — point-in-interval lookup join
+    (operators/temporal.interval_join)."""
+
+    facts: Input = None  # type: ignore[assignment]
+    ranges: Input = None  # type: ignore[assignment]
+    value_column: str = ""
+    lo_column: str = ""
+    hi_column: str = ""
+    range_columns: tuple[str, ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.facts, self.ranges]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "IntervalJoinCmd":
+        p = obj["params"]
+        return cls(
+            facts=Input.from_json(obj["facts"]),
+            ranges=Input.from_json(obj["ranges"]),
+            value_column=p["valueColumn"],
+            lo_column=p["loColumn"],
+            hi_column=p["hiColumn"],
+            range_columns=tuple(p["rangeColumns"]),
+            options=_opt(p, "on", "chunkWidth", "broadcastRanges"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.temporal import interval_join
+
+        opts = dict(self.options)
+        if "on" in opts:
+            opts["on"] = list(opts["on"])
+        return interval_join(
+            load_input(engine.spark, self.facts, engine.registry),
+            load_input(engine.spark, self.ranges, engine.registry),
+            value_col=self.value_column,
+            lo_col=self.lo_column,
+            hi_col=self.hi_column,
+            range_cols=list(self.range_columns),
+            **opts,
+        )
+
+
+@dataclass(frozen=True)
+class CompactCmd(Command):
+    """{"command": "compact", "params": {"source", "dest",
+    ["targetFileMB", "outputFormat"]}} — small-file compaction
+    (sources/maintenance.compact_table); returns the one-row stats
+    frame so later commands can assert on it."""
+
+    source: str = ""
+    dest: str = ""
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return []
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "CompactCmd":
+        p = obj["params"]
+        return cls(
+            source=p["source"],
+            dest=p["dest"],
+            options=_opt(p, "targetFileMB", "outputFormat"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.sources.maintenance import compact_table
+
+        opts = dict(self.options)
+        if "target_file_m_b" in opts:  # camelCase MB picks up extra underscore
+            opts["target_file_mb"] = opts.pop("target_file_m_b")
+        return compact_table(
+            engine.spark, self.source, self.dest, **opts
+        )
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
@@ -952,6 +1083,9 @@ def register() -> None:
             "sequence": SequenceCmd.from_json,
             "winsorize": WinsorizeCmd.from_json,
             "corpusStats": CorpusStatsCmd.from_json,
+            "scd2": ScdCmd.from_json,
+            "intervalJoin": IntervalJoinCmd.from_json,
+            "compact": CompactCmd.from_json,
         }
     )
 
