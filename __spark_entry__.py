@@ -182,6 +182,33 @@ def oracle_sql() -> dict[str, str]:
         "trend_value_by_user": oracles.trend_per_key_sql(),
         "interval_price_band": oracles.interval_price_band_sql(),
         "scd2_customer_segment": oracles.scd2_customer_segment_sql(),
+        "view_late_orders_exists": """
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "view_rich_inactive_custs": """
+            WITH g AS (
+              SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS s,
+                     count(*) AS n
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c_mktsegment, count(*) AS n_custs,
+                   round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                         / 100.0, 2) AS total_bal
+            FROM customer c, g
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+              )
+            GROUP BY c_mktsegment
+        """,
         "streaming_sessionize": oracles.streaming_sessionize_sql(30),
         "streaming_assertion_metrics": oracles.streaming_assertion_metrics_sql(
             catalog.STREAM_RULES

@@ -1701,6 +1701,63 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape EXISTS correlated subquery via the view operator:
+    orders with at least one lineitem shipped >60 days after the order
+    date, counted by priority. Catalyst decorrelates the EXISTS into a
+    left-semi join — no per-row re-scan of lineitem."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")],
+        ViewParams(
+            ("orders_v", "lineitem_v"),
+            """
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders_v o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem_v l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+            """,
+        ),
+    )
+
+
+def view_rich_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape query via the view operator: customers with an
+    above-average positive balance and NO product events (NOT EXISTS anti-join
+    + scalar aggregate subquery), rolled up by market segment. The
+    above-average threshold compares SCALED-INTEGER cents cross-
+    multiplied against (sum, count) — exact, so the boundary set is
+    engine-independent."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "customer"), load(spark, sf_dir, "events")],
+        ViewParams(
+            ("customer_v", "events_v"),
+            """
+            WITH g AS (
+              SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS s,
+                     count(*) AS n
+              FROM customer_v WHERE c_acctbal > 0.0
+            )
+            SELECT c_mktsegment, count(*) AS n_custs,
+                   round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                         / 100.0, 2) AS total_bal
+            FROM customer_v c, g
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM events_v e WHERE e.user_id = c.c_custkey
+              )
+            GROUP BY c_mktsegment
+            """,
+        ),
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1766,6 +1823,8 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
+    "view_late_orders_exists": view_late_orders_exists,
+    "view_rich_inactive_custs": view_rich_inactive_custs,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,

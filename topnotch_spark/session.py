@@ -37,6 +37,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # Static conf (only honored at JVM startup): the generated-class cache
+    # defaults to 100 entries, which a wide query catalog (100+ pipelines,
+    # several codegen stages each) cycles straight through — every re-run
+    # then re-invokes Janino at 1-3s per large stage (measured: the fuzzy
+    # pipeline is 6.3s under eviction, 3.0s cached). Sized for the whole
+    # catalog; memory cost is tens of MB of class metadata.
+    "spark.sql.codegen.cache.maxEntries": "5000",
 }
 
 
