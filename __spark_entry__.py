@@ -182,6 +182,15 @@ def oracle_sql() -> dict[str, str]:
         "trend_value_by_user": oracles.trend_per_key_sql(),
         "interval_price_band": oracles.interval_price_band_sql(),
         "scd2_customer_segment": oracles.scd2_customer_segment_sql(),
+        "k_anonymity_customers": """
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 100) AS BIGINT) AS acctbal_band,
+                   count(*) AS group_size,
+                   count(*) >= 5 AS meets_k
+            FROM customer
+            GROUP BY 1, 2
+            HAVING count(*) < 5
+        """,
         "view_late_orders_exists": """
             SELECT o_orderpriority, count(*) AS n_late_orders
             FROM orders o

@@ -64,3 +64,31 @@ def test_quantize_roundtrip_error_bounded(spark):
     # extreme components hit exactly +/-127
     v3 = {r["pos"]: r["q"] for r in by_vec[3]}
     assert v3[0] == 127 and v3[1] == -127
+
+
+def test_k_anonymity_risky_groups(spark):
+    from topnotch_spark.operators.integrity import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [(None, 1)],
+        "seg string, band int",
+    )
+    risky = {
+        (r["seg"], r["band"]): r["group_size"]
+        for r in k_anonymity(df, ["seg", "band"], k=5).collect()
+    }
+    # (a,1) meets k=5; (a,2) and the NULL tuple do not
+    assert risky == {("a", 2): 2, (None, 1): 1}
+
+    full = k_anonymity(df, ["seg", "band"], k=5, risky_only=False)
+    rows = {(r["seg"], r["band"]): r["meets_k"] for r in full.collect()}
+    assert rows == {("a", 1): True, ("a", 2): False, (None, 1): False}
+
+
+def test_k_anonymity_rejects_bad_k(spark):
+    import pytest
+
+    from topnotch_spark.operators.integrity import k_anonymity
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity(spark.range(1), ["id"], k=0)

@@ -823,3 +823,30 @@ def test_scd2_interval_compact_plan(spark, tmp_path):
     stats = reg["compactStats"].collect()[0]
     assert stats["files_before"] == 8 and stats["files_after"] == 1
     assert spark.read.parquet(str(tmp_path / "compacted")).count() == 1000
+
+
+def test_k_anonymity_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "kAnonymity",
+                "input": {"ref": f"{SF}/customer.parquet", "onDisk": True},
+                "params": {"quasiColumns": ["c_nationkey", "c_mktsegment"],
+                           "k": 3, "riskyOnly": False},
+                "outputKey": "privacyAudit",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    audit = engine.registry["privacyAudit"]
+    assert {"c_nationkey", "c_mktsegment", "group_size", "meets_k"} == set(
+        audit.columns
+    )
+    n_groups = audit.count()
+    assert n_groups > 0
+    # group sizes sum back to the table row count
+    total = audit.groupBy().sum("group_size").collect()[0][0]
+    assert total == spark.read.parquet(f"{SF}/customer.parquet").count()

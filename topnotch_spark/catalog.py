@@ -1701,6 +1701,20 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity privacy audit (integrity.k_anonymity): customer
+    quasi-identifier tuples (nation, $100 balance band) shared by fewer
+    than k=5 rows — the re-identifiable groups. One map-side-combined
+    groupBy."""
+    from topnotch_spark.operators.integrity import k_anonymity
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("acctbal_band"),
+    )
+    return k_anonymity(cust, ["c_nationkey", "acctbal_band"], k=5)
+
+
 def view_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shape EXISTS correlated subquery via the view operator:
     orders with at least one lineitem shipped >60 days after the order
@@ -1823,6 +1837,7 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
+    "k_anonymity_customers": k_anonymity_customers,
     "view_late_orders_exists": view_late_orders_exists,
     "view_rich_inactive_custs": view_rich_inactive_custs,
     "view_tpch_q1": view_tpch_q1,

@@ -74,3 +74,35 @@ def referential_integrity_suite(
     if out is None:
         raise ValueError("relations must be non-empty")
     return out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    risky_only: bool = True,
+) -> DataFrame:
+    """K-anonymity audit over quasi-identifier columns — the privacy QC
+    gate for training-data release: a combination of quasi-identifiers
+    shared by fewer than ``k`` rows re-identifies those rows.
+
+    Returns one row per quasi-identifier combination: the quasi columns,
+    ``group_size``, and ``meets_k``; with ``risky_only`` (default) only
+    the violating groups (< k) are returned — at corpus scale the
+    compliant groups are the bulk of the output and carry no action.
+    NULL is treated as a value (SQL GROUP BY semantics): an all-NULL
+    quasi tuple of size 1 is still re-identifiable.
+
+    Execution shape: ONE map-side-combined groupBy on the quasi columns
+    + a filter — scan-bound; the result is at most one row per distinct
+    quasi tuple and the risky subset is usually tiny.
+    """
+    if k < 1:
+        raise ValueError(f"k_anonymity: k must be >= 1, got {k}")
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    out = g.select(
+        *quasi_cols,
+        "group_size",
+        (F.col("group_size") >= k).alias("meets_k"),
+    )
+    return out.filter(~F.col("meets_k")) if risky_only else out

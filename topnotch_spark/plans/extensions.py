@@ -931,6 +931,40 @@ class MembershipCmd(Command):
 
 
 @dataclass(frozen=True)
+class KAnonymityCmd(Command):
+    """{"command": "kAnonymity", "input": <input>, "params":
+    {"quasiColumns": [...], ["k", "riskyOnly"]}} — re-identifiable
+    quasi-identifier groups (operators/integrity.k_anonymity)."""
+
+    input: Input = None  # type: ignore[assignment]
+    quasi_columns: tuple[str, ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "KAnonymityCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            quasi_columns=tuple(p["quasiColumns"]),
+            options=_opt(p, "k", "riskyOnly"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.integrity import k_anonymity
+
+        return k_anonymity(
+            load_input(engine.spark, self.input, engine.registry),
+            quasi_cols=list(self.quasi_columns),
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
 class ScdCmd(Command):
     """{"command": "scd2", "current": <input>, "updates": <input>,
     "params": {"keys": [...], "tracked": [...], "effectiveColumn",
@@ -1084,6 +1118,7 @@ def register() -> None:
             "winsorize": WinsorizeCmd.from_json,
             "corpusStats": CorpusStatsCmd.from_json,
             "scd2": ScdCmd.from_json,
+            "kAnonymity": KAnonymityCmd.from_json,
             "intervalJoin": IntervalJoinCmd.from_json,
             "compact": CompactCmd.from_json,
         }
