@@ -425,3 +425,38 @@ def test_funnel_stream_no_rerun_after_completion(spark, tmp_path):
         .collect()
     }
     assert counts == {0: 2, 1: 1, 2: 1}  # u1+u2 view; only u1 click+buy
+
+
+def test_write_stream_idempotent_survives_checkpoint_loss(spark, tmp_path):
+    """The batch-id ledger prevents double-writes even when the
+    checkpoint is lost and the stream replays from scratch."""
+    import shutil
+
+    from topnotch_spark.streaming.ops import (
+        stream_from_parquet,
+        write_stream_idempotent,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id", "id % 7 AS grp").coalesce(2).write.parquet(src)
+    dest = str(tmp_path / "dest")
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        write_stream_idempotent(
+            stream_from_parquet(spark, src, max_files_per_trigger=1),
+            dest, ledger, ckpt,
+        )
+
+    run()
+    assert spark.read.parquet(dest).count() == 100
+    # same checkpoint: Spark itself knows the files are done -> no-op
+    run()
+    assert spark.read.parquet(dest).count() == 100
+    # checkpoint lost: without the ledger this re-appends all 100 rows
+    shutil.rmtree(ckpt)
+    run()
+    back = spark.read.parquet(dest)
+    assert back.count() == 100
+    assert back.selectExpr("sum(id) s").collect()[0]["s"] == 100 * 99 // 2
