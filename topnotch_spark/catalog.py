@@ -1759,8 +1759,8 @@ def view_rich_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM customer_v WHERE c_acctbal > 0.0
             )
             SELECT c_mktsegment, count(*) AS n_custs,
-                   round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
-                         / 100.0, 2) AS total_bal
+                   round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                              AS DOUBLE) / 100.0, 2) AS total_bal
             FROM customer_v c, g
             WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.s
               AND NOT EXISTS (
