@@ -191,6 +191,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) < 5
         """,
+        "basket_brand_pairs": """
+            WITH items AS (
+              SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            m AS (SELECT i, count(*) AS cnt FROM items GROUP BY i),
+            t AS (SELECT count(DISTINCT b) AS n FROM items),
+            p AS (
+              SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_count
+              FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2
+              HAVING count(*) >= 5
+            )
+            SELECT item_a, item_b, pair_count,
+                   ma.cnt AS count_a, mb.cnt AS count_b,
+                   round(CAST(pair_count * t.n AS DOUBLE)
+                         / CAST(ma.cnt * mb.cnt AS DOUBLE), 6) AS lift
+            FROM p
+            JOIN m ma ON ma.i = p.item_a
+            JOIN m mb ON mb.i = p.item_b, t
+        """,
         "view_late_orders_exists": """
             SELECT o_orderpriority, count(*) AS n_late_orders
             FROM orders o

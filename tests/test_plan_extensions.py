@@ -850,3 +850,26 @@ def test_k_anonymity_plan(spark, tmp_path):
     # group sizes sum back to the table row count
     total = audit.groupBy().sum("group_size").collect()[0][0]
     assert total == spark.read.parquet(f"{SF}/customer.parquet").count()
+
+
+def test_basket_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "basket",
+                "input": {"ref": f"{SF}/lineitem.parquet", "onDisk": True},
+                "params": {"basketColumn": "l_orderkey",
+                           "itemColumn": "l_returnflag", "minSupport": 2},
+                "outputKey": "flagPairs",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    pairs = engine.registry["flagPairs"]
+    assert {"item_a", "item_b", "pair_count", "count_a", "count_b",
+            "lift"} == set(pairs.columns)
+    assert pairs.count() > 0
+    assert pairs.filter("item_a >= item_b").count() == 0  # ordered pairs

@@ -1715,6 +1715,22 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(cust, ["c_nationkey", "acctbal_band"], k=5)
 
 
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (basket.market_basket_pairs): part
+    brands bought together in the same order, with exact-integer lift.
+    Basket-key self-join bounded by items-per-order, margins broadcast."""
+    from topnotch_spark.operators.basket import market_basket_pairs
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        part, li.l_partkey == part.p_partkey
+    ).select("l_orderkey", "p_brand")
+    return market_basket_pairs(
+        baskets, "l_orderkey", "p_brand", min_support=5
+    )
+
+
 def view_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shape EXISTS correlated subquery via the view operator:
     orders with at least one lineitem shipped >60 days after the order
@@ -1838,6 +1854,7 @@ ALL = {
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
     "k_anonymity_customers": k_anonymity_customers,
+    "basket_brand_pairs": basket_brand_pairs,
     "view_late_orders_exists": view_late_orders_exists,
     "view_rich_inactive_custs": view_rich_inactive_custs,
     "view_tpch_q1": view_tpch_q1,

@@ -931,6 +931,44 @@ class MembershipCmd(Command):
 
 
 @dataclass(frozen=True)
+class BasketCmd(Command):
+    """{"command": "basket", "input": <input>, "params":
+    {"basketColumn", "itemColumn", ["minSupport", "maxBasketItems",
+    "roundDigits"]}} — market-basket pair co-occurrence + lift
+    (operators/basket.market_basket_pairs)."""
+
+    input: Input = None  # type: ignore[assignment]
+    basket_column: str = ""
+    item_column: str = ""
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "BasketCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            basket_column=p["basketColumn"],
+            item_column=p["itemColumn"],
+            options=_opt(p, "minSupport", "maxBasketItems", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.basket import market_basket_pairs
+
+        return market_basket_pairs(
+            load_input(engine.spark, self.input, engine.registry),
+            basket_col=self.basket_column,
+            item_col=self.item_column,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
 class KAnonymityCmd(Command):
     """{"command": "kAnonymity", "input": <input>, "params":
     {"quasiColumns": [...], ["k", "riskyOnly"]}} — re-identifiable
@@ -1119,6 +1157,7 @@ def register() -> None:
             "corpusStats": CorpusStatsCmd.from_json,
             "scd2": ScdCmd.from_json,
             "kAnonymity": KAnonymityCmd.from_json,
+            "basket": BasketCmd.from_json,
             "intervalJoin": IntervalJoinCmd.from_json,
             "compact": CompactCmd.from_json,
         }
