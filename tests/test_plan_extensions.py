@@ -873,3 +873,51 @@ def test_basket_plan(spark, tmp_path):
             "lift"} == set(pairs.columns)
     assert pairs.count() > 0
     assert pairs.filter("item_a >= item_b").count() == 0  # ordered pairs
+
+
+def test_schema_check_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "schemaCheck",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"columns": [
+                    {"name": "o_orderkey", "type": "bigint"},
+                    {"name": "o_totalprice", "type": "double"},
+                    {"name": "o_totalprice", "type": "string"},
+                    {"name": "o_missing", "type": "int"},
+                ]},
+                "outputKey": "contract",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    got = {(r["column"], r["status"]) for r in engine.registry["contract"].collect()}
+    assert ("o_orderkey", "ok") in got
+    assert ("o_totalprice", "ok") in got
+    assert ("o_totalprice", "type_mismatch") in got
+    assert ("o_missing", "missing") in got
+
+
+def test_schema_check_fail_on_violation(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "schemaCheck",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"columns": [{"name": "nope", "type": "int"}],
+                           "failOnViolation": True},
+                "outputKey": "contract",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="schemaCheck 'contract' failed"):
+        engine.run(str(p))

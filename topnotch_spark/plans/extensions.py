@@ -931,6 +931,75 @@ class MembershipCmd(Command):
 
 
 @dataclass(frozen=True)
+class SchemaCheckCmd(Command):
+    """{"command": "schemaCheck", "input": <input>, "params":
+    {"columns": [{"name", "type"}], ["allowExtra": true,
+    "failOnViolation": false]}} — schema contract over an input: every
+    expected column must exist with the expected Spark ``simpleString``
+    type (case-insensitive); extra columns violate unless ``allowExtra``.
+    Returns one row per expected/extra column with a status
+    (ok | missing | type_mismatch | unexpected); with
+    ``failOnViolation`` the plan halts instead — the metadata
+    counterpart of the reference's static input validation
+    (tnengine/TnPlanValidator.scala checks inputs EXIST; this checks
+    they still look like what the plan was written against).
+
+    Pure metadata: no job runs — the check reads the analyzed schema
+    only, so it is free even on a 100 TB input.
+    """
+
+    input: Input = None  # type: ignore[assignment]
+    columns: tuple[tuple[str, str], ...] = ()
+    allow_extra: bool = True
+    fail_on_violation: bool = False
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SchemaCheckCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            columns=tuple((c["name"], c["type"]) for c in p["columns"]),
+            allow_extra=bool(p.get("allowExtra", True)),
+            fail_on_violation=bool(p.get("failOnViolation", False)),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        df = load_input(engine.spark, self.input, engine.registry)
+        actual = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+        rows: list[tuple[str, str | None, str | None, str]] = []
+        for name, expected in self.columns:
+            got = actual.get(name.lower())
+            if got is None:
+                rows.append((name, expected, None, "missing"))
+            elif got.lower() != expected.lower():
+                rows.append((name, expected, got, "type_mismatch"))
+            else:
+                rows.append((name, expected, got, "ok"))
+        if not self.allow_extra:
+            expected_names = {n.lower() for n, _ in self.columns}
+            for f in df.schema.fields:
+                if f.name.lower() not in expected_names:
+                    rows.append(
+                        (f.name, None, f.dataType.simpleString(), "unexpected")
+                    )
+        bad = [r for r in rows if r[3] != "ok"]
+        if self.fail_on_violation and bad:
+            detail = "; ".join(
+                f"{n}: {st} (expected {e}, got {g})" for n, e, g, st in bad
+            )
+            raise ValueError(f"schemaCheck '{self.output_key}' failed: {detail}")
+        return engine.spark.createDataFrame(
+            rows, "column string, expected_type string, actual_type string, "
+            "status string",
+        )
+
+
+@dataclass(frozen=True)
 class BasketCmd(Command):
     """{"command": "basket", "input": <input>, "params":
     {"basketColumn", "itemColumn", ["minSupport", "maxBasketItems",
@@ -1158,6 +1227,7 @@ def register() -> None:
             "scd2": ScdCmd.from_json,
             "kAnonymity": KAnonymityCmd.from_json,
             "basket": BasketCmd.from_json,
+            "schemaCheck": SchemaCheckCmd.from_json,
             "intervalJoin": IntervalJoinCmd.from_json,
             "compact": CompactCmd.from_json,
         }
