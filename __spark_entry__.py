@@ -212,6 +212,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ma ON ma.i = p.item_a
             JOIN m mb ON mb.i = p.item_b, t
         """,
+        "spatial_customer_supplier": """
+            WITH c AS (
+              SELECT c_custkey,
+                     (c_custkey * 7919) % 10000 AS x,
+                     (c_custkey * 104729) % 10000 AS y
+              FROM customer
+            ),
+            s AS (
+              SELECT s_suppkey,
+                     (s_suppkey * 7919) % 10000 AS x,
+                     (s_suppkey * 104729) % 10000 AS y
+              FROM supplier
+            )
+            SELECT c_custkey, s_suppkey,
+                   (c.x - s.x) * (c.x - s.x)
+                   + (c.y - s.y) * (c.y - s.y) AS dist_sq
+            FROM c JOIN s
+              ON (c.x - s.x) * (c.x - s.x)
+                 + (c.y - s.y) * (c.y - s.y) <= 150 * 150
+        """,
         "view_late_orders_exists": """
             SELECT o_orderpriority, count(*) AS n_late_orders
             FROM orders o

@@ -921,3 +921,34 @@ def test_schema_check_fail_on_violation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="schemaCheck 'contract' failed"):
         engine.run(str(p))
+
+
+def test_spatial_join_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "view",
+                "inputs": [{"ref": f"{SF}/customer.parquet", "onDisk": True}],
+                "params": {"tableAliases": ["c"],
+                           "query": ("SELECT c_custkey, (c_custkey*7919)%100 AS x, "
+                                     "(c_custkey*104729)%100 AS y FROM c")},
+                "outputKey": "points",
+            },
+            {
+                "command": "spatialJoin",
+                "left": {"ref": "points", "onDisk": False},
+                "right": {"ref": "points", "onDisk": False},
+                "params": {"radius": 5},
+                "outputKey": "nearPairs",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    pairs = engine.registry["nearPairs"]
+    assert {"c_custkey_l", "c_custkey_r", "dist_sq"} <= set(pairs.columns)
+    # self-join: every point matches itself at distance 0
+    n_points = engine.registry["points"].count()
+    assert pairs.filter("dist_sq = 0").count() >= n_points

@@ -1731,6 +1731,29 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spatial_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial within-radius join (spatial.
+    within_radius_join): customers within 150 units of a supplier on a
+    derived 10000x10000 integer grid — squared-integer distances, so the
+    predicate and output are engine-exact. 3x3 cell equi-join, never a
+    nested loop."""
+    from topnotch_spark.operators.spatial import within_radius_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 10000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 10000).alias("y"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919) % 10000).alias("x"),
+        ((F.col("s_suppkey") * 104729) % 10000).alias("y"),
+    )
+    return within_radius_join(cust, supp, radius=150).select(
+        "c_custkey", "s_suppkey", "dist_sq"
+    )
+
+
 def view_late_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shape EXISTS correlated subquery via the view operator:
     orders with at least one lineitem shipped >60 days after the order
@@ -1855,6 +1878,7 @@ ALL = {
     "scd2_customer_segment": scd2_customer_segment,
     "k_anonymity_customers": k_anonymity_customers,
     "basket_brand_pairs": basket_brand_pairs,
+    "spatial_customer_supplier": spatial_customer_supplier,
     "view_late_orders_exists": view_late_orders_exists,
     "view_rich_inactive_custs": view_rich_inactive_custs,
     "view_tpch_q1": view_tpch_q1,

@@ -931,6 +931,51 @@ class MembershipCmd(Command):
 
 
 @dataclass(frozen=True)
+class SpatialJoinCmd(Command):
+    """{"command": "spatialJoin", "left": <input>, "right": <input>,
+    "params": {"radius", ["leftXy": ["x","y"], "rightXy": ["x","y"],
+    "suffixes": ["_l","_r"]]}} — grid-blocked within-radius join
+    (operators/spatial.within_radius_join)."""
+
+    left: Input = None  # type: ignore[assignment]
+    right: Input = None  # type: ignore[assignment]
+    radius: float = 0.0
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.left, self.right]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SpatialJoinCmd":
+        p = obj["params"]
+        opts = {}
+        if "leftXy" in p:
+            opts["left_xy"] = tuple(p["leftXy"])
+        if "rightXy" in p:
+            opts["right_xy"] = tuple(p["rightXy"])
+        if "suffixes" in p:
+            opts["suffixes"] = tuple(p["suffixes"])
+        return cls(
+            left=Input.from_json(obj["left"]),
+            right=Input.from_json(obj["right"]),
+            radius=float(p["radius"]),
+            options=opts,
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.spatial import within_radius_join
+
+        return within_radius_join(
+            load_input(engine.spark, self.left, engine.registry),
+            load_input(engine.spark, self.right, engine.registry),
+            radius=self.radius,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
 class SchemaCheckCmd(Command):
     """{"command": "schemaCheck", "input": <input>, "params":
     {"columns": [{"name", "type"}], ["allowExtra": true,
@@ -1228,6 +1273,7 @@ def register() -> None:
             "kAnonymity": KAnonymityCmd.from_json,
             "basket": BasketCmd.from_json,
             "schemaCheck": SchemaCheckCmd.from_json,
+            "spatialJoin": SpatialJoinCmd.from_json,
             "intervalJoin": IntervalJoinCmd.from_json,
             "compact": CompactCmd.from_json,
         }
