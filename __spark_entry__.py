@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from topnotch_spark import catalog, oracles
+from topnotch_spark.functions.layout import z_value_sql
 from topnotch_spark.operators.assertions import run_assertions
 from topnotch_spark.operators.textqc import LANG_MARKERS
 
@@ -307,6 +308,55 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_weekly": oracles.retention_cohorts_sql(),
         "rolling_value_7d": oracles.rolling_window_agg_sql(),
         "histogram_equidepth_totalprice": oracles.equidepth_histogram_sql(),
+        "token_drift_langs": oracles.token_drift_sql(
+            "lang = 'en'", "lang = 'es'"
+        ),
+        "vocab_overlap_langs": oracles.vocab_overlap_sql("lang"),
+        "ewma_value_by_user": oracles.ewma_per_key_sql(
+            terms=16, decimals=2
+        ),
+        "anomaly_value_zscore": oracles.rolling_zscore_sql(
+            window_rows=20, threshold=3.0, min_rows=12, decimals=2
+        ),
+        "zorder_customers": f"""
+            WITH g AS (
+              SELECT c_custkey,
+                     (c_custkey * 7919) % 1024 AS x,
+                     (c_custkey * 104729) % 1024 AS y
+              FROM customer
+            )
+            SELECT c_custkey, x, y,
+                   {z_value_sql('x', 'y', bits=10)} AS zkey,
+                   {z_value_sql('x', 'y', bits=10)} >> 14 AS zbucket
+            FROM g
+        """,
+        "l_diversity_customers": """
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+                   count(*) AS group_size,
+                   count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR),
+                                           '__NULL__'))
+                     AS distinct_sensitive,
+                   count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR),
+                                           '__NULL__')) >= 3 AS meets_l
+            FROM customer
+            GROUP BY 1, 2
+            HAVING count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR),
+                                           '__NULL__')) < 3
+        """,
+        "view_big_qty_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+            )
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """,
     }
     return ext | {
         "view_small_qty_revenue": """

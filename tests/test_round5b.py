@@ -1,0 +1,256 @@
+"""Round-5 second-pass operators: token-distribution drift, vocabulary
+overlap, l-diversity, EWMA, rolling z-score anomalies, Z-order keys."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from topnotch_spark.functions.layout import z_value, z_value_sql
+from topnotch_spark.operators.drift import token_distribution_drift
+from topnotch_spark.operators.integrity import l_diversity
+from topnotch_spark.operators.temporal import (
+    ewma_per_key,
+    rolling_zscore_anomalies,
+)
+from topnotch_spark.operators.textqc import vocab_overlap
+
+
+# ---- token distribution drift ---------------------------------------------
+
+
+def test_token_drift_identical_corpora_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a dog ran far")], "id long, text string"
+    )
+    row = token_distribution_drift(docs, docs, "text").collect()[0]
+    assert row["kl_ref_cur"] == 0.0
+    assert row["kl_cur_ref"] == 0.0
+    assert row["js_divergence"] == 0.0
+    assert row["vocab_size"] == 7
+    assert row["n_tokens_ref"] == 7 and row["n_tokens_cur"] == 7
+
+
+def test_token_drift_disjoint_corpora_positive(spark):
+    a = spark.createDataFrame([(1, "aa bb cc")], "id long, text string")
+    b = spark.createDataFrame([(1, "xx yy zz")], "id long, text string")
+    row = token_distribution_drift(a, b, "text").collect()[0]
+    assert row["kl_ref_cur"] > 0 and row["kl_cur_ref"] > 0
+    # JS is bounded by ln(2)
+    assert 0 < row["js_divergence"] <= math.log(2) + 1e-9
+    assert row["vocab_size"] == 6
+
+
+def test_token_drift_hand_computed(spark):
+    # ref = {a:2}, cur = {a:1, b:1}; joint vocab = {a,b} (V=2)
+    # p(a) = 3/4, p(b) = 1/4 ; q(a) = 2/4, q(b) = 2/4
+    a = spark.createDataFrame([(1, "a a")], "id long, text string")
+    b = spark.createDataFrame([(1, "a b")], "id long, text string")
+    row = token_distribution_drift(a, b, "text").collect()[0]
+    kl = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    assert row["kl_ref_cur"] == pytest.approx(kl, abs=1e-6)
+
+
+# ---- vocabulary overlap ---------------------------------------------------
+
+
+def test_vocab_overlap_jaccard(spark):
+    docs = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma"),
+            ("s2", "beta gamma delta"),
+            ("s3", "zzz"),
+        ],
+        "src string, text string",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in vocab_overlap(docs, "text", "src").collect()
+    }
+    r = out[("s1", "s2")]
+    assert r["vocab_a"] == 3 and r["vocab_b"] == 3
+    assert r["shared_tokens"] == 2
+    assert r["jaccard"] == pytest.approx(2 / 4, abs=1e-9)
+    # disjoint vocabularies never meet the join → no row
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_vocab_overlap_dedupes_within_group(spark):
+    docs = spark.createDataFrame(
+        [("s1", "x x x"), ("s1", "x y"), ("s2", "x")],
+        "src string, text string",
+    )
+    r = vocab_overlap(docs, "text", "src").collect()[0]
+    assert r["vocab_a"] == 2  # {x, y}, repeats collapse
+    assert r["shared_tokens"] == 1
+
+
+# ---- l-diversity ----------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    df = spark.createDataFrame(
+        [
+            ("g1", "A"), ("g1", "A"), ("g1", "A"),   # 3 rows, 1 value: leak
+            ("g2", "A"), ("g2", "B"), ("g2", "C"),   # 3 distinct: fine
+        ],
+        "quasi string, sens string",
+    )
+    out = l_diversity(df, ["quasi"], "sens", l=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["quasi"] == "g1"
+    assert r["group_size"] == 3
+    assert r["distinct_sensitive"] == 1
+    assert r["meets_l"] is False
+
+
+def test_l_diversity_null_sensitive_counts_as_value(spark):
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", "A")], "quasi string, sens string"
+    )
+    out = l_diversity(df, ["quasi"], "sens", l=2, risky_only=False).collect()
+    assert out[0]["distinct_sensitive"] == 2
+    assert out[0]["meets_l"] is True
+
+
+def test_l_diversity_rejects_bad_l(spark):
+    df = spark.createDataFrame([("g", "a")], "quasi string, sens string")
+    with pytest.raises(ValueError):
+        l_diversity(df, ["quasi"], "sens", l=0)
+
+
+# ---- EWMA -----------------------------------------------------------------
+
+
+def test_ewma_recursive_matches_closed_form(spark):
+    # adjust=True EWMA: y_i = sum(0.5^k x_{i-k}) / sum(0.5^k)
+    vals = [10.0, 20.0, 40.0]
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "k long, ts long, tb long, value double",
+    )
+    out = (
+        ewma_per_key(df, "k", "ts", "value", "tb")
+        .orderBy("ts")
+        .collect()
+    )
+    assert out[0]["ewma"] == pytest.approx(10.0)
+    assert out[1]["ewma"] == pytest.approx((20 + 0.5 * 10) / 1.5)
+    assert out[2]["ewma"] == pytest.approx((40 + 0.5 * 20 + 0.25 * 10) / 1.75)
+
+
+def test_ewma_constant_series_is_identity(spark):
+    df = spark.createDataFrame(
+        [(1, i, i, 7.25) for i in range(40)],
+        "k long, ts long, tb long, value double",
+    )
+    for r in ewma_per_key(df, "k", "ts", "value", "tb").collect():
+        assert r["ewma"] == pytest.approx(7.25, abs=1e-9)
+
+
+def test_ewma_drops_null_values(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0, 5.0), (1, 1, 1, None), (1, 2, 2, 15.0)],
+        "k long, ts long, tb long, value double",
+    )
+    out = ewma_per_key(df, "k", "ts", "value", "tb").orderBy("ts").collect()
+    assert len(out) == 2
+    # the null row is not a lag: second row sees x=[15, 5]
+    assert out[1]["ewma"] == pytest.approx((15 + 0.5 * 5) / 1.5)
+
+
+# ---- rolling z-score anomalies --------------------------------------------
+
+
+def test_rolling_zscore_flags_spike(spark):
+    rows = [(1, i, i, 100.0 + (i % 3)) for i in range(30)]
+    rows.append((1, 30, 30, 500.0))  # the spike
+    df = spark.createDataFrame(
+        rows, "k long, ts long, tb long, value double"
+    )
+    out = rolling_zscore_anomalies(df, "k", "ts", "value", "tb").collect()
+    assert len(out) == 1
+    assert out[0]["ts"] == 30
+    assert out[0]["zscore"] > 3.0
+    assert out[0]["n_window"] == 20
+
+
+def test_rolling_zscore_quiet_series_clean(spark):
+    df = spark.createDataFrame(
+        [(1, i, i, 50.0 + (i % 5)) for i in range(60)],
+        "k long, ts long, tb long, value double",
+    )
+    assert rolling_zscore_anomalies(df, "k", "ts", "value", "tb").count() == 0
+
+
+def test_rolling_zscore_short_prefix_never_flags(spark):
+    # huge spike but only 5 trailing rows (< min_rows): not flagged
+    rows = [(1, i, i, 10.0 + i) for i in range(5)] + [(1, 5, 5, 9999.0)]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, tb long, value double"
+    )
+    assert rolling_zscore_anomalies(df, "k", "ts", "value", "tb").count() == 0
+
+
+def test_rolling_zscore_constant_window_no_div_by_zero(spark):
+    df = spark.createDataFrame(
+        [(1, i, i, 5.0) for i in range(25)],
+        "k long, ts long, tb long, value double",
+    )
+    assert rolling_zscore_anomalies(df, "k", "ts", "value", "tb").count() == 0
+
+
+# ---- Z-order keys ---------------------------------------------------------
+
+
+def test_z_value_hand_computed(spark):
+    # x=0b11 (bits at 0,2), y=0b10 (bit at 3): z = 0b1101... compute:
+    # x bits: b0=1→pos0, b1=1→pos2 ; y bits: b0=0, b1=1→pos3 → 0b1101 = 13
+    df = spark.createDataFrame([(3, 2)], "x long, y long")
+    assert df.select(z_value("x", "y", 4).alias("z")).collect()[0]["z"] == 13
+
+
+def test_z_value_locality_beats_linear_on_y(spark):
+    # neighbors in y land in nearby z ranges, unlike x-major ordering
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    out = df.select("x", "y", z_value("x", "y", 4).alias("z")).collect()
+    zmap = {(r["x"], r["y"]): r["z"] for r in out}
+    # 256 distinct keys (bijection on the 16x16 grid)
+    assert len(set(zmap.values())) == 256
+    # the z-range spanned by one 4x4 tile is much tighter than the
+    # x-major range (which spans ~the whole table for any y-slice)
+    tile = [zmap[(x, y)] for x in range(4) for y in range(4)]
+    assert max(tile) - min(tile) <= 63  # one 4x4 Morton block is contiguous
+
+
+def test_z_value_sql_matches_spark(spark):
+    import duckdb
+
+    pairs = [(x, y) for x in range(0, 1000, 37) for y in range(0, 1000, 41)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z_value("x", "y", 10).alias("z")).collect()
+    }
+    expr = z_value_sql("x", "y", 10)
+    con = duckdb.connect()  # keep a live ref: .sql() is lazy
+    rows = con.sql(
+        "SELECT x, y, " + expr + " AS z FROM (SELECT "
+        "unnest($1::BIGINT[]) AS x, unnest($2::BIGINT[]) AS y)",
+        params=[[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchall()
+    assert len(rows) == len(pairs)
+    for x, y, z in rows:
+        assert got[(x, y)] == z
+
+
+def test_z_value_bits_bounds(spark):
+    with pytest.raises(ValueError):
+        z_value("x", "y", 0)
+    with pytest.raises(ValueError):
+        z_value("x", "y", 32)

@@ -1811,6 +1811,123 @@ def view_rich_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift (drift.token_distribution_drift): KL/JS
+    divergence between the unigram token distributions of English vs
+    Spanish documents — the corpus-mix monitor for training-data
+    refreshes. One map-side-combined groupBy per side onto the token,
+    one vocab-sized outer join, one final row."""
+    from topnotch_spark.operators.drift import token_distribution_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return token_distribution_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "es"),
+        "text",
+    )
+
+
+def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language slices of the corpus
+    (textqc.vocab_overlap): distinct (lang, token) reduction, token
+    equi-join restricted to lang_a < lang_b, exact-integer counts."""
+    from topnotch_spark.operators.textqc import vocab_overlap
+
+    return vocab_overlap(load(spark, sf_dir, "documents"), "text", "lang")
+
+
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity privacy audit (integrity.l_diversity): customer
+    quasi-identifier groups (nation, $1000 balance band) whose rows span
+    fewer than l=3 distinct market segments — k-anonymous-but-homogeneous
+    groups that still leak the segment. One groupBy with count-distinct."""
+    from topnotch_spark.operators.integrity import l_diversity
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "acctbal_band"], "c_mktsegment", l=3
+    )
+
+
+def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (temporal.ewma_per_key, α=1/2,
+    16-term truncation): power-of-two weights over scaled integers make
+    the smoothed series bit-identical across engines. One window pass."""
+    from topnotch_spark.operators.temporal import ewma_per_key
+
+    return ewma_per_key(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window point anomalies (temporal.rolling_zscore_anomalies):
+    events whose value sits >3 trailing-20-event sample stddevs from the
+    per-user mean — exact-integer window sums, one fixed double
+    expression, one window pass."""
+    from topnotch_spark.operators.temporal import rolling_zscore_anomalies
+
+    return rolling_zscore_anomalies(
+        load(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
+def zorder_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over the customer grid coordinates
+    (functions.layout.z_value): the multi-dimension data-skipping layout
+    key for the range-sorted sink — pure integer bit-interleaving, exact
+    on any engine. Returns each customer's cell and key plus the
+    64-bucket key-range histogram a file-layout planner would use."""
+    from topnotch_spark.functions.layout import z_value
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 1024).alias("x"),
+        ((F.col("c_custkey") * 104729) % 1024).alias("y"),
+    )
+    return cust.select(
+        "c_custkey",
+        "x",
+        "y",
+        z_value("x", "y", bits=10).alias("zkey"),
+    ).withColumn("zbucket", F.shiftright(F.col("zkey"), 14))
+
+
+def view_big_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape via the view operator: large-volume orders (total
+    lineitem quantity > 120) with customer attribution — GROUP BY +
+    HAVING feeding an IN subquery; Catalyst rewrites the IN into a
+    left-semi hash join on the pre-aggregated keys (no per-row re-scan)."""
+    return create_view(
+        spark,
+        [
+            load(spark, sf_dir, "customer"),
+            load(spark, sf_dir, "orders"),
+            load(spark, sf_dir, "lineitem"),
+        ],
+        ViewParams(
+            ("customer_v", "orders_v", "lineitem_v"),
+            """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM customer_v c
+            JOIN orders_v o ON c.c_custkey = o.o_custkey
+            JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem_v
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 120
+            )
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            """,
+        ),
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -1936,4 +2053,11 @@ ALL = {
     "similarity_ann_recall": similarity_ann_recall,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "text_bigram_logprob": text_bigram_logprob,
+    "token_drift_langs": token_drift_langs,
+    "vocab_overlap_langs": vocab_overlap_langs,
+    "l_diversity_customers": l_diversity_customers,
+    "ewma_value_by_user": ewma_value_by_user,
+    "anomaly_value_zscore": anomaly_value_zscore,
+    "zorder_customers": zorder_customers,
+    "view_big_qty_orders": view_big_qty_orders,
 }

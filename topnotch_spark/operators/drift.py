@@ -233,6 +233,87 @@ def psi(
     return float(row[0])
 
 
+def token_distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Token-distribution drift between two corpora: KL divergence both
+    ways plus the symmetric Jensen–Shannon divergence over the unigram
+    token distributions (shared whitespace token model, add-one/Laplace
+    smoothing over the JOINT vocabulary so every term is finite).
+
+    The text complement of the numeric drift gates (PSI/KS/chi2): "did
+    the language itself shift between two training-data snapshots" —
+    the standard corpus-mix monitor for LLM data refreshes.
+
+    Returns ONE row: vocab_size, n_tokens_ref, n_tokens_cur, kl_ref_cur
+    (= KL(P||Q)), kl_cur_ref, js_divergence (nats, rounded).
+
+    Execution shape: explode tokens once per side, ONE map-side-combined
+    groupBy per side onto the token (the big reduction: corpus → vocab),
+    a full-outer join on token (vocab-sized, both sides already reduced),
+    frame-total window sums, and a 1-row aggregate. No collect, no UDF,
+    no per-row float division until the final vocab-sized projection —
+    scan-bound at any corpus size; state is O(vocab), which grows
+    sublinearly (Heaps' law) and shuffles as (token, long) pairs.
+    """
+    from topnotch_spark.functions.text import tokens
+
+    def vocab_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    from topnotch_spark.operators.dedup import _persist
+
+    # Persisted (registry-scoped, checkpointable) because BOTH the
+    # broadcast totals and the divergence sums consume it — without it
+    # the explode+groupBy lineage runs twice.
+    joined = _persist(
+        vocab_counts(ref, "n_ref")
+        .join(vocab_counts(cur, "n_cur"), "token", "full_outer")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
+    # Totals as a broadcast 1-row frame, NOT a partition-less window: a
+    # global window would drag the whole vocab onto one partition, which
+    # at web-corpus vocabulary sizes (10⁸+ tokens) is the exact
+    # single-partition hazard this repo bans.
+    totals = F.broadcast(
+        joined.agg(
+            F.count(F.lit(1)).alias("__vocab__"),
+            F.sum("n_ref").alias("__tr__"),
+            F.sum("n_cur").alias("__tc__"),
+        )
+    )
+    joined = joined.crossJoin(totals)
+    vocab = F.col("__vocab__")
+    tot_ref = F.col("__tr__")
+    tot_cur = F.col("__tc__")
+    # Laplace add-one over the joint vocab: p,q > 0 for every token.
+    p = (F.col("n_ref") + 1).cast("double") / (tot_ref + vocab).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (tot_cur + vocab).cast("double")
+    m = (p + q) / F.lit(2.0)
+    terms = joined.select(
+        vocab.alias("vocab_size"),
+        tot_ref.alias("n_tokens_ref"),
+        tot_cur.alias("n_tokens_cur"),
+        (p * F.log(p / q)).alias("kl_pq_term"),
+        (q * F.log(q / p)).alias("kl_qp_term"),
+        (F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)).alias(
+            "js_term"
+        ),
+    )
+    return terms.groupBy("vocab_size", "n_tokens_ref", "n_tokens_cur").agg(
+        F.round(F.sum("kl_pq_term"), round_digits).alias("kl_ref_cur"),
+        F.round(F.sum("kl_qp_term"), round_digits).alias("kl_cur_ref"),
+        F.round(F.sum("js_term"), round_digits).alias("js_divergence"),
+    )
+
+
 def chi2_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -106,3 +106,47 @@ def k_anonymity(
         (F.col("group_size") >= k).alias("meets_k"),
     )
     return out.filter(~F.col("meets_k")) if risky_only else out
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    risky_only: bool = True,
+) -> DataFrame:
+    """L-diversity audit — the companion gate to [k_anonymity]: a
+    quasi-identifier group can satisfy k-anonymity yet still leak the
+    sensitive attribute if every row in the group SHARES it (homogeneity
+    attack). A group is l-diverse when its rows span at least ``l``
+    distinct sensitive values.
+
+    Returns one row per quasi-identifier combination: the quasi columns,
+    ``group_size``, ``distinct_sensitive``, ``meets_l``; with
+    ``risky_only`` (default) only the violating groups. NULL sensitive
+    values count as one distinct value of their own (a group that is
+    all-NULL still exposes "the attribute is unknown for these people"
+    — distinct_sensitive counts it, matching COUNT(DISTINCT) over a
+    NULL-coalesced sentinel, not SQL's null-dropping COUNT(DISTINCT)).
+
+    Execution shape: ONE groupBy on the quasi columns with a
+    count-distinct over the sensitive column — Spark plans this as a
+    two-phase expand/aggregate with partial aggregation; output is at
+    most one row per distinct quasi tuple. Scan-bound at any scale.
+    """
+    if l < 1:
+        raise ValueError(f"l_diversity: l must be >= 1, got {l}")
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("__NULL__")
+    )
+    g = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(sens).alias("distinct_sensitive"),
+    )
+    out = g.select(
+        *quasi_cols,
+        "group_size",
+        "distinct_sensitive",
+        (F.col("distinct_sensitive") >= l).alias("meets_l"),
+    )
+    return out.filter(~F.col("meets_l")) if risky_only else out

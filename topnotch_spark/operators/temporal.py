@@ -618,6 +618,129 @@ def trend_per_key(
     )
 
 
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    terms: int = 16,
+    decimals: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (half-decay per
+    event, pandas ``ewm(alpha=0.5, adjust=True)`` truncated to the
+    trailing ``terms`` events) — the smoothing primitive for per-entity
+    metric monitoring, where recent events should dominate but a single
+    spike shouldn't.
+
+    ewma_i = Σ_{k<terms} 2⁻ᵏ·x_{i−k} / Σ_{k<terms} 2⁻ᵏ over the rows
+    that exist (shorter prefixes renormalize over the available lags —
+    exactly pandas' ``adjust=True``). Truncation at ``terms`` is both
+    the scale bound (O(terms) state per row, never whole-history) and
+    deliberate semantics: with α=1/2 the dropped tail weighs < 2⁻¹⁵.
+
+    Determinism trick: the value is scaled to an integer (``decimals``)
+    and the weights are POWERS OF TWO, so every product ``v_int·2⁻ᵏ`` is
+    an exact double (power-of-two scaling only shifts the exponent) and
+    the 16-term sum spans ≤ value-bits + 15 + 4 < 53 significand bits —
+    the whole numerator/denominator is EXACT in any engine, any
+    evaluation order; the single final division is bit-identical
+    everywhere.
+
+    Execution shape: one window pass per key (all ``terms`` lags share
+    one sort/frame), zero joins, zero UDFs. Rows with NULL values are
+    dropped from the series (they would otherwise poison ``terms``
+    subsequent averages)."""
+    scale = 10 ** decimals
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    v = F.round(F.col(value_col) * scale).cast("long").cast("double")
+    base = df.filter(F.col(value_col).isNotNull()).withColumn("__v__", v)
+    num = None
+    den = None
+    for k in range(terms):
+        wt = 2.0 ** -k
+        lagged = F.lag("__v__", k).over(w) if k else F.col("__v__")
+        t_num = F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        t_den = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return base.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(value_col),
+        F.round(num / den / F.lit(float(scale)), round_digits).alias("ewma"),
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    min_rows: int = 12,
+    decimals: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-key rolling-window anomaly detection: flag events whose value
+    deviates more than ``threshold`` sample standard deviations from the
+    trailing ``window_rows``-event mean (current row included — the
+    spike itself widens the std, making the gate conservative). The
+    point-anomaly primitive for per-entity metric monitoring; rows with
+    fewer than ``min_rows`` trailing events are never flagged (a 3-row
+    "std" is noise).
+
+    Determinism trick: values are scaled to integers (``decimals``) and
+    the frame carries n, Σx, Σx² as EXACT integer window sums; the
+    z-score is assembled from them in one fixed double expression
+    ``(n·x − Σx) / sqrt(n·(n·Σx² − Σx²ᵤₘ)/(n−1))`` — IEEE division and
+    sqrt are correctly rounded, so the value is bit-identical on any
+    engine/partitioning. Overflow budget: cents ≤ 10⁶ ⇒ n·Σx² ≤
+    window_rows²·10¹² — safe in int64 for windows to ~10³ rows.
+
+    Execution shape: one window pass per key (three sums share one
+    sort/frame), a filter, zero joins/UDFs. State per row is O(1): the
+    running sums, never the raw frame."""
+    scale = 10 ** decimals
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    v = F.round(F.col(value_col) * scale).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__v__", v)
+        .withColumn("__n__", F.count(F.lit(1)).over(w))
+        .withColumn("__s1__", F.sum("__v__").over(w))
+        .withColumn("__s2__", F.sum(F.col("__v__") * F.col("__v__")).over(w))
+    )
+    n = F.col("__n__")
+    var_num = n * F.col("__s2__") - F.col("__s1__") * F.col("__s1__")
+    z = (n * F.col("__v__") - F.col("__s1__")).cast("double") / F.sqrt(
+        (n * var_num).cast("double") / (n - 1).cast("double")
+    )
+    return (
+        base.withColumn(
+            "zscore",
+            F.when((n >= min_rows) & (var_num > 0), F.round(z, round_digits)),
+        )
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(value_col),
+            F.col("__n__").alias("n_window"),
+            "zscore",
+        )
+    )
+
+
 def interval_join(
     facts: DataFrame,
     ranges: DataFrame,

@@ -363,6 +363,70 @@ def lang_mix(
     )
 
 
+def vocab_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices: for every
+    unordered pair of groups (sources, langs, snapshots), the distinct
+    vocabulary sizes, the shared-token count, and the Jaccard similarity
+    of the two vocabularies — the cheap "are these two sources the same
+    kind of text" screen before corpus mixing or dedup across sources.
+
+    Execution shape: explode tokens, ONE distinct on (group, token) (the
+    big reduction: corpus → per-group vocab), per-group sizes as a
+    bounded |groups|-row aggregate (broadcast back twice), and the
+    intersection via a token equi-join of the distinct table with itself
+    restricted to group_a < group_b — never an all-pairs cross join; the
+    join fan-out per token is bounded by |groups|. Jaccard =
+    inter / (|A| + |B| − inter), exact-integer until one final rounded
+    division."""
+    vocab = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("g").agg(F.count(F.lit(1)).alias("vocab_size"))
+    a = vocab.select(F.col("g").alias("group_a"), "token")
+    b = vocab.select(F.col("g").alias("group_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_tokens"))
+    )
+    sa = F.broadcast(
+        sizes.select(
+            F.col("g").alias("group_a"), F.col("vocab_size").alias("vocab_a")
+        )
+    )
+    sb = F.broadcast(
+        sizes.select(
+            F.col("g").alias("group_b"), F.col("vocab_size").alias("vocab_b")
+        )
+    )
+    union_sz = F.col("vocab_a") + F.col("vocab_b") - F.col("shared_tokens")
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "vocab_a",
+            "vocab_b",
+            "shared_tokens",
+            F.round(
+                F.col("shared_tokens").cast("double") / union_sz.cast("double"),
+                round_digits,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str,

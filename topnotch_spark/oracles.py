@@ -2759,3 +2759,164 @@ def scd2_customer_segment_sql() -> str:
         SELECT uk, useg, ubal, eff, CAST(NULL AS DATE), TRUE
         FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)
     """
+
+
+def token_drift_sql(
+    ref_where: str, cur_where: str, round_digits: int = 6
+) -> str:
+    """Mirror of drift.token_distribution_drift: Laplace-smoothed unigram
+    KL/JS over the joint vocabulary of two document slices."""
+    tok = tokens("text")
+    return f"""
+        WITH va AS (
+          SELECT t AS token, count(*) AS n_ref
+          FROM (SELECT unnest({tok}) AS t
+                FROM documents WHERE {ref_where})
+          GROUP BY t
+        ),
+        vb AS (
+          SELECT t AS token, count(*) AS n_cur
+          FROM (SELECT unnest({tok}) AS t
+                FROM documents WHERE {cur_where})
+          GROUP BY t
+        ),
+        j AS (
+          SELECT coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+          FROM va FULL OUTER JOIN vb ON va.token = vb.token
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS v,
+                 CAST(sum(n_ref) AS BIGINT) AS tr,
+                 CAST(sum(n_cur) AS BIGINT) AS tc
+          FROM j
+        ),
+        pq AS (
+          SELECT v, tr, tc,
+                 CAST(n_ref + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE) AS p,
+                 CAST(n_cur + 1 AS DOUBLE) / CAST(tc + v AS DOUBLE) AS q
+          FROM j, tot
+        )
+        SELECT v AS vocab_size, tr AS n_tokens_ref, tc AS n_tokens_cur,
+               round(sum(p * ln(p / q)), {round_digits}) AS kl_ref_cur,
+               round(sum(q * ln(q / p)), {round_digits}) AS kl_cur_ref,
+               round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+                         + 0.5 * q * ln(q / ((p + q) / 2.0))),
+                     {round_digits}) AS js_divergence
+        FROM pq
+        GROUP BY v, tr, tc
+    """
+
+
+def vocab_overlap_sql(group_col: str = "lang", round_digits: int = 6) -> str:
+    """Mirror of textqc.vocab_overlap: pairwise vocabulary Jaccard
+    between corpus slices."""
+    tok = tokens("text")
+    return f"""
+        WITH v AS (
+          SELECT DISTINCT g, t AS token
+          FROM (SELECT {group_col} AS g, unnest({tok}) AS t
+                FROM documents)
+        ),
+        s AS (SELECT g, CAST(count(*) AS BIGINT) AS vocab_size
+              FROM v GROUP BY g),
+        i AS (
+          SELECT a.g AS group_a, b.g AS group_b,
+                 CAST(count(*) AS BIGINT) AS shared_tokens
+          FROM v a JOIN v b ON a.token = b.token AND a.g < b.g
+          GROUP BY 1, 2
+        )
+        SELECT group_a, group_b,
+               sa.vocab_size AS vocab_a, sb.vocab_size AS vocab_b,
+               shared_tokens,
+               round(CAST(shared_tokens AS DOUBLE)
+                     / CAST(sa.vocab_size + sb.vocab_size - shared_tokens
+                            AS DOUBLE), {round_digits}) AS jaccard
+        FROM i
+        JOIN s sa ON sa.g = i.group_a
+        JOIN s sb ON sb.g = i.group_b
+    """
+
+
+def ewma_per_key_sql(
+    terms: int = 16, decimals: int = 2, round_digits: int = 6
+) -> str:
+    """Mirror of temporal.ewma_per_key on events: identical power-of-two
+    weights over scaled integers, so the smoothed value is bit-exact."""
+    scale = 10 ** decimals
+    win = "PARTITION BY user_id ORDER BY ts, event_id"
+    lag_defs = []
+    num_parts = []
+    den_parts = []
+    for k in range(terms):
+        wt = repr(2.0 ** -k)
+        src = "v" if k == 0 else f"lag(v, {k}) OVER ({win})"
+        lag_defs.append(f"{src} AS l{k}")
+        num_parts.append(
+            f"coalesce(CAST(l{k} AS DOUBLE) * CAST({wt} AS DOUBLE), 0.0)"
+        )
+        den_parts.append(
+            f"CASE WHEN l{k} IS NOT NULL THEN CAST({wt} AS DOUBLE) "
+            f"ELSE 0.0 END"
+        )
+    lags = ",\n                 ".join(lag_defs)
+    num = "\n                 + ".join(num_parts)
+    den = "\n                 + ".join(den_parts)
+    return f"""
+        WITH b AS (
+          SELECT user_id, ts, event_id, value,
+                 CAST(round(value * {scale}) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        l AS (
+          SELECT user_id, ts, event_id, value,
+                 {lags}
+          FROM b
+        )
+        SELECT user_id, ts, event_id, value,
+               round(({num})
+                     / ({den})
+                     / CAST({float(scale)} AS DOUBLE),
+                     {round_digits}) AS ewma
+        FROM l
+    """
+
+
+def rolling_zscore_sql(
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    min_rows: int = 12,
+    decimals: int = 2,
+    round_digits: int = 4,
+) -> str:
+    """Mirror of temporal.rolling_zscore_anomalies on events: exact
+    integer window sums assembled into one fixed double expression."""
+    scale = 10 ** decimals
+    return f"""
+        WITH b AS (
+          SELECT user_id, ts, event_id, value,
+                 CAST(round(value * {scale}) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        w AS (
+          SELECT user_id, ts, event_id, value, v,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(sum(v) OVER win AS BIGINT) AS s1,
+                 CAST(sum(v * v) OVER win AS BIGINT) AS s2
+          FROM b
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {window_rows - 1} PRECEDING
+                         AND CURRENT ROW)
+        ),
+        z AS (
+          SELECT user_id, ts, event_id, value, n AS n_window,
+                 CASE WHEN n >= {min_rows} AND n * s2 - s1 * s1 > 0
+                      THEN round(CAST(n * v - s1 AS DOUBLE)
+                                 / sqrt(CAST(n * (n * s2 - s1 * s1)
+                                             AS DOUBLE)
+                                        / CAST(n - 1 AS DOUBLE)),
+                                 {round_digits})
+                 END AS zscore
+          FROM w
+        )
+        SELECT * FROM z WHERE abs(zscore) > {threshold}
+    """
