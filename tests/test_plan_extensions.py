@@ -952,3 +952,140 @@ def test_spatial_join_plan(spark, tmp_path):
     # self-join: every point matches itself at distance 0
     n_points = engine.registry["points"].count()
     assert pairs.filter("dist_sq = 0").count() >= n_points
+
+def test_round5b_plan_commands(spark, tmp_path):
+    """drift tokens, l-diversity, sequence ewma/anomaly, vocabOverlap."""
+    plan = {
+        "commands": [
+            {
+                "command": "drift",
+                "reference": {"ref": f"{SF}/documents.parquet",
+                              "onDisk": True},
+                "current": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "tokens", "column": "text"},
+                "outputKey": "tokenDrift",
+            },
+            {
+                "command": "kAnonymity",
+                "input": {"ref": f"{SF}/customer.parquet", "onDisk": True},
+                "params": {"quasiColumns": ["c_nationkey"],
+                           "sensitiveColumn": "c_mktsegment", "l": 6,
+                           "riskyOnly": False},
+                "outputKey": "lDiversity",
+            },
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "ewma", "keyColumn": "user_id",
+                           "valueColumn": "value", "terms": 8},
+                "outputKey": "smoothed",
+            },
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {"method": "anomaly", "keyColumn": "user_id",
+                           "valueColumn": "value", "threshold": 2.5},
+                "outputKey": "anomalies",
+            },
+            {
+                "command": "corpusStats",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"method": "vocabOverlap", "groupColumn": "lang"},
+                "outputKey": "vocabPairs",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    drift = engine.registry["tokenDrift"].collect()[0]
+    assert drift["js_divergence"] == 0.0  # identical corpora
+    ldiv = engine.registry["lDiversity"]
+    assert {"c_nationkey", "group_size", "distinct_sensitive",
+            "meets_l"} == set(ldiv.columns)
+    assert engine.registry["smoothed"].count() > 0
+    assert "ewma" in engine.registry["smoothed"].columns
+    assert "zscore" in engine.registry["anomalies"].columns
+    pairs = engine.registry["vocabPairs"]
+    assert pairs.filter("group_a >= group_b").count() == 0
+
+
+def test_zorder_sink_layout(spark, tmp_path):
+    """zorderBy writes files whose min/max rectangles are tight on BOTH
+    columns — neither dimension's per-file span covers the full domain."""
+    import pyarrow.parquet as pq
+
+    plan = {
+        "commands": [
+            {
+                "command": "view",
+                "inputs": [{"ref": f"{SF}/customer.parquet",
+                            "onDisk": True}],
+                "params": {
+                    "tableAliases": ["c"],
+                    "query": "SELECT c_custkey,"
+                             " (c_custkey * 7919) % 1024 AS x,"
+                             " (c_custkey * 104729) % 1024 AS y FROM c",
+                },
+                "outputKey": "grid",
+                "outputPath": str(tmp_path / "zsorted"),
+                "zorderBy": ["x", "y"],
+                "zorderBits": 10,
+                "sortPartitions": 8,
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+
+    files = sorted((tmp_path / "zsorted").glob("*.parquet"))
+    assert len(files) > 1
+    spans_x, spans_y = [], []
+    for f in files:
+        md = pq.read_metadata(str(f))
+        lo_x = hi_x = lo_y = hi_y = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or name not in ("x", "y"):
+                    continue
+                if name == "x":
+                    lo_x = st.min if lo_x is None else min(lo_x, st.min)
+                    hi_x = st.max if hi_x is None else max(hi_x, st.max)
+                else:
+                    lo_y = st.min if lo_y is None else min(lo_y, st.min)
+                    hi_y = st.max if hi_y is None else max(hi_y, st.max)
+        spans_x.append(hi_x - lo_x)
+        spans_y.append(hi_y - lo_y)
+    # Z-order: the MEDIAN per-file span is a fraction of the 1024 domain
+    # on BOTH dims (a 1-column sort would leave the other dim ~full-span
+    # in every file).
+    spans_x.sort(); spans_y.sort()
+    assert spans_x[len(spans_x) // 2] < 1024 * 0.8
+    assert spans_y[len(spans_y) // 2] < 1024 * 0.8
+    # dropped helper column does not leak into the output
+    cols = pq.read_schema(str(files[0])).names
+    assert "__zkey__" not in cols
+    # row fidelity: same rows as the unsorted frame
+    assert (
+        spark.read.parquet(str(tmp_path / "zsorted")).count()
+        == engine.registry["grid"].count()
+    )
+
+
+def test_zorder_sink_validation(spark, tmp_path):
+    from topnotch_spark.sources.outputs import store_output
+
+    df = spark.range(10).selectExpr("id AS x", "id AS y")
+    with pytest.raises(ValueError, match="exactly two"):
+        store_output(spark, df, "k", {}, output_path=str(tmp_path / "o"),
+                     zorder_by=["x"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        store_output(spark, df, "k", {}, output_path=str(tmp_path / "o"),
+                     zorder_by=["x", "y"], sort_by=["x"])

@@ -177,6 +177,8 @@ class TnEngine:
             output_format=cmd.output_format,
             sort_by=list(cmd.sort_by) or None,
             sort_partitions=cmd.sort_partitions,
+            zorder_by=list(cmd.zorder_by) or None,
+            zorder_bits=cmd.zorder_bits,
         )
 
     @staticmethod

@@ -424,10 +424,11 @@ class PivotCmd(Command):
 @dataclass(frozen=True)
 class DriftCmd(Command):
     """{"command": "drift", "reference": <input>, "current": <input>,
-    "params": {"column", ["method": psi|ks|chi2], ["nBuckets", "eps",
-    "roundDigits", "bins"]}} — PSI histogram drift (default),
-    two-sample KS (exact, or grid-binned via "bins"), or chi-square
-    categorical homogeneity between two datasets."""
+    "params": {"column", ["method": psi|ks|chi2|tokens], ["nBuckets",
+    "eps", "roundDigits", "bins"]}} — PSI histogram drift (default),
+    two-sample KS (exact, or grid-binned via "bins"), chi-square
+    categorical homogeneity, or KL/JS token-distribution drift
+    ("column" is then the text column) between two datasets."""
 
     reference: Input = None  # type: ignore[assignment]
     current: Input = None  # type: ignore[assignment]
@@ -456,6 +457,7 @@ class DriftCmd(Command):
             chi2_drift,
             histogram_drift,
             ks_statistic,
+            token_distribution_drift,
         )
 
         ref = load_input(engine.spark, self.reference, engine.registry)
@@ -464,6 +466,7 @@ class DriftCmd(Command):
             "ks": {"round_digits", "bins"},
             "psi": {"n_buckets", "eps", "round_digits"},
             "chi2": {"round_digits"},
+            "tokens": {"round_digits"},
         }
         if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
@@ -477,6 +480,10 @@ class DriftCmd(Command):
             return ks_statistic(ref, cur, self.column, **self.options)
         if self.method == "chi2":
             return chi2_drift(ref, cur, self.column, **self.options)
+        if self.method == "tokens":
+            return token_distribution_drift(
+                ref, cur, self.column, **self.options
+            )
         return histogram_drift(ref, cur, self.column, **self.options)
 
 
@@ -715,12 +722,16 @@ class SplitCmd(Command):
 @dataclass(frozen=True)
 class SequenceCmd(Command):
     """{"command": "sequence", "input": <input>, "params": {"method":
-    throttle|transitions|funnel|retention|rolling|trend, "tsColumn",
-    "tiebreakColumn", throttle: {"keyColumns", "minGapSeconds"},
+    throttle|transitions|funnel|retention|rolling|trend|ewma|anomaly,
+    "tsColumn", "tiebreakColumn",
+    throttle: {"keyColumns", "minGapSeconds"},
     transitions/funnel: {"keyColumn"/"userColumn", "stateColumn",
     funnel: "stages"}, retention: {"keyColumn"},
     rolling: {"keyColumn", "valueColumn", ["windowSeconds", "decimals"]},
-    trend: {"keyColumn", "valueColumn", ["decimals"]}}} —
+    trend: {"keyColumn", "valueColumn", ["decimals"]},
+    ewma: {"keyColumn", "valueColumn", ["terms", "decimals"]},
+    anomaly: {"keyColumn", "valueColumn", ["windowRows", "threshold",
+    "minRows", "decimals"]}}} —
     per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
@@ -777,6 +788,16 @@ class SequenceCmd(Command):
             return Tm.trend_per_key(
                 df, p["keyColumn"], ts, p["valueColumn"], **kwargs
             )
+        if self.method == "ewma":
+            kwargs = _opt(p, "terms", "decimals")
+            return Tm.ewma_per_key(
+                df, p["keyColumn"], ts, p["valueColumn"], tiebreak, **kwargs
+            )
+        if self.method == "anomaly":
+            kwargs = _opt(p, "windowRows", "threshold", "minRows", "decimals")
+            return Tm.rolling_zscore_anomalies(
+                df, p["keyColumn"], ts, p["valueColumn"], tiebreak, **kwargs
+            )
         raise ValueError(f"unknown sequence method: {self.method}")
 
 
@@ -817,8 +838,8 @@ class WinsorizeCmd(Command):
 @dataclass(frozen=True)
 class CorpusStatsCmd(Command):
     """{"command": "corpusStats", "input": <input>, "params": {"method":
-    mix|dedupRate|tokenHistogram|qualityBands, per-method columns}} —
-    corpus-level rollups for training-mix planning."""
+    mix|dedupRate|tokenHistogram|qualityBands|vocabOverlap, per-method
+    columns}} — corpus-level rollups for training-mix planning."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "mix"
@@ -856,6 +877,10 @@ class CorpusStatsCmd(Command):
             )
         if self.method == "tokenHistogram":
             return token_length_histogram(df, text)
+        if self.method == "vocabOverlap":
+            from topnotch_spark.operators.textqc import vocab_overlap
+
+            return vocab_overlap(df, text, p["groupColumn"])
         if self.method == "qualityBands":
             return quality_bands(
                 df,
@@ -1086,10 +1111,14 @@ class BasketCmd(Command):
 class KAnonymityCmd(Command):
     """{"command": "kAnonymity", "input": <input>, "params":
     {"quasiColumns": [...], ["k", "riskyOnly"]}} — re-identifiable
-    quasi-identifier groups (operators/integrity.k_anonymity)."""
+    quasi-identifier groups (operators/integrity.k_anonymity). With
+    "sensitiveColumn" (+ optional "l") the audit runs l-DIVERSITY
+    instead: groups whose rows span < l distinct sensitive values
+    (operators/integrity.l_diversity)."""
 
     input: Input = None  # type: ignore[assignment]
     quasi_columns: tuple[str, ...] = ()
+    sensitive_column: str | None = None
     options: dict = field(default_factory=dict)
 
     @property
@@ -1099,18 +1128,30 @@ class KAnonymityCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "KAnonymityCmd":
         p = obj["params"]
+        sensitive = p.get("sensitiveColumn")
         return cls(
             input=Input.from_json(obj["input"]),
             quasi_columns=tuple(p["quasiColumns"]),
-            options=_opt(p, "k", "riskyOnly"),
+            sensitive_column=sensitive,
+            options=_opt(p, "l", "riskyOnly")
+            if sensitive
+            else _opt(p, "k", "riskyOnly"),
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.integrity import k_anonymity
+        from topnotch_spark.operators.integrity import k_anonymity, l_diversity
 
+        df = load_input(engine.spark, self.input, engine.registry)
+        if self.sensitive_column:
+            return l_diversity(
+                df,
+                quasi_cols=list(self.quasi_columns),
+                sensitive_col=self.sensitive_column,
+                **self.options,
+            )
         return k_anonymity(
-            load_input(engine.spark, self.input, engine.registry),
+            df,
             quasi_cols=list(self.quasi_columns),
             **self.options,
         )

@@ -30,6 +30,8 @@ class Command:
     partition_by: tuple[str, ...] = ()
     sort_by: tuple[str, ...] = ()
     sort_partitions: int | None = None
+    zorder_by: tuple[str, ...] = ()
+    zorder_bits: int = 16
 
     @staticmethod
     def _common(obj: dict) -> dict:
@@ -42,6 +44,8 @@ class Command:
             partition_by=tuple(obj.get("partitionBy", [])),
             sort_by=tuple(obj.get("sortBy", [])),
             sort_partitions=obj.get("sortPartitions"),
+            zorder_by=tuple(obj.get("zorderBy", [])),
+            zorder_bits=int(obj.get("zorderBits", 16)),
         )
 
 

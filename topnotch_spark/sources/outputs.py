@@ -30,27 +30,80 @@ def store_output(
     output_format: str = "parquet",
     sort_by: list[str] | None = None,
     sort_partitions: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> DataFrame:
     """``sort_by`` writes a DATA-SKIPPING layout: rows are range-
     repartitioned on the sort columns and sorted within each partition,
     so every output file covers a disjoint range and parquet/ORC
     row-group min/max stats prune whole files for range predicates on
-    those columns — the poor-man's Z-order, and the right layout for a
-    100 TB table that is usually filtered on one column (date, id
-    range). Costs ONE range-exchange (sampled boundaries) at write time;
-    reads get `PushedFilters` + file skipping for free afterwards.
-    ``sort_partitions`` fixes the output file count (defaults to the
-    session shuffle parallelism)."""
+    those columns — the right layout for a 100 TB table that is usually
+    filtered on one column (date, id range). Costs ONE range-exchange
+    (sampled boundaries) at write time; reads get `PushedFilters` + file
+    skipping for free afterwards. ``sort_partitions`` fixes the output
+    file count (defaults to the session shuffle parallelism).
+
+    ``zorder_by`` (exactly two numeric columns) is the TWO-dimension
+    variant: each column is min/max-quantized into 2^``zorder_bits``
+    cells and rows are range-sorted on the interleaved Morton key
+    (functions/layout.z_value) — every file then covers a small
+    rectangle, so min/max stats stay tight on BOTH columns at once (the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout). Costs one 2×2-scalar
+    min/max aggregate plus the same single range-exchange."""
     if output_format not in _SINK_FORMATS:
         raise ValueError(
             f"Unsupported output format: {output_format!r} "
             f"(supported: {', '.join(_SINK_FORMATS)})"
+        )
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if zorder_by and len(zorder_by) != 2:
+        raise ValueError(
+            f"zorder_by takes exactly two columns, got {list(zorder_by)}"
         )
     if cache:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     registry[output_key] = df
     if output_path:
         out_df = df
+        if zorder_by:
+            from topnotch_spark.functions.layout import z_value
+
+            cx, cy = zorder_by
+            # one tiny aggregate: 4 scalars gate the quantization
+            b = df.agg(
+                F.min(cx).alias("nx"), F.max(cx).alias("xx"),
+                F.min(cy).alias("ny"), F.max(cy).alias("xy"),
+            ).collect()[0]
+            cells = (1 << zorder_bits) - 1
+
+            def quant(col, lo, hi):
+                span = float(hi) - float(lo)
+                if span <= 0:
+                    return F.lit(0).cast("long")
+                scaled = (
+                    (F.col(col).cast("double") - float(lo)) / span * cells
+                )
+                return F.least(
+                    F.lit(cells).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"), F.floor(scaled).cast("long")
+                    ),
+                )
+
+            zkey = z_value(
+                quant(cx, b["nx"], b["xx"]),
+                quant(cy, b["ny"], b["xy"]),
+                bits=zorder_bits,
+            )
+            out_df = df.withColumn("__zkey__", zkey)
+            if sort_partitions is not None:
+                out_df = out_df.repartitionByRange(
+                    sort_partitions, F.col("__zkey__")
+                )
+            else:
+                out_df = out_df.repartitionByRange(F.col("__zkey__"))
+            out_df = out_df.sortWithinPartitions("__zkey__").drop("__zkey__")
         if sort_by:
             cols = [F.col(c) for c in sort_by]
             if sort_partitions is not None:
