@@ -308,6 +308,9 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_weekly": oracles.retention_cohorts_sql(),
         "rolling_value_7d": oracles.rolling_window_agg_sql(),
         "histogram_equidepth_totalprice": oracles.equidepth_histogram_sql(),
+        "decontaminate_embedding": oracles.embedding_decontaminate_sql(
+            dim=64, threshold=0.25, n_planes=4, bench_mod=41
+        ),
         "token_drift_langs": oracles.token_drift_sql(
             "lang = 'en'", "lang = 'es'"
         ),

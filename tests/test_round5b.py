@@ -254,3 +254,72 @@ def test_z_value_bits_bounds(spark):
         z_value("x", "y", 0)
     with pytest.raises(ValueError):
         z_value("x", "y", 32)
+
+
+# ---- embedding decontamination --------------------------------------------
+
+
+def test_embedding_decontaminate_finds_planted_leak(spark):
+    # benchmark vec 100 == corpus vec 1 exactly; vec 2 is orthogonal
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    from topnotch_spark.operators.curation import embedding_decontaminate
+
+    out = embedding_decontaminate(
+        corpus, bench, "vec_id", "embedding", threshold=0.9, n_planes=2, dim=4
+    ).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in out] == [(1, 100)]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_embedding_decontaminate_orthogonal_clean(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(99, [0.0] * 7 + [1.0])], "vec_id long, embedding array<float>"
+    )
+    from topnotch_spark.operators.curation import embedding_decontaminate
+
+    out = embedding_decontaminate(
+        corpus, bench, "vec_id", "embedding", threshold=0.5, n_planes=1, dim=8
+    ).collect()
+    # only the identical basis vector survives the cosine gate
+    assert [(r["corpus_id"], r["bench_id"]) for r in out] == [(7, 99)]
+
+
+def test_embedding_decontaminate_plan_method(spark, tmp_path):
+    import json as _json
+
+    from topnotch_spark.engine import TnEngine
+
+    sf = "/root/testdata/sf0.001"
+    plan = {
+        "commands": [
+            {
+                "command": "decontaminate",
+                "corpus": {"ref": f"{sf}/embeddings.parquet", "onDisk": True},
+                "benchmark": {"ref": f"{sf}/embeddings.parquet",
+                              "onDisk": True},
+                "params": {"method": "embedding", "idColumn": "vec_id",
+                           "vecColumn": "embedding", "threshold": 0.99,
+                           "nPlanes": 4, "dim": 64},
+                "outputKey": "semLeaks",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(_json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    leaks = engine.registry["semLeaks"]
+    assert {"corpus_id", "bench_id", "cos_sim"} == set(leaks.columns)
+    # corpus == benchmark: every vector matches itself at cos 1.0
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert leaks.filter("corpus_id = bench_id").count() == n

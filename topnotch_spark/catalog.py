@@ -1928,6 +1928,25 @@ def view_big_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (curation.embedding_decontaminate):
+    corpus vectors cosine-near a held-out benchmark slice, SRP-bucket
+    blocked with the benchmark side broadcast — the paraphrase-robust
+    twin of the n-gram decontaminate_overlap screen."""
+    from topnotch_spark.operators.curation import embedding_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 41 != 0),
+        emb.filter(F.col("vec_id") % 41 == 0),
+        "vec_id",
+        "embedding",
+        threshold=0.25,
+        n_planes=4,
+        dim=64,
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2060,4 +2079,5 @@ ALL = {
     "anomaly_value_zscore": anomaly_value_zscore,
     "zorder_customers": zorder_customers,
     "view_big_qty_orders": view_big_qty_orders,
+    "decontaminate_embedding": decontaminate_embedding,
 }

@@ -301,6 +301,58 @@ def cross_corpus_overlap(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic decontamination screen: corpus docs whose EMBEDDING is
+    near-identical (cosine ≥ threshold) to a benchmark/eval item — the
+    paraphrase-robust complement to [cross_corpus_overlap]'s n-gram
+    check, which a light rewording defeats.
+
+    Returns (corpus_id, bench_id, cos_sim).
+
+    Execution shape: SRP-bucket blocking on BOTH sides (same deterministic
+    hyperplanes as dedup.embedding_near_dups, so the blocking is
+    engine-reproducible), benchmark side broadcast (eval suites are tiny
+    next to a training corpus), cosine verified per candidate. The corpus
+    streams once; per-row work is one bucket projection plus, for
+    same-bucket candidates only, one dot-product fold. Recall bound is
+    the SRP collision probability (1 − θ/π)^planes for same-bucket
+    match — lower ``n_planes`` for higher recall at more candidates,
+    exactly the dedup trade."""
+    from topnotch_spark.functions.vectors import dot, norm, srp_bucket
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("__bkt__"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("__bv__"),
+        norm(F.col(vec_col)).alias("__bn__"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("__bkt__"),
+    )
+    cos = F.round(
+        dot(F.col("__cv__"), F.col("__bv__"))
+        / (F.col("__cn__") * F.col("__bn__")),
+        round_digits,
+    )
+    return (
+        c.join(F.broadcast(b), "__bkt__")
+        .select("corpus_id", "bench_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def stratified_topn(
     df: DataFrame,
     id_col: str,

@@ -2920,3 +2920,32 @@ def rolling_zscore_sql(
         )
         SELECT * FROM z WHERE abs(zscore) > {threshold}
     """
+
+
+def embedding_decontaminate_sql(
+    dim: int = 64,
+    threshold: float = 0.25,
+    n_planes: int = 4,
+    bench_mod: int = 41,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of curation.embedding_decontaminate on the embeddings
+    table: corpus = vec_id % bench_mod != 0, benchmark = the rest,
+    identical SRP buckets and cosine fold."""
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding AS vec,
+                 {srp_bucket('embedding', dim, n_planes)} AS bucket
+          FROM embeddings
+        ),
+        c AS (SELECT vec_id AS corpus_id, vec, bucket FROM base
+              WHERE vec_id % {bench_mod} != 0),
+        b AS (SELECT vec_id AS bench_id, vec, bucket FROM base
+              WHERE vec_id % {bench_mod} = 0)
+        SELECT corpus_id, bench_id,
+               round({cosine('c.vec', 'b.vec', dim)}, {round_digits})
+                 AS cos_sim
+        FROM c JOIN b ON c.bucket = b.bucket
+        WHERE round({cosine('c.vec', 'b.vec', dim)}, {round_digits})
+              >= {threshold}
+    """

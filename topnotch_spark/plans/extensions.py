@@ -491,12 +491,17 @@ class DriftCmd(Command):
 class DeconCmd(Command):
     """{"command": "decontaminate", "corpus": <input>, "benchmark":
     <input>, "params": {"idColumn", "textColumn", ["shingleN",
-    "minCommon", "maxShingleDf"]}} — cross-corpus n-gram overlap."""
+    "minCommon", "maxShingleDf"]}} — cross-corpus n-gram overlap.
+    With {"method": "embedding", "idColumn", "vecColumn", ["threshold",
+    "nPlanes", "dim"]} the screen is semantic instead: corpus vectors
+    cosine-near a benchmark item (curation.embedding_decontaminate)."""
 
     corpus: Input = None  # type: ignore[assignment]
     benchmark: Input = None  # type: ignore[assignment]
+    method: str = "ngram"
     id_column: str = "id"
     text_column: str = "text"
+    vec_column: str = "embedding"
     options: dict = field(default_factory=dict)
 
     @property
@@ -506,24 +511,38 @@ class DeconCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "DeconCmd":
         p = obj["params"]
+        method = p.get("method", "ngram")
+        if method == "embedding":
+            opts = _opt(p, "threshold", "nPlanes", "dim", "roundDigits")
+        else:
+            opts = _opt(p, "shingleN", "minCommon", "maxShingleDf")
         return cls(
             corpus=Input.from_json(obj["corpus"]),
             benchmark=Input.from_json(obj["benchmark"]),
+            method=method,
             id_column=p["idColumn"],
             text_column=p.get("textColumn", "text"),
-            options=_opt(p, "shingleN", "minCommon", "maxShingleDf"),
+            vec_column=p.get("vecColumn", "embedding"),
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.curation import cross_corpus_overlap
+        from topnotch_spark.operators.curation import (
+            cross_corpus_overlap,
+            embedding_decontaminate,
+        )
 
+        corpus = load_input(engine.spark, self.corpus, engine.registry)
+        bench = load_input(engine.spark, self.benchmark, engine.registry)
+        if self.method == "embedding":
+            return embedding_decontaminate(
+                corpus, bench, self.id_column, self.vec_column, **self.options
+            )
+        if self.method != "ngram":
+            raise ValueError(f"unknown decontaminate method: {self.method}")
         return cross_corpus_overlap(
-            load_input(engine.spark, self.corpus, engine.registry),
-            load_input(engine.spark, self.benchmark, engine.registry),
-            self.id_column,
-            self.text_column,
-            **self.options,
+            corpus, bench, self.id_column, self.text_column, **self.options
         )
 
 
