@@ -321,6 +321,9 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_value_zscore": oracles.rolling_zscore_sql(
             window_rows=20, threshold=3.0, min_rows=12, decimals=2
         ),
+        "streaming_anomaly": oracles.rolling_zscore_sql(
+            window_rows=20, threshold=3.0, min_rows=12, decimals=2
+        ),
         "zorder_customers": f"""
             WITH g AS (
               SELECT c_custkey,

@@ -460,3 +460,55 @@ def test_write_stream_idempotent_survives_checkpoint_loss(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 100
     assert back.selectExpr("sum(id) s").collect()[0]["s"] == 100 * 99 // 2
+
+
+def test_anomaly_stream_cross_batch_window(spark, tmp_path):
+    """A spike whose trailing window spans two micro-batches must score
+    against the FULL window (carried state), not just the spike's own
+    batch — and must equal the batch operator exactly."""
+    import datetime as dt
+    import os
+
+    from topnotch_spark.operators.temporal import rolling_zscore_anomalies
+    from topnotch_spark.streaming import (
+        anomaly_stream,
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # 15 quiet events in batch 0, then 5 quiet + a spike in batch 1:
+    # the spike's 20-event window spans both batches.
+    quiet0 = [(i, ts(i), 1, 100.0 + (i % 3)) for i in range(15)]
+    quiet1 = [(i, ts(i), 1, 100.0 + (i % 3)) for i in range(15, 20)]
+    spike = [(20, ts(20), 1, 400.0)]
+    batches = [quiet0, quiet1 + spike]
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    out = run_stream_to_table(
+        anomaly_stream(stream), output_mode="append", state_partitions=4
+    ).collect()
+    assert len(out) == 1
+    got = out[0]
+    assert got["event_id"] == 20 and got["n_window"] == 20
+
+    batch_df = spark.createDataFrame(
+        quiet0 + quiet1 + spike, schema
+    )
+    expected = rolling_zscore_anomalies(
+        batch_df, "user_id", "ts", "value", "event_id"
+    ).collect()
+    assert len(expected) == 1
+    assert got["zscore"] == expected[0]["zscore"]  # bit-identical

@@ -1928,6 +1928,27 @@ def view_big_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of anomaly_value_zscore: the per-user trailing
+    window is carried across micro-batch boundaries in
+    applyInPandasWithState (a stateless per-batch window would mis-score
+    the first 20 events of every batch), exact-integer sums and HALF_UP
+    rounding identical to the batch op — stream ≡ batch, so the oracle
+    is the batch SQL."""
+    from topnotch_spark.streaming import (
+        anomaly_stream,
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        anomaly_stream(stream), output_mode="append", state_partitions=16
+    ).select("user_id", "ts", "event_id", "value", "n_window", "zscore")
+
+
 def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination (curation.embedding_decontaminate):
     corpus vectors cosine-near a held-out benchmark slice, SRP-bucket
@@ -2080,4 +2101,5 @@ ALL = {
     "zorder_customers": zorder_customers,
     "view_big_qty_orders": view_big_qty_orders,
     "decontaminate_embedding": decontaminate_embedding,
+    "streaming_anomaly": streaming_anomaly,
 }

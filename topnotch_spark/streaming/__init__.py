@@ -5,7 +5,11 @@ from topnotch_spark.streaming.ops import (
     stream_from_parquet,
     windowed_event_metrics,
 )
-from topnotch_spark.streaming.stateful import sessionize_stream, transitions_stream
+from topnotch_spark.streaming.stateful import (
+    anomaly_stream,
+    sessionize_stream,
+    transitions_stream,
+)
 
 __all__ = [
     "StreamingAssertionSummary",
@@ -13,6 +17,7 @@ __all__ = [
     "run_streaming_assertions",
     "stream_from_parquet",
     "windowed_event_metrics",
+    "anomaly_stream",
     "sessionize_stream",
     "transitions_stream",
 ]

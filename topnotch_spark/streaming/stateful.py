@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -409,6 +411,129 @@ def funnel_stream(
             fn,
             outputStructType=FUNNEL_ADVANCE_SCHEMA,
             stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score anomalies (trailing window carried across
+# micro-batches)
+# ---------------------------------------------------------------------------
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_window", LongType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [StructField("window_vals", ArrayType(LongType()))]
+)
+
+
+def anomaly_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    min_rows: int = 12,
+    decimals: int = 2,
+    round_digits: int = 4,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``temporal.rolling_zscore_anomalies``: per-user
+    trailing-window point anomalies with the window carried across
+    micro-batch boundaries in ``applyInPandasWithState`` — a stateless
+    per-batch window would mis-score every event whose trailing window
+    straddles a batch cut (the first ``window_rows`` events of EVERY
+    batch).
+
+    State per user: at most ``window_rows − 1`` scaled-integer values
+    (≤ 152 bytes at the defaults) — the same bound the batch window
+    frame carries, so state can never grow with stream length. The
+    z-score math is identical to the batch op: Python ints are exact
+    like int64 window sums, the float expression is evaluated in the
+    same order, and rounding uses decimal HALF_UP — the semantics of
+    Spark's ``F.round`` on doubles — so stream ≡ batch bit-for-bit for
+    time-ordered replay and the batch SQL is the oracle."""
+    import decimal
+    import math
+
+    scale = 10 ** decimals
+    quantum = decimal.Decimal(1).scaleb(-round_digits)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeouts registered; defensive
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows = rows[rows[value_col].notna()]
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, tiebreak_col])
+        window: list[int] = list(state.get[0]) if state.exists else []
+
+        out: list[dict[str, Any]] = []
+        for ts, tb, val in zip(
+            rows[ts_col], rows[tiebreak_col], rows[value_col]
+        ):
+            v = int(
+                decimal.Decimal(float(val) * scale).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            window.append(v)
+            if len(window) > window_rows:
+                window.pop(0)
+            n = len(window)
+            s1 = sum(window)
+            s2 = sum(x * x for x in window)
+            var_num = n * s2 - s1 * s1
+            if n >= min_rows and var_num > 0:
+                z = (n * v - s1) / math.sqrt((n * var_num) / (n - 1))
+                zr = float(
+                    decimal.Decimal(z).quantize(
+                        quantum, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+                if abs(zr) > threshold:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "ts": ts,
+                            "event_id": int(tb),
+                            "value": float(val),
+                            "n_window": n,
+                            "zscore": zr,
+                        }
+                    )
+        state.update((window,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
