@@ -308,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_weekly": oracles.retention_cohorts_sql(),
         "rolling_value_7d": oracles.rolling_window_agg_sql(),
         "histogram_equidepth_totalprice": oracles.equidepth_histogram_sql(),
+        "event_gaps_by_user": oracles.interarrival_stats_sql(),
         "decontaminate_embedding": oracles.embedding_decontaminate_sql(
             dim=64, threshold=0.25, n_planes=4, bench_mod=41
         ),
@@ -349,6 +350,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR),
                                            '__NULL__')) < 3
+        """,
+        "view_cust_order_dist": """
+            SELECT n_orders, count(*) AS n_custs
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY n_orders
         """,
         "view_big_qty_orders": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,

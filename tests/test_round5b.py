@@ -323,3 +323,42 @@ def test_embedding_decontaminate_plan_method(spark, tmp_path):
     # corpus == benchmark: every vector matches itself at cos 1.0
     n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     assert leaks.filter("corpus_id = bench_id").count() == n
+
+
+# ---- inter-arrival gap stats ----------------------------------------------
+
+
+def test_interarrival_hand_computed(spark):
+    import datetime as dt
+
+    from topnotch_spark.operators.temporal import interarrival_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10), (1, t0 + dt.timedelta(seconds=2), 11),
+        (1, t0 + dt.timedelta(seconds=10), 12),
+        (2, t0, 20),  # single event: no gaps
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long")
+    out = {r["k"]: r for r in interarrival_stats(df, "k", "ts", "tb").collect()}
+    r1 = out[1]
+    assert r1["n_events"] == 3 and r1["n_gaps"] == 2
+    assert r1["min_gap_s"] == 2.0 and r1["max_gap_s"] == 8.0
+    assert r1["avg_gap_s"] == 5.0
+    r2 = out[2]
+    assert r2["n_events"] == 1 and r2["n_gaps"] == 0
+    assert r2["min_gap_s"] is None and r2["avg_gap_s"] is None
+
+
+def test_interarrival_ties_use_tiebreak(spark):
+    import datetime as dt
+
+    from topnotch_spark.operators.temporal import interarrival_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two events at the same ts: gap 0, ordered by tiebreak
+    df = spark.createDataFrame(
+        [(1, t0, 2), (1, t0, 1)], "k long, ts timestamp, tb long"
+    )
+    r = interarrival_stats(df, "k", "ts", "tb").collect()[0]
+    assert r["n_gaps"] == 1 and r["min_gap_s"] == 0.0

@@ -1968,6 +1968,41 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_gaps_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence fingerprint (temporal.
+    interarrival_stats): exact integer-micros gaps, one window pass +
+    one same-key groupBy — the bot/scraper screen."""
+    from topnotch_spark.operators.temporal import interarrival_stats
+
+    return interarrival_stats(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id"
+    )
+
+
+def view_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape via the view operator: the customer-distribution
+    histogram (how many customers placed exactly N orders, including
+    N=0 via the left outer join) — the decorrelated outer-join
+    double-aggregation shape."""
+    return create_view(
+        spark,
+        [load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")],
+        ViewParams(
+            ("customer_v", "orders_v"),
+            """
+            SELECT n_orders, count(*) AS n_custs
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer_v c
+                LEFT JOIN orders_v o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY n_orders
+            """,
+        ),
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2102,4 +2137,6 @@ ALL = {
     "view_big_qty_orders": view_big_qty_orders,
     "decontaminate_embedding": decontaminate_embedding,
     "streaming_anomaly": streaming_anomaly,
+    "event_gaps_by_user": event_gaps_by_user,
+    "view_cust_order_dist": view_cust_order_dist,
 }

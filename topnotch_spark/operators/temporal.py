@@ -741,6 +741,51 @@ def rolling_zscore_anomalies(
     )
 
 
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key inter-event gap statistics: event count, gap count, and
+    the min/max/mean gap in seconds — the cadence fingerprint behind
+    bot/scraper detection (machine traffic has pathologically regular
+    or pathologically tight gaps) and feed-health monitoring.
+
+    Determinism: gaps are computed in integer epoch MICROS (lag over
+    one ordered window), so min/max/sum are exact integer aggregates;
+    the mean is one final division and every output is rounded.
+    Execution shape: one window pass + one groupBy on the SAME key —
+    Spark reuses the window's hash partitioning for the aggregation, so
+    the key shuffles once. Keys with a single event report zero gaps
+    and NULL gap stats."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    base = df.select(F.col(key_col), gap.alias("__gap_us__"))
+    g = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap_us__").alias("n_gaps"),
+        F.min("__gap_us__").alias("__min__"),
+        F.max("__gap_us__").alias("__max__"),
+        F.sum("__gap_us__").alias("__sum__"),
+    )
+    to_s = lambda c: F.round(c.cast("double") / 1e6, round_digits)  # noqa: E731
+    return g.select(
+        key_col,
+        "n_events",
+        "n_gaps",
+        to_s(F.col("__min__")).alias("min_gap_s"),
+        to_s(F.col("__max__")).alias("max_gap_s"),
+        F.round(
+            F.try_divide(F.col("__sum__").cast("double"), F.col("n_gaps"))
+            / 1e6,
+            round_digits,
+        ).alias("avg_gap_s"),
+    )
+
+
 def interval_join(
     facts: DataFrame,
     ranges: DataFrame,

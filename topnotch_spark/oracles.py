@@ -2949,3 +2949,33 @@ def embedding_decontaminate_sql(
         WHERE round({cosine('c.vec', 'b.vec', dim)}, {round_digits})
               >= {threshold}
     """
+
+
+def interarrival_stats_sql(round_digits: int = 6) -> str:
+    """Mirror of temporal.interarrival_stats on events: integer-micros
+    gaps via lag, exact min/max/sum, one final rounded division."""
+    return f"""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+          FROM events
+        ),
+        a AS (
+          SELECT user_id,
+                 count(*) AS n_events,
+                 count(gap_us) AS n_gaps,
+                 CAST(min(gap_us) AS BIGINT) AS mn,
+                 CAST(max(gap_us) AS BIGINT) AS mx,
+                 CAST(sum(gap_us) AS BIGINT) AS sm
+          FROM g GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_gaps,
+               round(CAST(mn AS DOUBLE) / 1e6, {round_digits}) AS min_gap_s,
+               round(CAST(mx AS DOUBLE) / 1e6, {round_digits}) AS max_gap_s,
+               round((CAST(sm AS DOUBLE) / n_gaps) / 1e6, {round_digits})
+                 AS avg_gap_s
+        FROM a
+    """

@@ -741,7 +741,7 @@ class SplitCmd(Command):
 @dataclass(frozen=True)
 class SequenceCmd(Command):
     """{"command": "sequence", "input": <input>, "params": {"method":
-    throttle|transitions|funnel|retention|rolling|trend|ewma|anomaly,
+    throttle|transitions|funnel|retention|rolling|trend|ewma|anomaly|gaps,
     "tsColumn", "tiebreakColumn",
     throttle: {"keyColumns", "minGapSeconds"},
     transitions/funnel: {"keyColumn"/"userColumn", "stateColumn",
@@ -750,7 +750,7 @@ class SequenceCmd(Command):
     trend: {"keyColumn", "valueColumn", ["decimals"]},
     ewma: {"keyColumn", "valueColumn", ["terms", "decimals"]},
     anomaly: {"keyColumn", "valueColumn", ["windowRows", "threshold",
-    "minRows", "decimals"]}}} —
+    "minRows", "decimals"]}, gaps: {"keyColumn"}}} —
     per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
@@ -817,6 +817,8 @@ class SequenceCmd(Command):
             return Tm.rolling_zscore_anomalies(
                 df, p["keyColumn"], ts, p["valueColumn"], tiebreak, **kwargs
             )
+        if self.method == "gaps":
+            return Tm.interarrival_stats(df, p["keyColumn"], ts, tiebreak)
         raise ValueError(f"unknown sequence method: {self.method}")
 
 
