@@ -351,6 +351,13 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR),
                                            '__NULL__')) < 3
         """,
+        "view_nation_volume": catalog._Q7_SQL.format(
+            supplier="supplier",
+            lineitem="lineitem",
+            orders="orders",
+            customer="customer",
+            nation="nation",
+        ),
         "view_cust_order_dist": """
             SELECT n_orders, count(*) AS n_custs
             FROM (

@@ -2003,6 +2003,55 @@ def view_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue,
+           count(*) AS n_items
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM {supplier} s
+        JOIN {lineitem} l ON s.s_suppkey = l.l_suppkey
+        JOIN {orders} o   ON o.o_orderkey = l.l_orderkey
+        JOIN {customer} c ON c.c_custkey = o.o_custkey
+        JOIN {nation} n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN {nation} n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def view_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape via the view operator: bilateral shipping volume
+    between two nations by year — the 6-table join-ordering stress
+    (nation appears twice); Catalyst pushes the nation-name filters to
+    both dimension scans and broadcasts them."""
+    return create_view(
+        spark,
+        [
+            load(spark, sf_dir, "supplier"),
+            load(spark, sf_dir, "lineitem"),
+            load(spark, sf_dir, "orders"),
+            load(spark, sf_dir, "customer"),
+            load(spark, sf_dir, "nation"),
+        ],
+        ViewParams(
+            ("supplier_v", "lineitem_v", "orders_v", "customer_v", "nation_v"),
+            _Q7_SQL.format(
+                supplier="supplier_v",
+                lineitem="lineitem_v",
+                orders="orders_v",
+                customer="customer_v",
+                nation="nation_v",
+            ),
+        ),
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2139,4 +2188,5 @@ ALL = {
     "streaming_anomaly": streaming_anomaly,
     "event_gaps_by_user": event_gaps_by_user,
     "view_cust_order_dist": view_cust_order_dist,
+    "view_nation_volume": view_nation_volume,
 }
