@@ -1089,3 +1089,26 @@ def test_zorder_sink_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         store_output(spark, df, "k", {}, output_path=str(tmp_path / "o"),
                      zorder_by=["x", "y"], sort_by=["x"])
+
+
+def test_corpus_monitoring_plan(spark, tmp_path):
+    """The round-5 monitoring surface as ONE plan: token drift, vocab
+    overlap, semantic decontamination, cadence/EWMA/anomaly sequences,
+    l-diversity, and a Z-ordered sink."""
+    engine = TnEngine(spark)
+    num_failed = engine.run(
+        "/root/repo/examples/corpus_monitoring_plan.json",
+        variables={"sfDir": SF, "outDir": str(tmp_path)},
+    )
+    assert num_failed == 0
+    reg = engine.registry
+    assert reg["tokenDrift"].collect()[0]["js_divergence"] == 0.0
+    assert reg["sourceVocabOverlap"].count() > 0
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert reg["semanticLeaks"].filter("corpus_id = bench_id").count() == n_vecs
+    assert reg["userCadence"].count() > 0
+    assert "ewma" in reg["valueSmoothed"].columns
+    assert "zscore" in reg["valueAnomalies"].columns
+    assert "distinct_sensitive" in reg["segmentLeakGroups"].columns
+    files = list((tmp_path / "customer_grid_zsorted").glob("*.parquet"))
+    assert len(files) > 1  # sortPartitions=8 range split materialized
