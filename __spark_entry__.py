@@ -358,6 +358,16 @@ def oracle_sql() -> dict[str, str]:
             customer="customer",
             nation="nation",
         ),
+        "cdc_apply_orders": """
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice, o_orderdate
+            FROM orders WHERE o_orderkey % 10 <> 1
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus,
+                   round(round(o_totalprice + 10, 2), 2) AS o_totalprice,
+                   o_orderdate
+            FROM orders WHERE o_orderkey % 10 = 1 AND o_orderkey % 20 <> 1
+        """,
         "view_cust_order_dist": """
             SELECT n_orders, count(*) AS n_custs
             FROM (

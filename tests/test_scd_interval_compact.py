@@ -178,3 +178,74 @@ def test_compact_table(spark, tmp_path):
 def test_compact_table_rejects_bad_target(spark, tmp_path):
     with pytest.raises(ValueError, match="target_file_mb"):
         compact_table(spark, str(tmp_path), str(tmp_path / "o"), 0)
+
+
+def test_cdc_apply_latest_wins_and_tiebreak(spark):
+    from topnotch_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    # key 1: upsert then (same ts, higher seq) delete -> deleted
+    # key 2: two upserts, higher seq wins
+    # key 4: insert of a brand-new key
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "u", 10, 1), (1, "a2", "d", 10, 2),
+            (2, "b2", "u", 10, 1), (2, "b3", "u", 10, 2),
+            (4, "new", "c", 10, 1),
+        ],
+        "k long, v string, op string, ts long, seq long",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in cdc_apply(
+            snap, changes, ["k"], "ts", "op", tiebreak_col="seq"
+        ).collect()
+    }
+    assert out == {2: "b3", 3: "c", 4: "new"}
+
+
+def test_cdc_apply_missing_columns_raises(spark):
+    import pytest as _pytest
+
+    from topnotch_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame([(1, "a")], "k long, v string")
+    with _pytest.raises(ValueError, match="missing columns"):
+        cdc_apply(snap, bad, ["k"], "ts", "op")
+
+
+def test_cdc_apply_plan(spark, tmp_path):
+    import json as _json
+
+    from topnotch_spark.engine import TnEngine
+
+    snap = tmp_path / "snap"
+    ch = tmp_path / "changes"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(str(snap))
+    spark.createDataFrame(
+        [(1, "a9", "u", 5, 1), (2, "b", "d", 5, 1)],
+        "k long, v string, op string, ts long, seq long",
+    ).write.parquet(str(ch))
+    plan = {
+        "commands": [
+            {
+                "command": "cdcApply",
+                "snapshot": {"ref": str(snap), "onDisk": True},
+                "changes": {"ref": str(ch), "onDisk": True},
+                "params": {"keys": ["k"], "tsColumn": "ts",
+                           "opColumn": "op", "tiebreakColumn": "seq"},
+                "outputKey": "applied",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(_json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = {r["k"]: r["v"] for r in engine.registry["applied"].collect()}
+    assert out == {1: "a9"}

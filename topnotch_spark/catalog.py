@@ -2052,6 +2052,56 @@ def view_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application (scd.cdc_apply): a synthetic Debezium-style
+    change log — an upsert for every key ≡1 (mod 10) and a LATER delete
+    for the ≡1 (mod 20) half of them, same timestamp, sequence-number
+    tiebreak — applied to the orders snapshot. Latest change per key
+    wins: the delete overrides the upsert where both exist. One window
+    + one anti-join/union pass."""
+    from topnotch_spark.operators.scd import cdc_apply
+
+    orders = load(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    ts = F.to_date(F.lit("1998-01-01"))
+    upserts = orders.filter(ok % 10 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + 10, 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("u").alias("op"),
+        ts.alias("change_ts"),
+        F.lit(1).alias("change_seq"),
+    )
+    deletes = orders.filter(ok % 20 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit("d").alias("op"),
+        ts.alias("change_ts"),
+        F.lit(2).alias("change_seq"),
+    )
+    out = cdc_apply(
+        orders,
+        upserts.unionByName(deletes),
+        ["o_orderkey"],
+        "change_ts",
+        "op",
+        "change_seq",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2189,4 +2239,5 @@ ALL = {
     "event_gaps_by_user": event_gaps_by_user,
     "view_cust_order_dist": view_cust_order_dist,
     "view_nation_volume": view_nation_volume,
+    "cdc_apply_orders": cdc_apply_orders,
 }

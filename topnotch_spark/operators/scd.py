@@ -136,3 +136,53 @@ def scd2_merge(
     )
     merged = j.select(F.explode(rows).alias("__r__")).select("__r__.*")
     return merged.unionByName(closed)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Apply an ordered change-data-capture log (upserts + deletes) to a
+    snapshot — the table-maintenance primitive a CDC feed (Debezium-style
+    ``op`` ∈ {'u','d'}, with 'i'/'c' treated as upserts) needs:
+    the LATEST change per key wins; a winning upsert replaces/inserts the
+    row, a winning delete removes it, keys without changes pass through.
+
+    Semantics: ties on ``ts_col`` break on ``tiebreak_col`` (higher
+    wins — pass the log's sequence/LSN column; defaults to the ts alone,
+    in which case same-ts changes for one key are ambiguous and the
+    caller should supply the tiebreak). ``changes`` must carry the
+    snapshot's full column set for upserts; extra CDC metadata columns
+    beyond (op, ts, tiebreak) are dropped.
+
+    Execution shape: ONE window (latest change per key), one
+    anti/union pass: snapshot LEFT ANTI JOIN changed-keys (rows that
+    survive untouched) UNION the winning upsert rows. Two shuffles on
+    the keys total — at scale, bucket both sides on the keys and the
+    snapshot side's exchange disappears. Never a full-table rewrite of
+    unchanged partitions when the sink partitions by key range.
+    """
+    missing = [c for c in (*keys, ts_col, op_col) if c not in changes.columns]
+    if missing:
+        raise ValueError(f"cdc_apply: changes is missing columns {missing}")
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    changed_keys = latest.select(*keys)
+    untouched = snapshot.join(changed_keys, keys, "left_anti")
+    upserts = latest.filter(~F.lower(F.col(op_col)).isin("d", "delete")).select(
+        *snapshot.columns
+    )
+    return untouched.unionByName(upserts)

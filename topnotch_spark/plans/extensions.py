@@ -1223,6 +1223,53 @@ class ScdCmd(Command):
 
 
 @dataclass(frozen=True)
+class CdcApplyCmd(Command):
+    """{"command": "cdcApply", "snapshot": <input>, "changes": <input>,
+    "params": {"keys": [...], "tsColumn", ["opColumn",
+    "tiebreakColumn"]}} — apply an ordered CDC upsert/delete log to a
+    snapshot, latest change per key wins (operators/scd.cdc_apply)."""
+
+    snapshot: Input = None  # type: ignore[assignment]
+    changes: Input = None  # type: ignore[assignment]
+    keys: tuple[str, ...] = ()
+    ts_column: str = ""
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.snapshot, self.changes]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "CdcApplyCmd":
+        p = obj["params"]
+        return cls(
+            snapshot=Input.from_json(obj["snapshot"]),
+            changes=Input.from_json(obj["changes"]),
+            keys=tuple(p["keys"]),
+            ts_column=p["tsColumn"],
+            options=_opt(p, "opColumn", "tiebreakColumn"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.scd import cdc_apply
+
+        opts = dict(self.options)
+        kwargs = {}
+        if "op_column" in opts:
+            kwargs["op_col"] = opts["op_column"]
+        if "tiebreak_column" in opts:
+            kwargs["tiebreak_col"] = opts["tiebreak_column"]
+        return cdc_apply(
+            load_input(engine.spark, self.snapshot, engine.registry),
+            load_input(engine.spark, self.changes, engine.registry),
+            keys=list(self.keys),
+            ts_col=self.ts_column,
+            **kwargs,
+        )
+
+
+@dataclass(frozen=True)
 class IntervalJoinCmd(Command):
     """{"command": "intervalJoin", "facts": <input>, "ranges": <input>,
     "params": {"valueColumn", "loColumn", "hiColumn",
@@ -1332,6 +1379,7 @@ def register() -> None:
             "winsorize": WinsorizeCmd.from_json,
             "corpusStats": CorpusStatsCmd.from_json,
             "scd2": ScdCmd.from_json,
+            "cdcApply": CdcApplyCmd.from_json,
             "kAnonymity": KAnonymityCmd.from_json,
             "basket": BasketCmd.from_json,
             "schemaCheck": SchemaCheckCmd.from_json,
