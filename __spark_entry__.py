@@ -358,6 +358,20 @@ def oracle_sql() -> dict[str, str]:
             customer="customer",
             nation="nation",
         ),
+        "melt_part_measures": """
+            WITH long AS (
+                SELECT p_partkey, 'p_size' AS metric,
+                       CAST(p_size AS DOUBLE) AS value FROM part
+                UNION ALL
+                SELECT p_partkey, 'p_retailprice',
+                       CAST(p_retailprice AS DOUBLE) FROM part
+            )
+            SELECT metric, count(*) AS n,
+                   round(sum(value), 2) AS total,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value
+            FROM long GROUP BY metric
+        """,
         "cdc_apply_orders": """
             SELECT o_orderkey, o_orderstatus,
                    round(o_totalprice, 2) AS o_totalprice, o_orderdate

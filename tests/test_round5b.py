@@ -362,3 +362,83 @@ def test_interarrival_ties_use_tiebreak(spark):
     )
     r = interarrival_stats(df, "k", "ts", "tb").collect()[0]
     assert r["n_gaps"] == 1 and r["min_gap_s"] == 0.0
+
+
+# ---- melt / unpivot --------------------------------------------------------
+
+
+def test_melt_long_shape_and_values(spark):
+    from topnotch_spark.operators.profile import melt
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id long, a int, b double"
+    )
+    out = melt(df, ["id"], ["a", "b"]).collect()
+    got = {(r["id"], r["metric"]): r["value"] for r in out}
+    assert got == {
+        (1, "a"): 10.0, (1, "b"): 1.5, (2, "a"): 20.0, (2, "b"): 2.5,
+    }
+    assert len(out) == 4  # N rows x M measures
+
+
+def test_melt_rejects_empty_measures(spark):
+    from topnotch_spark.operators.profile import melt
+
+    df = spark.createDataFrame([(1, 2)], "id long, a int")
+    with pytest.raises(ValueError):
+        melt(df, ["id"], [])
+
+
+# ---- cross-library property checks ----------------------------------------
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """Our truncated EWMA equals pandas ewm(alpha=.5, adjust=True) for
+    series shorter than the truncation horizon."""
+    import pandas as pd
+
+    vals = [3.25, 9.5, 1.0, 7.75, 2.5, 8.0, 4.25, 6.5, 0.5, 5.0]
+    expected = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "k long, ts long, tb long, value double",
+    )
+    got = [
+        r["ewma"]
+        for r in ewma_per_key(df, "k", "ts", "value", "tb")
+        .orderBy("ts")
+        .collect()
+    ]
+    for g, e in zip(got, expected):
+        assert g == pytest.approx(e, abs=1e-6)
+
+
+def test_z_value_roundtrip_decodable(spark):
+    """The Morton key is a bijection: x and y decode back out."""
+    pairs = [(x, y) for x in (0, 1, 5, 33, 1023) for y in (0, 2, 7, 512, 1023)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    for r in df.select("x", "y", z_value("x", "y", 10).alias("z")).collect():
+        z = r["z"]
+        x = sum(((z >> (2 * b)) & 1) << b for b in range(10))
+        y = sum(((z >> (2 * b + 1)) & 1) << b for b in range(10))
+        assert (x, y) == (r["x"], r["y"])
+
+
+def test_cdc_apply_idempotent(spark):
+    from topnotch_spark.operators.scd import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(i, f"u{i}", "u", 1, 1) for i in range(0, 10)]
+        + [(i, "x", "d", 1, 2) for i in range(5, 15)],
+        "k long, v string, op string, ts long, seq long",
+    )
+    once = cdc_apply(snap, changes, ["k"], "ts", "op", tiebreak_col="seq")
+    twice = cdc_apply(once, changes, ["k"], "ts", "op", tiebreak_col="seq")
+    rows1 = {tuple(r) for r in once.collect()}
+    rows2 = {tuple(r) for r in twice.collect()}
+    assert rows1 == rows2
+    # deletes won for 5..14, upserts for 0..4, untouched 15..19
+    assert {k for k, _ in rows1} == set(range(5)) | set(range(15, 20))

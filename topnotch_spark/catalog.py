@@ -2102,6 +2102,26 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def melt_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (profile.melt — the inverse of the pivot cross-tab):
+    part's numeric measures reshaped long, then a per-metric rollup.
+    The EXPAND node is map-side; the only shuffle is the bounded
+    groupBy(metric)."""
+    from topnotch_spark.operators.profile import melt
+
+    long = melt(
+        load(spark, sf_dir, "part"),
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2240,4 +2260,5 @@ ALL = {
     "view_cust_order_dist": view_cust_order_dist,
     "view_nation_volume": view_nation_volume,
     "cdc_apply_orders": cdc_apply_orders,
+    "melt_part_measures": melt_part_measures,
 }

@@ -300,3 +300,34 @@ def equidepth_histogram(
             ).alias("hi_bound"),
         )
     )
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Unpivot/melt — the inverse of [pivot_counts]: one wide row with N
+    measure columns becomes N long rows (id columns, metric name, value).
+    The reshaping step every per-metric profiler/plotter needs before a
+    groupBy(metric) rollup.
+
+    Built on Spark's native ``unpivot`` (an EXPAND node: each input row
+    is emitted N times map-side — zero shuffle, zero UDFs, streams at
+    scan speed at any scale). Values are cast to double up front so
+    heterogeneous numeric measure columns share one value column, same
+    as the ANSI UNION ALL formulation an oracle runs."""
+    if not value_cols:
+        raise ValueError("melt: value_cols must be non-empty")
+    casted = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    )
+    return casted.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
