@@ -358,6 +358,9 @@ def oracle_sql() -> dict[str, str]:
             customer="customer",
             nation="nation",
         ),
+        "dedup_minhash_recall": oracles.minhash_recall_sql(
+            threshold=0.5, num_hashes=16, bands=4, shingle_n=5
+        ),
         "melt_part_measures": """
             WITH long AS (
                 SELECT p_partkey, 'p_size' AS metric,

@@ -394,3 +394,33 @@ def test_build_dedup_index_min_id_per_key(spark):
     )
     idx = {r["index_id"] for r in build_dedup_index(df, "doc_id", "text").collect()}
     assert idx == {3, 7}
+
+
+def test_minhash_recall_report(spark):
+    """Recall is 1.0 when banding catches every true pair (exact dups),
+    and the report shape is a single row with exact counts."""
+    from topnotch_spark.operators.dedup import minhash_recall
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "totally different words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    row = minhash_recall(
+        df, "doc_id", "text", threshold=0.5, shingle_n=3
+    ).collect()[0]
+    assert row["n_exact_pairs"] == 1
+    assert row["n_found_pairs"] == 1  # identical docs share every band
+    assert row["recall"] == 1.0
+
+
+def test_minhash_recall_empty_corpus_null_recall(spark):
+    from topnotch_spark.operators.dedup import minhash_recall
+
+    df = spark.createDataFrame(
+        [(1, "one doc only here")], "doc_id long, text string"
+    )
+    row = minhash_recall(df, "doc_id", "text").collect()[0]
+    assert row["n_exact_pairs"] == 0
+    assert row["recall"] is None  # 0/0 -> NULL, not a crash

@@ -2122,6 +2122,23 @@ def melt_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-quality report (dedup.minhash_recall): what fraction of the
+    TRUE Jaccard≥0.5 pairs the 16×4 banding finds — the number that
+    justifies the banding config before a full-corpus run."""
+    from topnotch_spark.operators.dedup import minhash_recall
+
+    return minhash_recall(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=16,
+        bands=4,
+        shingle_n=5,
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2261,4 +2278,5 @@ ALL = {
     "view_nation_volume": view_nation_volume,
     "cdc_apply_orders": cdc_apply_orders,
     "melt_part_measures": melt_part_measures,
+    "dedup_minhash_recall": dedup_minhash_recall,
 }

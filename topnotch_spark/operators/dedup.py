@@ -809,3 +809,58 @@ def dedup_against_index(
             (F.col("keep") & F.col("index_id").isNull()).alias("keep"),
         )
     )
+
+
+def minhash_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall of MinHash-LSH banding against EXACT Jaccard ≥ threshold —
+    the quality metric that justifies a banding configuration before a
+    100 TB run: "16 hashes × 4 bands finds X% of the true near-dup
+    pairs". Precision is 1.0 by construction (the LSH pipeline verifies
+    every candidate with exact Jaccard); what banding can lose is
+    RECALL — a true pair whose signatures disagree in every band is
+    never a candidate. Returns ONE row: n_exact_pairs, n_found_pairs,
+    recall.
+
+    Run it on a SAMPLE at scale: the exact side is the uncapped
+    shingle-blocked self-join, priced like ngram_jaccard_pairs without
+    the hot-shingle valve — exactly the cost LSH exists to avoid.
+
+    Execution shape: both pair sets persisted (each feeds a count and
+    the semi-join), one (id_1, id_2) semi-join, two 1-row aggregates
+    cross-joined. Nothing here is corpus-sized beyond the pair
+    generators themselves."""
+    exact = _persist(
+        ngram_jaccard_pairs(
+            df, id_col, text_col, threshold, shingle_n, max_shingle_df=None
+        ).select("id_1", "id_2")
+    )
+    found = _persist(
+        minhash_lsh_dedup(
+            df, id_col, text_col, num_hashes, bands, threshold, shingle_n
+        ).select("id_1", "id_2")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    hit = (
+        exact.join(found, ["id_1", "id_2"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_found_pairs"))
+    )
+    return tot.crossJoin(hit).select(
+        "n_exact_pairs",
+        "n_found_pairs",
+        F.round(
+            F.try_divide(
+                F.col("n_found_pairs").cast("double"),
+                F.col("n_exact_pairs").cast("double"),
+            ),
+            round_digits,
+        ).alias("recall"),
+    )

@@ -2979,3 +2979,43 @@ def interarrival_stats_sql(round_digits: int = 6) -> str:
                  AS avg_gap_s
         FROM a
     """
+
+
+def minhash_recall_sql(
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of dedup.minhash_recall: exact-Jaccard pairs (uncapped)
+    vs the LSH pipeline's found pairs, composed from the same two
+    generators the individual oracles use."""
+    exact = dedup_ngram_jaccard_sql(
+        threshold=threshold, shingle_n=shingle_n, max_shingle_df=None
+    )
+    found = dedup_minhash_sql(
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    return f"""
+        WITH t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs
+          FROM ({exact}) e
+        ),
+        f AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_found_pairs
+          FROM ({exact}) e
+          WHERE EXISTS (
+            SELECT 1 FROM ({found}) a
+            WHERE a.id_1 = e.id_1 AND a.id_2 = e.id_2
+          )
+        )
+        SELECT n_exact_pairs, n_found_pairs,
+               round(CAST(n_found_pairs AS DOUBLE)
+                     / CAST(n_exact_pairs AS DOUBLE), {round_digits})
+                 AS recall
+        FROM t, f
+    """
