@@ -1223,6 +1223,52 @@ class ScdCmd(Command):
 
 
 @dataclass(frozen=True)
+class SketchCmd(Command):
+    """{"command": "sketch", "input": <input>, "params":
+    {"detailColumns": [...], "rollupColumns": [...], "valueColumn",
+    ["lgK"]}} — mergeable HLL distinct-count rollup
+    (operators/sketch.distinct_rollup): build one sketch per detail
+    cell, union up to the rollup level, estimate. The pre-aggregatable
+    distinct-count pattern — rollups never re-read the raw data."""
+
+    input: Input = None  # type: ignore[assignment]
+    detail_columns: tuple[str, ...] = ()
+    rollup_columns: tuple[str, ...] = ()
+    value_column: str = ""
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "SketchCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            detail_columns=tuple(p["detailColumns"]),
+            rollup_columns=tuple(p.get("rollupColumns", [])),
+            value_column=p["valueColumn"],
+            options=_opt(p, "lgK"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.sketch import distinct_rollup
+
+        kwargs = {}
+        if "lg_k" in self.options:
+            kwargs["lg_k"] = self.options["lg_k"]
+        return distinct_rollup(
+            load_input(engine.spark, self.input, engine.registry),
+            detail_cols=list(self.detail_columns),
+            rollup_cols=list(self.rollup_columns),
+            value_col=self.value_column,
+            **kwargs,
+        )
+
+
+@dataclass(frozen=True)
 class CdcApplyCmd(Command):
     """{"command": "cdcApply", "snapshot": <input>, "changes": <input>,
     "params": {"keys": [...], "tsColumn", ["opColumn",
@@ -1380,6 +1426,7 @@ def register() -> None:
             "corpusStats": CorpusStatsCmd.from_json,
             "scd2": ScdCmd.from_json,
             "cdcApply": CdcApplyCmd.from_json,
+            "sketch": SketchCmd.from_json,
             "kAnonymity": KAnonymityCmd.from_json,
             "basket": BasketCmd.from_json,
             "schemaCheck": SchemaCheckCmd.from_json,
