@@ -772,17 +772,22 @@ def interarrival_stats(
         F.sum("__gap_us__").alias("__sum__"),
     )
     to_s = lambda c: F.round(c.cast("double") / 1e6, round_digits)  # noqa: E731
+    # avg: round to integer MICROS first (sm/n as a double is within 1
+    # ulp of the rational, and any .5 tie is exactly representable, so
+    # both engines see the same double and round it the same way), then
+    # ONE exact-input division. Rounding seconds to 6 dp directly would
+    # round an already-twice-divided inexact double — engines' round()
+    # can differ by the last digit at such boundaries (seen at sf0.1).
+    avg_us = F.round(
+        F.try_divide(F.col("__sum__").cast("double"), F.col("n_gaps"))
+    )
     return g.select(
         key_col,
         "n_events",
         "n_gaps",
         to_s(F.col("__min__")).alias("min_gap_s"),
         to_s(F.col("__max__")).alias("max_gap_s"),
-        F.round(
-            F.try_divide(F.col("__sum__").cast("double"), F.col("n_gaps"))
-            / 1e6,
-            round_digits,
-        ).alias("avg_gap_s"),
+        (avg_us / 1e6).alias("avg_gap_s"),
     )
 
 

@@ -2975,8 +2975,7 @@ def interarrival_stats_sql(round_digits: int = 6) -> str:
         SELECT user_id, n_events, n_gaps,
                round(CAST(mn AS DOUBLE) / 1e6, {round_digits}) AS min_gap_s,
                round(CAST(mx AS DOUBLE) / 1e6, {round_digits}) AS max_gap_s,
-               round((CAST(sm AS DOUBLE) / n_gaps) / 1e6, {round_digits})
-                 AS avg_gap_s
+               round(CAST(sm AS DOUBLE) / n_gaps) / 1e6 AS avg_gap_s
         FROM a
     """
 
