@@ -358,6 +358,11 @@ def oracle_sql() -> dict[str, str]:
             customer="customer",
             nation="nation",
         ),
+        "corr_lineitem_measures": oracles.corr_matrix_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            decimals=2,
+        ),
         "dedup_minhash_recall": oracles.minhash_recall_sql(
             threshold=0.5, num_hashes=16, bands=4, shingle_n=5
         ),

@@ -1112,3 +1112,25 @@ def test_corpus_monitoring_plan(spark, tmp_path):
     assert "distinct_sensitive" in reg["segmentLeakGroups"].columns
     files = list((tmp_path / "customer_grid_zsorted").glob("*.parquet"))
     assert len(files) > 1  # sortPartitions=8 range split materialized
+
+
+def test_profile_corr_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "profile",
+                "input": {"ref": f"{SF}/lineitem.parquet", "onDisk": True},
+                "params": {"corrColumns": ["l_quantity", "l_extendedprice"],
+                           "decimals": 2},
+                "outputKey": "corrs",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["corrs"].collect()
+    assert len(rows) == 1
+    assert {"col_a", "col_b", "n", "corr"} == set(engine.registry["corrs"].columns)
+    assert -1.0 <= rows[0]["corr"] <= 1.0

@@ -442,3 +442,65 @@ def test_cdc_apply_idempotent(spark):
     assert rows1 == rows2
     # deletes won for 5..14, upserts for 0..4, untouched 15..19
     assert {k for k, _ in rows1} == set(range(5)) | set(range(15, 20))
+
+
+# ---- correlation matrix ----------------------------------------------------
+
+
+def test_corr_matrix_hand_computed(spark):
+    from topnotch_spark.operators.profile import corr_matrix
+
+    # y = 2x exactly: corr 1.0 ; z anti-correlated with x: corr -1.0
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+        "x double, y double, z double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in corr_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "y")] == pytest.approx(1.0)
+    assert out[("x", "z")] == pytest.approx(-1.0)
+    assert out[("y", "z")] == pytest.approx(-1.0)
+
+
+def test_corr_matrix_zero_variance_null(spark):
+    from topnotch_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+    )
+    r = corr_matrix(df, ["x", "c"]).collect()[0]
+    assert r["corr"] is None
+
+
+def test_corr_matrix_listwise_null_drop(spark):
+    from topnotch_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (4.0, 4.0)],
+        "x double, y double",
+    )
+    r = corr_matrix(df, ["x", "y"]).collect()[0]
+    assert r["n"] == 3 and r["corr"] == pytest.approx(1.0)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from topnotch_spark.operators.profile import corr_matrix
+
+    xs = [1.25, 8.5, 3.75, 6.0, 2.25, 9.5, 4.0, 7.75]
+    ys = [2.0, 7.25, 1.5, 8.0, 3.25, 6.5, 5.0, 4.75]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = corr_matrix(df, ["x", "y"]).collect()[0]["corr"]
+    expected = np.corrcoef(xs, ys)[0, 1]
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_corr_matrix_needs_two_cols(spark):
+    from topnotch_spark.operators.profile import corr_matrix
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["x"])

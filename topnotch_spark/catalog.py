@@ -2139,6 +2139,20 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's numeric measures in
+    ONE scan (profile.corr_matrix): decimal(38,0)-exact sums make the
+    correlations bit-identical across engines — no float-summation
+    drift."""
+    from topnotch_spark.operators.profile import corr_matrix
+
+    return corr_matrix(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        decimals=2,
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2279,4 +2293,5 @@ ALL = {
     "cdc_apply_orders": cdc_apply_orders,
     "melt_part_measures": melt_part_measures,
     "dedup_minhash_recall": dedup_minhash_recall,
+    "corr_lineitem_measures": corr_lineitem_measures,
 }

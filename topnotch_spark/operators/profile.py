@@ -331,3 +331,93 @@ def melt(
         var_name,
         value_name,
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    decimals: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE scan — the
+    numeric-relationship profile (feature redundancy, leakage screens)
+    computed the engine-exact way: every input is scaled to an integer
+    (``decimals``) and every sum (Σx, Σx², Σxy) is carried in
+    decimal(38,0) — EXACT, so the correlation assembled from them is
+    one fixed double expression with no float-summation drift (Spark's
+    built-in ``corr`` and an oracle's differ in the last ulps; this
+    never does). Scaling does not change Pearson r (affine invariance).
+
+    Overflow budget: |x_int| ≤ 10⁸ ⇒ Σxy ≤ n·10¹⁶ — decimal(38,0)
+    holds it to n ≈ 10²² rows.
+
+    Execution shape: ONE map-side-combined global aggregate carrying
+    2k + k(k−1)/2 sums (k = len(cols)), then a k²-sized literal
+    projection — the scan dominates at any scale. Output: one row per
+    unordered pair (col_a, col_b, n, corr); NULL corr for a
+    zero-variance side. Rows with a NULL in ANY profiled column are
+    excluded (pairwise-complete would need k² scans or null-tagged
+    sums; listwise is the standard single-pass trade)."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    scale = 10 ** decimals
+    base = df.na.drop(subset=cols).select(
+        *[
+            F.round(F.col(c) * scale)
+            .cast("decimal(38,0)")
+            .alias(f"__{c}__")
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(f"__{c}__")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(f"__{c}__") * F.col(f"__{c}__")).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f"__{a}__") * F.col(f"__{b}__")).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    g = base.agg(*aggs)
+
+    # One projection over the 1-row aggregate: the pair rows come out of
+    # a single explode(array(structs)) — a per-pair union of selects
+    # would re-run the whole scan once per pair.
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = F.col("n").cast("decimal(38,0)")
+            cov = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            var_a = n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            var_b = n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            corr = F.when(
+                (var_a > 0) & (var_b > 0),
+                F.round(
+                    cov.cast("double")
+                    / (
+                        F.sqrt(var_a.cast("double"))
+                        * F.sqrt(var_b.cast("double"))
+                    ),
+                    round_digits,
+                ),
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    corr.alias("corr"),
+                )
+            )
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.explode(F.array(*pair_structs)).alias("__p__"),
+    ).select(
+        F.col("__p__.col_a").alias("col_a"),
+        F.col("__p__.col_b").alias("col_b"),
+        "n",
+        F.col("__p__.corr").alias("corr"),
+    )

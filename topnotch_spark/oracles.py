@@ -3018,3 +3018,51 @@ def minhash_recall_sql(
                  AS recall
         FROM t, f
     """
+
+
+def corr_matrix_sql(
+    table: str,
+    cols: list[str],
+    decimals: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of profile.corr_matrix: HUGEINT-exact sums (DuckDB's
+    128-bit twin of Spark's decimal(38,0)), same fixed double assembly."""
+    scale = 10 ** decimals
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    proj = ", ".join(
+        f"CAST(round({c} * {scale}) AS HUGEINT) AS v{i}"
+        for i, c in enumerate(cols)
+    )
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for i in range(len(cols)):
+        sums.append(f"sum(v{i}) AS s{i}")
+        sums.append(f"sum(v{i} * v{i}) AS ss{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            sums.append(f"sum(v{i} * v{j}) AS sp{i}_{j}")
+    branches = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            cov = f"(n * sp{i}_{j} - s{i} * s{j})"
+            va = f"(n * ss{i} - s{i} * s{i})"
+            vb = f"(n * ss{j} - s{j} * s{j})"
+            branches.append(f"""
+              SELECT '{a}' AS col_a, '{b}' AS col_b,
+                     CAST(n AS BIGINT) AS n,
+                     CASE WHEN {va} > 0 AND {vb} > 0 THEN
+                       round(CAST({cov} AS DOUBLE)
+                             / (sqrt(CAST({va} AS DOUBLE))
+                                * sqrt(CAST({vb} AS DOUBLE))),
+                             {round_digits})
+                     END AS corr
+              FROM g""")
+    union = "\n              UNION ALL".join(branches)
+    return f"""
+        WITH b AS (
+          SELECT {proj} FROM {table} WHERE {not_null}
+        ),
+        g AS (SELECT {", ".join(sums)} FROM b)
+        {union}
+    """

@@ -309,31 +309,41 @@ class ProfileCmd(Command):
     """{"command": "profile", "params": {["columns"], ["exact"],
     ["roundDigits"]}} — single-pass column statistics; or
     {"params": {"histogramColumn", ["nBuckets", "exact", "roundDigits"]}}
-    — equi-depth histogram of one column."""
+    — equi-depth histogram of one column; or
+    {"params": {"corrColumns": [...], ["decimals", "roundDigits"]}} —
+    pairwise exact-sum Pearson correlations in one scan."""
 
     input: Input = None  # type: ignore[assignment]
     columns: tuple[str, ...] | None = None
     histogram_column: str | None = None
+    corr_columns: tuple[str, ...] | None = None
     options: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "ProfileCmd":
         p = obj.get("params", {})
+        corr = tuple(p["corrColumns"]) if "corrColumns" in p else None
         return cls(
             input=Input.from_json(obj["input"]),
             columns=tuple(p["columns"]) if "columns" in p else None,
             histogram_column=p.get("histogramColumn"),
-            options=_opt(p, "exact", "roundDigits", "nBuckets"),
+            corr_columns=corr,
+            options=_opt(p, "decimals", "roundDigits")
+            if corr
+            else _opt(p, "exact", "roundDigits", "nBuckets"),
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
         from topnotch_spark.operators.profile import (
+            corr_matrix,
             equidepth_histogram,
             profile_columns,
         )
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.corr_columns is not None:
+            return corr_matrix(df, list(self.corr_columns), **self.options)
         if self.histogram_column is not None:
             return equidepth_histogram(df, self.histogram_column, **self.options)
         cols = list(self.columns) if self.columns is not None else None
