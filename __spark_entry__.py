@@ -358,6 +358,9 @@ def oracle_sql() -> dict[str, str]:
             customer="customer",
             nation="nation",
         ),
+        "mi_priority_status": oracles.mutual_information_sql(
+            "orders", "o_orderpriority", "o_orderstatus"
+        ),
         "corr_lineitem_measures": oracles.corr_matrix_sql(
             "lineitem",
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

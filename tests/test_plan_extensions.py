@@ -1134,3 +1134,23 @@ def test_profile_corr_plan(spark, tmp_path):
     assert len(rows) == 1
     assert {"col_a", "col_b", "n", "corr"} == set(engine.registry["corrs"].columns)
     assert -1.0 <= rows[0]["corr"] <= 1.0
+
+
+def test_profile_mi_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "profile",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {"miColumns": ["o_orderpriority",
+                                         "o_orderstatus"]},
+                "outputKey": "dependence",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    r = engine.registry["dependence"].collect()[0]
+    assert r["mi_nats"] is not None and r["mi_nats"] >= 0.0

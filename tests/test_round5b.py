@@ -504,3 +504,52 @@ def test_corr_matrix_needs_two_cols(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         corr_matrix(df, ["x"])
+
+
+# ---- mutual information ----------------------------------------------------
+
+
+def test_mi_independent_columns_zero(spark):
+    from topnotch_spark.operators.drift import mutual_information
+
+    # a and b perfectly independent (full factorial, equal counts)
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi_nats"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n"] == 40 and r["n_cats_a"] == 2 and r["n_cats_b"] == 2
+
+
+def test_mi_identical_columns_equals_entropy(spark):
+    import math
+
+    from topnotch_spark.operators.drift import mutual_information
+
+    # b == a: MI = H(a); two equally likely categories -> ln 2, NMI = 1
+    rows = [("x", "x")] * 10 + [("y", "y")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi_nats"] == pytest.approx(math.log(2), abs=1e-6)
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mi_null_category_is_a_value(spark):
+    from topnotch_spark.operators.drift import mutual_information
+
+    df = spark.createDataFrame(
+        [("x", None), ("x", None), ("y", "p")], "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["n_cats_b"] == 2  # NULL folded to its own category
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)  # still deterministic
+
+
+def test_mi_constant_column_null_nmi(spark):
+    from topnotch_spark.operators.drift import mutual_information
+
+    df = spark.createDataFrame(
+        [("x", "c"), ("y", "c")], "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").collect()[0]
+    assert r["mi_nats"] == pytest.approx(0.0, abs=1e-9)
+    assert r["nmi"] is None  # H(b) = 0

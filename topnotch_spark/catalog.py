@@ -2153,6 +2153,18 @@ def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and status
+    (drift.mutual_information): quantifies the column dependence the
+    chi-square test only detects. One bounded joint groupBy; exact
+    integer counts inside the logs."""
+    from topnotch_spark.operators.drift import mutual_information
+
+    return mutual_information(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2294,4 +2306,5 @@ ALL = {
     "melt_part_measures": melt_part_measures,
     "dedup_minhash_recall": dedup_minhash_recall,
     "corr_lineitem_measures": corr_lineitem_measures,
+    "mi_priority_status": mi_priority_status,
 }

@@ -362,3 +362,77 @@ def chi2_drift(
         F.round(F.col("n_cur") / nc, round_digits).alias("frac_cur"),
         F.round(term, round_digits).alias("chi2_term"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mutual information between two CATEGORICAL columns, with the
+    normalized form (NMI = MI / sqrt(H_a·H_b)) — the dependence screen
+    chi-square complements: chi2 answers "are these independent", MI
+    quantifies HOW MUCH knowing one tells you about the other (feature
+    redundancy, leakage-between-columns checks). Nats, rounded.
+
+    NULL categories fold into '__NULL__' (a value, same convention as
+    chi2_drift). Degenerate single-category marginals give H = 0 and
+    NMI = NULL.
+
+    Execution shape: ONE groupBy on the (a, b) pair (map-side combined —
+    the corpus collapses to |A|×|B| rows), marginals as two bounded
+    groupBys over that joint table joined back broadcast, one 1-row
+    aggregate. All counts are exact integers; ln runs on exact rationals
+    and the sum is over ≤ |A|×|B| terms — rounding absorbs the ulps."""
+    ca = F.coalesce(F.col(col_a).cast("string"), F.lit("__NULL__"))
+    cb = F.coalesce(F.col(col_b).cast("string"), F.lit("__NULL__"))
+    joint = (
+        df.select(ca.alias("a"), cb.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    from topnotch_spark.operators.dedup import _persist
+
+    joint = _persist(joint)
+    ma = joint.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    mb = joint.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    tot = F.broadcast(joint.agg(F.sum("c_ab").alias("n")))
+    full = (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(tot)
+    )
+    n = F.col("n").cast("double")
+    p_ab = F.col("c_ab").cast("double") / n
+    mi_term = p_ab * F.log(
+        (F.col("n") * F.col("c_ab")).cast("double")
+        / (F.col("c_a") * F.col("c_b")).cast("double")
+    )
+    g = full.agg(
+        F.max("n").alias("__n__"),
+        F.countDistinct("a").alias("n_cats_a"),
+        F.countDistinct("b").alias("n_cats_b"),
+        F.sum(mi_term).alias("__mi__"),
+    )
+
+    def entropy(marg: DataFrame, cnt: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return marg.crossJoin(tot).agg(
+            F.sum(-p * F.log(p)).alias(f"__h_{cnt}__")
+        )
+
+    g = (
+        g.crossJoin(F.broadcast(entropy(ma, "c_a")))
+        .crossJoin(F.broadcast(entropy(mb, "c_b")))
+    )
+    denom = F.sqrt(F.col("__h_c_a__") * F.col("__h_c_b__"))
+    return g.select(
+        F.col("__n__").cast("bigint").alias("n"),
+        "n_cats_a",
+        "n_cats_b",
+        F.round(F.col("__mi__"), round_digits).alias("mi_nats"),
+        F.round(
+            F.when(denom > 0, F.col("__mi__") / denom), round_digits
+        ).alias("nmi"),
+    )

@@ -3066,3 +3066,50 @@ def corr_matrix_sql(
         g AS (SELECT {", ".join(sums)} FROM b)
         {union}
     """
+
+
+def mutual_information_sql(
+    table: str, col_a: str, col_b: str, round_digits: int = 6
+) -> str:
+    """Mirror of drift.mutual_information: same joint/marginal counts,
+    same double expression per term, rounding absorbs ln ulps."""
+    return f"""
+        WITH joint AS (
+          SELECT coalesce(CAST({col_a} AS VARCHAR), '__NULL__') AS a,
+                 coalesce(CAST({col_b} AS VARCHAR), '__NULL__') AS b,
+                 count(*) AS c_ab
+          FROM {table} GROUP BY 1, 2
+        ),
+        ma AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a
+               FROM joint GROUP BY a),
+        mb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b
+               FROM joint GROUP BY b),
+        tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM joint),
+        mi AS (
+          SELECT CAST(max(n) AS BIGINT) AS n,
+                 count(DISTINCT j.a) AS n_cats_a,
+                 count(DISTINCT j.b) AS n_cats_b,
+                 sum((CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(n * c_ab AS DOUBLE)
+                          / CAST(c_a * c_b AS DOUBLE))) AS mi_raw
+          FROM joint j
+          JOIN ma ON ma.a = j.a
+          JOIN mb ON mb.b = j.b, tot
+        ),
+        ha AS (
+          SELECT sum(-(CAST(c_a AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c_a AS DOUBLE) / CAST(n AS DOUBLE))) AS h
+          FROM ma, tot
+        ),
+        hb AS (
+          SELECT sum(-(CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))) AS h
+          FROM mb, tot
+        )
+        SELECT n, n_cats_a, n_cats_b,
+               round(mi_raw, {round_digits}) AS mi_nats,
+               round(CASE WHEN sqrt(ha.h * hb.h) > 0
+                          THEN mi_raw / sqrt(ha.h * hb.h) END,
+                     {round_digits}) AS nmi
+        FROM mi, ha, hb
+    """

@@ -311,30 +311,42 @@ class ProfileCmd(Command):
     {"params": {"histogramColumn", ["nBuckets", "exact", "roundDigits"]}}
     — equi-depth histogram of one column; or
     {"params": {"corrColumns": [...], ["decimals", "roundDigits"]}} —
-    pairwise exact-sum Pearson correlations in one scan."""
+    pairwise exact-sum Pearson correlations in one scan; or
+    {"params": {"miColumns": [a, b], ["roundDigits"]}} — mutual
+    information / NMI between two categorical columns."""
 
     input: Input = None  # type: ignore[assignment]
     columns: tuple[str, ...] | None = None
     histogram_column: str | None = None
     corr_columns: tuple[str, ...] | None = None
+    mi_columns: tuple[str, str] | None = None
     options: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "ProfileCmd":
         p = obj.get("params", {})
         corr = tuple(p["corrColumns"]) if "corrColumns" in p else None
+        mi = tuple(p["miColumns"]) if "miColumns" in p else None
+        if mi is not None and len(mi) != 2:
+            raise ValueError(
+                f"profile: miColumns takes exactly two columns, got {list(mi)}"
+            )
+        if corr or mi:
+            opts = _opt(p, "decimals", "roundDigits")
+        else:
+            opts = _opt(p, "exact", "roundDigits", "nBuckets")
         return cls(
             input=Input.from_json(obj["input"]),
             columns=tuple(p["columns"]) if "columns" in p else None,
             histogram_column=p.get("histogramColumn"),
             corr_columns=corr,
-            options=_opt(p, "decimals", "roundDigits")
-            if corr
-            else _opt(p, "exact", "roundDigits", "nBuckets"),
+            mi_columns=mi,  # type: ignore[arg-type]
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.drift import mutual_information
         from topnotch_spark.operators.profile import (
             corr_matrix,
             equidepth_histogram,
@@ -342,6 +354,8 @@ class ProfileCmd(Command):
         )
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.mi_columns is not None:
+            return mutual_information(df, *self.mi_columns, **self.options)
         if self.corr_columns is not None:
             return corr_matrix(df, list(self.corr_columns), **self.options)
         if self.histogram_column is not None:
