@@ -358,6 +358,20 @@ def oracle_sql() -> dict[str, str]:
             customer="customer",
             nation="nation",
         ),
+        "weighted_topn_docs": """
+            SELECT doc_id, source, n_chars
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       ln((CAST(('0x' || substr(md5('wres:' || CAST(doc_id
+                              AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                          / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) AS wkey
+                FROM documents
+                WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+                ORDER BY wkey DESC, doc_id
+                LIMIT 100
+            )
+        """,
         "mi_priority_status": oracles.mutual_information_sql(
             "orders", "o_orderpriority", "o_orderstatus"
         ),

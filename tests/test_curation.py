@@ -549,3 +549,58 @@ def test_sample_to_token_budget_deterministic(spark):
             ).collect()
         }
     assert a == b  # membership independent of physical layout
+
+
+def test_weighted_topn_exact_count_and_bias(spark):
+    """A-Res returns exactly n rows, and heavy weights dominate: with
+    weights 1000:1 the top quartile of ids (weight 1000) should fill
+    nearly every slot."""
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.operators.curation import weighted_sample_topn
+
+    df = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, 1000.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample_topn(df, "id", "w", n=50).collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["id"] < 100)
+    assert heavy >= 45  # overwhelming weight ratio -> near-total capture
+
+
+def test_weighted_topn_null_and_zero_weights_excluded(spark):
+    from topnotch_spark.operators.curation import weighted_sample_topn
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 0.0), (4, -1.0), (5, 2.0)],
+        "id long, w double",
+    )
+    out = {r["id"] for r in weighted_sample_topn(df, "id", "w", n=10).collect()}
+    assert out == {1, 5}
+
+
+def test_weighted_topn_deterministic_across_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.operators.curation import weighted_sample_topn
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = {r["id"] for r in weighted_sample_topn(df, "id", "w", 40).collect()}
+    b = {
+        r["id"]
+        for r in weighted_sample_topn(df.repartition(13), "id", "w", 40).collect()
+    }
+    assert a == b
+
+
+def test_weighted_topn_rejects_bad_n(spark):
+    import pytest as _pytest
+
+    from topnotch_spark.operators.curation import weighted_sample_topn
+
+    df = spark.range(5).selectExpr("id", "1.0 AS w")
+    with _pytest.raises(ValueError):
+        weighted_sample_topn(df, "id", "w", 0)

@@ -1154,3 +1154,22 @@ def test_profile_mi_plan(spark, tmp_path):
     assert engine.run(str(p)) == 0
     r = engine.registry["dependence"].collect()[0]
     assert r["mi_nats"] is not None and r["mi_nats"] >= 0.0
+
+
+def test_sample_weighted_topn_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "sample",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {"idColumn": "doc_id",
+                           "weightColumn": "n_chars", "n": 10},
+                "outputKey": "topWeighted",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    assert engine.registry["topWeighted"].count() == 10

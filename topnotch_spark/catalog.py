@@ -2165,6 +2165,23 @@ def mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n weighted sampling without replacement (curation.
+    weighted_sample_topn, Efraimidis–Spirakis A-Res): the 100
+    length-weighted documents — deterministic md5 keys, distributed
+    top-n, no global sort."""
+    from topnotch_spark.operators.curation import weighted_sample_topn
+
+    return weighted_sample_topn(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ),
+        "doc_id",
+        F.col("n_chars").cast("double"),
+        n=100,
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
 # never received a driver row (streaming, multimodal, profile, temporal,
@@ -2307,4 +2324,5 @@ ALL = {
     "dedup_minhash_recall": dedup_minhash_recall,
     "corr_lineitem_measures": corr_lineitem_measures,
     "mi_priority_status": mi_priority_status,
+    "weighted_topn_docs": weighted_topn_docs,
 }

@@ -511,6 +511,52 @@ def weighted_sample(
     return df.filter(frac < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
 
 
+def weighted_sample_topn(
+    df: DataFrame,
+    id_col: str,
+    weight: "F.Column | str",
+    n: int,
+    salt: str = "wres",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement to an exact count —
+    Efraimidis–Spirakis A-Res, the exact-n complement of
+    [weighted_sample]'s Bernoulli draw: each row gets the key
+    u^(1/w) (selected via the monotone-equivalent ln(u)/w) with u a
+    deterministic md5 fraction, and the n LARGEST keys win. Inclusion
+    probability is proportional to weight; membership is seedless and
+    engine-portable like every sampler here.
+
+    Rows with NULL or non-positive weight never win. Ties (identical
+    u and w) break on the id, so the selected set is total-ordered.
+
+    Execution shape: one projection + a distributed top-n
+    (orderBy+limit → TakeOrdered: per-partition heaps of n rows merged
+    on the driver — never a global sort shuffle). n is a driver-side
+    result bound, so keep it "result-sized" (10⁴–10⁶), not
+    corpus-sized — the same contract as any LIMIT."""
+    if n < 1:
+        raise ValueError(f"weighted_sample_topn: n must be >= 1, got {n}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (
+        F.conv(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**8))
+    key = F.log(u) / w.cast("double")  # maximize u^(1/w) ⇔ maximize ln(u)/w
+    return (
+        df.filter(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn("__wkey__", key)
+        .orderBy(F.col("__wkey__").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__wkey__")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document line dedup (boilerplate removal)
 # ---------------------------------------------------------------------------

@@ -579,7 +579,10 @@ class SampleCmd(Command):
     (curation.weighted_sample, keep probability = clamp(weight, 0, 1)).
     Third form: {"idColumn", "textColumn", "groupColumn",
     "budgetTokens", ["alpha"]} — mixture sampling to a global token
-    budget (curation.sample_to_token_budget)."""
+    budget (curation.sample_to_token_budget). Fourth form:
+    {"idColumn", "weightColumn", "n", ["salt"]} — exact-n weighted
+    sampling without replacement (curation.weighted_sample_topn,
+    A-Res)."""
 
     input: Input = None  # type: ignore[assignment]
     id_column: str = "id"
@@ -614,11 +617,14 @@ class SampleCmd(Command):
                     "sample: weightColumn and stratColumn/rates are "
                     "mutually exclusive"
                 )
+            opts = _opt(p, "salt")
+            if "n" in p:
+                opts["n"] = int(p["n"])
             return cls(
                 input=Input.from_json(obj["input"]),
                 id_column=p["idColumn"],
                 weight_column=p["weightColumn"],
-                options=_opt(p, "salt"),
+                options=opts,
                 **cls._common(obj),
             )
         return cls(
@@ -635,6 +641,7 @@ class SampleCmd(Command):
             sample_to_token_budget,
             stratified_sample,
             weighted_sample,
+            weighted_sample_topn,
         )
 
         df = load_input(engine.spark, self.input, engine.registry)
@@ -644,6 +651,10 @@ class SampleCmd(Command):
                 self.budget_tokens, **self.options,
             )
         if self.weight_column:
+            if "n" in self.options:
+                return weighted_sample_topn(
+                    df, self.id_column, self.weight_column, **self.options
+                )
             return weighted_sample(
                 df, self.id_column, self.weight_column, **self.options
             )
