@@ -9,7 +9,6 @@ aggregation are rounded in BOTH engines to dodge last-ulp float noise.
 
 from __future__ import annotations
 
-import functools
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

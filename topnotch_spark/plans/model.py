@@ -9,7 +9,7 @@ envelope: {"command": <name>, "params": {...}, "outputKey": ...}.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from topnotch_spark.operators.assertions import AssertionRule
 from topnotch_spark.operators.diff import DEFAULT_DIFF_THRESHOLD, DiffParams
