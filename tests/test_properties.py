@@ -4,6 +4,7 @@ whole generated batch (not per-row jobs), so examples stay cheap."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -455,3 +456,110 @@ def test_equidepth_total_and_monotone(spark, vals, n_buckets):
     # bucket value ranges are ordered and non-overlapping
     for a, b in zip(out, out[1:]):
         assert a.max_value <= b.min_value
+
+
+# ---- round-5 sixth-pass operators vs pure-Python references ---------------
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(0.01, 500.0, allow_nan=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_ewma_matches_python_reference(spark, vals):
+    """Truncated adjusted EWMA equals the pure-Python fold for any
+    series (16-term truncation applied to both sides)."""
+    from topnotch_spark.operators.temporal import ewma_per_key
+
+    vals = [round(v, 2) for v in vals]
+    df = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "k long, ts long, tb long, value double",
+    )
+    got = [
+        r["ewma"]
+        for r in ewma_per_key(df, "k", "ts", "value", "tb")
+        .orderBy("ts")
+        .collect()
+    ]
+    for i in range(len(vals)):
+        window = vals[max(0, i - 15): i + 1][::-1]  # newest first
+        num = sum(v * 2.0 ** -k for k, v in enumerate(window))
+        den = sum(2.0 ** -k for k in range(len(window)))
+        assert got[i] == pytest.approx(num / den, abs=1e-6)
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(
+        st.floats(-100.0, 100.0, allow_nan=False, width=32),
+        min_size=3,
+        max_size=40,
+    ),
+    slope=st.integers(-3, 3),
+)
+def test_corr_matrix_matches_python_reference(spark, xs, slope):
+    import math
+
+    from topnotch_spark.operators.profile import corr_matrix
+
+    xs = [round(x, 2) for x in xs]
+    ys = [round(slope * x + ((i * 7) % 5 - 2), 2) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = corr_matrix(df, ["x", "y"]).collect()[0]["corr"]
+    n = len(xs)
+    xi = [round(x * 100) for x in xs]
+    yi = [round(y * 100) for y in ys]
+    sx, sy = sum(xi), sum(yi)
+    sxx = sum(v * v for v in xi)
+    syy = sum(v * v for v in yi)
+    sxy = sum(a * b for a, b in zip(xi, yi))
+    va, vb = n * sxx - sx * sx, n * syy - sy * sy
+    if va <= 0 or vb <= 0:
+        assert got is None
+    else:
+        want = (n * sxy - sx * sy) / (math.sqrt(va) * math.sqrt(vb))
+        assert got == pytest.approx(want, abs=1e-6)
+
+
+@settings(**SETTINGS)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 8),                  # key
+            st.sampled_from(["u", "d"]),        # op
+            st.integers(0, 5),                  # ts
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_cdc_apply_matches_sequential_replay(spark, ops):
+    """cdc_apply equals replaying the log in (ts, seq) order onto a
+    Python dict."""
+    from topnotch_spark.operators.scd import cdc_apply
+
+    snap_rows = [(k, f"base{k}") for k in range(5)]
+    snap = spark.createDataFrame(snap_rows, "k long, v string")
+    log = [
+        (k, f"val{seq}", op, ts, seq)
+        for seq, (k, op, ts) in enumerate(ops)
+    ]
+    state = dict(snap_rows)
+    for k, v, op, ts, seq in sorted(log, key=lambda r: (r[3], r[4])):
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    if log:
+        changes = spark.createDataFrame(
+            log, "k long, v string, op string, ts long, seq long"
+        )
+        out = cdc_apply(snap, changes, ["k"], "ts", "op", tiebreak_col="seq")
+    else:
+        out = snap
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == state
