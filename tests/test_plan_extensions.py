@@ -1173,3 +1173,49 @@ def test_sample_weighted_topn_plan(spark, tmp_path):
     engine = TnEngine(spark)
     assert engine.run(str(p)) == 0
     assert engine.registry["topWeighted"].count() == 10
+
+
+def _expect_plan_error(spark, tmp_path, cmd_obj, match):
+    import re
+
+    plan = {"commands": [cmd_obj]}
+    p = tmp_path / "bad_plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    with pytest.raises(ValueError) as ei:
+        engine.run(str(p))
+    assert re.search(match, str(ei.value)), str(ei.value)[:500]
+
+
+def test_bad_plans_fail_with_clear_messages(spark, tmp_path):
+    """Malformed params on the round-5 commands surface the validation
+    message, not a deep Spark analysis error."""
+    inp = {"ref": f"{SF}/orders.parquet", "onDisk": True}
+    _expect_plan_error(
+        spark, tmp_path,
+        {"command": "profile", "input": inp,
+         "params": {"miColumns": ["only_one"]}, "outputKey": "x"},
+        r"exactly two columns",
+    )
+    _expect_plan_error(
+        spark, tmp_path,
+        {"command": "drift",
+         "reference": inp, "current": inp,
+         "params": {"column": "o_totalprice", "method": "nope"},
+         "outputKey": "x"},
+        r"unknown drift method",
+    )
+    _expect_plan_error(
+        spark, tmp_path,
+        {"command": "sequence", "input": inp,
+         "params": {"method": "warp", "keyColumn": "o_custkey"},
+         "outputKey": "x"},
+        r"unknown sequence method",
+    )
+    _expect_plan_error(
+        spark, tmp_path,
+        {"command": "decontaminate", "corpus": inp, "benchmark": inp,
+         "params": {"method": "telepathy", "idColumn": "o_orderkey"},
+         "outputKey": "x"},
+        r"unknown decontaminate method",
+    )
