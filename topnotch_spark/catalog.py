@@ -2195,6 +2195,16 @@ def weighted_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entries 51+ are covered each round by scripts/strict_hash_check.py
 # (stricter than the driver gate), recorded in the committed
 # CORRECTNESS_FULL_r*.json artifact.
+# ROUND-6 ROTATION TODO: after the r05 driver gate lands, the entries
+# still without a driver CORRECTNESS row are (a) slots 51-55
+# (k_anonymity_customers .. view_rich_inactive_custs) and (b) every
+# entry from dedup_lines_footer (slot ~106) to the end — the round-5
+# session additions (spatial, weighted_sample, ann_recall, spans,
+# bigram, token drift, vocab overlap, l-diversity, ewma, anomaly,
+# zorder, Q18/Q13/Q7 views, decontaminate_embedding, streaming_anomaly,
+# gaps, cdc, melt, minhash_recall, corr, mi, weighted_topn). Move ~45
+# of those into the first 50 slots next round; the then-displaced
+# entries all carry r05 driver rows plus the dual-SF strict artifacts.
 ALL = {
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
