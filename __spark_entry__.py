@@ -325,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_anomaly": oracles.rolling_zscore_sql(
             window_rows=20, threshold=3.0, min_rows=12, decimals=2
         ),
+        "streaming_ewma": oracles.ewma_per_key_sql(terms=16, decimals=2),
         "zorder_customers": f"""
             WITH g AS (
               SELECT c_custkey,

@@ -512,3 +512,49 @@ def test_anomaly_stream_cross_batch_window(spark, tmp_path):
     ).collect()
     assert len(expected) == 1
     assert got["zscore"] == expected[0]["zscore"]  # bit-identical
+
+
+def test_ewma_stream_cross_batch_window(spark, tmp_path):
+    """EWMA values just after a batch cut must use the carried trailing
+    window, and every value must equal the batch operator exactly."""
+    import datetime as dt
+    import os
+
+    from topnotch_spark.operators.temporal import ewma_per_key
+    from topnotch_spark.streaming import (
+        ewma_stream,
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [(i, ts(i), 1, 10.0 * (i % 4) + 3.25) for i in range(12)]
+    batches = [rows[:7], rows[7:]]
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in run_stream_to_table(
+            ewma_stream(stream), output_mode="append", state_partitions=4
+        ).collect()
+    }
+    expected = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_per_key(
+            spark.createDataFrame(rows, schema),
+            "user_id", "ts", "value", "event_id",
+        ).collect()
+    }
+    assert got == expected  # bit-identical, including rows 7-11 post-cut

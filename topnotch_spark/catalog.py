@@ -1948,6 +1948,25 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "event_id", "value", "n_window", "zscore")
 
 
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ewma_value_by_user: the trailing truncated
+    window rides across micro-batches in applyInPandasWithState;
+    power-of-two weights over scaled ints + HALF_UP rounding make
+    stream ≡ batch bit-for-bit, so the oracle is the batch SQL."""
+    from topnotch_spark.streaming import (
+        ewma_stream,
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        ewma_stream(stream), output_mode="append", state_partitions=16
+    ).select("user_id", "ts", "event_id", "value", "ewma")
+
+
 def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination (curation.embedding_decontaminate):
     corpus vectors cosine-near a held-out benchmark slice, SRP-bucket
@@ -2334,4 +2353,5 @@ ALL = {
     "corr_lineitem_measures": corr_lineitem_measures,
     "mi_priority_status": mi_priority_status,
     "weighted_topn_docs": weighted_topn_docs,
+    "streaming_ewma": streaming_ewma,
 }

@@ -7,6 +7,7 @@ from topnotch_spark.streaming.ops import (
 )
 from topnotch_spark.streaming.stateful import (
     anomaly_stream,
+    ewma_stream,
     sessionize_stream,
     transitions_stream,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "stream_from_parquet",
     "windowed_event_metrics",
     "anomaly_stream",
+    "ewma_stream",
     "sessionize_stream",
     "transitions_stream",
 ]

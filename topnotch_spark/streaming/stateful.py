@@ -538,3 +538,111 @@ def anomaly_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (trailing truncated window carried across micro-batches)
+# ---------------------------------------------------------------------------
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("recent_vals", ArrayType(LongType()))]
+)
+
+
+def ewma_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    terms: int = 16,
+    decimals: int = 2,
+    round_digits: int = 6,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``temporal.ewma_per_key``: the trailing
+    ``terms − 1`` values are carried across micro-batch boundaries in
+    ``applyInPandasWithState`` (a stateless per-batch window would
+    restart the average at every batch cut). State per user: ≤ 15
+    scaled ints at the defaults.
+
+    Numerics replicate the batch op exactly: scaled integers,
+    power-of-two weights (every term exact, the ≤16-term sum fits the
+    53-bit budget in ANY order), one division, decimal HALF_UP rounding
+    (= Spark ``F.round``) — stream ≡ batch bit-for-bit for time-ordered
+    replay, so the batch SQL is the oracle."""
+    import decimal
+
+    scale = 10 ** decimals
+    quantum = decimal.Decimal(1).scaleb(-round_digits)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeouts registered; defensive
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows = rows[rows[value_col].notna()]
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, tiebreak_col])
+        recent: list[int] = list(state.get[0]) if state.exists else []
+
+        out: list[dict[str, Any]] = []
+        for ts, tb, val in zip(
+            rows[ts_col], rows[tiebreak_col], rows[value_col]
+        ):
+            v = int(
+                decimal.Decimal(float(val) * scale).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            recent.append(v)
+            if len(recent) > terms:
+                recent.pop(0)
+            num = sum(x * 2.0 ** -k for k, x in enumerate(reversed(recent)))
+            den = sum(2.0 ** -k for k in range(len(recent)))
+            ewma = float(
+                decimal.Decimal(num / den / float(scale)).quantize(
+                    quantum, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            out.append(
+                {
+                    "user_id": user_id,
+                    "ts": ts,
+                    "event_id": int(tb),
+                    "value": float(val),
+                    "ewma": ewma,
+                }
+            )
+        state.update((recent[-(terms - 1):],))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
