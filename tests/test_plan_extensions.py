@@ -1091,6 +1091,26 @@ def test_zorder_sink_validation(spark, tmp_path):
                      zorder_by=["x", "y"], sort_by=["x"])
 
 
+def test_zorder_sink_empty_input(spark, tmp_path):
+    """zorderBy over an empty DataFrame (min/max collect returns NULLs)
+    writes unsorted instead of raising float(None) TypeError."""
+    from topnotch_spark.sources.outputs import store_output
+
+    empty = spark.range(0).selectExpr("id AS x", "id AS y")
+    out = str(tmp_path / "empty_z")
+    store_output(spark, empty, "k", {}, output_path=out,
+                 zorder_by=["x", "y"])
+    assert spark.read.parquet(out).count() == 0
+
+    allnull = spark.range(5).selectExpr(
+        "CAST(NULL AS bigint) AS x", "id AS y"
+    )
+    out2 = str(tmp_path / "null_z")
+    store_output(spark, allnull, "k2", {}, output_path=out2,
+                 zorder_by=["x", "y"])
+    assert spark.read.parquet(out2).count() == 5
+
+
 def test_corpus_monitoring_plan(spark, tmp_path):
     """The round-5 monitoring surface as ONE plan: token drift, vocab
     overlap, semantic decontamination, cadence/EWMA/anomaly sequences,
@@ -1196,6 +1216,14 @@ def test_bad_plans_fail_with_clear_messages(spark, tmp_path):
         {"command": "profile", "input": inp,
          "params": {"miColumns": ["only_one"]}, "outputKey": "x"},
         r"exactly two columns",
+    )
+    _expect_plan_error(
+        spark, tmp_path,
+        {"command": "profile", "input": inp,
+         "params": {"miColumns": ["o_orderpriority", "o_orderstatus"],
+                    "decimals": 4},
+         "outputKey": "x"},
+        r"not valid with miColumns",
     )
     _expect_plan_error(
         spark, tmp_path,

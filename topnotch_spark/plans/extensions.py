@@ -331,7 +331,16 @@ class ProfileCmd(Command):
             raise ValueError(
                 f"profile: miColumns takes exactly two columns, got {list(mi)}"
             )
-        if corr or mi:
+        if mi:
+            # mutual_information() takes roundDigits only — rejecting
+            # 'decimals' here turns an opaque TypeError into a plan error.
+            opts = _opt(p, "roundDigits")
+            if "decimals" in p:
+                raise ValueError(
+                    "profile: 'decimals' is not valid with miColumns "
+                    "(use roundDigits)"
+                )
+        elif corr:
             opts = _opt(p, "decimals", "roundDigits")
         else:
             opts = _opt(p, "exact", "roundDigits", "nBuckets")

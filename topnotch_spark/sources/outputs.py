@@ -76,6 +76,10 @@ def store_output(
                 F.min(cy).alias("ny"), F.max(cy).alias("xy"),
             ).collect()[0]
             cells = (1 << zorder_bits) - 1
+            if any(b[k] is None for k in ("nx", "xx", "ny", "xy")):
+                # Empty input or an all-NULL z-order column: there is no
+                # meaningful curve — write unsorted rather than crash.
+                b = None
 
             def quant(col, lo, hi):
                 span = float(hi) - float(lo)
@@ -91,19 +95,22 @@ def store_output(
                     ),
                 )
 
-            zkey = z_value(
-                quant(cx, b["nx"], b["xx"]),
-                quant(cy, b["ny"], b["xy"]),
-                bits=zorder_bits,
-            )
-            out_df = df.withColumn("__zkey__", zkey)
-            if sort_partitions is not None:
-                out_df = out_df.repartitionByRange(
-                    sort_partitions, F.col("__zkey__")
+            if b is not None:
+                zkey = z_value(
+                    quant(cx, b["nx"], b["xx"]),
+                    quant(cy, b["ny"], b["xy"]),
+                    bits=zorder_bits,
                 )
-            else:
-                out_df = out_df.repartitionByRange(F.col("__zkey__"))
-            out_df = out_df.sortWithinPartitions("__zkey__").drop("__zkey__")
+                out_df = df.withColumn("__zkey__", zkey)
+                if sort_partitions is not None:
+                    out_df = out_df.repartitionByRange(
+                        sort_partitions, F.col("__zkey__")
+                    )
+                else:
+                    out_df = out_df.repartitionByRange(F.col("__zkey__"))
+                out_df = (
+                    out_df.sortWithinPartitions("__zkey__").drop("__zkey__")
+                )
         if sort_by:
             cols = [F.col(c) for c in sort_by]
             if sort_partitions is not None:

@@ -494,7 +494,7 @@ def anomaly_stream(
             rows[ts_col], rows[tiebreak_col], rows[value_col]
         ):
             v = int(
-                decimal.Decimal(float(val) * scale).quantize(
+                decimal.Decimal(repr(float(val) * scale)).quantize(
                     decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
                 )
             )
@@ -508,7 +508,7 @@ def anomaly_stream(
             if n >= min_rows and var_num > 0:
                 z = (n * v - s1) / math.sqrt((n * var_num) / (n - 1))
                 zr = float(
-                    decimal.Decimal(z).quantize(
+                    decimal.Decimal(repr(z)).quantize(
                         quantum, rounding=decimal.ROUND_HALF_UP
                     )
                 )
@@ -523,7 +523,7 @@ def anomaly_stream(
                             "zscore": zr,
                         }
                     )
-        state.update((window,))
+        state.update((window[-(window_rows - 1):] if window_rows > 1 else [],))
         if out:
             yield pd.DataFrame(out)
 
@@ -608,7 +608,7 @@ def ewma_stream(
             rows[ts_col], rows[tiebreak_col], rows[value_col]
         ):
             v = int(
-                decimal.Decimal(float(val) * scale).quantize(
+                decimal.Decimal(repr(float(val) * scale)).quantize(
                     decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
                 )
             )
@@ -618,7 +618,7 @@ def ewma_stream(
             num = sum(x * 2.0 ** -k for k, x in enumerate(reversed(recent)))
             den = sum(2.0 ** -k for k in range(len(recent)))
             ewma = float(
-                decimal.Decimal(num / den / float(scale)).quantize(
+                decimal.Decimal(repr(num / den / float(scale))).quantize(
                     quantum, rounding=decimal.ROUND_HALF_UP
                 )
             )
@@ -631,7 +631,7 @@ def ewma_stream(
                     "ewma": ewma,
                 }
             )
-        state.update((recent[-(terms - 1):],))
+        state.update((recent[-(terms - 1):] if terms > 1 else [],))
         if out:
             yield pd.DataFrame(out)
 
