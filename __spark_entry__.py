@@ -160,6 +160,10 @@ def oracle_sql() -> dict[str, str]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
             round_digits=4,
         ),
+        "profile_lineitem_approx": oracles.profile_accuracy_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
         "streaming_dedup": oracles.streaming_dedup_sql(),
         "streaming_enriched_metrics": """
             SELECT time_bucket(INTERVAL 1 day, CAST(e.ts AS TIMESTAMP))

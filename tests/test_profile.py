@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from topnotch_spark.operators.profile import profile_columns
 
@@ -78,6 +79,42 @@ def test_approx_profile_single_job_plan(spark):
         .optimizedPlan().toString()
     assert "Expand" not in plan
     assert plan.lower().count("localrelation") + plan.lower().count("logicalrdd") == 1
+
+
+def test_profile_accuracy_verdicts(spark):
+    """profile_accuracy emits the deterministic verdict frame: exact
+    n/n_null plus all-True sketch verdicts on well-behaved data, and the
+    percentile verdict flips False when given an impossible rank bound."""
+    import random
+
+    from topnotch_spark.operators.profile import profile_accuracy
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 500), rng.gauss(100.0, 15.0) if i % 7 else None)
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(8)
+
+    out = {r["column"]: r for r in profile_accuracy(df, ["k", "v"]).collect()}
+    assert set(out) == {"k", "v"}
+    for c in ("k", "v"):
+        assert out[c]["n"] == 20_000
+        assert out[c]["distinct_ok"] is True
+        assert out[c]["pct_ok"] is True
+    assert out["v"]["n_null"] == 20_000 // 7 + 1
+    assert out["k"]["n_null"] == 0
+
+    # an impossible rank epsilon must flip pct_ok, proving the boolean
+    # is measured rather than constant-folded
+    strict = {
+        r["column"]: r
+        for r in profile_accuracy(df, ["v"], pct_rank_eps=-1.0).collect()
+    }
+    assert strict["v"]["pct_ok"] is False
+
+    with pytest.raises(ValueError, match="numeric"):
+        profile_accuracy(df.withColumn("s", F.lit("x")), ["s"])
 
 
 def test_zscore_outliers_flags_extremes(spark):

@@ -1006,19 +1006,20 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB profile path demonstrated: HLL distinct counts +
-    sketched percentiles, ONE fused aggregation job (no EXPAND, no sort
-    buffer). Approximate values are engine-specific, so this entry has no
-    DuckDB value oracle (driver records rows+schema); the error bounds
-    vs the exact profile are asserted in tests/test_profile.py."""
-    from topnotch_spark.operators.profile import profile_columns
+    """The 100 TB profile path, hash-checkably verified: job 1 is the
+    fused HLL + percentile-sketch aggregation (no EXPAND, no sort
+    buffer — the scan you'd run at scale); job 2 measures those
+    estimates against Spark-computed exact aggregates and emits a
+    deterministic verdict frame (column, n, n_null, distinct_ok,
+    pct_ok). The DuckDB oracle is the exact counts + literal TRUEs, so
+    the driver's value hash covers the approx path: it goes red exactly
+    when a sketch breaks its published error bound."""
+    from topnotch_spark.operators.profile import profile_accuracy
 
     li = load(spark, sf_dir, "lineitem")
-    return profile_columns(
+    return profile_accuracy(
         li,
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        exact=False,
-        round_digits=4,
     )
 
 

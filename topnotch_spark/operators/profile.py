@@ -106,6 +106,99 @@ def profile_columns(
     )
 
 
+def profile_accuracy(
+    df: DataFrame,
+    columns: list[str],
+    distinct_rel_err: float = 0.05,
+    distinct_rsd: float = 0.01,
+    pct_rank_eps: float = 0.001,
+    percentile_accuracy: int = 10_000,
+) -> DataFrame:
+    """Deterministic verdict frame for the approx (100 TB) profile path:
+    one row per column — ``(column, n, n_null, distinct_ok, pct_ok)``.
+
+    ``n``/``n_null`` are exact (both engines agree bit-for-bit).
+    ``distinct_ok`` states that the HLL estimate (built at relative
+    standard deviation ``distinct_rsd``) is within ``distinct_rel_err``
+    of the exact distinct count — a 5σ bound at the defaults, so a red
+    verdict means a broken sketch, not sampling noise; ``pct_ok`` that
+    every sketched percentile (p25/p50/p75/p95) lands within
+    ``pct_rank_eps`` *rank* error of its target quantile — the sketch's
+    own published guarantee (1/accuracy), with slack. The exact sides of
+    both comparisons are computed in Spark, so the booleans are a real
+    measured check of the sketches, while the ORACLE for this frame is
+    the plain exact SQL (counts + literal TRUEs): the oracle hash goes
+    red exactly when a sketch breaks its bound.
+
+    Plan shape: job 1 is the fused approx aggregation (HLL + percentile
+    sketches, no EXPAND, no sort buffer — the scan you'd run at 100 TB);
+    job 2 broadcasts that 1-row frame back over ``df`` and fuses the
+    exact distincts and the ≤/<-rank counts of the sketched percentile
+    values into one aggregation. 2 scans total, no driver-side loops.
+    """
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    bad = [c for c in columns if c not in numeric]
+    if bad:
+        raise ValueError(f"profile_accuracy needs numeric columns, got {bad}")
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    approx_aggs = []
+    for c in columns:
+        approx_aggs.append(
+            F.approx_count_distinct(c, distinct_rsd).alias(f"__and_{c}")
+        )
+        approx_aggs.append(
+            F.expr(
+                f"transform(approx_percentile(CAST({c} AS DOUBLE), "
+                f"array(0.25D, 0.5D, 0.75D, 0.95D), "
+                f"{percentile_accuracy}), x -> CAST(x AS DOUBLE))"
+            ).alias(f"__apct_{c}")
+        )
+    approx = df.agg(*approx_aggs)
+
+    joined = df.crossJoin(F.broadcast(approx))
+    exact_aggs = []
+    for c in columns:
+        col = F.col(c)
+        num = col.cast("double")
+        exact_aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.first(F.col(f"__and_{c}")).alias(f"__and_{c}"),
+        ]
+        for i in range(len(qs)):
+            v = F.element_at(F.col(f"__apct_{c}"), i + 1)
+            exact_aggs.append(
+                F.sum(F.when(num <= v, 1).otherwise(0)).alias(f"__le{i}_{c}")
+            )
+            exact_aggs.append(
+                F.sum(F.when(num < v, 1).otherwise(0)).alias(f"__lt{i}_{c}")
+            )
+    one = joined.agg(*exact_aggs)
+
+    rows = []
+    for c in columns:
+        nn = f"(__n_{c} - __nn_{c})"  # non-null count = rank denominator
+        pct_checks = " AND ".join(
+            f"(__le{i}_{c} >= ({q} - {pct_rank_eps}) * {nn} "
+            f"AND __lt{i}_{c} <= ({q} + {pct_rank_eps}) * {nn})"
+            for i, q in enumerate(qs)
+        )
+        rows.append(
+            f"'{c}', __n_{c}, __nn_{c}, "
+            f"CAST(abs(__and_{c} - __nd_{c}) "
+            f"<= {distinct_rel_err} * __nd_{c} AS BOOLEAN), "
+            f"CAST(({pct_checks}) AS BOOLEAN)"
+        )
+    return one.selectExpr(
+        f"stack({len(columns)}, {', '.join(rows)}) as "
+        "(column, n, n_null, distinct_ok, pct_ok)"
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     value_col: str,

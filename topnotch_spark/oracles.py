@@ -1545,6 +1545,24 @@ def profile_sql(table: str, columns: list[str], round_digits: int = 4) -> str:
     return "\n          UNION ALL\n".join(selects)
 
 
+def profile_accuracy_sql(table: str, columns: list[str]) -> str:
+    """Oracle twin of operators/profile.profile_accuracy: the exact
+    counts plus literal TRUE verdicts. The Spark side measures the HLL /
+    percentile-sketch estimates against Spark-computed exact aggregates;
+    this oracle hash goes red exactly when a sketch breaks its published
+    bound (or the exact counts drift)."""
+    selects = []
+    for c in columns:
+        selects.append(f"""
+          SELECT '{c}' AS "column",
+                 count(*) AS n,
+                 count(*) FILTER (WHERE {c} IS NULL) AS n_null,
+                 TRUE AS distinct_ok,
+                 TRUE AS pct_ok
+          FROM {table}""")
+    return "\n          UNION ALL\n".join(selects)
+
+
 def streaming_dedup_sql() -> str:
     """Streaming first-arrival dedup on key columns == the distinct key
     set once the stream drains."""
