@@ -2202,37 +2202,80 @@ def weighted_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
-# the FIRST 50 entries only.  Round-5 rotation puts the 30 queries that had
-# never received a driver row (streaming, multimodal, profile, temporal,
-# and every round-4 addition) at the front, followed by every round-5
-# addition (semantic/incremental dedup, gopher, bloom, token-budget
-# sample, token entropy, readability, MAD outliers, pivot, retention
-# cohorts, rolling window, equi-depth histogram, nearest as-of, fuzzy
-# match, sliding streaming window, Q17 correlated subquery, chi-square
-# drift, per-key trend); the remaining slots re-check part of the
-# r02-green set (all of which carry 3+ rounds of driver evidence plus
-# the committed full-catalog strict artifact).
-# Entries 51+ are covered each round by scripts/strict_hash_check.py
-# (stricter than the driver gate), recorded in the committed
-# CORRECTNESS_FULL_r*.json artifact.
-# ROUND-6 ROTATION TODO: after the r05 driver gate lands, the entries
-# still without a driver CORRECTNESS row are (a) slots 51-55
-# (k_anonymity_customers .. view_rich_inactive_custs) and (b) every
-# entry from dedup_lines_footer (slot ~106) to the end — the round-5
-# session additions (spatial, weighted_sample, ann_recall, spans,
-# bigram, token drift, vocab overlap, l-diversity, ewma, anomaly,
-# zorder, Q18/Q13/Q7 views, decontaminate_embedding, streaming_anomaly,
-# gaps, cdc, melt, minhash_recall, corr, mi, weighted_topn). Move ~45
-# of those into the first 50 slots next round; the then-displaced
-# entries all carry r05 driver rows plus the dual-SF strict artifacts.
+# the FIRST 50 entries only.  Round-6 rotation (executes the r05 verdict's
+# top task): slots 1-29 are the 29 queries that had never received a
+# driver row (computed by diffing CORRECTNESS_r01..r05 keys against the
+# catalog: k_anonymity_customers .. streaming_ewma — every round-5
+# session addition plus the five entries the r05 cap displaced); slot 30
+# is profile_lineitem_approx, reworked this round into a verdict frame
+# with a real exact-SQL oracle so the driver's hash gate finally covers
+# the approx/sketch path (it was err:no_oracle in r01-r05); slots 31-50
+# re-check the 20 stalest previously-green entries (last driver row in
+# r03/r04: pack_token_shards_partitioned .. text_repetition).
+# Entries 51+ all carry an r05 driver row AND are covered each round by
+# scripts/strict_hash_check.py (stricter than the driver gate), recorded
+# in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
+# ROUND-7 ROTATION TODO: after the r06 gate lands, every catalog entry
+# will have at least one driver CORRECTNESS row; rotate any round-6
+# additions plus the then-stalest r05-row entries (view_tpch_q1 ..
+# assertion/diff family) into the front.
 ALL = {
+    "k_anonymity_customers": k_anonymity_customers,
+    "basket_brand_pairs": basket_brand_pairs,
+    "spatial_customer_supplier": spatial_customer_supplier,
+    "view_late_orders_exists": view_late_orders_exists,
+    "view_rich_inactive_custs": view_rich_inactive_custs,
+    "dedup_lines_footer": dedup_lines_footer,
+    "weighted_sample_bylength": weighted_sample_bylength,
+    "similarity_ann_recall": similarity_ann_recall,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
+    "text_bigram_logprob": text_bigram_logprob,
+    "token_drift_langs": token_drift_langs,
+    "vocab_overlap_langs": vocab_overlap_langs,
+    "l_diversity_customers": l_diversity_customers,
+    "ewma_value_by_user": ewma_value_by_user,
+    "anomaly_value_zscore": anomaly_value_zscore,
+    "zorder_customers": zorder_customers,
+    "view_big_qty_orders": view_big_qty_orders,
+    "decontaminate_embedding": decontaminate_embedding,
+    "streaming_anomaly": streaming_anomaly,
+    "event_gaps_by_user": event_gaps_by_user,
+    "view_cust_order_dist": view_cust_order_dist,
+    "view_nation_volume": view_nation_volume,
+    "cdc_apply_orders": cdc_apply_orders,
+    "melt_part_measures": melt_part_measures,
+    "dedup_minhash_recall": dedup_minhash_recall,
+    "corr_lineitem_measures": corr_lineitem_measures,
+    "mi_priority_status": mi_priority_status,
+    "weighted_topn_docs": weighted_topn_docs,
+    "streaming_ewma": streaming_ewma,
+    "profile_lineitem_approx": profile_lineitem_approx,
+    "pack_token_shards_partitioned": pack_token_shards_partitioned,
+    "text_normalize": text_normalize,
+    "fk_integrity": fk_integrity,
+    "key_skew_orders": key_skew_orders,
+    "dedup_containment": dedup_containment,
+    "embedding_quantize": embedding_quantize,
+    "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
+    "text_chunks": text_chunks,
+    "text_pii_scrub": text_pii_scrub,
+    "text_quality_filter": text_quality_filter,
+    "text_vocab_topk": text_vocab_topk,
+    "embedding_centroids": embedding_centroids,
+    "sample_stratified": sample_stratified,
+    "sample_stratified_topn": sample_stratified_topn,
+    "text_tfidf_keywords": text_tfidf_keywords,
+    "pack_token_shards": pack_token_shards,
+    "drift_ks_totalprice": drift_ks_totalprice,
+    "drift_ks_binned": drift_ks_binned,
+    "text_repetition": text_repetition,
     "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_blob_dedup": multimodal_blob_dedup,
     "drift_orders_totalprice": drift_orders_totalprice,
     "profile_lineitem": profile_lineitem,
-    "profile_lineitem_approx": profile_lineitem_approx,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,
     "streaming_assertion_metrics": streaming_assertion_metrics,
@@ -2276,11 +2319,6 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
-    "k_anonymity_customers": k_anonymity_customers,
-    "basket_brand_pairs": basket_brand_pairs,
-    "spatial_customer_supplier": spatial_customer_supplier,
-    "view_late_orders_exists": view_late_orders_exists,
-    "view_rich_inactive_custs": view_rich_inactive_custs,
     "view_tpch_q1": view_tpch_q1,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_cube_revenue": view_cube_revenue,
@@ -2297,8 +2335,6 @@ ALL = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
-    "dedup_clusters": dedup_clusters,
-    "dedup_keep_best": dedup_keep_best,
     "similarity_topk": similarity_topk,
     "similarity_ann": similarity_ann,
     "similarity_ivf": similarity_ivf,
@@ -2306,53 +2342,11 @@ ALL = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
-    "text_chunks": text_chunks,
-    "text_pii_scrub": text_pii_scrub,
-    "text_quality_filter": text_quality_filter,
-    "text_vocab_topk": text_vocab_topk,
-    "embedding_centroids": embedding_centroids,
-    "sample_stratified": sample_stratified,
-    "sample_stratified_topn": sample_stratified_topn,
-    "text_tfidf_keywords": text_tfidf_keywords,
-    "pack_token_shards": pack_token_shards,
-    "pack_token_shards_partitioned": pack_token_shards_partitioned,
-    "drift_ks_totalprice": drift_ks_totalprice,
-    "drift_ks_binned": drift_ks_binned,
-    "text_repetition": text_repetition,
     "decontaminate_overlap": decontaminate_overlap,
     "latest_event_per_user": latest_event_per_user,
     "timeseries_resample": timeseries_resample,
     "events_json_props": events_json_props,
     "salted_join_revenue": salted_join_revenue,
     "customers_without_events": customers_without_events,
-    "text_normalize": text_normalize,
-    "fk_integrity": fk_integrity,
-    "key_skew_orders": key_skew_orders,
-    "dedup_containment": dedup_containment,
-    "embedding_quantize": embedding_quantize,
     "outliers_totalprice": outliers_totalprice,
-    "dedup_lines_footer": dedup_lines_footer,
-    "weighted_sample_bylength": weighted_sample_bylength,
-    "similarity_ann_recall": similarity_ann_recall,
-    "dedup_duplicate_spans": dedup_duplicate_spans,
-    "text_bigram_logprob": text_bigram_logprob,
-    "token_drift_langs": token_drift_langs,
-    "vocab_overlap_langs": vocab_overlap_langs,
-    "l_diversity_customers": l_diversity_customers,
-    "ewma_value_by_user": ewma_value_by_user,
-    "anomaly_value_zscore": anomaly_value_zscore,
-    "zorder_customers": zorder_customers,
-    "view_big_qty_orders": view_big_qty_orders,
-    "decontaminate_embedding": decontaminate_embedding,
-    "streaming_anomaly": streaming_anomaly,
-    "event_gaps_by_user": event_gaps_by_user,
-    "view_cust_order_dist": view_cust_order_dist,
-    "view_nation_volume": view_nation_volume,
-    "cdc_apply_orders": cdc_apply_orders,
-    "melt_part_measures": melt_part_measures,
-    "dedup_minhash_recall": dedup_minhash_recall,
-    "corr_lineitem_measures": corr_lineitem_measures,
-    "mi_priority_status": mi_priority_status,
-    "weighted_topn_docs": weighted_topn_docs,
-    "streaming_ewma": streaming_ewma,
 }
