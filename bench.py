@@ -66,6 +66,29 @@ def main() -> None:
                 samples[name].append(round(time.time() - t0, 3))
             except Exception as e:  # record failures as null, keep benching
                 print(f"bench error in {name}: {e}", file=sys.stderr)
+    # Steady-state probe: the per-rep numbers above are COLD (dedup_scope
+    # releases persisted intermediates between reps — the one-shot
+    # pipeline cost). For queries whose whole point is reuse of persisted
+    # intermediates across repeated runs (the r5 minhash persist fix),
+    # also record the WARM cost: reps inside ONE scope, intermediates
+    # live. This is the artifact-backed cold/warm split the r5 verdict
+    # asked for instead of an uncommitted claim.
+    warm: dict[str, float] = {}
+    for name in ("dedup_minhash_lsh",):
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        try:
+            with dedup_scope():
+                force(fn(spark, sf_dir))  # cold pass populates persists
+                ts = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    force(fn(spark, sf_dir))
+                    ts.append(round(time.time() - t0, 3))
+            warm[name] = round(statistics.median(ts), 3)
+        except Exception as e:
+            print(f"bench warm-probe error in {name}: {e}", file=sys.stderr)
     times = {
         name: round(statistics.median(ts), 3) if ts else None
         for name, ts in samples.items()
@@ -92,7 +115,11 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
     with open(out_path, "w") as f:
-        json.dump({**compact, "spread": spread, "samples": samples}, f, indent=1)
+        json.dump(
+            {**compact, "warm": warm, "spread": spread, "samples": samples},
+            f,
+            indent=1,
+        )
     print(json.dumps(compact, separators=(",", ":")))
     n_failed = sum(1 for t in times.values() if t is None)
     summary = {

@@ -462,7 +462,16 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import srp_ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return srp_ann_topk(emb, emb.filter("vec_id < 5"), k=10, n_planes=8, dim=64)
+    # hamming_probes=1 pinned DELIBERATELY (r5 bench delta 1.19→2.02 s):
+    # measured on this corpus (weak-similarity embeddings, best cos ≈
+    # 0.33), radius-0 SRP recalls 0.00 of the exact top-10 while radius-1
+    # multiprobe recalls 0.12 at ~1.5× the cost — without the probe the
+    # cataloged query returns no true neighbors at all. The per-method
+    # numbers live in the similarity_ann_recall report.
+    return srp_ann_topk(
+        emb, emb.filter("vec_id < 5"), k=10, n_planes=8, dim=64,
+        hamming_probes=1,
+    )
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
