@@ -936,9 +936,15 @@ def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = events_replay_dir(spark, sf_dir)
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    # JVM-stateful aggs (unlike the Python-stateful ops, where 16 beat
+    # 8) get ~30% faster with fewer state partitions at this key
+    # cardinality — state-store/commit fixed cost dominates (measured
+    # r6: 8 JVM streaming entries 19.4s @16 -> 14.4s @6). On a cluster,
+    # size to key cardinality via the session conf instead.
     return run_stream_to_table(
         windowed_event_metrics(stream, window_duration="1 hour"),
         output_mode="complete",
+        state_partitions=6,
     )
 
 
@@ -960,6 +966,7 @@ def streaming_sliding_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, window_duration="2 hours", slide="1 hour"
         ),
         output_mode="complete",
+        state_partitions=6,  # JVM-stateful: see streaming_window_metrics
     )
 
 
@@ -1047,7 +1054,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = dedup_stream(
         stream.select("user_id", "event_type"), ["user_id", "event_type"]
     )
-    return run_stream_to_table(dd, output_mode="append")
+    # JVM-stateful: see the state_partitions note in streaming_window_metrics
+    return run_stream_to_table(dd, output_mode="append", state_partitions=6)
 
 
 def streaming_enriched_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,7 +1091,8 @@ def streaming_enriched_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_stream_to_table(agg, output_mode="complete")
+    # JVM-stateful: see the state_partitions note in streaming_window_metrics
+    return run_stream_to_table(agg, output_mode="complete", state_partitions=6)
 
 
 def streaming_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1137,8 +1146,10 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = events_replay_dir(spark, sf_dir)
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    # JVM-stateful: see the state_partitions note in streaming_window_metrics
     return run_stream_to_table(
-        session_window_metrics(stream), output_mode="append"
+        session_window_metrics(stream), output_mode="append",
+        state_partitions=6,
     )
 
 
@@ -1179,8 +1190,9 @@ def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream joins run FOUR state stores per shuffle partition
     # (keyToNumValues + keyWithIndexToValue x both sides); 8 partitions
     # halves the fixed store/commit cost vs the 16 default at test scale
-    # (measured 8s -> 4.4s). On a cluster, size to join-key cardinality.
-    return run_stream_to_table(out, output_mode="append", state_partitions=8)
+    # (measured 8s -> 4.4s @8, 3.4s @6 in r6). On a cluster, size to
+    # join-key cardinality.
+    return run_stream_to_table(out, output_mode="append", state_partitions=6)
 
 
 def events_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -94,17 +95,17 @@ def sessionize_stream(
             yield pd.DataFrame([_session_row(user_id, start_us, last_us, n)])
             return
 
-        rows = pd.concat(list(pdfs))
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         # datetime64[ns] -> epoch micros (exact for parquet micro precision)
-        ts_us = (rows[ts_col].astype("int64") // 1000).sort_values()
+        ts_us = np.sort(rows[ts_col].to_numpy().astype("int64") // 1000)
         if state.exists:
             start_us, last_us, n = state.get
         else:
             start_us, last_us, n = None, None, 0
 
         closed: list[dict[str, Any]] = []
-        for t in ts_us:
-            t = int(t)
+        for t in ts_us.tolist():
             if last_us is not None and t - last_us > gap_us:
                 closed.append(_session_row(user_id, start_us, last_us, n))
                 start_us, n = None, 0
@@ -280,29 +281,31 @@ def transitions_stream(
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values([ts_col, tiebreak_col])
-        states = rows[state_col].tolist()
-        ts_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ts_a = rows[ts_col].to_numpy()
+        tb_a = rows[tiebreak_col].to_numpy()
+        order = np.lexsort((tb_a, ts_a))
+        states = rows[state_col].to_numpy()[order].tolist()
+        last_t = int(ts_a[order[-1]].astype("int64") // 1000)
         if state.exists:
             last_state, last_us = state.get
         else:
             last_state, last_us = None, None
 
-        pairs: list[dict[str, Any]] = []
-        for st, t in zip(states, ts_us):
-            if last_state is not None:
-                pairs.append(
-                    {
-                        "user_id": user_id,
-                        "prev_state": last_state,
-                        "next_state": st,
-                    }
-                )
-            last_state, last_us = st, int(t)
-        state.update((last_state, last_us))
-        if pairs:
-            yield pd.DataFrame(pairs)
+        # the transition list is [carry-in] + states, lagged by one —
+        # pure list slicing, no per-row loop
+        if last_state is not None:
+            prev = [last_state, *states[:-1]]
+            nxt = states
+        else:
+            prev = states[:-1]
+            nxt = states[1:]
+        state.update((states[-1], last_t))
+        if nxt:
+            yield pd.DataFrame(
+                {"user_id": user_id, "prev_state": prev, "next_state": nxt}
+            )
 
     return (
         events.withWatermark(ts_col, watermark_delay)
@@ -372,37 +375,41 @@ def funnel_stream(
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs)).sort_values([ts_col, tiebreak_col])
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ts_raw = rows[ts_col].to_numpy()
+        tb_a = rows[tiebreak_col].to_numpy()
+        order = np.lexsort((tb_a, ts_raw))
+        states = rows[state_col].to_numpy()[order].tolist()
+        ts_us = (ts_raw[order].astype("int64") // 1000).tolist()
         if state.exists:
             stage, last_us = state.get
         else:
             stage, last_us = 0, None
 
-        advances: list[dict[str, Any]] = []
-        for st, t in zip(
-            rows[state_col].tolist(),
-            (rows[ts_col].astype("int64") // 1000).tolist(),
-        ):
+        adv_stage: list[int] = []
+        adv_ts: list[int] = []
+        for st, t in zip(states, ts_us):
             if stage >= n_stages:
                 break
-            t = int(t)
             if stage_of.get(st) == stage and (
                 stage == 0 or t > last_us
             ):
-                advances.append(
-                    {
-                        "user_id": user_id,
-                        "stage_idx": stage,
-                        "ts": pd.Timestamp(t, unit="us"),
-                    }
-                )
+                adv_stage.append(stage)
+                adv_ts.append(t)
                 stage, last_us = stage + 1, t
         # completed users keep a terminal (stage == n_stages) marker —
         # removing the state would let later batches re-run the funnel
         # from stage 0 and double-count advances
         state.update((stage, last_us if last_us is not None else -1))
-        if advances:
-            yield pd.DataFrame(advances)
+        if adv_stage:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "stage_idx": adv_stage,
+                    "ts": np.array(adv_ts, dtype="datetime64[us]"),
+                }
+            )
 
     return (
         events.withWatermark(ts_col, watermark_delay)
@@ -482,19 +489,27 @@ def anomaly_stream(
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs))
-        rows = rows[rows[value_col].notna()]
-        if rows.empty:
+        # hot path: ~|users| invocations per micro-batch, so the pandas
+        # plumbing (concat/sort_values/row-dict frames) costs more than
+        # the math — keep it in numpy, loop only over scalar lists
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        keep = rows[value_col].notna().to_numpy()
+        if not keep.any():
             return
-        rows = rows.sort_values([ts_col, tiebreak_col])
+        ts_a = rows[ts_col].to_numpy()[keep]
+        tb_a = rows[tiebreak_col].to_numpy()[keep]
+        val_a = rows[value_col].to_numpy()[keep]
+        order = np.lexsort((tb_a, ts_a))
+        ts_a, tb_a, val_a = ts_a[order], tb_a[order], val_a[order]
         window: list[int] = list(state.get[0]) if state.exists else []
 
-        out: list[dict[str, Any]] = []
-        for ts, tb, val in zip(
-            rows[ts_col], rows[tiebreak_col], rows[value_col]
-        ):
+        hits: list[int] = []
+        n_win: list[int] = []
+        zs: list[float] = []
+        for i, val in enumerate(val_a.tolist()):
             v = int(
-                decimal.Decimal(repr(float(val) * scale)).quantize(
+                decimal.Decimal(repr(val * scale)).quantize(
                     decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
                 )
             )
@@ -513,19 +528,22 @@ def anomaly_stream(
                     )
                 )
                 if abs(zr) > threshold:
-                    out.append(
-                        {
-                            "user_id": user_id,
-                            "ts": ts,
-                            "event_id": int(tb),
-                            "value": float(val),
-                            "n_window": n,
-                            "zscore": zr,
-                        }
-                    )
+                    hits.append(i)
+                    n_win.append(n)
+                    zs.append(zr)
         state.update((window[-(window_rows - 1):] if window_rows > 1 else [],))
-        if out:
-            yield pd.DataFrame(out)
+        if hits:
+            idx = np.array(hits)
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "ts": ts_a[idx],
+                    "event_id": tb_a[idx].astype("int64"),
+                    "value": val_a[idx],
+                    "n_window": n_win,
+                    "zscore": zs,
+                }
+            )
 
     return (
         events.withWatermark(ts_col, watermark_delay)
@@ -585,6 +603,11 @@ def ewma_stream(
 
     scale = 10 ** decimals
     quantum = decimal.Decimal(1).scaleb(-round_digits)
+    # precomputed per-stream: same construction order as the inline
+    # generator sums they replace, so the float accumulation (exact
+    # dyadic anyway) is unchanged
+    weights = [2.0 ** -k for k in range(terms)]
+    dens = [sum(2.0 ** -k for k in range(n)) for n in range(terms + 1)]
 
     def fn(
         key: tuple,
@@ -596,44 +619,49 @@ def ewma_stream(
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs))
-        rows = rows[rows[value_col].notna()]
-        if rows.empty:
+        # hot path: ~|users| invocations per micro-batch — numpy
+        # plumbing, scalar loop only for the exact dyadic/Decimal math
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        keep = rows[value_col].notna().to_numpy()
+        if not keep.any():
             return
-        rows = rows.sort_values([ts_col, tiebreak_col])
+        ts_a = rows[ts_col].to_numpy()[keep]
+        tb_a = rows[tiebreak_col].to_numpy()[keep]
+        val_a = rows[value_col].to_numpy()[keep]
+        order = np.lexsort((tb_a, ts_a))
+        ts_a, tb_a, val_a = ts_a[order], tb_a[order], val_a[order]
         recent: list[int] = list(state.get[0]) if state.exists else []
 
-        out: list[dict[str, Any]] = []
-        for ts, tb, val in zip(
-            rows[ts_col], rows[tiebreak_col], rows[value_col]
-        ):
+        ewmas: list[float] = []
+        for val in val_a.tolist():
             v = int(
-                decimal.Decimal(repr(float(val) * scale)).quantize(
+                decimal.Decimal(repr(val * scale)).quantize(
                     decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
                 )
             )
             recent.append(v)
             if len(recent) > terms:
                 recent.pop(0)
-            num = sum(x * 2.0 ** -k for k, x in enumerate(reversed(recent)))
-            den = sum(2.0 ** -k for k in range(len(recent)))
-            ewma = float(
-                decimal.Decimal(repr(num / den / float(scale))).quantize(
-                    quantum, rounding=decimal.ROUND_HALF_UP
+            num = sum(x * w for x, w in zip(reversed(recent), weights))
+            den = dens[len(recent)]
+            ewmas.append(
+                float(
+                    decimal.Decimal(repr(num / den / float(scale))).quantize(
+                        quantum, rounding=decimal.ROUND_HALF_UP
+                    )
                 )
             )
-            out.append(
-                {
-                    "user_id": user_id,
-                    "ts": ts,
-                    "event_id": int(tb),
-                    "value": float(val),
-                    "ewma": ewma,
-                }
-            )
         state.update((recent[-(terms - 1):] if terms > 1 else [],))
-        if out:
-            yield pd.DataFrame(out)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "ts": ts_a,
+                "event_id": tb_a.astype("int64"),
+                "value": val_a,
+                "ewma": ewmas,
+            }
+        )
 
     return (
         events.withWatermark(ts_col, watermark_delay)
