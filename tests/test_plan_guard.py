@@ -45,3 +45,125 @@ def test_no_cartesian_product(spark, name):
         f"|left| x |right| comparisons. Block the join (bucket/band/grid) "
         f"or broadcast the small side.\n{plan[:2000]}"
     )
+
+
+# --- physical-node guards (r6, VERDICT r5 #6) -------------------------------
+#
+# The CartesianProduct ban catches the always-fatal shape; these two lock in
+# the audited state of the two "fine today, fatal if regressed" shapes:
+# partition-less WindowExec (single-task global sort of the whole input) and
+# BroadcastNestedLoopJoin (|build| x |stream| compares — fine only while the
+# broadcast side is a bounds/seed frame of ~1..k rows).
+
+
+def _walk(jnode):
+    """Pre-order traversal of a physical plan, descending through the AQE
+    wrapper and into cached-relation plans (bounds frames often sit behind
+    an InMemoryTableScan)."""
+    sn = jnode.getClass().getSimpleName()
+    yield sn, jnode
+    if sn == "AdaptiveSparkPlanExec":
+        yield from _walk(jnode.inputPlan())
+        return
+    if sn == "InMemoryTableScanExec":
+        yield from _walk(jnode.relation().cachedPlan())
+    for i in range(jnode.children().size()):
+        yield from _walk(jnode.children().apply(i))
+
+
+# Partition-less windows allowed ONLY where the window's input is bounded
+# by construction (each entry documents the bound):
+GLOBAL_WINDOW_BOUNDED = {
+    "key_skew_orders": "rank over the k=10 rows surviving TakeOrdered",
+    "pack_token_shards": (
+        "explicit global_ordering=True packing entry; "
+        "pack_token_shards_partitioned is the scale path"
+    ),
+    "drift_ks_totalprice": (
+        "exact-CDF path; operator auto-switches to the binned grid "
+        "above 250k distinct values"
+    ),
+    "drift_ks_binned": "cumulative sums over the <=n_buckets binned grid",
+    "drift_orders_totalprice": (
+        "exact histogram-CDF path behind the 250k-distinct valve"
+    ),
+    "drift_chi2_priority": (
+        "window over the <=|categories| contingency frame"
+    ),
+}
+
+# BNLJ broadcast sides that are row-bounded by plan shape: an ungrouped
+# aggregate (1 row), a limit, a literal local scan, or a driver-defined
+# Range generator.
+_BOUNDED_BUILD_KINDS = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "LocalTableScanExec",
+    "RangeExec",
+}
+
+# Queries whose BNLJ broadcast side is a SEMANTICALLY small frame the plan
+# cannot prove bounded (a filtered scan of seed/query rows). Each entry
+# documents why the frame is small:
+BNLJ_SMALL_FRAME = {
+    "similarity_topk": "query frame = vec_id < 5 (5 query vectors)",
+    "similarity_ann": "query frame = vec_id < 5",
+    "similarity_ann_recall": "query frame = vec_id < 5, three indexes",
+    "similarity_ivf": "query frame = vec_id < 5; centroid seeds TakeOrdered",
+    "dedup_semantic": "centroid seed frame = deterministic k-row sample",
+    "decontaminate_embedding": "benchmark frame = bounded holdout slice",
+}
+
+
+def _bounded_build_side(jchild) -> bool:
+    for sn, nd in _walk(jchild):
+        if sn in _BOUNDED_BUILD_KINDS:
+            return True
+        if sn in (
+            "HashAggregateExec",
+            "ObjectHashAggregateExec",
+            "SortAggregateExec",
+        ) and nd.groupingExpressions().isEmpty():
+            return True
+    return False
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unbounded_global_window(spark, name):
+    df = catalog.ALL[name](spark, SF)
+    offenders = [
+        sn
+        for sn, nd in _walk(df._jdf.queryExecution().executedPlan())
+        if sn in ("WindowExec", "WindowGroupLimitExec")
+        and nd.partitionSpec().isEmpty()
+    ]
+    if name in GLOBAL_WINDOW_BOUNDED:
+        return  # documented bounded input — allowed
+    assert not offenders, (
+        f"{name}: partition-less {offenders} — a single-task global sort "
+        f"of the whole input at 100 TB. Partition the window, use the "
+        f"binned/approx path, or add a documented entry to "
+        f"GLOBAL_WINDOW_BOUNDED if its input is bounded by construction."
+    )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_bnlj_broadcasts_bounded_frames(spark, name):
+    df = catalog.ALL[name](spark, SF)
+    for sn, nd in _walk(df._jdf.queryExecution().executedPlan()):
+        if sn != "BroadcastNestedLoopJoinExec":
+            continue
+        child = (
+            nd.left() if nd.buildSide().toString() == "BuildLeft" else nd.right()
+        )
+        if name in BNLJ_SMALL_FRAME:
+            continue
+        assert _bounded_build_side(child), (
+            f"{name}: BroadcastNestedLoopJoin whose broadcast side is not "
+            f"row-bounded by plan shape (no ungrouped aggregate, limit, "
+            f"local scan, or range on the build side) — at 100 TB this "
+            f"broadcasts and nested-loops an unbounded frame. Bound the "
+            f"frame or add a documented BNLJ_SMALL_FRAME entry."
+        )
