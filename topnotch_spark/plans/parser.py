@@ -46,6 +46,21 @@ def _merge_json(left: dict, right: dict) -> dict:
     return out
 
 
+def _input_exists(inp, defined_output_keys: set, spark=None) -> bool:
+    if not inp.on_disk:
+        return inp.ref in defined_output_keys
+    if getattr(inp, "format", None) == "table":
+        # catalog-table input (bucketed-layout path): validate against the
+        # table catalog, not the filesystem
+        if spark is None:
+            return True  # no session at parse time; load_input will fail clearly
+        try:
+            return spark.catalog.tableExists(inp.ref)
+        except Exception:
+            return False
+    return _path_exists(inp.ref, spark)
+
+
 def _path_exists(path: str, spark=None) -> bool:
     if os.path.exists(path):
         return True
@@ -127,10 +142,7 @@ def parse_commands(
             invalid = [
                 inp.ref
                 for inp in _cmd_inputs(cmd)
-                if not (
-                    (not inp.on_disk and inp.ref in defined_output_keys)
-                    or (inp.on_disk and _path_exists(inp.ref, spark))
-                )
+                if not _input_exists(inp, defined_output_keys, spark)
             ]
             defined_output_keys.add(cmd.output_key)
             if invalid:

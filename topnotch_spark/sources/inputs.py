@@ -79,4 +79,12 @@ def load_input(
         return reader.orc(inp.ref)
     if fmt == "parquet":
         return reader.parquet(inp.ref)
+    if fmt == "table":
+        # Catalog table (ref = table name). The 100 TB path for repeated
+        # keyed commands: a table written bucketed+sorted on the diff/join
+        # keys (sources/bucketing.write_bucketed) feeds sort-merge join
+        # with ZERO per-run Exchange — both snapshot shuffles are paid
+        # once at write time (tests/test_bucketing.py asserts the
+        # no-Exchange diff plan).
+        return spark.table(inp.ref)
     raise ValueError(f"Unsupported input format: {fmt!r}")
