@@ -160,6 +160,15 @@ def oracle_sql() -> dict[str, str]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
             round_digits=4,
         ),
+        "text_bm25_topk": oracles.bm25_topk_sql(
+            catalog.BM25_QUERIES, k=10
+        ),
+        "curriculum_decile_sample": oracles.curriculum_sample_sql(
+            n_bands=4
+        ),
+        "split_leakage_report": oracles.split_leakage_sql(
+            shingle_n=5, max_shingle_df=1000
+        ),
         "profile_lineitem_approx": oracles.profile_accuracy_sql(
             "lineitem",
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

@@ -175,12 +175,24 @@ def test_dedup_persist_lifecycle(spark):
         unpersist_intermediates,
     )
 
+    import time
+
     unpersist_intermediates()  # clean slate
 
     def cached_rdd_count():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    base = cached_rdd_count()
+    def settled_count(at_most: int) -> int:
+        # unpersist is asynchronous: both a previous test's release and
+        # our own may still be draining — poll briefly before judging
+        for _ in range(50):
+            c = cached_rdd_count()
+            if c <= at_most:
+                return c
+            time.sleep(0.1)
+        return cached_rdd_count()
+
+    base = settled_count(0)
     for corpus in range(2):
         rows = [
             (i, f"corpus {corpus} document {i} alpha beta gamma delta")
@@ -193,7 +205,7 @@ def test_dedup_persist_lifecycle(spark):
             simhash_dedup(df, "doc_id", "text").count()
             assert len(_PERSISTED) >= 3
         assert len(_PERSISTED) == 0
-    assert cached_rdd_count() == base
+    assert settled_count(base) <= base
 
 
 def test_release_new_intermediates_identity_scoping(spark):

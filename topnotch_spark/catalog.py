@@ -26,6 +26,13 @@ TABLES = (
 ).split()
 
 
+BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "hash join table"),
+    (3, "stream filter sort"),
+]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS). Depending on the session the
@@ -2222,6 +2229,48 @@ def weighted_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for three fixed queries over the documents
+    corpus — the sparse-retrieval scorer for data mining / RAG indexing.
+    Integer micro-unit score sums make the ranking engine-exact."""
+    from topnotch_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        spark,
+        load(spark, sf_dir, "documents"),
+        BM25_QUERIES,
+        k=10,
+    )
+
+
+def curriculum_decile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum downsampling: per-source quality quartiles
+    (ntile by n_chars desc) with linearly decaying keep rates and a
+    deterministic md5 draw — band 1 keeps all, band 4 keeps 25%."""
+    from topnotch_spark.operators.curation import curriculum_sample
+
+    return curriculum_sample(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        "source",
+        n_bands=4,
+    )
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val contamination: val-split docs sharing 5-gram shingles
+    with any train-split doc under the standard 80/10/10 hash split —
+    the near-duplicate-across-the-boundary check that a pure id-hash
+    split cannot see."""
+    from topnotch_spark.operators.curation import split_leakage
+
+    return split_leakage(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=5, max_shingle_df=1000,
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-6 rotation (executes the r05 verdict's
 # top task): slots 1-29 are the 29 queries that had never received a
@@ -2370,4 +2419,7 @@ ALL = {
     "salted_join_revenue": salted_join_revenue,
     "customers_without_events": customers_without_events,
     "outliers_totalprice": outliers_totalprice,
+    "text_bm25_topk": text_bm25_topk,
+    "curriculum_decile_sample": curriculum_decile_sample,
+    "split_leakage_report": split_leakage_report,
 }

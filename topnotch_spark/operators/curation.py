@@ -740,3 +740,136 @@ def sample_to_token_budget(
             ((cum - F.col("n_tokens")) < target).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum sampling (quality-banded keep rates)
+# ---------------------------------------------------------------------------
+
+def curriculum_sample(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    partition_col: str,
+    n_bands: int = 10,
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Quality-curriculum downsampling: band documents into per-source
+    quality deciles (ntile over ``order_col`` desc), then keep each row
+    with probability (n_bands + 1 - band) / n_bands-style linear decay —
+    band 1 (best) keeps everything, the bottom band keeps 1/n_bands.
+    The deterministic md5 draw makes membership seedless and
+    engine-portable (same contract as stratified_sample/hash_split).
+
+    Returns the kept rows as (id, partition, order value, band,
+    keep_rate). ntile follows the SQL-standard bucket rule (earlier
+    buckets one row larger on uneven splits) in both Spark and DuckDB,
+    so the oracle reproduces bands exactly; the (order, id) tiebreak
+    pins band edges when order values collide.
+
+    Execution shape: ONE window pass partitioned by source (parallel
+    across sources — never a global sort) + a filter projection. Zero
+    joins, zero extra shuffles beyond the window's partition exchange.
+    """
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    band = F.ntile(n_bands).over(w)
+    rate = (F.lit(n_bands + 1) - band).cast("double") / F.lit(n_bands)
+    u = (
+        F.conv(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(partition_col),
+            F.col(order_col),
+            band.alias("band"),
+            F.round(rate, 6).alias("keep_rate"),
+            u.alias("__u__"),
+        )
+        .filter(F.col("__u__") < F.col("keep_rate"))
+        .drop("__u__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val split leakage report
+# ---------------------------------------------------------------------------
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: dict[str, float] | None = None,
+    holdout_split: str = "val",
+    train_split: str = "train",
+    shingle_n: int = 5,
+    max_shingle_df: int | None = 1000,
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-split contamination report: for every HOLDOUT document,
+    how many word n-gram shingles it shares with ANY train document,
+    and with how many distinct train partners — the check that a
+    hash-split didn't put near-duplicates on both sides of the
+    train/val boundary (they leak eval signal even though ids differ).
+
+    Returns (id, n_common, n_train_partners, leak_frac) for holdout
+    docs with >= 1 shared shingle; leak_frac = shared distinct shingles
+    / the holdout doc's distinct shingles.
+
+    Execution shape (the 100 TB path): split assignment is a zero-
+    shuffle projection (hash_split); per-doc distinct shingles come
+    from ONE regex pass reused by both sides; the train/holdout match
+    is a shingle equi-JOIN (sort-merge on the shingle string — neither
+    side is assumed broadcastable, unlike the benchmark-decontamination
+    screen), with the train side's viral shingles valved by
+    ``max_shingle_df`` exactly like dedup.ngram_jaccard_pairs; one
+    groupBy(holdout id) ends it. Nothing is pairwise in |corpus|.
+    """
+    from topnotch_spark.operators.dedup import shingle_arrays
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    # split is a pure function of md5(id), so assign it AFTER the shingle
+    # pass — a projection on the shingle frame, zero extra shuffle/join
+    arr = hash_split(
+        shingle_arrays(df, id_col, text_col, shingle_n),
+        "id",
+        fractions,
+        salt=salt,
+    )
+    train = arr.filter(F.col("split") == train_split).select(
+        F.col("id").alias("train_id"), F.explode("shs").alias("sh")
+    )
+    if max_shingle_df is not None:
+        caps = (
+            train.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        train = train.join(caps, "sh")
+    hold = arr.filter(F.col("split") == holdout_split).select(
+        F.col("id"), F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
+    return (
+        hold.join(train, "sh")
+        .groupBy("id", "n_sh")
+        .agg(
+            F.count_distinct("sh").alias("n_common"),
+            F.count_distinct("train_id").alias("n_train_partners"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_common",
+            "n_train_partners",
+            F.round(F.col("n_common") / F.col("n_sh"), 6).alias("leak_frac"),
+        )
+    )

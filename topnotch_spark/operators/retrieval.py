@@ -1,0 +1,117 @@
+"""Lexical retrieval: BM25 scoring/top-k over a document corpus.
+
+Extends the reference's analytics surface (SURVEY.md §2.3 LLM-pipeline
+ops) with the standard sparse-retrieval scorer used to mine training
+data and build RAG indexes. No counterpart in the batch-only reference —
+cited scope boundary: tnengine/TnCmd.scala (view/assertion/diff only).
+
+Determinism contract (shared with the DuckDB oracle in oracles.py):
+tokens = whitespace split of lower(trim(text)); corpus stats (N, df,
+doclen, avgdl = sum_len/N) are exact integer ratios; the only
+transcendental is ln() on identical IEEE doubles; per-term scores are
+rounded to micro-units and summed as INTEGERS so the cross-term sum
+cannot drift with partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from topnotch_spark.functions.text import tokens
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query under BM25 (Robertson/Lucene idf:
+    ln(1 + (N - df + 0.5)/(df + 0.5))). Query term frequency is binary
+    (distinct query terms), the standard simplification for short
+    queries.
+
+    Returns (query_id, doc_id, score, rank), rank 1 = best; total order
+    (score desc, doc_id asc) so ties are deterministic.
+
+    Execution shape (the 100 TB path): one explode + groupBy(doc, token)
+    for tf (map-side combined); a vocab-sized groupBy(token) for df —
+    joined to the tiny query-term frame FIRST, so only the query's terms
+    survive into the doc join; doc lengths ride the tf aggregation; the
+    query-terms-x-matching-postings join broadcasts the query side; one
+    groupBy(query, doc) integer sum; per-query top-k via window over the
+    scored survivors (rows bounded by |postings of query terms|, not the
+    corpus). N and avgdl are a 1-row broadcast bounds frame.
+    """
+    if not queries:
+        raise ValueError("bm25_topk: queries must be non-empty")
+    qdf = spark.createDataFrame(queries, "query_id long, qtext string")
+    qterms = qdf.select(
+        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("token")
+    )
+
+    tok = docs.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("__id__", "token").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy("__id__").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+
+    # corpus stats: docs with >= 1 token (empty docs carry no postings)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_corpus"), F.sum("dl").alias("sum_dl")
+    )
+
+    # restrict the vocab-sized df table to the query's terms before ever
+    # touching the postings: |query terms| rows after this join
+    q_with_df = qterms.join(dfreq, "token").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_corpus") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    q_scored = q_with_df.select(
+        "query_id",
+        "token",
+        idf.alias("idf"),
+        (F.col("sum_dl").cast("double") / F.col("n_corpus")).alias("avgdl"),
+    )
+
+    postings = tf.join(doclen, "__id__")
+    term_score = (
+        F.col("idf")
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    # micro-unit integers: the per-(query, doc) sum is exact and
+    # partial-aggregation-order-independent on every engine
+    scored = postings.join(F.broadcast(q_scored), "token").select(
+        "query_id",
+        "__id__",
+        F.round(term_score * 1_000_000, 0).cast("long").alias("s_micro"),
+    )
+    per_doc = scored.groupBy("query_id", "__id__").agg(
+        F.sum("s_micro").alias("s_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_micro").desc(), F.col("__id__").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__id__").alias(id_col),
+            (F.col("s_micro").cast("double") / 1_000_000).alias("score"),
+            "rank",
+        )
+    )

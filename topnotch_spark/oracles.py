@@ -3131,3 +3131,158 @@ def mutual_information_sql(
                      {round_digits}) AS nmi
         FROM mi, ha, hb
     """
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Mirror of retrieval.bm25_topk: identical token model, exact
+    integer corpus stats, the same left-to-right IEEE expression for the
+    per-term score, and micro-unit INTEGER sums per (query, doc) so the
+    cross-term addition order cannot drift between engines."""
+    values = ", ".join(
+        "({}, '{}')".format(qid, text.replace("'", "''"))
+        for qid, text in queries
+    )
+    return f"""
+        {_DOC_BASE},
+        tok AS (SELECT doc_id, unnest(__t__) AS token FROM toked),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS n_corpus, CAST(sum(dl) AS BIGINT) AS sum_dl
+          FROM dl
+        ),
+        q(query_id, qtext) AS (VALUES {values}),
+        qt AS (
+          SELECT query_id,
+                 unnest(list_distinct({tokens("qtext")})) AS token
+          FROM q
+        ),
+        qs AS (
+          SELECT query_id, qt.token,
+                 ln(1.0 + (n_corpus - df_t + 0.5) / (df_t + 0.5)) AS idf,
+                 CAST(sum_dl AS DOUBLE) / n_corpus AS avgdl
+          FROM qt JOIN dfreq USING (token) CROSS JOIN stats
+        ),
+        sc AS (
+          SELECT query_id, doc_id,
+                 CAST(round(
+                   idf * (tf * ({k1} + 1.0))
+                   / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+                   * 1000000
+                 ) AS BIGINT) AS s_micro
+          FROM tf JOIN dl USING (doc_id) JOIN qs USING (token)
+        ),
+        agg AS (
+          SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS s_micro
+          FROM sc GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT query_id, doc_id, s_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY s_micro DESC, doc_id
+                 ) AS INTEGER) AS rank
+          FROM agg
+        )
+        SELECT query_id, doc_id,
+               CAST(s_micro AS DOUBLE) / 1000000 AS score, rank
+        FROM rk WHERE rank <= {k}
+    """
+
+
+def curriculum_sample_sql(
+    n_bands: int = 4,
+    order_col: str = "n_chars",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    salt: str = "curriculum",
+) -> str:
+    """Mirror of curation.curriculum_sample: same ntile total order
+    (order desc, id asc — SQL-standard bucket rule on both engines),
+    same linear keep-rate, same 32-bit md5 fraction draw."""
+    u = (
+        f"(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0)"
+    )
+    return f"""
+        WITH banded AS (
+          SELECT {id_col}, {partition_col}, {order_col},
+                 CAST(ntile({n_bands}) OVER (
+                   PARTITION BY {partition_col}
+                   ORDER BY {order_col} DESC, {id_col}
+                 ) AS INTEGER) AS band
+          FROM {table}
+        )
+        SELECT {id_col}, {partition_col}, {order_col}, band,
+               round(CAST({n_bands} + 1 - band AS DOUBLE) / {n_bands}, 6)
+                 AS keep_rate
+        FROM banded
+        WHERE {u} < CAST({n_bands} + 1 - band AS DOUBLE) / {n_bands}
+    """
+
+
+def split_leakage_sql(
+    fractions: dict[str, float] | None = None,
+    holdout_split: str = "val",
+    train_split: str = "train",
+    shingle_n: int = 5,
+    max_shingle_df: int | None = 1000,
+    salt: str = "split",
+) -> str:
+    """Mirror of curation.split_leakage: same shingle model, the exact
+    hash_split CASE thresholds, the same train-side viral-shingle cap,
+    and distinct-counting aggregation per holdout doc."""
+    from topnotch_spark.operators.curation import _rate_threshold_hex
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(fractions)
+    cum = 0.0
+    cases = []
+    key = f"substr(md5('{salt}:' || CAST(id AS VARCHAR)), 1, 8)"
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        thr = _rate_threshold_hex(min(cum, 1.0))
+        cases.append(f"WHEN {key} < '{thr}' THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    cap = (
+        f"""
+        capped AS (
+          SELECT sh FROM train GROUP BY sh HAVING count(*) <= {max_shingle_df}
+        ),
+        train_j AS (SELECT t.train_id, t.sh FROM train t JOIN capped USING (sh)),
+        """
+        if max_shingle_df is not None
+        else "train_j AS (SELECT train_id, sh FROM train),"
+    )
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        arr AS (
+          SELECT id, __sh__, {case} AS split
+          FROM shingled WHERE len(__sh__) > 0
+        ),
+        train AS (
+          SELECT id AS train_id, unnest(__sh__) AS sh FROM arr
+          WHERE split = '{train_split}'
+        ),
+        {cap}
+        hold AS (
+          SELECT id, len(__sh__) AS n_sh, unnest(__sh__) AS sh FROM arr
+          WHERE split = '{holdout_split}'
+        )
+        SELECT h.id AS doc_id,
+               CAST(count(DISTINCT h.sh) AS BIGINT) AS n_common,
+               CAST(count(DISTINCT t.train_id) AS BIGINT) AS n_train_partners,
+               round(count(DISTINCT h.sh) / CAST(h.n_sh AS DOUBLE), 6)
+                 AS leak_frac
+        FROM hold h JOIN train_j t USING (sh)
+        GROUP BY h.id, h.n_sh
+    """

@@ -591,12 +591,15 @@ class SampleCmd(Command):
     budget (curation.sample_to_token_budget). Fourth form:
     {"idColumn", "weightColumn", "n", ["salt"]} — exact-n weighted
     sampling without replacement (curation.weighted_sample_topn,
-    A-Res)."""
+    A-Res). Fifth form: {"idColumn", "orderColumn", "partitionColumn",
+    ["nBands", "salt"]} — quality-curriculum banded keep rates
+    (curation.curriculum_sample)."""
 
     input: Input = None  # type: ignore[assignment]
     id_column: str = "id"
     strat_column: str = ""
     weight_column: str = ""
+    order_column: str = ""
     text_column: str = "text"
     budget_tokens: int = 0
     rates: tuple[tuple[str, float], ...] = ()
@@ -618,6 +621,20 @@ class SampleCmd(Command):
                 text_column=p.get("textColumn", "text"),
                 budget_tokens=int(p["budgetTokens"]),
                 options=_opt(p, "alpha", "roundDigits"),
+                **cls._common(obj),
+            )
+        if "orderColumn" in p:
+            if "weightColumn" in p or "rates" in p:
+                raise ValueError(
+                    "sample: orderColumn (curriculum form) and "
+                    "weightColumn/rates are mutually exclusive"
+                )
+            return cls(
+                input=Input.from_json(obj["input"]),
+                id_column=p["idColumn"],
+                strat_column=p["partitionColumn"],
+                order_column=p["orderColumn"],
+                options=_opt(p, "nBands", "salt"),
                 **cls._common(obj),
             )
         if "weightColumn" in p:
@@ -654,6 +671,13 @@ class SampleCmd(Command):
         )
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.order_column:
+            from topnotch_spark.operators.curation import curriculum_sample
+
+            return curriculum_sample(
+                df, self.id_column, self.order_column, self.strat_column,
+                **self.options,
+            )
         if self.budget_tokens:
             return sample_to_token_budget(
                 df, self.id_column, self.text_column, self.strat_column,
@@ -752,33 +776,53 @@ class SkewCmd(Command):
 class SplitCmd(Command):
     """{"command": "split", "input": <input>, "params": {"idColumn",
     "fractions": {split: fraction}, ["salt"]}} — deterministic
-    hash-based train/val/test assignment (seedless, growth-stable)."""
+    hash-based train/val/test assignment (seedless, growth-stable).
+    Leakage form: add "textColumn" (and optionally "holdoutSplit",
+    "trainSplit", "shingleN", "maxShingleDf") to get the cross-split
+    n-gram contamination report instead (curation.split_leakage)."""
 
     input: Input = None  # type: ignore[assignment]
     id_column: str = "id"
+    text_column: str = ""
     fractions: tuple[tuple[str, float], ...] = ()
     options: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, obj: dict) -> "SplitCmd":
         p = obj["params"]
+        if "textColumn" in p:
+            opts = _opt(
+                p, "holdoutSplit", "trainSplit", "shingleN",
+                "maxShingleDf", "salt",
+            )
+        else:
+            opts = _opt(p, "salt")
         return cls(
             input=Input.from_json(obj["input"]),
             id_column=p["idColumn"],
+            text_column=p.get("textColumn", ""),
             # insertion order is the split-boundary order, so keep it
-            fractions=tuple(p["fractions"].items()),
-            options=_opt(p, "salt"),
+            fractions=tuple(p.get("fractions", {}).items()),
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.curation import hash_split
+        from topnotch_spark.operators.curation import hash_split, split_leakage
 
+        df = load_input(engine.spark, self.input, engine.registry)
+        if self.text_column:
+            return split_leakage(
+                df,
+                self.id_column,
+                self.text_column,
+                fractions=dict(self.fractions) or None,
+                **self.options,
+            )
+        if not self.fractions:
+            raise ValueError("split: fractions must be non-empty")
         return hash_split(
-            load_input(engine.spark, self.input, engine.registry),
-            self.id_column,
-            dict(self.fractions),
-            **self.options,
+            df, self.id_column, dict(self.fractions), **self.options
         )
 
 
@@ -1446,11 +1490,53 @@ class CompactCmd(Command):
         )
 
 
+@dataclass(frozen=True)
+class RetrieveCmd(Command):
+    """{"command": "retrieve", "input": <input>, "params": {"queries":
+    [[id, text], ...], ["idColumn", "textColumn", "k", "k1", "b"]}} —
+    BM25 top-k lexical retrieval over a document corpus
+    (retrieval.bm25_topk)."""
+
+    input: Input = None  # type: ignore[assignment]
+    queries: tuple[tuple[int, str], ...] = ()
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "RetrieveCmd":
+        p = obj["params"]
+        qs = tuple((int(q[0]), str(q[1])) for q in p["queries"])
+        if not qs:
+            raise ValueError("retrieve: queries must be non-empty")
+        return cls(
+            input=Input.from_json(obj["input"]),
+            queries=qs,
+            id_column=p.get("idColumn", "doc_id"),
+            text_column=p.get("textColumn", "text"),
+            options=_opt(p, "k", "k1", "b"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            engine.spark,
+            load_input(engine.spark, self.input, engine.registry),
+            list(self.queries),
+            id_col=self.id_column,
+            text_col=self.text_column,
+            **self.options,
+        )
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
     EXTENSION_COMMANDS.update(
         {
+            "retrieve": RetrieveCmd.from_json,
             "dedup": DedupCmd.from_json,
             "bloom": MembershipCmd.from_json,
             "text": TextCmd.from_json,
