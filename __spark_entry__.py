@@ -160,6 +160,10 @@ def oracle_sql() -> dict[str, str]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
             round_digits=4,
         ),
+        "drift_weekly_psi": oracles.psi_trend_sql(
+            period="week", n_buckets=10
+        ),
+        "quality_calibrated_ranks": oracles.quality_rank_calibrate_sql(),
         "text_bm25_topk": oracles.bm25_topk_sql(
             catalog.BM25_QUERIES, k=10
         ),

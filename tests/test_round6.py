@@ -230,3 +230,104 @@ def test_round6_plan_commands(spark, tmp_path):
     bad2_path.write_text(json.dumps(bad2))
     with pytest.raises(Exception, match="fractions"):
         TnEngine(spark).run(str(bad2_path))
+
+
+# ---------------------------------------------------------------------------
+# PSI trend + rank calibration
+# ---------------------------------------------------------------------------
+
+def test_psi_trend_zero_for_identical_weeks(spark):
+    """Weeks drawn from the same distribution as week 1 get psi ~ 0;
+    a shifted week gets a clearly positive PSI; the reference week's own
+    PSI is exactly 0."""
+    import datetime
+
+    from topnotch_spark.operators.drift import psi_trend
+
+    rows = []
+    for wk in range(3):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(weeks=wk)
+        for i in range(1000):
+            v = float(i % 100)  # identical discrete uniform each week
+            if wk == 2:
+                v += 60.0  # shifted distribution
+            rows.append((day + datetime.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["period"]: r for r in psi_trend(df, "ts", "value").collect()}
+    periods = sorted(out)
+    assert len(periods) == 3
+    assert out[periods[0]]["psi"] == 0.0
+    assert abs(out[periods[1]]["psi"]) < 1e-5
+    assert out[periods[2]]["psi"] > 0.5
+    assert all(out[p]["n_rows"] == 1000 for p in periods)
+
+    with pytest.raises(ValueError, match="constant"):
+        psi_trend(
+            spark.createDataFrame(
+                [(datetime.datetime(2024, 1, 1), 1.0)], "ts timestamp, value double"
+            ),
+            "ts",
+            "value",
+        )
+
+
+def test_quality_rank_calibrate_bounds_and_order(spark):
+    from topnotch_spark.operators.textqc import quality_rank_calibrate
+
+    rows = [(i, "a" if i < 6 else "b", float(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, src string, q double")
+    out = quality_rank_calibrate(df, "id", "q", "src").collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        ranks = sorted(r["q_calibrated"] for r in rs)
+        assert ranks[0] == 0.0 and ranks[-1] == 1.0
+        # monotone in (q, id)
+        ordered = sorted(rs, key=lambda r: (r["q"], r["id"]))
+        assert [r["q_calibrated"] for r in ordered] == ranks
+
+
+def test_trend_and_calibrate_plan_forms(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "drift",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "outputKey": "weeklyPsi",
+                "params": {"method": "trend", "column": "value",
+                           "period": "week", "nBuckets": 10},
+            },
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "outputKey": "calibrated",
+                "params": {"method": "calibrateRanks", "idColumn": "doc_id",
+                           "orderCol": "n_chars", "partitionCol": "source"},
+            },
+        ]
+    }
+    path = tmp_path / "trend_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    assert "psi" in engine.registry["weeklyPsi"].columns
+    assert engine.registry["calibrated"].filter("q_calibrated > 1").count() == 0
+
+    bad = {
+        "commands": [
+            {
+                "command": "drift",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "outputKey": "x",
+                "params": {"method": "trend", "column": "value",
+                           "bins": 5},
+            }
+        ]
+    }
+    bad_path = tmp_path / "trend_bad.json"
+    bad_path.write_text(json.dumps(bad))
+    with pytest.raises(Exception, match="does not accept"):
+        TnEngine(spark).run(str(bad_path))

@@ -2271,6 +2271,30 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_weekly_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift trend: weekly PSI of event values against the
+    earliest week — the time-series form of the drift monitor ("when
+    did the feed drift?"). Integer micro-unit term sums keep the
+    per-week PSI engine-exact."""
+    from topnotch_spark.operators.drift import psi_trend
+
+    return psi_trend(
+        load(spark, sf_dir, "events"), "ts", "value",
+        period="week", n_buckets=10,
+    )
+
+
+def quality_calibrated_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration: percent_rank of n_chars within
+    each source — raw scores mapped onto a comparable [0,1] scale so one
+    corpus-wide threshold means the same thing for every source."""
+    from topnotch_spark.operators.textqc import quality_rank_calibrate
+
+    return quality_rank_calibrate(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", "source"
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-6 rotation (executes the r05 verdict's
 # top task): slots 1-29 are the 29 queries that had never received a
@@ -2422,4 +2446,6 @@ ALL = {
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,
+    "drift_weekly_psi": drift_weekly_psi,
+    "quality_calibrated_ranks": quality_calibrated_ranks,
 }

@@ -436,3 +436,106 @@ def mutual_information(
             F.when(denom > 0, F.col("__mi__") / denom), round_digits
         ).alias("nmi"),
     )
+
+
+def psi_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "week",
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temporal drift trend: PSI of each time period's value
+    distribution against the EARLIEST period — the monitoring query that
+    turns the pairwise ref/cur drift check into a per-week time series
+    ("when did the feed start drifting?").
+
+    Returns one row per period: (period, n_rows, psi), psi computed
+    over ``n_buckets`` equal-width bins of the GLOBAL [min, max] with
+    the same eps-for-empty-bin convention as psi_table. Per-bin terms
+    are rounded to micro-units and summed as integers, so the
+    cross-bin float addition order cannot drift between engines.
+
+    Execution shape: one bounds aggregate (2 scalars), ONE
+    groupBy(period, bucket) over the data (map-side combined), then all
+    remaining arithmetic on the |periods| x n_buckets count grid —
+    broadcast-sized at any horizon. The reference period's counts join
+    back by bucket (broadcast, n_buckets rows)."""
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.date_trunc(period, F.col(ts_col)).alias("period"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    mn, mx = base.agg(F.min("x"), F.max("x")).collect()[0]
+    if mn is None:
+        raise ValueError(f"psi_trend: no non-null values in '{value_col}'")
+    mn, mx = float(mn), float(mx)
+    if mx == mn:
+        raise ValueError(
+            f"psi_trend: column '{value_col}' is constant — equal-width "
+            "bucketing is undefined"
+        )
+    width = (mx - mn) / n_buckets
+
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    counts = base.select("period", idx.alias("bucket")).groupBy(
+        "period", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    ref_period = counts.agg(F.min("period")).collect()[0][0]
+    ref = counts.filter(F.col("period") == F.lit(ref_period)).select(
+        "bucket", F.col("n").alias("n_ref")
+    )
+    # total_ref as a 1-row bounds frame (NOT riding the per-bucket join:
+    # a bucket absent from the reference would null the total and
+    # silently drop that bucket's term from the sum)
+    ref_totals = ref.agg(F.sum("n_ref").alias("total_ref"))
+
+    spark = df.sparkSession
+    periods = counts.select("period").distinct()
+    spine = periods.crossJoin(
+        F.broadcast(
+            spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    grid = (
+        spine.join(counts, ["period", "bucket"], "left")
+        .select("period", "bucket", F.coalesce("n", F.lit(0)).alias("n_cur"))
+        .join(F.broadcast(ref), "bucket", "left")
+        .crossJoin(F.broadcast(ref_totals))
+        .select(
+            "period",
+            "bucket",
+            "n_cur",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            "total_ref",
+        )
+    )
+    total_cur = F.sum("n_cur").over(Window.partitionBy("period"))
+    frac_r = F.col("n_ref") / F.col("total_ref")
+    frac_c = F.col("n_cur") / total_cur
+    p = F.when(frac_r == 0, F.lit(eps)).otherwise(frac_r)
+    q = F.when(frac_c == 0, F.lit(eps)).otherwise(frac_c)
+    term_micro = F.round((q - p) * F.log(q / p) * 1_000_000, 0).cast("long")
+    return (
+        grid.select(
+            "period",
+            F.col("n_cur").alias("n"),
+            term_micro.alias("t_micro"),
+        )
+        .groupBy("period")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum("t_micro").cast("double") / 1_000_000, round_digits)
+            .alias("psi"),
+        )
+    )

@@ -724,3 +724,29 @@ def readability(
         flesch.alias("flesch_score"),
         band.alias("readability_band"),
     )
+
+
+def quality_rank_calibrate(
+    df: DataFrame,
+    id_col: str,
+    order_col: str,
+    partition_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source quality calibration: percent_rank of ``order_col``
+    within each source — maps raw, source-incomparable quality scores
+    onto a common [0, 1] scale so a single corpus-wide threshold means
+    the same thing for every source (the fix for "source A's scorer
+    runs hot"). The (order, id) total order pins ranks under ties.
+
+    One window pass partitioned by source (parallel across sources,
+    never a global sort); zero joins."""
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(partition_col),
+        F.col(order_col),
+        F.round(F.percent_rank().over(w), round_digits).alias("q_calibrated"),
+    )

@@ -3286,3 +3286,98 @@ def split_leakage_sql(
         FROM hold h JOIN train_j t USING (sh)
         GROUP BY h.id, h.n_sh
     """
+
+
+def psi_trend_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "week",
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of drift.psi_trend: same global equal-width bins, same
+    eps-for-empty convention, per-bin terms rounded to micro-unit
+    INTEGERS before the per-period sum (order-independent)."""
+    nb = n_buckets
+    return f"""
+        WITH base AS (
+          SELECT date_trunc('{period}', CAST({ts_col} AS TIMESTAMP)) AS period,
+                 CAST({value_col} AS DOUBLE) AS x
+          FROM {table}
+          WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL
+        ),
+        bnd AS (SELECT min(x) AS mn, (max(x) - min(x)) / {nb} AS w FROM base),
+        counts AS (
+          SELECT period,
+                 least(greatest(CAST(floor((x - mn) / w) AS INTEGER), 0),
+                       {nb - 1}) AS bucket,
+                 count(*) AS n
+          FROM base, bnd GROUP BY 1, 2
+        ),
+        refp AS (SELECT min(period) AS rp FROM counts),
+        ref AS (
+          SELECT bucket, CAST(n AS BIGINT) AS n_ref
+          FROM counts, refp WHERE period = rp
+        ),
+        reft AS (SELECT CAST(sum(n_ref) AS BIGINT) AS total_ref FROM ref),
+        spine AS (
+          SELECT period, unnest(generate_series(0, {nb - 1})) AS bucket
+          FROM (SELECT DISTINCT period FROM counts)
+        ),
+        grid AS (
+          SELECT s.period, s.bucket,
+                 coalesce(c.n, 0) AS n_cur,
+                 coalesce(r.n_ref, 0) AS n_ref,
+                 t.total_ref
+          FROM spine s
+          LEFT JOIN counts c ON s.period = c.period AND s.bucket = c.bucket
+          LEFT JOIN ref r ON s.bucket = r.bucket
+          CROSS JOIN reft t
+        ),
+        terms AS (
+          SELECT period, n_cur,
+                 CAST(round(
+                   (CASE WHEN n_cur / CAST(sum(n_cur) OVER (PARTITION BY period) AS DOUBLE) = 0
+                         THEN {eps}
+                         ELSE n_cur / CAST(sum(n_cur) OVER (PARTITION BY period) AS DOUBLE) END
+                    - CASE WHEN n_ref / CAST(total_ref AS DOUBLE) = 0
+                           THEN {eps}
+                           ELSE n_ref / CAST(total_ref AS DOUBLE) END)
+                   * ln(
+                     CASE WHEN n_cur / CAST(sum(n_cur) OVER (PARTITION BY period) AS DOUBLE) = 0
+                          THEN {eps}
+                          ELSE n_cur / CAST(sum(n_cur) OVER (PARTITION BY period) AS DOUBLE) END
+                     / CASE WHEN n_ref / CAST(total_ref AS DOUBLE) = 0
+                            THEN {eps}
+                            ELSE n_ref / CAST(total_ref AS DOUBLE) END)
+                   * 1000000
+                 ) AS BIGINT) AS t_micro
+          FROM grid
+        )
+        SELECT CAST(period AS TIMESTAMP) AS period,
+               CAST(sum(n_cur) AS BIGINT) AS n_rows,
+               round(CAST(sum(t_micro) AS BIGINT) / 1000000.0, {round_digits})
+                 AS psi
+        FROM terms GROUP BY period
+    """
+
+
+def quality_rank_calibrate_sql(
+    order_col: str = "n_chars",
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.quality_rank_calibrate: percent_rank over the
+    identical (order asc, id asc) total order."""
+    return f"""
+        SELECT {id_col}, {partition_col}, {order_col},
+               round(percent_rank() OVER (
+                 PARTITION BY {partition_col}
+                 ORDER BY {order_col}, {id_col}
+               ), {round_digits}) AS q_calibrated
+        FROM {table}
+    """

@@ -154,10 +154,12 @@ class DedupCmd(Command):
 class TextCmd(Command):
     """{"command": "text", "params": {"method": tokenStats|quality|langid|
     fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards|
-    repetition|tfidfKeywords|normalize|tokenEntropy|readability,
-    "idColumn", "textColumn",
+    repetition|tfidfKeywords|normalize|tokenEntropy|readability|
+    calibrateRanks, "idColumn", "textColumn",
     ["stopwords"/"size"/"overlap"/"k"/"budget"/"partitionCol"/
-    "shingleN"]}}"""
+    "shingleN"]}}; calibrateRanks takes {"idColumn", "orderCol",
+    "partitionCol", ["roundDigits"]} — per-source percent_rank quality
+    calibration."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -178,7 +180,7 @@ class TextCmd(Command):
                 "partitionCol", "shingleN", "globalOrdering",
                 "minWords", "maxWords", "minMeanLen", "maxMeanLen",
                 "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
-                "minAlphaRatio", "minStopHits",
+                "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
             ),
             **cls._common(obj),
         )
@@ -208,6 +210,15 @@ class TextCmd(Command):
             "tokenEntropy": T.token_entropy,
             "readability": T.readability,
         }
+        if self.method == "calibrateRanks":
+            opts = dict(self.options)
+            return T.quality_rank_calibrate(
+                df,
+                self.id_column,
+                opts.pop("order_col"),
+                opts.pop("partition_col"),
+                **opts,
+            )
         if self.method not in fns:
             raise ValueError(f"unknown text method: {self.method}")
         return fns[self.method](df, self.id_column, self.text_column, **self.options)
@@ -461,7 +472,11 @@ class DriftCmd(Command):
     "eps", "roundDigits", "bins"]}} — PSI histogram drift (default),
     two-sample KS (exact, or grid-binned via "bins"), chi-square
     categorical homogeneity, or KL/JS token-distribution drift
-    ("column" is then the text column) between two datasets."""
+    ("column" is then the text column) between two datasets.
+    Trend form: {"command": "drift", "input": <input>, "params":
+    {"method": "trend", "column", ["tsColumn", "period", "nBuckets",
+    "eps", "roundDigits"]}} — per-period PSI against the earliest
+    period of ONE dataset (drift.psi_trend)."""
 
     reference: Input = None  # type: ignore[assignment]
     current: Input = None  # type: ignore[assignment]
@@ -476,11 +491,29 @@ class DriftCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "DriftCmd":
         p = obj["params"]
+        method = p.get("method", "psi")
+        if method == "trend":
+            if "bins" in p:
+                raise ValueError(
+                    "drift method 'trend' does not accept 'bins' "
+                    "(use nBuckets)"
+                )
+            inp = Input.from_json(obj["input"])
+            return cls(
+                reference=inp,
+                current=inp,
+                column=p["column"],
+                method=method,
+                options=_opt(
+                    p, "tsColumn", "period", "nBuckets", "eps", "roundDigits"
+                ),
+                **cls._common(obj),
+            )
         return cls(
             reference=Input.from_json(obj["reference"]),
             current=Input.from_json(obj["current"]),
             column=p["column"],
-            method=p.get("method", "psi"),
+            method=method,
             options=_opt(p, "nBuckets", "eps", "roundDigits", "bins"),
             **cls._common(obj),
         )
@@ -500,6 +533,8 @@ class DriftCmd(Command):
             "psi": {"n_buckets", "eps", "round_digits"},
             "chi2": {"round_digits"},
             "tokens": {"round_digits"},
+            "trend": {"ts_column", "period", "n_buckets", "eps",
+                      "round_digits"},
         }
         if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
@@ -509,6 +544,12 @@ class DriftCmd(Command):
                 f"drift method '{self.method}' does not accept options "
                 f"{sorted(stray)}; allowed: {sorted(allowed[self.method])}"
             )
+        if self.method == "trend":
+            from topnotch_spark.operators.drift import psi_trend
+
+            opts = dict(self.options)
+            ts_col = opts.pop("ts_column", "ts")
+            return psi_trend(ref, ts_col, self.column, **opts)
         if self.method == "ks":
             return ks_statistic(ref, cur, self.column, **self.options)
         if self.method == "chi2":
