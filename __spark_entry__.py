@@ -160,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
             round_digits=4,
         ),
+        "vocab_oov_by_source": oracles.vocab_oov_rate_sql(vocab_k=40),
         "drift_weekly_psi": oracles.psi_trend_sql(
             period="week", n_buckets=10
         ),

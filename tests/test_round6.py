@@ -331,3 +331,43 @@ def test_trend_and_calibrate_plan_forms(spark, tmp_path):
     bad_path.write_text(json.dumps(bad))
     with pytest.raises(Exception, match="does not accept"):
         TnEngine(spark).run(str(bad_path))
+
+
+# ---------------------------------------------------------------------------
+# Vocab OOV rate
+# ---------------------------------------------------------------------------
+
+def test_vocab_oov_rate(spark, tmp_path):
+    from topnotch_spark.operators.textqc import vocab_oov_rate
+
+    rows = [(i, "a", "common common word") for i in range(8)]
+    rows += [(100 + i, "b", f"common rare{i} oddity{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, grp string, text string")
+    # vocab_k=2 -> {"common", "word"} (word: 8 occurrences beats rare*)
+    out = {r["grp"]: r for r in
+           vocab_oov_rate(df, "id", "text", "grp", vocab_k=2).collect()}
+    assert out["a"]["n_tokens"] == 24 and out["a"]["n_oov"] == 0
+    assert out["b"]["n_tokens"] == 12 and out["b"]["n_oov"] == 8
+    assert out["b"]["oov_rate"] == pytest.approx(8 / 12, abs=1e-6)
+
+    # plan form
+    import json as _json
+
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "outputKey": "oov",
+                "params": {"method": "oovRate", "idColumn": "doc_id",
+                           "partitionCol": "source", "vocabK": 40},
+            }
+        ]
+    }
+    p = tmp_path / "oov_plan.json"
+    p.write_text(_json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    assert engine.registry["oov"].count() == 20

@@ -2295,6 +2295,19 @@ def quality_calibrated_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage: per-source OOV rate against the corpus
+    top-40 token vocabulary — the "does the tokenizer cover source X"
+    pre-training check (k tightened so the synthetic corpus actually
+    has OOV mass)."""
+    from topnotch_spark.operators.textqc import vocab_oov_rate
+
+    return vocab_oov_rate(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        vocab_k=40,
+    )
+
+
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
 # the FIRST 50 entries only.  Round-6 rotation (executes the r05 verdict's
 # top task): slots 1-29 are the 29 queries that had never received a
@@ -2309,10 +2322,12 @@ def quality_calibrated_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entries 51+ all carry an r05 driver row AND are covered each round by
 # scripts/strict_hash_check.py (stricter than the driver gate), recorded
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
-# ROUND-7 ROTATION TODO: after the r06 gate lands, every catalog entry
-# will have at least one driver CORRECTNESS row; rotate any round-6
-# additions plus the then-stalest r05-row entries (view_tpch_q1 ..
-# assertion/diff family) into the front.
+# ROUND-7 ROTATION TODO: after the r06 gate lands, rotate into the
+# front: (a) the 5 round-6 additions (text_bm25_topk,
+# curriculum_decile_sample, split_leakage_report, drift_weekly_psi,
+# quality_calibrated_ranks — strict-artifact-checked this round, no
+# driver row yet), then (b) the stalest r05-row entries
+# (view_tpch_q1 .. assertion/diff family).
 ALL = {
     "k_anonymity_customers": k_anonymity_customers,
     "basket_brand_pairs": basket_brand_pairs,
@@ -2448,4 +2463,5 @@ ALL = {
     "split_leakage_report": split_leakage_report,
     "drift_weekly_psi": drift_weekly_psi,
     "quality_calibrated_ranks": quality_calibrated_ranks,
+    "vocab_oov_by_source": vocab_oov_by_source,
 }

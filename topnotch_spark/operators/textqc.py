@@ -750,3 +750,57 @@ def quality_rank_calibrate(
         F.col(order_col),
         F.round(F.percent_rank().over(w), round_digits).alias("q_calibrated"),
     )
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    vocab_k: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per group: build the corpus top-k
+    token vocabulary, then report each group's out-of-vocabulary token
+    rate — the pre-training check that a fixed vocab (or tokenizer
+    merge table) actually covers every source ("source X is 40% OOV"
+    means garbage tokenization downstream).
+
+    Returns (group, n_tokens, n_oov, oov_rate), ordered semantics:
+    vocabulary = top ``vocab_k`` tokens by corpus frequency with the
+    (count desc, token asc) tiebreak, so membership is deterministic.
+
+    Execution shape: one explode feeds BOTH the vocab top-k
+    (TakeOrderedAndProject — per-partition heaps, k rows) and the
+    per-group token stream; membership is a broadcast left join against
+    the k-row vocab; one groupBy(group) ends it. Two scans of the token
+    stream, no self-joins."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(vocab_k)
+        .select("token", F.lit(1).alias("__in_vocab__"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab__").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), round_digits).alias(
+                "oov_rate"
+            ),
+        )
+    )

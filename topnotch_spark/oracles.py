@@ -3381,3 +3381,32 @@ def quality_rank_calibrate_sql(
                ), {round_digits}) AS q_calibrated
         FROM {table}
     """
+
+
+def vocab_oov_rate_sql(
+    group_col: str = "source",
+    vocab_k: int = 1000,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.vocab_oov_rate: the same deterministic top-k
+    vocabulary (count desc, token asc) and per-group OOV accounting."""
+    return f"""
+        WITH toked AS (
+          SELECT {group_col}, {tokens()} AS __t__ FROM documents
+        ),
+        tok AS (
+          SELECT {group_col} AS grp, unnest(__t__) AS token FROM toked
+        ),
+        vocab AS (
+          SELECT token FROM tok GROUP BY token
+          ORDER BY count(*) DESC, token LIMIT {vocab_k}
+        )
+        SELECT t.grp AS {group_col},
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), {round_digits}) AS oov_rate
+        FROM tok t LEFT JOIN vocab v USING (token)
+        GROUP BY t.grp
+    """

@@ -159,7 +159,9 @@ class TextCmd(Command):
     ["stopwords"/"size"/"overlap"/"k"/"budget"/"partitionCol"/
     "shingleN"]}}; calibrateRanks takes {"idColumn", "orderCol",
     "partitionCol", ["roundDigits"]} — per-source percent_rank quality
-    calibration."""
+    calibration; oovRate takes {"idColumn", "textColumn",
+    "partitionCol", ["vocabK", "roundDigits"]} — per-group OOV rate
+    against the corpus top-k vocabulary."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -181,6 +183,7 @@ class TextCmd(Command):
                 "minWords", "maxWords", "minMeanLen", "maxMeanLen",
                 "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
                 "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
+                "vocabK",
             ),
             **cls._common(obj),
         )
@@ -216,6 +219,15 @@ class TextCmd(Command):
                 df,
                 self.id_column,
                 opts.pop("order_col"),
+                opts.pop("partition_col"),
+                **opts,
+            )
+        if self.method == "oovRate":
+            opts = dict(self.options)
+            return T.vocab_oov_rate(
+                df,
+                self.id_column,
+                self.text_column,
                 opts.pop("partition_col"),
                 **opts,
             )
