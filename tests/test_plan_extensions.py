@@ -1111,6 +1111,25 @@ def test_zorder_sink_empty_input(spark, tmp_path):
     assert spark.read.parquet(out2).count() == 5
 
 
+def test_retrieval_curation_plan(spark):
+    """The round-6 surface as ONE plan: BM25 retrieval, curriculum
+    sampling, split-leakage report, weekly drift trend, rank
+    calibration, and the OOV coverage check."""
+    engine = TnEngine(spark)
+    num_failed = engine.run(
+        "/root/repo/examples/retrieval_curation_plan.json",
+        variables={"sfDir": SF},
+    )
+    assert num_failed == 0
+    reg = engine.registry
+    assert reg["bm25Hits"].filter("rank = 1").count() == 2  # two queries
+    assert reg["curriculumKept"].filter("band = 1").count() > 0
+    assert "leak_frac" in reg["splitLeakage"].columns
+    assert reg["weeklyDrift"].count() >= 1
+    assert reg["calibratedQuality"].filter("q_calibrated > 1").count() == 0
+    assert reg["oovBySource"].count() == 20
+
+
 def test_corpus_monitoring_plan(spark, tmp_path):
     """The round-5 monitoring surface as ONE plan: token drift, vocab
     overlap, semantic decontamination, cadence/EWMA/anomaly sequences,
