@@ -558,3 +558,28 @@ def test_ewma_stream_cross_batch_window(spark, tmp_path):
         ).collect()
     }
     assert got == expected  # bit-identical, including rows 7-11 post-cut
+
+
+def test_python_state_rounding_matches_spark_round(spark):
+    """The streaming state ops quantize Decimal(repr(x)) — the
+    shortest-round-trip convention of Spark's Round on doubles
+    (BigDecimal.valueOf). Midpoint-repr values whose exact binary
+    expansion sits just BELOW the midpoint (2.675 -> ...74999...) are
+    where Decimal(x) would diverge; lock the convention on both sides."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [2.675, 1.005, 0.125, 2.665, 3.015, 1.2345499999, -2.675]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 2).alias("r"))
+        .collect()
+    )
+    for v, row in zip(vals, got):
+        py = float(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert row["r"] == py, v
