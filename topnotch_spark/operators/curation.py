@@ -786,17 +786,28 @@ def curriculum_sample(
         ).cast("double")
         / F.lit(float(16**8))
     )
+    # Filter on the UNROUNDED rate (the oracle's WHERE uses the exact
+    # (n_bands + 1 - band) / n_bands double); keep F.round only for the
+    # reported keep_rate column. Filtering on the rounded value diverges
+    # from the oracle whenever the rate needs > 6 decimal digits
+    # (n_bands = 3, 6, 7, 9, ...).
     return (
         df.select(
             F.col(id_col),
             F.col(partition_col),
             F.col(order_col),
             band.alias("band"),
-            F.round(rate, 6).alias("keep_rate"),
+            rate.alias("__rate__"),
             u.alias("__u__"),
         )
-        .filter(F.col("__u__") < F.col("keep_rate"))
-        .drop("__u__")
+        .filter(F.col("__u__") < F.col("__rate__"))
+        .select(
+            F.col(id_col),
+            F.col(partition_col),
+            F.col(order_col),
+            "band",
+            F.round(F.col("__rate__"), 6).alias("keep_rate"),
+        )
     )
 
 

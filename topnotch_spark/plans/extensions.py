@@ -155,7 +155,7 @@ class TextCmd(Command):
     """{"command": "text", "params": {"method": tokenStats|quality|langid|
     fingerprints|chunk|piiScrub|qualityFilter|vocabTopK|packShards|
     repetition|tfidfKeywords|normalize|tokenEntropy|readability|
-    calibrateRanks, "idColumn", "textColumn",
+    calibrateRanks|oovRate, "idColumn", "textColumn",
     ["stopwords"/"size"/"overlap"/"k"/"budget"/"partitionCol"/
     "shingleN"]}}; calibrateRanks takes {"idColumn", "orderCol",
     "partitionCol", ["roundDigits"]} — per-source percent_rank quality
@@ -172,6 +172,17 @@ class TextCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "TextCmd":
         p = obj["params"]
+        # plan-validation-time (not run-time) check of per-method required
+        # params — the pattern every other command form follows
+        required = {
+            "calibrateRanks": ("orderCol", "partitionCol"),
+            "oovRate": ("partitionCol",),
+        }
+        for name in required.get(p.get("method", ""), ()):
+            if name not in p:
+                raise ValueError(
+                    f"text method {p['method']!r} requires param {name!r}"
+                )
         return cls(
             input=Input.from_json(obj["input"]),
             method=p["method"],

@@ -498,8 +498,12 @@ def anomaly_stream(
         if not keep.any():
             return
         ts_a = rows[ts_col].to_numpy()[keep]
-        tb_a = rows[tiebreak_col].to_numpy()[keep]
-        val_a = rows[value_col].to_numpy()[keep]
+        # normalize dtypes once per batch: value may arrive as
+        # float32/int/Decimal — the output schema is DoubleType, so the
+        # frame below must carry float64 (object/float32 columns would
+        # error or lose precision at the Arrow boundary)
+        tb_a = rows[tiebreak_col].to_numpy()[keep].astype("int64")
+        val_a = rows[value_col].to_numpy()[keep].astype("float64")
         order = np.lexsort((tb_a, ts_a))
         ts_a, tb_a, val_a = ts_a[order], tb_a[order], val_a[order]
         window: list[int] = list(state.get[0]) if state.exists else []
@@ -627,8 +631,11 @@ def ewma_stream(
         if not keep.any():
             return
         ts_a = rows[ts_col].to_numpy()[keep]
-        tb_a = rows[tiebreak_col].to_numpy()[keep]
-        val_a = rows[value_col].to_numpy()[keep]
+        # normalize dtypes once per batch (see anomaly fn above): the
+        # output schema is DoubleType/LongType, so coerce here rather
+        # than trusting the incoming pandas dtypes
+        tb_a = rows[tiebreak_col].to_numpy()[keep].astype("int64")
+        val_a = rows[value_col].to_numpy()[keep].astype("float64")
         order = np.lexsort((tb_a, ts_a))
         ts_a, tb_a, val_a = ts_a[order], tb_a[order], val_a[order]
         recent: list[int] = list(state.get[0]) if state.exists else []
