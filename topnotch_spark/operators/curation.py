@@ -845,16 +845,21 @@ def split_leakage(
     ``max_shingle_df`` exactly like dedup.ngram_jaccard_pairs; one
     groupBy(holdout id) ends it. Nothing is pairwise in |corpus|.
     """
-    from topnotch_spark.operators.dedup import shingle_arrays
+    from topnotch_spark.operators.dedup import _persist, shingle_arrays
 
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     # split is a pure function of md5(id), so assign it AFTER the shingle
-    # pass — a projection on the shingle frame, zero extra shuffle/join
-    arr = hash_split(
-        shingle_arrays(df, id_col, text_col, shingle_n),
-        "id",
-        fractions,
-        salt=salt,
+    # pass — a projection on the shingle frame, zero extra shuffle/join.
+    # PERSISTED: three branches read it (train side, train-df cap,
+    # holdout side); without the persist each branch re-runs the regex
+    # shingle extraction over the full corpus.
+    arr = _persist(
+        hash_split(
+            shingle_arrays(df, id_col, text_col, shingle_n),
+            "id",
+            fractions,
+            salt=salt,
+        )
     )
     train = arr.filter(F.col("split") == train_split).select(
         F.col("id").alias("train_id"), F.explode("shs").alias("sh")

@@ -487,9 +487,18 @@ def psi_trend(
         ),
         F.lit(n_buckets - 1),
     )
-    counts = base.select("period", idx.alias("bucket")).groupBy(
-        "period", "bucket"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # PERSISTED: the |periods| x n_buckets count grid is broadcast-sized
+    # but feeds four branches (ref-period collect, ref counts, period
+    # spine, the grid join) — without the persist each branch re-scans
+    # and re-aggregates the source. With it the source is read exactly
+    # twice (bounds + counts), both with 2-column pruned scans.
+    from topnotch_spark.operators.dedup import _persist
+
+    counts = _persist(
+        base.select("period", idx.alias("bucket"))
+        .groupBy("period", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
     ref_period = counts.agg(F.min("period")).collect()[0][0]
     ref = counts.filter(F.col("period") == F.lit(ref_period)).select(

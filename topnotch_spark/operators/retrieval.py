@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from topnotch_spark.functions.text import tokens
+from topnotch_spark.operators.dedup import _persist
 
 
 def bm25_topk(
@@ -30,6 +31,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25 (Robertson/Lucene idf:
     ln(1 + (N - df + 0.5)/(df + 0.5))). Query term frequency is binary
@@ -39,14 +41,25 @@ def bm25_topk(
     Returns (query_id, doc_id, score, rank), rank 1 = best; total order
     (score desc, doc_id asc) so ties are deterministic.
 
+    ``max_token_df`` is the viral-term valve (same contract as the dedup
+    family's ``max_shingle_df``): query terms whose document frequency
+    exceeds the cap are dropped BEFORE the postings join. A stopword in
+    the query would otherwise pull that term's full postings list —
+    ~|corpus| rows — through the join for a near-zero idf contribution.
+    Default None keeps exact BM25 (idf already down-weights hot terms).
+
     Execution shape (the 100 TB path): one explode + groupBy(doc, token)
-    for tf (map-side combined); a vocab-sized groupBy(token) for df —
-    joined to the tiny query-term frame FIRST, so only the query's terms
-    survive into the doc join; doc lengths ride the tf aggregation; the
-    query-terms-x-matching-postings join broadcasts the query side; one
+    for tf — PERSISTED, because it feeds four branches (doclen, df,
+    corpus stats, postings); without the persist Spark re-tokenizes the
+    corpus once per branch. Doc lengths ride the tf aggregation; the
+    vocab-sized df table joins the tiny query-term frame FIRST, so only
+    the query's terms survive into the doc join; the query-terms x
+    matching-postings join broadcasts the query side; one
     groupBy(query, doc) integer sum; per-query top-k via window over the
     scored survivors (rows bounded by |postings of query terms|, not the
-    corpus). N and avgdl are a 1-row broadcast bounds frame.
+    corpus). N and avgdl are a 1-row broadcast bounds frame. Call inside
+    ``dedup_scope()`` (or call ``unpersist_intermediates()``) to release
+    the tf table after the result is consumed.
     """
     if not queries:
         raise ValueError("bm25_topk: queries must be non-empty")
@@ -58,9 +71,14 @@ def bm25_topk(
     tok = docs.select(
         F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
     )
-    tf = tok.groupBy("__id__", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # one tokenize/explode/agg pass, reused by all four downstream branches
+    tf = _persist(
+        tok.groupBy("__id__", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
     doclen = tf.groupBy("__id__").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    if max_token_df is not None:
+        dfreq = dfreq.filter(F.col("df_t") <= max_token_df)
 
     # corpus stats: docs with >= 1 token (empty docs carry no postings)
     stats = doclen.agg(

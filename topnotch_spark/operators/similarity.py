@@ -101,12 +101,18 @@ def ivf_topk(
     is an equi-join on centroid_id — the inverted-list bucket — so the
     whole thing is broadcast + one keyed shuffle, never |corpus|x|queries|.
     """
+    from topnotch_spark.operators.dedup import _persist
+
     if centroids is not None:
         cents = centroids.select(
             "centroid_id", F.col("centroid").alias("__cvec__")
         )
     else:
-        cents = (
+        # PERSISTED: the seed frame is n_centroids rows but derives from
+        # a corpus orderBy/limit — it is broadcast into BOTH assign()
+        # branches (corpus lists + query probes), and without the persist
+        # each branch re-scans and re-sorts the corpus to rebuild it.
+        cents = _persist(
             corpus.orderBy(id_col)
             .limit(n_centroids)
             .select(
