@@ -2309,26 +2309,73 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Ordering contract: the driver's CORRECTNESS gate records oracle rows for
-# the FIRST 50 entries only.  Round-6 rotation (executes the r05 verdict's
-# top task): slots 1-29 are the 29 queries that had never received a
-# driver row (computed by diffing CORRECTNESS_r01..r05 keys against the
-# catalog: k_anonymity_customers .. streaming_ewma — every round-5
-# session addition plus the five entries the r05 cap displaced); slot 30
-# is profile_lineitem_approx, reworked this round into a verdict frame
-# with a real exact-SQL oracle so the driver's hash gate finally covers
-# the approx/sketch path (it was err:no_oracle in r01-r05); slots 31-50
-# re-check the 20 stalest previously-green entries (last driver row in
-# r03/r04: pack_token_shards_partitioned .. text_repetition).
-# Entries 51+ all carry an r05 driver row AND are covered each round by
+# the FIRST 50 entries only.  Round-8 rotation (executes the r07 verdict's
+# top task, closing the r7 TODO that sat here):
+#   slots 1-6   — the 6 round-6/7 additions that never had a driver row
+#                 (text_bm25_topk .. vocab_oov_by_source; each was
+#                 strict-hash-verified in r6/r7 sessions, but the driver
+#                 gate had never recorded them);
+#   slots 7-36  — the 30 entries whose last driver row is r04
+#                 (assertion/diff family, view_tpch_q1, dedup/similarity
+#                 core, computed by scanning CORRECTNESS_r01..r07 keys);
+#   slots 37-50 — the 14 alphabetically-first entries whose last driver
+#                 row is r05 (asof_error_click .. fuzzy_customer_names).
+# With this rotation, every catalog query ever written has at least one
+# driver-side CORRECTNESS row, and the staleness frontier moves to r05.
+# Entries 51+ all carry an r05+ driver row AND are covered each round by
 # scripts/strict_hash_check.py (stricter than the driver gate), recorded
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
-# ROUND-7 ROTATION TODO: after the r06 gate lands, rotate into the
-# front: (a) the 5 round-6 additions (text_bm25_topk,
-# curriculum_decile_sample, split_leakage_report, drift_weekly_psi,
-# quality_calibrated_ranks — strict-artifact-checked this round, no
-# driver row yet), then (b) the stalest r05-row entries
-# (view_tpch_q1 .. assertion/diff family).
 ALL = {
+    "text_bm25_topk": text_bm25_topk,
+    "curriculum_decile_sample": curriculum_decile_sample,
+    "split_leakage_report": split_leakage_report,
+    "drift_weekly_psi": drift_weekly_psi,
+    "quality_calibrated_ranks": quality_calibrated_ranks,
+    "vocab_oov_by_source": vocab_oov_by_source,
+    "assertion_invalid_rows": assertion_invalid_rows,
+    "assertion_metrics": assertion_metrics,
+    "assertion_window_context": assertion_window_context,
+    "customers_without_events": customers_without_events,
+    "decontaminate_overlap": decontaminate_overlap,
+    "dedup_embedding": dedup_embedding,
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "diff_orders": diff_orders,
+    "diff_orders_changed_only": diff_orders_changed_only,
+    "events_json_props": events_json_props,
+    "latest_event_per_user": latest_event_per_user,
+    "outliers_totalprice": outliers_totalprice,
+    "salted_join_revenue": salted_join_revenue,
+    "similarity_ann": similarity_ann,
+    "similarity_ivf": similarity_ivf,
+    "similarity_topk": similarity_topk,
+    "text_fingerprints": text_fingerprints,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "timeseries_resample": timeseries_resample,
+    "view_cube_revenue": view_cube_revenue,
+    "view_revenue_by_nation": view_revenue_by_nation,
+    "view_sessionize_events": view_sessionize_events,
+    "view_topk_per_group": view_topk_per_group,
+    "view_tpch_q1": view_tpch_q1,
+    "asof_error_click": asof_error_click,
+    "asof_nearest_click": asof_nearest_click,
+    "bloom_membership": bloom_membership,
+    "dedup_incremental": dedup_incremental,
+    "dedup_rate_by_source": dedup_rate_by_source,
+    "dedup_semantic": dedup_semantic,
+    "drift_chi2_priority": drift_chi2_priority,
+    "drift_orders_totalprice": drift_orders_totalprice,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "embedding_project": embedding_project,
+    "event_funnel": event_funnel,
+    "event_transitions": event_transitions,
+    "events_throttle_dedup": events_throttle_dedup,
+    "fuzzy_customer_names": fuzzy_customer_names,
     "k_anonymity_customers": k_anonymity_customers,
     "basket_brand_pairs": basket_brand_pairs,
     "spatial_customer_supplier": spatial_customer_supplier,
@@ -2379,11 +2426,9 @@ ALL = {
     "drift_ks_totalprice": drift_ks_totalprice,
     "drift_ks_binned": drift_ks_binned,
     "text_repetition": text_repetition,
-    "asof_error_click": asof_error_click,
     "range_join_events": range_join_events,
     "multimodal_byte_stats": multimodal_byte_stats,
     "multimodal_blob_dedup": multimodal_blob_dedup,
-    "drift_orders_totalprice": drift_orders_totalprice,
     "profile_lineitem": profile_lineitem,
     "streaming_window_metrics": streaming_window_metrics,
     "streaming_sessionize": streaming_sessionize,
@@ -2393,25 +2438,16 @@ ALL = {
     "streaming_error_click_join": streaming_error_click_join,
     "streaming_session_window": streaming_session_window,
     "streaming_drift_monitor": streaming_drift_monitor,
-    "events_throttle_dedup": events_throttle_dedup,
-    "event_transitions": event_transitions,
     "winsorize_totalprice": winsorize_totalprice,
     "train_split_assign": train_split_assign,
     "quality_bands_by_source": quality_bands_by_source,
-    "embedding_norm_outliers": embedding_norm_outliers,
-    "embedding_project": embedding_project,
     "source_lang_mix": source_lang_mix,
     "token_histogram": token_histogram,
     "streaming_transitions": streaming_transitions,
     "streaming_funnel": streaming_funnel,
-    "event_funnel": event_funnel,
     "text_unigram_logprob": text_unigram_logprob,
     "source_mix": source_mix,
-    "dedup_rate_by_source": dedup_rate_by_source,
-    "dedup_semantic": dedup_semantic,
     "text_gopher_rules": text_gopher_rules,
-    "dedup_incremental": dedup_incremental,
-    "bloom_membership": bloom_membership,
     "sample_token_budget": sample_token_budget,
     "text_token_entropy": text_token_entropy,
     "text_readability": text_readability,
@@ -2420,48 +2456,9 @@ ALL = {
     "retention_cohorts_weekly": retention_cohorts_weekly,
     "rolling_value_7d": rolling_value_7d,
     "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
-    "asof_nearest_click": asof_nearest_click,
-    "fuzzy_customer_names": fuzzy_customer_names,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "view_small_qty_revenue": view_small_qty_revenue,
-    "drift_chi2_priority": drift_chi2_priority,
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
-    "view_tpch_q1": view_tpch_q1,
-    "view_revenue_by_nation": view_revenue_by_nation,
-    "view_cube_revenue": view_cube_revenue,
-    "view_topk_per_group": view_topk_per_group,
-    "view_sessionize_events": view_sessionize_events,
-    "assertion_invalid_rows": assertion_invalid_rows,
-    "assertion_metrics": assertion_metrics,
-    "assertion_window_context": assertion_window_context,
-    "diff_orders": diff_orders,
-    "diff_orders_changed_only": diff_orders_changed_only,
-    "dedup_exact": dedup_exact,
-    "dedup_fingerprint": dedup_fingerprint,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_simhash": dedup_simhash,
-    "dedup_embedding": dedup_embedding,
-    "similarity_topk": similarity_topk,
-    "similarity_ann": similarity_ann,
-    "similarity_ivf": similarity_ivf,
-    "text_token_stats": text_token_stats,
-    "text_quality": text_quality,
-    "text_langid": text_langid,
-    "text_fingerprints": text_fingerprints,
-    "decontaminate_overlap": decontaminate_overlap,
-    "latest_event_per_user": latest_event_per_user,
-    "timeseries_resample": timeseries_resample,
-    "events_json_props": events_json_props,
-    "salted_join_revenue": salted_join_revenue,
-    "customers_without_events": customers_without_events,
-    "outliers_totalprice": outliers_totalprice,
-    "text_bm25_topk": text_bm25_topk,
-    "curriculum_decile_sample": curriculum_decile_sample,
-    "split_leakage_report": split_leakage_report,
-    "drift_weekly_psi": drift_weekly_psi,
-    "quality_calibrated_ranks": quality_calibrated_ranks,
-    "vocab_oov_by_source": vocab_oov_by_source,
 }
