@@ -149,6 +149,40 @@ def test_no_unbounded_global_window(spark, name):
     )
 
 
+# --- source-scan guard (r8, VERDICT r7 #3) ----------------------------------
+#
+# The "recompute the corpus N times" disease: a plan that scans the same
+# parquet relation 3+ times with no persisted intermediate re-runs the whole
+# upstream subtree per branch. scripts/scan_audit.py counts DISTINCT uncached
+# Scan-parquet node ids per relation (InMemoryRelation cached-plan displays
+# excluded by node id — they materialize once no matter how many branches
+# re-print them); this test runs the same counter over every batch query so
+# the bound can't silently regress. Deliberate re-reads live in the audited
+# ALLOWED_MULTI allowlist next to the counter.
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+import scan_audit  # noqa: E402
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_source_scans_bounded(spark, name):
+    if name in scan_audit.ALLOWED_MULTI:
+        return  # documented deliberate re-read
+    counts = scan_audit.scan_counts(catalog.ALL[name](spark, SF))
+    worst = max(counts.values(), default=0)
+    assert worst <= scan_audit.MAX_SCANS, (
+        f"{name}: scans a relation {worst}x uncached ({counts}) — at 100 TB "
+        f"each extra scan re-reads and re-computes the whole upstream "
+        f"subtree. Persist the shared intermediate (dedup._persist) or add "
+        f"a documented scan_audit.ALLOWED_MULTI entry."
+    )
+
+
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_bnlj_broadcasts_bounded_frames(spark, name):
     df = catalog.ALL[name](spark, SF)

@@ -266,11 +266,19 @@ def cross_corpus_overlap(
     silently hide leakage. Note the cap also removes those shingles
     from ``n_common``/``overlap_frac`` for the few pairs that share
     them (documented trade: a >cap-frequency n-gram carries no leakage
-    signal)."""
-    from topnotch_spark.operators.dedup import shingle_arrays
+    signal).
 
-    c = shingle_arrays(corpus, id_col, text_col, shingle_n).select(
-        F.col("id").alias("corpus_id"), F.explode("shs").alias("sh")
+    The corpus-side shingle frame is registered in the dedup persist
+    registry — with the valve on it feeds both the document-frequency
+    cap and the leakage join (2 corpus scans without it); consume inside
+    ``dedup_scope()`` or call ``unpersist_intermediates()`` to release
+    the storage."""
+    from topnotch_spark.operators.dedup import _persist, shingle_arrays
+
+    c = _persist(
+        shingle_arrays(corpus, id_col, text_col, shingle_n).select(
+            F.col("id").alias("corpus_id"), F.explode("shs").alias("sh")
+        )
     )
     if max_shingle_df is not None:
         df_caps = (
@@ -581,21 +589,29 @@ def dedup_lines(
     rewriter's). A NULL text is treated as empty — the row survives
     with '' (a bare ``posexplode(split(NULL))`` would silently drop it).
 
-    Execution shape (100 TB): posexplode (narrow) → distinct(id, line) +
-    groupBy(line) for document frequencies (one shuffle on the line) →
-    LEFT ANTI equi-join of lines against the hot set (second shuffle on
-    the line — NOT a broadcast: at corpus scale the boilerplate set is
-    unbounded) → groupBy(id) reassembly via array_sort(collect_list)
-    (third shuffle, on id). Exempt lines can never enter the hot set, so
-    the anti-join preserves them by construction. No UDFs, no driver
-    data, skew on viral lines handled by AQE.
+    Execution shape (100 TB): posexplode (narrow) into a PERSISTED line
+    frame (it feeds the document-frequency pass, the anti join, and the
+    per-doc line counts — 3 corpus scans without it; consume inside
+    ``dedup_scope()`` / ``unpersist_intermediates()`` to release it) →
+    distinct(id, line) + groupBy(line) for document frequencies (one
+    shuffle on the line) → LEFT ANTI equi-join of lines against the hot
+    set (second shuffle on the line — NOT a broadcast: at corpus scale
+    the boilerplate set is unbounded) → groupBy(id) reassembly via
+    array_sort(collect_list) (third shuffle, on id). Exempt lines can
+    never enter the hot set, so the anti-join preserves them by
+    construction. No UDFs, no driver data, skew on viral lines handled
+    by AQE.
     """
     import re as _re
 
+    from topnotch_spark.operators.dedup import _persist
+
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(text, _re.escape(sep))).alias("pos", "line"),
+    lines = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(text, _re.escape(sep))).alias("pos", "line"),
+        )
     )
     hot = (
         lines.filter(F.length("line") >= min_chars)
@@ -617,9 +633,12 @@ def dedup_lines(
         ).alias("__text__"),
         F.count(F.lit(1)).alias("__n_kept__"),
     )
-    n_lines = F.size(F.split(text, _re.escape(sep)))
+    # every document yields >= 1 line row (split('') -> ['']), so the
+    # cached line frame IS the id spine — no extra source scan
     return (
-        df.select(F.col(id_col).alias("id"), n_lines.alias("n_lines"))
+        lines.groupBy("id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines")
+        )
         .join(rebuilt, "id", "left")
         .select(
             "id",

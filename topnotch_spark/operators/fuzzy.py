@@ -51,6 +51,12 @@ def fuzzy_match_pairs(
 
     Returns (id_a, id_b, text_a, text_b, distance), id_a < id_b,
     distance ≤ max_distance, exact-duplicate strings included (d = 0).
+
+    The normalized (id, string) projection is registered in the dedup
+    persist registry — it feeds both deletion-key sides and both
+    verify-join sides (4 source scans without it); consume inside
+    ``dedup_scope()`` or call ``unpersist_intermediates()`` to release
+    the storage.
     """
     if max_distance != 1:
         raise ValueError(
@@ -59,10 +65,14 @@ def fuzzy_match_pairs(
             "implemented); got "
             f"{max_distance}"
         )
-    base = df.select(
-        F.col(id_col).alias("__id__"),
-        F.lower(F.trim(F.col(text_col))).alias("__s__"),
-    ).filter(F.length("__s__") > 0)
+    from topnotch_spark.operators.dedup import _persist
+
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("__id__"),
+            F.lower(F.trim(F.col(text_col))).alias("__s__"),
+        ).filter(F.length("__s__") > 0)
+    )
     keyed = base.select(
         "__id__", F.explode(_deletion_keys("__s__")).alias("__k__")
     )

@@ -15,10 +15,14 @@ Semantics:
 - an orphan is a child row whose (fully non-null) FK tuple matches no
   parent PK tuple.
 
-Execution shape per relation: one filter + left_anti join child→parent
+Execution shape per relation: ONE pass over the child — a left join of
+the child's FK projection against the parent's distinct-PK projection
 (Catalyst broadcasts the parent side when it is small; at 100 TB the
-anti join shuffles on the key — unavoidable, and AQE handles skew) plus
-two 1-row aggregates cross-joined; nothing driver-side.
+join shuffles on the key — unavoidable, and AQE handles skew) feeding a
+single 1-row aggregate that counts rows, null FKs, and orphans
+together; nothing driver-side. Each side of each relation is scanned
+exactly once (the r7 shape — a separate totals aggregate + anti join —
+scanned the child twice).
 """
 
 from __future__ import annotations
@@ -41,19 +45,26 @@ def referential_integrity(
     if len(fk) != len(pk) or not fk:
         raise ValueError("fk and pk must be non-empty and same length")
     fk_nn = reduce(
-        lambda a, b: a & b, [F.col(c).isNotNull() for c in fk]
+        lambda a, b: a & b, [F.col(p).isNotNull() for p in pk]
     )
-    totals = child.agg(
+    keyed = child.select(*[F.col(c).alias(p) for c, p in zip(fk, pk)])
+    hits = parent.select(*pk).dropDuplicates(pk).withColumn(
+        "__hit__", F.lit(1)
+    )
+    # NULL FK tuples never equi-match, so they land with __hit__ NULL and
+    # are classified by fk_nn — one join + one aggregate covers all three
+    # counts in a single child scan.
+    joined = keyed.join(hits, pk, "left")
+    return joined.agg(
         F.count(F.lit(1)).alias("n_child"),
-        F.sum(F.when(~fk_nn, 1).otherwise(0)).cast("long").alias("n_null_fk"),
-    )
-    keyed = child.filter(fk_nn).select(
-        *[F.col(c).alias(p) for c, p in zip(fk, pk)]
-    )
-    orphans = keyed.join(
-        parent.select(*pk).dropDuplicates(pk), pk, "left_anti"
-    ).agg(F.count(F.lit(1)).alias("n_orphans"))
-    return totals.crossJoin(orphans).select(
+        F.coalesce(
+            F.sum(F.when(~fk_nn, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_null_fk"),
+        F.coalesce(
+            F.sum(F.when(fk_nn & F.col("__hit__").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_orphans"),
+    ).select(
         F.lit(relation).alias("relation"),
         "n_child",
         "n_null_fk",

@@ -30,35 +30,46 @@ BITS_PER_WORD = 32  # int32 payload in an int64 column: no sign traps in
                     # any engine's  <<  /  &  on the probe side
 
 
-def _h1h2(key: Column) -> tuple[Column, Column]:
+def _h1h2(key: Column, prehashed: bool = False) -> tuple[Column, Column]:
     """Double-hashing bases from the md5 hex of the key: h1 = bits of
     hex[0:15], h2 = bits of hex[15:30] forced odd (2*h2+1) so probe
-    strides cycle through the bit space."""
-    hexs = F.md5(key)
+    strides cycle through the bit space. With ``prehashed`` the key
+    column already IS the md5 hex (hash-once pipelines that persist the
+    hashed projection and feed build + probe + exact checks from it)."""
+    hexs = key if prehashed else F.md5(key)
     h1 = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("bigint")
     h2 = F.conv(F.substring(hexs, 16, 15), 16, 10).cast("bigint") * 2 + 1
     return h1, h2
 
 
-def _positions(key: Column, m_bits: int, k_hashes: int) -> Column:
-    h1, h2 = _h1h2(key)
+def _positions(
+    key: Column, m_bits: int, k_hashes: int, prehashed: bool = False
+) -> Column:
+    h1, h2 = _h1h2(key, prehashed)
     return F.array(
         *[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k_hashes)]
     )
 
 
 def bloom_build(
-    df: DataFrame, key: Column | str, m_bits: int = 1 << 20, k_hashes: int = 3
+    df: DataFrame,
+    key: Column | str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Build the filter: (word_idx, word) rows, 32 bits per word, only
     non-zero words present. Size ``m_bits`` to ~10 bits/key for ~1% FP
     (k=3 optimal near that load). One explode (k rows per key) + one
     groupBy(word_idx) with map-side partial bit_or — a single bounded
     shuffle of at most m/32 result rows regardless of corpus size.
-    Persist the result as parquet and reload it next pipeline run."""
+    Persist the result as parquet and reload it next pipeline run.
+    With ``prehashed`` the key column is an md5 hex string computed
+    upstream (hash once, feed build/probe/exact from one persisted
+    projection)."""
     keyc = F.col(key) if isinstance(key, str) else key
     pos = df.select(
-        F.explode(_positions(keyc, m_bits, k_hashes)).alias("p")
+        F.explode(_positions(keyc, m_bits, k_hashes, prehashed)).alias("p")
     )
     return (
         pos.select(
@@ -79,6 +90,7 @@ def bloom_probe(
     bloom: DataFrame,
     m_bits: int = 1 << 20,
     k_hashes: int = 3,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Probe: (id, bloom_hit) per row — bloom_hit iff ALL k bits are set
     (maybe-seen; false positives possible at the configured rate, false
@@ -90,7 +102,7 @@ def bloom_probe(
     keyc = F.col(key) if isinstance(key, str) else key
     pos = df.select(
         F.col(id_col),
-        F.explode(_positions(keyc, m_bits, k_hashes)).alias("p"),
+        F.explode(_positions(keyc, m_bits, k_hashes, prehashed)).alias("p"),
     ).select(
         id_col,
         F.expr(f"p div {BITS_PER_WORD}").alias("word_idx"),

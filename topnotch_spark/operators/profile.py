@@ -258,7 +258,15 @@ def mad_outliers(
     result broadcast-joined back to the rows. Group cardinality is
     assumed dimension-like (priorities, sources, shards); for an
     ungrouped call the aggregates are 1-row scalars. MAD == 0 (constant
-    group) yields NULL score, never a division blow-up."""
+    group) yields NULL score, never a division blow-up.
+
+    The input is registered in the dedup persist registry (it feeds the
+    median pass, the MAD pass, and the final projection — 4 source scans
+    without it); consume inside ``dedup_scope()`` or call
+    ``unpersist_intermediates()`` to release the storage."""
+    from topnotch_spark.operators.dedup import _persist
+
+    df = _persist(df)
     gcols = list(group_cols or [])
     med_col, mad_col = "__med__", "__mad__"
     while med_col in df.columns or mad_col in df.columns:

@@ -165,6 +165,12 @@ def cdc_apply(
     the keys total — at scale, bucket both sides on the keys and the
     snapshot side's exchange disappears. Never a full-table rewrite of
     unchanged partitions when the sink partitions by key range.
+
+    The winning-change frame is registered in the dedup persist
+    registry (it feeds both the anti join and the upsert union — the
+    change log would be windowed twice without it); consume inside
+    ``dedup_scope()`` or call ``unpersist_intermediates()`` to release
+    the storage.
     """
     missing = [c for c in (*keys, ts_col, op_col) if c not in changes.columns]
     if missing:
@@ -175,7 +181,9 @@ def cdc_apply(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(*order)
-    latest = (
+    from topnotch_spark.operators.dedup import _persist
+
+    latest = _persist(
         changes.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")

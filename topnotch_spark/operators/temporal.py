@@ -463,7 +463,16 @@ def retention_cohorts(
     broadcastable for dimension-sized key spaces; for billions of keys
     Spark falls back to a sort-merge join on the same single key shuffle),
     then ONE groupBy(cohort_week, weeks_since) with a distinct-count.
-    Week arithmetic stays in integer day-space (no float date math)."""
+    Week arithmetic stays in integer day-space (no float date math).
+
+    The 2-column (key, ts) projection is registered in the dedup persist
+    registry — it feeds the first-seen aggregate, the cohort join, the
+    cohort-size aggregate, and the cell aggregate (4 source scans
+    without it); consume inside ``dedup_scope()`` or call
+    ``unpersist_intermediates()`` to release the storage."""
+    from topnotch_spark.operators.dedup import _persist
+
+    df = _persist(df.select(F.col(key_col), F.col(ts_col)))
     first = df.groupBy(key_col).agg(F.min(ts_col).alias("__first_ts__"))
     first = first.select(
         key_col,

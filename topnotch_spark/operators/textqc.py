@@ -294,16 +294,24 @@ def unigram_logprob(
     screen (high avg_neg_logprob = rare-token-heavy doc: gibberish,
     boilerplate IDs, wrong-language fragments).
 
-    Execution shape: explode -> ONE vocab-sized groupBy(token) for
-    counts, total tokens as a 1-row broadcast, per-token ln p joined
-    back (vocab table broadcastable at any realistic size), ONE
-    groupBy(doc) for the mean, left-joined to the input so empty docs
-    survive with NULL score. Two shuffles (vocab, doc) over exploded
-    tokens — the same shape as TF-IDF, scan-bound at corpus scale."""
-    tok = df.select(
-        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
+    Execution shape: the corpus is tokenized ONCE into a persisted
+    (id, token-array) frame that feeds the model build, the per-doc
+    scoring pass, and the final id spine (4 source scans without it —
+    consume inside ``dedup_scope()`` / ``unpersist_intermediates()`` to
+    release it). From it: explode -> ONE vocab-sized groupBy(token) for
+    counts (also persisted: it feeds the total and the per-token table),
+    total tokens as a 1-row broadcast, per-token ln p joined back (vocab
+    table broadcastable at any realistic size), ONE groupBy(doc) for the
+    mean, left-joined to the id spine so empty docs survive with NULL
+    score. Two shuffles (vocab, doc) over exploded tokens — the same
+    shape as TF-IDF, scan-bound at corpus scale."""
+    from topnotch_spark.operators.dedup import _persist
+
+    arr = _persist(
+        df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tok = arr.select("__id__", F.explode("__toks__").alias("token"))
+    vocab = _persist(tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")))
     total = vocab.agg(F.sum("c").alias("total"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
         "token", F.log(F.col("c") / F.col("total")).alias("__lp__")
@@ -318,10 +326,8 @@ def unigram_logprob(
             ),
         )
     )
-    return df.select(F.col(id_col)).join(
-        per_doc.withColumnRenamed("__id__", id_col), id_col, "left"
-    ).select(
-        id_col,
+    return arr.select("__id__").join(per_doc, "__id__", "left").select(
+        F.col("__id__").alias(id_col),
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "avg_neg_logprob",
     )
@@ -382,8 +388,15 @@ def vocab_overlap(
     restricted to group_a < group_b — never an all-pairs cross join; the
     join fan-out per token is bounded by |groups|. Jaccard =
     inter / (|A| + |B| − inter), exact-integer until one final rounded
-    division."""
-    vocab = (
+    division.
+
+    The distinct (group, token) vocab table is registered in the dedup
+    persist registry — it feeds the size aggregate and both join sides
+    (4 source scans without it); consume inside ``dedup_scope()`` or
+    call ``unpersist_intermediates()`` to release the storage."""
+    from topnotch_spark.operators.dedup import _persist
+
+    vocab = _persist(
         df.select(
             F.col(group_col).alias("g"),
             F.explode(tokens(text_col)).alias("token"),
@@ -444,22 +457,38 @@ def bigram_logprob(
     bigrams. Emits (id, n_bigrams, avg_neg_logprob); docs with < 2
     tokens survive with NULL score.
 
-    Execution shape: bigrams come from the same one-regex-pass window
-    extraction as shingles (n=2, no distinct); ONE groupBy(bigram) and
-    ONE groupBy(token) build the model (map-side partial aggs), the
+    Execution shape: the corpus is tokenized ONCE into a persisted
+    (id, token-array) frame; unigrams explode from it and bigrams are
+    the zip of each array with its own 1-shifted slice (identical to
+    the one-regex-pass window extraction over normalized text, since
+    tokens are exactly the \\S+ runs in order). The frame feeds the
+    bigram pass, the unigram pass, the scoring pass, and the final id
+    spine — 5 source scans without it; consume inside ``dedup_scope()``
+    / ``unpersist_intermediates()`` to release it. ONE groupBy(bigram)
+    and ONE groupBy(token) build the model (map-side partial aggs; the
+    unigram table is persisted too — it feeds V and the join), the
     model join-back is per-bigram (broadcast when the bigram table
     fits, shuffle join at corpus scale — vocab² bounded by observed
     bigrams), then ONE groupBy(doc) for the mean. Same two-shuffle
     shape and determinism contract as unigram_logprob (ln over
     identical IEEE doubles on both engines)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    pat = r"(?<=^|\s)(?=((?:\S+ ){1}\S+))"
-    big = df.select(
-        F.col(id_col).alias("__id__"),
-        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("bg"),
+    from topnotch_spark.operators.dedup import _persist
+
+    arr = _persist(
+        df.select(F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__"))
     )
-    tok = df.select(F.explode(tokens(text_col)).alias("token"))
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    n = F.size("__toks__")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("__toks__", 1, n - 1),
+            F.slice("__toks__", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = arr.select("__id__", F.explode(bigrams).alias("bg"))
+    tok = arr.select(F.explode("__toks__").alias("token"))
+    uni = _persist(tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1")))
     vsize = uni.agg(F.count(F.lit(1)).alias("v"))
     bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     lp = (
@@ -484,10 +513,8 @@ def bigram_logprob(
             ),
         )
     )
-    return df.select(F.col(id_col)).join(
-        per_doc.withColumnRenamed("__id__", id_col), id_col, "left"
-    ).select(
-        id_col,
+    return arr.select("__id__").join(per_doc, "__id__", "left").select(
+        F.col("__id__").alias(id_col),
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_neg_logprob",
     )
