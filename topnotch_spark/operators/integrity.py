@@ -69,7 +69,12 @@ def referential_integrity(
         "n_child",
         "n_null_fk",
         "n_orphans",
-        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_frac"),
+        F.round(
+            F.when(
+                F.col("n_child") > 0, F.col("n_orphans") / F.col("n_child")
+            ),
+            6,
+        ).alias("orphan_frac"),
     )
 
 

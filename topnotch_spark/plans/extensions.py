@@ -1557,9 +1557,12 @@ class CompactCmd(Command):
 @dataclass(frozen=True)
 class RetrieveCmd(Command):
     """{"command": "retrieve", "input": <input>, "params": {"queries":
-    [[id, text], ...], ["idColumn", "textColumn", "k", "k1", "b"]}} —
-    BM25 top-k lexical retrieval over a document corpus
-    (retrieval.bm25_topk)."""
+    [[id, text], ...], ["idColumn", "textColumn", "k", "k1", "b",
+    "maxTokenDf"]}} — BM25 top-k lexical retrieval over a document
+    corpus (retrieval.bm25_topk). ``maxTokenDf`` is the viral-term
+    valve: query terms whose document frequency exceeds it are dropped
+    before the postings join (a stopword query term would otherwise
+    drag ~|corpus| posting rows through the join)."""
 
     input: Input = None  # type: ignore[assignment]
     queries: tuple[tuple[int, str], ...] = ()
@@ -1578,7 +1581,7 @@ class RetrieveCmd(Command):
             queries=qs,
             id_column=p.get("idColumn", "doc_id"),
             text_column=p.get("textColumn", "text"),
-            options=_opt(p, "k", "k1", "b"),
+            options=_opt(p, "k", "k1", "b", "maxTokenDf"),
             **cls._common(obj),
         )
 
