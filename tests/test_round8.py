@@ -77,6 +77,139 @@ def test_retrieve_plan_accepts_max_token_df(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash/dHash) + banded near-dup
+# ---------------------------------------------------------------------------
+
+def _img(pixels):
+    from topnotch_spark.operators.multimodal import encode_tnimg
+
+    return encode_tnimg(8, 8, bytes(pixels))
+
+
+def test_ahash_matches_hand_computation(spark):
+    """8x8 image, grid 8 (identity sample): bit_k = 64*px_k > sum(px) —
+    checked against a plain-Python computation."""
+    from topnotch_spark.operators.multimodal import perceptual_hash
+
+    px = [(i * 37) % 256 for i in range(64)]
+    df = spark.createDataFrame([(1, _img(px))], "media_id long, content binary")
+    got = perceptual_hash(df, hash_type="ahash").collect()[0]["phash"]
+    total = sum(px)
+    want = "".join("1" if 64 * p > total else "0" for p in px)
+    assert got == want
+
+
+def test_dhash_matches_hand_computation(spark):
+    """dhash samples an 8x9 grid from a 9-wide image (identity columns)
+    and compares horizontal neighbors."""
+    from topnotch_spark.operators.multimodal import encode_tnimg, perceptual_hash
+
+    px = [(r * 31 + c * 17) % 256 for r in range(8) for c in range(9)]
+    blob = encode_tnimg(9, 8, bytes(px))
+    df = spark.createDataFrame([(1, blob)], "media_id long, content binary")
+    got = perceptual_hash(df, hash_type="dhash").collect()[0]["phash"]
+    want = "".join(
+        "1" if px[r * 9 + c] > px[r * 9 + c + 1] else "0"
+        for r in range(8)
+        for c in range(8)
+    )
+    assert got == want
+
+
+def test_ahash_is_resize_invariant(spark):
+    """The same pattern at 8x8 and scaled 2x to 16x16 hashes identically
+    (nearest-neighbor grid sampling picks the same logical pixels)."""
+    import numpy as np
+
+    from topnotch_spark.operators.multimodal import encode_tnimg, perceptual_hash
+
+    small = np.array(
+        [[224 if (r + c) % 2 else 32 for c in range(8)] for r in range(8)],
+        dtype=np.uint8,
+    )
+    big = np.kron(small, np.ones((2, 2), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [
+            (1, encode_tnimg(8, 8, small.tobytes())),
+            (2, encode_tnimg(16, 16, big.tobytes())),
+        ],
+        "media_id long, content binary",
+    )
+    hashes = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert hashes[1] == hashes[2]
+
+
+def test_phash_near_dups_banding_and_verify(spark):
+    """One flipped pixel => hamming 1 pair found; a different pattern is
+    banded away (or verified out); invalid args raise."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.multimodal import perceptual_hash, phash_near_dups
+
+    base = [224 if i % 7 == 0 else 32 for i in range(64)]
+    near = list(base)
+    near[5] = 255 - near[5]
+    other = [224 if i % 3 == 0 else 32 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, _img(base)), (2, _img(near)), (3, _img(other))],
+        "media_id long, content binary",
+    )
+    with dedup_scope():
+        pairs = {
+            (r["id_1"], r["id_2"]): r["hamming"]
+            for r in phash_near_dups(df).collect()
+        }
+    assert pairs == {(1, 2): 1}
+    with pytest.raises(ValueError, match="hash_type"):
+        perceptual_hash(df, hash_type="bogus")
+    with pytest.raises(ValueError, match="band_bits"):
+        phash_near_dups(df, band_bits=7)
+    # non-image blobs fail loudly inside the decode stage
+    from topnotch_spark.operators.multimodal import encode_tnaud
+
+    aud = spark.createDataFrame(
+        [(1, encode_tnaud(8000, b"\x01\x02"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="image blobs"):
+        perceptual_hash(aud).collect()
+
+
+def test_dedup_plan_phash_method(spark, tmp_path):
+    import numpy as np  # noqa: F401
+
+    from topnotch_spark.engine import TnEngine
+
+    base = [224 if i % 7 == 0 else 32 for i in range(64)]
+    near = list(base)
+    near[9] = 255 - near[9]
+    src = tmp_path / "imgs.parquet"
+    spark.createDataFrame(
+        [(1, _img(base)), (2, _img(near))], "media_id long, content binary"
+    ).write.parquet(str(src))
+    plan = {
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {"ref": str(src), "onDisk": True},
+                "outputKey": "nearImgs",
+                "params": {
+                    "method": "phash",
+                    "idColumn": "media_id",
+                    "binColumn": "content",
+                    "hashType": "ahash",
+                    "maxHamming": 3,
+                },
+            }
+        ]
+    }
+    path = tmp_path / "phash_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["nearImgs"].collect()
+    assert [(r["id_1"], r["id_2"], r["hamming"]) for r in out] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
 # Fused referential integrity (one pass per side)
 # ---------------------------------------------------------------------------
 

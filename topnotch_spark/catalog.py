@@ -923,6 +923,45 @@ def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed_dedup(blobs, "doc_id", F.md5(F.col("content")), "blob_key")
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs (multimodal.phash_near_dups):
+    integer-exact aHash over 8x8 TNIMG blobs, banded-LSH candidates,
+    exact Hamming verify — the near-dup complement to
+    multimodal_blob_dedup's exact byte hash. The testdata has no media
+    table, so each document gets a deterministic synthetic image built
+    JVM-SIDE as real TNIMG bytes (header + packed pixels, decoded back
+    by the operator's mapInPandas stub path): pixel k is bright/dark by
+    bit k of md5(source)||md5(source||'x'), with the single pixel at
+    doc_id % 64 inverted — same-source images land at hamming <= 2
+    (found: banding guarantees recall to bands-1 = 3), cross-source
+    patterns differ in ~32 bits (verified out)."""
+    from topnotch_spark.operators.multimodal import phash_near_dups
+
+    hex64 = F.concat(
+        F.md5(F.col("source")), F.md5(F.concat(F.col("source"), F.lit("x")))
+    )
+    pix = F.concat(
+        *[
+            F.when(
+                (F.col("doc_id") % 64) == k,
+                F.when(
+                    F.substring(hex64, k + 1, 1) >= F.lit("8"), F.lit("1F")
+                ).otherwise(F.lit("DF")),
+            ).otherwise(
+                F.when(
+                    F.substring(hex64, k + 1, 1) >= F.lit("8"), F.lit("E0")
+                ).otherwise(F.lit("20"))
+            )
+            for k in range(64)
+        ]
+    )
+    imgs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(F.concat(F.lit("544E494D4700080008"), pix)).alias("content"),
+    )
+    return phash_near_dups(imgs, "doc_id", "content")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming extensions (SURVEY.md §2.3): the events table is
 # replayed as a file-source stream (3 time-split files, availableNow) and
@@ -2482,4 +2521,5 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }

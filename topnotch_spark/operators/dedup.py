@@ -487,7 +487,6 @@ def simhash_dedup(
     persisted because it feeds both sides of the candidate self-join."""
     from topnotch_spark.functions.text import hash_bits_int
 
-    n_bands = bits // band_bits
     ex = shingle_rows(df, id_col, text_col, shingle_n).select(
         "id", hash_bits_int(F.md5("sh"), bits).alias("h")
     )
@@ -506,6 +505,23 @@ def simhash_dedup(
         ]
     )
     base = _persist(votes.select("id", sh_col.alias("sh")))
+    return bitstring_band_pairs(base, bits, band_bits, max_hamming)
+
+
+def bitstring_band_pairs(
+    base: DataFrame, bits: int, band_bits: int, max_hamming: int
+) -> DataFrame:
+    """LSH banding + exact-Hamming verify over an (id, sh) frame, where
+    ``sh`` is a ``bits``-char '0'/'1' string: band the bit-string into
+    ``bits // band_bits`` equal substrings, candidates = pairs sharing a
+    (band_idx, band_value) bucket (pigeonhole: hamming ≤ bands-1
+    GUARANTEES a shared band), verify by exact Hamming distance. Returns
+    (id_1, id_2, hamming), id_1 < id_2, hamming ≤ max_hamming.
+
+    Shared tail of every bit-signature near-dup family (simhash over
+    text shingles, aHash/dHash over media blobs). ``base`` should be
+    persisted by the caller — it feeds both sides of the self-join."""
+    n_bands = bits // band_bits
     band_cols = [
         F.substring("sh", b * band_bits + 1, band_bits).alias(f"band_{b}")
         for b in range(n_bands)

@@ -1463,6 +1463,68 @@ def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """
 
 
+def multimodal_phash_dedup_sql(
+    grid: int = 8, band_bits: int = 16, max_hamming: int = 3
+) -> str:
+    """Mirror of catalog.multimodal_phash_dedup: rebuild each synthetic
+    8x8 image's PIXEL VALUES from the same md5(source)-pattern +
+    per-doc-flip formula the Spark side packs into TNIMG blobs (the blob
+    container round-trip is byte-exact, so hashing the rebuilt pixels
+    equals hashing the decoded payload), then the identical integer
+    ahash (bit = grid²·px > Σpx), banding, candidate join, and Hamming
+    verify."""
+    bits = grid * grid
+    n_bands = bits // band_bits
+    return f"""
+        WITH ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
+        hx AS (
+          SELECT doc_id, md5(source) || md5(source || 'x') AS h64
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, k,
+            CASE WHEN doc_id % {bits} = k
+              THEN CASE WHEN substr(h64, k + 1, 1) >= '8'
+                        THEN 31 ELSE 223 END
+              ELSE CASE WHEN substr(h64, k + 1, 1) >= '8'
+                        THEN 224 ELSE 32 END
+            END AS p
+          FROM hx, ks
+        ),
+        tot AS (SELECT doc_id, sum(p) AS t FROM px GROUP BY doc_id),
+        bits_t AS (
+          SELECT px.doc_id,
+                 string_agg(CASE WHEN {bits} * p > t THEN '1' ELSE '0' END,
+                            '' ORDER BY k) AS sh
+          FROM px JOIN tot USING (doc_id)
+          GROUP BY px.doc_id
+        ),
+        buckets AS (
+          SELECT doc_id, sh, b AS band_idx,
+                 substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
+          FROM bits_t,
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+                          a.sh AS sh_1, b.sh AS sh_2
+          FROM buckets a
+          JOIN buckets b
+            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT id_1, id_2,
+                 CAST(len(list_filter(generate_series(1, {bits}),
+                          i -> substr(sh_1, i, 1) <> substr(sh_2, i, 1)))
+                      AS BIGINT) AS hamming
+          FROM cand
+        )
+        SELECT id_1, id_2, hamming FROM verified
+        WHERE hamming <= {max_hamming}
+    """
+
+
 def drift_sql(
     n_buckets: int = 10, eps: float = 1e-6, round_digits: int = 6
 ) -> str:

@@ -47,19 +47,22 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 @dataclass(frozen=True)
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
-    jaccard|containment|simhash|embedding|clusters|lines|spans|fuzzy,
-    "idColumn",
-    "textColumn"|"vecColumn",
+    jaccard|containment|simhash|embedding|clusters|lines|spans|fuzzy|
+    phash, "idColumn",
+    "textColumn"|"vecColumn"|"binColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
     maxHamming/nPlanes/dim/maxShingleDf/roundDigits/sep/maxLineDf/
-    minChars/spanTokens/minOccurrences)}}.
+    minChars/spanTokens/minOccurrences/hashType/grid)}}.
 
     ``clusters`` runs the minhash pair stage then connected components
     (operators/cluster.py) — per-doc (cluster_id, cluster_size, keep).
     ``lines`` is cross-document line dedup (C4-style boilerplate
     removal, curation.dedup_lines): rewrites the text column instead of
     reporting pairs. ``spans`` reports duplicated token windows
-    (dedup.duplicate_spans, Lee et al. span-granular dedup)."""
+    (dedup.duplicate_spans, Lee et al. span-granular dedup). ``phash``
+    is perceptual near-dup over image BLOBS (multimodal.phash_near_dups:
+    aHash/dHash via hashType, banded like simhash) — binColumn names
+    the binary column."""
 
     input: Input = None  # type: ignore[assignment]
     index: Input | None = None
@@ -82,12 +85,15 @@ class DedupCmd(Command):
             ),
             method=p["method"],
             id_column=p["idColumn"],
-            value_column=p.get("textColumn", p.get("vecColumn", "text")),
+            value_column=p.get(
+                "textColumn", p.get("vecColumn", p.get("binColumn", "text"))
+            ),
             options=_opt(
                 p, "numHashes", "bands", "threshold", "shingleN", "bits",
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
                 "minOccurrences", "nClusters", "maxDistance", "maxKeyDf",
+                "hashType", "grid",
             ),
             **cls._common(obj),
         )
@@ -125,6 +131,7 @@ class DedupCmd(Command):
             "lines": self._lines,
             "spans": D.duplicate_spans,
             "fuzzy": self._fuzzy,
+            "phash": self._phash,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -148,6 +155,12 @@ class DedupCmd(Command):
         from topnotch_spark.operators.fuzzy import fuzzy_match_pairs
 
         return fuzzy_match_pairs(df, id_col, text_col, **opts)
+
+    @staticmethod
+    def _phash(df: DataFrame, id_col: str, bin_col: str, **opts) -> DataFrame:
+        from topnotch_spark.operators.multimodal import phash_near_dups
+
+        return phash_near_dups(df, id_col, bin_col, **opts)
 
 
 @dataclass(frozen=True)
