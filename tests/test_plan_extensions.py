@@ -1266,3 +1266,40 @@ def test_bad_plans_fail_with_clear_messages(spark, tmp_path):
          "outputKey": "x"},
         r"unknown decontaminate method",
     )
+
+
+# ---------------------------------------------------------------------------
+# Every shipped example plan runs end-to-end (r8, VERDICT r7 #7)
+# ---------------------------------------------------------------------------
+
+EXAMPLE_PLANS = sorted(
+    str(p) for p in __import__("pathlib").Path(
+        "/root/repo/examples"
+    ).glob("*.json")
+)
+
+
+def test_all_examples_are_covered():
+    """The parametrized run below must track the shipped set — a new
+    example that nobody wired into tests should fail here, not rot."""
+    assert len(EXAMPLE_PLANS) == 8, EXAMPLE_PLANS
+
+
+@pytest.mark.parametrize(
+    "plan", EXAMPLE_PLANS, ids=[p.rsplit("/", 1)[-1] for p in EXAMPLE_PLANS]
+)
+def test_example_plan_runs_clean(spark, tmp_path, plan):
+    """Each examples/*.json executes against sf0.001 with zero failed
+    commands — the copy-paste-able user surface stays runnable."""
+    engine = TnEngine(spark)
+    num_failed = engine.run(
+        plan,
+        variables={
+            "sfDir": SF,
+            "workDir": str(tmp_path / "work"),
+            "outDir": str(tmp_path / "out"),
+            "minDate": "1995-01-01",  # documented orders_qc variable
+        },
+    )
+    assert num_failed == 0
+    assert engine.registry  # every example registers at least one output
