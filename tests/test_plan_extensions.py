@@ -144,7 +144,10 @@ def test_extension_plan_end_to_end(spark, plan_path):
     assert all(r["psi_term"] is not None for r in drift)
 
 
-def test_unknown_extension_method_is_runtime_error(spark, tmp_path):
+def test_unknown_extension_method_fails_at_parse(spark, tmp_path):
+    """An unknown method is rejected while the PLAN is parsed (r8:
+    promoted from a runtime error deep in execute to a uniform
+    plan-validation ValueError), before any command runs."""
     plan = {
         "commands": [
             {
@@ -157,7 +160,7 @@ def test_unknown_extension_method_is_runtime_error(spark, tmp_path):
     }
     p = tmp_path / "plan.json"
     p.write_text(json.dumps(plan))
-    with pytest.raises(ValueError, match="unknown dedup method"):
+    with pytest.raises(ValueError, match="dedup: unknown method 'quantum'"):
         TnEngine(spark).run(str(p))
 
 

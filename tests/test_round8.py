@@ -210,6 +210,45 @@ def test_dedup_plan_phash_method(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Plan-parse-time method validation (uniform ValueError, never KeyError)
+# ---------------------------------------------------------------------------
+
+def test_method_param_validated_at_parse_time():
+    from topnotch_spark.plans.extensions import (
+        DedupCmd,
+        MembershipCmd,
+        SimilarityCmd,
+        TextCmd,
+    )
+
+    inp = {"ref": "x", "onDisk": False}
+
+    def dedup_obj(params):
+        return {"command": "dedup", "input": inp, "outputKey": "o",
+                "params": {"idColumn": "id", **params}}
+
+    with pytest.raises(ValueError, match="dedup: params.method is required"):
+        DedupCmd.from_json(dedup_obj({}))
+    with pytest.raises(ValueError, match="dedup: unknown method 'minhashx'"):
+        DedupCmd.from_json(dedup_obj({"method": "minhashx"}))
+    with pytest.raises(ValueError, match="text: params.method is required"):
+        TextCmd.from_json({"command": "text", "input": inp, "outputKey": "o",
+                           "params": {"idColumn": "id"}})
+    with pytest.raises(ValueError, match="similarity: unknown method"):
+        SimilarityCmd.from_json(
+            {"command": "similarity", "corpus": inp, "queries": inp,
+             "outputKey": "o", "params": {"method": "ivfx"}}
+        )
+    with pytest.raises(ValueError, match="bloom: params.method is required"):
+        MembershipCmd.from_json(
+            {"command": "bloom", "input": inp, "outputKey": "o",
+             "params": {"keyColumn": "k"}}
+        )
+    # well-formed commands still parse
+    assert DedupCmd.from_json(dedup_obj({"method": "phash"})).method == "phash"
+
+
+# ---------------------------------------------------------------------------
 # Fused referential integrity (one pass per side)
 # ---------------------------------------------------------------------------
 

@@ -863,6 +863,11 @@ def split_leakage(
     screen), with the train side's viral shingles valved by
     ``max_shingle_df`` exactly like dedup.ngram_jaccard_pairs; one
     groupBy(holdout id) ends it. Nothing is pairwise in |corpus|.
+
+    The shared shingle frame is registered in the dedup persist
+    registry; consume inside ``dedup_scope()`` or call
+    ``unpersist_intermediates()`` to release it (under
+    ``set_checkpoint_dir`` the persist is an eager parquet spill).
     """
     from topnotch_spark.operators.dedup import _persist, shingle_arrays
 

@@ -462,7 +462,13 @@ def psi_trend(
     groupBy(period, bucket) over the data (map-side combined), then all
     remaining arithmetic on the |periods| x n_buckets count grid —
     broadcast-sized at any horizon. The reference period's counts join
-    back by bucket (broadcast, n_buckets rows)."""
+    back by bucket (broadcast, n_buckets rows).
+
+    The count grid is registered in the dedup persist registry (it
+    feeds the reference slice, the per-period totals, and the PSI
+    terms); consume inside ``dedup_scope()`` or call
+    ``unpersist_intermediates()`` to release it (under
+    ``set_checkpoint_dir`` the persist is an eager parquet spill)."""
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(

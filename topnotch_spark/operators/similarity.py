@@ -100,6 +100,12 @@ def ivf_topk(
     ``n_centroids`` rows (tiny) + one window per id; the candidate join
     is an equi-join on centroid_id — the inverted-list bucket — so the
     whole thing is broadcast + one keyed shuffle, never |corpus|x|queries|.
+
+    The default centroid seed frame is registered in the dedup persist
+    registry; consume inside ``dedup_scope()`` or call
+    ``unpersist_intermediates()`` to release it (under
+    ``set_checkpoint_dir`` the persist spills to parquet EAGERLY at
+    construction time, like the dedup family).
     """
     from topnotch_spark.operators.dedup import _persist
 

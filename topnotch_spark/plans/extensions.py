@@ -32,6 +32,19 @@ from topnotch_spark.plans.model import Command
 from topnotch_spark.sources.inputs import Input, load_input
 
 
+def _require_method(params: dict, known: tuple[str, ...], cmd: str) -> None:
+    """Plan-parse-time method validation: a params dict missing 'method'
+    (or naming an unknown one) raises a uniform ValueError instead of a
+    bare KeyError from deep inside execute()."""
+    method = params.get("method")
+    if method is None:
+        raise ValueError(f"{cmd}: params.method is required")
+    if method not in known:
+        raise ValueError(
+            f"{cmd}: unknown method {method!r} (known: {', '.join(known)})"
+        )
+
+
 def _opt(params: dict, *names: str) -> dict[str, Any]:
     """Pick camelCase JSON options into snake_case kwargs, skipping absents."""
     out: dict[str, Any] = {}
@@ -75,9 +88,16 @@ class DedupCmd(Command):
     def inputs(self) -> list[Input]:
         return [self.input] + ([self.index] if self.index is not None else [])
 
+    METHODS = (
+        "exact", "fingerprint", "minhash", "jaccard", "containment",
+        "simhash", "embedding", "semantic", "clusters", "lines", "spans",
+        "fuzzy", "phash", "incremental",
+    )
+
     @classmethod
     def from_json(cls, obj: dict) -> "DedupCmd":
         p = obj["params"]
+        _require_method(p, cls.METHODS, "dedup")
         return cls(
             input=Input.from_json(obj["input"]),
             index=(
@@ -182,16 +202,26 @@ class TextCmd(Command):
     text_column: str = "text"
     options: dict = field(default_factory=dict)
 
+    METHODS = (
+        "tokenStats", "quality", "langid", "fingerprints", "chunk",
+        "piiScrub", "qualityFilter", "vocabTopK", "packShards",
+        "repetition", "tfidfKeywords", "normalize", "unigramLogprob",
+        "bigramLogprob", "gopher", "tokenEntropy", "readability",
+        "calibrateRanks", "oovRate",
+    )
+
     @classmethod
     def from_json(cls, obj: dict) -> "TextCmd":
         p = obj["params"]
-        # plan-validation-time (not run-time) check of per-method required
-        # params — the pattern every other command form follows
+        # plan-validation-time (not run-time) checks — the pattern every
+        # other command form follows: a malformed plan fails at parse with
+        # a uniform ValueError, never a KeyError mid-run
+        _require_method(p, cls.METHODS, "text")
         required = {
             "calibrateRanks": ("orderCol", "partitionCol"),
             "oovRate": ("partitionCol",),
         }
-        for name in required.get(p.get("method", ""), ()):
+        for name in required.get(p["method"], ()):
             if name not in p:
                 raise ValueError(
                     f"text method {p['method']!r} requires param {name!r}"
@@ -278,9 +308,12 @@ class SimilarityCmd(Command):
     def inputs(self) -> list[Input]:
         return [self.corpus, self.queries]
 
+    METHODS = ("bruteForce", "ann")
+
     @classmethod
     def from_json(cls, obj: dict) -> "SimilarityCmd":
         p = obj["params"]
+        _require_method(p, cls.METHODS, "similarity")
         return cls(
             corpus=Input.from_json(obj["corpus"]),
             queries=Input.from_json(obj["queries"]),
@@ -1101,9 +1134,12 @@ class MembershipCmd(Command):
             [self.filter_input] if self.filter_input is not None else []
         )
 
+    METHODS = ("build", "probe")
+
     @classmethod
     def from_json(cls, obj: dict) -> "MembershipCmd":
         p = obj["params"]
+        _require_method(p, cls.METHODS, "bloom")
         return cls(
             input=Input.from_json(obj["input"]),
             filter_input=(
