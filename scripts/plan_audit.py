@@ -5,6 +5,12 @@ counts (bhj/smj/shj/nlj) and whether any parquet scan carries pushed
 filters — the table pasted into SCALE.md §5. Streaming queries are
 skipped (their per-micro-batch plans are discussed in SCALE.md §4).
 
+Counts are DISTINCT physical node ids parsed from the formatted
+explain's numbered detail blocks — the tree re-prints cached
+InMemoryRelation plans under every reading branch (and AQE Final/
+Initial sections repeat nodes), so naive substring counts over-report
+on persist-using queries.
+
 Usage: python scripts/plan_audit.py [sf_dir]
 """
 
@@ -15,7 +21,9 @@ import io
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def plan_text(df) -> str:
@@ -40,12 +48,24 @@ def main() -> int:
         except Exception as e:
             print(f"{name:26s} ERROR {str(e)[:80]}")
             continue
+        # unique (id, kind) from the numbered detail blocks: each
+        # physical node details exactly once no matter how many times
+        # the tree re-prints it
+        nodes = {
+            nid: kind
+            for nid, kind in re.findall(r"\n\((\d+)\) (\w+)", txt)
+        }
+        kinds = list(nodes.values())
+
+        def n(prefix):
+            return sum(1 for k in kinds if k.startswith(prefix))
+
         counts = {
-            "exch": txt.count("Exchange"),
-            "bhj": txt.count("BroadcastHashJoin"),
-            "smj": txt.count("SortMergeJoin"),
-            "shj": txt.count("ShuffledHashJoin"),
-            "nlj": txt.count("BroadcastNestedLoopJoin"),
+            "exch": n("Exchange") + n("BroadcastExchange"),
+            "bhj": n("BroadcastHashJoin"),
+            "smj": n("SortMergeJoin"),
+            "shj": n("ShuffledHashJoin"),
+            "nlj": n("BroadcastNestedLoopJoin"),
         }
         pushed = (
             "pushed=Y" if re.search(r"PushedFilters: \[(?!\])", txt) else ""
