@@ -931,19 +931,28 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so each document gets a deterministic synthetic image built
     JVM-SIDE as real TNIMG bytes (header + packed pixels, decoded back
     by the operator's mapInPandas stub path): pixel k is bright/dark by
-    bit k of md5(source)||md5(source||'x'), with the single pixel at
-    doc_id % 64 inverted — same-source images land at hamming <= 2
-    (found: banding guarantees recall to bands-1 = 3), cross-source
-    patterns differ in ~32 bits (verified out)."""
+    bit k of md5(g)||md5(g||'x') where g = doc_id DIV 8 — an 8-image
+    "burst" shares each base pattern, so LSH buckets stay SELECTIVE
+    (size ~8) instead of corpus-fraction-sized, the realistic dup-rate
+    regime. Each image then inverts 1 + doc_id%3 pixels (at
+    c*doc_id % 64 for c in 1,31,53), so within-burst pairs sit at
+    hamming 2-6: the ≤3 pairs are kept (banding guarantees recall to
+    bands-1 = 3), the rest exercise the verify filter, and cross-burst
+    patterns differ in ~32 bits."""
     from topnotch_spark.operators.multimodal import phash_near_dups
 
-    hex64 = F.concat(
-        F.md5(F.col("source")), F.md5(F.concat(F.col("source"), F.lit("x")))
+    gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
+    hex64 = F.concat(F.md5(gs), F.md5(F.concat(gs, F.lit("x"))))
+    d = F.col("doc_id")
+    flip = lambda k: (  # noqa: E731 — the per-k flip predicate
+        ((d % 64) == k)
+        | ((d % 3 >= 1) & ((d * 31 % 64) == k))
+        | ((d % 3 == 2) & ((d * 53 % 64) == k))
     )
     pix = F.concat(
         *[
             F.when(
-                (F.col("doc_id") % 64) == k,
+                flip(k),
                 F.when(
                     F.substring(hex64, k + 1, 1) >= F.lit("8"), F.lit("1F")
                 ).otherwise(F.lit("DF")),

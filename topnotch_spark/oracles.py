@@ -1467,23 +1467,27 @@ def multimodal_phash_dedup_sql(
     grid: int = 8, band_bits: int = 16, max_hamming: int = 3
 ) -> str:
     """Mirror of catalog.multimodal_phash_dedup: rebuild each synthetic
-    8x8 image's PIXEL VALUES from the same md5(source)-pattern +
-    per-doc-flip formula the Spark side packs into TNIMG blobs (the blob
-    container round-trip is byte-exact, so hashing the rebuilt pixels
-    equals hashing the decoded payload), then the identical integer
-    ahash (bit = grid²·px > Σpx), banding, candidate join, and Hamming
-    verify."""
+    8x8 image's PIXEL VALUES from the same md5(burst)-pattern +
+    per-doc-flips formula the Spark side packs into TNIMG blobs (the
+    blob container round-trip is byte-exact, so hashing the rebuilt
+    pixels equals hashing the decoded payload), then the identical
+    integer ahash (bit = grid²·px > Σpx), banding, candidate join, and
+    Hamming verify."""
     bits = grid * grid
     n_bands = bits // band_bits
     return f"""
         WITH ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
         hx AS (
-          SELECT doc_id, md5(source) || md5(source || 'x') AS h64
+          SELECT doc_id,
+                 md5(CAST(doc_id // 8 AS VARCHAR))
+                   || md5(CAST(doc_id // 8 AS VARCHAR) || 'x') AS h64
           FROM documents
         ),
         px AS (
           SELECT doc_id, k,
             CASE WHEN doc_id % {bits} = k
+                   OR (doc_id % 3 >= 1 AND doc_id * 31 % {bits} = k)
+                   OR (doc_id % 3 = 2 AND doc_id * 53 % {bits} = k)
               THEN CASE WHEN substr(h64, k + 1, 1) >= '8'
                         THEN 31 ELSE 223 END
               ELSE CASE WHEN substr(h64, k + 1, 1) >= '8'
