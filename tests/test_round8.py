@@ -210,6 +210,101 @@ def test_dedup_plan_phash_method(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Audio energy-envelope fingerprint + banded near-dup
+# ---------------------------------------------------------------------------
+
+def _clip(samples):
+    from topnotch_spark.operators.multimodal import encode_tnaud
+
+    return encode_tnaud(16000, bytes(s & 0xFF for s in samples))
+
+
+def test_audio_fingerprint_matches_hand_computation(spark):
+    """64 samples, 32 frames of 2: bit_k = 32*e_k > sum(e) over exact
+    integer squares — checked against plain Python (incl. a negative
+    sample, which int8 decode must square correctly)."""
+    from topnotch_spark.operators.multimodal import audio_fingerprint
+
+    samples = [((i * 13) % 100) - 50 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, _clip(samples))], "media_id long, content binary"
+    )
+    got = audio_fingerprint(df).collect()[0]["afp"]
+    e = [
+        samples[2 * k] ** 2 + samples[2 * k + 1] ** 2 for k in range(32)
+    ]
+    total = sum(e)
+    want = "".join("1" if 32 * ek > total else "0" for ek in e)
+    assert got == want
+
+
+def test_audio_near_dups_finds_renoised_clip(spark):
+    """A clip with one sample inverted matches its original within the
+    Hamming bound; an unrelated envelope does not."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dups,
+    )
+
+    base = [100 if (i // 2) % 5 == 0 else 10 for i in range(64)]
+    near = list(base)
+    near[13] = 110 - near[13]  # one quiet sample goes loud
+    other = [100 if (i // 2) % 2 == 0 else 10 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, _clip(base)), (2, _clip(near)), (3, _clip(other))],
+        "media_id long, content binary",
+    )
+    with dedup_scope():
+        pairs = {
+            (r["id_1"], r["id_2"]): r["hamming"]
+            for r in audio_near_dups(df).collect()
+        }
+    assert pairs == {(1, 2): 1}
+    with pytest.raises(ValueError, match="band_bits"):
+        audio_near_dups(df, band_bits=7)
+    # image blobs fail loudly in the decode stage
+    img = spark.createDataFrame(
+        [(1, _img([0] * 64))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="audio blobs"):
+        audio_fingerprint(img).collect()
+
+
+def test_dedup_plan_audio_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    base = [100 if (i // 2) % 5 == 0 else 10 for i in range(64)]
+    near = list(base)
+    near[7] = 110 - near[7]
+    src = tmp_path / "clips.parquet"
+    spark.createDataFrame(
+        [(1, _clip(base)), (2, _clip(near))], "media_id long, content binary"
+    ).write.parquet(str(src))
+    plan = {
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {"ref": str(src), "onDisk": True},
+                "outputKey": "nearClips",
+                "params": {
+                    "method": "audio",
+                    "idColumn": "media_id",
+                    "binColumn": "content",
+                    "nFrames": 32,
+                },
+            }
+        ]
+    }
+    path = tmp_path / "audio_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["nearClips"].collect()
+    assert [(r["id_1"], r["id_2"], r["hamming"]) for r in out] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
 # Plan-parse-time method validation (uniform ValueError, never KeyError)
 # ---------------------------------------------------------------------------
 

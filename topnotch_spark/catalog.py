@@ -971,6 +971,56 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(imgs, "doc_id", "content")
 
 
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (multimodal.audio_near_dups): integer-exact
+    energy-envelope fingerprint over TNAUD blobs (32 frames x 2 samples,
+    bit = 32·Σs² > total energy), banded-LSH candidates, exact Hamming
+    verify — the audio twin of multimodal_phash_dedup. Each document
+    gets a deterministic 64-sample synthetic clip built JVM-SIDE as
+    real TNAUD bytes (magic + 16 kHz rate + length + samples, decoded
+    back by the operator's mapInPandas stub path): frame f is loud
+    (sample 100) iff hex digit f of md5(burst||'aud') >= 'c' (biased
+    so a single flipped sample cannot sit at the energy mean), quiet
+    (sample 10) otherwise, burst = doc_id DIV 8; each clip then inverts
+    1 + doc_id%3 samples (at c*doc_id % 64 for c in 1,37,59). Flips on
+    quiet frames flip that frame's bit, so within-burst pairs span
+    hamming 0-6: ≤3 kept (banding guarantees recall to bands-1 = 3),
+    the rest exercise the verify; cross-burst envelopes differ in ~8
+    loud-frame positions."""
+    from topnotch_spark.operators.multimodal import audio_near_dups
+
+    gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
+    h32 = F.md5(F.concat(gs, F.lit("aud")))
+    d = F.col("doc_id")
+    flip = lambda i: (  # noqa: E731 — the per-sample flip predicate
+        ((d % 64) == i)
+        | ((d % 3 >= 1) & ((d * 37 % 64) == i))
+        | ((d % 3 == 2) & ((d * 59 % 64) == i))
+    )
+    samples = F.concat(
+        *[
+            F.when(
+                flip(i),
+                F.when(
+                    F.substring(h32, i // 2 + 1, 1) >= F.lit("c"), F.lit("0A")
+                ).otherwise(F.lit("64")),
+            ).otherwise(
+                F.when(
+                    F.substring(h32, i // 2 + 1, 1) >= F.lit("c"), F.lit("64")
+                ).otherwise(F.lit("0A"))
+            )
+            for i in range(64)
+        ]
+    )
+    clips = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(
+            F.concat(F.lit("544E41554400003E8000000040"), samples)
+        ).alias("content"),
+    )
+    return audio_near_dups(clips, "doc_id", "content")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming extensions (SURVEY.md §2.3): the events table is
 # replayed as a file-source stream (3 time-split files, availableNow) and
@@ -2534,4 +2584,5 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
+    "multimodal_audio_dedup": multimodal_audio_dedup,
 }

@@ -356,6 +356,94 @@ def phash_near_dups(
     return bitstring_band_pairs(base, bits, band_bits, max_hamming)
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    bin_col: str = "content",
+    keep_cols: tuple[str, ...] = ("media_id",),
+    n_frames: int = 32,
+) -> DataFrame:
+    """Energy-profile audio fingerprint over decodable audio blobs (the
+    TNAUD synthetic path — a real codec swaps only the per-batch decode,
+    per the module's stub contract): the sample stream is cut into
+    ``n_frames`` contiguous frames, per-frame energy = Σ sample² (exact
+    integers over signed bytes), bit_k = n_frames·e_k > Σe — the same
+    integer-exact average-hash rule as [perceptual_hash], over the
+    energy envelope instead of pixels. Robust to small sample-level
+    noise (energies aggregate) and to uniform gain inversion (squares).
+
+    Emits keep_cols + (afp string, ``n_frames`` '0'/'1' chars).
+    mapInPandas, narrow, no shuffle."""
+    keep = list(keep_cols)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join([f"{c} {types[c]}" for c in keep] + ["afp string"])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            keep_vals = [pdf[c].values for c in keep]
+            for i, blob in enumerate(pdf[bin_col].values):
+                d = _decode_one(bytes(blob))
+                if d["sample_rate"] is None:
+                    raise ValueError(
+                        "audio_fingerprint expects audio blobs (got "
+                        f"{d['media_type']})"
+                    )
+                s = np.frombuffer(d["payload"], dtype=np.int8).astype(np.int64)
+                n = s.size
+                if n < n_frames:
+                    raise ValueError(
+                        f"audio_fingerprint: {n} samples < {n_frames} frames"
+                    )
+                bounds = (np.arange(n_frames + 1) * n) // n_frames
+                sq = np.concatenate(([0], np.cumsum(s * s)))
+                e = sq[bounds[1:]] - sq[bounds[:-1]]
+                bits = n_frames * e > int(e.sum())
+                rows.append(
+                    {**{c: v[i] for c, v in zip(keep, keep_vals)},
+                     "afp": "".join("1" if b else "0" for b in bits)}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    n_frames: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-duplicate pairs: [audio_fingerprint] per blob, then
+    the banded-LSH candidate join + exact-Hamming verify shared with
+    simhash/phash (dedup.bitstring_band_pairs) — re-encoded / slightly
+    renoised copies of the same clip land within ``max_hamming`` of
+    each other while distinct clips' energy envelopes differ in ~half
+    the frames. Returns (id_1, id_2, hamming), id_1 < id_2.
+
+    Execution shape (100 TB): fingerprinting is a narrow mapInPandas
+    (blobs never shuffle); only the (id, 32-char fingerprint) table
+    enters the banding self-join. The fingerprint table is registered
+    in the dedup persist registry (it feeds both join sides); consume
+    inside ``dedup_scope()`` or call ``unpersist_intermediates()`` to
+    release it."""
+    from topnotch_spark.operators.dedup import _persist, bitstring_band_pairs
+
+    if n_frames % band_bits:
+        raise ValueError(
+            f"audio_near_dups: band_bits={band_bits} must divide "
+            f"n_frames={n_frames}"
+        )
+    base = _persist(
+        audio_fingerprint(
+            df, bin_col, keep_cols=(id_col,), n_frames=n_frames
+        ).select(F.col(id_col).alias("id"), F.col("afp").alias("sh"))
+    )
+    return bitstring_band_pairs(base, n_frames, band_bits, max_hamming)
+
+
 def byte_stats(
     df: DataFrame, bin_col: str = "content", keep_cols: tuple[str, ...] = ("media_id",)
 ) -> DataFrame:

@@ -1529,6 +1529,76 @@ def multimodal_phash_dedup_sql(
     """
 
 
+def multimodal_audio_dedup_sql(
+    n_frames: int = 32, band_bits: int = 8, max_hamming: int = 3
+) -> str:
+    """Mirror of catalog.multimodal_audio_dedup: rebuild each synthetic
+    clip's SAMPLE VALUES from the same md5(burst)-envelope + per-doc
+    flips formula the Spark side packs into TNAUD blobs, then the
+    identical integer energy fingerprint (frame energy = Σ sample²,
+    bit = n_frames·e > Σe), banding, candidate join, Hamming verify."""
+    n_bands = n_frames // band_bits
+    n_samples = n_frames * 2
+    return f"""
+        WITH ks AS (
+          SELECT unnest(generate_series(0, {n_samples - 1})) AS i
+        ),
+        hx AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id // 8 AS VARCHAR) || 'aud') AS h32
+          FROM documents
+        ),
+        sv AS (
+          SELECT doc_id, i // 2 AS frame,
+            CASE WHEN doc_id % {n_samples} = i
+                   OR (doc_id % 3 >= 1 AND doc_id * 37 % {n_samples} = i)
+                   OR (doc_id % 3 = 2 AND doc_id * 59 % {n_samples} = i)
+              THEN CASE WHEN substr(h32, i // 2 + 1, 1) >= 'c'
+                        THEN 10 ELSE 100 END
+              ELSE CASE WHEN substr(h32, i // 2 + 1, 1) >= 'c'
+                        THEN 100 ELSE 10 END
+            END AS v
+          FROM hx, ks
+        ),
+        en AS (
+          SELECT doc_id, frame, sum(v * v) AS e
+          FROM sv GROUP BY doc_id, frame
+        ),
+        tot AS (SELECT doc_id, sum(e) AS t FROM en GROUP BY doc_id),
+        bits_t AS (
+          SELECT en.doc_id,
+                 string_agg(
+                   CASE WHEN {n_frames} * e > t THEN '1' ELSE '0' END,
+                   '' ORDER BY frame) AS sh
+          FROM en JOIN tot USING (doc_id)
+          GROUP BY en.doc_id
+        ),
+        buckets AS (
+          SELECT doc_id, sh, b AS band_idx,
+                 substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
+          FROM bits_t,
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+                          a.sh AS sh_1, b.sh AS sh_2
+          FROM buckets a
+          JOIN buckets b
+            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT id_1, id_2,
+                 CAST(len(list_filter(generate_series(1, {n_frames}),
+                          i -> substr(sh_1, i, 1) <> substr(sh_2, i, 1)))
+                      AS BIGINT) AS hamming
+          FROM cand
+        )
+        SELECT id_1, id_2, hamming FROM verified
+        WHERE hamming <= {max_hamming}
+    """
+
+
 def drift_sql(
     n_buckets: int = 10, eps: float = 1e-6, round_digits: int = 6
 ) -> str:

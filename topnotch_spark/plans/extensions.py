@@ -61,7 +61,7 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
     jaccard|containment|simhash|embedding|clusters|lines|spans|fuzzy|
-    phash, "idColumn",
+    phash|audio, "idColumn",
     "textColumn"|"vecColumn"|"binColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
     maxHamming/nPlanes/dim/maxShingleDf/roundDigits/sep/maxLineDf/
@@ -74,8 +74,10 @@ class DedupCmd(Command):
     reporting pairs. ``spans`` reports duplicated token windows
     (dedup.duplicate_spans, Lee et al. span-granular dedup). ``phash``
     is perceptual near-dup over image BLOBS (multimodal.phash_near_dups:
-    aHash/dHash via hashType, banded like simhash) — binColumn names
-    the binary column."""
+    aHash/dHash via hashType, banded like simhash); ``audio`` is
+    energy-envelope near-dup over audio blobs
+    (multimodal.audio_near_dups, nFrames frames) — binColumn names the
+    binary column for both."""
 
     input: Input = None  # type: ignore[assignment]
     index: Input | None = None
@@ -91,7 +93,7 @@ class DedupCmd(Command):
     METHODS = (
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
-        "fuzzy", "phash", "incremental",
+        "fuzzy", "phash", "audio", "incremental",
     )
 
     @classmethod
@@ -113,7 +115,7 @@ class DedupCmd(Command):
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
                 "minOccurrences", "nClusters", "maxDistance", "maxKeyDf",
-                "hashType", "grid",
+                "hashType", "grid", "nFrames",
             ),
             **cls._common(obj),
         )
@@ -152,6 +154,7 @@ class DedupCmd(Command):
             "spans": D.duplicate_spans,
             "fuzzy": self._fuzzy,
             "phash": self._phash,
+            "audio": self._audio,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -181,6 +184,12 @@ class DedupCmd(Command):
         from topnotch_spark.operators.multimodal import phash_near_dups
 
         return phash_near_dups(df, id_col, bin_col, **opts)
+
+    @staticmethod
+    def _audio(df: DataFrame, id_col: str, bin_col: str, **opts) -> DataFrame:
+        from topnotch_spark.operators.multimodal import audio_near_dups
+
+        return audio_near_dups(df, id_col, bin_col, **opts)
 
 
 @dataclass(frozen=True)
