@@ -163,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_by_source": oracles.vocab_oov_rate_sql(vocab_k=40),
         "multimodal_phash_dedup": oracles.multimodal_phash_dedup_sql(),
         "multimodal_audio_dedup": oracles.multimodal_audio_dedup_sql(),
+        "multimodal_video_dedup": oracles.multimodal_video_dedup_sql(),
         "drift_weekly_psi": oracles.psi_trend_sql(
             period="week", n_buckets=10
         ),

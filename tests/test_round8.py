@@ -305,6 +305,103 @@ def test_dedup_plan_audio_method(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Video keyframe-signature near-dup
+# ---------------------------------------------------------------------------
+
+def _vid(frame_pixel_lists):
+    from topnotch_spark.operators.multimodal import encode_tnvid
+
+    return encode_tnvid(8, 8, [bytes(p) for p in frame_pixel_lists])
+
+
+def test_video_frame_hashes_per_frame_and_sampling(spark):
+    """Each sampled frame gets the same ahash perceptual_hash would give
+    it standalone; every_n sampling controls the row count and the
+    n_hashed denominator."""
+    from topnotch_spark.operators.multimodal import video_frame_hashes
+
+    f0 = [224 if i % 2 == 0 else 32 for i in range(64)]
+    f1 = [224 if i % 3 == 0 else 32 for i in range(64)]
+    f2 = [224 if i % 5 == 0 else 32 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, _vid([f0, f1, f2]))], "media_id long, content binary"
+    )
+    rows = {r["frame_idx"]: r for r in video_frame_hashes(df).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    for idx, px in ((0, f0), (1, f1), (2, f2)):
+        total = sum(px)
+        want = "".join("1" if 64 * p > total else "0" for p in px)
+        assert rows[idx]["phash"] == want
+        assert rows[idx]["n_hashed"] == 3
+    sampled = video_frame_hashes(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
+    assert all(r["n_hashed"] == 2 for r in sampled)
+
+
+def test_video_near_dups_match_fraction(spark):
+    """Two videos sharing 2 of 3 frame signatures match at 2/3; a video
+    with all-different frames never pairs."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.multimodal import video_near_dups
+
+    f0 = [224 if i % 2 == 0 else 32 for i in range(64)]
+    f1 = [224 if i % 3 == 0 else 32 for i in range(64)]
+    f2 = [224 if i % 5 == 0 else 32 for i in range(64)]
+    f2_corrupt = list(f2)
+    f2_corrupt[7] = 255 - f2_corrupt[7]  # flips that frame's ahash bit
+    other = [[224 if i % 7 == 0 else 32 for i in range(64)]] * 3
+    df = spark.createDataFrame(
+        [
+            (1, _vid([f0, f1, f2])),
+            (2, _vid([f0, f1, f2_corrupt])),
+            (3, _vid(other)),
+        ],
+        "media_id long, content binary",
+    )
+    with dedup_scope():
+        out = video_near_dups(df, min_match_frac=0.5).collect()
+    assert [(r["id_1"], r["id_2"], r["n_matched"]) for r in out] == [(1, 2, 2)]
+    assert out[0]["match_frac"] == pytest.approx(round(2 / 3, 6))
+    with dedup_scope():
+        assert video_near_dups(df, min_match_frac=0.7).count() == 0
+
+
+def test_dedup_plan_video_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    f0 = [224 if i % 2 == 0 else 32 for i in range(64)]
+    f1 = [224 if i % 3 == 0 else 32 for i in range(64)]
+    alt = list(f1)
+    alt[11] = 255 - alt[11]
+    src = tmp_path / "vids.parquet"
+    spark.createDataFrame(
+        [(1, _vid([f0, f1])), (2, _vid([f0, alt]))],
+        "media_id long, content binary",
+    ).write.parquet(str(src))
+    plan = {
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {"ref": str(src), "onDisk": True},
+                "outputKey": "nearVids",
+                "params": {
+                    "method": "video",
+                    "idColumn": "media_id",
+                    "binColumn": "content",
+                    "minMatchFrac": 0.5,
+                },
+            }
+        ]
+    }
+    path = tmp_path / "video_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["nearVids"].collect()
+    assert [(r["id_1"], r["id_2"], r["n_matched"]) for r in out] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
 # Plan-parse-time method validation (uniform ValueError, never KeyError)
 # ---------------------------------------------------------------------------
 

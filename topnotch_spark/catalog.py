@@ -1021,6 +1021,61 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dups(clips, "doc_id", "content")
 
 
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (multimodal.video_near_dups): per-frame
+    integer-exact aHash signatures, matched per frame INDEX — the
+    keyframe-signature pass a video corpus runs after exact byte dedup.
+    Each document gets a deterministic 4-frame 8x8 TNVID built JVM-SIDE
+    as real container bytes (decoded back by the operator's mapInPandas
+    stub path): frame f's pixel pattern comes from md5(burst||'v'||f)
+    bits (burst = doc_id DIV 8, so an 8-video burst shares all frame
+    patterns), and each video corrupts one pixel (at doc_id % 64) in 1
+    or 3 of its frames (doc_id%4, plus the next two frames for odd
+    doc_ids). Within-burst pairs therefore agree on 0-3 of 4 frame
+    signatures: the ≥ 0.5 match-rate pairs are kept, 1-vs-3-corruption
+    pairs fall below the bar and exercise the filter; cross-burst
+    signatures never collide."""
+    from topnotch_spark.operators.multimodal import video_near_dups
+
+    gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
+    d = F.col("doc_id")
+    frames = []
+    for f in range(4):
+        hex64 = F.concat(
+            F.md5(F.concat(gs, F.lit(f"v{f}"))),
+            F.md5(F.concat(gs, F.lit(f"v{f}x"))),
+        )
+        corrupted = ((d % 4) == f) | (
+            (d % 2 == 1) & ((((d + 1) % 4) == f) | (((d + 2) % 4) == f))
+        )
+        frames.append(
+            F.concat(
+                *[
+                    F.when(
+                        corrupted & ((d % 64) == k),
+                        F.when(
+                            F.substring(hex64, k + 1, 1) >= F.lit("8"),
+                            F.lit("1F"),
+                        ).otherwise(F.lit("DF")),
+                    ).otherwise(
+                        F.when(
+                            F.substring(hex64, k + 1, 1) >= F.lit("8"),
+                            F.lit("E0"),
+                        ).otherwise(F.lit("20"))
+                    )
+                    for k in range(64)
+                ]
+            )
+        )
+    vids = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(
+            F.concat(F.lit("544E564944000400080008"), *frames)
+        ).alias("content"),
+    )
+    return video_near_dups(vids, "doc_id", "content")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming extensions (SURVEY.md §2.3): the events table is
 # replayed as a file-source stream (3 time-split files, availableNow) and
@@ -2585,4 +2640,5 @@ ALL = {
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
     "multimodal_audio_dedup": multimodal_audio_dedup,
+    "multimodal_video_dedup": multimodal_video_dedup,
 }

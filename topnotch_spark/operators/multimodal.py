@@ -250,6 +250,24 @@ def sample_video_frames(
     return df.mapInPandas(fn, out_schema)
 
 
+def _image_hash_bits(img: "np.ndarray", hash_type: str, grid: int) -> str:
+    """Grid-sample a 2-D uint8 image and bit it: ahash = px > mean
+    (integer-exact: grid²·px > Σpx), dhash = row[j] > row[j+1] over a
+    grid x (grid+1) sample. Shared by [perceptual_hash] (one image per
+    blob) and [video_frame_hashes] (one per sampled frame)."""
+    h, w = img.shape
+    yi = (np.arange(grid) * h) // grid
+    if hash_type == "ahash":
+        xi = (np.arange(grid) * w) // grid
+        s = img[np.ix_(yi, xi)].astype(np.int64)
+        bits = (grid * grid * s > int(s.sum())).ravel()
+    else:  # dhash: one extra column, compare neighbors
+        xi = (np.arange(grid + 1) * w) // (grid + 1)
+        s = img[np.ix_(yi, xi)].astype(np.int64)
+        bits = (s[:, :-1] > s[:, 1:]).ravel()
+    return "".join("1" if b else "0" for b in bits)
+
+
 def perceptual_hash(
     df: DataFrame,
     bin_col: str = "content",
@@ -297,18 +315,9 @@ def perceptual_hash(
                 img = np.frombuffer(
                     d["payload"][: w * h], dtype=np.uint8
                 ).reshape(h, w)
-                yi = (np.arange(grid) * h) // grid
-                if hash_type == "ahash":
-                    xi = (np.arange(grid) * w) // grid
-                    s = img[np.ix_(yi, xi)].astype(np.int64)
-                    bits = (grid * grid * s > int(s.sum())).ravel()
-                else:  # dhash: one extra column, compare neighbors
-                    xi = (np.arange(grid + 1) * w) // (grid + 1)
-                    s = img[np.ix_(yi, xi)].astype(np.int64)
-                    bits = (s[:, :-1] > s[:, 1:]).ravel()
                 rows.append(
                     {**{c: v[i] for c, v in zip(keep, keep_vals)},
-                     "phash": "".join("1" if b else "0" for b in bits)}
+                     "phash": _image_hash_bits(img, hash_type, grid)}
                 )
             if rows:
                 yield pd.DataFrame(rows)
@@ -354,6 +363,123 @@ def phash_near_dups(
         ).select(F.col(id_col).alias("id"), F.col("phash").alias("sh"))
     )
     return bitstring_band_pairs(base, bits, band_bits, max_hamming)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    bin_col: str = "content",
+    keep_cols: tuple[str, ...] = ("media_id",),
+    hash_type: str = "ahash",
+    grid: int = 8,
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual hashes of TNVID blobs: every ``every_n``-th
+    frame is grid-sampled and bitted with the same integer-exact
+    ahash/dhash as [perceptual_hash]. Emits keep_cols + (frame_idx int,
+    phash string, n_hashed int) — one row per sampled frame, n_hashed =
+    frames sampled from that video (the denominator a signature match
+    rate needs). mapInPandas, narrow; frames never leave the scan
+    partition as separate blobs."""
+    if hash_type not in ("ahash", "dhash"):
+        raise ValueError(
+            f"video_frame_hashes: hash_type must be 'ahash' or 'dhash', "
+            f"got {hash_type!r}"
+        )
+    keep = list(keep_cols)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {types[c]}" for c in keep]
+        + ["frame_idx int", "phash string", "n_hashed int"]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            keep_vals = [pdf[c].values for c in keep]
+            for j, blob in enumerate(pdf[bin_col].values):
+                d = _decode_one(bytes(blob))
+                if d["media_type"] != "application/x-tnvid":
+                    raise ValueError(
+                        "video_frame_hashes expects TNVID blobs (got "
+                        f"{d['media_type']})"
+                    )
+                w, h, nf = d["width"], d["height"], d["n_frames"]
+                fsize = w * h
+                idxs = list(range(0, nf, every_n))
+                for i in idxs:
+                    img = np.frombuffer(
+                        d["payload"][i * fsize : (i + 1) * fsize],
+                        dtype=np.uint8,
+                    ).reshape(h, w)
+                    rows.append(
+                        {**{c: v[j] for c, v in zip(keep, keep_vals)},
+                         "frame_idx": i,
+                         "phash": _image_hash_bits(img, hash_type, grid),
+                         "n_hashed": len(idxs)}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def video_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    hash_type: str = "ahash",
+    grid: int = 8,
+    every_n: int = 1,
+    min_match_frac: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Video near-duplicate pairs via keyframe-signature matching:
+    [video_frame_hashes] per blob, then videos are paired when the SAME
+    frame index carries the SAME perceptual hash — re-encoded or
+    lightly-corrupted copies of a clip agree on most frame signatures
+    (mild pixel noise is absorbed by the ahash itself), while distinct
+    clips collide on none. Returns (id_1, id_2, n_matched, match_frac),
+    id_1 < id_2, match_frac = matched frames / max(frames hashed on
+    either side) ≥ ``min_match_frac``.
+
+    Execution shape (100 TB): hashing is a narrow mapInPandas; only the
+    (id, frame_idx, 64-char hash) table enters the candidate equi-join
+    on (frame_idx, phash) — the bucket is videos sharing an identical
+    frame signature, so the join is |real matches|-sized, never
+    all-pairs. The frame-hash table is registered in the dedup persist
+    registry (it feeds both join sides); consume inside
+    ``dedup_scope()`` or call ``unpersist_intermediates()`` to release
+    it."""
+    from topnotch_spark.operators.dedup import _persist
+
+    fh = _persist(
+        video_frame_hashes(
+            df, bin_col, keep_cols=(id_col,), hash_type=hash_type,
+            grid=grid, every_n=every_n,
+        ).select(
+            F.col(id_col).alias("id"), "frame_idx", "phash", "n_hashed"
+        )
+    )
+    a = fh.select(
+        F.col("id").alias("id_1"), "frame_idx", "phash",
+        F.col("n_hashed").alias("n_1"),
+    )
+    b = fh.select(
+        F.col("id").alias("id_2"), "frame_idx", "phash",
+        F.col("n_hashed").alias("n_2"),
+    )
+    matched = (
+        a.join(b, ["frame_idx", "phash"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2", "n_1", "n_2")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    frac = F.round(
+        F.col("n_matched") / F.greatest("n_1", "n_2"), round_digits
+    )
+    return matched.select(
+        "id_1", "id_2", "n_matched", frac.alias("match_frac")
+    ).filter(F.col("match_frac") >= min_match_frac)
 
 
 def audio_fingerprint(

@@ -1599,6 +1599,67 @@ def multimodal_audio_dedup_sql(
     """
 
 
+def multimodal_video_dedup_sql(
+    grid: int = 8, n_frames: int = 4, min_match_frac: float = 0.5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.multimodal_video_dedup: rebuild each synthetic
+    video's per-frame PIXEL VALUES from the same md5(burst||'v'||f)
+    pattern + corrupted-frame flip formula the Spark side packs into
+    TNVID blobs, per-frame integer ahash, then pair videos on equal
+    (frame_idx, signature) and keep match_frac >= the threshold."""
+    bits = grid * grid
+    return f"""
+        WITH ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
+        fs AS (SELECT unnest(generate_series(0, {n_frames - 1})) AS f),
+        hx AS (
+          SELECT doc_id, f,
+                 md5(CAST(doc_id // 8 AS VARCHAR) || 'v'
+                     || CAST(f AS VARCHAR))
+                   || md5(CAST(doc_id // 8 AS VARCHAR) || 'v'
+                          || CAST(f AS VARCHAR) || 'x') AS h64,
+                 (f = doc_id % 4
+                  OR (doc_id % 2 = 1
+                      AND (f = (doc_id + 1) % 4 OR f = (doc_id + 2) % 4))
+                 ) AS corrupted
+          FROM documents, fs
+        ),
+        px AS (
+          SELECT doc_id, f, k,
+            CASE WHEN corrupted AND doc_id % {bits} = k
+              THEN CASE WHEN substr(h64, k + 1, 1) >= '8'
+                        THEN 31 ELSE 223 END
+              ELSE CASE WHEN substr(h64, k + 1, 1) >= '8'
+                        THEN 224 ELSE 32 END
+            END AS p
+          FROM hx, ks
+        ),
+        tot AS (
+          SELECT doc_id, f, sum(p) AS t FROM px GROUP BY doc_id, f
+        ),
+        sig AS (
+          SELECT px.doc_id, px.f,
+                 string_agg(CASE WHEN {bits} * p > t THEN '1' ELSE '0' END,
+                            '' ORDER BY k) AS sh
+          FROM px JOIN tot USING (doc_id, f)
+          GROUP BY px.doc_id, px.f
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                 count(*) AS n_matched
+          FROM sig a
+          JOIN sig b ON a.f = b.f AND a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_1, id_2, n_matched,
+               round(n_matched * 1.0 / {n_frames}, {round_digits})
+                 AS match_frac
+        FROM pairs
+        WHERE round(n_matched * 1.0 / {n_frames}, {round_digits})
+                >= {min_match_frac}
+    """
+
+
 def drift_sql(
     n_buckets: int = 10, eps: float = 1e-6, round_digits: int = 6
 ) -> str:

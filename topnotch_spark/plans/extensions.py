@@ -61,7 +61,7 @@ def _opt(params: dict, *names: str) -> dict[str, Any]:
 class DedupCmd(Command):
     """{"command": "dedup", "params": {"method": exact|fingerprint|minhash|
     jaccard|containment|simhash|embedding|clusters|lines|spans|fuzzy|
-    phash|audio, "idColumn",
+    phash|audio|video, "idColumn",
     "textColumn"|"vecColumn"|"binColumn",
     + method options (numHashes/bands/threshold/shingleN/bits/bandBits/
     maxHamming/nPlanes/dim/maxShingleDf/roundDigits/sep/maxLineDf/
@@ -76,8 +76,10 @@ class DedupCmd(Command):
     is perceptual near-dup over image BLOBS (multimodal.phash_near_dups:
     aHash/dHash via hashType, banded like simhash); ``audio`` is
     energy-envelope near-dup over audio blobs
-    (multimodal.audio_near_dups, nFrames frames) — binColumn names the
-    binary column for both."""
+    (multimodal.audio_near_dups, nFrames frames); ``video`` is
+    keyframe-signature near-dup over video blobs
+    (multimodal.video_near_dups, everyN/minMatchFrac) — binColumn
+    names the binary column for all three."""
 
     input: Input = None  # type: ignore[assignment]
     index: Input | None = None
@@ -93,7 +95,7 @@ class DedupCmd(Command):
     METHODS = (
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
-        "fuzzy", "phash", "audio", "incremental",
+        "fuzzy", "phash", "audio", "video", "incremental",
     )
 
     @classmethod
@@ -115,7 +117,7 @@ class DedupCmd(Command):
                 "bandBits", "maxHamming", "nPlanes", "dim", "maxShingleDf",
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
                 "minOccurrences", "nClusters", "maxDistance", "maxKeyDf",
-                "hashType", "grid", "nFrames",
+                "hashType", "grid", "nFrames", "everyN", "minMatchFrac",
             ),
             **cls._common(obj),
         )
@@ -155,6 +157,7 @@ class DedupCmd(Command):
             "fuzzy": self._fuzzy,
             "phash": self._phash,
             "audio": self._audio,
+            "video": self._video,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -190,6 +193,12 @@ class DedupCmd(Command):
         from topnotch_spark.operators.multimodal import audio_near_dups
 
         return audio_near_dups(df, id_col, bin_col, **opts)
+
+    @staticmethod
+    def _video(df: DataFrame, id_col: str, bin_col: str, **opts) -> DataFrame:
+        from topnotch_spark.operators.multimodal import video_near_dups
+
+        return video_near_dups(df, id_col, bin_col, **opts)
 
 
 @dataclass(frozen=True)
