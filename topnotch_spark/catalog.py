@@ -2489,14 +2489,15 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                 (text_bm25_topk .. vocab_oov_by_source; each was
 #                 strict-hash-verified in r6/r7 sessions, but the driver
 #                 gate had never recorded them);
-#   slots 8-37  — the 30 entries whose last driver row is r04
+#   slots 10-39 — the 30 entries whose last driver row is r04
 #                 (assertion/diff family, view_tpch_q1, dedup/similarity
 #                 core, computed by scanning CORRECTNESS_r01..r07 keys);
-#   slot 7      — multimodal_phash_dedup, new this round (no driver row
-#                 yet; strict-hash-exact at both SFs);
-#   slots 38-50 — the 13 alphabetically-first entries whose last driver
-#                 row is r05 (asof_error_click .. fuzzy_customer_names
-#                 displaced to 51+ by the slot-7 insert).
+#   slots 7-9   — multimodal_phash_dedup / _audio_dedup / _video_dedup,
+#                 new this round (no driver rows yet; each
+#                 strict-hash-exact at both SFs);
+#   slots 40-50 — the 11 alphabetically-first entries whose last driver
+#                 row is r05 (asof_error_click ..; the next three
+#                 displaced to 51+ by the new-query inserts).
 # With this rotation, every catalog query ever written has at least one
 # driver-side CORRECTNESS row, and the staleness frontier moves to r05.
 # Entries 51+ all carry an r05+ driver row AND are covered each round by
@@ -2510,6 +2511,8 @@ ALL = {
     "quality_calibrated_ranks": quality_calibrated_ranks,
     "vocab_oov_by_source": vocab_oov_by_source,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "multimodal_audio_dedup": multimodal_audio_dedup,
+    "multimodal_video_dedup": multimodal_video_dedup,
     "assertion_invalid_rows": assertion_invalid_rows,
     "assertion_metrics": assertion_metrics,
     "assertion_window_context": assertion_window_context,
@@ -2639,6 +2642,4 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
-    "multimodal_audio_dedup": multimodal_audio_dedup,
-    "multimodal_video_dedup": multimodal_video_dedup,
 }
