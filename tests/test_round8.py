@@ -402,6 +402,83 @@ def test_dedup_plan_video_method(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """Two runs, overlapping docs: fused score = sum of nano-rounded
+    1/(60+rank) contributions; a doc found by both runs outranks a
+    better-single-run doc; ties break on doc_id."""
+    from topnotch_spark.operators.retrieval import rrf_fuse
+
+    run1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    run2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([run1, run2]).collect()}
+
+    def contrib(rank):
+        return round(1_000_000_000.0 / (60 + rank))
+
+    want = {
+        10: contrib(1),
+        11: contrib(2) + contrib(1),
+        12: contrib(3),
+        13: contrib(2),
+    }
+    for d, micro in want.items():
+        assert out[d]["rrf_score"] == pytest.approx(
+            round(micro / 1_000_000_000.0, 6)
+        ), d
+    assert out[11]["rank"] == 1 and out[11]["n_runs"] == 2
+    assert out[10]["rank"] == 2  # single-run rank-1 loses to the 2-run doc
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+
+
+def test_fuse_plan_command(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+    from topnotch_spark.plans.extensions import FuseCmd
+
+    with pytest.raises(ValueError, match="at least 2"):
+        FuseCmd.from_json(
+            {"command": "fuse", "runs": [{"ref": "a", "onDisk": False}],
+             "outputKey": "o", "params": {}}
+        )
+    r1 = tmp_path / "run1.parquet"
+    r2 = tmp_path / "run2.parquet"
+    spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    ).write.parquet(str(r1))
+    spark.createDataFrame(
+        [(1, 11, 1)], "query_id long, doc_id long, rank int"
+    ).write.parquet(str(r2))
+    plan = {
+        "commands": [
+            {
+                "command": "fuse",
+                "runs": [
+                    {"ref": str(r1), "onDisk": True},
+                    {"ref": str(r2), "onDisk": True},
+                ],
+                "outputKey": "fused",
+                "params": {"topk": 5},
+            }
+        ]
+    }
+    path = tmp_path / "fuse_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    rows = {r["doc_id"]: r for r in engine.registry["fused"].collect()}
+    assert rows[11]["rank"] == 1 and rows[11]["n_runs"] == 2
+    assert rows[10]["rank"] == 2
+
+
+# ---------------------------------------------------------------------------
 # Plan-parse-time method validation (uniform ValueError, never KeyError)
 # ---------------------------------------------------------------------------
 

@@ -971,6 +971,28 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(imgs, "doc_id", "content")
 
 
+def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (retrieval.rrf_fuse,
+    Cormack et al. 2009): the BM25 sparse run over documents fused with
+    a dense cosine top-k run over embeddings for the same query ids —
+    rank-space fusion needs no score calibration, and nano-unit integer
+    contribution sums keep the fused ranking engine-exact. Fusion cost
+    is |queries|·k·2 rows regardless of corpus size; the runs themselves
+    are the scale path (each already audited)."""
+    from topnotch_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from topnotch_spark.operators.similarity import brute_force_topk
+
+    sparse = bm25_topk(
+        spark, load(spark, sf_dir, "documents"), BM25_QUERIES, k=10
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [qid for qid, _ in BM25_QUERIES]
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], k=60, topk=10)
+
+
 def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs (multimodal.audio_near_dups): integer-exact
     energy-envelope fingerprint over TNAUD blobs (32 frames x 2 samples,
@@ -2642,4 +2664,5 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
+    "retrieval_rrf_fused": retrieval_rrf_fused,
 }

@@ -136,3 +136,76 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of retrieval runs (Cormack, Clarke &
+    Büttcher, SIGIR 2009): fused score(q, d) = Σ over runs of
+    1 / (k + rank_run(q, d)), the standard hybrid-retrieval combiner —
+    it needs only RANKS, so sparse (BM25) and dense (embedding) runs
+    fuse without score calibration, and a document found by several
+    runs beats one found by a single run. k = 60 is the published
+    default that damps rank-1 dominance.
+
+    Each run is a DataFrame carrying ``query_col``/``doc_col``/
+    ``rank_col`` (extra columns ignored, e.g. bm25_topk / ANN top-k
+    outputs). Returns (query_id, doc_id, rrf_score, n_runs, rank):
+    n_runs = how many runs retrieved the pair, rank = fused rank per
+    query (score desc, doc asc), kept to ``topk``.
+
+    Determinism contract: per-run contributions are rounded to
+    NANO-UNIT INTEGERS (round(1e9/(k+rank))) and summed as longs, so
+    the fused score is independent of partial-aggregation order on any
+    engine; the fused rank orders by the exact integer, not the
+    rounded double.
+
+    Execution shape (100 TB): a union of top-k run outputs is
+    |queries|·k·|runs| rows — tiny relative to any corpus — followed by
+    ONE groupBy(query, doc) and one per-query window over ≤ k·|runs|
+    rows per query. The expensive part of hybrid retrieval is the runs
+    themselves; fusion adds no corpus-sized work."""
+    if not runs:
+        raise ValueError("rrf_fuse: runs must be non-empty")
+    micro = F.round(F.lit(1_000_000_000.0) / (F.lit(k) + F.col("__rank__")), 0)
+    tagged = None
+    for r in runs:
+        one = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).alias("__rank__"),
+        )
+        tagged = one if tagged is None else tagged.unionByName(one)
+    scored = (
+        tagged.select(
+            "query_id", "doc_id", micro.cast("long").alias("__m__")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("__m__").alias("__micro__"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__micro__").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__micro__") / 1_000_000_000.0, round_digits).alias(
+                "rrf_score"
+            ),
+            "n_runs",
+            "rank",
+        )
+    )

@@ -1463,6 +1463,61 @@ def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """
 
 
+def retrieval_rrf_sql(
+    queries: list[tuple[int, str]],
+    dim: int = 64,
+    k: int = 10,
+    rrf_k: int = 60,
+    topk: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.retrieval_rrf_fused: the bm25_topk oracle as a
+    parenthesized subquery (its own WITH nests fine in DuckDB), a dense
+    cosine top-k over the same query ids, then the identical nano-unit
+    integer RRF sum and exact-integer fused ranking."""
+    ids = ", ".join(str(qid) for qid, _ in queries)
+    return f"""
+        WITH bm AS (
+          SELECT query_id, doc_id, rank
+          FROM ({bm25_topk_sql(queries, k=k)}) t
+        ),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id IN ({ids})
+        ),
+        dpairs AS (
+          SELECT q.query_id, c.vec_id AS doc_id,
+                 round({cosine('q.qv', 'c.embedding', dim)},
+                       {round_digits}) AS cos_sim
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+        ),
+        ann AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_sim DESC, doc_id ASC) AS INTEGER) AS rank
+            FROM dpairs
+          ) ranked WHERE rank <= {k}
+        ),
+        allr AS (SELECT * FROM bm UNION ALL SELECT * FROM ann),
+        sc AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(CAST(round(1000000000.0 / ({rrf_k} + rank), 0)
+                               AS BIGINT)) AS BIGINT) AS micro,
+                 count(*) AS n_runs
+          FROM allr GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id,
+               round(micro / 1000000000.0, {round_digits}) AS rrf_score,
+               n_runs,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY micro DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM sc
+        QUALIFY rank <= {topk}
+    """
+
+
 def multimodal_phash_dedup_sql(
     grid: int = 8, band_bits: int = 16, max_hamming: int = 3
 ) -> str:

@@ -357,6 +357,54 @@ class SimilarityCmd(Command):
 
 
 @dataclass(frozen=True)
+class FuseCmd(Command):
+    """{"command": "fuse", "runs": [<input>, <input>, ...], "params":
+    {["queryColumn", "docColumn", "rankColumn", "k", "topk",
+    "roundDigits"]}} — Reciprocal Rank Fusion of 2+ retrieval runs
+    (retrieval.rrf_fuse): each run input carries
+    (queryColumn, docColumn, rankColumn) rows, e.g. the outputs of
+    ``retrieve`` and ``similarity`` commands read back from the
+    registry; emits the fused (query_id, doc_id, rrf_score, n_runs,
+    rank) top-k."""
+
+    runs: tuple[Input, ...] = ()
+    query_column: str = "query_id"
+    doc_column: str = "doc_id"
+    rank_column: str = "rank"
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return list(self.runs)
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "FuseCmd":
+        p = obj.get("params", {})
+        runs = tuple(Input.from_json(r) for r in obj.get("runs", ()))
+        if len(runs) < 2:
+            raise ValueError("fuse: at least 2 run inputs are required")
+        return cls(
+            runs=runs,
+            query_column=p.get("queryColumn", "query_id"),
+            doc_column=p.get("docColumn", "doc_id"),
+            rank_column=p.get("rankColumn", "rank"),
+            options=_opt(p, "k", "topk", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.retrieval import rrf_fuse
+
+        return rrf_fuse(
+            [load_input(engine.spark, r, engine.registry) for r in self.runs],
+            query_col=self.query_column,
+            doc_col=self.doc_column,
+            rank_col=self.rank_column,
+            **self.options,
+        )
+
+
+@dataclass(frozen=True)
 class AsofCmd(Command):
     """{"command": "asof", "left": <input>, "right": <input>,
     "params": {"on": [...], "leftTs", "rightTs", "rightCols",
@@ -1671,6 +1719,7 @@ def register() -> None:
     EXTENSION_COMMANDS.update(
         {
             "retrieve": RetrieveCmd.from_json,
+            "fuse": FuseCmd.from_json,
             "dedup": DedupCmd.from_json,
             "bloom": MembershipCmd.from_json,
             "text": TextCmd.from_json,
