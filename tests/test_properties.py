@@ -563,3 +563,35 @@ def test_cdc_apply_matches_sequential_replay(spark, ops):
         out = snap
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == state
+
+
+@settings(**SETTINGS)
+@given(
+    hashes=st.lists(
+        st.integers(0, (1 << 32) - 1), min_size=2, max_size=24, unique=True
+    ),
+    max_hamming=st.integers(0, 3),
+)
+def test_bitstring_banding_recall_complete(spark, hashes, max_hamming):
+    """Pigeonhole recall guarantee of the shared LSH tail: with 4 bands
+    of 8 bits, EVERY pair within Hamming distance bands-1 = 3 must be
+    found, and every reported (pair, hamming) must equal the true
+    Hamming distance — checked against a brute-force all-pairs model."""
+    from topnotch_spark.operators.dedup import bitstring_band_pairs
+
+    bits = 32
+    rows = [(i, format(h, "032b")) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "id long, sh string")
+    got = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in bitstring_band_pairs(df, bits, 8, max_hamming).collect()
+    }
+    truth = {}
+    for i, ha in enumerate(hashes):
+        for j in range(i + 1, len(hashes)):
+            d = bin(ha ^ hashes[j]).count("1")
+            if d <= max_hamming:
+                truth[(i, j)] = d
+    # completeness: hamming <= bands-1 (= 3 >= max_hamming) implies a
+    # shared band, so every qualifying pair MUST be reported
+    assert got == truth
