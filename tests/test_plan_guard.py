@@ -114,6 +114,9 @@ BNLJ_SMALL_FRAME = {
     "similarity_ivf": "query frame = vec_id < 5; centroid seeds TakeOrdered",
     "dedup_semantic": "centroid seed frame = deterministic k-row sample",
     "decontaminate_embedding": "benchmark frame = bounded holdout slice",
+    "retrieval_rrf_fused": (
+        "dense run's query frame = 3 fixed BM25 query ids (vec_id isin)"
+    ),
 }
 
 
