@@ -165,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_dedup": oracles.multimodal_audio_dedup_sql(),
         "multimodal_video_dedup": oracles.multimodal_video_dedup_sql(),
         "retrieval_rrf_fused": oracles.retrieval_rrf_sql(catalog.BM25_QUERIES),
+        "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(),
         "drift_weekly_psi": oracles.psi_trend_sql(
             period="week", n_buckets=10
         ),

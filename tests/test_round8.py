@@ -543,3 +543,90 @@ def test_referential_integrity_duplicate_parent_keys_no_fanout(spark):
     assert row["n_null_fk"] == 1
     assert row["n_orphans"] == 1  # fk=2
     assert row["orphan_frac"] == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates_and_merges(spark):
+    """Estimates >= true counts always; at generous width they are
+    exact; merging two halves equals building over the whole."""
+    from topnotch_spark.operators.sketch import cms_build, cms_merge, cms_query
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"k{i % 7}") for i in range(140)]  # k0..k6, 20 each
+    df = spark.createDataFrame(rows, "rid long, key string")
+    cms = cms_build(df, "key", width=4096, depth=4)
+    keys = spark.createDataFrame(
+        [(f"k{j}",) for j in range(7)] + [("absent",)], "key string"
+    )
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_query(keys, "key", "key", cms, width=4096, depth=4).collect()
+    }
+    assert all(est[f"k{j}"] == 20 for j in range(7))
+    assert est["absent"] == 0
+    # mergeability: build halves, sum cells, same estimates
+    h1 = cms_build(df.filter("rid < 70"), "key", width=4096, depth=4)
+    h2 = cms_build(df.filter("rid >= 70"), "key", width=4096, depth=4)
+    merged = cms_merge([h1, h2])
+    est2 = {
+        r["key"]: r["est_count"]
+        for r in cms_query(
+            keys, "key", "key", merged, width=4096, depth=4
+        ).collect()
+    }
+    assert est2 == est
+    # tiny width forces collisions: still never underestimates
+    small = cms_build(df, "key", width=4, depth=2)
+    est3 = {
+        r["key"]: r["est_count"]
+        for r in cms_query(keys, "key", "key", small, width=4, depth=2).collect()
+    }
+    assert all(est3[f"k{j}"] >= 20 for j in range(7))
+    with pytest.raises(ValueError, match="non-empty"):
+        from topnotch_spark.operators.sketch import cms_merge as cm
+
+        cm([])
+
+
+def test_cms_plan_command(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+    from topnotch_spark.plans.extensions import CmsCmd
+
+    with pytest.raises(ValueError, match="cms: unknown method"):
+        CmsCmd.from_json(
+            {"command": "cms", "input": {"ref": "x", "onDisk": False},
+             "outputKey": "o", "params": {"method": "probe", "keyColumn": "k"}}
+        )
+    src = tmp_path / "keys.parquet"
+    spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(30)], "id long, k string"
+    ).write.parquet(str(src))
+    plan = {
+        "commands": [
+            {
+                "command": "cms",
+                "input": {"ref": str(src), "onDisk": True},
+                "outputKey": "cells",
+                "params": {"method": "build", "keyColumn": "k",
+                           "width": 512, "depth": 3},
+            },
+            {
+                "command": "cms",
+                "input": {"ref": str(src), "onDisk": True},
+                "sketch": {"ref": "cells", "onDisk": False},
+                "outputKey": "ests",
+                "params": {"method": "query", "keyColumn": "k",
+                           "idColumn": "id", "width": 512, "depth": 3},
+            },
+        ]
+    }
+    path = tmp_path / "cms_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    ests = engine.registry["ests"].collect()
+    assert len(ests) == 30
+    assert all(r["est_count"] == 10 for r in ests)

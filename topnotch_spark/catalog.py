@@ -971,6 +971,41 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(imgs, "doc_id", "content")
 
 
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the 10 hottest order customers
+    (sketch.cms_build/cms_query): the mergeable heavy-hitter sketch next
+    to the HLL distinct sketch and the Bloom seen-set — build once per
+    ingest batch, sum cells to merge, estimate without re-reading the
+    corpus. Unlike the HLL this sketch is md5-double-hash deterministic,
+    so the DuckDB oracle reproduces every cell and estimate bit-exactly.
+    Output (o_custkey, exact_count, est_count, overestimate) shows the
+    one-sided error live: est_count >= exact_count always, excess
+    bounded by colliding keys (~N/width per row, min over depth)."""
+    from topnotch_spark.operators.dedup import _persist
+    from topnotch_spark.operators.sketch import cms_build, cms_query
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    key = F.col("o_custkey").cast("string")
+    cms = cms_build(orders, key, width=1024, depth=4)
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    # TakeOrdered top-10 (never a global sort); persisted — it feeds the
+    # probe AND the final join-back
+    top = _persist(
+        counts.orderBy(
+            F.col("exact_count").desc(), F.col("o_custkey").asc()
+        ).limit(10)
+    )
+    est = cms_query(top, "o_custkey", key, cms, width=1024, depth=4)
+    return top.join(est, "o_custkey").select(
+        "o_custkey",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
 def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion (retrieval.rrf_fuse,
     Cormack et al. 2009): the BM25 sparse run over documents fused with
@@ -2665,4 +2700,5 @@ ALL = {
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
     "retrieval_rrf_fused": retrieval_rrf_fused,
+    "cms_heavy_hitters": cms_heavy_hitters,
 }

@@ -81,3 +81,92 @@ def distinct_rollup(
         build_distinct_sketches(df, detail_cols, value_col, lg_k),
         rollup_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+#
+# The heavy-hitter companion to the HLL distinct sketch and the Bloom
+# seen-set: a depth x width grid of counters answering "about how many
+# times has key k appeared" with one-sided error (never UNDER-estimates;
+# over-estimate bounded by ~N/width per row, min over depth rows).
+# Unlike the HLL binary, every cell is a plain integer derived from the
+# same md5 double hashing as operators/membership.py, so the whole
+# sketch — and every estimate — is bit-exact reproducible in any ANSI
+# engine and the catalog query carries a full DuckDB oracle.
+#
+# Mergeability: cells add — union parts and sum per (row_idx, col_idx).
+# The 100 TB pattern mirrors the HLL one: build per ingest batch, keep
+# the (depth x width)-row cell table, merge forever after; frequency
+# questions never re-read the raw corpus.
+
+
+def cms_build(
+    df: DataFrame,
+    key,
+    width: int = 1024,
+    depth: int = 4,
+    prehashed: bool = False,
+) -> DataFrame:
+    """Build the sketch: (row_idx, col_idx, cnt) cells, only non-zero
+    cells present (≤ depth·width rows regardless of corpus size). One
+    posexplode (depth rows per input row) + ONE map-side-combined
+    groupBy. Positions are Kirsch-Mitzenmacher double hashes of
+    md5(key) — row j probes col (h1 + j·h2) mod width."""
+    from topnotch_spark.operators.membership import _positions
+
+    keyc = F.col(key) if isinstance(key, str) else key
+    pos = df.select(
+        F.posexplode(_positions(keyc, width, depth, prehashed)).alias(
+            "row_idx", "col_idx"
+        )
+    )
+    return pos.groupBy("row_idx", "col_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(parts: list[DataFrame]) -> DataFrame:
+    """Merge sketches built with the SAME (width, depth): cells add."""
+    if not parts:
+        raise ValueError("cms_merge: parts must be non-empty")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("row_idx", "col_idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_query(
+    df: DataFrame,
+    id_col: str,
+    key,
+    cms: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    prehashed: bool = False,
+) -> DataFrame:
+    """Estimate each row's key frequency: (id, est_count) with
+    est_count = min over the depth rows of the probed cell (0 when a
+    cell is absent — the key was never seen). ``width``/``depth`` MUST
+    match the build. The sketch broadcasts (≤ depth·width rows); the
+    query side streams — same never-reshuffle-the-corpus shape as the
+    Bloom probe."""
+    from topnotch_spark.operators.membership import _positions
+
+    keyc = F.col(key) if isinstance(key, str) else key
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(_positions(keyc, width, depth, prehashed)).alias(
+            "row_idx", "col_idx"
+        ),
+    )
+    return (
+        pos.join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+        )
+    )

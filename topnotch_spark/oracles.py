@@ -1463,6 +1463,50 @@ def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """
 
 
+def cms_heavy_hitters_sql(
+    width: int = 1024, depth: int = 4, k: int = 10
+) -> str:
+    """Mirror of catalog.cms_heavy_hitters: identical double-hashed
+    (row, col) cells over md5(CAST(o_custkey AS VARCHAR)), exact top-k
+    keys with a deterministic tiebreak, estimate = min probed cell."""
+    h1 = "('0x' || substr(md5(key), 1, 15))::BIGINT"
+    h2 = "(('0x' || substr(md5(key), 16, 15))::BIGINT * 2 + 1)"
+    return f"""
+        WITH keyed AS (
+          SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders
+        ),
+        cells AS (
+          SELECT j AS row_idx,
+                 (({h1}) + j * ({h2})) % {width} AS col_idx,
+                 count(*) AS cnt
+          FROM keyed, unnest(generate_series(0, {depth - 1})) AS t(j)
+          GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT o_custkey, count(*) AS exact_count
+          FROM orders GROUP BY o_custkey
+          ORDER BY exact_count DESC, o_custkey ASC LIMIT {k}
+        ),
+        probes AS (
+          SELECT o_custkey, exact_count, j,
+                 (({h1}) + j * ({h2})) % {width} AS col_idx
+          FROM (SELECT o_custkey, exact_count,
+                       CAST(o_custkey AS VARCHAR) AS key FROM top) tp,
+               unnest(generate_series(0, {depth - 1})) AS t(j)
+        ),
+        est AS (
+          SELECT p.o_custkey, p.exact_count,
+                 min(coalesce(c.cnt, 0)) AS est_count
+          FROM probes p
+          LEFT JOIN cells c ON c.row_idx = p.j AND c.col_idx = p.col_idx
+          GROUP BY p.o_custkey, p.exact_count
+        )
+        SELECT o_custkey, exact_count, est_count,
+               est_count - exact_count AS overestimate
+        FROM est
+    """
+
+
 def retrieval_rrf_sql(
     queries: list[tuple[int, str]],
     dim: int = 64,

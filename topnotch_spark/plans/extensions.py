@@ -1179,6 +1179,66 @@ class CorpusStatsCmd(Command):
 
 
 @dataclass(frozen=True)
+class CmsCmd(Command):
+    """{"command": "cms", "input": <input>, "params": {"method":
+    build|query, "keyColumn", ["idColumn", "width", "depth"]},
+    ["sketch": <input>]} — mergeable Count-Min frequency sketch
+    (operators/sketch.cms_build/cms_query). ``build`` emits the
+    (row_idx, col_idx, cnt) cell table (persist it via outputs; merge
+    batches by summing cells); ``query`` probes the broadcast
+    ``sketch`` input and emits (id, est_count) — never underestimates.
+    NULL keys hash as empty strings, like the bloom command."""
+
+    input: Input = None  # type: ignore[assignment]
+    sketch_input: Input | None = None
+    method: str = "build"
+    key_column: str = "key"
+    id_column: str = "id"
+    options: dict = field(default_factory=dict)
+
+    METHODS = ("build", "query")
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input] + (
+            [self.sketch_input] if self.sketch_input is not None else []
+        )
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "CmsCmd":
+        p = obj["params"]
+        _require_method(p, cls.METHODS, "cms")
+        return cls(
+            input=Input.from_json(obj["input"]),
+            sketch_input=(
+                Input.from_json(obj["sketch"]) if "sketch" in obj else None
+            ),
+            method=p["method"],
+            key_column=p["keyColumn"],
+            id_column=p.get("idColumn", "id"),
+            options=_opt(p, "width", "depth"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from topnotch_spark.operators.sketch import cms_build, cms_query
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        key = F.coalesce(F.col(self.key_column).cast("string"), F.lit(""))
+        if self.method == "build":
+            return cms_build(df, key, **self.options)
+        if self.sketch_input is None:
+            raise ValueError(
+                'cms: method "query" requires a "sketch" input '
+                "(the built cell table)"
+            )
+        sk = load_input(engine.spark, self.sketch_input, engine.registry)
+        return cms_query(df, self.id_column, key, sk, **self.options)
+
+
+@dataclass(frozen=True)
 class MembershipCmd(Command):
     """{"command": "bloom", "input": <input>, "params": {"method":
     build|probe, "keyColumn", ["idColumn", "mBits", "kHashes"]},
@@ -1722,6 +1782,7 @@ def register() -> None:
             "fuse": FuseCmd.from_json,
             "dedup": DedupCmd.from_json,
             "bloom": MembershipCmd.from_json,
+            "cms": CmsCmd.from_json,
             "text": TextCmd.from_json,
             "similarity": SimilarityCmd.from_json,
             "asof": AsofCmd.from_json,
