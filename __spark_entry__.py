@@ -111,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
+        "text_novelty": oracles.text_novelty_sql(shingle_n=3),
         "text_gopher_rules": oracles.gopher_rules_sql(
             LANG_MARKERS["en"], min_stop_hits=1
         ),

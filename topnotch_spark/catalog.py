@@ -743,6 +743,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty rate (textqc.ngram_novelty): the
+    share of each document's distinct word trigrams that no other
+    document contains — the diversity-side twin of the dedup family
+    (dedup asks who repeats whom; novelty asks what each doc adds to
+    the mix). Shingle stream persisted once; df-count + join-back on
+    the shingle key; skew-safe (no pair join, viral shingles are one
+    counter row)."""
+    from topnotch_spark.operators.textqc import ngram_novelty
+
+    return ngram_novelty(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published Gopher quality-rule set (Rae et al. 2021 A1.1), one
     boolean per rule + conjunctive keep, per document. Stopword markers
@@ -2561,6 +2574,12 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scripts/strict_hash_check.py (stricter than the driver gate), recorded
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
+    # round-8 additions first: the driver gate checks the leading 50
+    # slots, and a new query must earn a driver-side CORRECTNESS row in
+    # the round that ships it (the round-7 lesson)
+    "retrieval_rrf_fused": retrieval_rrf_fused,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "text_novelty": text_novelty,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,
@@ -2699,6 +2718,4 @@ ALL = {
     "trend_value_by_user": trend_value_by_user,
     "interval_price_band": interval_price_band,
     "scd2_customer_segment": scd2_customer_segment,
-    "retrieval_rrf_fused": retrieval_rrf_fused,
-    "cms_heavy_hitters": cms_heavy_hitters,
 }

@@ -831,3 +831,53 @@ def vocab_oov_rate(
             ),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in no other document — the
+    complement of duplication, and the standard diversity/boilerplate
+    signal when composing a training mix ("this source is 95% phrases
+    the corpus already has"). Dedup asks "which docs repeat each
+    other"; novelty asks "how much does each doc add".
+
+    Returns (id, n_shingles, n_novel, novelty_rate) for every document
+    with at least one n-gram (fewer than ``shingle_n`` tokens ⇒ no row,
+    the shingle convention shared with the dedup family).
+
+    Execution shape: the exploded shingle stream is built once and
+    persisted (registered in the dedup intermediate registry — consume
+    inside ``dedup_scope()`` or call ``unpersist_intermediates()``),
+    then aggregated to per-shingle document frequency (map-side
+    combined) and equi-joined back on the shingle key — same key both
+    sides, so AQE plans a co-partitioned join with no extra exchange on
+    the large side. One groupBy(id) ends it. No self-pair join and no
+    hot-key valve needed: viral shingles only ever contribute a single
+    counter row, never a pair blow-up, so the plan is skew-safe at any
+    corpus size."""
+    from topnotch_spark.operators.dedup import _persist, shingle_rows
+
+    sh = _persist(shingle_rows(df, id_col, text_col, shingle_n))
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
+    return (
+        sh.join(dfc, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("__df__") == 1, 1)).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles"), round_digits
+            ).alias("novelty_rate"),
+        )
+    )

@@ -983,6 +983,29 @@ def text_repetition_sql(shingle_n: int = 3) -> str:
     """
 
 
+def text_novelty_sql(shingle_n: int = 3, round_digits: int = 6) -> str:
+    """Mirror of textqc.ngram_novelty: distinct shingles per doc,
+    corpus document frequency per shingle, per-doc share with df = 1.
+    count(*) FILTER keeps both counters BIGINT (DuckDB sum(int) would
+    be HUGEINT — the round-2 strict-hash lesson)."""
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0),
+        ex AS (SELECT id, unnest(__sh__) AS sh FROM base),
+        dfc AS (SELECT sh, count(*) AS dfreq FROM ex GROUP BY sh)
+        SELECT ex.id AS doc_id,
+               count(*) AS n_shingles,
+               count(*) FILTER (WHERE dfreq = 1) AS n_novel,
+               round(count(*) FILTER (WHERE dfreq = 1) * 1.0 / count(*),
+                     {round_digits}) AS novelty_rate
+        FROM ex JOIN dfc USING (sh)
+        GROUP BY ex.id
+    """
+
+
 def latest_event_per_user_sql() -> str:
     return """
         WITH ranked AS (

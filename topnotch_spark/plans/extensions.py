@@ -225,7 +225,7 @@ class TextCmd(Command):
         "piiScrub", "qualityFilter", "vocabTopK", "packShards",
         "repetition", "tfidfKeywords", "normalize", "unigramLogprob",
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
-        "calibrateRanks", "oovRate",
+        "calibrateRanks", "oovRate", "novelty",
     )
 
     @classmethod
@@ -284,6 +284,7 @@ class TextCmd(Command):
             "gopher": T.gopher_rules,
             "tokenEntropy": T.token_entropy,
             "readability": T.readability,
+            "novelty": T.ngram_novelty,
         }
         if self.method == "calibrateRanks":
             opts = dict(self.options)
