@@ -112,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
         "text_novelty": oracles.text_novelty_sql(shingle_n=3),
+        "corpus_diversity_by_source": oracles.corpus_diversity_sql(),
         "text_gopher_rules": oracles.gopher_rules_sql(
             LANG_MARKERS["en"], min_stop_hits=1
         ),

@@ -54,6 +54,55 @@ def test_ngram_novelty_counts_distinct_shingles_once(spark):
     assert row["novelty_rate"] == 1.0
 
 
+# ---------------------------------------------------------------------------
+# Corpus diversity indices
+# ---------------------------------------------------------------------------
+
+def test_corpus_diversity_hand_computed(spark):
+    """A: 1/1 split -> H=1 bit, simpson=.5, gini=0 (balanced).
+    B: monoculture -> all zeros. C: 1/3 split -> H=.811278,
+    simpson=.375, gini=((2-3)*1+(4-3)*3)/(2*4)=.25."""
+    from topnotch_spark.operators.curation import corpus_diversity
+
+    rows = [("A", "x"), ("A", "y"),
+            ("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"),
+            ("C", "x"), ("C", "y"), ("C", "y"), ("C", "y")]
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    out = {r["grp"]: r for r in corpus_diversity(df, "grp", "cat").collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["n_rows"], a["n_cats"]) == (2, 2)
+    assert a["shannon_bits"] == 1.0 and a["simpson"] == 0.5 and a["gini"] == 0.0
+    assert (b["n_rows"], b["n_cats"]) == (4, 1)
+    assert b["shannon_bits"] == 0.0 and b["simpson"] == 0.0 and b["gini"] == 0.0
+    assert c["shannon_bits"] == pytest.approx(0.811278, abs=1e-6)
+    assert c["simpson"] == 0.375 and c["gini"] == 0.25
+
+
+def test_corpus_stats_plan_diversity_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "corpusStats",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "outputKey": "div",
+                "params": {"method": "diversity", "groupColumn": "source",
+                           "catColumn": "lang"},
+            }
+        ]
+    }
+    path = tmp_path / "diversity_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["div"]
+    assert set(out.columns) == {
+        "source", "n_rows", "n_cats", "shannon_bits", "simpson", "gini"
+    }
+    assert out.count() > 0
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

@@ -756,6 +756,21 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def corpus_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity indices per document source
+    (curation.corpus_diversity): Shannon entropy (bits), Gini–Simpson,
+    and the Gini coefficient of the per-source lang distribution — the
+    scalar complement of source_lang_mix's raw shares when deciding
+    which sources need lang-balancing before the mix. One map-side
+    groupBy over the scan; everything after runs on the |sources|×|langs|
+    rollup frame."""
+    from topnotch_spark.operators.curation import corpus_diversity
+
+    return corpus_diversity(
+        load(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Published Gopher quality-rule set (Rae et al. 2021 A1.1), one
     boolean per rule + conjunctive keep, per document. Stopword markers
@@ -2580,6 +2595,7 @@ ALL = {
     "retrieval_rrf_fused": retrieval_rrf_fused,
     "cms_heavy_hitters": cms_heavy_hitters,
     "text_novelty": text_novelty,
+    "corpus_diversity_by_source": corpus_diversity_by_source,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

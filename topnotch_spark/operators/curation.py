@@ -699,6 +699,61 @@ def source_mix_weights(
     )
 
 
+def corpus_diversity(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Diversity indices of a categorical composition per corpus slice —
+    the scalar summaries mix planning actually compares ("source A is
+    lang-diverse, source B is a monoculture") where `lang_mix` reports
+    the raw shares. Per group over the category distribution:
+
+    - ``shannon_bits``: Shannon entropy −Σ p·log2 p (0 = monoculture)
+    - ``simpson``: Gini–Simpson index 1 − Σ p² (probability two random
+      docs differ in category)
+    - ``gini``: Gini coefficient of the category counts (0 = perfectly
+      balanced, →1 = one category dominates), computed with the exact
+      rank formula Σ(2rᵢ−k−1)xᵢ / (k·Σx) over counts ranked ascending
+      (count, category) — tie-stable because equal counts contribute a
+      permutation-invariant block sum.
+
+    Execution shape: ONE groupBy(group, cat) over the scan (map-side
+    combined), then windows + the final groupBy run on the rollup frame
+    itself — |groups|×|cats| rows, bounded regardless of corpus size.
+    Zero joins, zero second scan."""
+    counts = df.groupBy(F.col(group_col), F.col(cat_col)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(group_col)
+    r = Window.partitionBy(group_col).orderBy(
+        F.col("n").asc(), F.col(cat_col).asc()
+    )
+    per = counts.select(
+        group_col,
+        "n",
+        F.sum("n").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.row_number().over(r).cast("long").alias("rnk"),
+    )
+    p = F.col("n") / F.col("tot")
+    return per.groupBy(group_col).agg(
+        F.max("tot").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.round(F.lit(0.0) - F.sum(p * F.log2(p)), round_digits).alias(
+            "shannon_bits"
+        ),
+        F.round(F.lit(1.0) - F.sum(p * p), round_digits).alias("simpson"),
+        F.round(
+            F.sum(
+                (2 * F.col("rnk") - F.col("k") - 1) * F.col("n")
+            ) / (F.max("k") * F.max("tot")),
+            round_digits,
+        ).alias("gini"),
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     id_col: str,

@@ -1006,6 +1006,44 @@ def text_novelty_sql(shingle_n: int = 3, round_digits: int = 6) -> str:
     """
 
 
+def corpus_diversity_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    cat_col: str = "lang",
+    round_digits: int = 6,
+) -> str:
+    """Mirror of curation.corpus_diversity. Window sum(BIGINT) is
+    HUGEINT in DuckDB — cast back to BIGINT so n_rows hashes like
+    Spark's bigint (the round-2 lesson); rank ties are broken
+    (count asc, category asc) exactly like the Spark window."""
+    return f"""
+        WITH counts AS (
+          SELECT {group_col} AS grp, {cat_col} AS cat, count(*) AS n
+          FROM {table} GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT grp, cat, n,
+                 CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS tot,
+                 count(*) OVER (PARTITION BY grp) AS k,
+                 row_number() OVER (
+                   PARTITION BY grp ORDER BY n ASC, cat ASC
+                 ) AS rnk
+          FROM counts
+        )
+        SELECT grp AS {group_col},
+               max(tot) AS n_rows,
+               count(*) AS n_cats,
+               round(0.0 - sum((n * 1.0 / tot) * log2(n * 1.0 / tot)),
+                     {round_digits}) AS shannon_bits,
+               round(1.0 - sum((n * 1.0 / tot) * (n * 1.0 / tot)),
+                     {round_digits}) AS simpson,
+               round(sum((2 * rnk - k - 1) * n) * 1.0
+                     / (max(k) * max(tot)), {round_digits}) AS gini
+        FROM win
+        GROUP BY grp
+    """
+
+
 def latest_event_per_user_sql() -> str:
     return """
         WITH ranked AS (

@@ -1124,8 +1124,10 @@ class WinsorizeCmd(Command):
 @dataclass(frozen=True)
 class CorpusStatsCmd(Command):
     """{"command": "corpusStats", "input": <input>, "params": {"method":
-    mix|dedupRate|tokenHistogram|qualityBands|vocabOverlap, per-method
-    columns}} — corpus-level rollups for training-mix planning."""
+    mix|dedupRate|tokenHistogram|qualityBands|vocabOverlap|diversity,
+    per-method columns}} — corpus-level rollups for training-mix
+    planning. diversity takes {"groupColumn", "catColumn"} and emits
+    Shannon/Simpson/Gini indices per group."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "mix"
@@ -1167,6 +1169,13 @@ class CorpusStatsCmd(Command):
             from topnotch_spark.operators.textqc import vocab_overlap
 
             return vocab_overlap(df, text, p["groupColumn"])
+        if self.method == "diversity":
+            from topnotch_spark.operators.curation import corpus_diversity
+
+            return corpus_diversity(
+                df, p["groupColumn"], p["catColumn"],
+                round_digits=p.get("roundDigits", 6),
+            )
         if self.method == "qualityBands":
             return quality_bands(
                 df,
