@@ -113,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
         "text_novelty": oracles.text_novelty_sql(shingle_n=3),
         "corpus_diversity_by_source": oracles.corpus_diversity_sql(),
+        "label_noise_knn": oracles.label_knn_agreement_sql(
+            dim=64, k=5, n_planes=8, min_agree=0.5
+        ),
         "text_gopher_rules": oracles.gopher_rules_sql(
             LANG_MARKERS["en"], min_stop_hits=1
         ),

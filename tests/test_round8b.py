@@ -103,6 +103,67 @@ def test_corpus_stats_plan_diversity_method(spark, tmp_path):
     assert out.count() > 0
 
 
+# ---------------------------------------------------------------------------
+# Label-noise kNN agreement
+# ---------------------------------------------------------------------------
+
+def test_label_knn_agreement_hand_computed(spark):
+    """Six copies of the SAME direction share every SRP bucket and have
+    cos_sim exactly 1.0, so rank ties break on neighbor id: each point's
+    k=3 neighbors are the 3 lowest OTHER ids. Labels 0,0,0,1,1,1 ->
+    id 0 agrees with {1:0, 2:0, 3:1} = 2/3; id 5 agrees with
+    {0,1,2} = 0/3 -> suspect."""
+    from topnotch_spark.operators.similarity import label_knn_agreement
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], i // 3) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in label_knn_agreement(
+            df, k=3, n_planes=4, dim=2, min_agree=0.5
+        ).collect()
+    }
+    assert set(out) == set(range(6))
+    assert out[0]["n_neighbors"] == 3 and out[0]["n_agree"] == 2
+    assert out[0]["agree_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert not out[0]["suspect"]
+    assert out[5]["n_agree"] == 0 and out[5]["suspect"]
+    # id 3 (label 1) sees neighbors 0,1,2 (all label 0) -> suspect too
+    assert out[3]["suspect"]
+
+
+def test_similarity_plan_label_agreement(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+    from topnotch_spark.plans.extensions import SimilarityCmd
+
+    obj = {
+        "command": "similarity",
+        "corpus": {"ref": f"{SF}/embeddings.parquet", "onDisk": True},
+        "outputKey": "noise",
+        "params": {"method": "labelAgreement", "k": 5, "nPlanes": 8,
+                   "dim": 64, "labelColumn": "label", "minAgree": 0.5},
+    }
+    # self-join shaped: no 'queries' input needed
+    cmd = SimilarityCmd.from_json(obj)
+    assert cmd.queries is None
+
+    # but the search methods still demand one, at parse time
+    with pytest.raises(ValueError, match="requires a 'queries'"):
+        SimilarityCmd.from_json({**obj, "params": {"method": "ann"}})
+
+    plan = tmp_path / "label_noise.json"
+    plan.write_text(json.dumps({"commands": [obj]}))
+    engine = TnEngine(spark)
+    assert engine.run(str(plan)) == 0
+    out = engine.registry["noise"]
+    assert set(out.columns) == {
+        "vec_id", "label", "n_neighbors", "n_agree", "agree_frac", "suspect"
+    }
+    assert out.count() > 0
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

@@ -486,6 +486,21 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit over the labeled embedding table
+    (similarity.label_knn_agreement): each vector's 5 nearest
+    SRP-bucketed neighbors vote on its label; low agreement flags the
+    mislabeled-example candidates. Every row is a query — the candidate
+    join is the bucket equi-join with both sides corpus-sized, never
+    all-pairs (the plan guard would reject a cartesian)."""
+    from topnotch_spark.operators.similarity import label_knn_agreement
+
+    return label_knn_agreement(
+        load(spark, sf_dir, "embeddings"), k=5, n_planes=8, dim=64,
+        min_agree=0.5,
+    )
+
+
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import ivf_topk
 
@@ -2596,6 +2611,7 @@ ALL = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "text_novelty": text_novelty,
     "corpus_diversity_by_source": corpus_diversity_by_source,
+    "label_noise_knn": label_noise_knn,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

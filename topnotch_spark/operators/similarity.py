@@ -551,3 +551,107 @@ def topk_recall(
             F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), round_digits
         ).alias("recall"),
     )
+
+
+def label_knn_agreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_planes: int = 8,
+    min_agree: float = 0.5,
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Label-noise screen over a labeled embedding table: for every
+    vector, take its k nearest SRP-bucketed candidates (Hamming-1
+    multiprobe, the srp_ann_topk bucketing) and report the fraction of
+    neighbors that share its label — points whose neighborhoods
+    disagree (``agree_frac < min_agree``) are the mislabeled-example
+    candidates every supervised/reward dataset needs audited before
+    training (Confident-Learning-style, with kNN consensus as the
+    confidence proxy).
+
+    Returns (id, label, n_neighbors, n_agree, agree_frac, suspect) for
+    every vector with at least one bucketed candidate. ``n_neighbors``
+    can be < k in sparse buckets — it's part of the output so a
+    downstream filter can require a minimum evidence count.
+
+    Execution shape: unlike the search operators (tiny broadcast query
+    side), EVERY row is a query here, so the candidate join is a
+    bucket equi-join with BOTH sides corpus-sized — a plain shuffled
+    hash join on the bucket key, (planes+1)·n/2^planes candidates per
+    point, never all-pairs. One row_number window per query (bounded by
+    bucket size), one groupBy(query) ends it. Skew valve: at fixed
+    n_planes a pathological bucket is possible; raise n_planes with
+    corpus size (buckets scale as n/2^planes) exactly like the LSH
+    banding knobs."""
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nl__"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    qbucket = srp_bucket(F.col(vec_col), n_planes, dim)
+
+    def flip(b, i):
+        return F.concat(
+            F.substring(b, 1, i),
+            F.when(F.substring(b, i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(b, i + 2, n_planes - i - 1),
+        )
+
+    q = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql__"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
+        F.explode(
+            F.array(qbucket, *[flip(qbucket, i) for i in range(n_planes)])
+        ).alias("bucket"),
+    )
+    ranked = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "__ql__",
+            "__nl__",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.groupBy("query_id", "__ql__").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.count(F.when(F.col("__nl__") == F.col("__ql__"), 1)).alias(
+            "n_agree"
+        ),
+    ).select(
+        F.col("query_id").alias(id_col),
+        F.col("__ql__").alias(label_col),
+        "n_neighbors",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n_neighbors"), round_digits).alias(
+            "agree_frac"
+        ),
+        (
+            F.col("n_agree") / F.col("n_neighbors") < F.lit(min_agree)
+        ).alias("suspect"),
+    )

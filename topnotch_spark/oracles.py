@@ -502,6 +502,56 @@ def similarity_topk_sql(
     """
 
 
+def label_knn_agreement_sql(
+    dim: int = 64, k: int = 5, n_planes: int = 8, min_agree: float = 0.5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of similarity.label_knn_agreement: every vector queries
+    its SRP bucket + Hamming-1 flips, k nearest candidates (cos desc,
+    id asc) vote on the label. count(*) FILTER keeps counters BIGINT;
+    suspect compares the UNROUNDED fraction like the Spark side."""
+    flips = ", ".join(
+        f"substr(bucket, 1, {i}) || "
+        f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, {i + 2}, {n_planes - i - 1})"
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, label, embedding,
+                 {srp_bucket('embedding', dim, n_planes)} AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, label AS ql, embedding AS qv,
+                 unnest([bucket, {flips}]) AS bucket
+          FROM base
+        ),
+        pairs AS (
+          SELECT q.query_id, q.ql, c.label AS nl, c.vec_id AS neighbor_id,
+                 round({cosine('q.qv', 'c.embedding', dim)},
+                       {round_digits}) AS cos_sim
+          FROM base c JOIN q ON c.bucket = q.bucket
+          WHERE c.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+          FROM pairs
+        )
+        SELECT query_id AS vec_id, ql AS label,
+               count(*) AS n_neighbors,
+               count(*) FILTER (WHERE nl = ql) AS n_agree,
+               round(count(*) FILTER (WHERE nl = ql) * 1.0 / count(*),
+                     {round_digits}) AS agree_frac,
+               (count(*) FILTER (WHERE nl = ql) * 1.0 / count(*))
+                 < {min_agree} AS suspect
+        FROM ranked WHERE rnk <= {k}
+        GROUP BY query_id, ql
+    """
+
+
 def similarity_ann_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, n_planes: int = 8,
     round_digits: int = 6,

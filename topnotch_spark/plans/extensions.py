@@ -311,9 +311,12 @@ class TextCmd(Command):
 
 @dataclass(frozen=True)
 class SimilarityCmd(Command):
-    """{"command": "similarity", "params": {"method": bruteForce|ann,
-    "idColumn", "vecColumn", "k", ["nPlanes", "dim", "roundDigits"]},
-    "corpus": <input>, "queries": <input>}"""
+    """{"command": "similarity", "params": {"method": bruteForce|ann|
+    labelAgreement, "idColumn", "vecColumn", "k", ["nPlanes", "dim",
+    "roundDigits"]}, "corpus": <input>, "queries": <input>}.
+    labelAgreement is self-join shaped (every corpus row is a query) —
+    it takes "corpus" only plus {"labelColumn", ["minAgree"]} and emits
+    the per-vector kNN label-agreement / suspect screen."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -325,21 +328,31 @@ class SimilarityCmd(Command):
     # parser discovers inputs via `inputs` attribute (duck-typed)
     @property
     def inputs(self) -> list[Input]:
-        return [self.corpus, self.queries]
+        return [i for i in (self.corpus, self.queries) if i is not None]
 
-    METHODS = ("bruteForce", "ann")
+    METHODS = ("bruteForce", "ann", "labelAgreement")
 
     @classmethod
     def from_json(cls, obj: dict) -> "SimilarityCmd":
         p = obj["params"]
         _require_method(p, cls.METHODS, "similarity")
+        if p["method"] != "labelAgreement" and "queries" not in obj:
+            raise ValueError(
+                f"similarity method {p['method']!r} requires a 'queries' "
+                "input (only labelAgreement is self-join shaped)"
+            )
         return cls(
             corpus=Input.from_json(obj["corpus"]),
-            queries=Input.from_json(obj["queries"]),
+            queries=(
+                Input.from_json(obj["queries"]) if "queries" in obj else None
+            ),
             method=p["method"],
             id_column=p.get("idColumn", "vec_id"),
             vec_column=p.get("vecColumn", "embedding"),
-            options=_opt(p, "k", "nPlanes", "dim", "roundDigits"),
+            options=_opt(
+                p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
+                "minAgree",
+            ),
             **cls._common(obj),
         )
 
@@ -347,6 +360,13 @@ class SimilarityCmd(Command):
         from topnotch_spark.operators import similarity as S
 
         corpus = load_input(engine.spark, self.corpus, engine.registry)
+        if self.method == "labelAgreement":
+            opts = dict(self.options)
+            label_col = opts.pop("label_column", "label")
+            return S.label_knn_agreement(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                label_col=label_col, **opts,
+            )
         queries = load_input(engine.spark, self.queries, engine.registry)
         fns = {"bruteForce": S.brute_force_topk, "ann": S.srp_ann_topk}
         if self.method not in fns:
