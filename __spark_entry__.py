@@ -116,6 +116,9 @@ def oracle_sql() -> dict[str, str]:
         "label_noise_knn": oracles.label_knn_agreement_sql(
             dim=64, k=5, n_planes=8, min_agree=0.5
         ),
+        "contrastive_pairs_mined": oracles.contrastive_pairs_sql(
+            dim=64, k=5, n_queries=8
+        ),
         "text_gopher_rules": oracles.gopher_rules_sql(
             LANG_MARKERS["en"], min_stop_hits=1
         ),

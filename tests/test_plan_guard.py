@@ -117,6 +117,7 @@ BNLJ_SMALL_FRAME = {
     "retrieval_rrf_fused": (
         "dense run's query frame = 3 fixed BM25 query ids (vec_id isin)"
     ),
+    "contrastive_pairs_mined": "anchor frame = vec_id < 8 (8 anchors)",
 }
 
 

@@ -164,6 +164,61 @@ def test_similarity_plan_label_agreement(spark, tmp_path):
     assert out.count() > 0
 
 
+# ---------------------------------------------------------------------------
+# Contrastive pair mining
+# ---------------------------------------------------------------------------
+
+def test_contrastive_pairs_hand_computed(spark):
+    """Anchor 0 (label A, [1,0]): positives by cosine are id1 [1,.1]
+    then id2 [0,1]; hardest negative is id3 [1,.05] (label B, nearly
+    parallel), easy negative id4 [-1,0] ranks after it."""
+    from topnotch_spark.operators.similarity import contrastive_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "A"), (1, [1.0, 0.1], "A"), (2, [0.0, 1.0], "A"),
+         (3, [1.0, 0.05], "B"), (4, [-1.0, 0.0], "B")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = contrastive_pairs(
+        df, df.filter("vec_id = 0"), k=2
+    ).collect()
+    by = {(r["kind"], r["rank"]): r for r in out}
+    assert by[("pos", 1)]["neighbor_id"] == 1
+    assert by[("pos", 2)]["neighbor_id"] == 2
+    assert by[("neg", 1)]["neighbor_id"] == 3
+    assert by[("neg", 2)]["neighbor_id"] == 4
+    assert by[("neg", 1)]["cos_sim"] > 0.99
+    assert all(r["query_label"] == "A" for r in out)
+
+
+def test_similarity_plan_contrastive_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "similarity",
+                "corpus": {"ref": f"{SF}/embeddings.parquet", "onDisk": True},
+                "queries": {"ref": f"{SF}/embeddings.parquet",
+                            "onDisk": True},
+                "outputKey": "mined",
+                "params": {"method": "contrastive", "k": 3,
+                           "labelColumn": "label"},
+            }
+        ]
+    }
+    path = tmp_path / "contrastive_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["mined"]
+    assert set(out.columns) == {
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        "kind", "cos_sim", "rank",
+    }
+    assert out.filter("kind = 'neg'").count() > 0
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

@@ -501,6 +501,19 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contrastive_pairs_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining (similarity.contrastive_pairs): for 8
+    anchor vectors, the 5 most-similar same-label positives and the 5
+    hardest (most-similar different-label) negatives — the triplet
+    fodder a labeled-embedding curation pipeline exports for
+    contrastive/reward-model training. Broadcast anchors, one corpus
+    scan scoring both kinds."""
+    from topnotch_spark.operators.similarity import contrastive_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return contrastive_pairs(emb, emb.filter("vec_id < 8"), k=5)
+
+
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import ivf_topk
 
@@ -2612,6 +2625,7 @@ ALL = {
     "text_novelty": text_novelty,
     "corpus_diversity_by_source": corpus_diversity_by_source,
     "label_noise_knn": label_noise_knn,
+    "contrastive_pairs_mined": contrastive_pairs_mined,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

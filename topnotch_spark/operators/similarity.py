@@ -655,3 +655,67 @@ def label_knn_agreement(
             F.col("n_agree") / F.col("n_neighbors") < F.lit(min_agree)
         ).alias("suspect"),
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive training-pair mining over a labeled embedding table:
+    for each anchor, the k most-similar SAME-label vectors (positives)
+    and the k most-similar DIFFERENT-label vectors (hard negatives —
+    the near-miss examples that actually move a contrastive/triplet
+    loss; random negatives are trivially separable). Emits
+    (query_id, query_label, neighbor_id, neighbor_label, kind, cos_sim,
+    rank) with kind ∈ {'pos','neg'} and rank restarting per kind.
+
+    Execution shape: anchors are a broadcast side (mine for a batch of
+    anchors, not all-pairs); ONE corpus scan scores both kinds — the
+    kind split is a projection, not a second join — then one
+    row_number window per (anchor, kind). At corpus scale, pre-bucket
+    with srp_ann_topk/ivf_topk and mine within candidates; this exact
+    form is the oracle-checkable baseline (the brute_force_topk
+    pattern)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col)).alias("__cn__"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col)).alias("__qn__"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.when(
+                F.col("neighbor_label") == F.col("query_label"),
+                F.lit("pos"),
+            ).otherwise(F.lit("neg")).alias("kind"),
+            F.round(
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__")),
+                round_digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

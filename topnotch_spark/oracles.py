@@ -552,6 +552,39 @@ def label_knn_agreement_sql(
     """
 
 
+def contrastive_pairs_sql(
+    dim: int = 64, k: int = 5, n_queries: int = 8, round_digits: int = 6,
+) -> str:
+    """Mirror of similarity.contrastive_pairs: per anchor, top-k
+    same-label (pos) and top-k different-label (neg) by cosine, rank
+    restarting per kind with the (cos desc, id asc) tiebreak."""
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+          FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        pairs AS (
+          SELECT q.query_id, q.query_label,
+                 c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                 CASE WHEN c.label = q.query_label THEN 'pos'
+                      ELSE 'neg' END AS kind,
+                 round({cosine('q.qv', 'c.embedding', dim)},
+                       {round_digits}) AS cos_sim
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, query_label, neighbor_id, neighbor_label, kind,
+               cos_sim, rank
+        FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id, kind
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER
+                 ) AS rank
+          FROM pairs
+        ) ranked WHERE rank <= {k}
+    """
+
+
 def similarity_ann_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, n_planes: int = 8,
     round_digits: int = 6,

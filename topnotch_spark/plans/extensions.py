@@ -312,11 +312,14 @@ class TextCmd(Command):
 @dataclass(frozen=True)
 class SimilarityCmd(Command):
     """{"command": "similarity", "params": {"method": bruteForce|ann|
-    labelAgreement, "idColumn", "vecColumn", "k", ["nPlanes", "dim",
-    "roundDigits"]}, "corpus": <input>, "queries": <input>}.
+    labelAgreement|contrastive, "idColumn", "vecColumn", "k",
+    ["nPlanes", "dim", "roundDigits"]}, "corpus": <input>,
+    "queries": <input>}.
     labelAgreement is self-join shaped (every corpus row is a query) —
     it takes "corpus" only plus {"labelColumn", ["minAgree"]} and emits
-    the per-vector kNN label-agreement / suspect screen."""
+    the per-vector kNN label-agreement / suspect screen.
+    contrastive mines top-k same-label positives + hardest different-
+    label negatives per anchor in "queries" ({"labelColumn"} option)."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -330,7 +333,7 @@ class SimilarityCmd(Command):
     def inputs(self) -> list[Input]:
         return [i for i in (self.corpus, self.queries) if i is not None]
 
-    METHODS = ("bruteForce", "ann", "labelAgreement")
+    METHODS = ("bruteForce", "ann", "labelAgreement", "contrastive")
 
     @classmethod
     def from_json(cls, obj: dict) -> "SimilarityCmd":
@@ -368,6 +371,14 @@ class SimilarityCmd(Command):
                 label_col=label_col, **opts,
             )
         queries = load_input(engine.spark, self.queries, engine.registry)
+        if self.method == "contrastive":
+            opts = dict(self.options)
+            opts.pop("dim", None)  # exact scorer needs no plane literals
+            label_col = opts.pop("label_column", "label")
+            return S.contrastive_pairs(
+                corpus, queries, id_col=self.id_column,
+                vec_col=self.vec_column, label_col=label_col, **opts,
+            )
         fns = {"bruteForce": S.brute_force_topk, "ann": S.srp_ann_topk}
         if self.method not in fns:
             raise ValueError(f"unknown similarity method: {self.method}")
