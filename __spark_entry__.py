@@ -174,6 +174,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_dedup": oracles.multimodal_video_dedup_sql(),
         "retrieval_rrf_fused": oracles.retrieval_rrf_sql(catalog.BM25_QUERIES),
         "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(),
+        "quantile_sketch_accuracy": oracles.kmv_accuracy_sql(
+            qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=256
+        ),
         "drift_weekly_psi": oracles.psi_trend_sql(
             period="week", n_buckets=10
         ),

@@ -90,6 +90,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "drift_chi2_priority": (
         "window over the <=|categories| contingency frame"
     ),
+    "quantile_sketch_accuracy": (
+        "rank over the k=256-row TakeOrdered KMV sample"
+    ),
 }
 
 # BNLJ broadcast sides that are row-bounded by plan shape: an ungrouped

@@ -219,6 +219,102 @@ def test_similarity_plan_contrastive_method(spark, tmp_path):
     assert out.filter("kind = 'neg'").count() > 0
 
 
+# ---------------------------------------------------------------------------
+# KMV quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_merge_equals_whole_exactly(spark):
+    """Bottom-k-by-hash is an exact mergeable order statistic: the
+    merge of two half-corpus sketches IS the whole-corpus sketch,
+    bit-for-bit (unlike the HLL's approximate union)."""
+    from topnotch_spark.operators.sketch import kmv_build, kmv_merge
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, value double"
+    )
+    whole = kmv_build(df, "id", "value", k=64)
+    merged = kmv_merge(
+        [
+            kmv_build(df.filter("id < 500"), "id", "value", k=64),
+            kmv_build(df.filter("id >= 500"), "id", "value", k=64),
+        ],
+        k=64,
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_kmv_accuracy_within_bound_on_uniform(spark):
+    """On 1..2000 uniform values the k=256 sample's median estimate
+    must sit within the 3/sqrt(k) rank envelope (and the frame says
+    so itself via within_bound)."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.sketch import kmv_accuracy
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 2001)], "id long, value double"
+    )
+    with dedup_scope():
+        rows = {
+            r["q"]: r
+            for r in kmv_accuracy(
+                df, "id", "value", qs=(0.5, 0.9), k=256
+            ).collect()
+        }
+    assert rows[0.5]["n_total"] == 2000 and rows[0.5]["n_sample"] == 256
+    for r in rows.values():
+        assert r["within_bound"]
+        assert abs(r["est_rank"] / 2000 - r["q"]) <= 3 / 256 ** 0.5
+
+
+def test_quantile_sketch_plan_command(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+    from topnotch_spark.plans.extensions import QuantileSketchCmd
+
+    with pytest.raises(ValueError, match='requires a "parts"'):
+        QuantileSketchCmd.from_json(
+            {"command": "quantileSketch", "outputKey": "m",
+             "params": {"method": "merge"}}
+        )
+    with pytest.raises(ValueError, match='requires an "input"'):
+        QuantileSketchCmd.from_json(
+            {"command": "quantileSketch", "outputKey": "b",
+             "params": {"method": "build"}}
+        )
+
+    plan = {
+        "commands": [
+            {
+                "command": "quantileSketch",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "outputKey": "sk",
+                "params": {"method": "build", "idColumn": "o_orderkey",
+                           "valueColumn": "o_totalprice", "k": 32},
+            },
+            {
+                "command": "quantileSketch",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "outputKey": "verdict",
+                "params": {"method": "accuracy", "idColumn": "o_orderkey",
+                           "valueColumn": "o_totalprice", "k": 64,
+                           "qs": [0.5, 0.9]},
+            },
+        ]
+    }
+    path = tmp_path / "kmv_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    assert engine.registry["sk"].count() == 32
+    verdict = engine.registry["verdict"]
+    assert set(verdict.columns) == {
+        "q", "n_total", "n_sample", "est", "est_rank", "target_rank",
+        "rank_err", "within_bound",
+    }
+    assert verdict.count() == 2
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

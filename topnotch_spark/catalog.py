@@ -1027,6 +1027,29 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(imgs, "doc_id", "content")
 
 
+def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV quantile-sketch verdict over lineitem extendedprice
+    (sketch.kmv_accuracy): the k=256 bottom-hash sample estimates
+    p25/p50/p75/p90/p99, one exact counting pass grades each estimate's
+    true rank, within_bound asserts the 3/sqrt(k) rank-error envelope.
+    Deterministic md5 sampling means the DuckDB oracle reproduces the
+    sample — and the verdict — bit-exactly. Production path persists
+    the 256-row sketch and skips the grading scan (the
+    profile_lineitem_approx policy)."""
+    from topnotch_spark.operators.sketch import kmv_accuracy
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "#", F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("rid"),
+        "l_extendedprice",
+    )
+    return kmv_accuracy(
+        li, "rid", "l_extendedprice",
+        qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=256,
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates for the 10 hottest order customers
     (sketch.cms_build/cms_query): the mergeable heavy-hitter sketch next
@@ -2626,6 +2649,7 @@ ALL = {
     "corpus_diversity_by_source": corpus_diversity_by_source,
     "label_noise_knn": label_noise_knn,
     "contrastive_pairs_mined": contrastive_pairs_mined,
+    "quantile_sketch_accuracy": quantile_sketch_accuracy,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

@@ -1607,6 +1607,62 @@ def multimodal_byte_stats_sql(bins: int = 16) -> str:
     """
 
 
+def kmv_accuracy_sql(
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 256,
+    salt: str = "kmv",
+    round_digits: int = 6,
+) -> str:
+    """Mirror of sketch.kmv_accuracy over lineitem.l_extendedprice:
+    identical md5 bottom-k sample, identical ceil-rank estimate pick,
+    identical unrounded within_bound comparison. count(*) FILTER keeps
+    est_rank BIGINT; q literals cast to DOUBLE (unnest of bare decimals
+    would be DECIMAL)."""
+    bound = 3.0 / (k ** 0.5)
+    q_list = ", ".join(f"CAST({q} AS DOUBLE)" for q in qs)
+    return f"""
+        WITH vals AS (
+          SELECT CAST(l_orderkey AS VARCHAR) || '#' ||
+                 CAST(l_linenumber AS VARCHAR) AS id,
+                 CAST(l_extendedprice AS DOUBLE) AS value
+          FROM lineitem
+        ),
+        sk AS (
+          SELECT value, md5('{salt}:' || id) AS h
+          FROM vals ORDER BY md5('{salt}:' || id) LIMIT {k}
+        ),
+        ranked AS (
+          SELECT value,
+                 row_number() OVER (ORDER BY value ASC, h ASC) AS rn,
+                 count(*) OVER () AS n_sample
+          FROM sk
+        ),
+        qs AS (SELECT unnest([{q_list}]) AS q),
+        ests AS (
+          SELECT q, n_sample, value AS est
+          FROM qs JOIN ranked
+            ON CAST(ceil(q * n_sample) AS BIGINT) = rn
+        ),
+        tot AS (SELECT count(*) AS n_total FROM vals),
+        graded AS (
+          SELECT q, n_sample, est,
+                 count(*) FILTER (WHERE value <= est) AS est_rank
+          FROM vals CROSS JOIN ests
+          GROUP BY q, n_sample, est
+        )
+        SELECT q,
+               (SELECT n_total FROM tot) AS n_total,
+               n_sample, est, est_rank,
+               CAST(ceil(q * (SELECT n_total FROM tot)) AS BIGINT)
+                 AS target_rank,
+               round(abs(est_rank * 1.0 / (SELECT n_total FROM tot) - q),
+                     {round_digits}) AS rank_err,
+               (abs(est_rank * 1.0 / (SELECT n_total FROM tot) - q)
+                 <= {bound}) AS within_bound
+        FROM graded
+    """
+
+
 def cms_heavy_hitters_sql(
     width: int = 1024, depth: int = 4, k: int = 10
 ) -> str:

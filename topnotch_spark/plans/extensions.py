@@ -1280,6 +1280,88 @@ class CmsCmd(Command):
 
 
 @dataclass(frozen=True)
+class QuantileSketchCmd(Command):
+    """{"command": "quantileSketch", "input": <input>, "params":
+    {"method": build|merge|accuracy, "idColumn", "valueColumn",
+    ["k", "salt", "qs", "roundDigits"]}, ["parts": [<input>, ...]]} —
+    mergeable KMV quantile sketch (operators/sketch.kmv_*). ``build``
+    emits the (value, __h__) bottom-k-by-hash sample (persist it via
+    outputs); ``merge`` re-takes bottom-k over the ``parts`` inputs
+    (exactly equal to a whole-corpus build); ``accuracy`` grades the
+    sketch's quantile estimates against one exact counting pass and
+    emits the per-quantile verdict frame."""
+
+    input: Input | None = None
+    parts: tuple = ()
+    method: str = "build"
+    id_column: str = "id"
+    value_column: str = "value"
+    options: dict = field(default_factory=dict)
+
+    METHODS = ("build", "merge", "accuracy")
+
+    @property
+    def inputs(self) -> list[Input]:
+        return ([self.input] if self.input is not None else []) + list(
+            self.parts
+        )
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "QuantileSketchCmd":
+        p = obj["params"]
+        _require_method(p, cls.METHODS, "quantileSketch")
+        if p["method"] == "merge":
+            if len(obj.get("parts", ())) < 2:
+                raise ValueError(
+                    'quantileSketch: method "merge" requires a "parts" '
+                    "list of at least 2 sketch inputs"
+                )
+        elif "input" not in obj:
+            raise ValueError(
+                f"quantileSketch method {p['method']!r} requires an "
+                '"input"'
+            )
+        return cls(
+            input=(
+                Input.from_json(obj["input"]) if "input" in obj else None
+            ),
+            parts=tuple(
+                Input.from_json(x) for x in obj.get("parts", ())
+            ),
+            method=p["method"],
+            id_column=p.get("idColumn", "id"),
+            value_column=p.get("valueColumn", "value"),
+            options=_opt(p, "k", "salt", "qs", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.sketch import (
+            kmv_accuracy,
+            kmv_build,
+            kmv_merge,
+        )
+
+        opts = dict(self.options)
+        if "qs" in opts:
+            opts["qs"] = tuple(opts["qs"])
+        if self.method == "merge":
+            frames = [
+                load_input(engine.spark, i, engine.registry)
+                for i in self.parts
+            ]
+            return kmv_merge(frames, **{
+                k: v for k, v in opts.items() if k == "k"
+            })
+        df = load_input(engine.spark, self.input, engine.registry)
+        fn = kmv_build if self.method == "build" else kmv_accuracy
+        if self.method == "build":
+            opts.pop("qs", None)
+            opts.pop("round_digits", None)
+        return fn(df, self.id_column, self.value_column, **opts)
+
+
+@dataclass(frozen=True)
 class MembershipCmd(Command):
     """{"command": "bloom", "input": <input>, "params": {"method":
     build|probe, "keyColumn", ["idColumn", "mBits", "kHashes"]},
@@ -1824,6 +1906,7 @@ def register() -> None:
             "dedup": DedupCmd.from_json,
             "bloom": MembershipCmd.from_json,
             "cms": CmsCmd.from_json,
+            "quantileSketch": QuantileSketchCmd.from_json,
             "text": TextCmd.from_json,
             "similarity": SimilarityCmd.from_json,
             "asof": AsofCmd.from_json,
