@@ -212,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "streaming_window_metrics": oracles.streaming_window_metrics_sql(),
+        "streaming_topk_types": oracles.streaming_topk_types_sql(k=3),
         "streaming_sliding_metrics": oracles.streaming_sliding_metrics_sql(),
         "drift_chi2_priority": oracles.drift_chi2_priority_sql(),
         "trend_value_by_user": oracles.trend_per_key_sql(),

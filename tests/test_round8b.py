@@ -315,6 +315,69 @@ def test_quantile_sketch_plan_command(spark, tmp_path):
     assert verdict.count() == 2
 
 
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (top-k types per window)
+# ---------------------------------------------------------------------------
+
+def test_topk_types_per_window_hand_computed(spark):
+    """Hour 0 counts: click=3, error=2, view=1 -> top-2 is
+    [click, error]; tie in hour 1 (click=1, view=1) breaks
+    alphabetically."""
+    import datetime as dt
+
+    from topnotch_spark.streaming.ops import (
+        topk_types_per_window,
+        windowed_event_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def ev(minute, typ):
+        return (t0 + dt.timedelta(minutes=minute), typ, 1.0)
+
+    df = spark.createDataFrame(
+        [ev(1, "click"), ev(2, "click"), ev(3, "click"),
+         ev(4, "error"), ev(5, "error"), ev(6, "view"),
+         ev(61, "view"), ev(62, "click")],
+        "ts timestamp, event_type string, value double",
+    )
+    agg = windowed_event_metrics(df, window_duration="1 hour")
+    out = topk_types_per_window(agg, k=2).collect()
+    hours = {}
+    for r in out:
+        hours.setdefault(r["window_start"], []).append(
+            (r["rank"], r["event_type"], r["n_events"])
+        )
+    h0 = sorted(hours[t0])
+    assert h0 == [(1, "click", 3), (2, "error", 2)]
+    h1 = sorted(hours[t0 + dt.timedelta(hours=1)])
+    assert h1 == [(1, "click", 1), (2, "view", 1)]
+
+
+def test_streaming_topk_types_equals_batch(spark):
+    """The streamed twin (stateful windowed count + rank on the result
+    table) returns exactly the batch computation at sf0.001."""
+    from topnotch_spark.catalog import load, streaming_topk_types
+
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["rank"], r["n_events"])
+        for r in streaming_topk_types(spark, SF).collect()
+    }
+    from topnotch_spark.streaming.ops import (
+        topk_types_per_window,
+        windowed_event_metrics,
+    )
+
+    ev = load(spark, SF, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["rank"], r["n_events"])
+        for r in topk_types_per_window(
+            windowed_event_metrics(ev, window_duration="1 hour"), k=3
+        ).collect()
+    }
+    assert streamed == batch
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

@@ -1249,6 +1249,33 @@ def streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the top-3 event types per tumbling hour,
+    computed as the watermarked stateful windowed count (the
+    streaming_window_metrics aggregation) with the rank applied to the
+    materialized result table (streaming/ops.topk_types_per_window —
+    Structured Streaming can't chain a rank after a stateful agg in one
+    query; the rank input is the bounded |windows|×|types| frame)."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+        windowed_event_metrics,
+    )
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        topk_types_per_window,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    agg = run_stream_to_table(
+        windowed_event_metrics(stream, window_duration="1 hour"),
+        output_mode="complete",
+        state_partitions=6,
+    )
+    return topk_types_per_window(agg, k=3)
+
+
 def streaming_sliding_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked SLIDING-window aggregation (2h window, 1h slide) —
     each event lands in duration/slide = 2 overlapping windows; state
@@ -2650,6 +2677,7 @@ ALL = {
     "label_noise_knn": label_noise_knn,
     "contrastive_pairs_mined": contrastive_pairs_mined,
     "quantile_sketch_accuracy": quantile_sketch_accuracy,
+    "streaming_topk_types": streaming_topk_types,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

@@ -2083,6 +2083,33 @@ def streaming_window_metrics_sql(window: str = "1 hour") -> str:
     """
 
 
+def streaming_topk_types_sql(window: str = "1 hour", k: int = 3) -> str:
+    """Batch twin of streaming_topk_types: the windowed-count oracle
+    plus the same (count desc, type asc) rank, top k per window."""
+    bucket = f"time_bucket(INTERVAL {window}, CAST(ts AS TIMESTAMP))"
+    return f"""
+        WITH agg AS (
+          SELECT {bucket} AS window_start,
+                 {bucket} + INTERVAL {window} AS window_end,
+                 event_type,
+                 count(*) AS n_events,
+                 round(sum(value), 6) AS sum_value,
+                 round(round(sum(value), 6) / count(*), 6) AS avg_value
+          FROM events
+          GROUP BY 1, 2, 3
+        )
+        SELECT window_start, window_end, event_type, n_events,
+               sum_value, avg_value, rank
+        FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC) AS INTEGER
+                 ) AS rank
+          FROM agg
+        ) ranked WHERE rank <= {k}
+    """
+
+
 def streaming_sessionize_sql(gap_minutes: int = 30) -> str:
     """Sessions the streaming operator CLOSES: batch gap-sessionization
     minus sessions still open at the final watermark (the availableNow

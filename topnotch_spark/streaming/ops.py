@@ -31,7 +31,7 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from topnotch_spark.operators.assertions import (
@@ -589,3 +589,22 @@ def write_stream_idempotent(
         .start()
     )
     q.awaitTermination()
+
+
+def topk_types_per_window(agg: DataFrame, k: int = 3) -> DataFrame:
+    """Heavy hitters per time window, composed ON TOP of the streamed
+    aggregation: rank each window's event types by count (count desc,
+    type asc tiebreak) and keep the top k. Structured Streaming cannot
+    chain a rank after a stateful aggregation in one query (no
+    multi-level stateful ops in complete mode), so the streaming twin
+    runs the windowed count statefully and applies this rank to the
+    materialized result table — a |windows|x|types| frame, so the
+    window is partitioned AND bounded. Batch-callable for tests and
+    the oracle."""
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )
