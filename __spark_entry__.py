@@ -112,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
         "text_novelty": oracles.text_novelty_sql(shingle_n=3),
+        "bpe_top_merges_docs": oracles.bpe_top_merges_sql(k=50),
         "corpus_diversity_by_source": oracles.corpus_diversity_sql(),
         "label_noise_knn": oracles.label_knn_agreement_sql(
             dim=64, k=5, n_planes=8, min_agree=0.5

@@ -93,6 +93,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "quantile_sketch_accuracy": (
         "rank over the k=256-row TakeOrdered KMV sample"
     ),
+    "bpe_top_merges_docs": (
+        "rank over the k=50 rows surviving TakeOrdered"
+    ),
 }
 
 # BNLJ broadcast sides that are row-bounded by plan shape: an ungrouped

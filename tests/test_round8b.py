@@ -378,6 +378,58 @@ def test_streaming_topk_types_equals_batch(spark):
     assert streamed == batch
 
 
+# ---------------------------------------------------------------------------
+# BPE first-merge counting
+# ---------------------------------------------------------------------------
+
+def test_bpe_top_merges_hand_computed(spark):
+    """Corpus 'aaa ab' + 'ab': vocab = {aaa:1, ab:2}. Pairs: 'aa'
+    appears twice WITHIN 'aaa' (overlapping positions) -> 2;
+    'ab' -> 2 (word freq). Tie breaks alphabetically: ab before aa?
+    No — 'aa' < 'ab', so rank 1 = aa."""
+    from topnotch_spark.operators.textqc import bpe_top_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "ab")], "doc_id long, text string"
+    )
+    out = bpe_top_merges(df, "doc_id", "text", k=10).collect()
+    by_pair = {r["pair"]: (r["n_occurrences"], r["rank"]) for r in out}
+    assert by_pair == {"aa": (2, 1), "ab": (2, 2)}
+
+
+def test_bpe_top_merges_ignores_single_char_words(spark):
+    from topnotch_spark.operators.textqc import bpe_top_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b c xy")], "doc_id long, text string"
+    )
+    out = bpe_top_merges(df, "doc_id", "text", k=10).collect()
+    assert [(r["pair"], r["n_occurrences"]) for r in out] == [("xy", 1)]
+
+
+def test_text_plan_bpe_merges_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "outputKey": "merges",
+                "params": {"method": "bpeMerges", "idColumn": "doc_id",
+                           "textColumn": "text", "k": 20},
+            }
+        ]
+    }
+    path = tmp_path / "bpe_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["merges"]
+    assert set(out.columns) == {"pair", "n_occurrences", "rank"}
+    assert out.count() == 20
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

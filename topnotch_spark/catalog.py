@@ -771,6 +771,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def bpe_top_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration over documents (textqc.bpe_top_merges):
+    the top-50 adjacent character pairs by vocabulary-weighted
+    frequency — the statistic a distributed tokenizer trainer computes
+    every round. Corpus reduces to vocab first (Heaps-sublinear), pair
+    counting runs on vocab rows only."""
+    from topnotch_spark.operators.textqc import bpe_top_merges
+
+    return bpe_top_merges(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=50
+    )
+
+
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram novelty rate (textqc.ngram_novelty): the
     share of each document's distinct word trigrams that no other
@@ -2678,6 +2691,7 @@ ALL = {
     "contrastive_pairs_mined": contrastive_pairs_mined,
     "quantile_sketch_accuracy": quantile_sketch_accuracy,
     "streaming_topk_types": streaming_topk_types,
+    "bpe_top_merges_docs": bpe_top_merges_docs,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

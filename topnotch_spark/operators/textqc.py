@@ -833,6 +833,62 @@ def vocab_oov_rate(
     )
 
 
+def bpe_top_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """The first BPE merge iteration, as a corpus statistic: frequency
+    of every ADJACENT character pair, weighted by word frequency and
+    counting overlapping positions ("aaa" holds two "aa" pairs) —
+    exactly the quantity byte-pair-encoding tokenizer training
+    maximizes each round (Sennrich et al. 2016). Returns the top-k
+    candidate merges (pair, n_occurrences, rank) with the
+    (count desc, pair asc) tiebreak.
+
+    Execution shape: the corpus reduces to its VOCABULARY first (one
+    map-side-combined groupBy(token) — sublinear by Heaps' law, the
+    same reduction the token-drift operators ride), then pair explosion
+    runs over vocab rows × word length, never corpus tokens; one more
+    bounded groupBy(pair) and a TakeOrdered(k) end it. A full BPE
+    trainer is this operator in a loop with a merge-apply step between
+    rounds; the per-round counting — the expensive part at corpus
+    scale — is what this distributes. ``id_col`` is unused (kept for
+    the uniform text-operator signature the plan command dispatches
+    on)."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # length-1 words hold no pair; filter BEFORE sequence() — Spark's
+    # sequence(1, 0) infers step -1 and would emit positions [1, 0]
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_occurrences").desc(), F.col("pair").asc()
+                )
+            ),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     id_col: str,

@@ -1066,6 +1066,38 @@ def text_repetition_sql(shingle_n: int = 3) -> str:
     """
 
 
+def bpe_top_merges_sql(k: int = 50) -> str:
+    """Mirror of textqc.bpe_top_merges: vocab counts, overlapping
+    adjacent char pairs via generate_series, vocab-weighted pair sums.
+    sum(BIGINT) is HUGEINT in DuckDB — cast back; rank is the Spark
+    row_number int."""
+    return f"""
+        {_DOC_BASE},
+        vocab AS (
+          SELECT word, count(*) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          GROUP BY word
+        ),
+        pairs AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, length(word) - 1),
+                   i -> substr(word, i, 2))) AS pair,
+                 wc
+          FROM vocab WHERE length(word) >= 2
+        ),
+        counted AS (
+          SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+          FROM pairs GROUP BY pair
+          ORDER BY n_occurrences DESC, pair ASC
+          LIMIT {k}
+        )
+        SELECT pair, n_occurrences,
+               CAST(row_number() OVER (
+                 ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank
+        FROM counted
+    """
+
+
 def text_novelty_sql(shingle_n: int = 3, round_digits: int = 6) -> str:
     """Mirror of textqc.ngram_novelty: distinct shingles per doc,
     corpus document frequency per shingle, per-doc share with df = 1.

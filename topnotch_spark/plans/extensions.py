@@ -225,7 +225,7 @@ class TextCmd(Command):
         "piiScrub", "qualityFilter", "vocabTopK", "packShards",
         "repetition", "tfidfKeywords", "normalize", "unigramLogprob",
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
-        "calibrateRanks", "oovRate", "novelty",
+        "calibrateRanks", "oovRate", "novelty", "bpeMerges",
     )
 
     @classmethod
@@ -285,6 +285,7 @@ class TextCmd(Command):
             "tokenEntropy": T.token_entropy,
             "readability": T.readability,
             "novelty": T.ngram_novelty,
+            "bpeMerges": T.bpe_top_merges,
         }
         if self.method == "calibrateRanks":
             opts = dict(self.options)
