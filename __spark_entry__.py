@@ -113,6 +113,10 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
         "text_novelty": oracles.text_novelty_sql(shingle_n=3),
         "bpe_top_merges_docs": oracles.bpe_top_merges_sql(k=50),
+        "split_cluster_safe": oracles.cluster_safe_split_sql(
+            {"train": 0.9, "val": 0.1},
+            num_hashes=16, bands=4, threshold=0.5, shingle_n=5,
+        ),
         "corpus_diversity_by_source": oracles.corpus_diversity_sql(),
         "label_noise_knn": oracles.label_knn_agreement_sql(
             dim=64, k=5, n_planes=8, min_agree=0.5

@@ -430,6 +430,76 @@ def test_text_plan_bpe_merges_method(spark, tmp_path):
     assert out.count() == 20
 
 
+# ---------------------------------------------------------------------------
+# Cluster-safe split (leakage prevented by construction)
+# ---------------------------------------------------------------------------
+
+def test_cluster_safe_split_keeps_near_dups_together(spark):
+    """Two near-identical docs (one token changed out of 12) MUST land
+    in the same split; the leakage property holds for every detected
+    pair by construction (shared group_key)."""
+    from topnotch_spark.operators.curation import cluster_safe_split
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, base + " mu"), (2, base + " nu"),
+         (3, "completely different text about other things entirely here"),
+         (4, "fourth unrelated document with its own words and phrasing")],
+        "doc_id long, text string",
+    )
+    with dedup_scope():
+        out = {
+            r["doc_id"]: r
+            for r in cluster_safe_split(
+                docs, "doc_id", "text", {"train": 0.5, "val": 0.5},
+                num_hashes=16, bands=8, threshold=0.5, shingle_n=3,
+            ).collect()
+        }
+    assert len(out) == 4
+    # docs 1 and 2 are near-dups -> same group_key (component min = 1)
+    assert out[1]["group_key"] == out[2]["group_key"] == 1
+    assert out[1]["split"] == out[2]["split"]
+    # singletons key by their own id
+    assert out[3]["group_key"] == 3 and out[4]["group_key"] == 4
+
+
+def test_split_plan_cluster_safe_form(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+    from topnotch_spark.plans.extensions import SplitCmd
+
+    with pytest.raises(ValueError, match='requires "textColumn"'):
+        SplitCmd.from_json(
+            {"command": "split",
+             "input": {"ref": "x", "onDisk": False}, "outputKey": "s",
+             "params": {"idColumn": "doc_id", "clusterSafe": True,
+                        "fractions": {"train": 0.9, "val": 0.1}}}
+        )
+
+    plan = {
+        "commands": [
+            {
+                "command": "split",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "outputKey": "splits",
+                "params": {"idColumn": "doc_id", "textColumn": "text",
+                           "clusterSafe": True,
+                           "fractions": {"train": 0.9, "val": 0.1},
+                           "shingleN": 5},
+            }
+        ]
+    }
+    path = tmp_path / "cluster_safe_plan.json"
+    path.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(path)) == 0
+    out = engine.registry["splits"]
+    assert set(out.columns) == {"doc_id", "group_key", "split"}
+    assert set(
+        r["split"] for r in out.select("split").distinct().collect()
+    ) <= {"train", "val"}
+
+
 def test_text_plan_novelty_method(spark, tmp_path):
     from topnotch_spark.engine import TnEngine
 

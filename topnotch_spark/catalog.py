@@ -448,6 +448,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment (curation.cluster_safe_split):
+    near-dup clusters (MinHash-LSH pairs → connected components) are
+    split as UNITS — train/val contamination by near-duplicates is
+    impossible by construction, the prevention-side twin of
+    split_leakage_report's detection."""
+    from topnotch_spark.operators.curation import cluster_safe_split
+
+    return cluster_safe_split(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        fractions={"train": 0.9, "val": 0.1},
+        num_hashes=16, bands=4, threshold=0.5, shingle_n=5,
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full production dedup flow: near-dup pairs → connected
     components → keep the highest-quality doc per cluster."""
@@ -2692,6 +2707,7 @@ ALL = {
     "quantile_sketch_accuracy": quantile_sketch_accuracy,
     "streaming_topk_types": streaming_topk_types,
     "bpe_top_merges_docs": bpe_top_merges_docs,
+    "split_cluster_safe": split_cluster_safe,
     "text_bm25_topk": text_bm25_topk,
     "curriculum_decile_sample": curriculum_decile_sample,
     "split_leakage_report": split_leakage_report,

@@ -699,6 +699,59 @@ def source_mix_weights(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: dict[str, float],
+    salt: str = "csplit",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash-split by DUPLICATE
+    CLUSTER, not by document, so near-duplicates can never straddle a
+    split boundary (the leak `split_leakage` DETECTS, prevented by
+    construction — Lee et al. 2022's held-out contamination finding is
+    exactly this failure). Pipeline: MinHash-LSH near-dup pairs →
+    connected components → every doc keyed by its component min-id
+    (unclustered docs key by their own id) → the deterministic md5
+    split on that group key.
+
+    Returns (id, group_key, split); members of one cluster share
+    group_key and therefore split, while membership keeps hash_split's
+    properties (engine-portable, stable under corpus growth for
+    unchanged clusters).
+
+    Execution shape: the LSH banding join + O(log d) component rounds
+    dominate (both bucketed — see the dedup family notes); the final
+    assignment is ONE left join of the corpus against the pair-graph-
+    sized component frame plus a zero-shuffle projection."""
+    from topnotch_spark.operators.cluster import connected_components
+    from topnotch_spark.operators.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    comps = connected_components(pairs).select(
+        F.col("id").alias("__cc_id__"), F.col("comp").alias("__cc_comp__")
+    )
+    keyed = (
+        df.select(F.col(id_col))
+        .join(comps, F.col(id_col) == F.col("__cc_id__"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__cc_comp__"), F.col(id_col)).alias(
+                "group_key"
+            ),
+        )
+    )
+    return hash_split(keyed, "group_key", fractions, salt=salt)
+
+
 def corpus_diversity(
     df: DataFrame,
     group_col: str,

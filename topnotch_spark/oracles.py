@@ -223,6 +223,56 @@ def dedup_clusters_sql(
     """
 
 
+def cluster_safe_split_sql(
+    fractions: dict[str, float],
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 5,
+    salt: str = "csplit",
+) -> str:
+    """Mirror of curation.cluster_safe_split: the minhash pair graph's
+    components (recursive walk, min origin) key the split hash;
+    unclustered docs key by their own id. Same cumulative-threshold
+    CASE as hash_split_sql."""
+    from topnotch_spark.operators.curation import _rate_threshold_hex
+
+    pairs = dedup_minhash_sql(num_hashes, bands, threshold, shingle_n)
+    key = f"substr(md5('{salt}:' || CAST(group_key AS VARCHAR)), 1, 8)"
+    names = list(fractions)
+    cum = 0.0
+    cases = []
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        thr = _rate_threshold_hex(min(cum, 1.0))
+        cases.append(f"WHEN {key} < '{thr}' THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_1, id_2 FROM ({pairs})
+        ),
+        edges AS (
+          SELECT id_1 AS a, id_2 AS b FROM pairs
+          UNION
+          SELECT id_2, id_1 FROM pairs
+        ),
+        walk(id, comp) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
+        ),
+        comps AS (
+          SELECT id, min(comp) AS comp FROM walk GROUP BY id
+        ),
+        keyed AS (
+          SELECT d.doc_id,
+                 coalesce(c.comp, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+        )
+        SELECT doc_id, group_key, {case} AS split FROM keyed
+    """
+
+
 def dedup_keep_best_sql(
     stopwords: list[str],
     num_hashes: int = 16,

@@ -988,7 +988,11 @@ class SplitCmd(Command):
     hash-based train/val/test assignment (seedless, growth-stable).
     Leakage form: add "textColumn" (and optionally "holdoutSplit",
     "trainSplit", "shingleN", "maxShingleDf") to get the cross-split
-    n-gram contamination report instead (curation.split_leakage)."""
+    n-gram contamination report instead (curation.split_leakage).
+    Cluster-safe form: "textColumn" + "clusterSafe": true assigns
+    splits by near-dup CLUSTER (curation.cluster_safe_split; optional
+    "numHashes", "bands", "threshold", "shingleN", "salt") so
+    near-duplicates never straddle a split."""
 
     input: Input = None  # type: ignore[assignment]
     id_column: str = "id"
@@ -999,7 +1003,17 @@ class SplitCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "SplitCmd":
         p = obj["params"]
-        if "textColumn" in p:
+        if p.get("clusterSafe"):
+            if "textColumn" not in p:
+                raise ValueError(
+                    'split: "clusterSafe" requires "textColumn" (the '
+                    "near-dup clustering needs document text)"
+                )
+            opts = _opt(
+                p, "numHashes", "bands", "threshold", "shingleN", "salt",
+            )
+            opts["cluster_safe"] = True
+        elif "textColumn" in p:
             opts = _opt(
                 p, "holdoutSplit", "trainSplit", "shingleN",
                 "maxShingleDf", "salt",
@@ -1017,9 +1031,26 @@ class SplitCmd(Command):
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.curation import hash_split, split_leakage
+        from topnotch_spark.operators.curation import (
+            cluster_safe_split,
+            hash_split,
+            split_leakage,
+        )
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.options.get("cluster_safe"):
+            opts = {
+                k: v for k, v in self.options.items() if k != "cluster_safe"
+            }
+            if not self.fractions:
+                raise ValueError("split: fractions must be non-empty")
+            return cluster_safe_split(
+                df,
+                self.id_column,
+                self.text_column,
+                dict(self.fractions),
+                **opts,
+            )
         if self.text_column:
             return split_leakage(
                 df,
