@@ -519,8 +519,23 @@ def bitstring_band_pairs(
     (id_1, id_2, hamming), id_1 < id_2, hamming ≤ max_hamming.
 
     Shared tail of every bit-signature near-dup family (simhash over
-    text shingles, aHash/dHash over media blobs). ``base`` should be
-    persisted by the caller — it feeds both sides of the self-join."""
+    text shingles, aHash/dHash over media blobs, audio envelopes).
+    ``base`` should be persisted by the caller — it feeds both sides of
+    the self-join.
+
+    Verify cost (r8 measurement, audio family at sf0.1): the original
+    per-bit higher-order-function Hamming fold is interpreted per pair
+    (the same HOF tax the shingle pipeline measured at ~7×), and the
+    pair `.distinct()` shuffled two full bit-strings per row BEFORE any
+    filtering. Now: the bit-string is folded 32 bits at a time into
+    bigints (conv base-2; 32-bit chunks stay under 2^32, so the
+    unsigned decimal string conv emits always casts — a single 64-bit
+    conv would overflow bigint) and hamming = Σ bit_count(a XOR b) per
+    chunk — one codegen'd expression, any width. Computing hamming
+    BEFORE the distinct also lets the ≤ max_hamming filter shrink the
+    dedup shuffle to the surviving pairs (duplicate (id_1, id_2) rows
+    from multi-band collisions carry identical hamming, so
+    distinct-after-filter is equivalent)."""
     n_bands = bits // band_bits
     band_cols = [
         F.substring("sh", b * band_bits + 1, band_bits).alias(f"band_{b}")
@@ -533,21 +548,30 @@ def bitstring_band_pairs(
     )
     left = buckets.select(F.col("id").alias("id_1"), F.col("sh").alias("sh_1"), "band_idx", "bucket")
     right = buckets.select(F.col("id").alias("id_2"), F.col("sh").alias("sh_2"), "band_idx", "bucket")
-    hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(bits)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.substring(F.col("sh_1"), i.cast("int"), 1) != F.substring(F.col("sh_2"), i.cast("int"), 1), 1
-        ).otherwise(0),
-    )
+    def chunk_int(col: str, start: int, width: int):
+        return F.conv(F.substring(F.col(col), start, width), 2, 10).cast(
+            "bigint"
+        )
+
+    chunk_terms = []
+    for start in range(1, bits + 1, 32):
+        width = min(32, bits - start + 1)
+        chunk_terms.append(
+            F.bit_count(
+                chunk_int("sh_1", start, width).bitwiseXOR(
+                    chunk_int("sh_2", start, width)
+                )
+            )
+        )
+    hamming = chunk_terms[0]
+    for term in chunk_terms[1:]:
+        hamming = hamming + term
     return (
         left.join(right, ["band_idx", "bucket"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "sh_1", "sh_2")
-        .distinct()
         .select("id_1", "id_2", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
