@@ -1028,25 +1028,37 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
     hex64 = F.concat(F.md5(gs), F.md5(F.concat(gs, F.lit("x"))))
     d = F.col("doc_id")
-    flip = lambda k: (  # noqa: E731 — the per-k flip predicate
-        ((d % 64) == k)
-        | ((d % 3 >= 1) & ((d * 31 % 64) == k))
-        | ((d % 3 == 2) & ((d * 53 % 64) == k))
-    )
-    pix = F.concat(
-        *[
-            F.when(
-                flip(k),
-                F.when(
-                    F.substring(hex64, k + 1, 1) >= F.lit("8"), F.lit("1F")
-                ).otherwise(F.lit("DF")),
-            ).otherwise(
-                F.when(
-                    F.substring(hex64, k + 1, 1) >= F.lit("8"), F.lit("E0")
-                ).otherwise(F.lit("20"))
-            )
-            for k in range(64)
-        ]
+    # mark-string formulation (r8 perf, the shared fixture rewrite):
+    # translate hex digits to H/L pixel marks, overwrite the 1-3
+    # flipped positions with the inverse of the ORIGINAL mark
+    # (idempotent under coinciding positions, matching the original OR
+    # predicate), expand via one regexp chain — replaces 64 CASE
+    # branches; bytes identical (strict-hash re-verified both SFs).
+    marks = F.translate(hex64, "0123456789abcdef", "LLLLLLLLHHHHHHHH")
+
+    def flip_edit(running, pos_expr, cond):
+        pos = (pos_expr + 1).cast("int")
+        inv = F.when(
+            marks.substr(pos, F.lit(1)) == "H", F.lit("h")
+        ).otherwise(F.lit("l"))
+        edited = F.concat(
+            running.substr(F.lit(1), pos - 1),
+            inv,
+            running.substr(pos + 1, F.lit(64)),
+        )
+        return F.when(cond, edited).otherwise(running)
+
+    flipped = flip_edit(marks, d % 64, F.lit(True))
+    flipped = flip_edit(flipped, d * 31 % 64, d % 3 >= 1)
+    flipped = flip_edit(flipped, d * 53 % 64, d % 3 == 2)
+    pix = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(flipped, "H", "E0"), "L", "20"
+            ),
+            "h", "1F",
+        ),
+        "l", "DF",
     )
     imgs = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1156,25 +1168,42 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
     h32 = F.md5(F.concat(gs, F.lit("aud")))
     d = F.col("doc_id")
-    flip = lambda i: (  # noqa: E731 — the per-sample flip predicate
-        ((d % 64) == i)
-        | ((d % 3 >= 1) & ((d * 37 % 64) == i))
-        | ((d % 3 == 2) & ((d * 59 % 64) == i))
+    # mark-string formulation (r8 perf, same rewrite as the video
+    # fixture): one L/q mark per hex digit via translate, each mark
+    # doubled to its 2 samples, the 1-3 flipped positions overwritten
+    # with the INVERSE of the ORIGINAL mark (idempotent when flip
+    # positions coincide, matching the original OR predicate), one
+    # regexp chain expands marks to sample hex. Replaces 64 CASE
+    # branches; bytes identical (strict-hash re-verified both SFs).
+    marks = F.regexp_replace(
+        F.translate(h32, "0123456789abcdef", "qqqqqqqqqqqqLLLL"),
+        "(.)",
+        "$1$1",
     )
-    samples = F.concat(
-        *[
-            F.when(
-                flip(i),
-                F.when(
-                    F.substring(h32, i // 2 + 1, 1) >= F.lit("c"), F.lit("0A")
-                ).otherwise(F.lit("64")),
-            ).otherwise(
-                F.when(
-                    F.substring(h32, i // 2 + 1, 1) >= F.lit("c"), F.lit("64")
-                ).otherwise(F.lit("0A"))
-            )
-            for i in range(64)
-        ]
+
+    def flip_edit(running, pos_expr, cond):
+        pos = (pos_expr + 1).cast("int")
+        inv = F.when(
+            marks.substr(pos, F.lit(1)) == "L", F.lit("l")
+        ).otherwise(F.lit("Q"))
+        edited = F.concat(
+            running.substr(F.lit(1), pos - 1),
+            inv,
+            running.substr(pos + 1, F.lit(64)),
+        )
+        return F.when(cond, edited).otherwise(running)
+
+    flipped = flip_edit(marks, d % 64, F.lit(True))
+    flipped = flip_edit(flipped, d * 37 % 64, d % 3 >= 1)
+    flipped = flip_edit(flipped, d * 59 % 64, d % 3 == 2)
+    samples = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(flipped, "L", "64"), "q", "0A"
+            ),
+            "l", "0A",
+        ),
+        "Q", "64",
     )
     clips = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1203,6 +1232,14 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
     d = F.col("doc_id")
+    # mark-string formulation (r8 perf): translate the 64 hex digits to
+    # one L/H mark per pixel, overwrite the single corrupted position's
+    # mark (lowercase = inverted pixel), then expand marks to byte hex
+    # in one regexp chain — 6 string ops per frame instead of 64 CASE
+    # branches (the original 256-term expression cost ~2.6 s of pure
+    # synthesis at sf0.1 and dominated the query). Bytes are identical
+    # (strict-hash gate re-verified at both SFs).
+    kpos = (d % 64 + 1).cast("int")
     frames = []
     for f in range(4):
         hex64 = F.concat(
@@ -1212,23 +1249,26 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corrupted = ((d % 4) == f) | (
             (d % 2 == 1) & ((((d + 1) % 4) == f) | (((d + 2) % 4) == f))
         )
+        marks = F.translate(
+            hex64, "0123456789abcdef", "LLLLLLLLHHHHHHHH"
+        )
+        cur = marks.substr(kpos, F.lit(1))
+        flipped = F.concat(
+            marks.substr(F.lit(1), kpos - 1),
+            F.when(cur == "H", F.lit("h")).otherwise(F.lit("l")),
+            marks.substr(kpos + 1, F.lit(64)),
+        )
+        final_marks = F.when(corrupted, flipped).otherwise(marks)
         frames.append(
-            F.concat(
-                *[
-                    F.when(
-                        corrupted & ((d % 64) == k),
-                        F.when(
-                            F.substring(hex64, k + 1, 1) >= F.lit("8"),
-                            F.lit("1F"),
-                        ).otherwise(F.lit("DF")),
-                    ).otherwise(
-                        F.when(
-                            F.substring(hex64, k + 1, 1) >= F.lit("8"),
-                            F.lit("E0"),
-                        ).otherwise(F.lit("20"))
-                    )
-                    for k in range(64)
-                ]
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(final_marks, "H", "E0"),
+                        "L", "20",
+                    ),
+                    "h", "1F",
+                ),
+                "l", "DF",
             )
         )
     vids = load(spark, sf_dir, "documents").select(
