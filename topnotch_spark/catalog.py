@@ -482,7 +482,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import brute_force_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter("vec_id < 5"), k=10)
+    return brute_force_topk(emb, emb.filter("vec_id < 5"), k=10, dim=64)
 
 
 def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,7 +526,7 @@ def contrastive_pairs_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.similarity import contrastive_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return contrastive_pairs(emb, emb.filter("vec_id < 8"), k=5)
+    return contrastive_pairs(emb, emb.filter("vec_id < 8"), k=5, dim=64)
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +534,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter("vec_id < 5"), k=10, n_centroids=16, n_probe=4
+        emb, emb.filter("vec_id < 5"), k=10, n_centroids=16, n_probe=4,
+        dim=64,
     )
 
 
@@ -1142,7 +1143,7 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qids = [qid for qid, _ in BM25_QUERIES]
     dense = brute_force_topk(
-        emb, emb.filter(F.col("vec_id").isin(qids)), k=10
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=10, dim=64
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([sparse, dense], k=60, topk=10)
 
@@ -1875,12 +1876,12 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter("vec_id < 5")
     # shared by both report branches — without the persist the
     # brute-force scan would run once per branch
-    exact = _persist(brute_force_topk(emb, q, k=10))
+    exact = _persist(brute_force_topk(emb, q, k=10, dim=64))
     srp = topk_recall(
         srp_ann_topk(emb, q, k=10, n_planes=8, dim=64), exact
     ).select(F.lit("srp").alias("method"), "*")
     ivf = topk_recall(
-        ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4), exact
+        ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4, dim=64), exact
     ).select(F.lit("ivf").alias("method"), "*")
     return srp.unionByName(ivf)
 

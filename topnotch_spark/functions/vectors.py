@@ -20,8 +20,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double precision."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product in double precision.
+
+    ``dim`` is accepted for call-site uniformity with srp_bucket but
+    deliberately unused: an unrolled element_at chain was measured in
+    r8 (bit-identical left-associated order) and was NOT faster — at
+    dim=64 the compact zip_with fold ties or wins, and unrolling
+    planes × dim into projections actively regresses once Catalyst
+    duplicates the tree (label_noise_knn 6.5 s → 44 s before the
+    Generate barrier fix). The HOF tax is per-ELEMENT-call overhead;
+    at 64 doubles per pair it is already amortized."""
+    del dim  # measured: unrolling is not a win — see docstring
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -29,12 +39,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def _plane_sign(plane: int, dim_idx: Column) -> Column:
@@ -74,6 +84,11 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column
     dimension — same bucket ids, ~10× cheaper projection.
     """
     if dim is not None:
+        # deliberately the compact zip_with/aggregate fold, NOT an
+        # unrolled element_at chain: unrolling planes × dim into one
+        # ~512-term projection blew past the codegen sweet spot and ran
+        # ~2× SLOWER end-to-end (measured r8 on label_noise_knn) — the
+        # literal sign arrays are the win here, the fold is fine
         def bit_fast(p: int) -> Column:
             signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
             proj = F.aggregate(

@@ -39,21 +39,24 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding itself).
 
     Norms are projected per row BEFORE the join, so the per-pair work is a
     single dot-product fold — not three (dot + both norms re-derived per
-    pair), which costs 3x at |corpus| x |queries| pairs."""
+    pair), which costs 3x at |corpus| x |queries| pairs. Pass ``dim``
+    when known to unroll the fold into codegen (see functions.vectors
+    .dot — bit-identical, just not interpreted)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
+        norm(F.col(vec_col), dim).alias("__cn__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
+        norm(F.col(vec_col), dim).alias("__qn__"),
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -62,7 +65,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
+                dot(F.col("__qv__"), F.col("__cv__"), dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -81,6 +84,7 @@ def ivf_topk(
     n_probe: int = 4,
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are assigned to their
     nearest centroid (inverted lists); each query probes its ``n_probe``
@@ -136,7 +140,7 @@ def ivf_topk(
             df.select(
                 F.col(id_col).alias(out_id),
                 F.col(vec_col).alias(out_vec),
-                norm(F.col(vec_col)).alias(out_norm),  # once per row, pre-join
+                norm(F.col(vec_col), dim).alias(out_norm),  # once per row, pre-join
             )
             .crossJoin(F.broadcast(cents))
             .withColumn("__cc__", cosine(F.col(out_vec), F.col("__cvec__")))
@@ -159,7 +163,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
+                dot(F.col("__qv__"), F.col("__cv__"), dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -205,7 +209,7 @@ def srp_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
+        norm(F.col(vec_col), dim).alias("__cn__"),
         srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     qbucket = srp_bucket(F.col(vec_col), n_planes, dim)
@@ -225,7 +229,7 @@ def srp_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
+        norm(F.col(vec_col), dim).alias("__qn__"),
         qbucket.alias("bucket"),
     )
     pairs = (
@@ -235,7 +239,7 @@ def srp_ann_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
+                dot(F.col("__qv__"), F.col("__cv__"), dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -591,28 +595,43 @@ def label_knn_agreement(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__nl__"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
+        norm(F.col(vec_col), dim).alias("__cn__"),
         srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    qbucket = srp_bucket(F.col(vec_col), n_planes, dim)
-
-    def flip(b, i):
-        return F.concat(
-            F.substring(b, 1, i),
-            F.when(F.substring(b, i + 1, 1) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            ),
-            F.substring(b, i + 2, n_planes - i - 1),
-        )
-
-    q = df.select(
+    # Probe buckets by exploded INDEX, flipping the materialized bucket
+    # column ABOVE the Generate: an explode(array(bucket, flip(bucket,
+    # 0..planes-1))) formulation inlines the bucket projection into
+    # every flip (Catalyst's CollapseProject duplicates it ~27×, which
+    # turned the unrolled plane expressions from a win into a 7×
+    # regression — measured r8). Generate is a projection-collapse
+    # barrier, so here the bucket is computed exactly once per row.
+    base_q = df.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("__ql__"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
+        norm(F.col(vec_col), dim).alias("__qn__"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("__b0__"),
+    ).select(
+        "*",
         F.explode(
-            F.array(qbucket, *[flip(qbucket, i) for i in range(n_planes)])
-        ).alias("bucket"),
+            F.array(*[F.lit(i) for i in range(-1, n_planes)])
+        ).alias("__fi__"),
+    )
+    fi = F.col("__fi__")
+    b0 = F.col("__b0__")
+    flipped = F.concat(
+        b0.substr(F.lit(1), fi),
+        F.when(
+            b0.substr((fi + 1).cast("int"), F.lit(1)) == "1", F.lit("0")
+        ).otherwise(F.lit("1")),
+        b0.substr((fi + 2).cast("int"), F.lit(n_planes)),
+    )
+    q = base_q.select(
+        "query_id",
+        "__ql__",
+        "__qv__",
+        "__qn__",
+        F.when(fi < 0, b0).otherwise(flipped).alias("bucket"),
     )
     ranked = (
         c.join(q, "bucket")
@@ -623,7 +642,7 @@ def label_knn_agreement(
             "__nl__",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
+                dot(F.col("__qv__"), F.col("__cv__"), dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -665,6 +684,7 @@ def contrastive_pairs(
     label_col: str = "label",
     k: int = 5,
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Contrastive training-pair mining over a labeled embedding table:
     for each anchor, the k most-similar SAME-label vectors (positives)
@@ -685,13 +705,13 @@ def contrastive_pairs(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
+        norm(F.col(vec_col), dim).alias("__cn__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col)).alias("__qn__"),
+        norm(F.col(vec_col), dim).alias("__qn__"),
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -706,7 +726,7 @@ def contrastive_pairs(
                 F.lit("pos"),
             ).otherwise(F.lit("neg")).alias("kind"),
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"))
+                dot(F.col("__qv__"), F.col("__cv__"), dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
