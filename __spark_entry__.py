@@ -111,6 +111,12 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
+        "graph_pagerank_parts": oracles.pagerank_parts_sql(
+            iters=8, max_basket=12
+        ),
+        "graph_triangle_parts": oracles.triangle_parts_sql(
+            min_support=2, max_basket=12
+        ),
         "text_novelty": oracles.text_novelty_sql(shingle_n=3),
         "bpe_top_merges_docs": oracles.bpe_top_merges_sql(k=50),
         "split_cluster_safe": oracles.cluster_safe_split_sql(

@@ -1148,6 +1148,45 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k=60, topk=10)
 
 
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank item importance over the part co-purchase graph
+    (graph.cooccurrence_edges + graph.pagerank): 8 fixed-point rounds,
+    damping 17/20, ranks as BIGINTs scaled by 1e12 — every rank
+    bit-reproducible by the oracle's chained integer CTEs. Each round is
+    one src-keyed hash join + one map-side-combined groupBy on dst over
+    the persisted symmetric edge set; per-round lineage truncated like
+    connected_components."""
+    from topnotch_spark.operators.graph import cooccurrence_edges, pagerank
+
+    edges = cooccurrence_edges(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        max_basket_items=12,
+    )
+    return pagerank(edges, iters=8).withColumnRenamed("node", "part_id")
+
+
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + local clustering coefficient over the
+    min-support-2 co-purchase graph (graph.triangle_counts): ordered
+    wedges a<b<c closed by the (a,c) edge — join size is the orientation
+    degrees' C(d,2) sum, never |nodes|² (Suri & Vassilvitskii, WWW'11).
+    The support threshold is the density valve: it keeps the wedge set
+    sparse on a co-occurrence graph whose raw density is avg-degree
+    ~115."""
+    from topnotch_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+    edges = cooccurrence_edges(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        max_basket_items=12,
+        min_support=2,
+    )
+    return triangle_counts(edges).withColumnRenamed("node", "part_id")
+
+
 def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs (multimodal.audio_near_dups): integer-exact
     energy-envelope fingerprint over TNAUD blobs (32 frames x 2 samples,
@@ -2739,6 +2778,8 @@ ALL = {
     # round-8 additions first: the driver gate checks the leading 50
     # slots, and a new query must earn a driver-side CORRECTNESS row in
     # the round that ships it (the round-7 lesson)
+    "graph_pagerank_parts": graph_pagerank_parts,
+    "graph_triangle_parts": graph_triangle_parts,
     "retrieval_rrf_fused": retrieval_rrf_fused,
     "cms_heavy_hitters": cms_heavy_hitters,
     "text_novelty": text_novelty,

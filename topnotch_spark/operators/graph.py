@@ -1,0 +1,231 @@
+"""Graph analytics over co-occurrence graphs (beyond-reference
+extension): PageRank node importance and triangle/clustering-coefficient
+counting — the graph half of a curation pipeline (which items anchor the
+catalog, how clustered is the co-purchase neighborhood, which documents
+sit in dense near-dup communities). Connected components (the dedup
+application) lives in ``operators/cluster.py``; this module adds the
+*weighted-importance* and *local-density* primitives on the same edge
+model. The reference engine has no graph stage at all — this is
+LLM-pipeline extension surface, not a port of tnengine/TnEngine.scala.
+
+Determinism contract (the repo-wide oracle rule): PageRank runs in
+FIXED-POINT integer arithmetic — ranks are BIGINTs scaled by
+``scale`` (default 10^12) and every step is integer multiply /
+integer ``div`` — so a DuckDB oracle replaying the same chained
+iterations reproduces every rank bit-for-bit. No float summation
+order anywhere. The damping factor is the exact rational
+``damp_num/damp_den`` (default 17/20 = 0.85):
+
+    teleport        = (scale * (damp_den - damp_num) div damp_den) div n
+    share_k(src)    = (rank_k(src) * damp_num div damp_den) div outdeg(src)
+    rank_{k+1}(dst) = teleport + sum over in-edges of share_k(src)
+
+Floor losses mean ranks sum to slightly less than ``scale`` — that is
+part of the spec, identical in both engines, and irrelevant to the
+ranking use of the output.
+
+Execution shape / 100 TB notes:
+- ``cooccurrence_edges`` is ONE distinct projection + one self
+  equi-join ON THE BASKET KEY (fan-out bounded by basket size², never
+  |items|²) + one pair groupBy — the market-basket shape
+  (operators/basket.py). ``max_basket_items`` is the viral valve: a
+  pathological mega-basket would otherwise contribute |basket|² pairs.
+- Each PageRank iteration is one hash join (ranks into edges on src —
+  both sides hash-partitioned by the same key across rounds) + one
+  map-side-combined groupBy on dst + one join back to the node frame.
+  Edges and degrees are persisted once (registered in the dedup-scope
+  registry); per-round lineage is truncated exactly like
+  cluster.connected_components (localCheckpoint, or a parquet
+  roundtrip when the checkpoint dir is set — the executor-loss-safe
+  real-cluster path).
+- Triangle counting uses the ordered-wedge trick (a<b<c): wedges are
+  generated only from each node's HIGHER-numbered neighbors, so the
+  join size is sum of C(d⁺,2) over the orientation degrees — the
+  standard MapReduce triangle algorithm (Suri & Vassilvitskii, WWW'11
+  "Counting Triangles and the Curse of the Last Reducer"). Use a
+  ``min_support`` edge threshold to keep the wedge set sparse on
+  dense co-occurrence graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_items: int | None = 12,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected unique co-occurrence edges ``(src < dst, pair_count)``:
+    items sharing at least ``min_support`` baskets. Presence is set
+    semantics (duplicate (basket, item) rows count once); baskets above
+    ``max_basket_items`` distinct items are dropped from pairing (the
+    skew valve — margins of a mega-basket would dominate the pair join).
+    """
+    items = (
+        df.select(F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__"))
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    if max_basket_items is not None:
+        big = (
+            items.groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("__sz__"))
+            .filter(F.col("__sz__") > max_basket_items)
+            .select("__b__")
+        )
+        items = items.join(F.broadcast(big), "__b__", "left_anti")
+    a = items.select("__b__", F.col("__i__").alias("src"))
+    b = items.select("__b__", F.col("__i__").alias("dst"))
+    pairs = (
+        a.join(b, "__b__")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    if min_support > 1:
+        pairs = pairs.filter(F.col("pair_count") >= min_support)
+    return pairs
+
+
+def _directed(edges: DataFrame) -> DataFrame:
+    """Symmetric closure of an undirected (src, dst) edge set."""
+    e = edges.select("src", "dst")
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 8,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """(node, out_degree, rank_scaled) after ``iters`` fixed-point
+    PageRank rounds over the symmetric closure of ``edges`` (src, dst
+    undirected unique pairs — every node therefore has outdeg ≥ 1, so
+    there is no dangling-mass term).
+
+    rank_scaled is the rank probability times ``scale``, floored — a
+    BIGINT, bit-reproducible by any engine with integer division (the
+    DuckDB oracle chains the same ``iters`` CTEs).
+    """
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    sym = _persist(_directed(edges))
+    deg = _persist(
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
+    # 1-row node-count frame rides into the plan via a broadcast cross
+    # join (never a driver-side collect)
+    nn = F.broadcast(deg.select(F.count(F.lit(1)).alias("__n__")))
+    teleport = F.expr(
+        f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} div {damp_den}) "
+        "div __n__"
+    )
+    ranks, ckpt = _truncate_round(
+        deg.crossJoin(nn).select(
+            F.col("src").alias("node"),
+            F.expr(f"CAST({scale} AS BIGINT) div __n__").alias("rank"),
+        ),
+        None,
+    )
+    for _ in range(iters):
+        shares = (
+            deg.join(ranks, deg["src"] == ranks["node"])
+            .select(
+                "src",
+                F.expr(
+                    f"(rank * {damp_num} div {damp_den}) div outdeg"
+                ).alias("share"),
+            )
+        )
+        contrib = (
+            sym.join(shares, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            deg.crossJoin(nn)
+            .select(F.col("src").alias("node"), teleport.alias("__tp__"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.col("__tp__") + F.coalesce(F.col("contrib"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        ranks, ckpt = _truncate_round(ranks, ckpt)
+    out = ranks.join(
+        deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
+        "node",
+    ).select("node", "out_degree", F.col("rank").alias("rank_scaled"))
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(out)
+        _d._CHECKPOINTED[id(out)] = ckpt
+    return out
+
+
+def triangle_counts(edges: DataFrame, round_digits: int = 6) -> DataFrame:
+    """(node, degree, tri_count, clustering_coeff) per node of the
+    undirected unique edge set ``edges`` (src < dst).
+
+    Ordered-wedge enumeration: a triangle a<b<c is found exactly once,
+    as wedge (a→b, b→c) closed by edge (a, c). Per-node counts credit
+    all three corners via one union of the three corner projections —
+    no row is ever counted from an unordered duplicate. The local
+    clustering coefficient divides the exact integers
+    ``2·tri / (deg·(deg-1))`` and rounds to ``round_digits`` in both
+    engines (the lift convention of operators/basket.py).
+    """
+    from topnotch_spark.operators.dedup import _persist
+
+    e = _persist(edges.select("src", "dst"))
+    deg = (
+        _directed(e)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
+        e2, "b"
+    )
+    tris = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+    ).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("tri_count"), F.lit(0)).alias("tri_count"),
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("tri_count")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    round_digits,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

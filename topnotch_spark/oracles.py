@@ -4015,3 +4015,126 @@ def vocab_oov_rate_sql(
         FROM tok t LEFT JOIN vocab v USING (token)
         GROUP BY t.grp
     """
+
+
+# ---- graph analytics (operators/graph.py) ---------------------------------
+
+def _copurchase_edges_cte(
+    max_basket: int = 12, min_support: int = 1
+) -> str:
+    """Shared undirected co-purchase edge CTEs over lineitem: distinct
+    (order, part), baskets above ``max_basket`` dropped, unordered pairs
+    with >= ``min_support`` co-occurrences. MATERIALIZED so the chained
+    PageRank iterations don't re-evaluate the basket join per round."""
+    sup = (
+        f" HAVING count(*) >= {min_support}" if min_support > 1 else ""
+    )
+    return f"""
+        items AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+          WHERE l_partkey IS NOT NULL
+        ),
+        kept AS (
+          SELECT items.* FROM items
+          JOIN (
+            SELECT b FROM items GROUP BY b HAVING count(*) <= {max_basket}
+          ) ok USING (b)
+        ),
+        uedges AS MATERIALIZED (
+          SELECT a.i AS src, c.i AS dst
+          FROM kept a JOIN kept c USING (b)
+          WHERE a.i < c.i
+          GROUP BY a.i, c.i{sup}
+        )
+    """
+
+
+def pagerank_parts_sql(
+    iters: int = 8,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    max_basket: int = 12,
+) -> str:
+    """Mirror of graph.pagerank over graph.cooccurrence_edges(lineitem):
+    the same fixed-point integer recurrence unrolled as ``iters`` chained
+    CTEs — teleport and shares use integer `//` exactly like Spark's
+    `div`, so every rank is bit-identical."""
+    tp = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} // {damp_den}) // nn.n"
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+        r{k} AS (
+          SELECT d.src AS node,
+                 CAST({tp} + COALESCE(s.contrib, 0) AS BIGINT) AS rank
+          FROM deg d CROSS JOIN nn
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM((r.rank * {damp_num} // {damp_den}) // dd.outdeg) AS contrib
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN deg dd ON dd.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = d.src
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_copurchase_edges_cte(max_basket)},
+        edges AS MATERIALIZED (
+          SELECT src, dst FROM uedges
+          UNION ALL
+          SELECT dst, src FROM uedges
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+        r0 AS (
+          SELECT src AS node, CAST(CAST({scale} AS BIGINT) // n AS BIGINT) AS rank
+          FROM deg CROSS JOIN nn
+        ),{chain}
+        SELECT r.node AS part_id,
+               d.outdeg AS out_degree,
+               r.rank AS rank_scaled
+        FROM r{iters} r JOIN deg d ON d.src = r.node
+    """
+
+
+def triangle_parts_sql(
+    min_support: int = 2, max_basket: int = 12, round_digits: int = 6
+) -> str:
+    """Mirror of graph.triangle_counts over the min-support co-purchase
+    graph: ordered wedges (a<b<c) closed by the (a,c) edge; per-node
+    credit via the three-corner union; coefficient = exact integers
+    divided then rounded."""
+    return f"""
+        WITH {_copurchase_edges_cte(max_basket, min_support)},
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT src AS node FROM uedges
+            UNION ALL
+            SELECT dst FROM uedges
+          ) GROUP BY node
+        ),
+        tris AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM uedges e1
+          JOIN uedges e2 ON e1.dst = e2.src
+          JOIN uedges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        corners AS (
+          SELECT node, count(*) AS tri_count FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+          ) GROUP BY node
+        )
+        SELECT d.node AS part_id,
+               d.degree,
+               CAST(COALESCE(c.tri_count, 0) AS BIGINT) AS tri_count,
+               CASE WHEN d.degree >= 2 THEN
+                 round(2.0 * COALESCE(c.tri_count, 0)
+                       / (d.degree * (d.degree - 1)), {round_digits})
+               ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN corners c ON c.node = d.node
+    """

@@ -1312,6 +1312,100 @@ class CmsCmd(Command):
 
 
 @dataclass(frozen=True)
+class GraphCmd(Command):
+    """{"command": "graph", "input": <input>, "params": {"method":
+    pagerank|triangles, EITHER "srcColumn"+"dstColumn" (input is an
+    undirected unique edge list) OR "basketColumn"+"itemColumn" (edges
+    are built by co-occurrence within a basket; "maxBasketItems" /
+    "minSupport" bound the pair join), pagerank: ["iters", "scale",
+    "dampNum", "dampDen"], triangles: ["roundDigits"]}} — graph
+    analytics (operators/graph.py): fixed-point PageRank node
+    importance / ordered-wedge triangle counts over a co-occurrence
+    graph."""
+
+    input: Input = None  # type: ignore[assignment]
+    method: str = "pagerank"
+    src_column: str | None = None
+    dst_column: str | None = None
+    basket_column: str | None = None
+    item_column: str | None = None
+    options: dict = field(default_factory=dict)
+
+    METHODS = ("pagerank", "triangles")
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "GraphCmd":
+        p = obj["params"]
+        _require_method(p, cls.METHODS, "graph")
+        has_edges = "srcColumn" in p and "dstColumn" in p
+        has_basket = "basketColumn" in p and "itemColumn" in p
+        if not has_edges and not has_basket:
+            raise ValueError(
+                "graph: params need srcColumn+dstColumn (edge-list input) "
+                "or basketColumn+itemColumn (co-occurrence edges)"
+            )
+        return cls(
+            input=Input.from_json(obj["input"]),
+            method=p["method"],
+            src_column=p.get("srcColumn"),
+            dst_column=p.get("dstColumn"),
+            basket_column=p.get("basketColumn"),
+            item_column=p.get("itemColumn"),
+            options=_opt(
+                p,
+                "maxBasketItems",
+                "minSupport",
+                "iters",
+                "scale",
+                "dampNum",
+                "dampDen",
+                "roundDigits",
+            ),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from topnotch_spark.operators.graph import (
+            cooccurrence_edges,
+            pagerank,
+            triangle_counts,
+        )
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        o = dict(self.options)
+        if self.src_column is not None:
+            edges = df.select(
+                F.col(self.src_column).alias("src"),
+                F.col(self.dst_column).alias("dst"),
+            )
+        else:
+            edges = cooccurrence_edges(
+                df,
+                self.basket_column,
+                self.item_column,
+                max_basket_items=o.pop("maxBasketItems", 12),
+                min_support=o.pop("minSupport", 1),
+            )
+        o.pop("maxBasketItems", None)
+        o.pop("minSupport", None)
+        if self.method == "pagerank":
+            return pagerank(
+                edges,
+                iters=o.get("iters", 8),
+                scale=o.get("scale", 10**12),
+                damp_num=o.get("dampNum", 17),
+                damp_den=o.get("dampDen", 20),
+            )
+        return triangle_counts(edges, round_digits=o.get("roundDigits", 6))
+
+
+@dataclass(frozen=True)
 class QuantileSketchCmd(Command):
     """{"command": "quantileSketch", "input": <input>, "params":
     {"method": build|merge|accuracy, "idColumn", "valueColumn",
@@ -1938,6 +2032,7 @@ def register() -> None:
             "dedup": DedupCmd.from_json,
             "bloom": MembershipCmd.from_json,
             "cms": CmsCmd.from_json,
+            "graph": GraphCmd.from_json,
             "quantileSketch": QuantileSketchCmd.from_json,
             "text": TextCmd.from_json,
             "similarity": SimilarityCmd.from_json,
