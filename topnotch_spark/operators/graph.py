@@ -66,7 +66,12 @@ def cooccurrence_edges(
     ``max_basket_items`` distinct items are dropped from pairing (the
     skew valve — margins of a mega-basket would dominate the pair join).
     """
-    items = (
+    from topnotch_spark.operators.dedup import _persist
+
+    # the distinct projection feeds the valve, its anti-join, and BOTH
+    # sides of the pair self-join — materialize it once (the
+    # market_basket_pairs convention; released by dedup_scope)
+    items = _persist(
         df.select(F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__"))
         .where(F.col(item_col).isNotNull())
         .distinct()
@@ -104,6 +109,7 @@ def pagerank(
     scale: int = 10**12,
     damp_num: int = 17,
     damp_den: int = 20,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """(node, out_degree, rank_scaled) after ``iters`` fixed-point
     PageRank rounds over the symmetric closure of ``edges`` (src, dst
@@ -113,11 +119,32 @@ def pagerank(
     rank_scaled is the rank probability times ``scale``, floored — a
     BIGINT, bit-reproducible by any engine with integer division (the
     DuckDB oracle chains the same ``iters`` CTEs).
+
+    ``broadcast_ranks`` (default True) hints the node-sized shares
+    frame into the per-round edge join as a broadcast: it is |nodes|
+    rows — orders of magnitude smaller than |edges| — and per-round
+    localCheckpoints erase its size stats, so without the hint Spark
+    sort-merges the multi-million-row edge frame every round AND
+    breaks the exchange-free groupBy(dst) (see the sym partitioning
+    note in the body). Set False for web-scale graphs whose node set
+    itself exceeds executor memory; the equi-join path then reuses the
+    same hash partitioning across rounds.
     """
     from topnotch_spark.operators.cluster import _truncate_round
     from topnotch_spark.operators.dedup import _persist
 
-    sym = _persist(_directed(edges))
+    # The symmetric edge set is persisted HASH-PARTITIONED BY dst — the
+    # key every round's contribution aggregate groups on. A broadcast
+    # hash join on src preserves the streamed side's partitioning, so
+    # the per-round groupBy(dst) runs partial+final agg WITHOUT an
+    # exchange: the only per-round data movement is the node-sized
+    # shares broadcast. (Unpartitioned, each round shuffles
+    # |map tasks| x |nodes| partial-agg rows — measured 2.5x slower.)
+    sym = _persist(
+        _directed(edges.select("src", "dst")).repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "dst"
+        )
+    )
     deg = _persist(
         sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     )
@@ -135,7 +162,8 @@ def pagerank(
         ),
         None,
     )
-    for _ in range(iters):
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    for it in range(iters):
         shares = (
             deg.join(ranks, deg["src"] == ranks["node"])
             .select(
@@ -146,7 +174,7 @@ def pagerank(
             )
         )
         contrib = (
-            sym.join(shares, "src")
+            sym.join(hint(shares), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("contrib"))
         )
@@ -161,7 +189,12 @@ def pagerank(
                 ),
             )
         )
-        ranks, ckpt = _truncate_round(ranks, ckpt)
+        # truncate lineage every OTHER round (and on the last): one
+        # checkpoint covers two broadcast-joined rounds' plan depth, and
+        # each eager truncation is a whole scheduled job on a node-sized
+        # frame — fixed overhead worth halving
+        if it % 2 == 1 or it == iters - 1:
+            ranks, ckpt = _truncate_round(ranks, ckpt)
     out = ranks.join(
         deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
         "node",
