@@ -111,6 +111,10 @@ def oracle_sql() -> dict[str, str]:
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
+        "text_classifier_quality": oracles.linear_classifier_sql(
+            catalog.CLASSIFIER_WEIGHTS,
+            bias_milli=catalog.CLASSIFIER_BIAS_MILLI,
+        ),
         "graph_pagerank_parts": oracles.pagerank_parts_sql(
             iters=8, max_basket=12
         ),

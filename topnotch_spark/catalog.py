@@ -1148,6 +1148,36 @@ def retrieval_rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k=60, topk=10)
 
 
+# Pretrained linear quality model for text_classifier_quality: integer
+# milli-weights (the reproducible-inference quantization) over the
+# corpus vocabulary — stands in for an offline-trained fastText/logreg
+# curated-vs-crawl filter. Shared with the DuckDB oracle literally.
+CLASSIFIER_WEIGHTS: dict[str, int] = {
+    "spark": 40, "vector": 30, "join": 25, "window": 20, "query": 15,
+    "merge": 10, "hash": 8,
+    "slow": -35, "big": -12, "the": -8, "a": -6,
+}
+CLASSIFIER_BIAS_MILLI = -150
+
+
+def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (textqc.linear_classifier_score):
+    every document scored by a pretrained linear classifier — integer
+    milli-weight dot product over term frequencies, keep = logit > 0.
+    The CCNet/DCLM-style stage between heuristic rules and an LLM
+    judge; one explode + broadcast model join + map-side-combined
+    groupBy, bit-exact on any engine."""
+    from topnotch_spark.operators.textqc import linear_classifier_score
+
+    return linear_classifier_score(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        CLASSIFIER_WEIGHTS,
+        bias_milli=CLASSIFIER_BIAS_MILLI,
+    )
+
+
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank item importance over the part co-purchase graph
     (graph.cooccurrence_edges + graph.pagerank): 8 fixed-point rounds,
@@ -2778,6 +2808,7 @@ ALL = {
     # round-8 additions first: the driver gate checks the leading 50
     # slots, and a new query must earn a driver-side CORRECTNESS row in
     # the round that ships it (the round-7 lesson)
+    "text_classifier_quality": text_classifier_quality,
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_parts": graph_triangle_parts,
     "retrieval_rrf_fused": retrieval_rrf_fused,

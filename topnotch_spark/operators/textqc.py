@@ -937,3 +937,63 @@ def ngram_novelty(
             ).alias("novelty_rate"),
         )
     )
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, int],
+    bias_milli: int = 0,
+) -> DataFrame:
+    """Apply a pretrained LINEAR text classifier (fastText- /
+    logistic-regression-style) to every document: ``logit_milli =
+    bias + Σ_token tf(token)·w(token)`` with integer milli-unit
+    weights, ``keep = logit_milli > 0``.
+
+    This is the model-based quality-filtering stage of a training-data
+    pipeline (CCNet / DCLM-style: train a small classifier offline on
+    curated-vs-crawl labels, then score the whole crawl with it). The
+    weights arrive as a ``token -> integer milli-weight`` dict — the
+    standard reproducible-inference quantization: all arithmetic is
+    BIGINT-exact, so any engine reproduces every logit bit-for-bit (no
+    float dot products, no sigmoid — thresholding the logit at 0 IS
+    thresholding the probability at 0.5).
+
+    Execution shape (100 TB): tokenization is a per-row projection;
+    the model join is explode → BROADCAST hash join against the
+    |vocab|-row weight table (a real model's 10⁵ rows is still a
+    trivially broadcastable dimension) → one map-side-combined
+    groupBy(id). Documents with no in-vocabulary token keep
+    ``logit = bias`` via the left join-back — a doc must never vanish
+    from a filtering report because the model had nothing to say.
+    Output: (id, n_tokens, logit_milli, keep).
+    """
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        [(t, int(m)) for t, m in sorted(weights.items())],
+        "token string, w_milli long",
+    )
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("__t__")
+    )
+    per_doc = toked.select(
+        id_col, F.size("__t__").alias("n_tokens")
+    )
+    scored = (
+        toked.select(id_col, F.explode("__t__").alias("token"))
+        .join(F.broadcast(w), "token")
+        .groupBy(id_col)
+        .agg(F.sum("w_milli").alias("__dot__"))
+    )
+    return per_doc.join(scored, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.coalesce(F.col("__dot__"), F.lit(0)) + F.lit(bias_milli)).alias(
+            "logit_milli"
+        ),
+        (
+            F.coalesce(F.col("__dot__"), F.lit(0)) + F.lit(bias_milli)
+            > 0
+        ).alias("keep"),
+    )

@@ -4138,3 +4138,35 @@ def triangle_parts_sql(
                ELSE 0.0 END AS clustering_coeff
         FROM deg d LEFT JOIN corners c ON c.node = d.node
     """
+
+
+def linear_classifier_sql(
+    weights: dict[str, int], bias_milli: int = 0
+) -> str:
+    """Mirror of textqc.linear_classifier_score: the same integer
+    milli-weight VALUES table, explode + join + sum, bias applied after
+    the left join-back so no-vocabulary docs score exactly `bias`."""
+    vals = ", ".join(
+        f"('{t}', {m})" for t, m in sorted(weights.items())
+    )
+    return f"""
+        WITH w AS (SELECT * FROM (VALUES {vals}) AS t(token, w_milli)),
+        toked AS (
+          SELECT doc_id, {tokens()} AS __t__ FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id, CAST(len(__t__) AS INTEGER) AS n_tokens FROM toked
+        ),
+        tok AS (
+          SELECT doc_id, unnest(__t__) AS token FROM toked
+        ),
+        scored AS (
+          SELECT doc_id, CAST(SUM(w.w_milli) AS BIGINT) AS dot
+          FROM tok JOIN w USING (token) GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+               p.n_tokens,
+               COALESCE(s.dot, 0) + {bias_milli} AS logit_milli,
+               COALESCE(s.dot, 0) + {bias_milli} > 0 AS keep
+        FROM per_doc p LEFT JOIN scored s USING (doc_id)
+    """

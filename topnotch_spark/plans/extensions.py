@@ -226,6 +226,7 @@ class TextCmd(Command):
         "repetition", "tfidfKeywords", "normalize", "unigramLogprob",
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
+        "classifierScore",
     )
 
     @classmethod
@@ -238,6 +239,7 @@ class TextCmd(Command):
         required = {
             "calibrateRanks": ("orderCol", "partitionCol"),
             "oovRate": ("partitionCol",),
+            "classifierScore": ("weights",),
         }
         for name in required.get(p["method"], ()):
             if name not in p:
@@ -255,7 +257,7 @@ class TextCmd(Command):
                 "minWords", "maxWords", "minMeanLen", "maxMeanLen",
                 "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
                 "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
-                "vocabK",
+                "vocabK", "weights", "biasMilli",
             ),
             **cls._common(obj),
         )
@@ -295,6 +297,15 @@ class TextCmd(Command):
                 opts.pop("order_col"),
                 opts.pop("partition_col"),
                 **opts,
+            )
+        if self.method == "classifierScore":
+            opts = dict(self.options)
+            return T.linear_classifier_score(
+                df,
+                self.id_column,
+                self.text_column,
+                {t: int(m) for t, m in dict(opts.pop("weights")).items()},
+                bias_milli=int(opts.pop("bias_milli", 0)),
             )
         if self.method == "oovRate":
             opts = dict(self.options)
