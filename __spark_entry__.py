@@ -116,7 +116,7 @@ def oracle_sql() -> dict[str, str]:
             bias_milli=catalog.CLASSIFIER_BIAS_MILLI,
         ),
         "graph_pagerank_parts": oracles.pagerank_parts_sql(
-            iters=8, max_basket=12
+            iters=8, max_basket=12, min_support=2
         ),
         "graph_triangle_parts": oracles.triangle_parts_sql(
             min_support=2, max_basket=12

@@ -1182,10 +1182,15 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank item importance over the part co-purchase graph
     (graph.cooccurrence_edges + graph.pagerank): 8 fixed-point rounds,
     damping 17/20, ranks as BIGINTs scaled by 1e12 — every rank
-    bit-reproducible by the oracle's chained integer CTEs. Each round is
-    one src-keyed hash join + one map-side-combined groupBy on dst over
-    the persisted symmetric edge set; per-round lineage truncated like
-    connected_components."""
+    bit-reproducible by the oracle's chained integer CTEs. Each round
+    broadcasts the node-sized shares frame into the dst-partitioned
+    edge cache — exchange-free aggregation (SCALE.md §3); lineage
+    truncated like connected_components. The demo ranks the SUPPORT>=2
+    affinity graph (pairs co-purchased at least twice — the same graph
+    the triangle entry uses): the raw support-1 graph (avg degree ~115,
+    1.2M edges at sf0.1) runs the identical plan but costs ~26 s cold
+    per bench rep; that dense path stays exercised by the operator unit
+    tests and available via min_support=1."""
     from topnotch_spark.operators.graph import cooccurrence_edges, pagerank
 
     edges = cooccurrence_edges(
@@ -1193,6 +1198,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_partkey",
         max_basket_items=12,
+        min_support=2,
     )
     return pagerank(edges, iters=8).withColumnRenamed("node", "part_id")
 

@@ -43,15 +43,21 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _truncate_round(df: DataFrame, prev_path: str | None) -> tuple[DataFrame, str | None]:
+def _truncate_round(
+    df: DataFrame, prev_path: str | None, eager: bool = True
+) -> tuple[DataFrame, str | None]:
     """Per-round lineage truncation: localCheckpoint normally; a parquet
     roundtrip when the dedup-family checkpoint dir is set (survives
     executor loss — the real-cluster path). Deletes the previous round's
-    files once the new round is materialized."""
+    files once the new round is materialized. ``eager=False`` defers the
+    local checkpoint to the first action (fewer scheduled jobs for
+    fixed-iteration loops that never inspect intermediate rounds; the
+    convergence-checked CC loop keeps the eager default, and the parquet
+    path is inherently eager)."""
     from topnotch_spark.operators import dedup as _d
 
     if _d._CHECKPOINT_DIR is None:
-        return df.localCheckpoint(eager=True), None
+        return df.localCheckpoint(eager=eager), None
     _d._CHECKPOINT_SEQ += 1
     path = f"{_d._CHECKPOINT_DIR.rstrip('/')}/cc_round_{_d._CHECKPOINT_SEQ}"
     df.write.mode("overwrite").parquet(path)

@@ -194,7 +194,7 @@ def pagerank(
         # each eager truncation is a whole scheduled job on a node-sized
         # frame — fixed overhead worth halving
         if it % 2 == 1 or it == iters - 1:
-            ranks, ckpt = _truncate_round(ranks, ckpt)
+            ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
     out = ranks.join(
         deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
         "node",

@@ -4055,6 +4055,7 @@ def pagerank_parts_sql(
     damp_num: int = 17,
     damp_den: int = 20,
     max_basket: int = 12,
+    min_support: int = 1,
 ) -> str:
     """Mirror of graph.pagerank over graph.cooccurrence_edges(lineitem):
     the same fixed-point integer recurrence unrolled as ``iters`` chained
@@ -4079,7 +4080,7 @@ def pagerank_parts_sql(
         )""")
     chain = ",".join(rounds)
     return f"""
-        WITH {_copurchase_edges_cte(max_basket)},
+        WITH {_copurchase_edges_cte(max_basket, min_support)},
         edges AS MATERIALIZED (
           SELECT src, dst FROM uedges
           UNION ALL
