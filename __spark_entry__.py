@@ -118,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_parts": oracles.pagerank_parts_sql(
             iters=8, max_basket=12, min_support=2
         ),
+        "graph_ppr_related_parts": oracles.ppr_related_parts_sql(
+            iters=8, k_seeds=5, max_basket=12, min_support=2
+        ),
         "graph_triangle_parts": oracles.triangle_parts_sql(
             min_support=2, max_basket=12
         ),

@@ -209,3 +209,149 @@ def test_graph_plan_requires_edge_or_basket_columns(spark, tmp_path):
     p.write_text(json.dumps(plan))
     with pytest.raises(ValueError, match="srcColumn"):
         TnEngine(spark).run(str(p))
+
+
+def _py_ppr(wedges, seeds, iters, scale=10**12, dn=17, dd=20):
+    """Driver-side replay of the personalized weighted recurrence:
+    wedges = [(a, b, w)] undirected; teleport only to seeds."""
+    adj: dict[int, dict[int, int]] = {}
+    for a, b, w in wedges:
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    seeds = [v for v in seeds if v in adj]
+    ns = len(seeds)
+    base = scale * (dd - dn) // dd
+    rank = {v: (scale // ns if v in seeds else 0) for v in adj}
+    for _ in range(iters):
+        contrib = {v: 0 for v in adj}
+        for v, nbrs in adj.items():
+            damped = rank[v] * dn // dd
+            wout = sum(nbrs.values())
+            for u, w in nbrs.items():
+                contrib[u] += damped * w // wout
+        rank = {
+            v: (base // ns if v in seeds else 0) + contrib[v] for v in adj
+        }
+    return rank
+
+
+def test_ppr_matches_python_replay_weighted(spark):
+    from topnotch_spark.operators.graph import personalized_pagerank
+
+    wedges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 4, 5)]
+    edges = spark.createDataFrame(wedges, "src long, dst long, pair_count long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 not in graph
+    with dedup_scope():
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(
+                edges, seeds, iters=5, weight_col="pair_count"
+            ).collect()
+        }
+    assert got == _py_ppr(wedges, [1, 99], iters=5)
+    # mass concentrates around the seed: the far node ranks last, and
+    # the seed's heavy-edge neighbor beats its light-edge neighbor
+    assert got[4] == min(got.values())
+    assert got[2] > got[3]
+
+
+def test_ppr_unreachable_component_ranks_zero(spark):
+    from topnotch_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with dedup_scope():
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(edges, seeds, iters=4).collect()
+        }
+    assert got[3] == 0 and got[4] == 0
+    assert got[1] > 0 and got[2] > 0
+    assert got == _py_ppr([(1, 2, 1), (3, 4, 1)], [1], iters=4)
+
+
+def test_ppr_unweighted_equals_weight_one(spark):
+    from topnotch_spark.operators.graph import personalized_pagerank
+
+    e = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    w1 = spark.createDataFrame(
+        [(a, b, 1) for a, b in e], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(2,)], "node long")
+    with dedup_scope():
+        plain = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(edges, seeds, iters=3).collect()
+        }
+        weighted = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(
+                w1, seeds, iters=3, weight_col="w"
+            ).collect()
+        }
+    assert plain == weighted
+
+
+def test_graph_plan_ppr_method(spark, tmp_path):
+    import json
+
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "graph",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/lineitem.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "ppr",
+                    "basketColumn": "l_orderkey",
+                    "itemColumn": "l_partkey",
+                    "minSupport": 2,
+                    "weightColumn": "pairCount",
+                    "seeds": [1, 2, 3],
+                    "iters": 3,
+                },
+                "outputKey": "related",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rel = engine.registry["related"]
+    assert {"node", "out_degree", "rank_scaled"} == set(rel.columns)
+
+
+def test_graph_plan_ppr_requires_seeds(spark, tmp_path):
+    import json
+
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "graph",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/lineitem.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "ppr",
+                    "basketColumn": "l_orderkey",
+                    "itemColumn": "l_partkey",
+                },
+                "outputKey": "x",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="requires param 'seeds'"):
+        TnEngine(spark).run(str(p))

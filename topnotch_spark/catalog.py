@@ -1203,6 +1203,40 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=8).withColumnRenamed("node", "part_id")
 
 
+def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-item retrieval by random walk with restart
+    (graph.personalized_pagerank): teleport mass goes only to the 5
+    most-ordered parts (distinct-basket count desc, part asc — a
+    TakeOrdered seed frame joined in, never a collected driver list),
+    and each node's damped mass splits across out-edges proportional to
+    the INTEGER co-purchase count (per-edge floor division — exact).
+    Same exchange-free per-round shape as graph_pagerank_parts; ranks
+    answer "which parts does the affinity graph pull toward these five
+    anchors"."""
+    from topnotch_spark.operators.graph import (
+        cooccurrence_edges,
+        personalized_pagerank,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", max_basket_items=12, min_support=2
+    )
+    seeds = (
+        li.select("l_orderkey", "l_partkey")
+        .where(F.col("l_partkey").isNotNull())
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .orderBy(F.col("__cnt__").desc(), F.col("l_partkey").asc())
+        .limit(5)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    return personalized_pagerank(
+        edges, seeds, iters=8, weight_col="pair_count"
+    ).withColumnRenamed("node", "part_id")
+
+
 def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts + local clustering coefficient over the
     min-support-2 co-purchase graph (graph.triangle_counts): ordered
@@ -2816,6 +2850,7 @@ ALL = {
     # the round that ships it (the round-7 lesson)
     "text_classifier_quality": text_classifier_quality,
     "graph_pagerank_parts": graph_pagerank_parts,
+    "graph_ppr_related_parts": graph_ppr_related_parts,
     "graph_triangle_parts": graph_triangle_parts,
     "retrieval_rrf_fused": retrieval_rrf_fused,
     "cms_heavy_hitters": cms_heavy_hitters,

@@ -262,3 +262,141 @@ def triangle_counts(edges: DataFrame, round_digits: int = 6) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_nodes: DataFrame,
+    iters: int = 8,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    weight_col: str | None = None,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Personalized (seeded, optionally edge-weighted) PageRank: random
+    walk with restart INTO ``seed_nodes`` only — the related-items /
+    recommendation primitive ("given these anchor products, which other
+    products does the co-purchase graph pull toward them").
+
+    Same fixed-point integer contract as :func:`pagerank`; the two
+    generalizations, both still exact:
+
+    - teleport mass goes only to seeds: ``tp(v) = base div |seeds|``
+      for seeds, 0 otherwise (``base = scale*(dd-dn) div dd``), and the
+      walk starts at the seeds (``r0 = scale div |seeds|`` on seeds).
+      ``seed_nodes`` is a DataFrame with a ``node`` column — never a
+      collected driver list — intersected with the graph's node set
+      before counting.
+    - with ``weight_col``, a node's damped mass splits across out-edges
+      proportional to INTEGER edge weights, divided per edge:
+      ``contribution(e) = (damped(src) * w(e)) div W(src)`` with
+      ``W(src) = Σ w`` — floor-exact in any engine. (``damped ≤ scale``
+      and integer weights keep the product far below BIGINT range for
+      any real weight scale.)
+
+    Execution shape is pagerank's (dst-partitioned edge cache,
+    node-sized broadcast per round, exchange-free aggregation); the
+    shares frame additionally carries ``W(src)`` so the per-edge
+    division happens inside the edge join's projection.
+
+    Output: (node, out_degree, rank_scaled) for every graph node;
+    non-seed nodes unreachable from a seed rank 0 + nothing = exactly 0.
+    """
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select("src", "dst", w.alias("w"))
+    sym = _persist(
+        e.union(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        ).repartition(edges.sparkSession.sparkContext.defaultParallelism, "dst")
+    )
+    deg = _persist(
+        sym.groupBy("src").agg(
+            F.count(F.lit(1)).alias("outdeg"),
+            F.sum("w").alias("wout"),
+        )
+    )
+    seeds = _persist(
+        deg.select("src")
+        .join(
+            F.broadcast(seed_nodes.select(F.col("node").alias("src")).distinct()),
+            "src",
+        )
+        .select(F.col("src").alias("node"), F.lit(True).alias("__seed__"))
+    )
+    ns = F.broadcast(seeds.select(F.count(F.lit(1)).alias("__ns__")))
+    base = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} div {damp_den})"
+    node_frame = (
+        deg.select(F.col("src").alias("node"))
+        .join(F.broadcast(seeds), "node", "left")
+        .crossJoin(ns)
+    )
+    ranks, ckpt = _truncate_round(
+        node_frame.select(
+            "node",
+            F.when(
+                F.col("__seed__").isNotNull(),
+                F.expr(f"CAST({scale} AS BIGINT) div __ns__"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("rank"),
+        ),
+        None,
+    )
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    tp = (
+        F.when(
+            F.col("__seed__").isNotNull(), F.expr(f"{base} div __ns__")
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__tp__")
+    )
+    for it in range(iters):
+        shares = (
+            deg.join(ranks, deg["src"] == ranks["node"])
+            .select(
+                "src",
+                F.expr(f"rank * {damp_num} div {damp_den}").alias("damped"),
+                "wout",
+            )
+        )
+        contrib = (
+            sym.join(hint(shares), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("damped * w div wout").alias("part"),
+            )
+            .groupBy("node")
+            .agg(F.sum("part").alias("contrib"))
+        )
+        ranks = (
+            node_frame.select("node", tp)
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.col("__tp__") + F.coalesce(F.col("contrib"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if it % 2 == 1 or it == iters - 1:
+            ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
+    out = ranks.join(
+        deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
+        "node",
+    ).select("node", "out_degree", F.col("rank").alias("rank_scaled"))
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(out)
+        _d._CHECKPOINTED[id(out)] = ckpt
+    return out

@@ -4041,7 +4041,7 @@ def _copurchase_edges_cte(
           ) ok USING (b)
         ),
         uedges AS MATERIALIZED (
-          SELECT a.i AS src, c.i AS dst
+          SELECT a.i AS src, c.i AS dst, count(*) AS w
           FROM kept a JOIN kept c USING (b)
           WHERE a.i < c.i
           GROUP BY a.i, c.i{sup}
@@ -4170,4 +4170,75 @@ def linear_classifier_sql(
                COALESCE(s.dot, 0) + {bias_milli} AS logit_milli,
                COALESCE(s.dot, 0) + {bias_milli} > 0 AS keep
         FROM per_doc p LEFT JOIN scored s USING (doc_id)
+    """
+
+
+def ppr_related_parts_sql(
+    iters: int = 8,
+    k_seeds: int = 5,
+    scale: int = 10**12,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    max_basket: int = 12,
+    min_support: int = 2,
+) -> str:
+    """Mirror of graph.personalized_pagerank over the weighted
+    min-support co-purchase graph: teleport only to the top-k seed
+    parts (distinct-basket count desc, part asc), per-edge weighted
+    shares ``((rank*dn//dd) * w) // wout`` — the same chained integer
+    CTE scheme as pagerank_parts_sql."""
+    base = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} // {damp_den})"
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+        r{k} AS (
+          SELECT n.node,
+                 CAST(CASE WHEN s2.node IS NOT NULL
+                           THEN {base} // ns.ns ELSE 0 END
+                      + COALESCE(c.contrib, 0) AS BIGINT) AS rank
+          FROM nodes n CROSS JOIN nseeds ns
+          LEFT JOIN seeds s2 ON s2.node = n.node
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(((r.rank * {damp_num} // {damp_den}) * e.w)
+                       // d.wout) AS contrib
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = n.node
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_copurchase_edges_cte(max_basket, min_support)},
+        edges AS MATERIALIZED (
+          SELECT src, dst, w FROM uedges
+          UNION ALL
+          SELECT dst, src, w FROM uedges
+        ),
+        deg AS MATERIALIZED (
+          SELECT src, count(*) AS outdeg, CAST(SUM(w) AS BIGINT) AS wout
+          FROM edges GROUP BY src
+        ),
+        nodes AS (SELECT src AS node FROM deg),
+        seeds_raw AS (
+          SELECT i AS node FROM items GROUP BY i
+          ORDER BY count(*) DESC, i LIMIT {k_seeds}
+        ),
+        seeds AS MATERIALIZED (
+          SELECT s.node FROM seeds_raw s JOIN deg d ON d.src = s.node
+        ),
+        nseeds AS MATERIALIZED (SELECT count(*) AS ns FROM seeds),
+        r0 AS (
+          SELECT n.node,
+                 CAST(CASE WHEN s2.node IS NOT NULL
+                           THEN CAST({scale} AS BIGINT) // ns.ns
+                           ELSE 0 END AS BIGINT) AS rank
+          FROM nodes n CROSS JOIN nseeds ns
+          LEFT JOIN seeds s2 ON s2.node = n.node
+        ),{chain}
+        SELECT r.node AS part_id,
+               d.outdeg AS out_degree,
+               r.rank AS rank_scaled
+        FROM r{iters} r JOIN deg d ON d.src = r.node
     """

@@ -1325,14 +1325,17 @@ class CmsCmd(Command):
 @dataclass(frozen=True)
 class GraphCmd(Command):
     """{"command": "graph", "input": <input>, "params": {"method":
-    pagerank|triangles, EITHER "srcColumn"+"dstColumn" (input is an
+    pagerank|ppr|triangles, EITHER "srcColumn"+"dstColumn" (input is an
     undirected unique edge list) OR "basketColumn"+"itemColumn" (edges
     are built by co-occurrence within a basket; "maxBasketItems" /
-    "minSupport" bound the pair join), pagerank: ["iters", "scale",
-    "dampNum", "dampDen"], triangles: ["roundDigits"]}} — graph
-    analytics (operators/graph.py): fixed-point PageRank node
-    importance / ordered-wedge triangle counts over a co-occurrence
-    graph."""
+    "minSupport" bound the pair join), pagerank/ppr: ["iters", "scale",
+    "dampNum", "dampDen"], ppr: "seeds" (literal node-id list) +
+    ["weightColumn" — an edge-list input's integer weight column, or
+    "pairCount" to weight built co-occurrence edges], triangles:
+    ["roundDigits"]}} — graph analytics (operators/graph.py):
+    fixed-point PageRank node importance, personalized (seeded,
+    weighted) PageRank related-item walks, ordered-wedge triangle
+    counts."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "pagerank"
@@ -1342,7 +1345,7 @@ class GraphCmd(Command):
     item_column: str | None = None
     options: dict = field(default_factory=dict)
 
-    METHODS = ("pagerank", "triangles")
+    METHODS = ("pagerank", "ppr", "triangles")
 
     @property
     def inputs(self) -> list[Input]:
@@ -1359,6 +1362,8 @@ class GraphCmd(Command):
                 "graph: params need srcColumn+dstColumn (edge-list input) "
                 "or basketColumn+itemColumn (co-occurrence edges)"
             )
+        if p["method"] == "ppr" and "seeds" not in p:
+            raise ValueError("graph: method 'ppr' requires param 'seeds'")
         return cls(
             input=Input.from_json(obj["input"]),
             method=p["method"],
@@ -1375,6 +1380,8 @@ class GraphCmd(Command):
                 "dampNum",
                 "dampDen",
                 "roundDigits",
+                "seeds",
+                "weightColumn",
             ),
             **cls._common(obj),
         )
@@ -1390,11 +1397,16 @@ class GraphCmd(Command):
 
         df = load_input(engine.spark, self.input, engine.registry)
         o = dict(self.options)
+        weight = o.pop("weight_column", None)
         if self.src_column is not None:
-            edges = df.select(
+            cols = [
                 F.col(self.src_column).alias("src"),
                 F.col(self.dst_column).alias("dst"),
-            )
+            ]
+            if weight is not None and weight != "pairCount":
+                cols.append(F.col(weight).alias("w"))
+                weight = "w"
+            edges = df.select(*cols)
         else:
             edges = cooccurrence_edges(
                 df,
@@ -1403,6 +1415,8 @@ class GraphCmd(Command):
                 max_basket_items=o.pop("maxBasketItems", 12),
                 min_support=o.pop("minSupport", 1),
             )
+            if weight == "pairCount":
+                weight = "pair_count"
         o.pop("maxBasketItems", None)
         o.pop("minSupport", None)
         if self.method == "pagerank":
@@ -1412,6 +1426,21 @@ class GraphCmd(Command):
                 scale=o.get("scale", 10**12),
                 damp_num=o.get("dampNum", 17),
                 damp_den=o.get("dampDen", 20),
+            )
+        if self.method == "ppr":
+            from topnotch_spark.operators.graph import personalized_pagerank
+
+            seeds = engine.spark.createDataFrame(
+                [(int(x),) for x in o.pop("seeds")], "node long"
+            )
+            return personalized_pagerank(
+                edges,
+                seeds,
+                iters=o.get("iters", 8),
+                scale=o.get("scale", 10**12),
+                damp_num=o.get("dampNum", 17),
+                damp_den=o.get("dampDen", 20),
+                weight_col=weight,
             )
         return triangle_counts(edges, round_digits=o.get("roundDigits", 6))
 
