@@ -595,3 +595,34 @@ def test_bitstring_banding_recall_complete(spark, hashes, max_hamming):
     # completeness: hamming <= bands-1 (= 3 >= max_hamming) implies a
     # shared band, so every qualifying pair MUST be reported
     assert got == truth
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank vs pure-Python replay on random graphs (r8)
+# ---------------------------------------------------------------------------
+
+EDGE = st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+    lambda e: e[0] < e[1]
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(EDGE, min_size=1, max_size=20, unique=True),
+       iters=st.integers(1, 4))
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """Every rank of the fixed-point recurrence is replayed exactly by
+    driver-side integer arithmetic on an arbitrary small graph — the
+    same property the DuckDB oracle relies on, minus the engines."""
+    from test_graph import _py_pagerank
+
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with dedup_scope():
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(df, iters=iters).collect()
+        }
+    assert got == _py_pagerank(edges, iters=iters)
