@@ -35,6 +35,7 @@ class Input:
     delimiter: str | None = None
     format: str | None = None
     schema: str | None = None
+    wholetext: bool = False
 
     @classmethod
     def from_json(cls, obj: dict) -> "Input":
@@ -44,6 +45,7 @@ class Input:
             delimiter=obj.get("delimiter"),
             format=obj.get("format"),
             schema=obj.get("schema"),
+            wholetext=bool(obj.get("wholetext", False)),
         )
 
 
@@ -79,6 +81,33 @@ def load_input(
         return reader.orc(inp.ref)
     if fmt == "parquet":
         return reader.parquet(inp.ref)
+    if fmt == "text":
+        # Raw text corpora (the LLM-ingest shape): one row per LINE by
+        # default, or one row per FILE with {"wholetext": true}. Columns:
+        # (doc_path, line_no?, text) — doc_path/line_no give dedup/text
+        # commands a deterministic id without a pre-processing step.
+        # Scale: spark.read.text is a splittable scan in line mode;
+        # wholetext makes each file one record (bound file sizes — a
+        # 10 GB file becomes one task's row).
+        from pyspark.sql import functions as F
+
+        df = spark.read.text(inp.ref, wholetext=inp.wholetext)
+        df = df.withColumn("doc_path", F.input_file_name())
+        if not inp.wholetext:
+            from pyspark.sql import Window
+
+            # line_no is the in-file order Spark surfaces the lines in —
+            # stable for a given file because text splits preserve
+            # intra-partition order and the window sorts per file by the
+            # split/row position carried in monotonically_increasing_id
+            df = df.withColumn("__mid__", F.monotonically_increasing_id())
+            df = df.withColumn(
+                "line_no",
+                F.row_number().over(
+                    Window.partitionBy("doc_path").orderBy("__mid__")
+                ),
+            ).drop("__mid__")
+        return df.withColumnRenamed("value", "text")
     if fmt == "table":
         # Catalog table (ref = table name). The 100 TB path for repeated
         # keyed commands: a table written bucketed+sorted on the diff/join
