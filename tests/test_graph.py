@@ -355,3 +355,34 @@ def test_graph_plan_ppr_requires_seeds(spark, tmp_path):
     p.write_text(json.dumps(plan))
     with pytest.raises(ValueError, match="requires param 'seeds'"):
         TnEngine(spark).run(str(p))
+
+
+def test_graph_plan_components_method(spark, tmp_path):
+    import json
+
+    from topnotch_spark.engine import TnEngine
+
+    edges_pq = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    ).write.parquet(edges_pq)
+    plan = {
+        "commands": [
+            {
+                "command": "graph",
+                "input": {"ref": edges_pq, "onDisk": True},
+                "params": {"method": "components",
+                           "srcColumn": "a", "dstColumn": "b"},
+                "outputKey": "comps",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    got = {
+        r["id"]: r["component_id"]
+        for r in engine.registry["comps"].collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}

@@ -1325,7 +1325,8 @@ class CmsCmd(Command):
 @dataclass(frozen=True)
 class GraphCmd(Command):
     """{"command": "graph", "input": <input>, "params": {"method":
-    pagerank|ppr|triangles, EITHER "srcColumn"+"dstColumn" (input is an
+    pagerank|ppr|triangles|components, EITHER "srcColumn"+"dstColumn"
+    (input is an
     undirected unique edge list) OR "basketColumn"+"itemColumn" (edges
     are built by co-occurrence within a basket; "maxBasketItems" /
     "minSupport" bound the pair join), pagerank/ppr: ["iters", "scale",
@@ -1335,7 +1336,9 @@ class GraphCmd(Command):
     ["roundDigits"]}} — graph analytics (operators/graph.py):
     fixed-point PageRank node importance, personalized (seeded,
     weighted) PageRank related-item walks, ordered-wedge triangle
-    counts."""
+    counts, and connected components (min-label propagation with
+    pointer jumping — the same engine the dedup cluster methods use,
+    here over ANY edge list)."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "pagerank"
@@ -1345,7 +1348,7 @@ class GraphCmd(Command):
     item_column: str | None = None
     options: dict = field(default_factory=dict)
 
-    METHODS = ("pagerank", "ppr", "triangles")
+    METHODS = ("pagerank", "ppr", "triangles", "components")
 
     @property
     def inputs(self) -> list[Input]:
@@ -1441,6 +1444,12 @@ class GraphCmd(Command):
                 damp_num=o.get("dampNum", 17),
                 damp_den=o.get("dampDen", 20),
                 weight_col=weight,
+            )
+        if self.method == "components":
+            from topnotch_spark.operators.cluster import connected_components
+
+            return connected_components(edges, src="src", dst="dst").select(
+                "id", F.col("comp").alias("component_id")
             )
         return triangle_counts(edges, round_digits=o.get("roundDigits", 6))
 
