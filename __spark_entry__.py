@@ -115,6 +115,9 @@ def oracle_sql() -> dict[str, str]:
             catalog.CLASSIFIER_WEIGHTS,
             bias_milli=catalog.CLASSIFIER_BIAS_MILLI,
         ),
+        "streaming_distinct_users": oracles.streaming_distinct_users_sql(
+            "1 hour"
+        ),
         "graph_pagerank_parts": oracles.pagerank_parts_sql(
             iters=8, max_basket=12, min_support=2
         ),

@@ -1178,6 +1178,32 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate distinct users per tumbling hour via the
+    DETERMINISTIC md5-register HLL (streaming/ops.hll_register_stream):
+    state per window is 256 register maxima — never a user set — and
+    the exact-integer harmonic estimate runs on the materialized
+    |windows|x256 result table. MAX is order/batch-insensitive and the
+    registers are md5-derived, so stream == batch == DuckDB oracle
+    bit-for-bit (the engine-specific DataSketches family stays
+    test-gated; this one is hash-gated like everything else)."""
+    from topnotch_spark.streaming import run_stream_to_table, stream_from_parquet
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        hll_register_stream,
+        windowed_distinct_estimate,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    regs = run_stream_to_table(
+        hll_register_stream(stream, window_duration="1 hour"),
+        output_mode="complete",
+        state_partitions=6,
+    )
+    return windowed_distinct_estimate(regs)
+
+
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank item importance over the part co-purchase graph
     (graph.cooccurrence_edges + graph.pagerank): 8 fixed-point rounds,
@@ -2849,6 +2875,7 @@ ALL = {
     # slots, and a new query must earn a driver-side CORRECTNESS row in
     # the round that ships it (the round-7 lesson)
     "text_classifier_quality": text_classifier_quality,
+    "streaming_distinct_users": streaming_distinct_users,
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_ppr_related_parts": graph_ppr_related_parts,
     "graph_triangle_parts": graph_triangle_parts,

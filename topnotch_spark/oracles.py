@@ -4242,3 +4242,54 @@ def ppr_related_parts_sql(
                r.rank AS rank_scaled
         FROM r{iters} r JOIN deg d ON d.src = r.node
     """
+
+
+def streaming_distinct_users_sql(window: str = "1 hour") -> str:
+    """Batch equivalent of the deterministic-HLL streaming distinct
+    sketch (streaming/ops.hll_register_stream +
+    windowed_distinct_estimate): same md5 registers, same per-window
+    MAX rho, same exact-integer harmonic estimate — MAX is batch/order
+    insensitive, so the drained stream equals this GROUP BY."""
+    bucket = f"time_bucket(INTERVAL {window}, CAST(ts AS TIMESTAMP))"
+    v = " + ".join(
+        f"{nibble('h', str(3 + i))} * {16 ** (7 - i)}" for i in range(8)
+    )
+    reg = f"{nibble('h', '1')} * 16 + {nibble('h', '2')}"
+    num = 7182 * 256 * 256 * (2**33)
+    from topnotch_spark.streaming.ops import hll_linear_counting_table
+
+    lc_list = "[" + ", ".join(str(v) for v in hll_linear_counting_table()) + "]"
+    return f"""
+        WITH ev AS (
+          SELECT {bucket} AS window_start,
+                 md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ),
+        vals AS (
+          SELECT window_start, {reg} AS reg, CAST({v} AS BIGINT) AS v
+          FROM ev
+        ),
+        regs AS (
+          SELECT window_start, reg,
+                 MAX(CASE WHEN v = 0 THEN 33
+                          ELSE 33 - length(bin(v)) END) AS max_rho
+          FROM vals GROUP BY 1, 2
+        ),
+        rolled AS (
+          SELECT window_start,
+                 count(*) AS n_regs,
+                 CAST({num} AS BIGINT) //
+                   (10000 * (CAST(SUM(CAST(1 AS BIGINT)
+                                       << (33 - max_rho)) AS BIGINT)
+                             + (256 - count(*)) * CAST({2**33} AS BIGINT)))
+                 AS raw_est
+          FROM regs
+          GROUP BY window_start
+        )
+        SELECT window_start,
+               n_regs,
+               CASE WHEN n_regs < 256 AND raw_est <= 640
+                    THEN CAST({lc_list}[256 - n_regs] AS BIGINT)
+                    ELSE raw_est END AS est_distinct
+        FROM rolled
+    """

@@ -608,3 +608,104 @@ def topk_types_per_window(agg: DataFrame, k: int = 3) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
     )
+
+
+# HLL-estimate constants for hll_register_stream /
+# windowed_distinct_estimate: m = 256 registers (2 hex nibbles), rho
+# capped at 33, alpha_256 = 0.7182 as the exact rational 7182/10000.
+# Numerator = 7182 * 256^2 * 2^33 — precomputed so the whole estimate
+# is one BIGINT division (4.04e18, inside int64).
+_HLL_M = 256
+_HLL_EST_NUM = 7182 * _HLL_M * _HLL_M * (2**33)
+assert _HLL_EST_NUM < 2**63
+
+
+def hll_register_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Per-(time-window, HLL register) max rank — the DETERMINISTIC
+    distinct-count sketch as a streaming stateful aggregation.
+
+    Unlike the DataSketches binary sketches (operators/sketch.py), the
+    register state here is md5-derived and engine-exact: register =
+    first byte of md5(key), rho = 33 - bitlength of the next 32 bits
+    (33 when those bits are all zero). MAX is order- and
+    batch-insensitive, so the stream equals the batch groupBy
+    bit-for-bit, and a DuckDB oracle replays every register. State per
+    window is bounded at 256 rows regardless of traffic — the whole
+    point of the sketch: "distinct users per window" without keeping
+    user sets in the state store.
+
+    Batch-callable (same code is a plain groupBy) for tests and the
+    oracle.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    projected = events.select(
+        F.col(ts_col),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
+        F.when(v == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(v)).cast("int"))
+        .alias("rho"),
+    )
+    e = (
+        projected.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else projected
+    )
+    return (
+        e.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), "reg")
+        .agg(F.max("rho").alias("max_rho"))
+        .select(F.col("win.start").alias("window_start"), "reg", "max_rho")
+    )
+
+
+def hll_linear_counting_table() -> list[int]:
+    """LC[z] = round(m·ln(m/z)) for z = 1..m-1 empty registers — the
+    Flajolet small-range correction, precomputed DRIVER-side once and
+    embedded as the SAME integer literals in the Spark plan and the
+    DuckDB oracle, so the float ln never runs inside either engine."""
+    import math
+
+    return [round(_HLL_M * math.log(_HLL_M / z)) for z in range(1, _HLL_M)]
+
+
+def windowed_distinct_estimate(regs: DataFrame) -> DataFrame:
+    """(window_start, n_regs, est_distinct) from the register table —
+    the HLL harmonic-mean estimate in EXACT integer arithmetic: the
+    denominator Σ 2^(33-rho) (absent registers contribute 2^33) stays
+    a BIGINT and the raw estimate is one integer division; the
+    small-range regime (empty registers present AND raw ≤ 5m/2) takes
+    the linear-counting value from the precomputed integer table — so
+    any engine reproduces every estimate bit-for-bit. Runs on the
+    materialized |windows|×256 result table (the streaming_topk_types
+    pattern: no multi-level stateful ops), which also makes it the
+    cross-batch MERGE — register maxima union by max for free."""
+    lc = hll_linear_counting_table()
+    raw = (
+        f"CAST({_HLL_EST_NUM} AS BIGINT) div "
+        f"(10000 * (__dp__ + (256 - n_regs) * CAST({2**33} AS BIGINT)))"
+    )
+    return (
+        regs.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rho)")
+            ).alias("__dp__"),
+        )
+        .select(
+            "window_start",
+            "n_regs",
+            F.expr(
+                f"CASE WHEN n_regs < 256 AND ({raw}) <= {5 * _HLL_M // 2} "
+                f"THEN element_at(array({', '.join(f'CAST({v} AS BIGINT)' for v in lc)}), "
+                "CAST(256 - n_regs AS INT)) "
+                f"ELSE {raw} END"
+            ).alias("est_distinct"),
+        )
+    )
