@@ -626,3 +626,36 @@ def test_pagerank_matches_python_reference(spark, edges, iters):
             for r in pagerank(df, iters=iters).collect()
         }
     assert got == _py_pagerank(edges, iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# linear classifier scorer vs pure-Python replay (r8)
+# ---------------------------------------------------------------------------
+
+WORD = st.sampled_from(["good", "fine", "bad", "meh", "Good", "BAD", "x1"])
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(st.lists(WORD, max_size=12), min_size=1, max_size=10),
+       bias=st.integers(-100, 100))
+def test_classifier_matches_python_reference(spark, docs, bias):
+    from topnotch_spark.operators.textqc import linear_classifier_score
+
+    weights = {"good": 50, "fine": 20, "bad": -40}
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit_milli"], r["keep"])
+        for r in linear_classifier_score(
+            df, "doc_id", "text", weights, bias_milli=bias
+        ).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        toks = [w.lower() for w in ws]
+        logit = bias + sum(weights.get(t, 0) for t in toks)
+        want[i] = (len(toks), logit, logit > 0)
+    assert got == want
