@@ -1,0 +1,103 @@
+"""Round-9 additions: advisor-fix regression tests (classifier-oracle
+SQL escaping, GraphCmd edge-list weightColumn, PPR empty-seed guard)
+and the new graph/BPE surface added this round."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+
+from topnotch_spark.operators.dedup import dedup_scope
+
+
+def test_classifier_sql_escapes_quoted_tokens():
+    """A vocabulary token containing an apostrophe must produce valid
+    (and non-injectable) DuckDB SQL: quote-doubling in the VALUES list."""
+    from topnotch_spark.oracles import linear_classifier_sql
+
+    sql = linear_classifier_sql({"don't": 100, "can't": -40}, bias_milli=5)
+    assert "don''t" in sql and "can''t" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'don''t panic'), (2, 'can''t stop'), (3, 'plain words')"
+        ") t(doc_id, text)"
+    )
+    rows = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(sql).fetchall()
+    }
+    assert rows[1] == (2, 105, True)
+    assert rows[2] == (2, -35, False)
+    assert rows[3] == (2, 5, True)
+
+
+def test_graph_cmd_edge_list_paircount_weight(spark, tmp_path):
+    """weightColumn='pairCount' on the EDGE-LIST path is a plain column
+    name (the advisor's r8 finding: it used to be silently dropped and
+    later exploded as an unresolved column). Results must match calling
+    personalized_pagerank directly with the weight column."""
+    from topnotch_spark.engine import TnEngine
+    from topnotch_spark.operators.graph import personalized_pagerank
+
+    wedges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 4, 5)]
+    edges = spark.createDataFrame(
+        wedges, "src long, dst long, pairCount long"
+    )
+    epath = str(tmp_path / "edges.parquet")
+    edges.write.parquet(epath)
+    plan = {
+        "commands": [
+            {
+                "command": "graph",
+                "input": {"ref": epath, "onDisk": True},
+                "params": {
+                    "method": "ppr",
+                    "srcColumn": "src",
+                    "dstColumn": "dst",
+                    "weightColumn": "pairCount",
+                    "seeds": [1],
+                    "iters": 4,
+                },
+                "outputKey": "ranks",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in engine.registry["ranks"].collect()
+    }
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with dedup_scope():
+        want = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(
+                spark.createDataFrame(
+                    wedges, "src long, dst long, w long"
+                ),
+                seeds,
+                iters=4,
+                weight_col="w",
+            ).collect()
+        }
+    assert got == want
+
+
+def test_ppr_empty_seed_set_raises(spark):
+    """Seeds that all fall outside the graph must raise, not silently
+    return all-zero ranks (advisor r8 finding on graph.py)."""
+    from topnotch_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(99,), (100,)], "node long")
+    with dedup_scope():
+        with pytest.raises(ValueError, match="no seed node"):
+            personalized_pagerank(edges, seeds, iters=2)

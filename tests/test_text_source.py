@@ -71,3 +71,31 @@ def test_text_source_feeds_a_text_command(spark, tmp_path):
         for r in engine.registry["stats"].collect()
     }
     assert stats == {"a.txt": 6, "b.txt": 2}
+
+
+def test_text_source_line_no_survives_multisplit_file(spark, tmp_path):
+    """A file larger than one split scans as several partitions whose
+    indices do NOT follow byte order (FileSourceScanExec packs splits by
+    length, not offset) — line_no must still be the true in-file order,
+    via the (input_file_block_start, monotonically_increasing_id) sort."""
+    d = tmp_path / "bigcorpus"
+    d.mkdir()
+    n = 3000
+    (d / "big.txt").write_text(
+        "".join(f"line-{i:05d}\n" for i in range(1, n + 1))
+    )
+    before_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        n_splits = spark.read.text(str(d)).rdd.getNumPartitions()
+        assert n_splits > 1, "file must actually split"
+        df = load_input(spark, Input(ref=str(d), format="text"))
+        rows = df.select("line_no", "text").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", before_open)
+    assert len(rows) == n
+    for r in rows:
+        assert r["text"] == f"line-{r['line_no']:05d}"

@@ -333,6 +333,18 @@ def personalized_pagerank(
         )
         .select(F.col("src").alias("node"), F.lit(True).alias("__seed__"))
     )
+    # An empty post-intersection seed set (every seed filtered out of
+    # the graph, e.g. by min_support) would make every teleport/initial
+    # term CASE-miss and the walk return all-zero ranks with no
+    # diagnostic. The seeds frame is persisted and at most |seed_nodes|
+    # rows, so the eager guard count is a trivial job.
+    if seeds.count() == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed node exists in the graph "
+            "(seed set is empty after intersecting with the edge set); "
+            "check the seed ids against the graph's min_support/"
+            "max_basket_items filters"
+        )
     ns = F.broadcast(seeds.select(F.count(F.lit(1)).alias("__ns__")))
     base = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} div {damp_den})"
     node_frame = (

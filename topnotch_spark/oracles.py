@@ -4146,9 +4146,12 @@ def linear_classifier_sql(
 ) -> str:
     """Mirror of textqc.linear_classifier_score: the same integer
     milli-weight VALUES table, explode + join + sum, bias applied after
-    the left join-back so no-vocabulary docs score exactly `bias`."""
+    the left join-back so no-vocabulary docs score exactly `bias`.
+    Tokens are SQL-escaped (quote doubling) so an apostrophe-bearing
+    vocabulary cannot break or inject into the generated VALUES list."""
     vals = ", ".join(
-        f"('{t}', {m})" for t, m in sorted(weights.items())
+        "('{}', {})".format(t.replace("'", "''"), int(m))
+        for t, m in sorted(weights.items())
     )
     return f"""
         WITH w AS (SELECT * FROM (VALUES {vals}) AS t(token, w_milli)),

@@ -1406,7 +1406,13 @@ class GraphCmd(Command):
                 F.col(self.src_column).alias("src"),
                 F.col(self.dst_column).alias("dst"),
             ]
-            if weight is not None and weight != "pairCount":
+            # On the edge-list path EVERY weightColumn value is a plain
+            # column of the input — including the literal "pairCount",
+            # which is only an alias for the built pair count on the
+            # basket path. Selecting it here (aliased to "w") turns the
+            # former unresolved-column AnalysisException into normal
+            # missing-column validation at select time.
+            if weight is not None:
                 cols.append(F.col(weight).alias("w"))
                 weight = "w"
             edges = df.select(*cols)

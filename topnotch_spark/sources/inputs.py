@@ -96,17 +96,25 @@ def load_input(
         if not inp.wholetext:
             from pyspark.sql import Window
 
-            # line_no is the in-file order Spark surfaces the lines in —
-            # stable for a given file because text splits preserve
-            # intra-partition order and the window sorts per file by the
-            # split/row position carried in monotonically_increasing_id
+            # line_no = true in-file line order. A file bigger than one
+            # split becomes several partitions, and FileSourceScanExec
+            # packs splits sorted by LENGTH (not offset), so partition
+            # index — the high bits of monotonically_increasing_id —
+            # does not follow byte order within a file. The per-file
+            # window therefore sorts by the split's BYTE OFFSET first
+            # (input_file_block_start(), constant per split) and only
+            # uses monotonically_increasing_id to order lines inside a
+            # split, where scan order is the file order.
             df = df.withColumn("__mid__", F.monotonically_increasing_id())
+            df = df.withColumn(
+                "__blk__", F.expr("input_file_block_start()")
+            )
             df = df.withColumn(
                 "line_no",
                 F.row_number().over(
-                    Window.partitionBy("doc_path").orderBy("__mid__")
+                    Window.partitionBy("doc_path").orderBy("__blk__", "__mid__")
                 ),
-            ).drop("__mid__")
+            ).drop("__mid__", "__blk__")
         return df.withColumnRenamed("value", "text")
     if fmt == "table":
         # Catalog table (ref = table name). The 100 TB path for repeated
