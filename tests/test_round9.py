@@ -101,3 +101,69 @@ def test_ppr_empty_seed_set_raises(spark):
     with dedup_scope():
         with pytest.raises(ValueError, match="no seed node"):
             personalized_pagerank(edges, seeds, iters=2)
+
+
+def test_persist_if_large_gates_on_input_size(spark):
+    """The bm25 tf persist (r6->r8 verdict thread): a measurably small
+    source must NOT be materialized (recompute beats persist below the
+    threshold), a forced True/False must win over the estimate, and an
+    unknown size (in-memory source) must persist — the 100 TB-safe
+    default."""
+    from topnotch_spark.operators.dedup import (
+        _estimated_input_bytes,
+        _persist_if_large,
+        dedup_scope,
+        snapshot_intermediates,
+    )
+
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = _estimated_input_bytes(small)
+    assert est is not None and 0 < est < (64 << 20)
+    mem = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert _estimated_input_bytes(mem) is None
+
+    with dedup_scope():
+        base = len(snapshot_intermediates())
+        _persist_if_large(small.select("doc_id"), small)  # small: skipped
+        assert len(snapshot_intermediates()) == base
+        _persist_if_large(mem.select("doc_id"), mem)  # unknown: persisted
+        assert len(snapshot_intermediates()) == base + 1
+        _persist_if_large(small.select("doc_id"), small, persist=True)
+        assert len(snapshot_intermediates()) == base + 2
+        _persist_if_large(mem.select("doc_id"), mem, persist=False)
+        assert len(snapshot_intermediates()) == base + 2
+
+
+def test_bm25_persist_tf_plan_option(spark, tmp_path):
+    """persistTf is plan-exposed and the forced-persist path returns the
+    same rows as the skip path."""
+    from topnotch_spark.engine import TnEngine
+
+    def run(opts):
+        plan = {
+            "commands": [
+                {
+                    "command": "retrieve",
+                    "input": {
+                        "ref": "/root/testdata/sf0.001/documents.parquet",
+                        "onDisk": True,
+                    },
+                    "params": {
+                        "queries": [[1, "spark shuffle join"]],
+                        "k": 5,
+                        **opts,
+                    },
+                    "outputKey": "hits",
+                }
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        return sorted(
+            (r["doc_id"], r["rank"], r["score"])
+            for r in engine.registry["hits"].collect()
+        )
+
+    assert run({"persistTf": True}) == run({"persistTf": False}) == run({})

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from topnotch_spark.functions.text import tokens
-from topnotch_spark.operators.dedup import _persist
+from topnotch_spark.operators.dedup import _persist_if_large
 
 
 def bm25_topk(
@@ -32,6 +32,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_token_df: int | None = None,
+    persist_tf: bool | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25 (Robertson/Lucene idf:
     ln(1 + (N - df + 0.5)/(df + 0.5))). Query term frequency is binary
@@ -49,9 +50,18 @@ def bm25_topk(
     Default None keeps exact BM25 (idf already down-weights hot terms).
 
     Execution shape (the 100 TB path): one explode + groupBy(doc, token)
-    for tf — PERSISTED, because it feeds four branches (doclen, df,
-    corpus stats, postings); without the persist Spark re-tokenizes the
-    corpus once per branch. Doc lengths ride the tf aggregation; the
+    for tf — PERSISTED when the corpus is big, because it feeds four
+    branches (doclen, df, corpus stats, postings); without the persist
+    Spark re-tokenizes the corpus once per branch. ``persist_tf``
+    (plan option ``persistTf``) controls it: True forces the persist,
+    False skips it, None (default) auto-gates on the estimated input
+    size of ``docs`` — a source below
+    ``dedup.PERSIST_INPUT_THRESHOLD_BYTES`` (64 MiB) recomputes its
+    cheap tokenize lineage per branch instead of paying a
+    materialization that costs more than it saves (the r8 verdict's
+    measured finding: sf0.1's 584 KB corpus ran 1.6x slower WITH the
+    persist; unknown sizes persist, the 100 TB-safe default).
+    Doc lengths ride the tf aggregation; the
     vocab-sized df table joins the tiny query-term frame FIRST, so only
     the query's terms survive into the doc join; the query-terms x
     matching-postings join broadcasts the query side; one
@@ -75,8 +85,10 @@ def bm25_topk(
         F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("token")
     )
     # one tokenize/explode/agg pass, reused by all four downstream branches
-    tf = _persist(
-        tok.groupBy("__id__", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _persist_if_large(
+        tok.groupBy("__id__", "token").agg(F.count(F.lit(1)).alias("tf")),
+        docs,
+        persist=persist_tf,
     )
     doclen = tf.groupBy("__id__").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))

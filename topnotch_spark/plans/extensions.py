@@ -2037,11 +2037,14 @@ class CompactCmd(Command):
 class RetrieveCmd(Command):
     """{"command": "retrieve", "input": <input>, "params": {"queries":
     [[id, text], ...], ["idColumn", "textColumn", "k", "k1", "b",
-    "maxTokenDf"]}} — BM25 top-k lexical retrieval over a document
-    corpus (retrieval.bm25_topk). ``maxTokenDf`` is the viral-term
-    valve: query terms whose document frequency exceeds it are dropped
-    before the postings join (a stopword query term would otherwise
-    drag ~|corpus| posting rows through the join)."""
+    "maxTokenDf", "persistTf"]}} — BM25 top-k lexical retrieval over a
+    document corpus (retrieval.bm25_topk). ``maxTokenDf`` is the
+    viral-term valve: query terms whose document frequency exceeds it
+    are dropped before the postings join (a stopword query term would
+    otherwise drag ~|corpus| posting rows through the join).
+    ``persistTf`` true/false forces/skips the shared tf-table persist;
+    unset auto-gates on the corpus's input size (small corpora
+    recompute, big ones materialize once)."""
 
     input: Input = None  # type: ignore[assignment]
     queries: tuple[tuple[int, str], ...] = ()
@@ -2060,7 +2063,7 @@ class RetrieveCmd(Command):
             queries=qs,
             id_column=p.get("idColumn", "doc_id"),
             text_column=p.get("textColumn", "text"),
-            options=_opt(p, "k", "k1", "b", "maxTokenDf"),
+            options=_opt(p, "k", "k1", "b", "maxTokenDf", "persistTf"),
             **cls._common(obj),
         )
 
