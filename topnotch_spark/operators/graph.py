@@ -110,6 +110,7 @@ def pagerank(
     damp_num: int = 17,
     damp_den: int = 20,
     broadcast_ranks: bool = True,
+    tol_scaled: int | None = None,
 ) -> DataFrame:
     """(node, out_degree, rank_scaled) after ``iters`` fixed-point
     PageRank rounds over the symmetric closure of ``edges`` (src, dst
@@ -119,6 +120,19 @@ def pagerank(
     rank_scaled is the rank probability times ``scale``, floored — a
     BIGINT, bit-reproducible by any engine with integer division (the
     DuckDB oracle chains the same ``iters`` CTEs).
+
+    ``tol_scaled`` turns on delta-based early exit: at every lineage
+    checkpoint (every other round), compute ``max |rank - rank_prev|``
+    against the PREVIOUS checkpoint's ranks (one node-sized join +
+    scalar aggregate per check — the only driver-side value this
+    operator ever collects) and stop once it is ≤ ``tol_scaled``
+    fixed-point units; ``iters`` stays the cap. A converged graph then
+    skips the remaining rounds and a slow-mixing one is visibly
+    under-converged instead of silently so: with ``tol_scaled`` set the
+    output carries an extra ``n_rounds`` column recording the REALIZED
+    round count, which an oracle replay must pin to stay exact.
+    Default None keeps the fixed-``iters`` contract (and schema)
+    unchanged.
 
     ``broadcast_ranks`` (default True) hints the node-sized shares
     frame into the per-round edge join as a broadcast: it is |nodes|
@@ -163,6 +177,8 @@ def pagerank(
         None,
     )
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
+    prev = ranks
+    realized = iters
     for it in range(iters):
         shares = (
             deg.join(ranks, deg["src"] == ranks["node"])
@@ -194,17 +210,41 @@ def pagerank(
         # each eager truncation is a whole scheduled job on a node-sized
         # frame — fixed overhead worth halving
         if it % 2 == 1 or it == iters - 1:
+            converged = tol_scaled is not None and _delta_below(
+                ranks, prev, tol_scaled
+            )
             ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
+            prev = ranks
+            if converged:
+                realized = it + 1
+                break
     out = ranks.join(
         deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
         "node",
     ).select("node", "out_degree", F.col("rank").alias("rank_scaled"))
+    if tol_scaled is not None:
+        out = out.withColumn("n_rounds", F.lit(realized))
     if ckpt is not None:
         from topnotch_spark.operators import dedup as _d
 
         _d._PERSISTED.append(out)
         _d._CHECKPOINTED[id(out)] = ckpt
     return out
+
+
+def _delta_below(ranks: DataFrame, prev: DataFrame, tol_scaled: int) -> bool:
+    """Convergence probe: is ``max |rank - prev rank|`` ≤ tol? One
+    node-sized equi-join + scalar max — the bounded driver-side collect
+    of the tol-gated walks. ``prev`` is the last CHECKPOINT's ranks, so
+    the delta spans the (≤2) rounds since the previous check."""
+    row = (
+        ranks.join(
+            prev.select(F.col("node"), F.col("rank").alias("__pr__")), "node"
+        )
+        .agg(F.max(F.abs(F.col("rank") - F.col("__pr__"))).alias("d"))
+        .collect()[0]
+    )
+    return row["d"] is not None and row["d"] <= tol_scaled
 
 
 def triangle_counts(edges: DataFrame, round_digits: int = 6) -> DataFrame:
@@ -273,6 +313,7 @@ def personalized_pagerank(
     damp_den: int = 20,
     weight_col: str | None = None,
     broadcast_ranks: bool = True,
+    tol_scaled: int | None = None,
 ) -> DataFrame:
     """Personalized (seeded, optionally edge-weighted) PageRank: random
     walk with restart INTO ``seed_nodes`` only — the related-items /
@@ -302,6 +343,8 @@ def personalized_pagerank(
 
     Output: (node, out_degree, rank_scaled) for every graph node;
     non-seed nodes unreachable from a seed rank 0 + nothing = exactly 0.
+    ``tol_scaled`` adds the same per-checkpoint delta early-exit (and
+    ``n_rounds`` output column) as :func:`pagerank`; ``iters`` caps.
     """
     from topnotch_spark.operators.cluster import _truncate_round
     from topnotch_spark.operators.dedup import _persist
@@ -372,6 +415,8 @@ def personalized_pagerank(
         .otherwise(F.lit(0).cast("long"))
         .alias("__tp__")
     )
+    prev = ranks
+    realized = iters
     for it in range(iters):
         shares = (
             deg.join(ranks, deg["src"] == ranks["node"])
@@ -401,11 +446,20 @@ def personalized_pagerank(
             )
         )
         if it % 2 == 1 or it == iters - 1:
+            converged = tol_scaled is not None and _delta_below(
+                ranks, prev, tol_scaled
+            )
             ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
+            prev = ranks
+            if converged:
+                realized = it + 1
+                break
     out = ranks.join(
         deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
         "node",
     ).select("node", "out_degree", F.col("rank").alias("rank_scaled"))
+    if tol_scaled is not None:
+        out = out.withColumn("n_rounds", F.lit(realized))
     if ckpt is not None:
         from topnotch_spark.operators import dedup as _d
 

@@ -1330,7 +1330,11 @@ class GraphCmd(Command):
     undirected unique edge list) OR "basketColumn"+"itemColumn" (edges
     are built by co-occurrence within a basket; "maxBasketItems" /
     "minSupport" bound the pair join), pagerank/ppr: ["iters", "scale",
-    "dampNum", "dampDen"], ppr: "seeds" (literal node-id list) +
+    "dampNum", "dampDen", "broadcastRanks" — false switches the
+    per-round rank join from the node-sized broadcast to the
+    partitioned equi-join for web-scale node sets, "tolScaled" —
+    delta early-exit with an n_rounds output column],
+    ppr: "seeds" (literal node-id list) +
     ["weightColumn" — an edge-list input's integer weight column, or
     "pairCount" to weight built co-occurrence edges], triangles:
     ["roundDigits"]}} — graph analytics (operators/graph.py):
@@ -1385,6 +1389,8 @@ class GraphCmd(Command):
                 "roundDigits",
                 "seeds",
                 "weightColumn",
+                "broadcastRanks",
+                "tolScaled",
             ),
             **cls._common(obj),
         )
@@ -1417,25 +1423,31 @@ class GraphCmd(Command):
                 weight = "w"
             edges = df.select(*cols)
         else:
+            # NOTE: _opt stores snake_case keys — the r8 version popped
+            # the camelCase spellings here, so plan-set maxBasketItems/
+            # minSupport (and dampNum/dampDen below) silently fell back
+            # to defaults. Regression-tested in test_round9.py.
             edges = cooccurrence_edges(
                 df,
                 self.basket_column,
                 self.item_column,
-                max_basket_items=o.pop("maxBasketItems", 12),
-                min_support=o.pop("minSupport", 1),
+                max_basket_items=o.pop("max_basket_items", 12),
+                min_support=o.pop("min_support", 1),
             )
             if weight == "pairCount":
                 weight = "pair_count"
-        o.pop("maxBasketItems", None)
-        o.pop("minSupport", None)
+        o.pop("max_basket_items", None)
+        o.pop("min_support", None)
+        walk_opts = dict(
+            iters=o.get("iters", 8),
+            scale=o.get("scale", 10**12),
+            damp_num=o.get("damp_num", 17),
+            damp_den=o.get("damp_den", 20),
+            broadcast_ranks=o.get("broadcast_ranks", True),
+            tol_scaled=o.get("tol_scaled"),
+        )
         if self.method == "pagerank":
-            return pagerank(
-                edges,
-                iters=o.get("iters", 8),
-                scale=o.get("scale", 10**12),
-                damp_num=o.get("dampNum", 17),
-                damp_den=o.get("dampDen", 20),
-            )
+            return pagerank(edges, **walk_opts)
         if self.method == "ppr":
             from topnotch_spark.operators.graph import personalized_pagerank
 
@@ -1443,13 +1455,7 @@ class GraphCmd(Command):
                 [(int(x),) for x in o.pop("seeds")], "node long"
             )
             return personalized_pagerank(
-                edges,
-                seeds,
-                iters=o.get("iters", 8),
-                scale=o.get("scale", 10**12),
-                damp_num=o.get("dampNum", 17),
-                damp_den=o.get("dampDen", 20),
-                weight_col=weight,
+                edges, seeds, weight_col=weight, **walk_opts
             )
         if self.method == "components":
             from topnotch_spark.operators.cluster import connected_components
@@ -1457,7 +1463,7 @@ class GraphCmd(Command):
             return connected_components(edges, src="src", dst="dst").select(
                 "id", F.col("comp").alias("component_id")
             )
-        return triangle_counts(edges, round_digits=o.get("roundDigits", 6))
+        return triangle_counts(edges, round_digits=o.get("round_digits", 6))
 
 
 @dataclass(frozen=True)
