@@ -129,6 +129,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_novelty": oracles.text_novelty_sql(shingle_n=3),
         "bpe_top_merges_docs": oracles.bpe_top_merges_sql(k=50),
+        "bpe_merge_sequence_docs": oracles.bpe_merge_sequence_sql(
+            n_merges=8
+        ),
         "split_cluster_safe": oracles.cluster_safe_split_sql(
             {"train": 0.9, "val": 0.1},
             num_hashes=16, bands=4, threshold=0.5, shingle_n=5,

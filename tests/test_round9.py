@@ -324,3 +324,131 @@ def test_graph_plan_snake_case_options_respected(spark, tmp_path):
             ).collect()
         }
     assert got == want
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE trainer (Sennrich et al. 2016): overlap-inclusive
+    pair counts, (count desc, pair asc) tiebreak, greedy non-overlapping
+    left-to-right merge-apply."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((r, best[0], best[1], best[0] + best[1],
+                    counts[best]))
+        merged = {}
+        for syms, c in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    ns.append(best[0] + best[1])
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            merged[tuple(ns)] = merged.get(tuple(ns), 0) + c
+        vocab = merged
+    return out
+
+
+def test_bpe_merge_sequence_matches_python_replay(spark):
+    from topnotch_spark.operators.textqc import bpe_merge_sequence
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new")],
+        "doc_id long, text string",
+    )
+    with dedup_scope():
+        got = [
+            tuple(r)
+            for r in bpe_merge_sequence(
+                docs, "doc_id", "text", n_merges=6
+            ).collect()
+        ]
+    assert got == _py_bpe(
+        {"low": 3, "lower": 1, "lowest": 1, "newer": 1, "newest": 1,
+         "new": 1},
+        6,
+    )
+
+
+def test_bpe_merge_sequence_greedy_runs(spark):
+    """Runs of a repeated symbol: counting is overlap-INCLUSIVE
+    ('aaaa' holds three 'a a' pairs) but merge-apply is greedy
+    NON-overlapping ('aaaa' -> [aa, aa]) — round 2 must therefore see
+    'aa aa', the signature of correct greedy semantics."""
+    from topnotch_spark.operators.textqc import bpe_merge_sequence
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa")], "doc_id long, text string"
+    )
+    with dedup_scope():
+        got = [
+            tuple(r)
+            for r in bpe_merge_sequence(
+                docs, "doc_id", "text", n_merges=2
+            ).collect()
+        ]
+    # round 1: 'a a' with 3+3+2=8 overlapping occurrences
+    # round 2: words are [aa,aa], [aa,aa], [aa,a] -> 'aa aa' x2, 'aa a' x1
+    assert got == [
+        (1, "a", "a", "aa", 8),
+        (2, "aa", "aa", "aaaa", 2),
+    ]
+    assert got == _py_bpe({"aaaa": 2, "aaa": 1}, 2)
+
+
+def test_bpe_merge_sequence_exhausted_corpus_stops_short(spark):
+    """Fewer realizable merges than n_merges: emit what exists."""
+    from topnotch_spark.operators.textqc import bpe_merge_sequence
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with dedup_scope():
+        got = [
+            tuple(r)
+            for r in bpe_merge_sequence(
+                docs, "doc_id", "text", n_merges=5
+            ).collect()
+        ]
+    assert got == [(1, "a", "b", "ab", 2)]
+
+
+def test_bpe_merge_sequence_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/documents.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "bpeMergeSequence",
+                    "idColumn": "doc_id",
+                    "textColumn": "text",
+                    "nMerges": 3,
+                },
+                "outputKey": "merges",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["merges"].collect()
+    assert [r["merge_rank"] for r in rows] == [1, 2, 3]
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)

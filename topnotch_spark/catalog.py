@@ -800,6 +800,21 @@ def bpe_top_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_merge_sequence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE trainer loop over documents
+    (textqc.bpe_merge_sequence): 8 rounds of count → greedy merge →
+    recount, emitting the realized merge sequence — the
+    tokenizer-construction audit bpe_top_merges only previews (that
+    operator is round 1 of this loop). The corpus reduces to its
+    vocabulary once; every round after is vocab-sized with
+    checkpoint-truncated lineage, the connected-components loop shape."""
+    from topnotch_spark.operators.textqc import bpe_merge_sequence
+
+    return bpe_merge_sequence(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n_merges=8
+    )
+
+
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram novelty rate (textqc.ngram_novelty): the
     share of each document's distinct word trigrams that no other
@@ -2871,9 +2886,11 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scripts/strict_hash_check.py (stricter than the driver gate), recorded
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
-    # round-8 additions first: the driver gate checks the leading 50
-    # slots, and a new query must earn a driver-side CORRECTNESS row in
-    # the round that ships it (the round-7 lesson)
+    # round-9 additions first (driver gate checks the leading 50 slots;
+    # a new query must earn a driver-side CORRECTNESS row in the round
+    # that ships it), then the r05-era stalest queries (the r8 verdict's
+    # rotation protocol: every query's last driver row stays recent)
+    "bpe_merge_sequence_docs": bpe_merge_sequence_docs,
     "text_classifier_quality": text_classifier_quality,
     "streaming_distinct_users": streaming_distinct_users,
     "graph_pagerank_parts": graph_pagerank_parts,

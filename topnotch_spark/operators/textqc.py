@@ -997,3 +997,119 @@ def linear_classifier_score(
             > 0
         ).alias("keep"),
     )
+
+
+def bpe_merge_sequence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """The full BPE trainer loop (Sennrich et al. 2016), ``n_merges``
+    rounds of count → merge → recount: each round counts every adjacent
+    symbol pair across the corpus (weighted by word frequency), takes
+    the most frequent pair (count desc, pair asc tiebreak — exact
+    integers), applies it as a greedy non-overlapping left-to-right
+    merge to every word, and repeats on the merged symbols.
+    :func:`bpe_top_merges` is round 1 of this loop as a standalone
+    statistic; this operator is the tokenizer-construction audit —
+    "what vocabulary would BPE actually build on this corpus".
+
+    Returns one row per realized merge round:
+    (merge_rank 1-based, lhs, rhs, merged = lhs||rhs, n_occurrences),
+    ordered by merge_rank. A corpus that runs out of adjacent pairs
+    before ``n_merges`` rounds yields fewer rows.
+
+    Determinism contract (shared with the DuckDB oracle): symbols are
+    whitespace-free (words come from the whitespace tokenizer), so a
+    word's symbol sequence round-trips through a DOUBLED-SPACE string
+    (``'  h  e  y  '``) and the greedy merge is one codegen'd
+    ``replace(s, ' lhs  rhs ', ' lhsrhs ')`` — replace() scans left to
+    right and continues after each replacement, which IS the greedy
+    non-overlap rule, and the doubled gaps keep adjacent occurrences
+    from sharing a boundary space. Pair counting is overlap-inclusive
+    ("aaa" holds two "aa" pairs), exactly the quantity BPE maximizes.
+
+    Execution shape (100 TB): the corpus reduces to its VOCABULARY once
+    (one map-side-combined groupBy(word) — sublinear by Heaps' law);
+    every round after that is vocab-sized: one explode over symbols, one
+    groupBy(pair), a 1-row top-1, and one broadcast-crossJoin'd
+    projection applying the merge. Round lineage is truncated with the
+    connected-components checkpoint helper, so plan depth stays constant
+    in ``n_merges``. Nothing in the loop ever touches corpus-sized data
+    again, and no driver-side collect happens anywhere."""
+    from topnotch_spark.operators.cluster import _truncate_round
+
+    if n_merges < 1:
+        raise ValueError("bpe_merge_sequence: n_merges must be >= 1")
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    state, ckpt = _truncate_round(
+        vocab.select(
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace("word", "(.)", " $1 "),
+                F.lit(" "),
+            ).alias("s"),
+            "wc",
+        ),
+        None,
+    )
+    syms = "filter(split(s, '  '), x -> x <> '')"
+    pair_list = (
+        f"transform(sequence(1, size({syms}) - 1), "
+        f"i -> concat(element_at({syms}, i), ' ', element_at({syms}, i + 1)))"
+    )
+    bests: list[DataFrame] = []
+    for r in range(1, n_merges + 1):
+        counts = (
+            state.filter(F.expr(f"size({syms}) >= 2"))
+            .select(F.explode(F.expr(pair_list)).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("n_occurrences"))
+        )
+        best = (
+            counts.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.lit(r).alias("merge_rank"), "pair", "n_occurrences")
+            # 1-row frame consumed by BOTH the output union and the next
+            # round's merge-apply: checkpoint once so neither consumer
+            # recomputes the round's pair count
+            .localCheckpoint(eager=False)
+        )
+        bests.append(best)
+        if r < n_merges:
+            state, ckpt = _truncate_round(
+                state.crossJoin(F.broadcast(best.select("pair"))).select(
+                    F.expr(
+                        "replace(s, "
+                        "concat(' ', split(pair, ' ')[0], '  ', "
+                        "split(pair, ' ')[1], ' '), "
+                        "concat(' ', split(pair, ' ')[0], "
+                        "split(pair, ' ')[1], ' '))"
+                    ).alias("s"),
+                    "wc",
+                ),
+                ckpt,
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    result = out.select(
+        "merge_rank",
+        F.expr("split(pair, ' ')[0]").alias("lhs"),
+        F.expr("split(pair, ' ')[1]").alias("rhs"),
+        F.expr("concat(split(pair, ' ')[0], split(pair, ' ')[1])").alias(
+            "merged"
+        ),
+        "n_occurrences",
+    ).orderBy("merge_rank")
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(result)
+        _d._CHECKPOINTED[id(result)] = ckpt
+    return result

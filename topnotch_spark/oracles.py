@@ -1148,6 +1148,66 @@ def bpe_top_merges_sql(k: int = 50) -> str:
     """
 
 
+def bpe_merge_sequence_sql(n_merges: int = 8) -> str:
+    """Mirror of textqc.bpe_merge_sequence: ``n_merges`` chained CTE
+    rounds of pair-count → top-1 → greedy merge-apply, on the SAME
+    doubled-space string representation — DuckDB's replace() shares
+    Spark's continue-after-replacement scan, so the greedy non-overlap
+    semantics match bit-for-bit."""
+    rounds = []
+    union = []
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+        p{r} AS (
+          SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+          FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                     i -> syms[i] || ' ' || syms[i + 1])) AS pair, wc
+            FROM (SELECT list_filter(string_split(s, '  '),
+                           x -> x <> '') AS syms, wc
+                  FROM {prev})
+          ) GROUP BY pair
+        ),
+        b{r} AS (
+          SELECT {r} AS merge_rank, pair, n_occurrences
+          FROM p{r} ORDER BY n_occurrences DESC, pair ASC LIMIT 1
+        ),
+        s{r} AS (
+          SELECT replace(s,
+                   ' ' || split_part(pair, ' ', 1) || '  '
+                       || split_part(pair, ' ', 2) || ' ',
+                   ' ' || split_part(pair, ' ', 1)
+                       || split_part(pair, ' ', 2) || ' ') AS s,
+                 wc
+          FROM {prev}, b{r}
+        )""")
+        union.append(f"SELECT * FROM b{r}")
+    return f"""
+        {_DOC_BASE},
+        vocab AS (
+          SELECT word, count(*) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          GROUP BY word
+        ),
+        s0 AS (
+          SELECT ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' '
+                   AS s,
+                 wc
+          FROM vocab
+        ),
+        {",".join(rounds)}
+        SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+               split_part(pair, ' ', 1) AS lhs,
+               split_part(pair, ' ', 2) AS rhs,
+               split_part(pair, ' ', 1) || split_part(pair, ' ', 2)
+                 AS merged,
+               n_occurrences
+        FROM ({" UNION ALL ".join(union)})
+        ORDER BY merge_rank
+    """
+
+
 def text_novelty_sql(shingle_n: int = 3, round_digits: int = 6) -> str:
     """Mirror of textqc.ngram_novelty: distinct shingles per doc,
     corpus document frequency per shingle, per-doc share with df = 1.

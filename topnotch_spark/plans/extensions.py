@@ -212,7 +212,11 @@ class TextCmd(Command):
     "partitionCol", ["roundDigits"]} — per-source percent_rank quality
     calibration; oovRate takes {"idColumn", "textColumn",
     "partitionCol", ["vocabK", "roundDigits"]} — per-group OOV rate
-    against the corpus top-k vocabulary."""
+    against the corpus top-k vocabulary; bpeMerges {["k"]} — round-1
+    BPE pair counts; bpeMergeSequence {["nMerges"]} — the full
+    count→merge→recount trainer loop emitting the realized merge
+    sequence; classifierScore {"weights", ["biasMilli"]} — integer
+    milli-weight linear classifier logits."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -226,7 +230,7 @@ class TextCmd(Command):
         "repetition", "tfidfKeywords", "normalize", "unigramLogprob",
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
-        "classifierScore",
+        "bpeMergeSequence", "classifierScore",
     )
 
     @classmethod
@@ -257,7 +261,7 @@ class TextCmd(Command):
                 "minWords", "maxWords", "minMeanLen", "maxMeanLen",
                 "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
                 "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
-                "vocabK", "weights", "biasMilli",
+                "vocabK", "weights", "biasMilli", "nMerges",
             ),
             **cls._common(obj),
         )
@@ -288,6 +292,7 @@ class TextCmd(Command):
             "readability": T.readability,
             "novelty": T.ngram_novelty,
             "bpeMerges": T.bpe_top_merges,
+            "bpeMergeSequence": T.bpe_merge_sequence,
         }
         if self.method == "calibrateRanks":
             opts = dict(self.options)
