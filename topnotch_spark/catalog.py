@@ -2888,9 +2888,63 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALL = {
     # round-9 additions first (driver gate checks the leading 50 slots;
     # a new query must earn a driver-side CORRECTNESS row in the round
-    # that ships it), then the r05-era stalest queries (the r8 verdict's
-    # rotation protocol: every query's last driver row stays recent)
+    # that ships it), then the stalest queries by last driver-checked
+    # round (the rotation protocol: every query's last driver row stays
+    # recent — r9 rotates the r04/r05-era view/asof/streaming block in)
     "bpe_merge_sequence_docs": bpe_merge_sequence_docs,
+    "view_revenue_by_nation": view_revenue_by_nation,
+    "view_sessionize_events": view_sessionize_events,
+    "view_topk_per_group": view_topk_per_group,
+    "view_tpch_q1": view_tpch_q1,
+    "asof_error_click": asof_error_click,
+    "asof_nearest_click": asof_nearest_click,
+    "bloom_membership": bloom_membership,
+    "dedup_incremental": dedup_incremental,
+    "dedup_rate_by_source": dedup_rate_by_source,
+    "dedup_semantic": dedup_semantic,
+    "drift_chi2_priority": drift_chi2_priority,
+    "drift_orders_totalprice": drift_orders_totalprice,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "embedding_project": embedding_project,
+    "event_funnel": event_funnel,
+    "event_transitions": event_transitions,
+    "events_throttle_dedup": events_throttle_dedup,
+    "fuzzy_customer_names": fuzzy_customer_names,
+    "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
+    "interval_price_band": interval_price_band,
+    "multimodal_blob_dedup": multimodal_blob_dedup,
+    "multimodal_byte_stats": multimodal_byte_stats,
+    "outliers_mad_totalprice": outliers_mad_totalprice,
+    "pivot_order_status": pivot_order_status,
+    "profile_lineitem": profile_lineitem,
+    "quality_bands_by_source": quality_bands_by_source,
+    "range_join_events": range_join_events,
+    "retention_cohorts_weekly": retention_cohorts_weekly,
+    "rolling_value_7d": rolling_value_7d,
+    "sample_token_budget": sample_token_budget,
+    "scd2_customer_segment": scd2_customer_segment,
+    "source_lang_mix": source_lang_mix,
+    "source_mix": source_mix,
+    "streaming_assertion_metrics": streaming_assertion_metrics,
+    "streaming_dedup": streaming_dedup,
+    "streaming_drift_monitor": streaming_drift_monitor,
+    "streaming_enriched_metrics": streaming_enriched_metrics,
+    "streaming_error_click_join": streaming_error_click_join,
+    "streaming_funnel": streaming_funnel,
+    "streaming_session_window": streaming_session_window,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_sliding_metrics": streaming_sliding_metrics,
+    "streaming_transitions": streaming_transitions,
+    "streaming_window_metrics": streaming_window_metrics,
+    "text_gopher_rules": text_gopher_rules,
+    "text_readability": text_readability,
+    "text_token_entropy": text_token_entropy,
+    "text_unigram_logprob": text_unigram_logprob,
+    "token_histogram": token_histogram,
+    "train_split_assign": train_split_assign,
+    "trend_value_by_user": trend_value_by_user,
+    "view_small_qty_revenue": view_small_qty_revenue,
+    "winsorize_totalprice": winsorize_totalprice,
     "text_classifier_quality": text_classifier_quality,
     "streaming_distinct_users": streaming_distinct_users,
     "graph_pagerank_parts": graph_pagerank_parts,
@@ -2941,24 +2995,6 @@ ALL = {
     "text_token_stats": text_token_stats,
     "timeseries_resample": timeseries_resample,
     "view_cube_revenue": view_cube_revenue,
-    "view_revenue_by_nation": view_revenue_by_nation,
-    "view_sessionize_events": view_sessionize_events,
-    "view_topk_per_group": view_topk_per_group,
-    "view_tpch_q1": view_tpch_q1,
-    "asof_error_click": asof_error_click,
-    "asof_nearest_click": asof_nearest_click,
-    "bloom_membership": bloom_membership,
-    "dedup_incremental": dedup_incremental,
-    "dedup_rate_by_source": dedup_rate_by_source,
-    "dedup_semantic": dedup_semantic,
-    "drift_chi2_priority": drift_chi2_priority,
-    "drift_orders_totalprice": drift_orders_totalprice,
-    "embedding_norm_outliers": embedding_norm_outliers,
-    "embedding_project": embedding_project,
-    "event_funnel": event_funnel,
-    "event_transitions": event_transitions,
-    "events_throttle_dedup": events_throttle_dedup,
-    "fuzzy_customer_names": fuzzy_customer_names,
     "k_anonymity_customers": k_anonymity_customers,
     "basket_brand_pairs": basket_brand_pairs,
     "spatial_customer_supplier": spatial_customer_supplier,
@@ -3009,39 +3045,4 @@ ALL = {
     "drift_ks_totalprice": drift_ks_totalprice,
     "drift_ks_binned": drift_ks_binned,
     "text_repetition": text_repetition,
-    "range_join_events": range_join_events,
-    "multimodal_byte_stats": multimodal_byte_stats,
-    "multimodal_blob_dedup": multimodal_blob_dedup,
-    "profile_lineitem": profile_lineitem,
-    "streaming_window_metrics": streaming_window_metrics,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_assertion_metrics": streaming_assertion_metrics,
-    "streaming_dedup": streaming_dedup,
-    "streaming_enriched_metrics": streaming_enriched_metrics,
-    "streaming_error_click_join": streaming_error_click_join,
-    "streaming_session_window": streaming_session_window,
-    "streaming_drift_monitor": streaming_drift_monitor,
-    "winsorize_totalprice": winsorize_totalprice,
-    "train_split_assign": train_split_assign,
-    "quality_bands_by_source": quality_bands_by_source,
-    "source_lang_mix": source_lang_mix,
-    "token_histogram": token_histogram,
-    "streaming_transitions": streaming_transitions,
-    "streaming_funnel": streaming_funnel,
-    "text_unigram_logprob": text_unigram_logprob,
-    "source_mix": source_mix,
-    "text_gopher_rules": text_gopher_rules,
-    "sample_token_budget": sample_token_budget,
-    "text_token_entropy": text_token_entropy,
-    "text_readability": text_readability,
-    "outliers_mad_totalprice": outliers_mad_totalprice,
-    "pivot_order_status": pivot_order_status,
-    "retention_cohorts_weekly": retention_cohorts_weekly,
-    "rolling_value_7d": rolling_value_7d,
-    "histogram_equidepth_totalprice": histogram_equidepth_totalprice,
-    "streaming_sliding_metrics": streaming_sliding_metrics,
-    "view_small_qty_revenue": view_small_qty_revenue,
-    "trend_value_by_user": trend_value_by_user,
-    "interval_price_band": interval_price_band,
-    "scd2_customer_segment": scd2_customer_segment,
 }
