@@ -132,6 +132,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_sequence_docs": oracles.bpe_merge_sequence_sql(
             n_merges=8
         ),
+        "bpe_fertility_by_source": oracles.bpe_fertility_sql(
+            n_merges=6, group_col="source"
+        ),
         "split_cluster_safe": oracles.cluster_safe_split_sql(
             {"train": 0.9, "val": 0.1},
             num_hashes=16, bands=4, threshold=0.5, shingle_n=5,

@@ -452,3 +452,81 @@ def test_bpe_merge_sequence_plan_method(spark, tmp_path):
     rows = engine.registry["merges"].collect()
     assert [r["merge_rank"] for r in rows] == [1, 2, 3]
     assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
+
+
+def test_bpe_fertility_hand_computed(spark):
+    """Merges trained corpus-wide, fertility reported per slice —
+    expectations hand-derived (6 merges: lo, low, ew, new, ab, er)."""
+    from topnotch_spark.operators.textqc import bpe_fertility_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low", "a"),
+            (2, "newer newest new", "b"),
+            (3, "ab ab", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    with dedup_scope():
+        got = {
+            r["source"]: (
+                r["n_tokens"], r["n_subwords"], r["fertility"],
+                r["chars_per_subword"],
+            )
+            for r in bpe_fertility_by_group(
+                docs, "doc_id", "text", "source", n_merges=6
+            ).collect()
+        }
+    # a: low*3 -> [low], lower -> [low,er], lowest -> [low,e,s,t]
+    assert got["a"] == (5, 9, 1.8, round(20 / 9, 6))
+    # b: newer -> [new,er], newest -> [new,e,s,t], new, ab*2
+    assert got["b"] == (5, 9, 1.8, 2.0)
+
+
+def test_bpe_fertility_exhausted_corpus_is_identity(spark):
+    """After the corpus is fully merged, remaining rounds are sentinel
+    no-ops: fertility still reports every group (the exhaustion state
+    must never go empty)."""
+    from topnotch_spark.operators.textqc import bpe_fertility_by_group
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "x")], "doc_id long, text string, source string"
+    )
+    with dedup_scope():
+        rows = bpe_fertility_by_group(
+            docs, "doc_id", "text", "source", n_merges=5
+        ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # one merge realizes (a,b); rounds 2-5 are identity
+    assert (r["n_tokens"], r["n_subwords"], r["fertility"]) == (2, 2, 1.0)
+
+
+def test_bpe_fertility_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/documents.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "bpeFertility",
+                    "idColumn": "doc_id",
+                    "textColumn": "text",
+                    "partitionCol": "source",
+                    "nMerges": 2,
+                },
+                "outputKey": "fert",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["fert"].collect()
+    assert rows and all(r["fertility"] >= 1.0 for r in rows)

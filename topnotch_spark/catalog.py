@@ -815,6 +815,20 @@ def bpe_merge_sequence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fit per source (textqc.bpe_fertility_by_group): train
+    6 BPE merges on the whole documents corpus, apply them, and report
+    per-source fertility (subwords per token) and chars-per-subword —
+    the tokenizer-skew audit of a multilingual training mix. The apply
+    step is a vocab join; the corpus is never rewritten."""
+    from topnotch_spark.operators.textqc import bpe_fertility_by_group
+
+    return bpe_fertility_by_group(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        n_merges=6,
+    )
+
+
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram novelty rate (textqc.ngram_novelty): the
     share of each document's distinct word trigrams that no other
@@ -2892,6 +2906,7 @@ ALL = {
     # round (the rotation protocol: every query's last driver row stays
     # recent — r9 rotates the r04/r05-era view/asof/streaming block in)
     "bpe_merge_sequence_docs": bpe_merge_sequence_docs,
+    "bpe_fertility_by_source": bpe_fertility_by_source,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

@@ -1038,41 +1038,99 @@ def bpe_merge_sequence(
     connected-components checkpoint helper, so plan depth stays constant
     in ``n_merges``. Nothing in the loop ever touches corpus-sized data
     again, and no driver-side collect happens anywhere."""
-    from topnotch_spark.operators.cluster import _truncate_round
-
     if n_merges < 1:
         raise ValueError("bpe_merge_sequence: n_merges must be >= 1")
-    vocab = (
+    bests, _, ckpt = _bpe_rounds(
+        _bpe_vocab(df, text_col), n_merges, apply_last=False
+    )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    result = (
+        out.filter(F.col("n_occurrences") >= 1)  # drop exhaustion sentinel
+        .select(
+            "merge_rank",
+            F.expr("split(pair, ' ')[0]").alias("lhs"),
+            F.expr("split(pair, ' ')[1]").alias("rhs"),
+            F.expr("concat(split(pair, ' ')[0], split(pair, ' ')[1])").alias(
+                "merged"
+            ),
+            "n_occurrences",
+        )
+        .orderBy("merge_rank")
+    )
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(result)
+        _d._CHECKPOINTED[id(result)] = ckpt
+    return result
+
+
+_BPE_SYMS = "filter(split(s, '  '), x -> x <> '')"
+# when no pair exists anywhere (fully merged corpus), the sentinel pair
+# wins the top-1 with count -1; its merge-apply pattern ' \x01  \x01 '
+# can only occur where two adjacent '\x01' SYMBOLS exist — impossible in
+# a pairless round — so it is an identity rewrite, and result surfaces
+# filter it out on n_occurrences >= 1
+_BPE_SENTINEL = "\x01 \x01"
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, s, wc): corpus vocabulary with each word as a
+    DOUBLED-SPACE character-symbol string (``'  h  e  y  '``) — the
+    representation whose greedy BPE merge is one ``replace()``."""
+    return (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
-    )
-    state, ckpt = _truncate_round(
-        vocab.select(
+        .select(
+            "word",
             F.concat(
                 F.lit(" "),
                 F.regexp_replace("word", "(.)", " $1 "),
                 F.lit(" "),
             ).alias("s"),
             "wc",
-        ),
-        None,
+        )
     )
-    syms = "filter(split(s, '  '), x -> x <> '')"
+
+
+def _bpe_rounds(
+    state0: DataFrame, n_merges: int, apply_last: bool
+) -> tuple[list[DataFrame], DataFrame, str | None]:
+    """``n_merges`` BPE rounds over a (word, s, wc) state frame:
+    pair-count → top-1 (sentinel-padded so an exhausted corpus keeps an
+    identity state instead of an empty one) → greedy merge-apply.
+    Returns (per-round 1-row best frames, final state, checkpoint path).
+    ``apply_last=False`` skips the merge-apply of the final round for
+    callers that only consume the merge sequence. Round lineage is
+    truncated per round (connected-components checkpoint helper); every
+    frame in the loop is vocab-sized."""
+    from topnotch_spark.operators.cluster import _truncate_round
+
+    state, ckpt = _truncate_round(state0, None)
+    spark = state0.sparkSession
     pair_list = (
-        f"transform(sequence(1, size({syms}) - 1), "
-        f"i -> concat(element_at({syms}, i), ' ', element_at({syms}, i + 1)))"
+        f"transform(sequence(1, size({_BPE_SYMS}) - 1), "
+        f"i -> concat(element_at({_BPE_SYMS}, i), ' ', "
+        f"element_at({_BPE_SYMS}, i + 1)))"
+    )
+    sentinel = spark.range(1).select(
+        F.lit(_BPE_SENTINEL).alias("pair"),
+        F.lit(-1).cast("long").alias("n_occurrences"),
     )
     bests: list[DataFrame] = []
     for r in range(1, n_merges + 1):
         counts = (
-            state.filter(F.expr(f"size({syms}) >= 2"))
+            state.filter(F.expr(f"size({_BPE_SYMS}) >= 2"))
             .select(F.explode(F.expr(pair_list)).alias("pair"), "wc")
             .groupBy("pair")
             .agg(F.sum("wc").alias("n_occurrences"))
         )
         best = (
-            counts.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+            counts.unionByName(sentinel)
+            .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
             .limit(1)
             .select(F.lit(r).alias("merge_rank"), "pair", "n_occurrences")
             # 1-row frame consumed by BOTH the output union and the next
@@ -1081,9 +1139,10 @@ def bpe_merge_sequence(
             .localCheckpoint(eager=False)
         )
         bests.append(best)
-        if r < n_merges:
+        if r < n_merges or apply_last:
             state, ckpt = _truncate_round(
                 state.crossJoin(F.broadcast(best.select("pair"))).select(
+                    "word",
                     F.expr(
                         "replace(s, "
                         "concat(' ', split(pair, ' ')[0], '  ', "
@@ -1095,18 +1154,71 @@ def bpe_merge_sequence(
                 ),
                 ckpt,
             )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    result = out.select(
-        "merge_rank",
-        F.expr("split(pair, ' ')[0]").alias("lhs"),
-        F.expr("split(pair, ' ')[1]").alias("rhs"),
-        F.expr("concat(split(pair, ' ')[0], split(pair, ' ')[1])").alias(
-            "merged"
-        ),
-        "n_occurrences",
-    ).orderBy("merge_rank")
+    return bests, state, ckpt
+
+
+def bpe_fertility_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_merges: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer fit per corpus slice: train ``n_merges`` BPE merges on
+    the WHOLE corpus (:func:`bpe_merge_sequence`'s loop), apply them,
+    and report per ``group_col`` how the trained subword inventory
+    segments that slice — ``fertility`` = subwords per whitespace token
+    (the standard tokenizer-quality metric: a slice the merges fit well
+    needs fewer subwords per word) and ``chars_per_subword`` (its
+    compression view). A multilingual mix trained mostly on one
+    language shows its fertility skew here — the audit a training-data
+    pipeline runs before committing to a tokenizer.
+
+    Output: (group_col, n_tokens, n_subwords, fertility,
+    chars_per_subword), one row per group, both ratios rounded to
+    ``round_digits`` from exact integer sums.
+
+    Execution shape (100 TB): the trainer loop is vocab-sized
+    (:func:`bpe_merge_sequence` notes); the apply step never rewrites
+    the corpus — each DISTINCT word's post-merge subword COUNT comes
+    from the final vocab state, and one corpus-tokens → vocab equi-join
+    + map-side-combined groupBy(group) aggregates the per-slice sums.
+    ``id_col`` is unused (uniform text-operator signature)."""
+    if n_merges < 1:
+        raise ValueError("bpe_fertility_by_group: n_merges must be >= 1")
+    _, final, ckpt = _bpe_rounds(
+        _bpe_vocab(df, text_col), n_merges, apply_last=True
+    )
+    word_sub = final.select(
+        "word",
+        F.expr(f"size({_BPE_SYMS})").cast("long").alias("__nsub__"),
+        F.length("word").cast("long").alias("__nchr__"),
+    )
+    tok = df.select(
+        F.col(group_col).alias("__grp__"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    result = (
+        tok.join(word_sub, "word")
+        .groupBy("__grp__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nsub__").alias("n_subwords"),
+            F.sum("__nchr__").alias("__chars__"),
+        )
+        .select(
+            F.col("__grp__").alias(group_col),
+            "n_tokens",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords") / F.col("n_tokens"), round_digits
+            ).alias("fertility"),
+            F.round(
+                F.col("__chars__") / F.col("n_subwords"), round_digits
+            ).alias("chars_per_subword"),
+        )
+    )
     if ckpt is not None:
         from topnotch_spark.operators import dedup as _d
 

@@ -1148,6 +1148,78 @@ def bpe_top_merges_sql(k: int = 50) -> str:
     """
 
 
+def bpe_fertility_sql(n_merges: int = 8, group_col: str = "source") -> str:
+    """Mirror of textqc.bpe_fertility_by_group: the same chained merge
+    rounds carrying the word key, then one corpus-tokens → final-vocab
+    join and per-group integer sums. Sentinel padding matches the
+    operator (an exhausted corpus keeps an identity state)."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+        p{r} AS (
+          SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+          FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                     i -> syms[i] || ' ' || syms[i + 1])) AS pair, wc
+            FROM (SELECT list_filter(string_split(s, '  '),
+                           x -> x <> '') AS syms, wc
+                  FROM {prev})
+          ) GROUP BY pair
+        ),
+        b{r} AS (
+          SELECT pair FROM (
+            SELECT pair, n FROM p{r}
+            UNION ALL SELECT chr(1) || ' ' || chr(1), -1
+          ) ORDER BY n DESC, pair ASC LIMIT 1
+        ),
+        s{r} AS (
+          SELECT word,
+                 replace(s,
+                   ' ' || split_part(pair, ' ', 1) || '  '
+                       || split_part(pair, ' ', 2) || ' ',
+                   ' ' || split_part(pair, ' ', 1)
+                       || split_part(pair, ' ', 2) || ' ') AS s,
+                 wc
+          FROM {prev}, b{r}
+        )""")
+    return f"""
+        {_DOC_BASE},
+        vocab AS (
+          SELECT word, count(*) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          GROUP BY word
+        ),
+        s0 AS (
+          SELECT word,
+                 ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' '
+                   AS s,
+                 wc
+          FROM vocab
+        ),
+        {",".join(rounds)},
+        word_sub AS (
+          SELECT word,
+                 CAST(len(list_filter(string_split(s, '  '),
+                          x -> x <> '')) AS BIGINT) AS nsub,
+                 CAST(length(word) AS BIGINT) AS nchr
+          FROM s{n_merges}
+        ),
+        tok AS (
+          SELECT d.{group_col} AS grp, unnest({tokens()}) AS word
+          FROM documents d
+        )
+        SELECT grp AS {group_col},
+               count(*) AS n_tokens,
+               CAST(sum(nsub) AS BIGINT) AS n_subwords,
+               round(CAST(sum(nsub) AS DOUBLE) / count(*), 6) AS fertility,
+               round(CAST(sum(nchr) AS DOUBLE) / sum(nsub), 6)
+                 AS chars_per_subword
+        FROM tok JOIN word_sub USING (word)
+        GROUP BY grp
+    """
+
+
 def bpe_merge_sequence_sql(n_merges: int = 8) -> str:
     """Mirror of textqc.bpe_merge_sequence: ``n_merges`` chained CTE
     rounds of pair-count → top-1 → greedy merge-apply, on the SAME

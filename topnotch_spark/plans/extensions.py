@@ -215,7 +215,9 @@ class TextCmd(Command):
     against the corpus top-k vocabulary; bpeMerges {["k"]} — round-1
     BPE pair counts; bpeMergeSequence {["nMerges"]} — the full
     count→merge→recount trainer loop emitting the realized merge
-    sequence; classifierScore {"weights", ["biasMilli"]} — integer
+    sequence; bpeFertility {"partitionCol", ["nMerges", "roundDigits"]}
+    — train on the whole corpus, report per-group subwords-per-token
+    fit; classifierScore {"weights", ["biasMilli"]} — integer
     milli-weight linear classifier logits."""
 
     input: Input = None  # type: ignore[assignment]
@@ -230,7 +232,7 @@ class TextCmd(Command):
         "repetition", "tfidfKeywords", "normalize", "unigramLogprob",
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
-        "bpeMergeSequence", "classifierScore",
+        "bpeMergeSequence", "bpeFertility", "classifierScore",
     )
 
     @classmethod
@@ -243,6 +245,7 @@ class TextCmd(Command):
         required = {
             "calibrateRanks": ("orderCol", "partitionCol"),
             "oovRate": ("partitionCol",),
+            "bpeFertility": ("partitionCol",),
             "classifierScore": ("weights",),
         }
         for name in required.get(p["method"], ()):
@@ -311,6 +314,15 @@ class TextCmd(Command):
                 self.text_column,
                 {t: int(m) for t, m in dict(opts.pop("weights")).items()},
                 bias_milli=int(opts.pop("bias_milli", 0)),
+            )
+        if self.method == "bpeFertility":
+            opts = dict(self.options)
+            return T.bpe_fertility_by_group(
+                df,
+                self.id_column,
+                self.text_column,
+                opts.pop("partition_col"),
+                **opts,
             )
         if self.method == "oovRate":
             opts = dict(self.options)
