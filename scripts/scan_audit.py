@@ -104,6 +104,19 @@ ALLOWED_MULTI: dict[str, str] = {
         "keys-only subquery aggregate) is the optimizer's deliberate "
         "prune-early trade, not an operator recompute bug"
     ),
+    "text_bm25_topk": (
+        "bm25's shared tf table is SIZE-GATED (dedup._persist_if_large, "
+        "r9): below 64 MiB of input, re-tokenizing the small corpus per "
+        "branch (4 scans) is measurably cheaper than materializing the "
+        "tf table (sf0.1: 1.57s vs 2.90s). At/above the threshold — the "
+        "100 TB case this guard protects — the persist kicks in and the "
+        "relation is scanned once; test_round9.py covers both gate arms"
+    ),
+    "retrieval_rrf_fused": (
+        "fuses a bm25 run (see text_bm25_topk: size-gated tf persist "
+        "re-reads the small corpus per branch) with an embedding run; "
+        "the large-input path persists and scans once"
+    ),
 }
 
 MAX_SCANS = 2  # a self-join reads its source twice; 3+ means recompute
