@@ -153,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
             catalog.BENCH_SOURCES, shingle_n=5
         ),
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
+        "event_paths_top": oracles.frequent_paths_sql(n_steps=3, k=20),
         "timeseries_resample": oracles.timeseries_resample_sql(1),
         "events_json_props": oracles.events_json_props_sql(),
         "customers_without_events": """

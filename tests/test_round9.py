@@ -530,3 +530,108 @@ def test_bpe_fertility_plan_method(spark, tmp_path):
     assert engine.run(str(p)) == 0
     rows = engine.registry["fert"].collect()
     assert rows and all(r["fertility"] >= 1.0 for r in rows)
+
+
+def test_frequent_paths_hand_computed(spark):
+    """3-step paths over a hand-built stream: overlapping windows,
+    distinct-key counts, deterministic (count desc, path asc) ranking."""
+    from topnotch_spark.operators.temporal import frequent_paths
+
+    rows = [
+        # user 1: a b c a b c  -> abc x2 (overlap: bca, cab once each)
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+        (1, 4, "a"), (1, 5, "b"), (1, 6, "c"),
+        # user 2: a b c -> abc once
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        # user 3: too short for 3 steps
+        (3, 1, "a"), (3, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), t, s) for u, t, s in rows],
+        "user_id long, ts double, event_id long, event_type string",
+    )
+    got = [
+        tuple(r)
+        for r in frequent_paths(
+            df, "user_id", "ts", "event_id", "event_type", n_steps=3, k=10
+        ).collect()
+    ]
+    assert got == [
+        ("a > b > c", 3, 2, 1),
+        ("b > c > a", 1, 1, 2),
+        ("c > a > b", 1, 1, 3),
+    ]
+
+
+def test_frequent_paths_two_steps_match_transition_counts(spark):
+    """n_steps=2 must agree with transition_counts on every pair."""
+    from topnotch_spark.catalog import load
+    from topnotch_spark.operators.temporal import (
+        frequent_paths,
+        transition_counts,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    paths = {
+        r["path"]: r["n_occurrences"]
+        for r in frequent_paths(
+            ev, "user_id", "ts", "event_id", "event_type",
+            n_steps=2, k=10**6,
+        ).collect()
+    }
+    trans = {
+        f"{r['prev_state']} > {r['next_state']}": r["n_transitions"]
+        for r in transition_counts(
+            ev, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    assert paths == trans
+
+
+def test_frequent_paths_null_state_dropped(spark):
+    from topnotch_spark.operators.temporal import frequent_paths
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1, "a"), (1, 2.0, 2, None), (1, 3.0, 3, "b"),
+         (1, 4.0, 4, "c")],
+        "user_id long, ts double, event_id long, event_type string",
+    )
+    got = [
+        (r["path"], r["n_occurrences"])
+        for r in frequent_paths(
+            df, "user_id", "ts", "event_id", "event_type", n_steps=3, k=10
+        ).collect()
+    ]
+    # windows touching the NULL state vanish entirely (never shortened)
+    assert got == []
+
+
+def test_frequent_paths_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "sequence",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/events.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "paths",
+                    "keyColumn": "user_id",
+                    "stateColumn": "event_type",
+                    "nSteps": 2,
+                    "k": 5,
+                },
+                "outputKey": "paths",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["paths"].collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)

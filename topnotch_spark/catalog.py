@@ -1781,6 +1781,18 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event-type paths with occurrence and distinct-user
+    counts (temporal.frequent_paths) — the n-gram generalization of the
+    transition matrix: one window pass, path-space-bounded groupBy."""
+    from topnotch_spark.operators.temporal import frequent_paths
+
+    return frequent_paths(
+        load(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        "event_type", n_steps=3, k=20,
+    )
+
+
 def winsorize_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-status winsorization of order totals to the exact [p05, p95]
     band (heavy-tail guard). Exact percentiles here for the oracle; the
@@ -2907,6 +2919,7 @@ ALL = {
     # recent — r9 rotates the r04/r05-era view/asof/streaming block in)
     "bpe_merge_sequence_docs": bpe_merge_sequence_docs,
     "bpe_fertility_by_source": bpe_fertility_by_source,
+    "event_paths_top": event_paths_top,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

@@ -318,6 +318,71 @@ def transition_counts(
     )
 
 
+def frequent_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+    n_steps: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k frequent ``n_steps``-long consecutive state paths over the
+    per-key ordered event stream — the n-gram generalization of
+    :func:`transition_counts` (that operator is this with
+    ``n_steps=2``, ungrouped). The session-flow mining primitive:
+    "which 3-step journeys dominate", "how many distinct users walk
+    error→retry→purchase". Windows are OVERLAPPING (every consecutive
+    run of ``n_steps`` events counts), the standard n-gram convention.
+
+    Output: (path — states joined by ``' > '``, n_occurrences, n_keys —
+    distinct keys that walk the path at least once, rank), top-k by
+    (n_occurrences desc, path asc) — a total order, so ties are
+    deterministic.
+
+    Execution shape (100 TB): ONE window pass (shuffle on the key — the
+    same shuffle transition_counts pays) materializing ``n_steps - 1``
+    lead() columns, then a groupBy over the path space — bounded by
+    |states|^n_steps, so partial aggregation collapses each task's
+    output to at most that many rows regardless of input size; the
+    distinct-key count rides the same groupBy via count(DISTINCT) over
+    (path, key) — skew-bounded because paths are category-sized. Top-k
+    is a TakeOrdered over the aggregated frame."""
+    if n_steps < 2:
+        raise ValueError("frequent_paths: n_steps must be >= 2")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = [F.col(state_col).alias("__s0__")] + [
+        F.lead(F.col(state_col), i).over(w).alias(f"__s{i}__")
+        for i in range(1, n_steps)
+    ]
+    # every step non-null: the last lead() being null means the run fell
+    # off the partition end, and a NULL state value anywhere must not
+    # produce a silently-shortened concat_ws path
+    cond = F.lit(True)
+    for i in range(n_steps):
+        cond = cond & F.col(f"__s{i}__").isNotNull()
+    seq = df.select(F.col(key_col).alias("__k__"), *steps).filter(cond)
+    path = F.concat_ws(
+        " > ", *[F.col(f"__s{i}__") for i in range(n_steps)]
+    ).alias("path")
+    agg = (
+        seq.select("__k__", path)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__k__").alias("n_keys"),
+        )
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("path", "n_occurrences", "n_keys", "rank")
+    )
+
+
 def resample_timeseries(
     df: DataFrame,
     ts_col: str,

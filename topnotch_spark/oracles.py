@@ -2539,6 +2539,44 @@ def event_transitions_sql() -> str:
     """
 
 
+def frequent_paths_sql(n_steps: int = 3, k: int = 20) -> str:
+    """Mirror of temporal.frequent_paths over events: n-1 lead()
+    columns in one window pass, all-steps-non-null filter, path-space
+    groupBy with count + distinct-user count, top-k with the
+    (count desc, path asc) total order."""
+    leads = ",\n                 ".join(
+        f"lead(event_type, {i}) OVER w AS s{i}" for i in range(1, n_steps)
+    )
+    concat = " || ' > ' || ".join(f"s{i}" for i in range(n_steps))
+    notnull = " AND ".join(f"s{i} IS NOT NULL" for i in range(n_steps))
+    return f"""
+        WITH seq AS (
+          SELECT user_id,
+                 event_type AS s0,
+                 {leads}
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ),
+        paths AS (
+          SELECT user_id, {concat} AS path
+          FROM seq WHERE {notnull}
+        ),
+        agg AS (
+          SELECT path,
+                 count(*) AS n_occurrences,
+                 count(DISTINCT user_id) AS n_keys
+          FROM paths GROUP BY path
+        )
+        SELECT path, n_occurrences, n_keys,
+               CAST(row_number() OVER (
+                 ORDER BY n_occurrences DESC, path ASC) AS INTEGER) AS rank
+        FROM agg
+        ORDER BY n_occurrences DESC, path ASC
+        LIMIT {k}
+    """
+
+
 def winsorize_sql(
     table: str,
     value_col: str,

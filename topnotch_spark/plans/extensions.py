@@ -1097,8 +1097,8 @@ class SplitCmd(Command):
 @dataclass(frozen=True)
 class SequenceCmd(Command):
     """{"command": "sequence", "input": <input>, "params": {"method":
-    throttle|transitions|funnel|retention|rolling|trend|ewma|anomaly|gaps,
-    "tsColumn", "tiebreakColumn",
+    throttle|transitions|funnel|retention|rolling|trend|ewma|anomaly|gaps|
+    paths, "tsColumn", "tiebreakColumn",
     throttle: {"keyColumns", "minGapSeconds"},
     transitions/funnel: {"keyColumn"/"userColumn", "stateColumn",
     funnel: "stages"}, retention: {"keyColumn"},
@@ -1106,7 +1106,10 @@ class SequenceCmd(Command):
     trend: {"keyColumn", "valueColumn", ["decimals"]},
     ewma: {"keyColumn", "valueColumn", ["terms", "decimals"]},
     anomaly: {"keyColumn", "valueColumn", ["windowRows", "threshold",
-    "minRows", "decimals"]}, gaps: {"keyColumn"}}} —
+    "minRows", "decimals"]}, gaps: {"keyColumn"},
+    paths: {"keyColumn", "stateColumn", ["nSteps", "k"]} — top-k
+    frequent n-step state paths (overlapping n-grams of the per-key
+    ordered stream)}} —
     per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
@@ -1175,6 +1178,11 @@ class SequenceCmd(Command):
             )
         if self.method == "gaps":
             return Tm.interarrival_stats(df, p["keyColumn"], ts, tiebreak)
+        if self.method == "paths":
+            kwargs = _opt(p, "nSteps", "k")
+            return Tm.frequent_paths(
+                df, p["keyColumn"], ts, tiebreak, p["stateColumn"], **kwargs
+            )
         raise ValueError(f"unknown sequence method: {self.method}")
 
 
