@@ -635,3 +635,71 @@ def test_frequent_paths_plan_method(spark, tmp_path):
     rows = engine.registry["paths"].collect()
     assert len(rows) == 5
     assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+
+
+def test_benford_hand_computed(spark):
+    """Digit counts from hand-built values; zero-observation digits
+    still appear; negatives/zeros/sub-scale values excluded."""
+    import math
+
+    from topnotch_spark.operators.drift import benford_first_digit
+
+    vals = [1.23, 19.99, 123.0, 2.5, 0.31, -7.0, 0.0, None, 0.004, 91.0]
+    # scaled cents: 123, 1999, 12300, 250, 31, excluded(-700<1? no:
+    # -700 < 1 -> excluded), 0 excluded, null excluded, 0.4->0 excluded,
+    # 9100 -> digits: 1,1,1,2,3,9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["digit"]: r for r in benford_first_digit(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert [rows[d]["n"] for d in range(1, 10)] == [3, 1, 1, 0, 0, 0, 0, 0, 1]
+    assert rows[1]["observed_p"] == 0.5
+    assert rows[1]["expected_p"] == round(math.log10(2), 6)
+    assert rows[4]["n"] == 0 and rows[4]["observed_p"] == 0.0
+    assert rows[9]["abs_dev"] == round(
+        abs(round(1 / 6, 6) - round(math.log10(1 + 1 / 9), 6)), 6
+    )
+
+
+def test_benford_rejects_non_power_of_ten_scale(spark):
+    import pytest as _pytest
+
+    from topnotch_spark.operators.drift import benford_first_digit
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError, match="power of 10"):
+        benford_first_digit(df, "x", int_scale=50)
+
+
+def test_benford_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "drift",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/orders.parquet",
+                    "onDisk": True,
+                },
+                "params": {"method": "benford", "column": "o_totalprice"},
+                "outputKey": "benford",
+            },
+            {
+                "command": "assertion",
+                "input": {"ref": "benford", "onDisk": False},
+                "params": {"assertions": [
+                    {"query": "abs_dev <= 0.2",
+                     "description": "first-digit law sanity band",
+                     "threshold": 0.0}
+                ]},
+                "outputKey": "gate",
+            },
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["benford"].collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4

@@ -1781,6 +1781,19 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of o_totalprice
+    (drift.benford_first_digit): nine-row digit distribution vs
+    log10(1 + 1/d), integer-exact digit extraction (scale to cents →
+    BIGINT → first decimal-string char, no float log10). The
+    fabricated-data screen for numeric columns."""
+    from topnotch_spark.operators.drift import benford_first_digit
+
+    return benford_first_digit(
+        load(spark, sf_dir, "orders"), "o_totalprice", int_scale=100
+    )
+
+
 def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 3-step event-type paths with occurrence and distinct-user
     counts (temporal.frequent_paths) — the n-gram generalization of the
@@ -2920,6 +2933,7 @@ ALL = {
     "bpe_merge_sequence_docs": bpe_merge_sequence_docs,
     "bpe_fertility_by_source": bpe_fertility_by_source,
     "event_paths_top": event_paths_top,
+    "benford_totalprice": benford_totalprice,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

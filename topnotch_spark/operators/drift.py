@@ -554,3 +554,81 @@ def psi_trend(
             .alias("psi"),
         )
     )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    int_scale: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit of a positive numeric
+    column — the classic fabricated-/synthetic-data and fraud screen
+    (Nigrini): naturally occurring multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); generated or truncated data usually doesn't.
+
+    Returns EXACTLY nine rows (digit 1-9, zero-observation digits
+    included): (digit, n, observed_p, expected_p, abs_dev), shares
+    rounded to ``round_digits``. Gate on ``max(abs_dev)`` (or a
+    mean-absolute-deviation threshold) with an assertion command.
+
+    Determinism contract: the first digit is extracted WITHOUT
+    float log10 — the value is scaled by ``int_scale`` (a power of 10,
+    which cannot change the first SIGNIFICANT digit), rounded to a
+    BIGINT, and the digit is the first character of the integer's
+    decimal string — identical in any engine, no boundary-of-log10
+    float hazards. Values that scale-round below 1 (and nulls,
+    negatives, zeros) are excluded; ``int_scale`` must cover the
+    fractional inputs' significant digits (100 = cents for money).
+    Expected shares use ln on exact small rationals — IEEE-identical
+    across engines at ``round_digits`` ≤ 6.
+
+    Execution shape (100 TB): one projection + one map-side-combined
+    groupBy over a NINE-row key space, then a broadcast join against a
+    9-row literal digit frame. Nothing else."""
+    import math
+
+    if int_scale < 1 or 10 ** round(math.log10(int_scale)) != int_scale:
+        raise ValueError(
+            f"benford_first_digit: int_scale must be a power of 10, "
+            f"got {int_scale}"
+        )
+    spark = df.sparkSession
+    v = F.round(F.col(value_col) * int_scale).cast("bigint")
+    counts = (
+        df.select(v.alias("__v__"))
+        .filter(F.col("__v__") >= 1)
+        .select(
+            F.substring(F.col("__v__").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = F.broadcast(counts.agg(F.sum("n").alias("__N__")))
+    expected = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), round_digits
+    )
+    return (
+        digits.join(F.broadcast(counts), "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .crossJoin(total)
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("__N__"), round_digits).alias(
+                "observed_p"
+            ),
+            expected.alias("expected_p"),
+            F.round(
+                F.abs(
+                    F.round(F.col("n") / F.col("__N__"), round_digits)
+                    - expected
+                ),
+                round_digits,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -2539,6 +2539,44 @@ def event_transitions_sql() -> str:
     """
 
 
+def benford_sql(
+    table: str,
+    value_col: str,
+    int_scale: int = 100,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of drift.benford_first_digit: power-of-10 scale →
+    BIGINT → first decimal-string character, nine-row digit frame via
+    range, expected shares log10(1 + 1/d)."""
+    return f"""
+        WITH counts AS (
+          SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+                 count(*) AS n
+          FROM (
+            SELECT CAST(round({value_col} * {int_scale}) AS BIGINT) AS v
+            FROM {table}
+          ) WHERE v >= 1
+          GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM counts),
+        digits AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit)
+        SELECT d.digit,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+               round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.N,
+                     {round_digits}) AS observed_p,
+               round(log10(1.0 + 1.0 / d.digit), {round_digits})
+                 AS expected_p,
+               round(abs(round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.N,
+                               {round_digits})
+                         - round(log10(1.0 + 1.0 / d.digit),
+                                 {round_digits})),
+                     {round_digits}) AS abs_dev
+        FROM digits d LEFT JOIN counts c ON c.digit = d.digit, tot t
+        ORDER BY d.digit
+    """
+
+
 def frequent_paths_sql(n_steps: int = 3, k: int = 20) -> str:
     """Mirror of temporal.frequent_paths over events: n-1 lead()
     columns in one window pass, all-steps-non-null filter, path-space

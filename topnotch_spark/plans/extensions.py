@@ -672,7 +672,11 @@ class DriftCmd(Command):
     Trend form: {"command": "drift", "input": <input>, "params":
     {"method": "trend", "column", ["tsColumn", "period", "nBuckets",
     "eps", "roundDigits"]}} — per-period PSI against the earliest
-    period of ONE dataset (drift.psi_trend)."""
+    period of ONE dataset (drift.psi_trend).
+    Benford form: {"command": "drift", "input": <input>, "params":
+    {"method": "benford", "column", ["intScale", "roundDigits"]}} —
+    first-significant-digit law audit of ONE dataset's positive
+    numeric column (drift.benford_first_digit)."""
 
     reference: Input = None  # type: ignore[assignment]
     current: Input = None  # type: ignore[assignment]
@@ -688,10 +692,10 @@ class DriftCmd(Command):
     def from_json(cls, obj: dict) -> "DriftCmd":
         p = obj["params"]
         method = p.get("method", "psi")
-        if method == "trend":
+        if method in ("trend", "benford"):
             if "bins" in p:
                 raise ValueError(
-                    "drift method 'trend' does not accept 'bins' "
+                    f"drift method '{method}' does not accept 'bins' "
                     "(use nBuckets)"
                 )
             inp = Input.from_json(obj["input"])
@@ -701,7 +705,8 @@ class DriftCmd(Command):
                 column=p["column"],
                 method=method,
                 options=_opt(
-                    p, "tsColumn", "period", "nBuckets", "eps", "roundDigits"
+                    p, "tsColumn", "period", "nBuckets", "eps",
+                    "roundDigits", "intScale",
                 ),
                 **cls._common(obj),
             )
@@ -731,6 +736,7 @@ class DriftCmd(Command):
             "tokens": {"round_digits"},
             "trend": {"ts_column", "period", "n_buckets", "eps",
                       "round_digits"},
+            "benford": {"int_scale", "round_digits"},
         }
         if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
@@ -740,6 +746,10 @@ class DriftCmd(Command):
                 f"drift method '{self.method}' does not accept options "
                 f"{sorted(stray)}; allowed: {sorted(allowed[self.method])}"
             )
+        if self.method == "benford":
+            from topnotch_spark.operators.drift import benford_first_digit
+
+            return benford_first_digit(ref, self.column, **self.options)
         if self.method == "trend":
             from topnotch_spark.operators.drift import psi_trend
 
