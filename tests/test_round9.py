@@ -703,3 +703,69 @@ def test_benford_plan_method(spark, tmp_path):
     rows = engine.registry["benford"].collect()
     assert [r["digit"] for r in rows] == list(range(1, 10))
     assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+
+
+def test_cross_source_dup_matrix_hand_built(spark):
+    """Near-identical docs across two sources plus a within-source pair:
+    the matrix must attribute pairs symmetrically (least/greatest)."""
+    from topnotch_spark.operators.dedup import cross_source_dup_matrix
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "web"),
+            (2, base + " extra", "books"),      # cross-source near-dup
+            (3, base, "web"),                   # within-web dup of 1
+            (4, "completely different text about spark shuffles and joins",
+             "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    with dedup_scope():
+        rows = {
+            (r["source_x"], r["source_y"]): (r["n_pairs"], r["within_source"])
+            for r in cross_source_dup_matrix(
+                docs, "doc_id", "text", "source",
+                num_hashes=16, bands=4, threshold=0.5, shingle_n=3,
+            ).collect()
+        }
+    assert rows[("web", "web")] == (1, True)
+    assert ("books", "web") in rows and rows[("books", "web")][1] is False
+    assert ("web", "books") not in rows  # canonical ordering only
+
+
+def test_cross_source_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "dedup",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/documents.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "sourceMatrix",
+                    "idColumn": "doc_id",
+                    "textColumn": "text",
+                    "sourceColumn": "source",
+                    "numHashes": 16, "bands": 4,
+                    "threshold": 0.5, "shingleN": 5,
+                },
+                "outputKey": "matrix",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    for r in engine.registry["matrix"].collect():
+        assert r["source_x"] <= r["source_y"] and r["n_pairs"] >= 1
+
+    # parse-time validation: sourceColumn required
+    plan["commands"][0]["params"].pop("sourceColumn")
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="sourceColumn"):
+        TnEngine(spark).run(str(p))

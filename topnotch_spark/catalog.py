@@ -345,6 +345,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric source×source near-dup matrix over the minhash pair
+    set (dedup.cross_source_dup_matrix): who mirrors whom, who repeats
+    itself — the curation view above dedup_rate_by_source. Pair stage
+    rides the banding bounds; the rollup is two tiny-pair-set id joins
+    + a |sources|²-bounded groupBy."""
+    from topnotch_spark.operators.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        num_hashes=16, bands=4, threshold=0.5, shingle_n=5,
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2934,6 +2948,7 @@ ALL = {
     "bpe_fertility_by_source": bpe_fertility_by_source,
     "event_paths_top": event_paths_top,
     "benford_totalprice": benford_totalprice,
+    "cross_source_dups": cross_source_dups,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

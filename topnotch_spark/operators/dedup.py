@@ -959,3 +959,71 @@ def minhash_recall(
             round_digits,
         ).alias("recall"),
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """WHO duplicates WHOM: the near-dup pair set of
+    :func:`minhash_lsh_dedup` rolled up to a symmetric source×source
+    matrix — the corpus-curation view that tells you whether source A
+    is largely a mirror of source B (drop one), whether a source mostly
+    repeats itself (dedup it harder), or whether contamination crosses
+    collection boundaries. ``dedup_rate_by_group`` answers "how
+    duplicated is each source"; this answers "against which other
+    source".
+
+    Output: (source_x ≤ source_y lexicographically, n_pairs,
+    within_source), one row per source pair with at least one near-dup
+    pair, ordered by (n_pairs desc, source_x, source_y).
+
+    Execution shape (100 TB): everything corpus-sized rides the
+    minhash pipeline's bounds (banding equi-join, never all-pairs); the
+    rollup adds two id-equi-joins of the TINY pair set against the
+    (id, source) projection and one groupBy over the |sources|²-bounded
+    key space."""
+    pairs = minhash_lsh_dedup(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands,
+        threshold=threshold, shingle_n=shingle_n,
+    )
+    src = df.select(
+        F.col(id_col).alias("__sid__"), F.col(source_col).alias("__src__")
+    )
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("__sid__").alias("id_1"),
+                F.col("__src__").alias("__src1__"),
+            ),
+            "id_1",
+        )
+        .join(
+            src.select(
+                F.col("__sid__").alias("id_2"),
+                F.col("__src__").alias("__src2__"),
+            ),
+            "id_2",
+        )
+    )
+    return (
+        joined.select(
+            F.least("__src1__", "__src2__").alias("source_x"),
+            F.greatest("__src1__", "__src2__").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "within_source", F.col("source_x") == F.col("source_y")
+        )
+        .orderBy(
+            F.col("n_pairs").desc(), F.col("source_x"), F.col("source_y")
+        )
+    )

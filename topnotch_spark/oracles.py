@@ -191,6 +191,36 @@ def dedup_minhash_sql(
     """
 
 
+def cross_source_dup_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    source_col: str = "source",
+) -> str:
+    """Mirror of dedup.cross_source_dup_matrix: the full minhash pair
+    SQL nested as a CTE, two id joins to the (id, source) projection,
+    symmetric least/greatest rollup."""
+    pair_sql = dedup_minhash_sql(
+        num_hashes=num_hashes, bands=bands,
+        threshold=threshold, shingle_n=shingle_n,
+    )
+    return f"""
+        WITH pairs AS ({pair_sql}),
+        src AS (SELECT doc_id AS id, {source_col} AS src FROM documents)
+        SELECT least(a.src, b.src) AS source_x,
+               greatest(a.src, b.src) AS source_y,
+               count(*) AS n_pairs,
+               least(a.src, b.src) = greatest(a.src, b.src)
+                 AS within_source
+        FROM pairs p
+        JOIN src a ON p.id_1 = a.id
+        JOIN src b ON p.id_2 = b.id
+        GROUP BY 1, 2
+        ORDER BY n_pairs DESC, source_x, source_y
+    """
+
+
 def dedup_clusters_sql(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, shingle_n: int = 3
 ) -> str:

@@ -71,7 +71,8 @@ class DedupCmd(Command):
     (operators/cluster.py) — per-doc (cluster_id, cluster_size, keep).
     ``lines`` is cross-document line dedup (C4-style boilerplate
     removal, curation.dedup_lines): rewrites the text column instead of
-    reporting pairs. ``spans`` reports duplicated token windows
+    reporting pairs. ``sourceMatrix`` rolls the minhash pair set up to a
+    symmetric source×source near-dup matrix ("sourceColumn" required). ``spans`` reports duplicated token windows
     (dedup.duplicate_spans, Lee et al. span-granular dedup). ``phash``
     is perceptual near-dup over image BLOBS (multimodal.phash_near_dups:
     aHash/dHash via hashType, banded like simhash); ``audio`` is
@@ -95,13 +96,17 @@ class DedupCmd(Command):
     METHODS = (
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
-        "fuzzy", "phash", "audio", "video", "incremental",
+        "fuzzy", "phash", "audio", "video", "incremental", "sourceMatrix",
     )
 
     @classmethod
     def from_json(cls, obj: dict) -> "DedupCmd":
         p = obj["params"]
         _require_method(p, cls.METHODS, "dedup")
+        if p["method"] == "sourceMatrix" and "sourceColumn" not in p:
+            raise ValueError(
+                'dedup: method "sourceMatrix" requires param "sourceColumn"'
+            )
         return cls(
             input=Input.from_json(obj["input"]),
             index=(
@@ -118,6 +123,7 @@ class DedupCmd(Command):
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
                 "minOccurrences", "nClusters", "maxDistance", "maxKeyDf",
                 "hashType", "grid", "nFrames", "everyN", "minMatchFrac",
+                "sourceColumn",
             ),
             **cls._common(obj),
         )
@@ -158,6 +164,7 @@ class DedupCmd(Command):
             "phash": self._phash,
             "audio": self._audio,
             "video": self._video,
+            "sourceMatrix": self._source_matrix,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -181,6 +188,16 @@ class DedupCmd(Command):
         from topnotch_spark.operators.fuzzy import fuzzy_match_pairs
 
         return fuzzy_match_pairs(df, id_col, text_col, **opts)
+
+    @staticmethod
+    def _source_matrix(
+        df: DataFrame, id_col: str, text_col: str, **opts
+    ) -> DataFrame:
+        from topnotch_spark.operators.dedup import cross_source_dup_matrix
+
+        return cross_source_dup_matrix(
+            df, id_col, text_col, opts.pop("source_column"), **opts
+        )
 
     @staticmethod
     def _phash(df: DataFrame, id_col: str, bin_col: str, **opts) -> DataFrame:
