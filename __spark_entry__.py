@@ -160,6 +160,9 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": oracles.cross_source_dup_sql(
             num_hashes=16, bands=4, threshold=0.5, shingle_n=5
         ),
+        "cluster_silhouette_embeddings": oracles.cluster_silhouette_sql(
+            dim=64, n_centroids=16
+        ),
         "timeseries_resample": oracles.timeseries_resample_sql(1),
         "events_json_props": oracles.events_json_props_sql(),
         "customers_without_events": """

@@ -769,3 +769,80 @@ def test_cross_source_plan_method(spark, tmp_path):
     p.write_text(json.dumps(plan))
     with pytest.raises(ValueError, match="sourceColumn"):
         TnEngine(spark).run(str(p))
+
+
+def test_cluster_silhouette_hand_built(spark):
+    """Two tight orthogonal clusters seeded by their first members:
+    every vector sits deep inside its list -> silhouette near 1; a
+    vector exactly between two centroids scores near 0."""
+    from topnotch_spark.operators.similarity import cluster_silhouette
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),      # centroid A (seed)
+        (1, [0.0, 1.0, 0.0]),      # centroid B (seed)
+        (2, [0.9, 0.1, 0.0]),      # deep in A
+        (3, [0.1, 0.9, 0.0]),      # deep in B
+        (4, [1.0, 1.0, 0.0]),      # equidistant boundary vector
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = {
+        r["centroid_id"]: r
+        for r in cluster_silhouette(df, n_centroids=2).collect()
+    }
+    assert set(rows) == {0, 1}
+    # seeds themselves: cc1 = 1, cc2 = 0 -> s = 1.0 exactly
+    assert rows[0]["n_members"] == 3  # seed 0, vec 2, boundary vec 4 (tie->0)
+    assert rows[1]["n_members"] == 2
+    assert rows[0]["mean_silhouette"] > 0.5
+    assert rows[0]["min_silhouette"] == 0.0  # the boundary vector
+    assert rows[1]["min_silhouette"] > 0.5
+
+
+def test_cluster_silhouette_trained_centroids_frame(spark):
+    """Passing an explicit centroids frame grades a trained index with
+    the identical scoring path."""
+    from topnotch_spark.operators.similarity import cluster_silhouette
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    rows = {
+        r["centroid_id"]: r["n_members"]
+        for r in cluster_silhouette(df, centroids=cents).collect()
+    }
+    assert rows == {10: 2, 20: 1}
+
+
+def test_cluster_silhouette_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "similarity",
+                "corpus": {
+                    "ref": "/root/testdata/sf0.001/embeddings.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "silhouette",
+                    "idColumn": "vec_id",
+                    "vecColumn": "embedding",
+                    "nCentroids": 8,
+                },
+                "outputKey": "sil",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["sil"].collect()
+    assert 0 < len(rows) <= 8
+    assert all(0.0 <= r["mean_silhouette"] <= 1.0 for r in rows)

@@ -1795,6 +1795,22 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_silhouette_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cluster simplified silhouette of the seeded IVF index over
+    embeddings (similarity.cluster_silhouette): centroid-based O(n·k)
+    silhouette — the clustering-quality audit for inverted-list ANN and
+    SemDeDup-style prototype stages. Micro-unit integer sums keep the
+    means engine-exact."""
+    from topnotch_spark.operators.similarity import cluster_silhouette
+
+    return cluster_silhouette(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_centroids=16,
+    )
+
+
 def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit of o_totalprice
     (drift.benford_first_digit): nine-row digit distribution vs
@@ -2949,6 +2965,7 @@ ALL = {
     "event_paths_top": event_paths_top,
     "benford_totalprice": benford_totalprice,
     "cross_source_dups": cross_source_dups,
+    "cluster_silhouette_embeddings": cluster_silhouette_embeddings,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

@@ -739,3 +739,92 @@ def contrastive_pairs(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cluster_silhouette(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over an embedding column — the
+    clustering-quality audit for the IVF / SemDeDup-style prototype
+    stages: how cleanly does each inverted list separate from its
+    nearest rival. The simplified (centroid-based) silhouette
+    (Vendramin et al. 2010) replaces the all-pairs distances of the
+    classic score with centroid distances — O(n·k), never O(n²), which
+    is the only silhouette you can afford at 100 TB.
+
+    Per vector, under cosine distance d = 1 − cos: ``a`` = d to the
+    ASSIGNED (max-cos, id-tiebreak) centroid, ``b`` = d to the best
+    OTHER centroid, ``s = (b − a) / max(a, b)`` — which reduces to
+    ``(cc1 − cc2) / (1 − cc2)`` with cc1 ≥ cc2 the two best cosines
+    (0 when the denominator is 0, i.e. a duplicate centroid). s ∈ [0,1]
+    by construction here (the assigned centroid IS the max-cos one);
+    near 0 = boundary vector, near 1 = well-inside its list.
+
+    Output: (centroid_id, n_members, mean_silhouette, min_silhouette),
+    one row per non-empty cluster. Determinism: per-vector s is rounded
+    to MICRO-UNIT INTEGERS and summed as BIGINTs, so the mean is
+    independent of partial-aggregation order on any engine.
+
+    Default centroids are the ``n_centroids`` lowest-id corpus vectors
+    (the ivf_topk convention — no RNG, any engine rebuilds the same
+    index); pass ``centroids`` (centroid_id, centroid) to grade a
+    TRAINED index (e.g. kmeans_centroids output). Execution shape: one
+    broadcast cross join against the centroid frame + one per-id window
+    + one map-side-combined groupBy(centroid)."""
+    from topnotch_spark.functions.vectors import cosine as _cos
+
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if centroids is None:
+        cents = base.orderBy("id").limit(n_centroids).select(
+            F.col("id").alias("centroid_id"), F.col("v").alias("cvec")
+        )
+    else:
+        cents = centroids.select(
+            "centroid_id", F.col("centroid").alias("cvec")
+        )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id", "centroid_id", _cos(F.col("v"), F.col("cvec")).alias("cc")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cc").desc(), F.col("centroid_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    first = ranked.filter(F.col("rn") == 1).select(
+        "id", F.col("centroid_id").alias("own"), F.col("cc").alias("cc1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "id", F.col("cc").alias("cc2")
+    )
+    s = F.when(
+        (F.lit(1.0) - F.col("cc2")) == 0, F.lit(0.0)
+    ).otherwise((F.col("cc1") - F.col("cc2")) / (F.lit(1.0) - F.col("cc2")))
+    per_vec = first.join(second, "id").select(
+        "own", F.round(s * 1_000_000).cast("long").alias("__sm__")
+    )
+    return (
+        per_vec.groupBy(F.col("own").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("__sm__").alias("__sum__"),
+            F.min("__sm__").alias("__min__"),
+        )
+        .select(
+            "centroid_id",
+            "n_members",
+            F.round(
+                F.col("__sum__") / (F.col("n_members") * F.lit(1_000_000.0)),
+                round_digits,
+            ).alias("mean_silhouette"),
+            F.round(F.col("__min__") / F.lit(1_000_000.0), round_digits).alias(
+                "min_silhouette"
+            ),
+        )
+        .orderBy("centroid_id")
+    )

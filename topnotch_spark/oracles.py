@@ -703,6 +703,49 @@ def similarity_ann_sql(
     """
 
 
+def cluster_silhouette_sql(
+    dim: int = 64, n_centroids: int = 16, round_digits: int = 6
+) -> str:
+    """Mirror of similarity.cluster_silhouette: lowest-id seeded
+    centroids, two best cosines per vector via the same ranked window,
+    micro-unit integer silhouette sums."""
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        scored AS (
+          SELECT e.vec_id AS id, c.centroid_id,
+                 {cosine('e.embedding', 'c.cvec', dim)} AS cc
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        ranked AS (
+          SELECT id, centroid_id, cc,
+                 row_number() OVER (
+                   PARTITION BY id ORDER BY cc DESC, centroid_id ASC
+                 ) AS rn
+          FROM scored
+        ),
+        per_vec AS (
+          SELECT f.centroid_id AS own,
+                 CAST(round(CASE WHEN (1.0 - s.cc) = 0 THEN 0.0
+                      ELSE (f.cc - s.cc) / (1.0 - s.cc) END * 1000000)
+                   AS BIGINT) AS sm
+          FROM (SELECT id, centroid_id, cc FROM ranked WHERE rn = 1) f
+          JOIN (SELECT id, cc FROM ranked WHERE rn = 2) s USING (id)
+        )
+        SELECT own AS centroid_id,
+               count(*) AS n_members,
+               round(CAST(sum(sm) AS DOUBLE) / (count(*) * 1000000.0),
+                     {round_digits}) AS mean_silhouette,
+               round(CAST(min(sm) AS DOUBLE) / 1000000.0, {round_digits})
+                 AS min_silhouette
+        FROM per_vec
+        GROUP BY own
+        ORDER BY own
+    """
+
+
 def similarity_ivf_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, n_centroids: int = 16,
     n_probe: int = 4, round_digits: int = 6,

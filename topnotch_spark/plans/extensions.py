@@ -365,7 +365,9 @@ class SimilarityCmd(Command):
     it takes "corpus" only plus {"labelColumn", ["minAgree"]} and emits
     the per-vector kNN label-agreement / suspect screen.
     contrastive mines top-k same-label positives + hardest different-
-    label negatives per anchor in "queries" ({"labelColumn"} option)."""
+    label negatives per anchor in "queries" ({"labelColumn"} option).
+    silhouette is corpus-only too ({["nCentroids", "roundDigits"]}) —
+    per-cluster simplified silhouette over the seeded IVF index."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -379,16 +381,21 @@ class SimilarityCmd(Command):
     def inputs(self) -> list[Input]:
         return [i for i in (self.corpus, self.queries) if i is not None]
 
-    METHODS = ("bruteForce", "ann", "labelAgreement", "contrastive")
+    METHODS = (
+        "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
+    )
 
     @classmethod
     def from_json(cls, obj: dict) -> "SimilarityCmd":
         p = obj["params"]
         _require_method(p, cls.METHODS, "similarity")
-        if p["method"] != "labelAgreement" and "queries" not in obj:
+        if (
+            p["method"] not in ("labelAgreement", "silhouette")
+            and "queries" not in obj
+        ):
             raise ValueError(
                 f"similarity method {p['method']!r} requires a 'queries' "
-                "input (only labelAgreement is self-join shaped)"
+                "input (labelAgreement and silhouette are corpus-only)"
             )
         return cls(
             corpus=Input.from_json(obj["corpus"]),
@@ -400,7 +407,7 @@ class SimilarityCmd(Command):
             vec_column=p.get("vecColumn", "embedding"),
             options=_opt(
                 p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
-                "minAgree",
+                "minAgree", "nCentroids",
             ),
             **cls._common(obj),
         )
@@ -409,6 +416,13 @@ class SimilarityCmd(Command):
         from topnotch_spark.operators import similarity as S
 
         corpus = load_input(engine.spark, self.corpus, engine.registry)
+        if self.method == "silhouette":
+            opts = dict(self.options)
+            opts.pop("dim", None)  # exact cosine path needs no literals
+            return S.cluster_silhouette(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                **opts,
+            )
         if self.method == "labelAgreement":
             opts = dict(self.options)
             label_col = opts.pop("label_column", "label")
