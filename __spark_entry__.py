@@ -154,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "latest_event_per_user": oracles.latest_event_per_user_sql(),
         "event_paths_top": oracles.frequent_paths_sql(n_steps=3, k=20),
+        "streaming_event_paths": oracles.frequent_paths_sql(
+            n_steps=3, k=20
+        ),
         "benford_totalprice": oracles.benford_sql(
             "orders", "o_totalprice", int_scale=100
         ),

@@ -846,3 +846,57 @@ def test_cluster_silhouette_plan_method(spark, tmp_path):
     rows = engine.registry["sil"].collect()
     assert 0 < len(rows) <= 8
     assert all(0.0 <= r["mean_silhouette"] <= 1.0 for r in rows)
+
+
+def test_paths_stream_cross_batch(spark, tmp_path):
+    """A 3-step path straddling two micro-batches must be emitted (the
+    carry state), already-complete carry windows must not re-emit, and
+    a NULL state must drop the windows that touch it."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.stateful import paths_stream
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # user 1: a b | c d  -> paths abc (cross-batch), bcd (cross-batch)
+    # user 2: a NULL b c | d -> windows touching NULL drop; bcd crosses
+    batches = [
+        [(1, ts(0), 1, "a"), (2, ts(1), 1, "b"),
+         (3, ts(0), 2, "a"), (4, ts(1), 2, None), (5, ts(2), 2, "b"),
+         (6, ts(3), 2, "c")],
+        [(7, ts(2), 1, "c"), (8, ts(3), 1, "d"), (9, ts(4), 2, "d")],
+    ]
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    out = run_stream_to_table(
+        paths_stream(stream, n_steps=3),
+        output_mode="append",
+        state_partitions=4,
+    )
+    got = sorted(
+        (r["user_id"], r["path"])
+        for r in out.select("user_id", "path").collect()
+    )
+    assert got == [
+        (1, "a > b > c"),
+        (1, "b > c > d"),
+        (2, "b > c > d"),
+    ]

@@ -1941,6 +1941,41 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
+def streaming_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_paths_top: the last n-1 states per user
+    carried across micro-batches in applyInPandasWithState (a stateless
+    per-batch window would drop every boundary-straddling path), then
+    one bounded groupBy + top-k over the emitted path stream. Stream ≡
+    batch exactly for time-ordered replay, so the oracle is the batch
+    SQL."""
+    from pyspark.sql import Window as W
+
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import events_replay_dir
+    from topnotch_spark.streaming.stateful import paths_stream
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    paths = run_stream_to_table(
+        paths_stream(stream, n_steps=3),
+        output_mode="append",
+        state_partitions=16,
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    wr = W.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select("path", "n_occurrences", "n_keys", "rank")
+    )
+
+
 def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of event_funnel: per-user stage advances emitted
     from applyInPandasWithState (2 longs of state per active user,
@@ -2966,6 +3001,7 @@ ALL = {
     "benford_totalprice": benford_totalprice,
     "cross_source_dups": cross_source_dups,
     "cluster_silhouette_embeddings": cluster_silhouette_embeddings,
+    "streaming_event_paths": streaming_event_paths,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

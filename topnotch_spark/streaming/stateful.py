@@ -681,3 +681,100 @@ def ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming n-step path mining (last n-1 states carried across batches)
+# ---------------------------------------------------------------------------
+
+PATHS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("path", StringType()),
+    ]
+)
+
+PATHS_STATE_SCHEMA = StructType([StructField("carry", StringType())])
+
+# separators for the carry encoding: \x1f between carried states, \x00
+# marks a NULL state (must occupy its position so null-straddling
+# windows are DROPPED, exactly like the batch lead() semantics — a
+# filtered null would let the window silently skip over it)
+_PATH_SEP = "\x1f"
+_PATH_NULL = "\x00"
+
+
+def paths_stream(
+    events: DataFrame,
+    n_steps: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-user ``n_steps``-long consecutive state paths over a stream —
+    the streaming twin of ``temporal.frequent_paths`` (and the n-gram
+    generalization of :func:`transitions_stream`). Carrying the last
+    ``n_steps - 1`` states per user across micro-batches makes the
+    emitted path stream exactly equal the batch lead() windows for
+    time-ordered replay; a stateless per-batch window would drop every
+    path straddling a batch boundary.
+
+    State per user: ONE string holding the last ``n_steps - 1`` states
+    (separator-joined, NULL states position-encoded so windows touching
+    a NULL drop exactly as in batch). Output: append stream of
+    (user_id, path) with path = states joined by ``' > '``; aggregate
+    downstream over the bounded |states|^n_steps space."""
+    if n_steps < 2:
+        raise ValueError("paths_stream: n_steps must be >= 2")
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeouts registered; defensive
+            state.remove()
+            return
+
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ts_a = rows[ts_col].to_numpy()
+        tb_a = rows[tiebreak_col].to_numpy()
+        order = np.lexsort((tb_a, ts_a))
+        states = [
+            _PATH_NULL if s is None or (isinstance(s, float) and pd.isna(s))
+            else str(s)
+            for s in rows[state_col].to_numpy()[order].tolist()
+        ]
+        carry = (
+            state.get[0].split(_PATH_SEP)
+            if state.exists and state.get[0]
+            else []
+        )
+        seq = carry + states
+        paths = [
+            " > ".join(seq[i : i + n_steps])
+            for i in range(len(seq) - n_steps + 1)
+            # windows produced entirely from the carry were emitted by a
+            # previous batch; only windows ending in THIS batch are new
+            if i + n_steps > len(carry)
+            and _PATH_NULL not in seq[i : i + n_steps]
+        ]
+        state.update((_PATH_SEP.join(seq[-(n_steps - 1):]),))
+        if paths:
+            yield pd.DataFrame({"user_id": user_id, "path": paths})
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=PATHS_SCHEMA,
+            stateStructType=PATHS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
