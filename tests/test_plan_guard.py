@@ -96,6 +96,14 @@ GLOBAL_WINDOW_BOUNDED = {
     "bpe_top_merges_docs": (
         "rank over the k=50 rows surviving TakeOrdered"
     ),
+    "event_paths_top": "rank over the k=20 rows surviving TakeOrdered",
+    "streaming_event_paths": (
+        "rank over the k=20 rows surviving TakeOrdered"
+    ),
+    "bpe_merge_sequence_docs": (
+        "per-round top-1 TakeOrdered frames; every global window input "
+        "is a single row"
+    ),
 }
 
 # BNLJ broadcast sides that are row-bounded by plan shape: an ungrouped

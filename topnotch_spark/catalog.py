@@ -1968,10 +1968,18 @@ def streaming_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("user_id").alias("n_keys"),
     )
-    wr = W.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    # TakeOrdered(20) first; the global rank window sees only 20 rows
     return (
-        agg.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 20)
+        agg.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(
+                    F.col("n_occurrences").desc(), F.col("path").asc()
+                )
+            ),
+        )
         .select("path", "n_occurrences", "n_keys", "rank")
     )
 

@@ -790,24 +790,37 @@ def cluster_silhouette(
     scored = base.crossJoin(F.broadcast(cents)).select(
         "id", "centroid_id", _cos(F.col("v"), F.col("cvec")).alias("cc")
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cc").desc(), F.col("centroid_id").asc()
+    # the two best cosines per vector come from ONE groupBy(id) over a
+    # collect_list bounded by |centroids| rows per id — a window +
+    # rank-1/rank-2 self-join would branch the scored subtree and scan
+    # the corpus twice more (caught by the scan-count plan guard).
+    # Sorting desc on struct(cc, -centroid_id) breaks cosine ties toward
+    # the LOWER centroid id, the ivf_topk assignment convention.
+    top2 = scored.groupBy("id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cc"), (-F.col("centroid_id")).alias("nid")
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            2,
+        ).alias("t2")
     )
-    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 2
-    )
-    first = ranked.filter(F.col("rn") == 1).select(
-        "id", F.col("centroid_id").alias("own"), F.col("cc").alias("cc1")
-    )
-    second = ranked.filter(F.col("rn") == 2).select(
-        "id", F.col("cc").alias("cc2")
-    )
+    cc1 = F.col("t2")[0]["cc"]
+    cc2 = F.col("t2")[1]["cc"]
     s = F.when(
-        (F.lit(1.0) - F.col("cc2")) == 0, F.lit(0.0)
-    ).otherwise((F.col("cc1") - F.col("cc2")) / (F.lit(1.0) - F.col("cc2")))
-    per_vec = first.join(second, "id").select(
-        "own", F.round(s * 1_000_000).cast("long").alias("__sm__")
-    )
+        F.size("t2") < 2, F.lit(None)
+    ).when(
+        (F.lit(1.0) - cc2) == 0, F.lit(0.0)
+    ).otherwise((cc1 - cc2) / (F.lit(1.0) - cc2))
+    per_vec = top2.select(
+        (-F.col("t2")[0]["nid"]).alias("own"),
+        F.round(s * 1_000_000).cast("long").alias("__sm__"),
+    ).filter(F.col("__sm__").isNotNull())
     return (
         per_vec.groupBy(F.col("own").alias("centroid_id"))
         .agg(

@@ -375,10 +375,21 @@ def frequent_paths(
             F.countDistinct("__k__").alias("n_keys"),
         )
     )
-    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    # TakeOrdered(k) FIRST, then rank the k survivors: the global
+    # row_number window only ever sees k rows (the bpe_top_merges
+    # pattern — a partition-less window over the whole path space would
+    # be a single-task sort at scale)
     return (
-        agg.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
+        agg.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_occurrences").desc(), F.col("path").asc()
+                )
+            ),
+        )
         .select("path", "n_occurrences", "n_keys", "rank")
     )
 
