@@ -104,6 +104,10 @@ GLOBAL_WINDOW_BOUNDED = {
         "per-round top-1 TakeOrdered frames; every global window input "
         "is a single row"
     ),
+    "token_rank_shift_langs": (
+        "ranks over the vocab_k=200-row TakeOrdered leaderboards and "
+        "the k=20-row climber list"
+    ),
 }
 
 # BNLJ broadcast sides that are row-bounded by plan shape: an ungrouped

@@ -900,3 +900,57 @@ def test_paths_stream_cross_batch(spark, tmp_path):
         (1, "b > c > d"),
         (2, "b > c > d"),
     ]
+
+
+def test_token_rank_shift_hand_built(spark):
+    """Leaderboard semantics: a term that climbs ranks tops the list;
+    off-board terms get rank vocab_k+1 and count 0 for that side."""
+    from topnotch_spark.operators.drift import token_rank_shift
+
+    ref = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    cur = spark.createDataFrame(
+        [(2, "cc cc cc aa dd dd")], "doc_id long, text string"
+    )
+    # ref board: aa(3)#1 bb(2)#2 cc(1)#3 ; cur board: cc(3)#1 dd(2)#2 aa(1)#3
+    rows = {
+        r["token"]: (
+            r["n_ref"], r["n_cur"], r["rank_ref"], r["rank_cur"],
+            r["rank_shift"], r["rank"],
+        )
+        for r in token_rank_shift(ref, cur, vocab_k=10, k=10).collect()
+    }
+    assert rows["cc"] == (1, 3, 3, 1, 2, 2)
+    assert rows["dd"] == (0, 2, 11, 2, 9, 1)   # off ref board: rank 11
+    assert rows["bb"] == (2, 0, 2, 11, -9, 4)  # off cur board
+    assert rows["aa"] == (3, 1, 1, 3, -2, 3)
+
+
+def test_token_rank_shift_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    plan = {
+        "commands": [
+            {
+                "command": "drift",
+                "reference": {"ref": docs, "onDisk": True},
+                "current": {"ref": docs, "onDisk": True},
+                "params": {
+                    "method": "tokenRankShift",
+                    "column": "text",
+                    "vocabK": 50,
+                    "k": 5,
+                },
+                "outputKey": "shift",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["shift"].collect()
+    # identical slices: every shift is 0
+    assert len(rows) == 5 and all(r["rank_shift"] == 0 for r in rows)

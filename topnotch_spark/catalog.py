@@ -2498,6 +2498,22 @@ def view_rich_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_rank_shift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens between English and Spanish documents
+    (drift.token_rank_shift): the top-20 terms that climbed most in
+    frequency rank — the interpretable drill-down behind
+    token_drift_langs' divergence number. All-integer leaderboard
+    arithmetic; every post-reduction frame is ≤ 2·vocab_k rows."""
+    from topnotch_spark.operators.drift import token_rank_shift
+
+    docs = load(spark, sf_dir, "documents")
+    return token_rank_shift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "es"),
+        "text", vocab_k=200, k=20,
+    )
+
+
 def token_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift (drift.token_distribution_drift): KL/JS
     divergence between the unigram token distributions of English vs
@@ -3010,6 +3026,7 @@ ALL = {
     "cross_source_dups": cross_source_dups,
     "cluster_silhouette_embeddings": cluster_silhouette_embeddings,
     "streaming_event_paths": streaming_event_paths,
+    "token_rank_shift_langs": token_rank_shift_langs,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

@@ -632,3 +632,76 @@ def benford_first_digit(
         )
         .orderBy("digit")
     )
+
+
+def token_rank_shift(
+    ref: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 200,
+    k: int = 20,
+) -> DataFrame:
+    """Trending tokens between two corpus slices: which terms CLIMBED
+    most in frequency RANK from ``ref`` to ``cur`` — the interpretable
+    companion to :func:`token_distribution_drift` (that one says "the
+    language shifted by X nats"; this one says "these are the words that
+    did it"). The standard drill-down when a corpus-mix monitor trips.
+
+    Per side: token counts (corpus → vocab reduction), TakeOrdered to
+    the top ``vocab_k`` terms, row_number rank with the (count desc,
+    token asc) total order. Sides full-outer join on token; a term
+    outside a side's top list gets rank ``vocab_k + 1`` ("off the
+    board") and count 0 FOR THAT BOARD. ``rank_shift = rank_ref −
+    rank_cur`` (positive = climbed). Output: top ``k`` climbers
+    (shift desc, token asc), columns (token, n_ref, n_cur, rank_ref,
+    rank_cur, rank_shift, rank) — all integers, bit-reproducible.
+
+    Execution shape (100 TB): one explode + map-side-combined
+    groupBy(token) per side; every later frame is ≤ 2·vocab_k rows
+    (TakeOrdered before any partition-less window, the plan-guard
+    rule)."""
+    from pyspark.sql import Window as W
+
+    def board(df: DataFrame, n_alias: str, r_alias: str) -> DataFrame:
+        from topnotch_spark.functions.text import tokens as _tokens
+
+        counts = (
+            df.select(F.explode(_tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(n_alias))
+        )
+        return (
+            counts.orderBy(F.col(n_alias).desc(), F.col("token").asc())
+            .limit(vocab_k)
+            .withColumn(
+                r_alias,
+                F.row_number().over(
+                    W.orderBy(F.col(n_alias).desc(), F.col("token").asc())
+                ),
+            )
+        )
+    a = board(ref, "n_ref", "rank_ref")
+    b = board(cur, "n_cur", "rank_cur")
+    off = vocab_k + 1
+    joined = a.join(b, "token", "full_outer").select(
+        "token",
+        F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        F.coalesce(F.col("rank_ref"), F.lit(off)).alias("rank_ref"),
+        F.coalesce(F.col("rank_cur"), F.lit(off)).alias("rank_cur"),
+    )
+    shifted = joined.withColumn(
+        "rank_shift", F.col("rank_ref") - F.col("rank_cur")
+    )
+    return (
+        shifted.orderBy(F.col("rank_shift").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(
+                    F.col("rank_shift").desc(), F.col("token").asc()
+                )
+            ),
+        )
+    )

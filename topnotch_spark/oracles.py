@@ -3665,6 +3665,53 @@ def scd2_customer_segment_sql() -> str:
     """
 
 
+def token_rank_shift_sql(
+    ref_where: str,
+    cur_where: str,
+    vocab_k: int = 200,
+    k: int = 20,
+) -> str:
+    """Mirror of drift.token_rank_shift over documents: per-slice top
+    vocab_k leaderboards, full-outer join, off-board rank = vocab_k+1,
+    top-k climbers."""
+    off = vocab_k + 1
+    tok = tokens("text")
+
+    def board(where: str, n: str, r: str) -> str:
+        return f"""(
+          SELECT token, {n}, CAST(row_number() OVER (
+                   ORDER BY {n} DESC, token ASC) AS INTEGER) AS {r}
+          FROM (
+            SELECT token, count(*) AS {n}
+            FROM (SELECT unnest({tok}) AS token FROM documents
+                  WHERE {where})
+            GROUP BY token
+            ORDER BY {n} DESC, token ASC
+            LIMIT {vocab_k}
+          )
+        )"""
+    return f"""
+        WITH a AS {board(ref_where, "n_ref", "rank_ref")},
+        b AS {board(cur_where, "n_cur", "rank_cur")},
+        joined AS (
+          SELECT COALESCE(a.token, b.token) AS token,
+                 CAST(COALESCE(a.n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(COALESCE(b.n_cur, 0) AS BIGINT) AS n_cur,
+                 COALESCE(a.rank_ref, {off}) AS rank_ref,
+                 COALESCE(b.rank_cur, {off}) AS rank_cur
+          FROM a FULL OUTER JOIN b ON a.token = b.token
+        )
+        SELECT token, n_ref, n_cur, rank_ref, rank_cur,
+               rank_ref - rank_cur AS rank_shift,
+               CAST(row_number() OVER (
+                 ORDER BY rank_ref - rank_cur DESC, token ASC)
+                 AS INTEGER) AS rank
+        FROM joined
+        ORDER BY rank_shift DESC, token ASC
+        LIMIT {k}
+    """
+
+
 def token_drift_sql(
     ref_where: str, cur_where: str, round_digits: int = 6
 ) -> str:

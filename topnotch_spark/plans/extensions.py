@@ -695,11 +695,15 @@ class PivotCmd(Command):
 @dataclass(frozen=True)
 class DriftCmd(Command):
     """{"command": "drift", "reference": <input>, "current": <input>,
-    "params": {"column", ["method": psi|ks|chi2|tokens], ["nBuckets",
-    "eps", "roundDigits", "bins"]}} — PSI histogram drift (default),
+    "params": {"column", ["method": psi|ks|chi2|tokens|tokenRankShift],
+    ["nBuckets", "eps", "roundDigits", "bins", "vocabK", "k"]}} —
+    PSI histogram drift (default),
     two-sample KS (exact, or grid-binned via "bins"), chi-square
-    categorical homogeneity, or KL/JS token-distribution drift
-    ("column" is then the text column) between two datasets.
+    categorical homogeneity, KL/JS token-distribution drift
+    ("column" is then the text column), or tokenRankShift — the top-k
+    tokens that climbed most in frequency rank between the two slices
+    (the drill-down for a tripped tokens monitor) — between two
+    datasets.
     Trend form: {"command": "drift", "input": <input>, "params":
     {"method": "trend", "column", ["tsColumn", "period", "nBuckets",
     "eps", "roundDigits"]}} — per-period PSI against the earliest
@@ -746,7 +750,9 @@ class DriftCmd(Command):
             current=Input.from_json(obj["current"]),
             column=p["column"],
             method=method,
-            options=_opt(p, "nBuckets", "eps", "roundDigits", "bins"),
+            options=_opt(
+                p, "nBuckets", "eps", "roundDigits", "bins", "vocabK", "k"
+            ),
             **cls._common(obj),
         )
 
@@ -768,6 +774,7 @@ class DriftCmd(Command):
             "trend": {"ts_column", "period", "n_buckets", "eps",
                       "round_digits"},
             "benford": {"int_scale", "round_digits"},
+            "tokenRankShift": {"vocab_k", "k"},
         }
         if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
@@ -795,6 +802,10 @@ class DriftCmd(Command):
             return token_distribution_drift(
                 ref, cur, self.column, **self.options
             )
+        if self.method == "tokenRankShift":
+            from topnotch_spark.operators.drift import token_rank_shift
+
+            return token_rank_shift(ref, cur, self.column, **self.options)
         return histogram_drift(ref, cur, self.column, **self.options)
 
 
