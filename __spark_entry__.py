@@ -393,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "token_rank_shift_langs": oracles.token_rank_shift_sql(
             "lang = 'en'", "lang = 'es'", vocab_k=200, k=20
         ),
+        "collocations_docs": oracles.collocations_sql(min_count=5, k=20),
         "vocab_overlap_langs": oracles.vocab_overlap_sql("lang"),
         "ewma_value_by_user": oracles.ewma_per_key_sql(
             terms=16, decimals=2

@@ -108,6 +108,7 @@ GLOBAL_WINDOW_BOUNDED = {
         "ranks over the vocab_k=200-row TakeOrdered leaderboards and "
         "the k=20-row climber list"
     ),
+    "collocations_docs": "rank over the k=20 rows surviving TakeOrdered",
 }
 
 # BNLJ broadcast sides that are row-bounded by plan shape: an ungrouped

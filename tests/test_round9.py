@@ -954,3 +954,66 @@ def test_token_rank_shift_plan_method(spark, tmp_path):
     rows = engine.registry["shift"].collect()
     # identical slices: every shift is 0
     assert len(rows) == 5 and all(r["rank_shift"] == 0 for r in rows)
+
+
+def test_collocations_hand_computed(spark):
+    """PMI on a hand-built corpus: the pinned pair tops the list; the
+    frequent-but-independent pair scores lower; hapax pairs filtered."""
+    import math
+
+    from topnotch_spark.operators.textqc import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york city hall city hall city hall "
+             "the the the the")],
+        "doc_id long, text string",
+    )
+    with dedup_scope():
+        rows = [
+            tuple(r)
+            for r in collocations(
+                docs, "doc_id", "text", min_count=2, k=10
+            ).collect()
+        ]
+    nt, nb = 14, 13  # 14 tokens, 13 adjacent bigrams
+    def pmi(np_, nl, nr):
+        return round(math.log(np_ * nt * nt / (nb * nl * nr)), 6)
+    assert rows == [
+        ("new", "york", 2, 2, 2, pmi(2, 2, 2), 1),
+        ("city", "hall", 3, 3, 3, pmi(3, 3, 3), 2),
+        ("hall", "city", 2, 3, 3, pmi(2, 3, 3), 3),
+        ("the", "the", 3, 4, 4, pmi(3, 4, 4), 4),
+    ]
+
+
+def test_collocations_plan_method(spark, tmp_path):
+    from topnotch_spark.engine import TnEngine
+
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {
+                    "ref": "/root/testdata/sf0.001/documents.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "method": "collocations",
+                    "idColumn": "doc_id",
+                    "textColumn": "text",
+                    "minCount": 3,
+                    "k": 5,
+                },
+                "outputKey": "mwes",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["mwes"].collect()
+    assert len(rows) == 5
+    assert all(r["n_pair"] >= 3 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)

@@ -2498,6 +2498,20 @@ def view_rich_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations over documents (textqc.collocations):
+    adjacent word pairs co-occurring far above their unigram odds —
+    multiword-expression / boilerplate-fingerprint discovery. One
+    persisted tokenize pass feeds both count passes; min_count guards
+    the hapax-pair pathology; TakeOrdered before the rank window."""
+    from topnotch_spark.operators.textqc import collocations
+
+    return collocations(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        min_count=5, k=20,
+    )
+
+
 def token_rank_shift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending tokens between English and Spanish documents
     (drift.token_rank_shift): the top-20 terms that climbed most in
@@ -3027,6 +3041,7 @@ ALL = {
     "cluster_silhouette_embeddings": cluster_silhouette_embeddings,
     "streaming_event_paths": streaming_event_paths,
     "token_rank_shift_langs": token_rank_shift_langs,
+    "collocations_docs": collocations_docs,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

@@ -1225,3 +1225,122 @@ def bpe_fertility_by_group(
         _d._PERSISTED.append(result)
         _d._CHECKPOINTED[id(result)] = ckpt
     return result
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k PMI collocations: adjacent word pairs that co-occur far
+    more than their unigram frequencies predict — the corpus-analysis
+    staple for multiword-expression discovery, tokenizer-vocab
+    candidates, and boilerplate fingerprints ("click here", "all
+    rights reserved" float straight to the top of a crawl).
+
+    ``pmi = ln(n_pair · N_tokens² / (N_bigrams · n_left · n_right))``
+    — pointwise mutual information with bigram probability
+    n_pair/N_bigrams and unigram probabilities n/N_tokens. ``min_count``
+    filters the classic PMI pathology (hapax pairs of hapax words score
+    highest); output is the top ``k`` by (pmi desc, pair asc) — the
+    rounded pmi plus all four raw integers, so ties on the rounded
+    value stay deterministic via the pair tiebreak.
+
+    Determinism: counts are exact integers; the single ln runs on an
+    exact integer ratio (identical IEEE inputs on any engine), rounded
+    to ``round_digits``.
+
+    Execution shape (100 TB): the corpus tokenizes once into a
+    persisted (id, tokens) frame feeding both the unigram and bigram
+    passes (one map-side-combined groupBy each); the model join is
+    bigram-table-sized; TakeOrdered(k) before the rank window."""
+    from topnotch_spark.operators.dedup import _persist
+
+    toked = _persist(
+        df.select(tokens(text_col).alias("__t__")).filter(
+            F.size("__t__") >= 1
+        )
+    )
+    uni = toked.select(F.explode("__t__").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    bi = (
+        toked.filter(F.size("__t__") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t__) - 1), "
+                    "i -> struct(element_at(__t__, i) AS l, "
+                    "element_at(__t__, i + 1) AS r))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.l").alias("left_token"), F.col("p.r").alias("right_token"))
+        .groupBy("left_token", "right_token")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    totals = F.broadcast(
+        toked.select(
+            F.sum(F.size("__t__")).alias("__nt__"),
+            F.sum(F.greatest(F.size("__t__") - 1, F.lit(0))).alias("__nb__"),
+        )
+    )
+    scored = (
+        bi.join(
+            uni.select(
+                F.col("w").alias("left_token"), F.col("n_w").alias("n_left")
+            ),
+            "left_token",
+        )
+        .join(
+            uni.select(
+                F.col("w").alias("right_token"), F.col("n_w").alias("n_right")
+            ),
+            "right_token",
+        )
+        .crossJoin(totals)
+        .select(
+            "left_token",
+            "right_token",
+            "n_pair",
+            "n_left",
+            "n_right",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_pair").cast("double")
+                        * F.col("__nt__")
+                        * F.col("__nt__")
+                    )
+                    / (
+                        F.col("__nb__").cast("double")
+                        * F.col("n_left")
+                        * F.col("n_right")
+                    )
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(),
+            F.col("left_token").asc(),
+            F.col("right_token").asc(),
+        )
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("pmi").desc(),
+                    F.col("left_token").asc(),
+                    F.col("right_token").asc(),
+                )
+            ),
+        )
+    )

@@ -1221,6 +1221,56 @@ def bpe_top_merges_sql(k: int = 50) -> str:
     """
 
 
+def collocations_sql(
+    min_count: int = 5, k: int = 20, round_digits: int = 6
+) -> str:
+    """Mirror of textqc.collocations: unigram + adjacent-bigram counts,
+    PMI on the exact integer ratio, top-k with the pair tiebreak."""
+    return f"""
+        {_DOC_BASE},
+        uni AS (
+          SELECT w, count(*) AS n_w
+          FROM (SELECT unnest(__t__) AS w FROM toked)
+          GROUP BY w
+        ),
+        tot AS (
+          SELECT CAST(sum(len(__t__)) AS BIGINT) AS nt,
+                 CAST(sum(greatest(len(__t__) - 1, 0)) AS BIGINT) AS nb
+          FROM toked
+        ),
+        bi AS (
+          SELECT left_token, right_token, count(*) AS n_pair
+          FROM (
+            SELECT unnest(list_transform(range(1, len(__t__)),
+                     i -> struct_pack(l := __t__[i], r := __t__[i + 1])))
+                   AS p
+            FROM toked WHERE len(__t__) >= 2
+          ), LATERAL (SELECT p.l AS left_token, p.r AS right_token)
+          GROUP BY left_token, right_token
+          HAVING count(*) >= {min_count}
+        ),
+        scored AS (
+          SELECT b.left_token, b.right_token,
+                 CAST(b.n_pair AS BIGINT) AS n_pair,
+                 CAST(ul.n_w AS BIGINT) AS n_left,
+                 CAST(ur.n_w AS BIGINT) AS n_right,
+                 round(ln((CAST(b.n_pair AS DOUBLE) * t.nt * t.nt)
+                          / (CAST(t.nb AS DOUBLE) * ul.n_w * ur.n_w)),
+                       {round_digits}) AS pmi
+          FROM bi b
+          JOIN uni ul ON ul.w = b.left_token
+          JOIN uni ur ON ur.w = b.right_token, tot t
+        )
+        SELECT left_token, right_token, n_pair, n_left, n_right, pmi,
+               CAST(row_number() OVER (
+                 ORDER BY pmi DESC, left_token ASC, right_token ASC)
+                 AS INTEGER) AS rank
+        FROM scored
+        ORDER BY pmi DESC, left_token ASC, right_token ASC
+        LIMIT {k}
+    """
+
+
 def bpe_fertility_sql(n_merges: int = 8, group_col: str = "source") -> str:
     """Mirror of textqc.bpe_fertility_by_group: the same chained merge
     rounds carrying the word key, then one corpus-tokens → final-vocab

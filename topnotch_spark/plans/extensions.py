@@ -234,7 +234,8 @@ class TextCmd(Command):
     count→merge→recount trainer loop emitting the realized merge
     sequence; bpeFertility {"partitionCol", ["nMerges", "roundDigits"]}
     — train on the whole corpus, report per-group subwords-per-token
-    fit; classifierScore {"weights", ["biasMilli"]} — integer
+    fit; collocations {["minCount", "k", "roundDigits"]} — top-k PMI
+    adjacent word pairs; classifierScore {"weights", ["biasMilli"]} — integer
     milli-weight linear classifier logits."""
 
     input: Input = None  # type: ignore[assignment]
@@ -250,6 +251,7 @@ class TextCmd(Command):
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
+        "collocations",
     )
 
     @classmethod
@@ -281,7 +283,7 @@ class TextCmd(Command):
                 "minWords", "maxWords", "minMeanLen", "maxMeanLen",
                 "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
                 "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
-                "vocabK", "weights", "biasMilli", "nMerges",
+                "vocabK", "weights", "biasMilli", "nMerges", "minCount",
             ),
             **cls._common(obj),
         )
@@ -313,6 +315,7 @@ class TextCmd(Command):
             "novelty": T.ngram_novelty,
             "bpeMerges": T.bpe_top_merges,
             "bpeMergeSequence": T.bpe_merge_sequence,
+            "collocations": T.collocations,
         }
         if self.method == "calibrateRanks":
             opts = dict(self.options)
