@@ -394,6 +394,9 @@ def oracle_sql() -> dict[str, str]:
             "lang = 'en'", "lang = 'es'", vocab_k=200, k=20
         ),
         "collocations_docs": oracles.collocations_sql(min_count=5, k=20),
+        "streaming_benford_value": oracles.streaming_benford_sql(
+            window="1 day", int_scale=100
+        ),
         "vocab_overlap_langs": oracles.vocab_overlap_sql("lang"),
         "ewma_value_by_user": oracles.ewma_per_key_sql(
             terms=16, decimals=2

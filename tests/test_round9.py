@@ -1017,3 +1017,28 @@ def test_collocations_plan_method(spark, tmp_path):
     assert all(r["n_pair"] >= 3 for r in rows)
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_windowed_benford_batch_equivalence(spark):
+    """The same code path on a batch frame is a plain groupBy — digit
+    counts hand-checkable; sub-scale values drop."""
+    import datetime as dt
+
+    from topnotch_spark.streaming.ops import windowed_benford
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.23),              # 123 -> digit 1
+        (2, t0, 19.99),             # 1999 -> 1
+        (3, t0, 2.5),               # 250 -> 2
+        (4, t0, 0.004),             # 0 -> dropped
+        (5, t0 + dt.timedelta(days=1), 91.0),  # next window, digit 9
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["window_start"].day, r["digit"]): r["n_values"]
+        for r in windowed_benford(df, window_duration="1 day").collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 9): 1}

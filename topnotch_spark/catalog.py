@@ -2498,6 +2498,30 @@ def view_rich_inactive_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_benford_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of benford_totalprice's counting stage: per-day
+    first-digit counts of the event value stream
+    (streaming.ops.windowed_benford) — a live fabricated-traffic
+    monitor. Watermarked stateful windowed count (≤ 9 counters per open
+    window); stream ≡ batch ≡ oracle."""
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        windowed_benford,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_stream_to_table(
+        windowed_benford(stream, window_duration="1 day"),
+        output_mode="complete",
+        state_partitions=6,
+    )
+
+
 def collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PMI collocations over documents (textqc.collocations):
     adjacent word pairs co-occurring far above their unigram odds —
@@ -3042,6 +3066,7 @@ ALL = {
     "streaming_event_paths": streaming_event_paths,
     "token_rank_shift_langs": token_rank_shift_langs,
     "collocations_docs": collocations_docs,
+    "streaming_benford_value": streaming_benford_value,
     "view_revenue_by_nation": view_revenue_by_nation,
     "view_sessionize_events": view_sessionize_events,
     "view_topk_per_group": view_topk_per_group,

@@ -2700,6 +2700,25 @@ def benford_sql(
     """
 
 
+def streaming_benford_sql(
+    window: str = "1 day", int_scale: int = 100
+) -> str:
+    """Batch equivalent of streaming.ops.windowed_benford: time_bucket
+    windows + the integer-exact first-digit extraction."""
+    bucket = f"time_bucket(INTERVAL {window}, CAST(ts AS TIMESTAMP))"
+    return f"""
+        SELECT {bucket} AS window_start,
+               {bucket} + INTERVAL {window} AS window_end,
+               CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               count(*) AS n_values
+        FROM (
+          SELECT ts, CAST(round(value * {int_scale}) AS BIGINT) AS v
+          FROM events
+        ) WHERE v >= 1
+        GROUP BY 1, 2, 3
+    """
+
+
 def frequent_paths_sql(n_steps: int = 3, k: int = 20) -> str:
     """Mirror of temporal.frequent_paths over events: n-1 lead()
     columns in one window pass, all-steps-non-null filter, path-space

@@ -709,3 +709,53 @@ def windowed_distinct_estimate(regs: DataFrame) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+def windowed_benford(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+    int_scale: int = 100,
+) -> DataFrame:
+    """Per-window Benford first-digit counts of a positive numeric
+    stream — the streaming twin of ``drift.benford_first_digit``'s
+    counting stage, as a live fabricated-traffic monitor (a window
+    whose digit mix jumps off the law is a bot/synthetic-burst
+    signal). Same integer-exact digit extraction: power-of-10 scale →
+    BIGINT → first decimal-string character; values scaling below 1
+    (and nulls/negatives) drop.
+
+    On a streaming frame: watermarked stateful windowed count — state
+    is ≤ 9 counters per open window, evicted at the watermark. On a
+    batch frame the same code is a plain groupBy (the oracle/test
+    equivalence path). Output: (window_start, window_end, digit,
+    n_values)."""
+    e = (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming
+        else events
+    )
+    v = F.round(F.col(value_col) * int_scale).cast("bigint")
+    return (
+        e.select(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            v.alias("__v__"),
+        )
+        .filter(F.col("__v__") >= 1)
+        .select(
+            "win",
+            F.substring(F.col("__v__").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy("win", "digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "digit",
+            "n_values",
+        )
+    )
