@@ -659,3 +659,156 @@ def test_classifier_matches_python_reference(spark, docs, bias):
         logit = bias + sum(weights.get(t, 0) for t in toks)
         want[i] = (len(toks), logit, logit > 0)
     assert got == want
+
+
+# --- round-9 operators vs pure-Python references -------------------------
+
+WORD = st.text(alphabet=st.sampled_from("abcde"), min_size=1, max_size=5)
+
+
+def _py_bpe_rounds(word_counts, n_merges):
+    """Greedy BPE trainer reference (overlap-inclusive counts,
+    (count desc, pair asc) tiebreak, greedy non-overlap merge)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for r in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((r, best[0], best[1], best[0] + best[1], counts[best]))
+        nv = {}
+        for syms, c in vocab.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    ns.append(best[0] + best[1])
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            nv[tuple(ns)] = nv.get(tuple(ns), 0) + c
+        vocab = nv
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(WORD, min_size=1, max_size=30),
+    n_merges=st.integers(1, 5),
+)
+def test_bpe_merge_sequence_property(spark, words, n_merges):
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.textqc import bpe_merge_sequence
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    with dedup_scope():
+        got = [
+            tuple(r)
+            for r in bpe_merge_sequence(
+                docs, "doc_id", "text", n_merges=n_merges
+            ).collect()
+        ]
+    assert got == _py_bpe_rounds(counts, n_merges)
+
+
+def _py_paths(events, n, k):
+    """(user, ts, tiebreak, state) -> frequent_paths reference."""
+    byu = {}
+    for u, t, tb, s in events:
+        byu.setdefault(u, []).append((t, tb, s))
+    agg = {}
+    for u, evs in byu.items():
+        states = [s for _, _, s in sorted(evs)]
+        for i in range(len(states) - n + 1):
+            win = states[i : i + n]
+            if any(x is None for x in win):
+                continue
+            p = " > ".join(win)
+            cnt, users = agg.get(p, (0, set()))
+            users.add(u)
+            agg[p] = (cnt + 1, users)
+    rows = sorted(
+        ((p, c, len(us)) for p, (c, us) in agg.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    return [(p, c, nu, i + 1) for i, (p, c, nu) in enumerate(rows)]
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),            # user
+            st.integers(0, 20),           # ts (seconds)
+            st.sampled_from(["a", "b", "c", None]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n=st.integers(2, 4),
+)
+def test_frequent_paths_property(spark, events, n):
+    from topnotch_spark.operators.temporal import frequent_paths
+
+    rows = [
+        (u, float(t), i, s) for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_id long, event_type string"
+    )
+    got = [
+        tuple(r)
+        for r in frequent_paths(
+            df, "user_id", "ts", "event_id", "event_type", n_steps=n, k=50
+        ).collect()
+    ]
+    assert got == _py_paths(
+        [(u, t, i, s) for i, (u, t, s) in enumerate(events)], n, 50
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_benford_property(spark, vals):
+    import math
+
+    from topnotch_spark.operators.drift import benford_first_digit
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["digit"]: r for r in benford_first_digit(df, "x").collect()}
+    # python reference: same half-up-at-positive rounding via round()
+    # on the scaled value (banker's rounding differs from Spark's
+    # HALF_UP only at exact .5 ties — avoid them in the reference)
+    counts = {d: 0 for d in range(1, 10)}
+    for v in vals:
+        scaled = v * 100
+        iv = math.floor(scaled + 0.5)  # HALF_UP for positives
+        if iv >= 1:
+            counts[int(str(iv)[0])] += 1
+    total = sum(counts.values())
+    if total == 0:
+        # no qualifying values: shares are null-ish; just check digits
+        assert sorted(rows) == list(range(1, 10))
+        return
+    for d in range(1, 10):
+        assert rows[d]["n"] == counts[d]
+        assert rows[d]["observed_p"] == round(counts[d] / total, 6)

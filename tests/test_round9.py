@@ -1042,3 +1042,54 @@ def test_windowed_benford_batch_equivalence(spark):
         for r in windowed_benford(df, window_duration="1 day").collect()
     }
     assert got == {(1, 1): 2, (1, 2): 1, (2, 9): 1}
+
+
+def test_bpe_loop_under_checkpoint_dir(spark, tmp_path):
+    """The 100 TB path: with a dedup checkpoint dir set, every per-round
+    truncation is a parquet roundtrip (executor-loss-safe) — results
+    must be identical and the checkpoints must be cleaned up on scope
+    exit."""
+    import os
+
+    from topnotch_spark.operators.textqc import (
+        bpe_fertility_by_group,
+        bpe_merge_sequence,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low", "a"), (2, "newer newest new", "b")],
+        "doc_id long, text string, source string",
+    )
+    with dedup_scope():
+        want_seq = [
+            tuple(r)
+            for r in bpe_merge_sequence(
+                docs, "doc_id", "text", n_merges=4
+            ).collect()
+        ]
+        want_fert = sorted(
+            tuple(r)
+            for r in bpe_fertility_by_group(
+                docs, "doc_id", "text", "source", n_merges=4
+            ).collect()
+        )
+    ckdir = str(tmp_path / "ck")
+    with dedup_scope(checkpoint_dir=ckdir):
+        got_seq = [
+            tuple(r)
+            for r in bpe_merge_sequence(
+                docs, "doc_id", "text", n_merges=4
+            ).collect()
+        ]
+        got_fert = sorted(
+            tuple(r)
+            for r in bpe_fertility_by_group(
+                docs, "doc_id", "text", "source", n_merges=4
+            ).collect()
+        )
+        assert os.path.isdir(ckdir) and os.listdir(ckdir)
+    assert got_seq == want_seq
+    assert got_fert == want_fert
+    # scope exit released every checkpoint directory
+    leftovers = os.listdir(ckdir) if os.path.isdir(ckdir) else []
+    assert leftovers == []
