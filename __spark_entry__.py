@@ -132,6 +132,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_sequence_docs": oracles.bpe_merge_sequence_sql(
             n_merges=8
         ),
+        "unigram_lm_vocab_docs": oracles.unigram_lm_vocab_sql(
+            max_word_len=12, max_piece_len=4, seed_size=64,
+            vocab_size=48, n_rounds=2,
+        ),
+        "langid_accuracy": oracles.langid_accuracy_sql(
+            LANG_MARKERS, true_col="lang"
+        ),
+        "multimodal_phash_recall": oracles.multimodal_phash_recall_sql(),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

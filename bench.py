@@ -10,9 +10,12 @@ startup so per-query numbers reflect steady-state throughput.
 
 Run-to-run variance on local[32] measured at +/-25%, so each query runs
 $SPARK_GRAFT_BENCH_REPS times (default 3) and "queries" carries per-query
-MEDIANS; "spread" carries max-min per query so a noisy run is visible.
-"value" is the sum of medians. Round-over-round comparisons should use
-these medians, not single runs.
+MEDIANS; bench_out.json additionally carries per-query "spread"
+(max-min) and "min" (the least contention-polluted estimate — fall back
+to it when a median moves but the min does not). "value" is the sum of
+medians. Batch and streaming queries run in SEPARATE phases: streaming
+triggers' executor churn was the diagnosed source of 10x outlier reps
+in adjacent batch queries (r9 verdict item 3).
 """
 
 from __future__ import annotations
@@ -66,17 +69,25 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in qs}
     persist_users: set[str] = set()
-    # round-robin over the catalog so a machine-wide disturbance hits one
-    # rep of many queries rather than all reps of one query
-    for _ in range(reps):
-        for name, fn in qs.items():
-            t0 = time.time()
-            try:
-                if run_query(fn, spark, sf_dir):
-                    persist_users.add(name)
-                samples[name].append(round(time.time() - t0, 3))
-            except Exception as e:  # record failures as null, keep benching
-                print(f"bench error in {name}: {e}", file=sys.stderr)
+    # Two phases: all batch queries first, then the streaming family.
+    # Streaming queries spin up availableNow triggers + checkpoint dirs
+    # whose executor churn was the r9-diagnosed source of 10x+ outlier
+    # reps in ADJACENT batch queries (corr_lineitem_measures samples
+    # [1.97, 22.8, 1.70]); isolating the phases keeps batch numbers
+    # clean. Within each phase, round-robin so a machine-wide
+    # disturbance hits one rep of many queries, not all reps of one.
+    batch_qs = {n: f for n, f in qs.items() if not n.startswith("streaming_")}
+    stream_qs = {n: f for n, f in qs.items() if n.startswith("streaming_")}
+    for phase in (batch_qs, stream_qs):
+        for _ in range(reps):
+            for name, fn in phase.items():
+                t0 = time.time()
+                try:
+                    if run_query(fn, spark, sf_dir):
+                        persist_users.add(name)
+                    samples[name].append(round(time.time() - t0, 3))
+                except Exception as e:  # record failures as null, keep going
+                    print(f"bench error in {name}: {e}", file=sys.stderr)
     # Steady-state probe: the per-rep numbers above are COLD (dedup_scope
     # releases persisted intermediates between reps — the one-shot
     # pipeline cost). For EVERY query that registers persisted
@@ -117,6 +128,14 @@ def main() -> None:
         name: round(max(ts) - min(ts), 3) if ts else None
         for name, ts in samples.items()
     }
+    # per-query MIN alongside the median: the min is the least
+    # contention-polluted estimate of a query's true cost, the number
+    # round-over-round comparisons should fall back to when a median
+    # moves but the min does not (r9 verdict item 3)
+    mins = {
+        name: round(min(ts), 3) if ts else None
+        for name, ts in samples.items()
+    }
     total = round(sum(t for t in times.values() if t is not None), 3)
     compact = {
         "metric": "catalog_total_wallclock",
@@ -136,7 +155,8 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(
-            {**compact, "warm": warm, "spread": spread, "samples": samples},
+            {**compact, "warm": warm, "spread": spread, "min": mins,
+             "samples": samples},
             f,
             indent=1,
         )

@@ -1,12 +1,34 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from topnotch_spark.session import get_spark
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _run_in_tmp_cwd(tmp_path_factory):
+    """Run the whole suite from a scratch CWD so relative-path artifacts
+    (the engine's default ``topnotch/`` report dir, Spark's derby/warehouse
+    dirs) land under pytest's tmp tree instead of the repo root. Tests
+    reference the repo and testdata by absolute path, so nothing else
+    resolves against CWD."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Python workers used to find topnotch_spark via CWD=/root/repo;
+    # with the scratch CWD they need it on PYTHONPATH explicitly (set
+    # before the session starts so executors inherit it).
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo}{os.pathsep}{pp}" if pp else repo
+    prev = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("cwd"))
+    yield
+    os.chdir(prev)
+
+
 @pytest.fixture(scope="session")
-def spark():
+def spark(_run_in_tmp_cwd):
     s = get_spark(
         "topnotch_spark-tests",
         master="local[4]",

@@ -843,6 +843,35 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_lm_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer trainer over documents
+    (textqc.unigram_lm_vocab, Kudo 2018 — the SentencePiece
+    counterpart of bpe_merge_sequence_docs): seed vocab from frequent
+    substrings, 2 EM rounds of Viterbi-segment → re-estimate → prune,
+    emitting the final ranked piece vocabulary with fixed-point
+    milli-nat log-probs. Corpus reduces to its word vocabulary once;
+    every EM round is vocab-sized with checkpoint-truncated lineage."""
+    from topnotch_spark.operators.textqc import unigram_lm_vocab
+
+    return unigram_lm_vocab(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        max_word_len=12, max_piece_len=4, seed_size=64, vocab_size=48,
+        n_rounds=2,
+    )
+
+
+def langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-heuristic language-ID accuracy vs the documents table's
+    trusted ``lang`` label (textqc.langid_accuracy): per-language
+    precision/recall/f1 of the LANG_MARKERS classifier — the documented
+    boundary of the lexicon heuristic (a real deployment would swap in
+    fastText; this row keeps the substitute honest). Single corpus
+    scan; all aggregation on the ≤|langs|² confusion frame."""
+    from topnotch_spark.operators.textqc import langid_accuracy as _acc
+
+    return _acc(load(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram novelty rate (textqc.ngram_novelty): the
     share of each document's distinct word trigrams that no other
@@ -1069,6 +1098,16 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns differ in ~32 bits."""
     from topnotch_spark.operators.multimodal import phash_near_dups
 
+    return phash_near_dups(
+        _synthetic_tnimg_docs(spark, sf_dir), "doc_id", "content"
+    )
+
+
+def _synthetic_tnimg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) with one deterministic synthetic TNIMG blob per
+    document — the shared fixture of multimodal_phash_dedup /
+    multimodal_phash_recall (see multimodal_phash_dedup's docstring for
+    the burst/flip design)."""
     gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
     hex64 = F.concat(F.md5(gs), F.md5(F.concat(gs, F.lit("x"))))
     d = F.col("doc_id")
@@ -1104,11 +1143,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l", "DF",
     )
-    imgs = load(spark, sf_dir, "documents").select(
+    return load(spark, sf_dir, "documents").select(
         "doc_id",
         F.unhex(F.concat(F.lit("544E494D4700080008"), pix)).alias("content"),
     )
-    return phash_near_dups(imgs, "doc_id", "content")
+
+
+def multimodal_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall report for the perceptual-hash near-dup pipeline
+    (multimodal.phash_recall over the same synthetic TNIMG corpus as
+    multimodal_phash_dedup): exact all-pairs Hamming ≤ 3 vs the 4-band
+    16-bit LSH's found pairs. With max_hamming = bands - 1 the
+    pigeonhole bound says recall = 1.0 — this row proves it with data,
+    the media counterpart of dedup_minhash_recall. Exact side is a
+    broadcast-NLJ over the tiny signature table only."""
+    from topnotch_spark.operators.multimodal import phash_recall
+
+    return phash_recall(
+        _synthetic_tnimg_docs(spark, sf_dir), "doc_id", "content"
+    )
 
 
 def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3052,11 +3105,80 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scripts/strict_hash_check.py (stricter than the driver gate), recorded
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
-    # round-9 additions first (driver gate checks the leading 50 slots;
-    # a new query must earn a driver-side CORRECTNESS row in the round
-    # that ships it), then the stalest queries by last driver-checked
-    # round (the rotation protocol: every query's last driver row stays
-    # recent — r9 rotates the r04/r05-era view/asof/streaming block in)
+    # driver gate checks the LEADING 50 slots. r10 rotation:
+    # the 3 new r10 queries first (a new query must earn a
+    # driver-side CORRECTNESS row in the round that ships it),
+    # then the 13 queries whose last driver row was r05 (the
+    # staleness tail the r9 verdict flagged), then the oldest
+    # 34 of the r07 cohort; slots 51+ start with the 16
+    # remaining r07 queries so the r11 rotation is a shift.
+    "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
+    "langid_accuracy": langid_accuracy,
+    "multimodal_phash_recall": multimodal_phash_recall,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_sliding_metrics": streaming_sliding_metrics,
+    "streaming_transitions": streaming_transitions,
+    "streaming_window_metrics": streaming_window_metrics,
+    "text_gopher_rules": text_gopher_rules,
+    "text_readability": text_readability,
+    "text_token_entropy": text_token_entropy,
+    "text_unigram_logprob": text_unigram_logprob,
+    "token_histogram": token_histogram,
+    "train_split_assign": train_split_assign,
+    "trend_value_by_user": trend_value_by_user,
+    "view_small_qty_revenue": view_small_qty_revenue,
+    "winsorize_totalprice": winsorize_totalprice,
+    "anomaly_value_zscore": anomaly_value_zscore,
+    "basket_brand_pairs": basket_brand_pairs,
+    "cdc_apply_orders": cdc_apply_orders,
+    "corr_lineitem_measures": corr_lineitem_measures,
+    "decontaminate_embedding": decontaminate_embedding,
+    "dedup_clusters": dedup_clusters,
+    "dedup_containment": dedup_containment,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_keep_best": dedup_keep_best,
+    "dedup_lines_footer": dedup_lines_footer,
+    "dedup_minhash_recall": dedup_minhash_recall,
+    "drift_ks_binned": drift_ks_binned,
+    "drift_ks_totalprice": drift_ks_totalprice,
+    "embedding_centroids": embedding_centroids,
+    "embedding_quantize": embedding_quantize,
+    "event_gaps_by_user": event_gaps_by_user,
+    "ewma_value_by_user": ewma_value_by_user,
+    "fk_integrity": fk_integrity,
+    "k_anonymity_customers": k_anonymity_customers,
+    "key_skew_orders": key_skew_orders,
+    "l_diversity_customers": l_diversity_customers,
+    "melt_part_measures": melt_part_measures,
+    "mi_priority_status": mi_priority_status,
+    "pack_token_shards": pack_token_shards,
+    "pack_token_shards_partitioned": pack_token_shards_partitioned,
+    "profile_lineitem_approx": profile_lineitem_approx,
+    "sample_stratified": sample_stratified,
+    "sample_stratified_topn": sample_stratified_topn,
+    "similarity_ann_recall": similarity_ann_recall,
+    "spatial_customer_supplier": spatial_customer_supplier,
+    "streaming_anomaly": streaming_anomaly,
+    "streaming_ewma": streaming_ewma,
+    "text_bigram_logprob": text_bigram_logprob,
+    "text_chunks": text_chunks,
+    # ---- below: not checked by the r10 driver gate ----
+    "text_normalize": text_normalize,
+    "text_pii_scrub": text_pii_scrub,
+    "text_quality_filter": text_quality_filter,
+    "text_repetition": text_repetition,
+    "text_tfidf_keywords": text_tfidf_keywords,
+    "text_vocab_topk": text_vocab_topk,
+    "token_drift_langs": token_drift_langs,
+    "view_big_qty_orders": view_big_qty_orders,
+    "view_cust_order_dist": view_cust_order_dist,
+    "view_late_orders_exists": view_late_orders_exists,
+    "view_nation_volume": view_nation_volume,
+    "view_rich_inactive_custs": view_rich_inactive_custs,
+    "vocab_overlap_langs": vocab_overlap_langs,
+    "weighted_sample_bylength": weighted_sample_bylength,
+    "weighted_topn_docs": weighted_topn_docs,
+    "zorder_customers": zorder_customers,
     "bpe_merge_sequence_docs": bpe_merge_sequence_docs,
     "bpe_fertility_by_source": bpe_fertility_by_source,
     "event_paths_top": event_paths_top,
@@ -3107,19 +3229,6 @@ ALL = {
     "streaming_error_click_join": streaming_error_click_join,
     "streaming_funnel": streaming_funnel,
     "streaming_session_window": streaming_session_window,
-    "streaming_sessionize": streaming_sessionize,
-    "streaming_sliding_metrics": streaming_sliding_metrics,
-    "streaming_transitions": streaming_transitions,
-    "streaming_window_metrics": streaming_window_metrics,
-    "text_gopher_rules": text_gopher_rules,
-    "text_readability": text_readability,
-    "text_token_entropy": text_token_entropy,
-    "text_unigram_logprob": text_unigram_logprob,
-    "token_histogram": token_histogram,
-    "train_split_assign": train_split_assign,
-    "trend_value_by_user": trend_value_by_user,
-    "view_small_qty_revenue": view_small_qty_revenue,
-    "winsorize_totalprice": winsorize_totalprice,
     "text_classifier_quality": text_classifier_quality,
     "streaming_distinct_users": streaming_distinct_users,
     "graph_pagerank_parts": graph_pagerank_parts,
@@ -3170,54 +3279,4 @@ ALL = {
     "text_token_stats": text_token_stats,
     "timeseries_resample": timeseries_resample,
     "view_cube_revenue": view_cube_revenue,
-    "k_anonymity_customers": k_anonymity_customers,
-    "basket_brand_pairs": basket_brand_pairs,
-    "spatial_customer_supplier": spatial_customer_supplier,
-    "view_late_orders_exists": view_late_orders_exists,
-    "view_rich_inactive_custs": view_rich_inactive_custs,
-    "dedup_lines_footer": dedup_lines_footer,
-    "weighted_sample_bylength": weighted_sample_bylength,
-    "similarity_ann_recall": similarity_ann_recall,
-    "dedup_duplicate_spans": dedup_duplicate_spans,
-    "text_bigram_logprob": text_bigram_logprob,
-    "token_drift_langs": token_drift_langs,
-    "vocab_overlap_langs": vocab_overlap_langs,
-    "l_diversity_customers": l_diversity_customers,
-    "ewma_value_by_user": ewma_value_by_user,
-    "anomaly_value_zscore": anomaly_value_zscore,
-    "zorder_customers": zorder_customers,
-    "view_big_qty_orders": view_big_qty_orders,
-    "decontaminate_embedding": decontaminate_embedding,
-    "streaming_anomaly": streaming_anomaly,
-    "event_gaps_by_user": event_gaps_by_user,
-    "view_cust_order_dist": view_cust_order_dist,
-    "view_nation_volume": view_nation_volume,
-    "cdc_apply_orders": cdc_apply_orders,
-    "melt_part_measures": melt_part_measures,
-    "dedup_minhash_recall": dedup_minhash_recall,
-    "corr_lineitem_measures": corr_lineitem_measures,
-    "mi_priority_status": mi_priority_status,
-    "weighted_topn_docs": weighted_topn_docs,
-    "streaming_ewma": streaming_ewma,
-    "profile_lineitem_approx": profile_lineitem_approx,
-    "pack_token_shards_partitioned": pack_token_shards_partitioned,
-    "text_normalize": text_normalize,
-    "fk_integrity": fk_integrity,
-    "key_skew_orders": key_skew_orders,
-    "dedup_containment": dedup_containment,
-    "embedding_quantize": embedding_quantize,
-    "dedup_clusters": dedup_clusters,
-    "dedup_keep_best": dedup_keep_best,
-    "text_chunks": text_chunks,
-    "text_pii_scrub": text_pii_scrub,
-    "text_quality_filter": text_quality_filter,
-    "text_vocab_topk": text_vocab_topk,
-    "embedding_centroids": embedding_centroids,
-    "sample_stratified": sample_stratified,
-    "sample_stratified_topn": sample_stratified_topn,
-    "text_tfidf_keywords": text_tfidf_keywords,
-    "pack_token_shards": pack_token_shards,
-    "drift_ks_totalprice": drift_ks_totalprice,
-    "drift_ks_binned": drift_ks_binned,
-    "text_repetition": text_repetition,
 }

@@ -563,6 +563,91 @@ def simhash_dedup(
     return bitstring_band_pairs(base, bits, band_bits, max_hamming)
 
 
+def _bitstring_hamming(col1: str, col2: str, bits: int):
+    """Codegen'd Hamming distance between two ``bits``-char '0'/'1'
+    string columns: fold 32 bits at a time into bigints (conv base-2;
+    32-bit chunks stay under 2^32 so the unsigned conv always casts)
+    and sum bit_count(a XOR b) per chunk — one expression, any width."""
+
+    def chunk_int(col: str, start: int, width: int):
+        return F.conv(F.substring(F.col(col), start, width), 2, 10).cast(
+            "bigint"
+        )
+
+    terms = []
+    for start in range(1, bits + 1, 32):
+        width = min(32, bits - start + 1)
+        terms.append(
+            F.bit_count(
+                chunk_int(col1, start, width).bitwiseXOR(
+                    chunk_int(col2, start, width)
+                )
+            )
+        )
+    hamming = terms[0]
+    for term in terms[1:]:
+        hamming = hamming + term
+    return hamming
+
+
+def bitstring_recall(
+    base: DataFrame,
+    bits: int,
+    band_bits: int,
+    max_hamming: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall of banded-LSH bit-signature dedup against the EXACT
+    Hamming ≤ max_hamming pair set — the media-family counterpart of
+    :func:`minhash_recall` (phash/audio/video signatures all share the
+    :func:`bitstring_band_pairs` tail). Returns ONE row:
+    (n_exact_pairs, n_found_pairs, recall).
+
+    Pigeonhole says recall is exactly 1.0 whenever ``max_hamming ≤
+    bands - 1`` — this query PROVES the configuration with data (and
+    quantifies the loss when a config violates the bound). The exact
+    side is a broadcast-NLJ all-pairs over the tiny (id, sh) signature
+    table — the documented exact baseline (the similarity_ann_recall
+    convention), priced |ids|²; run it on a sample at 100 TB, exactly
+    like minhash_recall's exact side. ``base`` should be persisted by
+    the caller — it feeds the banding join twice plus both exact
+    sides."""
+    exact = (
+        base.alias("a")
+        .join(
+            F.broadcast(base.alias("b")),
+            F.col("a.id") < F.col("b.id"),
+        )
+        .select(
+            F.col("a.id").alias("id_1"),
+            F.col("b.id").alias("id_2"),
+            _bitstring_hamming("a.sh", "b.sh", bits).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    exact = _persist(exact.select("id_1", "id_2"))
+    found = _persist(
+        bitstring_band_pairs(base, bits, band_bits, max_hamming).select(
+            "id_1", "id_2"
+        )
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    hit = exact.join(found, ["id_1", "id_2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found_pairs")
+    )
+    return tot.crossJoin(hit).select(
+        "n_exact_pairs",
+        "n_found_pairs",
+        F.round(
+            F.try_divide(
+                F.col("n_found_pairs").cast("double"),
+                F.col("n_exact_pairs").cast("double"),
+            ),
+            round_digits,
+        ).alias("recall"),
+    )
+
+
 def bitstring_band_pairs(
     base: DataFrame, bits: int, band_bits: int, max_hamming: int
 ) -> DataFrame:
@@ -603,24 +688,7 @@ def bitstring_band_pairs(
     )
     left = buckets.select(F.col("id").alias("id_1"), F.col("sh").alias("sh_1"), "band_idx", "bucket")
     right = buckets.select(F.col("id").alias("id_2"), F.col("sh").alias("sh_2"), "band_idx", "bucket")
-    def chunk_int(col: str, start: int, width: int):
-        return F.conv(F.substring(F.col(col), start, width), 2, 10).cast(
-            "bigint"
-        )
-
-    chunk_terms = []
-    for start in range(1, bits + 1, 32):
-        width = min(32, bits - start + 1)
-        chunk_terms.append(
-            F.bit_count(
-                chunk_int("sh_1", start, width).bitwiseXOR(
-                    chunk_int("sh_2", start, width)
-                )
-            )
-        )
-    hamming = chunk_terms[0]
-    for term in chunk_terms[1:]:
-        hamming = hamming + term
+    hamming = _bitstring_hamming("sh_1", "sh_2", bits)
     return (
         left.join(right, ["band_idx", "bucket"])
         .filter(F.col("id_1") < F.col("id_2"))

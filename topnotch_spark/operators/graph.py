@@ -52,6 +52,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# lineage-truncation cadence of the pagerank/PPR walk loops: one
+# checkpoint every _CKPT_CADENCE rounds (plus the final round).
+# Module-level so the SCALE.md cadence experiment can override it.
+_CKPT_CADENCE = 2
+
 
 def cooccurrence_edges(
     df: DataFrame,
@@ -132,7 +137,9 @@ def pagerank(
     output carries an extra ``n_rounds`` column recording the REALIZED
     round count, which an oracle replay must pin to stay exact.
     Default None keeps the fixed-``iters`` contract (and schema)
-    unchanged.
+    unchanged. NOTE: ``tol_scaled`` makes plan CONSTRUCTION run Spark
+    jobs (each probe collects a scalar; the segment is persisted so
+    probe + checkpoint compute it exactly once — see _truncate_probe).
 
     ``broadcast_ranks`` (default True) hints the node-sized shares
     frame into the per-round edge join as a broadcast: it is |nodes|
@@ -208,12 +215,12 @@ def pagerank(
         # truncate lineage every OTHER round (and on the last): one
         # checkpoint covers two broadcast-joined rounds' plan depth, and
         # each eager truncation is a whole scheduled job on a node-sized
-        # frame — fixed overhead worth halving
-        if it % 2 == 1 or it == iters - 1:
-            converged = tol_scaled is not None and _delta_below(
-                ranks, prev, tol_scaled
+        # frame — fixed overhead worth halving (cadence 2 vs 3 vs 4
+        # measured at sf0.1 — SCALE.md §5; 2 won)
+        if it % _CKPT_CADENCE == _CKPT_CADENCE - 1 or it == iters - 1:
+            ranks, ckpt, converged = _truncate_probe(
+                ranks, prev, ckpt, tol_scaled
             )
-            ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
             prev = ranks
             if converged:
                 realized = it + 1
@@ -230,6 +237,34 @@ def pagerank(
         _d._PERSISTED.append(out)
         _d._CHECKPOINTED[id(out)] = ckpt
     return out
+
+
+def _truncate_probe(
+    ranks: DataFrame,
+    prev: DataFrame,
+    ckpt: str | None,
+    tol_scaled: int | None,
+) -> tuple[DataFrame, str | None, bool]:
+    """Close a walk segment: truncate lineage, and when tol-gated also
+    probe convergence — computing the segment exactly ONCE. Without a
+    tolerance the checkpoint stays lazy (eager=False: zero jobs during
+    plan construction). With one, the segment is persisted transiently
+    so the delta probe's collect materializes it and the (eager)
+    checkpoint reads the cache instead of recomputing the 2-round plan
+    — previously the probe and the lazy checkpoint each computed it.
+    Probe-before-truncate also keeps the parquet-checkpoint path safe:
+    ``prev``'s files are deleted by _truncate_round only after the
+    probe has read them."""
+    from topnotch_spark.operators.cluster import _truncate_round
+
+    if tol_scaled is None:
+        ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
+        return ranks, ckpt, False
+    cached = ranks.persist()
+    converged = _delta_below(cached, prev, tol_scaled)
+    ranks, ckpt = _truncate_round(cached, ckpt)
+    cached.unpersist()
+    return ranks, ckpt, converged
 
 
 def _delta_below(ranks: DataFrame, prev: DataFrame, tol_scaled: int) -> bool:
@@ -445,11 +480,10 @@ def personalized_pagerank(
                 ),
             )
         )
-        if it % 2 == 1 or it == iters - 1:
-            converged = tol_scaled is not None and _delta_below(
-                ranks, prev, tol_scaled
+        if it % _CKPT_CADENCE == _CKPT_CADENCE - 1 or it == iters - 1:
+            ranks, ckpt, converged = _truncate_probe(
+                ranks, prev, ckpt, tol_scaled
             )
-            ranks, ckpt = _truncate_round(ranks, ckpt, eager=False)
             prev = ranks
             if converged:
                 realized = it + 1

@@ -365,6 +365,43 @@ def phash_near_dups(
     return bitstring_band_pairs(base, bits, band_bits, max_hamming)
 
 
+def phash_recall(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    hash_type: str = "ahash",
+    grid: int = 8,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall report for :func:`phash_near_dups`'s banding: exact
+    all-pairs Hamming ≤ max_hamming over the perceptual-hash table vs
+    the banded pipeline's found pairs — the media counterpart of
+    dedup.minhash_recall. One row: (n_exact_pairs, n_found_pairs,
+    recall). Pigeonhole guarantees recall = 1.0 while max_hamming ≤
+    bands - 1 (the default 3 = 64/16 - 1); this query proves the bound
+    with data and quantifies the loss for looser configs. The exact
+    side is a broadcast-NLJ over the tiny (id, hash) table — signatures
+    only, blobs never join; sample at 100 TB as with minhash_recall."""
+    from topnotch_spark.operators.dedup import _persist, bitstring_recall
+
+    bits = grid * grid
+    if bits % band_bits:
+        raise ValueError(
+            f"phash_recall: band_bits={band_bits} must divide "
+            f"grid²={bits}"
+        )
+    base = _persist(
+        perceptual_hash(
+            df, bin_col, keep_cols=(id_col,), hash_type=hash_type, grid=grid
+        ).select(F.col(id_col).alias("id"), F.col("phash").alias("sh"))
+    )
+    return bitstring_recall(
+        base, bits, band_bits, max_hamming, round_digits=round_digits
+    )
+
+
 def video_frame_hashes(
     df: DataFrame,
     bin_col: str = "content",

@@ -812,10 +812,13 @@ def cluster_silhouette(
     )
     cc1 = F.col("t2")[0]["cc"]
     cc2 = F.col("t2")[1]["cc"]
+    # >= 0 guard (not == 0): cosine() is unclamped, so an identical or
+    # near-duplicate centroid can put cc2 at 1.0 + ulp — a tiny negative
+    # denominator would make s unbounded instead of the documented 0.
     s = F.when(
         F.size("t2") < 2, F.lit(None)
     ).when(
-        (F.lit(1.0) - cc2) == 0, F.lit(0.0)
+        (F.lit(1.0) - cc2) <= 0, F.lit(0.0)
     ).otherwise((cc1 - cc2) / (F.lit(1.0) - cc2))
     per_vec = top2.select(
         (-F.col("t2")[0]["nid"]).alias("own"),

@@ -89,9 +89,16 @@ def _lang_score(text_col: str, markers: list[str]) -> Column:
     return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Stopword-marker language ID with a CJK-character override.
     Deterministic argmax with fixed language order tiebreak.
+    ``extra_cols`` pass through unchanged (so consumers like
+    :func:`langid_accuracy` stay single-scan instead of self-joining).
 
     Staged in two selects so each marker score is computed ONCE as a
     column and the argmax/tiebreak reference cheap attributes — a single
@@ -103,6 +110,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     has_cjk = F.col(text_col).rlike("[\\x{4e00}-\\x{9fff}]")
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
         has_cjk.alias("__cjk__"),
         *[scores[lang].alias(f"__s_{lang}__") for lang in LANG_MARKERS],
     )
@@ -111,6 +119,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in LANG_MARKERS:  # insertion order = tiebreak priority
         pred = pred.when(F.col(f"__s_{lang}__") == best_score, F.lit(lang))
     cols = [F.col(id_col)]
+    cols += [F.col(c) for c in (extra_cols or [])]
     cols += [
         F.round(F.col(f"__s_{lang}__"), 6).alias(f"score_{lang}")
         for lang in LANG_MARKERS
@@ -1344,3 +1353,305 @@ def collocations(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (Kudo 2018 / SentencePiece counterpart of the
+# BPE loop above)
+# ---------------------------------------------------------------------------
+
+# fixed-point log: milli-nats of an integer count. round() on the double
+# ln keeps both engines identical except at half-milli boundaries (the
+# repo-wide micro/milli-rounding convention — see cluster_silhouette).
+_UNI_ILOG = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)"
+# unreachable-cost sentinel for pieces missing from the vocab map; never
+# accumulated (single-char coverage keeps every DP position reachable),
+# only compared away by array_max
+_UNI_MINF = -(10**15)
+
+
+def _unigram_lp(vocab: DataFrame) -> DataFrame:
+    """(piece, freq, lp_milli) from a (piece, freq) vocab frame:
+    ``lp = ilog(max(freq,1)) - ilog(T)`` with ``T = Σ max(freq,1)`` —
+    the max(,1) smooths always-kept single chars whose usage dropped to
+    0 so ln stays finite (Kudo keeps them for coverage). The 1-row
+    total rides in via a broadcast cross join, never a collect."""
+    fr = vocab.select(
+        "piece",
+        "freq",
+        F.expr("greatest(freq, CAST(1 AS BIGINT))").alias("__f__"),
+    )
+    tot = fr.agg(F.sum("__f__").alias("__T__"))
+    return fr.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "freq",
+        (
+            F.expr(_UNI_ILOG.format(x="__f__"))
+            - F.expr(_UNI_ILOG.format(x="__T__"))
+        ).alias("lp_milli"),
+    )
+
+
+def _unigram_viterbi_pieces(
+    words: DataFrame, lp: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """(piece, wc) exploded from each word's Viterbi segmentation under
+    the current vocab log-probs — the E-step, entirely in codegen'd
+    higher-order functions (zero Python rows).
+
+    DP over word positions: ``dp[i] = max over j in [i-P, i) of
+    dp[j].c + lp(word[j..i])``; candidates are structs (cost, -j) so
+    ``array_max`` implements (max cost, then MIN predecessor j) — ties
+    therefore resolve to the segmentation whose reversed interior
+    boundary list is lexicographically smallest, the contract the
+    DuckDB oracle reproduces by enumerating all segmentations and
+    sorting (cost DESC, list_reverse(interior bounds) ASC). The vocab
+    rides in as ONE broadcast map column (bounded by |vocab| entries —
+    the bounded-collect_list pattern of cluster_silhouette)."""
+    P = int(max_piece_len)
+    dp_expr = f"""
+      aggregate(
+        sequence(1, length(word)),
+        array(named_struct('c', CAST(0 AS BIGINT), 'nj', 0)),
+        (acc, i) -> concat(acc, array(
+          array_max(transform(
+            sequence(greatest(i - {P}, 0), i - 1),
+            j -> named_struct(
+              'c', element_at(acc, j + 1).c + coalesce(
+                     try_element_at(__vm__, substring(word, j + 1, i - j)),
+                     CAST({_UNI_MINF} AS BIGINT)),
+              'nj', -j))))))
+    """
+    walk_expr = """
+      aggregate(
+        sequence(1, length(word)),
+        array(CAST(length(word) AS INT)),
+        (acc, x) -> IF(element_at(acc, 1) > 0,
+                       concat(array(-element_at(__dp__,
+                                element_at(acc, 1) + 1).nj), acc),
+                       acc))
+    """
+    pieces_expr = """
+      transform(sequence(1, size(__bd__) - 1),
+        k -> substring(word, element_at(__bd__, k) + 1,
+                       element_at(__bd__, k + 1) - element_at(__bd__, k)))
+    """
+    vmap = lp.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("lp_milli")))
+        ).alias("__vm__")
+    )
+    return (
+        words.crossJoin(F.broadcast(vmap))
+        .select("word", "wc", F.expr(dp_expr).alias("__dp__"))
+        .select("word", "wc", F.expr(walk_expr).alias("__bd__"))
+        .select(F.explode(F.expr(pieces_expr)).alias("piece"), "wc")
+    )
+
+
+def unigram_lm_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece
+    algorithm; the subword-regularization counterpart of
+    :func:`bpe_merge_sequence`): seed a piece vocabulary from frequent
+    substrings, then run ``n_rounds`` EM rounds — E: Viterbi-segment
+    the corpus vocabulary under the current piece log-probs; M:
+    re-estimate probs from realized piece usage and prune to the
+    ``vocab_size`` best pieces (single characters are never pruned, so
+    every word stays segmentable — Kudo's coverage constraint).
+
+    Deterministic contract (shared with the DuckDB oracle and the
+    pure-Python property replay): words = whitespace tokens with
+    ``length ≤ max_word_len``; seed = the ``seed_size`` most frequent
+    multi-char substrings of length ≤ ``max_piece_len`` (count desc,
+    piece asc — counts weighted by word frequency, one per occurrence
+    position) plus every corpus character; piece log-probs are
+    FIXED-POINT MILLI-NATS ``ilog(freq) - ilog(T)`` with
+    ``ilog(x) = round(1000·ln x)`` as BIGINT; Viterbi maximizes the
+    lp sum with ties broken toward the minimal predecessor position
+    (equivalently: lexicographically smallest reversed interior
+    boundary list); pruning keeps the top ``vocab_size`` multi-char
+    pieces by (usage desc, piece asc) plus all single chars.
+
+    Returns the final vocabulary: (rank, piece, freq, lp_milli)
+    ordered by rank = row_number over (freq desc, piece asc) — freq is
+    the last E-step's realized usage (0 possible only for kept-for-
+    coverage chars).
+
+    Execution shape (100 TB): the corpus reduces to its VOCABULARY once
+    (one map-side-combined groupBy(word), sublinear by Heaps' law,
+    materialized via the dedup-family persist so every EM round reuses
+    it); each round is then vocab-sized — one broadcast map of ≤
+    |vocab| entries, one linear-time DP per distinct word inside
+    whole-stage codegen, one groupBy(piece). Round lineage is truncated
+    with the connected-components checkpoint helper, so plan depth
+    stays constant in ``n_rounds``. No driver-side collect anywhere.
+    The final global rank window runs on a ≤ (vocab_size + |alphabet|)-
+    row frame."""
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    if n_rounds < 1:
+        raise ValueError("unigram_lm_vocab: n_rounds must be >= 1")
+    if max_piece_len < 2:
+        raise ValueError("unigram_lm_vocab: max_piece_len must be >= 2")
+    P = int(max_piece_len)
+
+    words = _persist(
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # every substring occurrence of length 1..P, weighted by word freq
+    subs = words.select(
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(
+                  sequence(1, least({P}, length(word))),
+                  l -> transform(sequence(1, length(word) - l + 1),
+                                 i -> substring(word, i, l))))
+                """
+            )
+        ).alias("piece"),
+        "wc",
+    ).groupBy("piece").agg(F.sum("wc").alias("freq"))
+    seed_multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    lp, ckpt = _truncate_round(
+        _unigram_lp(seed_multi.unionByName(chars)), None
+    )
+    for _ in range(n_rounds):
+        usage = (
+            _unigram_viterbi_pieces(words, lp, P)
+            .groupBy("piece")
+            .agg(F.sum("wc").alias("freq"))
+        )
+        top = (
+            usage.filter(F.length("piece") >= 2)
+            .orderBy(F.col("freq").desc(), F.col("piece").asc())
+            .limit(vocab_size)
+        )
+        # single chars are recovered from the CURRENT vocab (they are
+        # always rows in it) — no separate lineage chain to checkpoint
+        kept_chars = (
+            lp.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("freq"), F.lit(0).cast("long")).alias(
+                    "freq"
+                ),
+            )
+        )
+        lp, ckpt = _truncate_round(
+            _unigram_lp(top.unionByName(kept_chars)), ckpt
+        )
+    w = Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
+    result = lp.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "piece",
+        "freq",
+        "lp_milli",
+    ).orderBy("rank")
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(result)
+        _d._CHECKPOINTED[id(result)] = ckpt
+    return result
+
+
+def langid_accuracy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    true_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Accuracy audit of the marker-heuristic language classifier
+    (:func:`language_id`) against a trusted label column — the honesty
+    deliverable for a lexicon-based langid: per language,
+    (n_true, n_pred, n_correct, precision, recall, f1), so users see
+    exactly where the tiny marker lexicons (LANG_MARKERS) break down
+    (e.g. marker-free short docs falling to the 'en' tiebreak) before
+    trusting the predictions in a filter.
+
+    Rows: every language appearing as a true label OR a prediction.
+    precision = n_correct / n_pred (NULL when never predicted),
+    recall = n_correct / n_true (NULL when never true), f1 harmonic
+    (NULL when precision + recall is 0 or either is NULL); all rounded
+    to ``round_digits``.
+
+    Single corpus scan: the true label rides through language_id's
+    passthrough (no self-join), the (true, predicted) confusion matrix
+    is one map-side-combined groupBy on a ≤|langs|² frame, and the
+    per-role stats explode that tiny frame — never the corpus."""
+    base = language_id(df, id_col, text_col, extra_cols=[true_col])
+    conf = (
+        base.select(
+            F.col(true_col).alias("__t__"), F.col("predicted_lang").alias("__p__")
+        )
+        .groupBy("__t__", "__p__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    # one pass over the tiny confusion frame: each cell contributes a
+    # true-role row (n_true, n_correct) and a pred-role row (n_pred)
+    roles = conf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__t__").alias("lang"),
+                    F.col("__n__").alias("n_true"),
+                    F.lit(0).cast("long").alias("n_pred"),
+                    F.when(F.col("__t__") == F.col("__p__"), F.col("__n__"))
+                    .otherwise(F.lit(0).cast("long"))
+                    .alias("n_correct"),
+                ),
+                F.struct(
+                    F.col("__p__").alias("lang"),
+                    F.lit(0).cast("long").alias("n_true"),
+                    F.col("__n__").alias("n_pred"),
+                    F.lit(0).cast("long").alias("n_correct"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    agg = roles.groupBy("lang").agg(
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_correct").alias("n_correct"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("n_correct") / F.col("n_pred")
+    )
+    rec = F.when(
+        F.col("n_true") > 0, F.col("n_correct") / F.col("n_true")
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    return agg.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.round(prec, round_digits).alias("precision"),
+        F.round(rec, round_digits).alias("recall"),
+        F.round(f1, round_digits).alias("f1"),
+    ).orderBy("lang")

@@ -728,7 +728,7 @@ def cluster_silhouette_sql(
         ),
         per_vec AS (
           SELECT f.centroid_id AS own,
-                 CAST(round(CASE WHEN (1.0 - s.cc) = 0 THEN 0.0
+                 CAST(round(CASE WHEN (1.0 - s.cc) <= 0 THEN 0.0
                       ELSE (f.cc - s.cc) / (1.0 - s.cc) END * 1000000)
                    AS BIGINT) AS sm
           FROM (SELECT id, centroid_id, cc FROM ranked WHERE rn = 1) f
@@ -2099,20 +2099,14 @@ def retrieval_rrf_sql(
     """
 
 
-def multimodal_phash_dedup_sql(
-    grid: int = 8, band_bits: int = 16, max_hamming: int = 3
-) -> str:
-    """Mirror of catalog.multimodal_phash_dedup: rebuild each synthetic
-    8x8 image's PIXEL VALUES from the same md5(burst)-pattern +
-    per-doc-flips formula the Spark side packs into TNIMG blobs (the
-    blob container round-trip is byte-exact, so hashing the rebuilt
-    pixels equals hashing the decoded payload), then the identical
-    integer ahash (bit = grid²·px > Σpx), banding, candidate join, and
-    Hamming verify."""
+def _phash_bits_ctes(grid: int) -> str:
+    """Shared CTE prefix rebuilding the synthetic TNIMG corpus's ahash
+    signature table (doc_id, sh): md5(burst)-pattern pixels +
+    per-doc flips, integer ahash bit = grid²·px > Σpx. Used by the
+    phash dedup mirror and the phash recall mirror."""
     bits = grid * grid
-    n_bands = bits // band_bits
     return f"""
-        WITH ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
+        ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
         hx AS (
           SELECT doc_id,
                  md5(CAST(doc_id // 8 AS VARCHAR))
@@ -2138,7 +2132,23 @@ def multimodal_phash_dedup_sql(
                             '' ORDER BY k) AS sh
           FROM px JOIN tot USING (doc_id)
           GROUP BY px.doc_id
-        ),
+        )"""
+
+
+def multimodal_phash_dedup_sql(
+    grid: int = 8, band_bits: int = 16, max_hamming: int = 3
+) -> str:
+    """Mirror of catalog.multimodal_phash_dedup: rebuild each synthetic
+    8x8 image's PIXEL VALUES from the same md5(burst)-pattern +
+    per-doc-flips formula the Spark side packs into TNIMG blobs (the
+    blob container round-trip is byte-exact, so hashing the rebuilt
+    pixels equals hashing the decoded payload), then the identical
+    integer ahash (bit = grid²·px > Σpx), banding, candidate join, and
+    Hamming verify."""
+    bits = grid * grid
+    n_bands = bits // band_bits
+    return f"""
+        WITH {_phash_bits_ctes(grid)},
         buckets AS (
           SELECT doc_id, sh, b AS band_idx,
                  substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
@@ -2162,6 +2172,55 @@ def multimodal_phash_dedup_sql(
         )
         SELECT id_1, id_2, hamming FROM verified
         WHERE hamming <= {max_hamming}
+    """
+
+
+def multimodal_phash_recall_sql(
+    grid: int = 8, band_bits: int = 16, max_hamming: int = 3,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.multimodal_phash_recall
+    (dedup.bitstring_recall over the phash signature table): exact
+    all-pairs Hamming ≤ max_hamming vs the banded pipeline's found
+    pairs, one (n_exact_pairs, n_found_pairs, recall) row. Counts via
+    count(*) stay BIGINT (the HUGEINT lesson)."""
+    bits = grid * grid
+    n_bands = bits // band_bits
+    return f"""
+        WITH {_phash_bits_ctes(grid)},
+        exact AS (
+          SELECT a.doc_id AS id_1, b.doc_id AS id_2
+          FROM bits_t a JOIN bits_t b ON a.doc_id < b.doc_id
+          WHERE len(list_filter(generate_series(1, {bits}),
+                    i -> substr(a.sh, i, 1) <> substr(b.sh, i, 1)))
+                <= {max_hamming}
+        ),
+        buckets AS (
+          SELECT doc_id, sh, b AS band_idx,
+                 substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
+          FROM bits_t,
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+        ),
+        found AS (
+          SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+          FROM buckets a
+          JOIN buckets b
+            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+          WHERE len(list_filter(generate_series(1, {bits}),
+                    i -> substr(a.sh, i, 1) <> substr(b.sh, i, 1)))
+                <= {max_hamming}
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact)
+                 AS n_exact_pairs,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM exact e SEMI JOIN found f
+                  ON e.id_1 = f.id_1 AND e.id_2 = f.id_2)
+                 AS n_found_pairs,
+               round((SELECT count(*) FROM exact e SEMI JOIN found f
+                        ON e.id_1 = f.id_1 AND e.id_2 = f.id_2) * 1.0
+                     / nullif((SELECT count(*) FROM exact), 0),
+                     {round_digits}) AS recall
     """
 
 
@@ -4692,4 +4751,179 @@ def streaming_distinct_users_sql(window: str = "1 hour") -> str:
                     THEN CAST({lc_list}[256 - n_regs] AS BIGINT)
                     ELSE raw_est END AS est_distinct
         FROM rolled
+    """
+
+
+def unigram_lm_vocab_sql(
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+) -> str:
+    """Mirror of textqc.unigram_lm_vocab (Kudo 2018 EM trainer). The
+    E-step's Viterbi DP is replayed by ENUMERATING every segmentation
+    with a recursive CTE (words are ≤ max_word_len chars, so paths are
+    bounded) and picking, per word, the max-lp-sum path with ties
+    broken by lexicographically smallest reversed interior boundary
+    list — provably the same segmentation the Spark DP's
+    (max cost, min predecessor) reconstruction selects. Fixed-point
+    milli-nat log-probs (round(1000·ln x) as BIGINT) keep both engines
+    bit-identical; every sum() is cast back to BIGINT (DuckDB sums
+    BIGINT into HUGEINT — the round-2 strict-hash lesson)."""
+    W, P = int(max_word_len), int(max_piece_len)
+    ilog = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)"
+
+    def lp_cte(n: int, vocab: str) -> str:
+        return f"""
+        lp{n} AS (
+          SELECT piece, freq,
+                 {ilog.format(x="greatest(freq, CAST(1 AS BIGINT))")}
+                 - {ilog.format(x="t.__T__")} AS lp_milli
+          FROM {vocab},
+               (SELECT CAST(sum(greatest(freq, CAST(1 AS BIGINT)))
+                            AS BIGINT) AS __T__ FROM {vocab}) t
+        )"""
+
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(f"""
+        p{r} AS (
+          SELECT word, wc, CAST(0 AS BIGINT) AS cost, 0 AS pos,
+                 [0] AS bounds
+          FROM words
+          UNION ALL
+          SELECT p.word, p.wc, p.cost + v.lp_milli,
+                 p.pos + length(v.piece),
+                 list_append(p.bounds, p.pos + length(v.piece))
+          FROM p{r} p JOIN lp{r - 1} v
+            ON length(v.piece) <= length(p.word) - p.pos
+           AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+        ),
+        best{r} AS (
+          SELECT word, wc, bounds FROM (
+            SELECT word, wc, bounds,
+                   row_number() OVER (
+                     PARTITION BY word
+                     ORDER BY cost DESC,
+                              list_reverse(bounds[2:len(bounds) - 1]) ASC
+                   ) AS rn
+            FROM p{r} WHERE pos = length(word)
+          ) WHERE rn = 1
+        ),
+        usage{r} AS (
+          SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+          FROM (
+            SELECT substr(word, bounds[k] + 1,
+                          bounds[k + 1] - bounds[k]) AS piece, wc
+            FROM best{r}, range(1, {W} + 1) t(k)
+            WHERE k <= len(bounds) - 1
+          ) GROUP BY piece
+        ),
+        v{r} AS (
+          SELECT piece, freq FROM (
+            SELECT piece, freq FROM usage{r} WHERE length(piece) >= 2
+            ORDER BY freq DESC, piece ASC LIMIT {vocab_size}
+          )
+          UNION ALL
+          SELECT c.piece, coalesce(u.freq, CAST(0 AS BIGINT)) AS freq
+          FROM (SELECT piece FROM subs WHERE length(piece) = 1) c
+          LEFT JOIN usage{r} u USING (piece)
+        ),
+        {lp_cte(r, f"v{r}")}""")
+
+    return f"""
+        WITH RECURSIVE toked AS (
+          SELECT doc_id, text, {tokens()} AS __t__ FROM documents
+        ),
+        words AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          WHERE length(word) <= {W}
+          GROUP BY word
+        ),
+        subs AS (
+          SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
+          FROM (
+            SELECT substr(word, i, l) AS piece, wc
+            FROM words
+            CROSS JOIN range(1, {P} + 1) tl(l)
+            CROSS JOIN range(1, {W} + 1) ti(i)
+            WHERE i + l - 1 <= length(word)
+          ) GROUP BY piece
+        ),
+        v0 AS (
+          SELECT piece, freq FROM (
+            SELECT piece, freq FROM subs WHERE length(piece) >= 2
+            ORDER BY freq DESC, piece ASC LIMIT {seed_size}
+          )
+          UNION ALL
+          SELECT piece, freq FROM subs WHERE length(piece) = 1
+        ),
+        {lp_cte(0, "v0")},
+        {",".join(rounds)}
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece ASC)
+                    AS INTEGER) AS rank,
+               piece, freq, lp_milli
+        FROM lp{n_rounds}
+        ORDER BY rank
+    """
+
+
+def langid_accuracy_sql(
+    lang_markers: dict[str, list[str]],
+    true_col: str = "lang",
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.langid_accuracy: the text_langid predictor
+    joined against the trusted label, confusion cells exploded into
+    true-role/pred-role rows, per-language precision/recall/f1. Counts
+    stay BIGINT via count(*)/FILTER (the round-2 HUGEINT lesson)."""
+    scores = {lang: _stopword_ratio(m) for lang, m in lang_markers.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    pred = "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'"
+    for lang in lang_markers:
+        pred += f" WHEN {scores[lang]} = {best} THEN '{lang}'"
+    pred += " END"
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, text, {true_col}, {tokens()} AS __t__
+          FROM documents
+        ),
+        cells AS (
+          SELECT {true_col} AS t, {pred} AS p, CAST(count(*) AS BIGINT) AS n
+          FROM toked GROUP BY 1, 2
+        ),
+        roles AS (
+          SELECT t AS lang, n AS n_true, CAST(0 AS BIGINT) AS n_pred,
+                 CASE WHEN t = p THEN n ELSE CAST(0 AS BIGINT) END
+                   AS n_correct
+          FROM cells
+          UNION ALL
+          SELECT p AS lang, CAST(0 AS BIGINT), n, CAST(0 AS BIGINT)
+          FROM cells
+        ),
+        agg AS (
+          SELECT lang,
+                 CAST(sum(n_true) AS BIGINT) AS n_true,
+                 CAST(sum(n_pred) AS BIGINT) AS n_pred,
+                 CAST(sum(n_correct) AS BIGINT) AS n_correct
+          FROM roles GROUP BY lang
+        )
+        SELECT lang, n_true, n_pred, n_correct,
+               round(prec, {round_digits}) AS precision,
+               round(rec, {round_digits}) AS recall,
+               round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                          AND prec + rec > 0
+                          THEN 2.0 * prec * rec / (prec + rec) END,
+                     {round_digits}) AS f1
+        FROM (
+          SELECT *,
+                 CASE WHEN n_pred > 0
+                      THEN n_correct * 1.0 / n_pred END AS prec,
+                 CASE WHEN n_true > 0
+                      THEN n_correct * 1.0 / n_true END AS rec
+          FROM agg
+        )
+        ORDER BY lang
     """

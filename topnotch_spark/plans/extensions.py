@@ -80,7 +80,10 @@ class DedupCmd(Command):
     (multimodal.audio_near_dups, nFrames frames); ``video`` is
     keyframe-signature near-dup over video blobs
     (multimodal.video_near_dups, everyN/minMatchFrac) — binColumn
-    names the binary column for all three."""
+    names the binary column for all three. ``minhashRecall`` /
+    ``phashRecall`` emit the one-row banding-recall report (found vs
+    exact pairs) for the text and image pipelines respectively —
+    the config-audit rows to gate a full-corpus dedup on."""
 
     input: Input = None  # type: ignore[assignment]
     index: Input | None = None
@@ -97,6 +100,7 @@ class DedupCmd(Command):
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
         "fuzzy", "phash", "audio", "video", "incremental", "sourceMatrix",
+        "minhashRecall", "phashRecall",
     )
 
     @classmethod
@@ -165,6 +169,8 @@ class DedupCmd(Command):
             "audio": self._audio,
             "video": self._video,
             "sourceMatrix": self._source_matrix,
+            "minhashRecall": D.minhash_recall,
+            "phashRecall": self._phash_recall,
         }
         if self.method not in fns:
             raise ValueError(f"unknown dedup method: {self.method}")
@@ -206,6 +212,14 @@ class DedupCmd(Command):
         return phash_near_dups(df, id_col, bin_col, **opts)
 
     @staticmethod
+    def _phash_recall(
+        df: DataFrame, id_col: str, bin_col: str, **opts
+    ) -> DataFrame:
+        from topnotch_spark.operators.multimodal import phash_recall
+
+        return phash_recall(df, id_col, bin_col, **opts)
+
+    @staticmethod
     def _audio(df: DataFrame, id_col: str, bin_col: str, **opts) -> DataFrame:
         from topnotch_spark.operators.multimodal import audio_near_dups
 
@@ -236,7 +250,11 @@ class TextCmd(Command):
     — train on the whole corpus, report per-group subwords-per-token
     fit; collocations {["minCount", "k", "roundDigits"]} — top-k PMI
     adjacent word pairs; classifierScore {"weights", ["biasMilli"]} — integer
-    milli-weight linear classifier logits."""
+    milli-weight linear classifier logits; unigramLm {["maxWordLen",
+    "maxPieceLen", "seedSize", "vocabSize", "nRounds"]} — the Kudo 2018
+    unigram-LM tokenizer trainer (final ranked piece vocab);
+    langidAccuracy {"trueCol", ["roundDigits"]} — per-language
+    precision/recall/f1 of the marker langid vs a trusted label."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -251,7 +269,7 @@ class TextCmd(Command):
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
-        "collocations",
+        "collocations", "unigramLm", "langidAccuracy",
     )
 
     @classmethod
@@ -266,6 +284,7 @@ class TextCmd(Command):
             "oovRate": ("partitionCol",),
             "bpeFertility": ("partitionCol",),
             "classifierScore": ("weights",),
+            "langidAccuracy": ("trueCol",),
         }
         for name in required.get(p["method"], ()):
             if name not in p:
@@ -284,6 +303,8 @@ class TextCmd(Command):
                 "maxSymbolRatio", "maxBulletRatio", "maxEllipsisRatio",
                 "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
                 "vocabK", "weights", "biasMilli", "nMerges", "minCount",
+                "maxWordLen", "maxPieceLen", "seedSize", "vocabSize",
+                "nRounds", "trueCol",
             ),
             **cls._common(obj),
         )
@@ -316,6 +337,7 @@ class TextCmd(Command):
             "bpeMerges": T.bpe_top_merges,
             "bpeMergeSequence": T.bpe_merge_sequence,
             "collocations": T.collocations,
+            "unigramLm": T.unigram_lm_vocab,
         }
         if self.method == "calibrateRanks":
             opts = dict(self.options)
@@ -334,6 +356,15 @@ class TextCmd(Command):
                 self.text_column,
                 {t: int(m) for t, m in dict(opts.pop("weights")).items()},
                 bias_milli=int(opts.pop("bias_milli", 0)),
+            )
+        if self.method == "langidAccuracy":
+            opts = dict(self.options)
+            return T.langid_accuracy(
+                df,
+                self.id_column,
+                self.text_column,
+                opts.pop("true_col"),
+                **opts,
             )
         if self.method == "bpeFertility":
             opts = dict(self.options)
@@ -422,6 +453,14 @@ class SimilarityCmd(Command):
         if self.method == "silhouette":
             opts = dict(self.options)
             opts.pop("dim", None)  # exact cosine path needs no literals
+            bad = sorted(
+                {"k", "n_planes", "label_column", "min_agree"} & opts.keys()
+            )
+            if bad:
+                raise ValueError(
+                    "similarity method 'silhouette' does not accept "
+                    f"option(s) {bad}; supported: nCentroids, roundDigits"
+                )
             return S.cluster_silhouette(
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,

@@ -26,6 +26,7 @@ row-at-a-time Python).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Iterator
 
 import numpy as np
@@ -699,9 +700,33 @@ PATHS_STATE_SCHEMA = StructType([StructField("carry", StringType())])
 # separators for the carry encoding: \x1f between carried states, \x00
 # marks a NULL state (must occupy its position so null-straddling
 # windows are DROPPED, exactly like the batch lead() semantics — a
-# filtered null would let the window silently skip over it)
+# filtered null would let the window silently skip over it). State
+# VALUES are escaped before joining so a value containing the separator
+# or sentinel bytes round-trips: '\' -> '\\', '\x1f' -> '\1',
+# '\x00' -> '\0', and the empty string -> '\e' (so an empty carry
+# string unambiguously means an EMPTY carry list, never a carried
+# empty-string state).
 _PATH_SEP = "\x1f"
 _PATH_NULL = "\x00"
+_PATH_DECODE = {"\\": "\\", "0": "\x00", "1": "\x1f", "e": ""}
+
+
+def _path_enc(s: str | None) -> str:
+    if s is None:
+        return _PATH_NULL
+    if s == "":
+        return "\\e"
+    return (
+        s.replace("\\", "\\\\")
+        .replace(_PATH_SEP, "\\1")
+        .replace(_PATH_NULL, "\\0")
+    )
+
+
+def _path_dec(piece: str) -> str | None:
+    if piece == _PATH_NULL:
+        return None
+    return re.sub(r"\\(.)", lambda m: _PATH_DECODE[m.group(1)], piece)
 
 
 def paths_stream(
@@ -745,13 +770,17 @@ def paths_stream(
         tb_a = rows[tiebreak_col].to_numpy()
         order = np.lexsort((tb_a, ts_a))
         states = [
-            _PATH_NULL if s is None or (isinstance(s, float) and pd.isna(s))
+            None if s is None or (isinstance(s, float) and pd.isna(s))
             else str(s)
             for s in rows[state_col].to_numpy()[order].tolist()
         ]
+        # state.exists alone gates the read; an empty carry STRING is a
+        # valid encoding (empty carry list — values escape to '\e', so
+        # '' never means a carried empty-string state)
+        carried = state.get[0] if state.exists else ""
         carry = (
-            state.get[0].split(_PATH_SEP)
-            if state.exists and state.get[0]
+            [_path_dec(p) for p in carried.split(_PATH_SEP)]
+            if carried
             else []
         )
         seq = carry + states
@@ -761,9 +790,12 @@ def paths_stream(
             # windows produced entirely from the carry were emitted by a
             # previous batch; only windows ending in THIS batch are new
             if i + n_steps > len(carry)
-            and _PATH_NULL not in seq[i : i + n_steps]
+            and not any(x is None for x in seq[i : i + n_steps])
         ]
-        state.update((_PATH_SEP.join(seq[-(n_steps - 1):]),))
+        if seq:
+            state.update(
+                (_PATH_SEP.join(_path_enc(x) for x in seq[-(n_steps - 1):]),)
+            )
         if paths:
             yield pd.DataFrame({"user_id": user_id, "path": paths})
 
