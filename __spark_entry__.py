@@ -140,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
             LANG_MARKERS, true_col="lang"
         ),
         "multimodal_phash_recall": oracles.multimodal_phash_recall_sql(),
+        "unigram_fertility_by_source": oracles.unigram_fertility_sql(
+            group_col="source", max_word_len=12, max_piece_len=4,
+            seed_size=64, vocab_size=48, n_rounds=2,
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

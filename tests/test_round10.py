@@ -462,3 +462,69 @@ def test_paths_stream_hostile_state_values(spark, tmp_path):
         (1, f"a{sep}b >  > c"),
         (2, f"{nul} > \\e > d"),
     ]
+
+
+def test_unigram_fertility_matches_python_replay(spark):
+    """Fertility rollup checked against the replay: train, segment each
+    token under the final lp, sum pieces/chars per group."""
+    from topnotch_spark.operators.textqc import unigram_fertility_by_group
+
+    docs = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the cats sat on mats", "a"),
+        (3, "a cat and a mat and a hat", "b"),
+        (4, "hats and mats and cats", "b"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {
+        r["source"]: r
+        for r in unigram_fertility_by_group(
+            df, "doc_id", "text", "source", max_word_len=12,
+            max_piece_len=4, seed_size=16, vocab_size=8, n_rounds=2,
+        ).collect()
+    }
+    # replay: final vocab + lp, then segment each token per group
+    wc = Counter(w for _, t, _ in docs for w in t.lower().split())
+    ranked = _train_replay(wc, W=12, P=4, seed_size=16, vocab_size=8,
+                           n_rounds=2)
+    lp = {p: l for _, p, _, l in ranked}
+    for grp in ("a", "b"):
+        toks = [w for _, t, g in docs if g == grp for w in t.lower().split()]
+        nsub = sum(len(_viterbi(w, lp, 4)) for w in toks)
+        nchr = sum(len(w) for w in toks)
+        r = got[grp]
+        assert (r["n_tokens"], r["n_subwords"]) == (len(toks), nsub)
+        assert r["fertility"] == pytest.approx(round(nsub / len(toks), 6))
+        assert r["chars_per_subword"] == pytest.approx(round(nchr / nsub, 6))
+
+
+def test_unigram_fertility_plan_command(spark, tmp_path):
+    import json
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "aa ab aa ab", "x"), (2, "ab ba ab", "y")],
+        ["doc_id", "text", "source"],
+    ).write.parquet(src)
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {"ref": src, "onDisk": True},
+                "params": {
+                    "method": "unigramFertility", "idColumn": "doc_id",
+                    "textColumn": "text", "partitionCol": "source",
+                    "maxPieceLen": 2, "seedSize": 4, "vocabSize": 2,
+                    "nRounds": 1,
+                },
+                "outputKey": "fert",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["fert"].collect()
+    assert {r["source"] for r in rows} == {"x", "y"}
+    assert all(r["fertility"] >= 1.0 for r in rows)

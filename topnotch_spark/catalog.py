@@ -860,6 +860,24 @@ def unigram_lm_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fit under the trained unigram-LM vocab
+    (textqc.unigram_fertility_by_group): train the Kudo EM loop on the
+    whole documents corpus, Viterbi-segment the distinct words once
+    under the final piece probs, and roll fertility (subwords/token)
+    and chars-per-subword up per source — read next to
+    bpe_fertility_by_source, it is the BPE-vs-unigram tokenizer
+    selection audit. Apply step joins distinct words only; the corpus
+    is never rewritten."""
+    from topnotch_spark.operators.textqc import unigram_fertility_by_group
+
+    return unigram_fertility_by_group(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        max_word_len=12, max_piece_len=4, seed_size=64, vocab_size=48,
+        n_rounds=2,
+    )
+
+
 def langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-heuristic language-ID accuracy vs the documents table's
     trusted ``lang`` label (textqc.langid_accuracy): per-language
@@ -3106,15 +3124,16 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
-    # the 3 new r10 queries first (a new query must earn a
+    # the 4 new r10 queries first (a new query must earn a
     # driver-side CORRECTNESS row in the round that ships it),
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
-    # 34 of the r07 cohort; slots 51+ start with the 16
+    # 33 of the r07 cohort; slots 51+ start with the 17
     # remaining r07 queries so the r11 rotation is a shift.
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,
+    "unigram_fertility_by_source": unigram_fertility_by_source,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,
@@ -3161,8 +3180,8 @@ ALL = {
     "streaming_anomaly": streaming_anomaly,
     "streaming_ewma": streaming_ewma,
     "text_bigram_logprob": text_bigram_logprob,
-    "text_chunks": text_chunks,
     # ---- below: not checked by the r10 driver gate ----
+    "text_chunks": text_chunks,
     "text_normalize": text_normalize,
     "text_pii_scrub": text_pii_scrub,
     "text_quality_filter": text_quality_filter,

@@ -1392,11 +1392,11 @@ def _unigram_lp(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _unigram_viterbi_pieces(
+def _unigram_viterbi_bounds(
     words: DataFrame, lp: DataFrame, max_piece_len: int
 ) -> DataFrame:
-    """(piece, wc) exploded from each word's Viterbi segmentation under
-    the current vocab log-probs — the E-step, entirely in codegen'd
+    """(word, wc, __bd__): each word's Viterbi segmentation boundaries
+    under the current vocab log-probs, entirely in codegen'd
     higher-order functions (zero Python rows).
 
     DP over word positions: ``dp[i] = max over j in [i-P, i) of
@@ -1431,11 +1431,6 @@ def _unigram_viterbi_pieces(
                                 element_at(acc, 1) + 1).nj), acc),
                        acc))
     """
-    pieces_expr = """
-      transform(sequence(1, size(__bd__) - 1),
-        k -> substring(word, element_at(__bd__, k) + 1,
-                       element_at(__bd__, k + 1) - element_at(__bd__, k)))
-    """
     vmap = lp.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("piece"), F.col("lp_milli")))
@@ -1445,7 +1440,23 @@ def _unigram_viterbi_pieces(
         words.crossJoin(F.broadcast(vmap))
         .select("word", "wc", F.expr(dp_expr).alias("__dp__"))
         .select("word", "wc", F.expr(walk_expr).alias("__bd__"))
-        .select(F.explode(F.expr(pieces_expr)).alias("piece"), "wc")
+    )
+
+
+_UNI_PIECES_EXPR = """
+  transform(sequence(1, size(__bd__) - 1),
+    k -> substring(word, element_at(__bd__, k) + 1,
+                   element_at(__bd__, k + 1) - element_at(__bd__, k)))
+"""
+
+
+def _unigram_viterbi_pieces(
+    words: DataFrame, lp: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """(piece, wc) exploded from each word's Viterbi segmentation —
+    the E-step's usage-count input."""
+    return _unigram_viterbi_bounds(words, lp, max_piece_len).select(
+        F.explode(F.expr(_UNI_PIECES_EXPR)).alias("piece"), "wc"
     )
 
 
@@ -1496,6 +1507,38 @@ def unigram_lm_vocab(
     stays constant in ``n_rounds``. No driver-side collect anywhere.
     The final global rank window runs on a ≤ (vocab_size + |alphabet|)-
     row frame."""
+    words, lp, ckpt = _unigram_train(
+        df, text_col, max_word_len, max_piece_len, seed_size, vocab_size,
+        n_rounds,
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
+    result = lp.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "piece",
+        "freq",
+        "lp_milli",
+    ).orderBy("rank")
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(result)
+        _d._CHECKPOINTED[id(result)] = ckpt
+    return result
+
+
+def _unigram_train(
+    df: DataFrame,
+    text_col: str,
+    max_word_len: int,
+    max_piece_len: int,
+    seed_size: int,
+    vocab_size: int,
+    n_rounds: int,
+) -> tuple[DataFrame, DataFrame, str | None]:
+    """The unigram-LM EM loop shared by :func:`unigram_lm_vocab` and
+    :func:`unigram_fertility_by_group`: returns (words, final lp frame,
+    checkpoint path). ``words`` is persisted in the dedup registry;
+    ``lp`` is checkpoint-truncated per round."""
     from topnotch_spark.operators.cluster import _truncate_round
     from topnotch_spark.operators.dedup import _persist
 
@@ -1561,13 +1604,74 @@ def unigram_lm_vocab(
         lp, ckpt = _truncate_round(
             _unigram_lp(top.unionByName(kept_chars)), ckpt
         )
-    w = Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
-    result = lp.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        "piece",
-        "freq",
-        "lp_milli",
-    ).orderBy("rank")
+    return words, lp, ckpt
+
+
+def unigram_fertility_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer fit per corpus slice under the TRAINED unigram-LM
+    vocab — the Kudo-trainer twin of :func:`bpe_fertility_by_group`:
+    train on the whole corpus (:func:`unigram_lm_vocab`'s EM loop),
+    Viterbi-segment each distinct word once more under the final piece
+    probs, and report per ``group_col`` fertility = subwords per
+    whitespace token and chars_per_subword. Comparing this table with
+    the BPE one is the tokenizer-selection audit (which algorithm's
+    inventory compresses each slice better).
+
+    Output: (group_col, n_tokens, n_subwords, fertility,
+    chars_per_subword) — ratios rounded from exact integer sums.
+    Tokens longer than ``max_word_len`` are outside the trained corpus
+    and excluded from the sums (deterministic; mirrored by the oracle).
+
+    Execution shape (100 TB): trainer loop is vocab-sized (see
+    unigram_lm_vocab); the apply step segments only DISTINCT words and
+    joins the per-word subword count back to one corpus-tokens
+    projection — the corpus is never rewritten (the
+    bpe_fertility_by_group shape). ``id_col`` unused (uniform text-op
+    signature)."""
+    words, lp, ckpt = _unigram_train(
+        df, text_col, max_word_len, max_piece_len, seed_size, vocab_size,
+        n_rounds,
+    )
+    word_sub = _unigram_viterbi_bounds(words, lp, max_piece_len).select(
+        "word",
+        (F.size("__bd__") - 1).cast("long").alias("__nsub__"),
+        F.length("word").cast("long").alias("__nchr__"),
+    )
+    tok = df.select(
+        F.col(group_col).alias("__grp__"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    result = (
+        tok.join(word_sub, "word")
+        .groupBy("__grp__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nsub__").alias("n_subwords"),
+            F.sum("__nchr__").alias("__chars__"),
+        )
+        .select(
+            F.col("__grp__").alias(group_col),
+            "n_tokens",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords") / F.col("n_tokens"), round_digits
+            ).alias("fertility"),
+            F.round(
+                F.col("__chars__") / F.col("n_subwords"), round_digits
+            ).alias("chars_per_subword"),
+        )
+    )
     if ckpt is not None:
         from topnotch_spark.operators import dedup as _d
 

@@ -4754,29 +4754,33 @@ def streaming_distinct_users_sql(window: str = "1 hour") -> str:
     """
 
 
-def unigram_lm_vocab_sql(
-    max_word_len: int = 12,
-    max_piece_len: int = 4,
-    seed_size: int = 64,
-    vocab_size: int = 48,
-    n_rounds: int = 2,
+def _unigram_prefix_ctes(
+    max_word_len: int,
+    max_piece_len: int,
+    seed_size: int,
+    vocab_size: int,
+    n_rounds: int,
+    toked_extra: str = "",
 ) -> str:
-    """Mirror of textqc.unigram_lm_vocab (Kudo 2018 EM trainer). The
-    E-step's Viterbi DP is replayed by ENUMERATING every segmentation
-    with a recursive CTE (words are ≤ max_word_len chars, so paths are
-    bounded) and picking, per word, the max-lp-sum path with ties
-    broken by lexicographically smallest reversed interior boundary
-    list — provably the same segmentation the Spark DP's
-    (max cost, min predecessor) reconstruction selects. Fixed-point
-    milli-nat log-probs (round(1000·ln x) as BIGINT) keep both engines
-    bit-identical; every sum() is cast back to BIGINT (DuckDB sums
-    BIGINT into HUGEINT — the round-2 strict-hash lesson)."""
+    """CTE body (for a WITH RECURSIVE clause) replaying the unigram-LM
+    EM trainer through ``lp{n_rounds}`` — shared by the vocab and
+    fertility mirrors. The E-step's Viterbi DP is replayed by
+    ENUMERATING every segmentation with a recursive CTE (words are
+    ≤ max_word_len chars, so paths are bounded) and picking, per word,
+    the max-lp-sum path with ties broken by lexicographically smallest
+    reversed interior boundary list — provably the same segmentation
+    the Spark DP's (max cost, min predecessor) reconstruction selects.
+    Fixed-point milli-nat log-probs (round(1000·ln x) as BIGINT) keep
+    both engines bit-identical; every sum() is cast back to BIGINT
+    (DuckDB sums BIGINT into HUGEINT — the round-2 strict-hash
+    lesson). ``toked_extra`` adds columns to the toked CTE (e.g. a
+    group column for the fertility rollup)."""
     W, P = int(max_word_len), int(max_piece_len)
     ilog = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000) AS BIGINT)"
 
     def lp_cte(n: int, vocab: str) -> str:
         return f"""
-        lp{n} AS (
+        lp{n} AS MATERIALIZED (
           SELECT piece, freq,
                  {ilog.format(x="greatest(freq, CAST(1 AS BIGINT))")}
                  - {ilog.format(x="t.__T__")} AS lp_milli
@@ -4833,16 +4837,17 @@ def unigram_lm_vocab_sql(
         {lp_cte(r, f"v{r}")}""")
 
     return f"""
-        WITH RECURSIVE toked AS (
-          SELECT doc_id, text, {tokens()} AS __t__ FROM documents
+        toked AS (
+          SELECT doc_id, text{toked_extra}, {tokens()} AS __t__
+          FROM documents
         ),
-        words AS (
+        words AS MATERIALIZED (
           SELECT word, CAST(count(*) AS BIGINT) AS wc
           FROM (SELECT unnest(__t__) AS word FROM toked)
           WHERE length(word) <= {W}
           GROUP BY word
         ),
-        subs AS (
+        subs AS MATERIALIZED (
           SELECT piece, CAST(sum(wc) AS BIGINT) AS freq
           FROM (
             SELECT substr(word, i, l) AS piece, wc
@@ -4862,11 +4867,93 @@ def unigram_lm_vocab_sql(
         ),
         {lp_cte(0, "v0")},
         {",".join(rounds)}
+    """
+
+
+def unigram_lm_vocab_sql(
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+) -> str:
+    """Mirror of textqc.unigram_lm_vocab (Kudo 2018 EM trainer): the
+    shared EM prefix (see _unigram_prefix_ctes) plus the final
+    (rank, piece, freq, lp_milli) ranking."""
+    prefix = _unigram_prefix_ctes(
+        max_word_len, max_piece_len, seed_size, vocab_size, n_rounds
+    )
+    return f"""
+        WITH RECURSIVE {prefix}
         SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece ASC)
                     AS INTEGER) AS rank,
                piece, freq, lp_milli
         FROM lp{n_rounds}
         ORDER BY rank
+    """
+
+
+def unigram_fertility_sql(
+    group_col: str = "source",
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.unigram_fertility_by_group: the shared EM
+    prefix, one more all-segmentations Viterbi pass under the FINAL
+    piece probs for the per-word subword count, then the per-group
+    fertility rollup (tokens longer than max_word_len drop from the
+    join on both sides)."""
+    prefix = _unigram_prefix_ctes(
+        max_word_len, max_piece_len, seed_size, vocab_size, n_rounds,
+        toked_extra=f", {group_col}",
+    )
+    n = n_rounds
+    return f"""
+        WITH RECURSIVE {prefix},
+        pf AS (
+          SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS pos,
+                 [0] AS bounds
+          FROM words
+          UNION ALL
+          SELECT p.word, p.cost + v.lp_milli,
+                 p.pos + length(v.piece),
+                 list_append(p.bounds, p.pos + length(v.piece))
+          FROM pf p JOIN lp{n} v
+            ON length(v.piece) <= length(p.word) - p.pos
+           AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+        ),
+        bestf AS (
+          SELECT word, bounds FROM (
+            SELECT word, bounds,
+                   row_number() OVER (
+                     PARTITION BY word
+                     ORDER BY cost DESC,
+                              list_reverse(bounds[2:len(bounds) - 1]) ASC
+                   ) AS rn
+            FROM pf WHERE pos = length(word)
+          ) WHERE rn = 1
+        ),
+        wordsub AS (
+          SELECT word, CAST(len(bounds) - 1 AS BIGINT) AS nsub,
+                 CAST(length(word) AS BIGINT) AS nchr
+          FROM bestf
+        ),
+        tok AS (
+          SELECT {group_col} AS grp, unnest(__t__) AS word FROM toked
+        )
+        SELECT grp AS {group_col},
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(nsub) AS BIGINT) AS n_subwords,
+               round(CAST(sum(nsub) AS DOUBLE) / count(*),
+                     {round_digits}) AS fertility,
+               round(CAST(sum(nchr) AS DOUBLE) / sum(nsub),
+                     {round_digits}) AS chars_per_subword
+        FROM tok JOIN wordsub USING (word)
+        GROUP BY grp
     """
 
 

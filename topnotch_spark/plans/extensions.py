@@ -253,6 +253,9 @@ class TextCmd(Command):
     milli-weight linear classifier logits; unigramLm {["maxWordLen",
     "maxPieceLen", "seedSize", "vocabSize", "nRounds"]} — the Kudo 2018
     unigram-LM tokenizer trainer (final ranked piece vocab);
+    unigramFertility {"partitionCol", [same trainer options,
+    "roundDigits"]} — per-group fertility under the trained unigram
+    vocab (the BPE-vs-unigram selection audit next to bpeFertility);
     langidAccuracy {"trueCol", ["roundDigits"]} — per-language
     precision/recall/f1 of the marker langid vs a trusted label."""
 
@@ -269,7 +272,7 @@ class TextCmd(Command):
         "bigramLogprob", "gopher", "tokenEntropy", "readability",
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
-        "collocations", "unigramLm", "langidAccuracy",
+        "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
     )
 
     @classmethod
@@ -283,6 +286,7 @@ class TextCmd(Command):
             "calibrateRanks": ("orderCol", "partitionCol"),
             "oovRate": ("partitionCol",),
             "bpeFertility": ("partitionCol",),
+            "unigramFertility": ("partitionCol",),
             "classifierScore": ("weights",),
             "langidAccuracy": ("trueCol",),
         }
@@ -369,6 +373,15 @@ class TextCmd(Command):
         if self.method == "bpeFertility":
             opts = dict(self.options)
             return T.bpe_fertility_by_group(
+                df,
+                self.id_column,
+                self.text_column,
+                opts.pop("partition_col"),
+                **opts,
+            )
+        if self.method == "unigramFertility":
+            opts = dict(self.options)
+            return T.unigram_fertility_by_group(
                 df,
                 self.id_column,
                 self.text_column,
