@@ -144,6 +144,10 @@ def oracle_sql() -> dict[str, str]:
             group_col="source", max_word_len=12, max_piece_len=4,
             seed_size=64, vocab_size=48, n_rounds=2,
         ),
+        "mixture_plan_sources": oracles.mixture_allocate_sql(
+            "source", catalog.MIX_TARGETS_MILLI, catalog.MIX_BUDGET_TOKENS,
+            max_repeat_milli=catalog.MIX_MAX_REPEAT_MILLI,
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

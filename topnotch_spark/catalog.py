@@ -640,6 +640,18 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
 
+# mixture_plan_sources fixture: skewed targets over the 20 documents
+# sources (src10-19 deliberately untargeted -> allocation 0), a budget
+# and repeat cap sized so several heavy targets SATURATE at sf0.01
+# (cap = 1.5 epochs) while the light ones stay water-levelled
+MIX_TARGETS_MILLI = {
+    "src0": 300, "src1": 200, "src2": 150, "src3": 100,
+    "src4": 50, "src5": 50, "src6": 50, "src7": 50, "src8": 50,
+    "src9": 50,
+}
+MIX_BUDGET_TOKENS = 20_000
+MIX_MAX_REPEAT_MILLI = 1_500
+
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language Bernoulli sample (md5-threshold)."""
@@ -875,6 +887,23 @@ def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "doc_id", "text", "source",
         max_word_len=12, max_piece_len=4, seed_size=64, vocab_size=48,
         n_rounds=2,
+    )
+
+
+def mixture_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable training-mix allocation (curation.mixture_allocate):
+    waterfill a 20k-token budget over the documents sources toward the
+    skewed MIX_TARGETS_MILLI distribution under a 1.5-epoch repeat cap
+    — heavy targets saturate at their cap, the surplus flows to the
+    rest preserving target ratios, untargeted sources allocate 0. All
+    integer cross-product arithmetic; one corpus scan, everything else
+    on the 20-row source frame."""
+    from topnotch_spark.operators.curation import mixture_allocate
+
+    return mixture_allocate(
+        load(spark, sf_dir, "documents"), "source", "text",
+        MIX_TARGETS_MILLI, MIX_BUDGET_TOKENS,
+        max_repeat_milli=MIX_MAX_REPEAT_MILLI,
     )
 
 
@@ -3124,16 +3153,17 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
-    # the 4 new r10 queries first (a new query must earn a
+    # the 5 new r10 queries first (a new query must earn a
     # driver-side CORRECTNESS row in the round that ships it),
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
-    # 33 of the r07 cohort; slots 51+ start with the 17
+    # 32 of the r07 cohort; slots 51+ start with the 18
     # remaining r07 queries so the r11 rotation is a shift.
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,
     "unigram_fertility_by_source": unigram_fertility_by_source,
+    "mixture_plan_sources": mixture_plan_sources,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,
@@ -3179,8 +3209,8 @@ ALL = {
     "spatial_customer_supplier": spatial_customer_supplier,
     "streaming_anomaly": streaming_anomaly,
     "streaming_ewma": streaming_ewma,
-    "text_bigram_logprob": text_bigram_logprob,
     # ---- below: not checked by the r10 driver gate ----
+    "text_bigram_logprob": text_bigram_logprob,
     "text_chunks": text_chunks,
     "text_normalize": text_normalize,
     "text_pii_scrub": text_pii_scrub,

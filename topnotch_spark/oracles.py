@@ -5014,3 +5014,91 @@ def langid_accuracy_sql(
         )
         ORDER BY lang
     """
+
+
+def mixture_allocate_sql(
+    group_col: str,
+    targets_milli: dict[str, int],
+    budget_tokens: int,
+    max_repeat_milli: int = 1000,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of curation.mixture_allocate: same ratio ordering (double
+    division is IEEE-exact in both engines, ordering only), same
+    BIGINT cross-product saturation test, same floor allocations.
+    Window sums cast back to BIGINT (the HUGEINT lesson)."""
+    B = int(budget_tokens)
+    mrm = int(max_repeat_milli)
+    tgt_rows = ", ".join(
+        "('{}', {})".format(str(s).replace("'", "''"), int(m))
+        for s, m in sorted(targets_milli.items())
+    )
+    order = (
+        "CASE WHEN t > 0 THEN CAST(cap AS DOUBLE) / t "
+        "ELSE CAST('inf' AS DOUBLE) END, g"
+    )
+    return f"""
+        WITH toked AS (
+          SELECT {group_col} AS g, {tokens()} AS __t__ FROM documents
+        ),
+        per AS (
+          SELECT g, CAST(sum(len(__t__)) AS BIGINT) AS avail
+          FROM toked GROUP BY g
+        ),
+        tgt(tg, tm) AS (VALUES {tgt_rows}),
+        base AS (
+          SELECT per.g, avail,
+                 CAST(coalesce(tm, 0) AS BIGINT) AS t,
+                 avail * {mrm} // 1000 AS cap
+          FROM per LEFT JOIN tgt ON per.g = tgt.tg
+        ),
+        staged AS (
+          SELECT *,
+            CAST(coalesce(sum(cap) OVER (
+              ORDER BY {order}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cpre,
+            CAST(sum(t) OVER (
+              ORDER BY {order}
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS tsuf
+          FROM base
+        ),
+        flags AS (
+          SELECT *,
+                 (t > 0 AND cap * tsuf <= greatest({B} - cpre, 0) * t)
+                   AS capped
+          FROM staged
+        ),
+        pools AS (
+          SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                      AS BIGINT) AS csat,
+                 CAST(coalesce(sum(CASE WHEN NOT capped THEN t END), 0)
+                      AS BIGINT) AS tfree
+          FROM flags
+        ),
+        alloc AS (
+          SELECT f.*,
+                 CASE WHEN capped THEN cap
+                      WHEN tfree > 0
+                        THEN greatest({B} - csat, 0) * t // tfree
+                      ELSE 0 END AS alloc_tokens
+          FROM flags f, pools
+        ),
+        tot AS (
+          SELECT CAST(sum(alloc_tokens) AS BIGINT) AS tt FROM alloc
+        )
+        SELECT g AS {group_col},
+               avail AS tokens_available,
+               t AS target_milli,
+               cap AS cap_tokens,
+               alloc_tokens,
+               CASE WHEN avail > 0
+                    THEN round(alloc_tokens * 1.0 / avail, {round_digits})
+               END AS epochs,
+               capped,
+               CASE WHEN tt > 0 THEN alloc_tokens * 1000 // tt
+                    ELSE CAST(0 AS BIGINT) END AS realized_milli
+        FROM alloc, tot
+        ORDER BY {group_col}
+    """

@@ -1330,10 +1330,13 @@ class WinsorizeCmd(Command):
 @dataclass(frozen=True)
 class CorpusStatsCmd(Command):
     """{"command": "corpusStats", "input": <input>, "params": {"method":
-    mix|dedupRate|tokenHistogram|qualityBands|vocabOverlap|diversity,
-    per-method columns}} — corpus-level rollups for training-mix
-    planning. diversity takes {"groupColumn", "catColumn"} and emits
-    Shannon/Simpson/Gini indices per group."""
+    mix|mixturePlan|dedupRate|tokenHistogram|qualityBands|vocabOverlap|
+    diversity, per-method columns}} — corpus-level rollups for
+    training-mix planning. diversity takes {"groupColumn", "catColumn"}
+    and emits Shannon/Simpson/Gini indices per group. mixturePlan takes
+    {"groupColumn", "targetsMilli": {source: milli}, "budgetTokens",
+    ["maxRepeatMilli", "textColumn"]} and emits the exact waterfilled
+    token allocation per source (curation.mixture_allocate)."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "mix"
@@ -1364,6 +1367,23 @@ class CorpusStatsCmd(Command):
         if self.method == "mix":
             return source_mix_weights(
                 df, p["groupColumn"], text, alpha=p.get("alpha", 0.5)
+            )
+        if self.method == "mixturePlan":
+            from topnotch_spark.operators.curation import mixture_allocate
+
+            for req in ("groupColumn", "targetsMilli", "budgetTokens"):
+                if req not in p:
+                    raise ValueError(
+                        f"corpusStats mixturePlan requires param {req!r}"
+                    )
+            return mixture_allocate(
+                df,
+                p["groupColumn"],
+                text,
+                {s: int(m) for s, m in dict(p["targetsMilli"]).items()},
+                int(p["budgetTokens"]),
+                max_repeat_milli=int(p.get("maxRepeatMilli", 1000)),
+                round_digits=p.get("roundDigits", 6),
             )
         if self.method == "dedupRate":
             return dedup_rate_by_group(
