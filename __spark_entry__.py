@@ -148,6 +148,9 @@ def oracle_sql() -> dict[str, str]:
             "source", catalog.MIX_TARGETS_MILLI, catalog.MIX_BUDGET_TOKENS,
             max_repeat_milli=catalog.MIX_MAX_REPEAT_MILLI,
         ),
+        "cross_perplexity_en": oracles.cross_perplexity_sql(
+            "lang = 'en'", k=1.0
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

@@ -702,3 +702,73 @@ def test_mixture_plan_command_validates(spark, tmp_path):
     engine = TnEngine(spark)
     with pytest.raises(ValueError, match="mixturePlan requires"):
         engine.run(str(p))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus perplexity filter
+# ---------------------------------------------------------------------------
+
+def test_cross_perplexity_hand_built(spark):
+    """Add-1 unigram LM trained on the reference, applied to targets:
+    scores checked against hand-computed ln values, OOV counted, empty
+    doc survives with NULL score."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.textqc import cross_perplexity
+
+    ref = spark.createDataFrame(
+        [(100, "a a b"), (101, "a c")], ["doc_id", "text"]
+    )  # counts: a=3, b=1, c=1; T=5, V=3; denom = 5 + 1*(3+1) = 9
+    tgt = spark.createDataFrame(
+        [(1, "a b"), (2, "z z a"), (3, "")], ["doc_id", "text"]
+    )
+    with dedup_scope():
+        got = {r["doc_id"]: r for r in cross_perplexity(
+            tgt, ref, "doc_id", "text", k=1.0
+        ).collect()}
+    lp = {"a": -math.log(4 / 9), "b": -math.log(2 / 9),
+          "z": -math.log(1 / 9)}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (2, 0)
+    assert got[1]["avg_neg_logprob"] == pytest.approx(
+        round((lp["a"] + lp["b"]) / 2, 4)
+    )
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 2)
+    assert got[2]["oov_rate"] == pytest.approx(round(2 / 3, 6))
+    assert got[2]["avg_neg_logprob"] == pytest.approx(
+        round((2 * lp["z"] + lp["a"]) / 3, 4)
+    )
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_neg_logprob"] is None
+    # the OOV-heavy doc scores strictly worse than the in-distribution one
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+    with pytest.raises(ValueError, match="k must be > 0"):
+        cross_perplexity(tgt, ref, "doc_id", "text", k=0)
+
+
+def test_lm_score_plan_command(spark, tmp_path):
+    import json
+
+    ref = str(tmp_path / "ref.parquet")
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.createDataFrame(
+        [(1, "clean reference text here")], ["doc_id", "text"]
+    ).write.parquet(ref)
+    spark.createDataFrame(
+        [(2, "clean text"), (3, "garbage zzz qqq")], ["doc_id", "text"]
+    ).write.parquet(tgt)
+    plan = {
+        "commands": [
+            {
+                "command": "lmScore",
+                "target": {"ref": tgt, "onDisk": True},
+                "reference": {"ref": ref, "onDisk": True},
+                "params": {"idColumn": "doc_id"},
+                "outputKey": "scores",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = {r["doc_id"]: r for r in engine.registry["scores"].collect()}
+    assert rows[3]["n_oov"] == 3 and rows[2]["n_oov"] == 0
+    assert rows[3]["avg_neg_logprob"] > rows[2]["avg_neg_logprob"]

@@ -890,6 +890,22 @@ def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_perplexity_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus LM filter (textqc.cross_perplexity):
+    add-1 unigram LM trained on the lang='en' documents slice, every
+    document scored against it — n_tokens, n_oov, oov_rate,
+    avg_neg_logprob per doc. Unlike text_unigram_logprob (self-corpus
+    fluency), the model and the scored corpus are different slices, so
+    out-of-reference-distribution docs surface. Reference vocab and
+    target token spine each persisted; two exploded-token shuffles."""
+    from topnotch_spark.operators.textqc import cross_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return cross_perplexity(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text", k=1.0
+    )
+
+
 def mixture_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable training-mix allocation (curation.mixture_allocate):
     waterfill a 20k-token budget over the documents sources toward the
@@ -3153,17 +3169,18 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
-    # the 5 new r10 queries first (a new query must earn a
+    # the 6 new r10 queries first (a new query must earn a
     # driver-side CORRECTNESS row in the round that ships it),
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
-    # 32 of the r07 cohort; slots 51+ start with the 18
+    # 31 of the r07 cohort; slots 51+ start with the 19
     # remaining r07 queries so the r11 rotation is a shift.
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,
     "unigram_fertility_by_source": unigram_fertility_by_source,
     "mixture_plan_sources": mixture_plan_sources,
+    "cross_perplexity_en": cross_perplexity_en,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,
@@ -3208,8 +3225,8 @@ ALL = {
     "similarity_ann_recall": similarity_ann_recall,
     "spatial_customer_supplier": spatial_customer_supplier,
     "streaming_anomaly": streaming_anomaly,
-    "streaming_ewma": streaming_ewma,
     # ---- below: not checked by the r10 driver gate ----
+    "streaming_ewma": streaming_ewma,
     "text_bigram_logprob": text_bigram_logprob,
     "text_chunks": text_chunks,
     "text_normalize": text_normalize,

@@ -1759,3 +1759,88 @@ def langid_accuracy(
         F.round(rec, round_digits).alias("recall"),
         F.round(f1, round_digits).alias("f1"),
     ).orderBy("lang")
+
+
+def cross_perplexity(
+    target: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """CCNet-style cross-corpus language-model filter: train an add-k
+    unigram LM on the REFERENCE corpus (the curated/clean slice) and
+    score every TARGET document against it — the key difference from
+    :func:`unigram_logprob` (self-corpus fluency) is that the model and
+    the scored text are DIFFERENT corpora, so documents that diverge
+    from the reference distribution (other-domain boilerplate,
+    wrong-language text, spam vocabularies) surface with high
+    ``avg_neg_logprob`` even when internally fluent.
+
+    P(w) = (c_ref(w) + k) / (T_ref + k·(V_ref + 1)) — add-k smoothing
+    with one shared unseen type, so out-of-vocabulary tokens score
+    −ln(k / (T + k·(V+1))) instead of blowing up. Emits per target doc:
+    (id, n_tokens, n_oov, oov_rate, avg_neg_logprob); empty docs
+    survive with NULL score (the unigram_logprob contract — mean of
+    IEEE doubles, round ``round_digits``).
+
+    Execution shape (100 TB): reference reduces to its vocab in ONE
+    map-side-combined groupBy (persisted — it feeds the totals and the
+    score join); the target tokenizes once into a persisted (id, toks)
+    spine; scoring is a LEFT join of exploded target tokens onto the
+    broadcastable vocab-lp table (OOV = null → coalesce to the constant
+    OOV lp riding in via the 1-row totals broadcast) + one
+    groupBy(doc). Two shuffles over exploded tokens, same shape as
+    unigram_logprob."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if k <= 0:
+        raise ValueError("cross_perplexity: k must be > 0")
+    vocab = _persist(
+        reference.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = vocab.agg(
+        F.sum("c").alias("__T__"), F.count(F.lit(1)).alias("__V__")
+    )
+    denom = F.col("__T__") + F.lit(k) * (F.col("__V__") + 1)
+    arr = _persist(
+        target.select(
+            F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__")
+        )
+    )
+    tok = arr.select("__id__", F.explode("__toks__").alias("token"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id__",
+            F.col("c").isNull().cast("long").alias("__oov__"),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k)) / denom
+                )
+            ).alias("__nlp__"),
+        )
+    )
+    per_doc = scored.groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__oov__").alias("n_oov"),
+        F.round(F.avg("__nlp__"), round_digits).alias("avg_neg_logprob"),
+    )
+    return (
+        arr.select("__id__")
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+            ).alias("oov_rate"),
+            "avg_neg_logprob",
+        )
+    )

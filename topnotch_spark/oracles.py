@@ -5102,3 +5102,55 @@ def mixture_allocate_sql(
         FROM alloc, tot
         ORDER BY {group_col}
     """
+
+
+def cross_perplexity_sql(
+    ref_filter_sql: str,
+    k: float = 1.0,
+    round_digits: int = 4,
+) -> str:
+    """Mirror of textqc.cross_perplexity over documents:
+    ``ref_filter_sql`` selects the reference slice (e.g.
+    ``lang = 'en'``); add-k unigram LM with one shared unseen type,
+    per-doc mean of −ln P (IEEE doubles, round like
+    unigram_logprob)."""
+    kf = repr(float(k))
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, text, {tokens()} AS __t__,
+                 ({ref_filter_sql}) AS __is_ref__
+          FROM documents
+        ),
+        vocab AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(__t__) AS token FROM toked WHERE __is_ref__)
+          GROUP BY token
+        ),
+        tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS t_ref,
+                 CAST(count(*) AS BIGINT) AS v_ref
+          FROM vocab
+        ),
+        tok AS (SELECT doc_id, unnest(__t__) AS token FROM toked),
+        scored AS (
+          SELECT doc_id,
+                 CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov,
+                 -ln((coalesce(c, 0) + {kf})
+                     / (t_ref + {kf} * (v_ref + 1))) AS nlp
+          FROM tok LEFT JOIN vocab v USING (token), tot
+        ),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 round(avg(nlp), {round_digits}) AS avg_neg_logprob
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_oov, 0) AS n_oov,
+               CASE WHEN per.n_tokens > 0
+                    THEN round(per.n_oov * 1.0 / per.n_tokens, 6)
+               END AS oov_rate,
+               per.avg_neg_logprob
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """

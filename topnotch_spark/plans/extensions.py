@@ -924,6 +924,47 @@ class DeconCmd(Command):
 
 
 @dataclass(frozen=True)
+class LmScoreCmd(Command):
+    """{"command": "lmScore", "target": <input>, "reference": <input>,
+    "params": {"idColumn", ["textColumn", "k", "roundDigits"]}} —
+    CCNet-style cross-corpus LM filter (textqc.cross_perplexity): train
+    an add-k unigram LM on the reference slice, score every target doc
+    (n_tokens, n_oov, oov_rate, avg_neg_logprob); feed the score into a
+    downstream assertion/qualityFilter gate."""
+
+    target: Input = None  # type: ignore[assignment]
+    reference: Input = None  # type: ignore[assignment]
+    id_column: str = "id"
+    text_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.target, self.reference]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "LmScoreCmd":
+        p = obj["params"]
+        return cls(
+            target=Input.from_json(obj["target"]),
+            reference=Input.from_json(obj["reference"]),
+            id_column=p["idColumn"],
+            text_column=p.get("textColumn", "text"),
+            options=_opt(p, "k", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.textqc import cross_perplexity
+
+        tgt = load_input(engine.spark, self.target, engine.registry)
+        ref = load_input(engine.spark, self.reference, engine.registry)
+        return cross_perplexity(
+            tgt, ref, self.id_column, self.text_column, **self.options
+        )
+
+
+@dataclass(frozen=True)
 class SampleCmd(Command):
     """{"command": "sample", "input": <input>, "params": {"idColumn",
     "stratColumn", "rates": {stratum: rate}, ["defaultRate"]}} —
@@ -2259,6 +2300,7 @@ def register() -> None:
             "drift": DriftCmd.from_json,
             "sample": SampleCmd.from_json,
             "decontaminate": DeconCmd.from_json,
+            "lmScore": LmScoreCmd.from_json,
             "integrity": IntegrityCmd.from_json,
             "skewProfile": SkewCmd.from_json,
             "split": SplitCmd.from_json,
