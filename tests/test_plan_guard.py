@@ -97,6 +97,14 @@ GLOBAL_WINDOW_BOUNDED = {
         "rank over the k=50 rows surviving TakeOrdered"
     ),
     "event_paths_top": "rank over the k=20 rows surviving TakeOrdered",
+    "unigram_lm_vocab_docs": (
+        "final rank over the trained vocab frame — bounded by "
+        "vocab_size + |alphabet| rows by construction (M-step prune)"
+    ),
+    "mixture_plan_sources": (
+        "waterfilling prefix/suffix sums over the per-source rollup — "
+        "|sources| rows by construction (one row per corpus source)"
+    ),
     "streaming_event_paths": (
         "rank over the k=20 rows surviving TakeOrdered"
     ),
@@ -137,6 +145,11 @@ BNLJ_SMALL_FRAME = {
         "dense run's query frame = 3 fixed BM25 query ids (vec_id isin)"
     ),
     "contrastive_pairs_mined": "anchor frame = vec_id < 8 (8 anchors)",
+    "multimodal_phash_recall": (
+        "exact side broadcasts the (id, 64-char hash) SIGNATURE table "
+        "only — the documented exact-recall baseline (minhash_recall "
+        "convention: sample at 100 TB); blobs never enter the join"
+    ),
 }
 
 
