@@ -612,16 +612,37 @@ def bitstring_recall(
     like minhash_recall's exact side. ``base`` should be persisted by
     the caller — it feeds the banding join twice plus both exact
     sides."""
-    exact = (
-        base.alias("a")
-        .join(
-            F.broadcast(base.alias("b")),
-            F.col("a.id") < F.col("b.id"),
+    # Project each signature's 32-bit chunk INTEGERS once per row before
+    # the all-pairs join: conv(substring(...)) inside the NLJ condition
+    # would re-parse both bit-strings PER PAIR (measured 54 s at sf0.1 —
+    # ~200M string parses); per-row projection leaves only XOR +
+    # bit_count per pair (2.4 s). The streamed side is repartitioned to
+    # the default parallelism — a persisted 1-2-partition signature
+    # table would otherwise run the NLJ nearly single-threaded.
+    n_chunks = (bits + 31) // 32
+    chunk_cols = [
+        F.conv(
+            F.substring("sh", start, min(32, bits - start + 1)), 2, 10
         )
+        .cast("bigint")
+        .alias(f"__c{i}__")
+        for i, start in enumerate(range(1, bits + 1, 32))
+    ]
+    pre = base.select("id", *chunk_cols)
+    spark_par = base.sparkSession.sparkContext.defaultParallelism
+    ham = None
+    for i in range(n_chunks):
+        term = F.bit_count(
+            F.col(f"a.__c{i}__").bitwiseXOR(F.col(f"b.__c{i}__"))
+        )
+        ham = term if ham is None else ham + term
+    exact = (
+        pre.repartition(spark_par).alias("a")
+        .join(F.broadcast(pre.alias("b")), F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_1"),
             F.col("b.id").alias("id_2"),
-            _bitstring_hamming("a.sh", "b.sh", bits).alias("hamming"),
+            ham.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
