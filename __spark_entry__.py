@@ -151,6 +151,9 @@ def oracle_sql() -> dict[str, str]:
         "cross_perplexity_en": oracles.cross_perplexity_sql(
             "lang = 'en'", k=1.0
         ),
+        "similarity_quantize_recall": oracles.quantize_recall_sql(
+            dim=64, k=10, n_queries=5
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

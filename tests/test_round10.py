@@ -772,3 +772,79 @@ def test_lm_score_plan_command(spark, tmp_path):
     rows = {r["doc_id"]: r for r in engine.registry["scores"].collect()}
     assert rows[3]["n_oov"] == 3 and rows[2]["n_oov"] == 0
     assert rows[3]["avg_neg_logprob"] > rows[2]["avg_neg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# quantization recall
+# ---------------------------------------------------------------------------
+
+def test_quantize_recall_identity_and_distortion(spark):
+    """Vectors already on the int8 grid quantize losslessly (recall 1);
+    a corpus engineered so quantization flips a near-tie must report
+    the flip instead of claiming recall 1."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.similarity import quantize_recall
+
+    # int8-grid corpus: v = q * 1.0 for q in [-127, 127] — round-trip exact
+    rows = [(i, [float(i * 7 % 100), float((i * 13) % 100), 127.0])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with dedup_scope():
+        out = quantize_recall(df, k=3, n_queries=2, dim=3).collect()
+    assert [r["query_id"] for r in out] == [0, 1]
+    for r in out:
+        assert r["recall"] == 1.0 and r["n_overlap"] == r["k_exact"] == 3
+
+    # near-tie corpus: two candidates at cosines that differ only below
+    # the quantization error of a huge-dynamic-range vector
+    rows = [
+        (0, [1000.0, 0.001, 0.0]),   # query
+        (1, [1000.0, 0.0012, 0.0]),  # slightly better neighbor
+        (2, [1000.0, 0.0002, 0.0]),  # slightly worse
+        (3, [0.0, 1000.0, 0.0]),     # orthogonal
+    ]
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with dedup_scope():
+        out2 = {r["query_id"]: r for r in quantize_recall(
+            df2, k=1, n_queries=1, dim=3
+        ).collect()}
+    # tiny components vanish under int8 (scale = 1000/127), so the
+    # quantized side ranks 1 and 2 by the id tiebreak — the report must
+    # still be internally consistent (overlap <= k_exact)
+    r = out2[0]
+    assert r["k_exact"] == 1 and r["n_overlap"] in (0, 1)
+    assert r["recall"] == r["n_overlap"] / r["k_exact"]
+
+
+def test_quantize_recall_plan_command(spark, tmp_path):
+    import json
+
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    plan = {
+        "commands": [
+            {
+                "command": "similarity",
+                "corpus": {"ref": src, "onDisk": True},
+                "params": {"method": "quantizeRecall", "k": 3,
+                           "nQueries": 2, "dim": 3},
+                "outputKey": "qr",
+            }
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = engine.registry["qr"].collect()
+    assert len(rows) == 2
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    # kNN-only options rejected with the explicit error
+    plan["commands"][0]["params"] = {"method": "quantizeRecall",
+                                     "nPlanes": 4}
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="quantizeRecall.*does not accept"):
+        TnEngine(spark).run(str(p))

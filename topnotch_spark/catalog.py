@@ -2234,6 +2234,20 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact search over int8 quantize-dequantized vectors
+    vs exact search over the raw doubles (similarity.quantize_recall):
+    grades the REPRESENTATION where similarity_ann_recall grades the
+    INDEX — the audit before shipping a 4x-compressed embedding store.
+    Both sides are the documented 5-query brute-force baseline."""
+    from topnotch_spark.operators.similarity import quantize_recall
+
+    return quantize_recall(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=10, n_queries=5, dim=64,
+    )
+
+
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of BOTH approximate indexes against the brute-force
     exact neighbors — the quality report that picks the index: on these
@@ -3169,11 +3183,11 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
-    # the 6 new r10 queries first (a new query must earn a
+    # the 7 new r10 queries first (a new query must earn a
     # driver-side CORRECTNESS row in the round that ships it),
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
-    # 31 of the r07 cohort; slots 51+ start with the 19
+    # 30 of the r07 cohort; slots 51+ start with the 20
     # remaining r07 queries so the r11 rotation is a shift.
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
@@ -3181,6 +3195,7 @@ ALL = {
     "unigram_fertility_by_source": unigram_fertility_by_source,
     "mixture_plan_sources": mixture_plan_sources,
     "cross_perplexity_en": cross_perplexity_en,
+    "similarity_quantize_recall": similarity_quantize_recall,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,
@@ -3224,8 +3239,8 @@ ALL = {
     "sample_stratified_topn": sample_stratified_topn,
     "similarity_ann_recall": similarity_ann_recall,
     "spatial_customer_supplier": spatial_customer_supplier,
-    "streaming_anomaly": streaming_anomaly,
     # ---- below: not checked by the r10 driver gate ----
+    "streaming_anomaly": streaming_anomaly,
     "streaming_ewma": streaming_ewma,
     "text_bigram_logprob": text_bigram_logprob,
     "text_chunks": text_chunks,

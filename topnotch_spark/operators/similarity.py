@@ -844,3 +844,93 @@ def cluster_silhouette(
         )
         .orderBy("centroid_id")
     )
+
+
+def quantize_recall(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_queries: int = 5,
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Does int8 quantization change who your neighbors are? Exact
+    top-k under the ORIGINAL doubles vs exact top-k where corpus AND
+    queries are round-tripped through :func:`quantize_embeddings`'
+    symmetric int8 scheme (q = clamp(floor(v/scale + 0.5)); deq =
+    q·scale) — per query: (query_id, k_exact, n_overlap, recall).
+    The audit to run before shipping a 4x-compressed index: banding
+    recall (similarity_ann_recall) grades the INDEX, this grades the
+    REPRESENTATION.
+
+    Both sides are the documented exact brute-force baseline (broadcast
+    NLJ over ``n_queries`` query vectors — sample queries at 100 TB, the
+    similarity_topk convention). Quantize-dequantize is a pure array
+    transform per row (no explode/re-assembly); the corpus projection is
+    persisted once and feeds all four branches. floor(x + 0.5) not
+    round() — round-half rules differ across engines; every intermediate
+    is the same IEEE double expression in the DuckDB mirror."""
+    from topnotch_spark.operators.dedup import _persist
+
+    # cast to double up front — the proven quantize_embeddings contract
+    # (both engines then run the identical IEEE double expressions)
+    base = _persist(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("v"),
+        )
+    )
+    scale = (
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+        / F.lit(127.0)
+    ).alias("__s__")
+    deq = base.select("vid", "v", scale).select(
+        "vid",
+        F.when(
+            F.col("__s__") > 0,
+            F.transform(
+                F.col("v"),
+                lambda x: F.least(
+                    F.greatest(
+                        F.floor(x / F.col("__s__") + F.lit(0.5)),
+                        F.lit(-127),
+                    ),
+                    F.lit(127),
+                ).cast("double")
+                * F.col("__s__"),
+            ),
+        )
+        .otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+        .alias("v"),
+    )
+    exact = brute_force_topk(
+        base, base.filter(F.col("vid") < n_queries), id_col="vid",
+        vec_col="v", k=k, round_digits=round_digits, dim=dim,
+    ).select("query_id", "neighbor_id")
+    quant = brute_force_topk(
+        deq, deq.filter(F.col("vid") < n_queries), id_col="vid",
+        vec_col="v", k=k, round_digits=round_digits, dim=dim,
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(quant.withColumn("__hit__", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "k_exact",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("k_exact"), round_digits
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -5154,3 +5154,63 @@ def cross_perplexity_sql(
                per.avg_neg_logprob
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
+
+
+def quantize_recall_sql(
+    dim: int = 64, k: int = 10, n_queries: int = 5, round_digits: int = 6
+) -> str:
+    """Mirror of similarity.quantize_recall: exact top-k on the raw
+    doubles vs exact top-k on the int8 quantize-dequantize round-trip
+    (same floor(x+0.5) scheme as embedding_quantize_sql), per-query
+    overlap and recall."""
+
+    def topk(src: str, out: str) -> str:
+        return f"""
+        {out} AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({cosine('q.dv', 'c.dv', dim)},
+                                    {round_digits}) DESC,
+                              c.vec_id ASC) AS rn
+            FROM {src} c
+            CROSS JOIN (SELECT * FROM {src}
+                        WHERE vec_id < {n_queries}) q
+            WHERE c.vec_id <> q.vec_id
+          ) WHERE rn <= {k}
+        )"""
+
+    return f"""
+        WITH raw AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+          FROM embeddings
+        ),
+        deq AS MATERIALIZED (
+          SELECT vec_id,
+                 CASE WHEN scale > 0 THEN
+                   list_transform(dv, x ->
+                     least(greatest(floor(x / scale + 0.5), -127), 127)
+                     * scale)
+                 ELSE list_transform(dv, x -> 0.0) END AS dv
+          FROM (
+            SELECT vec_id, dv,
+                   list_max(list_transform(dv, x -> abs(x))) / 127.0
+                     AS scale
+            FROM raw
+          )
+        ),
+        {topk('raw', 'exact_t')},
+        {topk('deq', 'quant_t')}
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS k_exact,
+               CAST(count(q.neighbor_id) AS BIGINT) AS n_overlap,
+               round(count(q.neighbor_id) * 1.0 / count(*),
+                     {round_digits}) AS recall
+        FROM exact_t e
+        LEFT JOIN quant_t q
+          ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """

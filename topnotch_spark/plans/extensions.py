@@ -414,7 +414,10 @@ class SimilarityCmd(Command):
     contrastive mines top-k same-label positives + hardest different-
     label negatives per anchor in "queries" ({"labelColumn"} option).
     silhouette is corpus-only too ({["nCentroids", "roundDigits"]}) —
-    per-cluster simplified silhouette over the seeded IVF index."""
+    per-cluster simplified silhouette over the seeded IVF index.
+    quantizeRecall is corpus-only ({["k", "nQueries", "dim",
+    "roundDigits"]}) — recall@k of exact search over int8
+    quantize-dequantized vectors vs the raw doubles."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -430,6 +433,7 @@ class SimilarityCmd(Command):
 
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
+        "quantizeRecall",
     )
 
     @classmethod
@@ -437,12 +441,14 @@ class SimilarityCmd(Command):
         p = obj["params"]
         _require_method(p, cls.METHODS, "similarity")
         if (
-            p["method"] not in ("labelAgreement", "silhouette")
+            p["method"] not in ("labelAgreement", "silhouette",
+                                "quantizeRecall")
             and "queries" not in obj
         ):
             raise ValueError(
                 f"similarity method {p['method']!r} requires a 'queries' "
-                "input (labelAgreement and silhouette are corpus-only)"
+                "input (labelAgreement, silhouette and quantizeRecall are "
+                "corpus-only)"
             )
         return cls(
             corpus=Input.from_json(obj["corpus"]),
@@ -454,7 +460,7 @@ class SimilarityCmd(Command):
             vec_column=p.get("vecColumn", "embedding"),
             options=_opt(
                 p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
-                "minAgree", "nCentroids",
+                "minAgree", "nCentroids", "nQueries",
             ),
             **cls._common(obj),
         )
@@ -463,6 +469,22 @@ class SimilarityCmd(Command):
         from topnotch_spark.operators import similarity as S
 
         corpus = load_input(engine.spark, self.corpus, engine.registry)
+        if self.method == "quantizeRecall":
+            opts = dict(self.options)
+            bad = sorted(
+                {"n_planes", "label_column", "min_agree", "n_centroids"}
+                & opts.keys()
+            )
+            if bad:
+                raise ValueError(
+                    "similarity method 'quantizeRecall' does not accept "
+                    f"option(s) {bad}; supported: k, nQueries, dim, "
+                    "roundDigits"
+                )
+            return S.quantize_recall(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                **opts,
+            )
         if self.method == "silhouette":
             opts = dict(self.options)
             opts.pop("dim", None)  # exact cosine path needs no literals
