@@ -154,6 +154,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_quantize_recall": oracles.quantize_recall_sql(
             dim=64, k=10, n_queries=5
         ),
+        "unigram_segment_docs": oracles.unigram_segment_sql(
+            max_word_len=12, max_piece_len=4, seed_size=64,
+            vocab_size=48, n_rounds=2,
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

@@ -105,6 +105,11 @@ GLOBAL_WINDOW_BOUNDED = {
         "waterfilling prefix/suffix sums over the per-source rollup — "
         "|sources| rows by construction (one row per corpus source)"
     ),
+    "unigram_segment_docs": (
+        "embeds unigram_lm_vocab's final rank window — bounded by "
+        "vocab_size + |alphabet| rows (same bound as "
+        "unigram_lm_vocab_docs)"
+    ),
     "streaming_event_paths": (
         "rank over the k=20 rows surviving TakeOrdered"
     ),
@@ -149,6 +154,10 @@ BNLJ_SMALL_FRAME = {
         "exact side broadcasts the (id, 64-char hash) SIGNATURE table "
         "only — the documented exact-recall baseline (minhash_recall "
         "convention: sample at 100 TB); blobs never enter the join"
+    ),
+    "similarity_quantize_recall": (
+        "both sides broadcast the vec_id < 5 query frame (the "
+        "similarity_topk convention), raw and dequantized"
     ),
 }
 

@@ -848,3 +848,94 @@ def test_quantize_recall_plan_command(spark, tmp_path):
     p.write_text(json.dumps(plan))
     with pytest.raises(ValueError, match="quantizeRecall.*does not accept"):
         TnEngine(spark).run(str(p))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer apply step
+# ---------------------------------------------------------------------------
+
+def test_unigram_segment_applies_trained_vocab(spark):
+    """Train on corpus A, apply to corpus B: per-doc subword counts
+    match the replay's Viterbi under the trained lp; a word with an
+    out-of-vocab character is excluded on the Spark side exactly like
+    the oracle's complete-path enumeration."""
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.textqc import (
+        unigram_lm_vocab,
+        unigram_segment,
+    )
+
+    train_docs = ["the cat sat on the mat", "the cats sat on mats",
+                  "a cat and a mat and a hat"]
+    dfa = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_docs)], ["doc_id", "text"]
+    )
+    # target B: known words, recombinations, and one word with 'z' —
+    # a character absent from A, so no piece can cover it
+    dfb = spark.createDataFrame(
+        [(10, "the cat mats"), (11, "zebra cat"), (12, "")],
+        ["doc_id", "text"],
+    )
+    with dedup_scope():
+        vocab = unigram_lm_vocab(
+            dfa, "doc_id", "text", max_word_len=12, max_piece_len=4,
+            seed_size=16, vocab_size=8, n_rounds=2,
+        )
+        got = {r["doc_id"]: r for r in unigram_segment(
+            dfb, vocab, "doc_id", "text", max_piece_len=4,
+        ).collect()}
+    wc = Counter(w for t in train_docs for w in t.lower().split())
+    ranked = _train_replay(wc, W=12, P=4, seed_size=16, vocab_size=8,
+                           n_rounds=2)
+    lp = {p: l for _, p, _, l in ranked}
+    nsub = {w: len(_viterbi(w, lp, 4)) for w in ("the", "cat", "mats")}
+    r10 = got[10]
+    assert r10["n_tokens"] == 3
+    assert r10["n_subwords"] == nsub["the"] + nsub["cat"] + nsub["mats"]
+    assert r10["fertility"] == pytest.approx(
+        round(r10["n_subwords"] / 3, 6)
+    )
+    # 'zebra' contains 'z'/'b'/'r'/'e' unseen in A -> uncoverable, only
+    # 'cat' counts
+    r11 = got[11]
+    assert r11["n_tokens"] == 1 and r11["n_subwords"] == nsub["cat"]
+    # empty doc survives with zeros and NULL fertility
+    assert got[12]["n_tokens"] == 0 and got[12]["fertility"] is None
+
+
+def test_tokenize_plan_command(spark, tmp_path):
+    """Train in one command, apply via the registry in the next — the
+    tokenizer lifecycle inside a single plan."""
+    import json
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "aa ab aa ab"), (2, "ab ba ab")], ["doc_id", "text"]
+    ).write.parquet(src)
+    plan = {
+        "commands": [
+            {
+                "command": "text",
+                "input": {"ref": src, "onDisk": True},
+                "params": {"method": "unigramLm", "idColumn": "doc_id",
+                           "textColumn": "text", "maxPieceLen": 2,
+                           "seedSize": 4, "vocabSize": 2, "nRounds": 1},
+                "outputKey": "vocab",
+            },
+            {
+                "command": "tokenize",
+                "input": {"ref": src, "onDisk": True},
+                "vocab": {"ref": "vocab", "onDisk": False},
+                "params": {"idColumn": "doc_id", "textColumn": "text",
+                           "maxPieceLen": 2},
+                "outputKey": "segmented",
+            },
+        ]
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    rows = {r["doc_id"]: r for r in engine.registry["segmented"].collect()}
+    assert set(rows) == {1, 2}
+    assert all(r["n_subwords"] >= r["n_tokens"] for r in rows.values())

@@ -890,6 +890,27 @@ def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step (textqc.unigram_segment): train the unigram
+    vocab on documents (unigram_lm_vocab's EM loop), then segment every
+    document with it — per-doc n_tokens/n_subwords/fertility. In
+    production the vocab input is a previously persisted trainer
+    output; here it is trained inline so the oracle replays end to
+    end."""
+    from topnotch_spark.operators.textqc import (
+        unigram_lm_vocab,
+        unigram_segment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_lm_vocab(
+        docs, "doc_id", "text", max_word_len=12, max_piece_len=4,
+        seed_size=64, vocab_size=48, n_rounds=2,
+    )
+    return unigram_segment(docs, vocab, "doc_id", "text",
+                           max_piece_len=4, max_word_len=12)
+
+
 def cross_perplexity_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-corpus LM filter (textqc.cross_perplexity):
     add-1 unigram LM trained on the lang='en' documents slice, every
@@ -3183,11 +3204,11 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
-    # the 7 new r10 queries first (a new query must earn a
+    # the 8 new r10 queries first (a new query must earn a
     # driver-side CORRECTNESS row in the round that ships it),
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
-    # 30 of the r07 cohort; slots 51+ start with the 20
+    # 29 of the r07 cohort; slots 51+ start with the 21
     # remaining r07 queries so the r11 rotation is a shift.
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
@@ -3196,6 +3217,7 @@ ALL = {
     "mixture_plan_sources": mixture_plan_sources,
     "cross_perplexity_en": cross_perplexity_en,
     "similarity_quantize_recall": similarity_quantize_recall,
+    "unigram_segment_docs": unigram_segment_docs,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,
@@ -3238,8 +3260,8 @@ ALL = {
     "sample_stratified": sample_stratified,
     "sample_stratified_topn": sample_stratified_topn,
     "similarity_ann_recall": similarity_ann_recall,
-    "spatial_customer_supplier": spatial_customer_supplier,
     # ---- below: not checked by the r10 driver gate ----
+    "spatial_customer_supplier": spatial_customer_supplier,
     "streaming_anomaly": streaming_anomaly,
     "streaming_ewma": streaming_ewma,
     "text_bigram_logprob": text_bigram_logprob,

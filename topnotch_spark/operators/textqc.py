@@ -1439,7 +1439,18 @@ def _unigram_viterbi_bounds(
     return (
         words.crossJoin(F.broadcast(vmap))
         .select("word", "wc", F.expr(dp_expr).alias("__dp__"))
-        .select("word", "wc", F.expr(walk_expr).alias("__bd__"))
+        .select(
+            "word",
+            "wc",
+            F.expr(walk_expr).alias("__bd__"),
+            # final DP cost: a word the vocab cannot fully segment has
+            # at least one _UNI_MINF term — consumers that must match
+            # the oracle's complete-path-only enumeration (e.g.
+            # unigram_segment over an arbitrary vocab) filter on it
+            F.expr(
+                "element_at(__dp__, length(word) + 1).c"
+            ).alias("__cost__"),
+        )
     )
 
 
@@ -1842,5 +1853,86 @@ def cross_perplexity(
                 F.round(F.col("n_oov") / F.col("n_tokens"), 6),
             ).alias("oov_rate"),
             "avg_neg_logprob",
+        )
+    )
+
+
+def unigram_segment(
+    target: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """APPLY a trained unigram-LM piece vocabulary to new data — the
+    deployment step of the tokenizer lifecycle (train:
+    :func:`unigram_lm_vocab` → audit: :func:`unigram_fertility_by_group`
+    → apply: this). ``vocab`` is any frame with (piece, lp_milli)
+    columns — typically the trainer's output read back from a mounted
+    table or the plan registry, so a tokenizer trained once can segment
+    every future batch identically.
+
+    Per target document: (id, n_tokens, n_subwords, fertility) — token
+    and Viterbi-subword counts over the words the vocab can segment:
+    length ≤ max_word_len (the trainer's corpus contract) AND fully
+    coverable by vocab pieces — a word containing a character no piece
+    covers is excluded on BOTH engines (the oracle enumerates complete
+    paths only; the Spark DP filters on the final cost). Documents with
+    no scorable tokens survive with 0/0 and NULL fertility.
+
+    Execution shape (100 TB): the vocab is a broadcast map (≤ vocab
+    rows); the TARGET reduces to its distinct words for the Viterbi
+    pass (Heaps-sublinear, persisted) and one corpus-tokens → word
+    equi-join + groupBy(doc) rolls the counts up — the
+    bpe/unigram-fertility shape with a per-doc instead of per-group
+    tail."""
+    from topnotch_spark.operators.dedup import _persist
+
+    lp = vocab.select("piece", "lp_milli")
+    words = _persist(
+        target.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # words the vocab cannot FULLY segment (a character no piece covers)
+    # are excluded exactly like the oracle's complete-path enumeration —
+    # any unreachable piece drags the DP cost below _UNI_MINF / 2
+    word_sub = (
+        _unigram_viterbi_bounds(words, lp, max_piece_len)
+        .filter(F.col("__cost__") > _UNI_MINF // 2)
+        .select(
+            "word",
+            (F.size("__bd__") - 1).cast("long").alias("__nsub__"),
+        )
+    )
+    tok = target.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    per_doc = (
+        tok.join(word_sub, "word")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nsub__").alias("n_subwords"),
+        )
+    )
+    return (
+        target.select(F.col(id_col).alias("__id__"))
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_subwords", F.lit(0).cast("long")).alias(
+                "n_subwords"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_subwords") / F.col("n_tokens"),
+                        round_digits),
+            ).alias("fertility"),
         )
     )

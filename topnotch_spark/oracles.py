@@ -5214,3 +5214,66 @@ def quantize_recall_sql(
         GROUP BY e.query_id
         ORDER BY e.query_id
     """
+
+
+def unigram_segment_sql(
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    seed_size: int = 64,
+    vocab_size: int = 48,
+    n_rounds: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.unigram_segment_docs: train the unigram vocab
+    inline (shared EM prefix), then apply it per DOCUMENT — one more
+    complete-path enumeration for the per-word subword count, rolled up
+    per doc_id, empty/uncoverable-only docs kept with 0/NULL."""
+    prefix = _unigram_prefix_ctes(
+        max_word_len, max_piece_len, seed_size, vocab_size, n_rounds
+    )
+    n = n_rounds
+    return f"""
+        WITH RECURSIVE {prefix},
+        pf AS (
+          SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS pos,
+                 [0] AS bounds
+          FROM words
+          UNION ALL
+          SELECT p.word, p.cost + v.lp_milli,
+                 p.pos + length(v.piece),
+                 list_append(p.bounds, p.pos + length(v.piece))
+          FROM pf p JOIN lp{n} v
+            ON length(v.piece) <= length(p.word) - p.pos
+           AND substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+        ),
+        bestf AS (
+          SELECT word, bounds FROM (
+            SELECT word, bounds,
+                   row_number() OVER (
+                     PARTITION BY word
+                     ORDER BY cost DESC,
+                              list_reverse(bounds[2:len(bounds) - 1]) ASC
+                   ) AS rn
+            FROM pf WHERE pos = length(word)
+          ) WHERE rn = 1
+        ),
+        wordsub AS (
+          SELECT word, CAST(len(bounds) - 1 AS BIGINT) AS nsub
+          FROM bestf
+        ),
+        tok AS (SELECT doc_id, unnest(__t__) AS word FROM toked),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(nsub) AS BIGINT) AS n_subwords
+          FROM tok JOIN wordsub USING (word)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_subwords, 0) AS n_subwords,
+               CASE WHEN per.n_tokens > 0
+                    THEN round(per.n_subwords * 1.0 / per.n_tokens,
+                               {round_digits})
+               END AS fertility
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """

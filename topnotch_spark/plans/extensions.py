@@ -987,6 +987,48 @@ class LmScoreCmd(Command):
 
 
 @dataclass(frozen=True)
+class TokenizeCmd(Command):
+    """{"command": "tokenize", "input": <target>, "vocab": <input>,
+    "params": {"idColumn", ["textColumn", "maxPieceLen", "maxWordLen",
+    "roundDigits"]}} — apply a TRAINED unigram-LM piece vocabulary
+    (any frame with piece/lp_milli columns, e.g. a text.unigramLm
+    output read from the registry or a mounted table) to segment new
+    data (textqc.unigram_segment): per doc n_tokens/n_subwords/
+    fertility. The deployment step of the tokenizer lifecycle."""
+
+    input: Input = None  # type: ignore[assignment]
+    vocab: Input = None  # type: ignore[assignment]
+    id_column: str = "id"
+    text_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input, self.vocab]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "TokenizeCmd":
+        p = obj["params"]
+        return cls(
+            input=Input.from_json(obj["input"]),
+            vocab=Input.from_json(obj["vocab"]),
+            id_column=p["idColumn"],
+            text_column=p.get("textColumn", "text"),
+            options=_opt(p, "maxPieceLen", "maxWordLen", "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.textqc import unigram_segment
+
+        tgt = load_input(engine.spark, self.input, engine.registry)
+        voc = load_input(engine.spark, self.vocab, engine.registry)
+        return unigram_segment(
+            tgt, voc, self.id_column, self.text_column, **self.options
+        )
+
+
+@dataclass(frozen=True)
 class SampleCmd(Command):
     """{"command": "sample", "input": <input>, "params": {"idColumn",
     "stratColumn", "rates": {stratum: rate}, ["defaultRate"]}} —
@@ -2323,6 +2365,7 @@ def register() -> None:
             "sample": SampleCmd.from_json,
             "decontaminate": DeconCmd.from_json,
             "lmScore": LmScoreCmd.from_json,
+            "tokenize": TokenizeCmd.from_json,
             "integrity": IntegrityCmd.from_json,
             "skewProfile": SkewCmd.from_json,
             "split": SplitCmd.from_json,
