@@ -812,3 +812,153 @@ def test_benford_property(spark, vals):
     for d in range(1, 10):
         assert rows[d]["n"] == counts[d]
         assert rows[d]["observed_p"] == round(counts[d] / total, 6)
+
+
+# --- round-10 operators ------------------------------------------------------
+
+def _py_waterfill(items, budget):
+    """(name, t, cap) -> {name: alloc}: the documented ratio-sorted
+    prefix-saturation closed form (proved allocation-identical to the
+    iterative Fraction fixpoint on 200k random cases in test_round10)."""
+    s = sorted(items, key=lambda x: (
+        float("inf") if x[1] == 0 else x[2] / x[1], x[0]
+    ))
+    cpre, tsuf, capped = 0, sum(t for _, t, _ in s), set()
+    for n, t, c in s:
+        if t > 0 and c * tsuf <= max(budget - cpre, 0) * t:
+            capped.add(n)
+        cpre += c
+        tsuf -= t
+    csat = sum(c for n, t, c in items if n in capped)
+    tfree = sum(t for n, t, c in items if n not in capped)
+    return {
+        n: (c if n in capped
+            else ((max(budget - csat, 0) * t) // tfree if tfree else 0))
+        for n, t, c in items
+    }
+
+
+@settings(**SETTINGS)
+@given(
+    sources=st.lists(
+        st.tuples(st.integers(0, 40),            # words per source
+                  st.integers(0, 1000)),         # target milli (0 = untargeted)
+        min_size=1, max_size=6,
+    ),
+    budget=st.integers(1, 400),
+    mrm=st.sampled_from([400, 1000, 2500]),
+)
+def test_mixture_allocate_waterfilling_property(spark, sources, budget, mrm):
+    from topnotch_spark.operators.curation import mixture_allocate
+    from topnotch_spark.operators.dedup import dedup_scope
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(nw)), f"s{i}")
+        for i, (nw, _) in enumerate(sources)
+    ]
+    targets = {f"s{i}": tm for i, (_, tm) in enumerate(sources) if tm > 0}
+    if not targets:
+        targets = {"s0": 500}
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    with dedup_scope():
+        got = {r["source"]: r for r in mixture_allocate(
+            df, "source", "text", targets, budget, max_repeat_milli=mrm
+        ).collect()}
+    items = [
+        (f"s{i}", targets.get(f"s{i}", 0), (nw * mrm) // 1000)
+        for i, (nw, _) in enumerate(sources)
+    ]
+    want = _py_waterfill(items, budget)
+    for n, t, c in items:
+        r = got[n]
+        assert r["alloc_tokens"] == want[n], n
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+    total = sum(r["alloc_tokens"] for r in got.values())
+    assert total <= budget
+    # the budget is met whenever the caps allow it (up to flooring)
+    if sum(c for _, _, c in items) >= budget:
+        assert total >= budget - len(items)
+
+
+UNI_WORD = st.text(alphabet=st.sampled_from("abc"), min_size=1, max_size=6)
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(st.tuples(UNI_WORD, st.integers(1, 4)),
+                   min_size=1, max_size=10),
+    vocab_size=st.integers(2, 6),
+    n_rounds=st.integers(1, 2),
+)
+def test_unigram_lm_property(spark, words, vocab_size, n_rounds):
+    """Random tiny corpora vs the pure-Python EM replay (bit-exact:
+    ranks, freqs and milli-nat log-probs)."""
+    from tests.test_round10 import _train_replay
+    from topnotch_spark.operators.dedup import dedup_scope
+    from topnotch_spark.operators.textqc import unigram_lm_vocab
+
+    from collections import Counter
+
+    docs = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with dedup_scope():
+        got = [tuple(r) for r in unigram_lm_vocab(
+            df, "doc_id", "text", max_word_len=12, max_piece_len=3,
+            seed_size=8, vocab_size=vocab_size, n_rounds=n_rounds,
+        ).collect()]
+    wc = Counter()
+    for w, c in words:
+        wc[w] += c
+    assert got == _train_replay(wc, W=12, P=3, seed_size=8,
+                                vocab_size=vocab_size, n_rounds=n_rounds)
+
+
+PATH_STATE = st.one_of(
+    st.none(),
+    st.sampled_from(["", "\x1f", "\x00", "\\", "\\e", "a", "b\x1fc"]),
+)
+
+
+@settings(**SETTINGS)
+@given(states=st.lists(PATH_STATE, min_size=2, max_size=8),
+       split=st.integers(1, 7))
+def test_paths_stream_carry_roundtrip_property(spark, states, split, tmp_path_factory):
+    """Any state-value sequence (hostile bytes included), split at any
+    micro-batch boundary, must emit exactly the batch lead() windows."""
+    import datetime as dt
+    import os
+
+    from topnotch_spark.streaming import (
+        run_stream_to_table,
+        stream_from_parquet,
+    )
+    from topnotch_spark.streaming.stateful import paths_stream
+
+    split = min(split, len(states) - 1)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), 1, s)
+        for i, s in enumerate(states)
+    ]
+    src = str(tmp_path_factory.mktemp("replay"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    for bi, chunk in enumerate((rows[:split], rows[split:])):
+        if chunk:
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                f"{src}/part{bi}"
+            )
+    stream = stream_from_parquet(
+        spark, f"{src}/part*", schema=schema, max_files_per_trigger=1
+    )
+    out = run_stream_to_table(
+        paths_stream(stream, n_steps=2),
+        output_mode="append",
+        state_partitions=2,
+    )
+    got = sorted(r["path"] for r in out.collect())
+    want = sorted(
+        f"{a} > {b}"
+        for a, b in zip(states, states[1:])
+        if a is not None and b is not None
+    )
+    assert got == want
