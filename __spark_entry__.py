@@ -110,6 +110,21 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_binned": oracles.drift_ks_binned_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
+        "drift_wasserstein_totalprice": oracles.drift_wasserstein_sql(
+            "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
+        ),
+        "kmv_source_jaccard": oracles.kmv_group_jaccard_sql(
+            "source", k=128
+        ),
+        "t_closeness_customers": oracles.t_closeness_sql(
+            "customer",
+            {
+                "c_nationkey": "c_nationkey",
+                "acctbal_band": "CAST(floor(c_acctbal / 1000) AS BIGINT)",
+            },
+            "c_mktsegment",
+            t=0.2,
+        ),
         "text_repetition": oracles.text_repetition_sql(shingle_n=3),
         "text_classifier_quality": oracles.linear_classifier_sql(
             catalog.CLASSIFIER_WEIGHTS,

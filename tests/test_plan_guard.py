@@ -84,6 +84,9 @@ GLOBAL_WINDOW_BOUNDED = {
         "above 250k distinct values"
     ),
     "drift_ks_binned": "cumulative sums over the <=n_buckets binned grid",
+    "drift_wasserstein_totalprice": (
+        "cumulative flows over the n_buckets=32 spine-joined grid"
+    ),
     "drift_orders_totalprice": (
         "exact histogram-CDF path behind the 250k-distinct valve"
     ),

@@ -1,0 +1,399 @@
+"""Round-10 session-2 operators: binned 1-D Wasserstein drift and the
+t-closeness privacy audit (plus their plan-command surfaces)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from topnotch_spark.engine import TnEngine
+from topnotch_spark.operators.drift import wasserstein_binned
+from topnotch_spark.operators.integrity import t_closeness
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python binned-EMD replay (independent of Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _w1_replay(ref_vals, cur_vals, n_buckets):
+    mn, mx = min(ref_vals), max(ref_vals)
+    width = (mx - mn) / n_buckets
+
+    def counts(vals):
+        c = [0] * n_buckets
+        for x in vals:
+            idx = min(max(int(math.floor((x - mn) / width)), 0), n_buckets - 1)
+            c[idx] += 1
+        return c
+
+    cr, cc = counts(ref_vals), counts(cur_vals)
+    nr, nc = sum(cr), sum(cc)
+    gap_sum = 0
+    cum_r = cum_c = 0
+    for k in range(n_buckets):
+        cum_r += cr[k]
+        cum_c += cc[k]
+        gap_sum += abs(cum_r * nc - cum_c * nr)
+    w1 = gap_sum / (nr * nc) * width
+    return w1, gap_sum / (nr * nc) / n_buckets
+
+
+class TestWasserstein:
+    def test_identical_distributions_zero(self, spark):
+        df = spark.range(500).select(
+            (F.col("id") % 50).cast("double").alias("x")
+        )
+        row = wasserstein_binned(df, df, "x", n_buckets=10).collect()[0]
+        assert row["w1"] == 0.0 and row["w1_norm"] == 0.0
+        assert row["n_ref"] == 500 and row["n_cur"] == 500
+
+    def test_one_bucket_shift_costs_one_width(self, spark):
+        # ref uniform on buckets 0..9 of [0,100); cur = ref + 10 (one
+        # bucket width): every unit of mass moves exactly one bucket,
+        # except the top bucket's clamp — W1 = width = 10 exactly
+        # because the clamped mass still crosses one grid step.
+        ref = spark.createDataFrame(
+            [(float(10 * i + 5),) for i in range(10) for _ in range(7)],
+            "x double",
+        )
+        # reference range is [5, 95] -> width 9; use replay for truth
+        cur = ref.select((F.col("x") + 10.0).alias("x"))
+        row = wasserstein_binned(ref, cur, "x", n_buckets=10).collect()[0]
+        rv = [10 * i + 5 for i in range(10) for _ in range(7)]
+        cv = [x + 10 for x in rv]
+        w1, w1n = _w1_replay(rv, cv, 10)
+        assert row["w1"] == pytest.approx(w1, abs=1e-6)
+        assert row["w1_norm"] == pytest.approx(w1n, abs=1e-6)
+
+    def test_matches_python_replay_on_skewed_data(self, spark):
+        # deterministic pseudo-random values via integer hashing
+        rv = [((i * 7919) % 1000) / 10.0 for i in range(400)]
+        cv = [(((i * 104729) % 1000) / 10.0) ** 1.1 for i in range(300)]
+        ref = spark.createDataFrame([(v,) for v in rv], "x double")
+        cur = spark.createDataFrame([(v,) for v in cv], "x double")
+        row = wasserstein_binned(ref, cur, "x", n_buckets=32).collect()[0]
+        w1, w1n = _w1_replay(rv, cv, 32)
+        assert row["w1"] == pytest.approx(w1, abs=1e-6)
+        assert row["w1_norm"] == pytest.approx(w1n, abs=1e-6)
+        assert 0.0 <= row["w1_norm"] <= 1.0
+
+    def test_empty_current_side_yields_null(self, spark):
+        ref = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+        cur = spark.createDataFrame([], "x double")
+        row = wasserstein_binned(ref, cur, "x", n_buckets=4).collect()[0]
+        assert row["w1"] is None and row["w1_norm"] is None
+        assert row["n_ref"] == 2 and row["n_cur"] == 0
+
+    def test_constant_or_empty_reference_raises(self, spark):
+        cur = spark.createDataFrame([(1.0,)], "x double")
+        const = spark.createDataFrame([(2.0,), (2.0,)], "x double")
+        with pytest.raises(ValueError, match="empty or constant"):
+            wasserstein_binned(const, cur, "x")
+        empty = spark.createDataFrame([], "x double")
+        with pytest.raises(ValueError, match="empty or constant"):
+            wasserstein_binned(empty, cur, "x")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+# ---------------------------------------------------------------------------
+
+def _t_replay(rows, n_quasi):
+    """rows: list of (quasi..., sensitive). Returns {quasi: t}."""
+    from collections import Counter, defaultdict
+
+    glob = Counter()
+    per = defaultdict(Counter)
+    for r in rows:
+        q, s = tuple(r[:n_quasi]), r[n_quasi] if r[n_quasi] is not None else "__NULL__"
+        glob[s] += 1
+        per[q][s] += 1
+    n = sum(glob.values())
+    out = {}
+    for q, c in per.items():
+        ng = sum(c.values())
+        out[q] = 0.5 * sum(
+            abs(c.get(s, 0) / ng - glob[s] / n) for s in glob
+        )
+    return out
+
+
+class TestTCloseness:
+    def test_hand_computed_two_groups(self, spark):
+        rows = [("g1", "A"), ("g1", "A"), ("g2", "B"), ("g2", "B")]
+        df = spark.createDataFrame(rows, "q string, s string")
+        out = {
+            r["q"]: r
+            for r in t_closeness(
+                df, ["q"], "s", t=0.2, risky_only=False
+            ).collect()
+        }
+        # global (A: .5, B: .5); each group is all-one-value -> t = 0.5
+        for g in ("g1", "g2"):
+            assert out[g]["t_distance"] == pytest.approx(0.5)
+            assert out[g]["group_size"] == 2
+            assert not out[g]["meets_t"]
+
+    def test_mirror_group_meets_and_filters(self, spark):
+        rows = [("g1", "A"), ("g1", "B"), ("g2", "A"), ("g2", "B")]
+        df = spark.createDataFrame(rows, "q string, s string")
+        all_rows = t_closeness(df, ["q"], "s", t=0.2, risky_only=False).collect()
+        assert all(r["t_distance"] == 0.0 and r["meets_t"] for r in all_rows)
+        assert t_closeness(df, ["q"], "s", t=0.2).count() == 0
+
+    def test_null_sensitive_is_a_category(self, spark):
+        rows = [("g1", None), ("g1", None), ("g2", "A"), ("g2", "B")]
+        df = spark.createDataFrame(rows, "q string, s string")
+        out = {
+            r["q"]: r["t_distance"]
+            for r in t_closeness(df, ["q"], "s", risky_only=False).collect()
+        }
+        exp = _t_replay(rows, 1)
+        assert out["g1"] == pytest.approx(exp[("g1",)], abs=1e-6)
+        assert out["g2"] == pytest.approx(exp[("g2",)], abs=1e-6)
+
+    def test_matches_python_replay_multi_quasi(self, spark):
+        rows = [
+            (i % 5, (i * 3) % 2, ["A", "B", "C"][(i * 7919) % 3])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "q1 int, q2 int, s string")
+        got = {
+            (r["q1"], r["q2"]): r["t_distance"]
+            for r in t_closeness(
+                df, ["q1", "q2"], "s", risky_only=False
+            ).collect()
+        }
+        exp = _t_replay(rows, 2)
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+    def test_rejects_bad_t(self, spark):
+        df = spark.createDataFrame([("g", "A")], "q string, s string")
+        with pytest.raises(ValueError, match="must be in"):
+            t_closeness(df, ["q"], "s", t=1.5)
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation sketch
+# ---------------------------------------------------------------------------
+
+
+class TestKmvGroupJaccard:
+    def _df(self, spark, groups):
+        rows = [(g, v) for g, vals in groups.items() for v in vals]
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_small_groups_are_exact(self, spark):
+        # below k the sketches are complete, so every estimate is exact
+        from topnotch_spark.operators.sketch import kmv_group_jaccard
+
+        a = {f"t{i}" for i in range(30)}
+        b = {f"t{i}" for i in range(20, 50)}
+        df = self._df(spark, {"a": a, "b": b})
+        row = kmv_group_jaccard(
+            df, "g", "v", k=256, grade_exact=True
+        ).collect()[0]
+        assert row["est_union"] == float(len(a | b))
+        assert row["est_intersection"] == pytest.approx(len(a & b))
+        assert row["est_jaccard"] == pytest.approx(
+            len(a & b) / len(a | b), abs=1e-6
+        )
+        assert row["exact_jaccard"] == pytest.approx(
+            len(a & b) / len(a | b), abs=1e-6
+        )
+        assert row["jaccard_abs_err"] == 0.0
+
+    def test_disjoint_and_identical(self, spark):
+        from topnotch_spark.operators.sketch import kmv_group_jaccard
+
+        same = {f"x{i}" for i in range(40)}
+        df = self._df(
+            spark,
+            {"a": same, "b": same, "c": {f"y{i}" for i in range(40)}},
+        )
+        rows = {
+            (r["group_a"], r["group_b"]): r
+            for r in kmv_group_jaccard(
+                df, "g", "v", k=64, grade_exact=True
+            ).collect()
+        }
+        assert rows[("a", "b")]["est_jaccard"] == 1.0
+        assert rows[("a", "c")]["est_jaccard"] == 0.0
+        assert rows[("b", "c")]["shared_exact"] == 0
+
+    def test_large_groups_estimate_within_bound(self, spark):
+        from topnotch_spark.operators.sketch import kmv_group_jaccard
+
+        # 2000-distinct groups with 50% overlap, k=256: KMV relative
+        # error ~1/sqrt(k) ≈ 6%; assert a generous 4-sigma bound
+        a = {f"v{i}" for i in range(2000)}
+        b = {f"v{i}" for i in range(1000, 3000)}
+        df = self._df(spark, {"a": a, "b": b})
+        row = kmv_group_jaccard(
+            df, "g", "v", k=256, grade_exact=True
+        ).collect()[0]
+        true_union, true_jac = 3000, 1000 / 3000
+        assert abs(row["est_union"] - true_union) / true_union < 0.25
+        assert abs(row["est_jaccard"] - true_jac) < 0.25
+        assert row["n_union_sk"] == 256
+
+    def test_rejects_bad_k(self, spark):
+        from topnotch_spark.operators.sketch import kmv_group_jaccard
+
+        df = self._df(spark, {"a": {"x"}})
+        with pytest.raises(ValueError, match="k must be"):
+            kmv_group_jaccard(df, "g", "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# plan-command surfaces
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_group_jaccard_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "quantileSketch",
+                "input": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {
+                    "method": "groupJaccard",
+                    "groupColumn": "lang",
+                    "textColumn": "text",
+                    "k": 64,
+                    "gradeExact": True,
+                },
+                "outputKey": "langOverlap",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["langOverlap"]
+    assert "est_jaccard" in out.columns and "exact_jaccard" in out.columns
+    assert out.count() > 0
+
+
+def test_kmv_group_jaccard_plan_validation():
+    from topnotch_spark.plans.extensions import QuantileSketchCmd
+
+    base = {
+        "command": "quantileSketch",
+        "input": {"ref": "x.parquet", "onDisk": True},
+    }
+    with pytest.raises(ValueError, match="groupColumn"):
+        QuantileSketchCmd.from_json(
+            base | {"params": {"method": "groupJaccard"}}
+        )
+    with pytest.raises(ValueError, match="valueColumn"):
+        QuantileSketchCmd.from_json(
+            base
+            | {"params": {"method": "groupJaccard", "groupColumn": "g"}}
+        )
+
+def test_wasserstein_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "drift",
+                "reference": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "current": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {
+                    "method": "wasserstein",
+                    "column": "o_totalprice",
+                    "nBuckets": 16,
+                },
+                "outputKey": "w1Drift",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    row = engine.registry["w1Drift"].collect()[0]
+    assert row["w1"] == 0.0  # identical slices
+
+
+def test_wasserstein_plan_rejects_stray_option(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "drift",
+                "reference": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "current": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {
+                    "method": "wasserstein",
+                    "column": "o_totalprice",
+                    "eps": 0.1,
+                },
+                "outputKey": "w1Drift",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="does not accept options"):
+        TnEngine(spark).run(str(p))
+
+
+def test_t_closeness_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "kAnonymity",
+                "input": {"ref": f"{SF}/customer.parquet", "onDisk": True},
+                "params": {
+                    "quasiColumns": ["c_nationkey"],
+                    "sensitiveColumn": "c_mktsegment",
+                    "t": 0.2,
+                    "riskyOnly": False,
+                },
+                "outputKey": "tAudit",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    audit = engine.registry["tAudit"]
+    assert {"c_nationkey", "group_size", "t_distance", "meets_t"} == set(
+        audit.columns
+    )
+    total = audit.groupBy().sum("group_size").collect()[0][0]
+    assert total == spark.read.parquet(f"{SF}/customer.parquet").count()
+
+
+def test_t_closeness_plan_param_validation():
+    from topnotch_spark.plans.extensions import KAnonymityCmd
+
+    base = {
+        "command": "kAnonymity",
+        "input": {"ref": "x.parquet", "onDisk": True},
+    }
+    with pytest.raises(ValueError, match="requires"):
+        KAnonymityCmd.from_json(
+            base | {"params": {"quasiColumns": ["a"], "t": 0.2}}
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        KAnonymityCmd.from_json(
+            base
+            | {
+                "params": {
+                    "quasiColumns": ["a"],
+                    "sensitiveColumn": "s",
+                    "t": 0.2,
+                    "l": 3,
+                }
+            }
+        )

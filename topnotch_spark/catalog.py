@@ -1097,6 +1097,37 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_wasserstein_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned earth-mover drift (drift.wasserstein_binned): W1 distance
+    between finished and unfinished orders' totalprice on a 32-bin
+    reference grid — the integral-of-ECDF-gap companion to the KS max
+    and the bucket-local PSI, integer-exact cumulative flows."""
+    from topnotch_spark.operators.drift import wasserstein_binned
+
+    orders = load(spark, sf_dir, "orders")
+    return wasserstein_binned(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        orders.filter(F.col("o_orderstatus") != "F"),
+        "o_totalprice",
+        n_buckets=32,
+    )
+
+
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness privacy audit (integrity.t_closeness): variational
+    distance between each (nation, acctbal-band) group's mktsegment
+    distribution and the global one — the skewness-attack gate above
+    k-anonymity/l-diversity; flags groups with distance > 0.2."""
+    from topnotch_spark.operators.integrity import t_closeness
+
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "acctbal_band", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return t_closeness(
+        cust, ["c_nationkey", "acctbal_band"], "c_mktsegment", t=0.2
+    )
+
+
 def asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each error event: the user's latest click at-or-before it
     (merge-sorted as-of join — one shuffle, no range-join explosion).
@@ -1407,6 +1438,30 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=2,
     )
     return pagerank(edges, iters=8).withColumnRenamed("node", "part_id")
+
+
+def graph_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the part co-purchase graph
+    (graph.label_propagation): 4 synchronous rounds, pair_count-weighted
+    votes, min-label tie-break — the density-cluster complement to the
+    pagerank/triangle entries on the same support>=2 graph. Every round
+    broadcasts the node-sized label frame into the src-partitioned edge
+    cache: zero per-round exchanges."""
+    from topnotch_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    edges = cooccurrence_edges(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        max_basket_items=12,
+        min_support=2,
+    )
+    return label_propagation(
+        edges, iters=4, weight_col="pair_count"
+    ).withColumnRenamed("node", "part_id")
 
 
 def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2728,6 +2783,23 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_overlap(load(spark, sf_dir, "documents"), "text", "lang")
 
 
+def kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketch audit (sketch.kmv_group_jaccard): for
+    every source pair, bottom-128 hash sketches estimate the vocabulary
+    union / Jaccard / intersection, and the exact vocab join grades the
+    estimates — the sketch path of vocab_overlap for when |groups|² ·
+    full-vocab joins are too expensive to run routinely."""
+    from topnotch_spark.functions.text import tokens
+    from topnotch_spark.operators.sketch import kmv_group_jaccard
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return kmv_group_jaccard(
+        docs, "source", "token", k=128, grade_exact=True
+    )
+
+
 def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L-diversity privacy audit (integrity.l_diversity): customer
     quasi-identifier groups (nation, $1000 balance band) whose rows span
@@ -3204,12 +3276,15 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the committed CORRECTNESS_FULL_r*.json artifacts at sf0.01 + sf0.1.
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
-    # the 8 new r10 queries first (a new query must earn a
+    # queries NEW this round first (a new query must earn a
     # driver-side CORRECTNESS row in the round that ships it),
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
-    # 29 of the r07 cohort; slots 51+ start with the 21
-    # remaining r07 queries so the r11 rotation is a shift.
+    # of the r07 cohort; slots 51+ start with the remaining
+    # r07 queries so the r11 rotation is a shift.
+    "drift_wasserstein_totalprice": drift_wasserstein_totalprice,
+    "t_closeness_customers": t_closeness_customers,
+    "kmv_source_jaccard": kmv_source_jaccard,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -239,6 +239,103 @@ def pagerank(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    weight_col: str | None = None,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the symmetric closure of ``edges`` —
+    (node, community, community_size) after ``iters`` rounds. The graph
+    complement to connected components: components find REACHABILITY
+    clusters, LPA finds DENSITY clusters inside one big component —
+    which near-dup neighborhoods / co-purchase niches exist even when
+    everything is weakly connected.
+
+    Determinism contract (the repo-wide oracle rule): the classic
+    algorithm breaks ties RANDOMLY and updates asynchronously; this
+    implementation is the synchronous variant with a total tie order —
+    every node starts as its own label, and each round adopts the
+    neighbor label with the greatest total edge weight (``weight_col``,
+    or degree-1 counts), ties to the SMALLEST label. Integer weights,
+    no RNG — a DuckDB oracle unrolling the same rounds reproduces every
+    label bit-for-bit. Synchronous LPA can oscillate on bipartite-ish
+    structures rather than converge; ``iters`` is a hard cap, not a
+    convergence promise, and the fixed count is what keeps the result
+    engine-portable.
+
+    100 TB shape (the pagerank round shape): the symmetric edge set is
+    persisted hash-partitioned by src; each round broadcasts the
+    node-sized label frame into the edge join (dst side), then the
+    (src, label) weight aggregate AND the per-src argmax window both
+    reuse the src partitioning — zero per-round exchanges with
+    ``broadcast_labels`` (set False for graphs whose node set exceeds
+    executor memory; rounds then shuffle on the join key). Lineage is
+    truncated every _CKPT_CADENCE rounds like pagerank. The final
+    community-size rollup is one extra label-sized groupBy + join.
+    """
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    if iters < 1:
+        raise ValueError(f"label_propagation: iters must be >= 1, got {iters}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select("src", "dst", w.alias("__w__"))
+    sym = _persist(
+        e.union(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "__w__",
+            )
+        ).repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+    )
+    from pyspark.sql import Window
+
+    hint = F.broadcast if broadcast_labels else (lambda df: df)
+    labels, ckpt = _truncate_round(
+        sym.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("community")
+        ),
+        None,
+    )
+    argmax = Window.partitionBy("src").orderBy(
+        F.col("__tw__").desc(), F.col("community").asc()
+    )
+    for it in range(iters):
+        nb = sym.join(
+            hint(labels), sym["dst"] == labels["node"]
+        ).select("src", "community", "__w__")
+        labels = (
+            nb.groupBy("src", "community")
+            .agg(F.sum("__w__").alias("__tw__"))
+            .withColumn("__rn__", F.row_number().over(argmax))
+            .filter(F.col("__rn__") == 1)
+            .select(F.col("src").alias("node"), "community")
+        )
+        if it % _CKPT_CADENCE == _CKPT_CADENCE - 1 or it == iters - 1:
+            labels, ckpt = _truncate_round(labels, ckpt)
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    out = labels.join(sizes, "community").select(
+        "node", "community", "community_size"
+    )
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(out)
+        _d._CHECKPOINTED[id(out)] = ckpt
+    return out
+
+
 def _truncate_probe(
     ranks: DataFrame,
     prev: DataFrame,

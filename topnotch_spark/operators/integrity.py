@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -166,3 +166,97 @@ def l_diversity(
         (F.col("distinct_sensitive") >= l).alias("meets_l"),
     )
     return out.filter(~F.col("meets_l")) if risky_only else out
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    risky_only: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """T-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after [k_anonymity] and
+    [l_diversity]: a group can be l-diverse yet still leak if its
+    sensitive-value DISTRIBUTION differs sharply from the table-wide one
+    (skewness attack: "90% of this group has value X" is a disclosure
+    even when all values appear). A group satisfies t-closeness when the
+    distance between its sensitive distribution and the global one is at
+    most ``t``.
+
+    For a nominal sensitive attribute the canonical distance is the
+    variational (total-variation) distance
+    ``t(g) = ½ Σ_s |P_g(s) − P(s)|`` — the paper's equal-ground-distance
+    EMD. NULL sensitive values count as a category of their own (same
+    convention as [l_diversity]).
+
+    Computed INTEGER-EXACT: per observed (group, value) cell
+    ``|n_gs·N − n_s·n_g|``, plus ``(N − Σ_{s∈g} n_s)·n_g`` for the
+    global values the group never exhibits (their cells contribute
+    ``n_s·n_g`` each; summing via the complement avoids a group×value
+    spine join). One double division at the end.
+
+    Execution shape: ONE groupBy on (quasi, sensitive) — the only
+    full-data shuffle — then everything runs on the distinct-cell frame:
+    a broadcast join against the ≤|values| global tally, a 1-row total
+    crossJoin (broadcast), a window partitioned by the quasi tuple, and
+    a final cell-frame groupBy. Output is one row per quasi tuple.
+    """
+    if not 0.0 <= t <= 1.0:
+        raise ValueError(f"t_closeness: t must be in [0, 1], got {t}")
+    from topnotch_spark.operators.dedup import _persist
+
+    sens = F.coalesce(
+        F.col(sensitive_col).cast("string"), F.lit("__NULL__")
+    )
+    # the cell frame feeds three branches (global value tally, grand
+    # total, and the per-cell terms) — persist it so the source is
+    # scanned ONCE; it is the distinct (quasi, value) frame, already the
+    # big reduction
+    cell = _persist(
+        df.groupBy(*quasi_cols, sens.alias("__sens__")).agg(
+            F.count(F.lit(1)).alias("n_gs")
+        )
+    )
+    stotal = cell.groupBy("__sens__").agg(F.sum("n_gs").alias("n_s"))
+    ntotal = stotal.agg(F.sum("n_s").alias("n_total"))
+    dec = "decimal(38,0)"
+    wq = Window.partitionBy(*quasi_cols)
+    enriched = (
+        cell.join(F.broadcast(stotal), "__sens__")
+        .crossJoin(F.broadcast(ntotal))
+        .withColumn("n_g", F.sum("n_gs").over(wq))
+        .withColumn(
+            "term",
+            F.abs(
+                F.col("n_gs").cast(dec) * F.col("n_total").cast(dec)
+                - F.col("n_s").cast(dec) * F.col("n_g").cast(dec)
+            ),
+        )
+    )
+    g = enriched.groupBy(*quasi_cols).agg(
+        F.max("n_g").alias("group_size"),
+        F.max("n_total").alias("n_total"),
+        F.sum("term").alias("term_sum"),
+        F.sum("n_s").alias("s_covered"),
+    )
+    numer = F.col("term_sum") + (
+        F.col("n_total").cast(dec) - F.col("s_covered").cast(dec)
+    ) * F.col("group_size").cast(dec)
+    t_val = F.round(
+        numer.cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("group_size").cast("double")
+            * F.col("n_total").cast("double")
+        ),
+        round_digits,
+    )
+    out = g.select(
+        *quasi_cols,
+        F.col("group_size"),
+        t_val.alias("t_distance"),
+        (t_val <= F.lit(t)).alias("meets_t"),
+    )
+    return out.filter(~F.col("meets_t")) if risky_only else out

@@ -224,6 +224,155 @@ def kmv_merge(parts: list[DataFrame], k: int = 256) -> DataFrame:
     return out.orderBy("__h__").limit(k)
 
 
+def kmv_group_jaccard(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "kmvset",
+    round_digits: int = 6,
+    grade_exact: bool = False,
+) -> DataFrame:
+    """KMV set-operation sketch (Beyer et al., SIGMOD 2007): for every
+    unordered pair of groups, estimate the distinct-value UNION size,
+    JACCARD similarity, and INTERSECTION size from per-group bottom-k
+    hash sketches — the sketch-path twin of the exact
+    textqc.vocab_overlap join. The classic estimators: with U the k
+    smallest hashes of the union of two sketches, ``est_union =
+    (k−1)/h_k`` (or the exact count when the union sketch is not full),
+    ``est_jaccard = |U ∩ S_a ∩ S_b| / |U|``, and ``est_intersection =
+    est_jaccard · est_union``.
+
+    Everything is derived from md5 hashes mapped to [0, 1) via the first
+    8 hex digits, so the estimates are bit-for-bit reproducible on any
+    engine — the DuckDB oracle replays them exactly. With
+    ``grade_exact`` the output also carries the exact per-group vocab
+    sizes, exact Jaccard, and ``jaccard_abs_err`` — the accuracy-audit
+    form (the dedup_minhash_recall policy: the sketch answers, an exact
+    pass grades it).
+
+    100 TB shape: ONE distinct on (group, hash) is the only full-data
+    shuffle; the per-group bottom-k window reduces it to |groups|·k rows
+    and every pairwise stage runs on that sketch table (pair fan-out
+    O(|groups|²·k) — group count is a dimension, not data). Production
+    persists the sketch table and answers overlap questions for new
+    group pairs without re-reading the corpus (kmv-style mergeability:
+    bottom-k of a union is bottom-k of the parts). The exact grading
+    join is the expensive part and exists only in the audit form."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.operators.dedup import _persist
+
+    if k < 2:
+        raise ValueError(f"kmv_group_jaccard: k must be >= 2, got {k}")
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit(salt), F.col(value_col).cast("string")
+        )
+    )
+    dv = df.select(F.col(group_col).alias("g"), h.alias("__h__")).distinct()
+    if grade_exact:
+        dv = _persist(dv)
+    wg = Window.partitionBy("g").orderBy("__h__")
+    sk = _persist(
+        dv.withColumn("__rn__", F.row_number().over(wg))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("group_a"))
+        .crossJoin(groups.select(F.col("g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    pa = sk.join(F.broadcast(pairs), sk["g"] == pairs["group_a"]).select(
+        "group_a", "group_b", "__h__",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    pb = sk.join(F.broadcast(pairs), sk["g"] == pairs["group_b"]).select(
+        "group_a", "group_b", "__h__",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    u = (
+        pa.unionByName(pb)
+        .groupBy("group_a", "group_b", "__h__")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("group_a", "group_b").orderBy("__h__")
+    uk = u.withColumn("__rn__", F.row_number().over(wp)).filter(
+        F.col("__rn__") <= k
+    )
+    per_pair = uk.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_union_sk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("shared_sk"),
+        F.max("__h__").alias("__hk__"),
+    )
+    hk_unit = (
+        F.conv(F.substring("__hk__", 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    est_union = F.when(
+        F.col("n_union_sk") < k, F.col("n_union_sk").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / hk_unit)
+    jac = F.col("shared_sk").cast("double") / F.col("n_union_sk").cast(
+        "double"
+    )
+    out = per_pair.select(
+        "group_a",
+        "group_b",
+        "n_union_sk",
+        "shared_sk",
+        F.round(est_union, round_digits).alias("est_union"),
+        F.round(jac, round_digits).alias("est_jaccard"),
+        F.round(jac * est_union, round_digits).alias("est_intersection"),
+    )
+    if not grade_exact:
+        return out
+    sizes = dv.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ea = F.broadcast(
+        sizes.select(F.col("g").alias("group_a"), F.col("n").alias("vocab_a"))
+    )
+    eb = F.broadcast(
+        sizes.select(F.col("g").alias("group_b"), F.col("n").alias("vocab_b"))
+    )
+    a = dv.select(F.col("g").alias("group_a"), "__h__")
+    b = dv.select(F.col("g").alias("group_b"), "__h__")
+    inter = (
+        a.join(b, "__h__")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_exact"))
+    )
+    graded = (
+        out.join(inter, ["group_a", "group_b"], "left")
+        .join(ea, "group_a")
+        .join(eb, "group_b")
+        .withColumn("shared_exact", F.coalesce("shared_exact", F.lit(0)))
+    )
+    exact_jac = F.col("shared_exact").cast("double") / (
+        F.col("vocab_a") + F.col("vocab_b") - F.col("shared_exact")
+    ).cast("double")
+    est_jac = F.col("est_jaccard")
+    return graded.select(
+        "group_a",
+        "group_b",
+        "n_union_sk",
+        "shared_sk",
+        "est_union",
+        "est_jaccard",
+        "est_intersection",
+        "vocab_a",
+        "vocab_b",
+        "shared_exact",
+        F.round(exact_jac, round_digits).alias("exact_jaccard"),
+        F.round(F.abs(est_jac - F.round(exact_jac, round_digits)), round_digits).alias(
+            "jaccard_abs_err"
+        ),
+    )
+
+
 def kmv_accuracy(
     df: DataFrame,
     id_col: str,

@@ -1129,6 +1129,125 @@ def drift_ks_binned_sql(
     """
 
 
+def drift_wasserstein_sql(
+    table: str, col: str, ref_predicate: str, bins: int
+) -> str:
+    """Mirror of drift.wasserstein_binned: 1-row (w1, w1_norm, n_ref,
+    n_cur). Same grid arithmetic as the binned KS (reference min/max,
+    clamp to edge bins), cumulative flows integer-exact via the
+    cross-multiplication trick (HUGEINT here, decimal(38,0) in Spark),
+    one double division at the end with the identical op order
+    ``sum_gap / (n_ref · n_cur) · width``. The bucket spine comes from
+    generate_series — empty bins carry the running gap."""
+    return f"""
+        WITH raw AS (
+          SELECT CAST({col} AS DOUBLE) AS x,
+                 CASE WHEN {ref_predicate} THEN 1 ELSE 0 END AS g
+          FROM {table} WHERE {col} IS NOT NULL
+        ),
+        stats AS (
+          SELECT min(x) AS mn, (max(x) - min(x)) / {bins} AS width
+          FROM raw WHERE g = 1
+        ),
+        binned AS (
+          SELECT CAST(least(greatest(floor((x - mn) / width), 0),
+                            {bins - 1}) AS INT) AS bucket, g
+          FROM raw, stats
+        ),
+        per_b AS (
+          SELECT s.bucket,
+                 CAST(coalesce(sum(g), 0) AS BIGINT) AS c_ref,
+                 CAST(coalesce(count(binned.bucket) - sum(g), 0) AS BIGINT)
+                   AS c_cur
+          FROM (SELECT unnest(generate_series(0, {bins - 1})) AS bucket) s
+          LEFT JOIN binned ON binned.bucket = s.bucket
+          GROUP BY s.bucket
+        ),
+        ecdf AS (
+          SELECT abs(sum(c_ref) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) * sum(c_cur) OVER ()
+                     - sum(c_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) * sum(c_ref) OVER ())
+                     AS gap,
+                 sum(c_ref) OVER () AS n_ref,
+                 sum(c_cur) OVER () AS n_cur
+          FROM per_b
+        )
+        SELECT CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+                    THEN round(CAST(sum(gap) AS DOUBLE)
+                               / (CAST(max(n_ref) AS DOUBLE)
+                                  * CAST(max(n_cur) AS DOUBLE))
+                               * (SELECT width FROM stats), 6)
+               END AS w1,
+               CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+                    THEN round(CAST(sum(gap) AS DOUBLE)
+                               / (CAST(max(n_ref) AS DOUBLE)
+                                  * CAST(max(n_cur) AS DOUBLE))
+                               / CAST({bins} AS DOUBLE), 6)
+               END AS w1_norm,
+               CAST(coalesce(max(n_ref), 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(max(n_cur), 0) AS BIGINT) AS n_cur
+        FROM ecdf
+    """
+
+
+def t_closeness_sql(
+    table: str,
+    quasi_exprs: dict[str, str],
+    sensitive_col: str,
+    t: float = 0.2,
+    risky_only: bool = True,
+) -> str:
+    """Mirror of integrity.t_closeness: variational distance per quasi
+    group via integer cross-multiplied cell terms plus the
+    complement-mass term for sensitive values the group never exhibits;
+    HUGEINT-exact with one double division. ``quasi_exprs`` maps output
+    alias -> SQL expression."""
+    qsel = ",\n                 ".join(
+        f"{e} AS {a}" for a, e in quasi_exprs.items()
+    )
+    qcols = ", ".join(quasi_exprs)
+    where = f"WHERE NOT (t_distance <= {t})" if risky_only else ""
+    return f"""
+        WITH cell AS (
+          SELECT {qsel},
+                 coalesce(CAST({sensitive_col} AS VARCHAR), '__NULL__') AS s,
+                 count(*) AS n_gs
+          FROM {table}
+          GROUP BY ALL
+        ),
+        st AS (SELECT s, sum(n_gs) AS n_s FROM cell GROUP BY s),
+        nt AS (SELECT sum(n_s) AS n_total FROM st),
+        j AS (
+          SELECT cell.*, st.n_s, nt.n_total,
+                 sum(n_gs) OVER (PARTITION BY {qcols}) AS n_g
+          FROM cell JOIN st USING (s), nt
+        ),
+        g AS (
+          SELECT {qcols},
+                 max(n_g) AS group_size,
+                 max(n_total) AS n_total,
+                 sum(abs(CAST(n_gs AS HUGEINT) * n_total
+                         - CAST(n_s AS HUGEINT) * n_g)) AS term_sum,
+                 sum(n_s) AS s_covered
+          FROM j GROUP BY {qcols}
+        ),
+        scored AS (
+          SELECT {qcols},
+                 CAST(group_size AS BIGINT) AS group_size,
+                 round(CAST(term_sum + (CAST(n_total AS HUGEINT) - s_covered)
+                            * group_size AS DOUBLE)
+                       / (2.0 * CAST(group_size AS DOUBLE)
+                          * CAST(n_total AS DOUBLE)), 6) AS t_distance
+          FROM g
+        )
+        SELECT {qcols}, group_size, t_distance,
+               t_distance <= {t} AS meets_t
+        FROM scored
+        {where}
+    """
+
+
 def pack_token_shards_partitioned_sql(
     budget: int = 2000, partition_col: str = "source"
 ) -> str:
@@ -3913,6 +4032,104 @@ def vocab_overlap_sql(group_col: str = "lang", round_digits: int = 6) -> str:
         FROM i
         JOIN s sa ON sa.g = i.group_a
         JOIN s sb ON sb.g = i.group_b
+    """
+
+
+def kmv_group_jaccard_sql(
+    group_col: str = "source",
+    k: int = 128,
+    salt: str = "kmvset",
+    round_digits: int = 6,
+) -> str:
+    """Mirror of sketch.kmv_group_jaccard(grade_exact=True) over
+    documents tokens: per-group bottom-k md5 sketches, union bottom-k
+    per pair, the (k−1)/h_k estimator with the first-8-hex-digits
+    unit-interval mapping, plus the exact-vocab grading join."""
+    tok = tokens("text")
+    kd = float(k - 1)
+    return f"""
+        WITH dv AS (
+          SELECT DISTINCT g, md5('{salt}:' || t) AS h
+          FROM (SELECT {group_col} AS g, unnest({tok}) AS t
+                FROM documents)
+        ),
+        sk AS (
+          SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM dv
+          ) WHERE rn <= {k}
+        ),
+        pairs AS (
+          SELECT a.g AS group_a, b.g AS group_b
+          FROM (SELECT DISTINCT g FROM sk) a,
+               (SELECT DISTINCT g FROM sk) b
+          WHERE a.g < b.g
+        ),
+        tagged AS (
+          SELECT p.group_a, p.group_b, sk.h, 1 AS in_a, 0 AS in_b
+          FROM sk JOIN pairs p ON sk.g = p.group_a
+          UNION ALL
+          SELECT p.group_a, p.group_b, sk.h, 0, 1
+          FROM sk JOIN pairs p ON sk.g = p.group_b
+        ),
+        u AS (
+          SELECT group_a, group_b, h,
+                 max(in_a) AS in_a, max(in_b) AS in_b
+          FROM tagged GROUP BY 1, 2, 3
+        ),
+        uk AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY group_a, group_b ORDER BY h) AS rn
+            FROM u
+          ) WHERE rn <= {k}
+        ),
+        per_pair AS (
+          SELECT group_a, group_b,
+                 count(*) AS n_union_sk,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS shared_sk,
+                 max(h) AS hk
+          FROM uk GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT group_a, group_b, n_union_sk, shared_sk,
+                 CASE WHEN n_union_sk < {k}
+                      THEN CAST(n_union_sk AS DOUBLE)
+                      ELSE {kd!r} / (CAST(CAST(('0x' || substr(hk, 1, 8))
+                                AS BIGINT) AS DOUBLE) / 4294967296.0)
+                 END AS est_union_raw,
+                 CAST(shared_sk AS DOUBLE) / CAST(n_union_sk AS DOUBLE)
+                   AS jac_raw
+          FROM per_pair
+        ),
+        sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dv GROUP BY g),
+        inter AS (
+          SELECT a.g AS group_a, b.g AS group_b,
+                 CAST(count(*) AS BIGINT) AS shared_exact
+          FROM dv a JOIN dv b ON a.h = b.h AND a.g < b.g
+          GROUP BY 1, 2
+        )
+        SELECT e.group_a, e.group_b,
+               CAST(n_union_sk AS BIGINT) AS n_union_sk, shared_sk,
+               round(est_union_raw, {round_digits}) AS est_union,
+               round(jac_raw, {round_digits}) AS est_jaccard,
+               round(jac_raw * est_union_raw, {round_digits})
+                 AS est_intersection,
+               sa.n AS vocab_a, sb.n AS vocab_b,
+               coalesce(i.shared_exact, 0) AS shared_exact,
+               round(CAST(coalesce(i.shared_exact, 0) AS DOUBLE)
+                     / CAST(sa.n + sb.n - coalesce(i.shared_exact, 0)
+                            AS DOUBLE), {round_digits}) AS exact_jaccard,
+               round(abs(round(jac_raw, {round_digits})
+                         - round(CAST(coalesce(i.shared_exact, 0) AS DOUBLE)
+                                 / CAST(sa.n + sb.n
+                                        - coalesce(i.shared_exact, 0)
+                                        AS DOUBLE), {round_digits})),
+                     {round_digits}) AS jaccard_abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.group_a = e.group_a AND i.group_b = e.group_b
+        JOIN sizes sa ON sa.g = e.group_a
+        JOIN sizes sb ON sb.g = e.group_b
     """
 
 

@@ -772,10 +772,13 @@ class PivotCmd(Command):
 @dataclass(frozen=True)
 class DriftCmd(Command):
     """{"command": "drift", "reference": <input>, "current": <input>,
-    "params": {"column", ["method": psi|ks|chi2|tokens|tokenRankShift],
+    "params": {"column", ["method":
+    psi|ks|wasserstein|chi2|tokens|tokenRankShift],
     ["nBuckets", "eps", "roundDigits", "bins", "vocabK", "k"]}} —
     PSI histogram drift (default),
-    two-sample KS (exact, or grid-binned via "bins"), chi-square
+    two-sample KS (exact, or grid-binned via "bins"), binned
+    1-D Wasserstein / earth-mover distance (integral of the ECDF gap —
+    how much mass moved how far, in column units), chi-square
     categorical homogeneity, KL/JS token-distribution drift
     ("column" is then the text column), or tokenRankShift — the top-k
     tokens that climbed most in frequency rank between the two slices
@@ -845,6 +848,7 @@ class DriftCmd(Command):
         cur = load_input(engine.spark, self.current, engine.registry)
         allowed = {
             "ks": {"round_digits", "bins"},
+            "wasserstein": {"n_buckets", "round_digits"},
             "psi": {"n_buckets", "eps", "round_digits"},
             "chi2": {"round_digits"},
             "tokens": {"round_digits"},
@@ -873,6 +877,10 @@ class DriftCmd(Command):
             return psi_trend(ref, ts_col, self.column, **opts)
         if self.method == "ks":
             return ks_statistic(ref, cur, self.column, **self.options)
+        if self.method == "wasserstein":
+            from topnotch_spark.operators.drift import wasserstein_binned
+
+            return wasserstein_binned(ref, cur, self.column, **self.options)
         if self.method == "chi2":
             return chi2_drift(ref, cur, self.column, **self.options)
         if self.method == "tokens":
@@ -1726,23 +1734,32 @@ class GraphCmd(Command):
 @dataclass(frozen=True)
 class QuantileSketchCmd(Command):
     """{"command": "quantileSketch", "input": <input>, "params":
-    {"method": build|merge|accuracy, "idColumn", "valueColumn",
-    ["k", "salt", "qs", "roundDigits"]}, ["parts": [<input>, ...]]} —
+    {"method": build|merge|accuracy|groupJaccard, "idColumn",
+    "valueColumn",
+    ["k", "salt", "qs", "roundDigits", "groupColumn", "textColumn",
+    "gradeExact"]}, ["parts": [<input>, ...]]} —
     mergeable KMV quantile sketch (operators/sketch.kmv_*). ``build``
     emits the (value, __h__) bottom-k-by-hash sample (persist it via
     outputs); ``merge`` re-takes bottom-k over the ``parts`` inputs
     (exactly equal to a whole-corpus build); ``accuracy`` grades the
     sketch's quantile estimates against one exact counting pass and
-    emits the per-quantile verdict frame."""
+    emits the per-quantile verdict frame; ``groupJaccard`` estimates
+    pairwise distinct-set union/Jaccard/intersection between the
+    "groupColumn" slices from bottom-k sketches
+    (sketch.kmv_group_jaccard — set "textColumn" to sketch the token
+    vocabulary instead of a value column, "gradeExact" to add the
+    exact-join audit columns)."""
 
     input: Input | None = None
     parts: tuple = ()
     method: str = "build"
     id_column: str = "id"
     value_column: str = "value"
+    group_column: str | None = None
+    text_column: str | None = None
     options: dict = field(default_factory=dict)
 
-    METHODS = ("build", "merge", "accuracy")
+    METHODS = ("build", "merge", "accuracy", "groupJaccard")
 
     @property
     def inputs(self) -> list[Input]:
@@ -1765,6 +1782,20 @@ class QuantileSketchCmd(Command):
                 f"quantileSketch method {p['method']!r} requires an "
                 '"input"'
             )
+        if p["method"] == "groupJaccard":
+            if "groupColumn" not in p:
+                raise ValueError(
+                    'quantileSketch: method "groupJaccard" requires '
+                    'param "groupColumn"'
+                )
+            if "textColumn" not in p and "valueColumn" not in p:
+                raise ValueError(
+                    'quantileSketch: method "groupJaccard" requires '
+                    '"valueColumn" or "textColumn"'
+                )
+            opts = _opt(p, "k", "salt", "roundDigits", "gradeExact")
+        else:
+            opts = _opt(p, "k", "salt", "qs", "roundDigits")
         return cls(
             input=(
                 Input.from_json(obj["input"]) if "input" in obj else None
@@ -1775,7 +1806,9 @@ class QuantileSketchCmd(Command):
             method=p["method"],
             id_column=p.get("idColumn", "id"),
             value_column=p.get("valueColumn", "value"),
-            options=_opt(p, "k", "salt", "qs", "roundDigits"),
+            group_column=p.get("groupColumn"),
+            text_column=p.get("textColumn"),
+            options=opts,
             **cls._common(obj),
         )
 
@@ -1798,6 +1831,22 @@ class QuantileSketchCmd(Command):
                 k: v for k, v in opts.items() if k == "k"
             })
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.method == "groupJaccard":
+            from pyspark.sql import functions as F
+
+            from topnotch_spark.functions.text import tokens
+            from topnotch_spark.operators.sketch import kmv_group_jaccard
+
+            value_col = self.value_column
+            if self.text_column is not None:
+                value_col = "__v__"
+                df = df.select(
+                    self.group_column,
+                    F.explode(tokens(self.text_column)).alias(value_col),
+                )
+            return kmv_group_jaccard(
+                df, self.group_column, value_col, **opts
+            )
         fn = kmv_build if self.method == "build" else kmv_accuracy
         if self.method == "build":
             opts.pop("qs", None)
@@ -2029,11 +2078,16 @@ class KAnonymityCmd(Command):
     quasi-identifier groups (operators/integrity.k_anonymity). With
     "sensitiveColumn" (+ optional "l") the audit runs l-DIVERSITY
     instead: groups whose rows span < l distinct sensitive values
-    (operators/integrity.l_diversity)."""
+    (operators/integrity.l_diversity). With "sensitiveColumn" AND "t"
+    it runs T-CLOSENESS: groups whose sensitive-value distribution sits
+    further than t (variational distance) from the table-wide one
+    (operators/integrity.t_closeness) — "l" and "t" are mutually
+    exclusive."""
 
     input: Input = None  # type: ignore[assignment]
     quasi_columns: tuple[str, ...] = ()
     sensitive_column: str | None = None
+    mode: str = "k"
     options: dict = field(default_factory=dict)
 
     @property
@@ -2044,21 +2098,47 @@ class KAnonymityCmd(Command):
     def from_json(cls, obj: dict) -> "KAnonymityCmd":
         p = obj["params"]
         sensitive = p.get("sensitiveColumn")
+        if "t" in p and not sensitive:
+            raise ValueError(
+                "kAnonymity: param 't' (t-closeness) requires "
+                "'sensitiveColumn'"
+            )
+        if "t" in p and "l" in p:
+            raise ValueError(
+                "kAnonymity: params 't' and 'l' are mutually exclusive "
+                "(t-closeness vs l-diversity)"
+            )
+        if sensitive and "t" in p:
+            mode, opts = "t", _opt(p, "t", "riskyOnly", "roundDigits")
+        elif sensitive:
+            mode, opts = "l", _opt(p, "l", "riskyOnly")
+        else:
+            mode, opts = "k", _opt(p, "k", "riskyOnly")
         return cls(
             input=Input.from_json(obj["input"]),
             quasi_columns=tuple(p["quasiColumns"]),
             sensitive_column=sensitive,
-            options=_opt(p, "l", "riskyOnly")
-            if sensitive
-            else _opt(p, "k", "riskyOnly"),
+            mode=mode,
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.integrity import k_anonymity, l_diversity
+        from topnotch_spark.operators.integrity import (
+            k_anonymity,
+            l_diversity,
+            t_closeness,
+        )
 
         df = load_input(engine.spark, self.input, engine.registry)
-        if self.sensitive_column:
+        if self.mode == "t":
+            return t_closeness(
+                df,
+                quasi_cols=list(self.quasi_columns),
+                sensitive_col=self.sensitive_column,
+                **self.options,
+            )
+        if self.mode == "l":
             return l_diversity(
                 df,
                 quasi_cols=list(self.quasi_columns),
