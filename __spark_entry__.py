@@ -133,6 +133,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_distinct_users": oracles.streaming_distinct_users_sql(
             "1 hour"
         ),
+        "graph_communities_parts": oracles.label_propagation_parts_sql(
+            iters=4, max_basket=12, min_support=2
+        ),
         "graph_pagerank_parts": oracles.pagerank_parts_sql(
             iters=8, max_basket=12, min_support=2
         ),

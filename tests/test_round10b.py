@@ -253,6 +253,115 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+def _lpa_replay(edges, iters, weights=None):
+    """Pure-Python synchronous weighted LPA with min-label tie-break."""
+    from collections import defaultdict
+
+    adj = defaultdict(dict)
+    for idx, (s, d) in enumerate(edges):
+        w = weights[idx] if weights else 1
+        adj[s][d] = adj[s].get(d, 0) + w
+        adj[d][s] = adj[d].get(s, 0) + w
+    label = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n in adj:
+            votes = defaultdict(int)
+            for m, w in adj[n].items():
+                votes[label[m]] += w
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            # tie-break: max weight, then SMALLEST label
+            top_w = best[1]
+            new[n] = min(lab for lab, w in votes.items() if w == top_w)
+        label = new
+    return label
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from topnotch_spark.operators.graph import label_propagation
+
+        # two 4-cliques {1..4} and {11..14} joined by one bridge edge
+        clique = lambda ns: [  # noqa: E731
+            (a, b) for a in ns for b in ns if a < b
+        ]
+        edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = label_propagation(df, iters=5).collect()
+        comm = {r["node"]: r["community"] for r in rows}
+        assert len({comm[n] for n in (1, 2, 3)}) == 1
+        assert len({comm[n] for n in (12, 13, 14)}) == 1
+        assert comm[1] != comm[12]
+        sizes = {r["node"]: r["community_size"] for r in rows}
+        assert sizes[1] >= 3 and sizes[12] >= 3
+
+    def test_matches_python_replay(self, spark):
+        from topnotch_spark.operators.graph import label_propagation
+
+        # deterministic pseudo-random sparse graph
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for i in range(120)
+                for a, b in [((i * 7919) % 30, (i * 104729) % 30)]
+                if a != b
+            }
+        )
+        weights = [((s + d) % 5) + 1 for s, d in edges]
+        df = spark.createDataFrame(
+            [(s, d, w) for (s, d), w in zip(edges, weights)],
+            "src long, dst long, pair_count long",
+        )
+        for iters in (1, 3):
+            got = {
+                r["node"]: r["community"]
+                for r in label_propagation(
+                    df, iters=iters, weight_col="pair_count"
+                ).collect()
+            }
+            exp = _lpa_replay(edges, iters, weights)
+            assert got == exp, f"iters={iters}"
+
+    def test_rejects_bad_iters(self, spark):
+        from topnotch_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iters"):
+            label_propagation(df, iters=0)
+
+
+def test_label_prop_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "graph",
+                "input": {"ref": f"{SF}/lineitem.parquet", "onDisk": True},
+                "params": {
+                    "method": "labelProp",
+                    "basketColumn": "l_orderkey",
+                    "itemColumn": "l_partkey",
+                    "maxBasketItems": 12,
+                    "minSupport": 2,
+                    "weightColumn": "pairCount",
+                    "iters": 3,
+                },
+                "outputKey": "communities",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["communities"]
+    assert set(out.columns) == {"node", "community", "community_size"}
+    assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
 # plan-command surfaces
 # ---------------------------------------------------------------------------
 

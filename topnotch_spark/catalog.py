@@ -3285,6 +3285,7 @@ ALL = {
     "drift_wasserstein_totalprice": drift_wasserstein_totalprice,
     "t_closeness_customers": t_closeness_customers,
     "kmv_source_jaccard": kmv_source_jaccard,
+    "graph_communities_parts": graph_communities_parts,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -4774,6 +4774,49 @@ def pagerank_parts_sql(
     """
 
 
+def label_propagation_parts_sql(
+    iters: int = 4,
+    max_basket: int = 12,
+    min_support: int = 1,
+) -> str:
+    """Mirror of graph.label_propagation over
+    graph.cooccurrence_edges(lineitem): the same synchronous weighted
+    rounds unrolled as chained CTEs — per round, each node adopts the
+    neighbor label with the greatest total pair_count weight, ties to
+    the smallest label (integer weights, total order: bit-identical)."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+        l{k} AS (
+          SELECT node, community FROM (
+            SELECT s.src AS node, l.community,
+                   row_number() OVER (
+                     PARTITION BY s.src
+                     ORDER BY sum(s.w) DESC, l.community ASC) AS rn
+            FROM sym s JOIN l{k - 1} l ON l.node = s.dst
+            GROUP BY s.src, l.community
+          ) WHERE rn = 1
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_copurchase_edges_cte(max_basket, min_support)},
+        sym AS MATERIALIZED (
+          SELECT src, dst, CAST(w AS BIGINT) AS w FROM uedges
+          UNION ALL
+          SELECT dst, src, CAST(w AS BIGINT) AS w FROM uedges
+        ),
+        l0 AS (
+          SELECT DISTINCT src AS node, src AS community FROM sym
+        ),{chain}
+        SELECT l.node AS part_id, l.community, s.community_size
+        FROM l{iters} l
+        JOIN (
+          SELECT community, CAST(count(*) AS BIGINT) AS community_size
+          FROM l{iters} GROUP BY community
+        ) s USING (community)
+    """
+
+
 def triangle_parts_sql(
     min_support: int = 2, max_basket: int = 12, round_digits: int = 6
 ) -> str:

@@ -1590,7 +1590,8 @@ class CmsCmd(Command):
 @dataclass(frozen=True)
 class GraphCmd(Command):
     """{"command": "graph", "input": <input>, "params": {"method":
-    pagerank|ppr|triangles|components, EITHER "srcColumn"+"dstColumn"
+    pagerank|ppr|triangles|components|labelProp, EITHER
+    "srcColumn"+"dstColumn"
     (input is an
     undirected unique edge list) OR "basketColumn"+"itemColumn" (edges
     are built by co-occurrence within a basket; "maxBasketItems" /
@@ -1607,7 +1608,11 @@ class GraphCmd(Command):
     weighted) PageRank related-item walks, ordered-wedge triangle
     counts, and connected components (min-label propagation with
     pointer jumping — the same engine the dedup cluster methods use,
-    here over ANY edge list)."""
+    here over ANY edge list). ``labelProp`` is synchronous
+    label-propagation community detection (weighted votes via
+    "weightColumn", min-label tie-break; ["iters",
+    "broadcastLabels"]) — density communities where components give
+    reachability."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "pagerank"
@@ -1617,7 +1622,7 @@ class GraphCmd(Command):
     item_column: str | None = None
     options: dict = field(default_factory=dict)
 
-    METHODS = ("pagerank", "ppr", "triangles", "components")
+    METHODS = ("pagerank", "ppr", "triangles", "components", "labelProp")
 
     @property
     def inputs(self) -> list[Input]:
@@ -1656,6 +1661,7 @@ class GraphCmd(Command):
                 "weightColumn",
                 "broadcastRanks",
                 "tolScaled",
+                "broadcastLabels",
             ),
             **cls._common(obj),
         )
@@ -1721,6 +1727,15 @@ class GraphCmd(Command):
             )
             return personalized_pagerank(
                 edges, seeds, weight_col=weight, **walk_opts
+            )
+        if self.method == "labelProp":
+            from topnotch_spark.operators.graph import label_propagation
+
+            return label_propagation(
+                edges,
+                iters=o.get("iters", 5),
+                weight_col=weight,
+                broadcast_labels=o.get("broadcast_labels", True),
             )
         if self.method == "components":
             from topnotch_spark.operators.cluster import connected_components
