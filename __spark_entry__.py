@@ -169,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "cross_perplexity_en": oracles.cross_perplexity_sql(
             "lang = 'en'", k=1.0
         ),
+        "stupid_backoff_en": oracles.stupid_backoff_sql(
+            "lang = 'en'", alpha=0.4
+        ),
         "similarity_quantize_recall": oracles.quantize_recall_sql(
             dim=64, k=10, n_queries=5
         ),

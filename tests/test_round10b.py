@@ -253,6 +253,203 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# stupid-backoff trigram LM
+# ---------------------------------------------------------------------------
+
+def _backoff_replay(ref_texts, tgt_texts, alpha=0.4):
+    """Pure-Python stupid backoff; returns {doc_idx: (counts..., avg)}."""
+    from collections import Counter
+
+    def toks(t):
+        return t.lower().split()
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for t in ref_texts:
+        w = toks(t)
+        uni.update(w)
+        bi.update(tuple(w[i : i + 2]) for i in range(len(w) - 1))
+        tri.update(tuple(w[i : i + 3]) for i in range(len(w) - 2))
+    n = sum(uni.values())
+    a2 = alpha * alpha
+    out = {}
+    for idx, t in enumerate(tgt_texts):
+        w = toks(t)
+        lvls, scores = [], []
+        for i in range(len(w) - 2):
+            t3, b_pre, b_suf = (
+                tuple(w[i : i + 3]),
+                tuple(w[i : i + 2]),
+                tuple(w[i + 1 : i + 3]),
+            )
+            if tri[t3] > 0:
+                lvls.append(0)
+                scores.append(tri[t3] / bi[b_pre])
+            elif bi[b_suf] > 0:
+                lvls.append(1)
+                scores.append(alpha * bi[b_suf] / uni[w[i + 1]])
+            elif uni[w[i + 2]] > 0:
+                lvls.append(2)
+                scores.append(a2 * uni[w[i + 2]] / n)
+            else:
+                lvls.append(3)
+                scores.append(a2 / n)
+        avg = (
+            round(sum(-math.log(s) for s in scores) / len(scores), 4)
+            if scores
+            else None
+        )
+        out[idx] = (
+            len(lvls),
+            lvls.count(0),
+            lvls.count(1),
+            lvls.count(2),
+            lvls.count(3),
+            avg,
+        )
+    return out
+
+
+class TestStupidBackoff:
+    REF = ["a b c", "a b d", "b d e"]
+
+    def _run(self, spark, targets, alpha=0.4):
+        from topnotch_spark.operators.textqc import stupid_backoff
+
+        tgt = spark.createDataFrame(
+            list(enumerate(targets)), "doc_id long, text string"
+        )
+        ref = spark.createDataFrame(
+            [(t,) for t in self.REF], "text string"
+        )
+        return {
+            r["doc_id"]: r
+            for r in stupid_backoff(
+                tgt, ref, "doc_id", "text", alpha=alpha
+            ).collect()
+        }
+
+    def test_backoff_ladder_hand_computed(self, spark):
+        rows = self._run(
+            spark, ["a b c", "a b e", "x b d y", "a b"]
+        )
+        # "a b c": seen trigram, S = c(abc)/c(ab) = 1/2
+        assert rows[0]["n_tri_hit"] == 1
+        assert rows[0]["avg_neg_logscore"] == pytest.approx(
+            round(-math.log(0.5), 4)
+        )
+        # "a b e": trigram+suffix-bigram unseen, e seen -> unigram level
+        assert rows[1]["n_uni_backoff"] == 1
+        assert rows[1]["avg_neg_logscore"] == pytest.approx(
+            round(-math.log(0.16 * 1 / 9), 4)
+        )
+        # "x b d y": (x,b,d) backs off to bigram (b d); (b,d,y) unseen
+        assert rows[2]["n_bi_backoff"] == 1 and rows[2]["n_unseen"] == 1
+        # < 3 tokens: zero counts, NULL score
+        assert rows[3]["n_trigrams"] == 0
+        assert rows[3]["avg_neg_logscore"] is None
+
+    def test_matches_python_replay(self, spark):
+        vocab = ["red", "blue", "green", "fish", "dog", "runs", "sits"]
+        ref = [
+            " ".join(vocab[(i * j * 7919) % 7] for j in range(1, 9))
+            for i in range(12)
+        ]
+        tgt = [
+            " ".join(
+                (vocab + ["zzz"])[(i * j * 104729) % 8] for j in range(1, 7)
+            )
+            for i in range(15)
+        ]
+        from topnotch_spark.operators.textqc import stupid_backoff
+
+        tdf = spark.createDataFrame(
+            list(enumerate(tgt)), "doc_id long, text string"
+        )
+        rdf = spark.createDataFrame([(t,) for t in ref], "text string")
+        got = {
+            r["doc_id"]: (
+                r["n_trigrams"],
+                r["n_tri_hit"],
+                r["n_bi_backoff"],
+                r["n_uni_backoff"],
+                r["n_unseen"],
+                r["avg_neg_logscore"],
+            )
+            for r in stupid_backoff(tdf, rdf, "doc_id", "text").collect()
+        }
+        exp = _backoff_replay(ref, tgt)
+        for i in exp:
+            g, e = got[i], exp[i]
+            assert g[:5] == e[:5], i
+            if e[5] is None:
+                assert g[5] is None
+            else:
+                assert g[5] == pytest.approx(e[5], abs=2e-4), i
+
+    def test_rejects_bad_alpha(self, spark):
+        with pytest.raises(ValueError, match="alpha"):
+            self._run(spark, ["a b c"], alpha=0.0)
+
+
+def test_stupid_backoff_plan_validation():
+    from topnotch_spark.plans.extensions import LmScoreCmd
+
+    base = {
+        "command": "lmScore",
+        "target": {"ref": "t.parquet", "onDisk": True},
+        "reference": {"ref": "r.parquet", "onDisk": True},
+    }
+    with pytest.raises(ValueError, match="unknown method"):
+        LmScoreCmd.from_json(
+            base | {"params": {"idColumn": "id", "method": "katz"}}
+        )
+    with pytest.raises(ValueError, match="stupidBackoff takes"):
+        LmScoreCmd.from_json(
+            base
+            | {
+                "params": {
+                    "idColumn": "id",
+                    "method": "stupidBackoff",
+                    "k": 1.0,
+                }
+            }
+        )
+    with pytest.raises(ValueError, match="addkUnigram takes"):
+        LmScoreCmd.from_json(
+            base | {"params": {"idColumn": "id", "alpha": 0.4}}
+        )
+
+
+def test_stupid_backoff_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "lmScore",
+                "target": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "reference": {
+                    "ref": f"{SF}/documents.parquet",
+                    "onDisk": True,
+                },
+                "params": {
+                    "idColumn": "doc_id",
+                    "method": "stupidBackoff",
+                    "alpha": 0.4,
+                },
+                "outputKey": "lmScores",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["lmScores"]
+    assert "avg_neg_logscore" in out.columns and "n_unseen" in out.columns
+    # self-scoring: every observed trigram is in the model
+    assert out.agg({"n_unseen": "sum"}).collect()[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
 # label propagation
 # ---------------------------------------------------------------------------
 

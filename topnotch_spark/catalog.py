@@ -1097,6 +1097,22 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stupid_backoff_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM filter (textqc.stupid_backoff, Brants
+    2007): count tables from the en slice, every document scored with
+    backoff diagnostics — the word-order step past cross_perplexity_en's
+    unigram model on the same reference slice."""
+    from topnotch_spark.operators.textqc import stupid_backoff
+
+    docs = load(spark, sf_dir, "documents")
+    return stupid_backoff(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+    )
+
+
 def drift_wasserstein_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned earth-mover drift (drift.wasserstein_binned): W1 distance
     between finished and unfinished orders' totalprice on a 32-bin
@@ -3286,6 +3302,7 @@ ALL = {
     "t_closeness_customers": t_closeness_customers,
     "kmv_source_jaccard": kmv_source_jaccard,
     "graph_communities_parts": graph_communities_parts,
+    "stupid_backoff_en": stupid_backoff_en,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

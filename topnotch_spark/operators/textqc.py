@@ -1857,6 +1857,174 @@ def cross_perplexity(
     )
 
 
+def stupid_backoff(
+    target: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cross-corpus TRIGRAM language-model filter with stupid backoff
+    (Brants et al., EMNLP 2007, "Large Language Models in Machine
+    Translation") — the distributed-counts n-gram scorer that made
+    web-scale LMs practical: no discounting, no normalization, just
+    relative frequencies with a fixed backoff penalty, which is exactly
+    what survives a count-table-sharded 100 TB corpus.
+
+    Score of each target trigram position (w1 w2 w3) against the
+    REFERENCE corpus counts::
+
+        S = c(w1 w2 w3) / c(w1 w2)          if the trigram was seen
+          = α  · c(w2 w3) / c(w2)           elif the bigram was seen
+          = α² · c(w3) / N                  elif the unigram was seen
+          = α² · 1 / N                      else (count-1 pseudo-unigram)
+
+    (a seen trigram implies its prefix bigram was seen in the same
+    corpus, so the first ratio is always defined; likewise c(w2) for a
+    seen (w2 w3)). Emits per target doc: n_trigrams, the per-backoff-
+    level hit counts (n_tri_hit / n_bi_backoff / n_uni_backoff /
+    n_unseen — integer-exact diagnostics of HOW the doc diverges), and
+    ``avg_neg_logscore`` = mean of −ln S (S is a score, not a
+    probability — Brants' point — so this is a ranking signal, not a
+    perplexity). Docs with < 3 tokens survive with 0 counts and NULL
+    score. The trigram order is the step past :func:`cross_perplexity`
+    (unigram add-k): word-salad with an in-domain vocabulary keeps a
+    good unigram score but backs off constantly here.
+
+    Execution shape (100 TB): reference tokenizes ONCE into a persisted
+    array frame feeding the three count tables (ONE map-side-combined
+    groupBy each — these are the sharded count tables of the paper,
+    persisted); target tokenizes once into a persisted spine; scoring
+    is four LEFT equi-joins of the exploded target trigrams onto the
+    count tables (broadcast when they fit, hash join on the n-gram key
+    at corpus scale — Brants' hash-by-ngram distribution) + one
+    groupBy(doc)."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"stupid_backoff: alpha must be in (0, 1], got {alpha}")
+    a2 = alpha * alpha
+
+    def grams(col, n_grams: int):
+        n = F.size(col)
+        take = n - (n_grams - 1)
+        parts = [F.slice(col, i + 1, take) for i in range(n_grams)]
+        zipped = parts[0]
+        for p in parts[1:]:
+            zipped = F.zip_with(
+                zipped, p, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        return F.when(n >= n_grams, zipped).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    ref_arr = _persist(reference.select(tokens(text_col).alias("__toks__")))
+    uni = _persist(
+        ref_arr.select(F.explode("__toks__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nn = uni.agg(F.sum("c1").alias("__N__"))
+    bi = _persist(
+        ref_arr.select(F.explode(grams(F.col("__toks__"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tri = (
+        ref_arr.select(F.explode(grams(F.col("__toks__"), 3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    arr = _persist(
+        target.select(
+            F.col(id_col).alias("__id__"), tokens(text_col).alias("__toks__")
+        )
+    )
+    pos = arr.select("__id__", F.explode(grams(F.col("__toks__"), 3)).alias("tg"))
+    # context keys derived from the trigram string (tokens contain no
+    # whitespace by construction of tokens())
+    pos = pos.select(
+        "__id__",
+        "tg",
+        F.substring_index("tg", " ", 2).alias("__bi_pre__"),
+        F.substring_index("tg", " ", -2).alias("__bi_suf__"),
+        F.substring_index(
+            F.substring_index("tg", " ", 2), " ", -1
+        ).alias("__w2__"),
+        F.substring_index("tg", " ", -1).alias("__w3__"),
+    )
+    c2_of_w2 = uni.select(
+        F.col("w").alias("__w2__"), F.col("c1").alias("c_w2")
+    )
+    c1_of_w3 = uni.select(
+        F.col("w").alias("__w3__"), F.col("c1").alias("c_w3")
+    )
+    joined = (
+        pos.join(tri, "tg", "left")
+        .join(
+            bi.select(F.col("bg").alias("__bi_pre__"), F.col("c2").alias("c_pre")),
+            "__bi_pre__",
+            "left",
+        )
+        .join(
+            bi.select(F.col("bg").alias("__bi_suf__"), F.col("c2").alias("c_suf")),
+            "__bi_suf__",
+            "left",
+        )
+        .join(c2_of_w2, "__w2__", "left")
+        .join(c1_of_w3, "__w3__", "left")
+        .crossJoin(F.broadcast(nn))
+    )
+    nd = F.col("__N__").cast("double")
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c_pre").cast("double"),
+        )
+        .when(
+            F.col("c_suf").isNotNull(),
+            F.lit(alpha) * F.col("c_suf").cast("double")
+            / F.col("c_w2").cast("double"),
+        )
+        .when(
+            F.col("c_w3").isNotNull(),
+            F.lit(a2) * F.col("c_w3").cast("double") / nd,
+        )
+        .otherwise(F.lit(a2) / nd)
+    )
+    lvl = (
+        F.when(F.col("c3").isNotNull(), F.lit(0))
+        .when(F.col("c_suf").isNotNull(), F.lit(1))
+        .when(F.col("c_w3").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    per_doc = joined.select(
+        "__id__", (-F.log(s)).alias("__nls__"), lvl.alias("__lvl__")
+    ).groupBy("__id__").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum((F.col("__lvl__") == 0).cast("long")).alias("n_tri_hit"),
+        F.sum((F.col("__lvl__") == 1).cast("long")).alias("n_bi_backoff"),
+        F.sum((F.col("__lvl__") == 2).cast("long")).alias("n_uni_backoff"),
+        F.sum((F.col("__lvl__") == 3).cast("long")).alias("n_unseen"),
+        F.round(F.avg("__nls__"), round_digits).alias("avg_neg_logscore"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        arr.select("__id__")
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_trigrams", zero).alias("n_trigrams"),
+            F.coalesce("n_tri_hit", zero).alias("n_tri_hit"),
+            F.coalesce("n_bi_backoff", zero).alias("n_bi_backoff"),
+            F.coalesce("n_uni_backoff", zero).alias("n_uni_backoff"),
+            F.coalesce("n_unseen", zero).alias("n_unseen"),
+            "avg_neg_logscore",
+        )
+    )
+
+
 def unigram_segment(
     target: DataFrame,
     vocab: DataFrame,

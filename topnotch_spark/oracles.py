@@ -4035,6 +4035,99 @@ def vocab_overlap_sql(group_col: str = "lang", round_digits: int = 6) -> str:
     """
 
 
+def stupid_backoff_sql(
+    ref_predicate: str,
+    alpha: float = 0.4,
+    round_digits: int = 4,
+) -> str:
+    """Mirror of textqc.stupid_backoff over documents: trigram counts
+    from the reference slice, per-position CASE over the backoff ladder
+    with the identical double expressions (ratios of exact integer
+    counts, α and α² as the same Python float literals), avg + round."""
+    tok = tokens("text")
+    a = repr(float(alpha))
+    a2 = repr(float(alpha) * float(alpha))
+    return f"""
+        WITH ref AS (
+          SELECT {tok} AS __t__ FROM documents WHERE {ref_predicate}
+        ),
+        uni AS MATERIALIZED (
+          SELECT t AS w, count(*) AS c1
+          FROM (SELECT unnest(__t__) AS t FROM ref) GROUP BY t
+        ),
+        nn AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+        bi AS MATERIALIZED (
+          SELECT bg, count(*) AS c2 FROM (
+            SELECT __t__[i] || ' ' || __t__[i + 1] AS bg
+            FROM (SELECT __t__,
+                         unnest(generate_series(1, len(__t__) - 1)) AS i
+                  FROM ref)
+          ) GROUP BY bg
+        ),
+        tri AS MATERIALIZED (
+          SELECT tg, count(*) AS c3 FROM (
+            SELECT __t__[i] || ' ' || __t__[i + 1] || ' ' || __t__[i + 2]
+                     AS tg
+            FROM (SELECT __t__,
+                         unnest(generate_series(1, len(__t__) - 2)) AS i
+                  FROM ref)
+          ) GROUP BY tg
+        ),
+        tgt AS (SELECT doc_id, {tok} AS __t__ FROM documents),
+        pos AS (
+          SELECT doc_id, __t__[i] AS w1, __t__[i + 1] AS w2,
+                 __t__[i + 2] AS w3
+          FROM (SELECT doc_id, __t__,
+                       unnest(generate_series(1, len(__t__) - 2)) AS i
+                FROM tgt)
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 CASE WHEN t.c3 IS NOT NULL THEN 0
+                      WHEN bs.c2 IS NOT NULL THEN 1
+                      WHEN u3.c1 IS NOT NULL THEN 2
+                      ELSE 3 END AS lvl,
+                 CASE WHEN t.c3 IS NOT NULL
+                      THEN -ln(CAST(t.c3 AS DOUBLE) / CAST(bp.c2 AS DOUBLE))
+                      WHEN bs.c2 IS NOT NULL
+                      THEN -ln({a} * CAST(bs.c2 AS DOUBLE)
+                               / CAST(u2.c1 AS DOUBLE))
+                      WHEN u3.c1 IS NOT NULL
+                      THEN -ln({a2} * CAST(u3.c1 AS DOUBLE) / nn.n)
+                      ELSE -ln({a2} / nn.n) END AS nls
+          FROM pos p
+          LEFT JOIN tri t ON t.tg = p.w1 || ' ' || p.w2 || ' ' || p.w3
+          LEFT JOIN bi bp ON bp.bg = p.w1 || ' ' || p.w2
+          LEFT JOIN bi bs ON bs.bg = p.w2 || ' ' || p.w3
+          LEFT JOIN uni u2 ON u2.w = p.w2
+          LEFT JOIN uni u3 ON u3.w = p.w3, nn
+        ),
+        agg AS (
+          SELECT doc_id,
+                 count(*) AS n_trigrams,
+                 CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tri_hit,
+                 CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bi_backoff,
+                 CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_uni_backoff,
+                 CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unseen,
+                 round(avg(nls), {round_digits}) AS avg_neg_logscore
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_trigrams, 0) AS n_trigrams,
+               coalesce(a.n_tri_hit, 0) AS n_tri_hit,
+               coalesce(a.n_bi_backoff, 0) AS n_bi_backoff,
+               coalesce(a.n_uni_backoff, 0) AS n_uni_backoff,
+               coalesce(a.n_unseen, 0) AS n_unseen,
+               a.avg_neg_logscore
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def kmv_group_jaccard_sql(
     group_col: str = "source",
     k: int = 128,

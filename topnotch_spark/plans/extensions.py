@@ -956,17 +956,25 @@ class DeconCmd(Command):
 @dataclass(frozen=True)
 class LmScoreCmd(Command):
     """{"command": "lmScore", "target": <input>, "reference": <input>,
-    "params": {"idColumn", ["textColumn", "k", "roundDigits"]}} —
-    CCNet-style cross-corpus LM filter (textqc.cross_perplexity): train
-    an add-k unigram LM on the reference slice, score every target doc
-    (n_tokens, n_oov, oov_rate, avg_neg_logprob); feed the score into a
-    downstream assertion/qualityFilter gate."""
+    "params": {"idColumn", ["method": addkUnigram|stupidBackoff,
+    "textColumn", "k", "alpha", "roundDigits"]}} —
+    cross-corpus LM filter: train on the reference slice, score every
+    target doc. ``addkUnigram`` (default) is the CCNet-style add-k
+    unigram model (textqc.cross_perplexity: n_tokens, n_oov, oov_rate,
+    avg_neg_logprob); ``stupidBackoff`` is the Brants 2007 trigram
+    scorer (textqc.stupid_backoff: per-backoff-level hit counts +
+    avg_neg_logscore — catches word-salad that keeps an in-domain
+    unigram profile). Feed the score into a downstream
+    assertion/qualityFilter gate."""
 
     target: Input = None  # type: ignore[assignment]
     reference: Input = None  # type: ignore[assignment]
+    method: str = "addkUnigram"
     id_column: str = "id"
     text_column: str = "text"
     options: dict = field(default_factory=dict)
+
+    METHODS = ("addkUnigram", "stupidBackoff")
 
     @property
     def inputs(self) -> list[Input]:
@@ -975,23 +983,50 @@ class LmScoreCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "LmScoreCmd":
         p = obj["params"]
+        method = p.get("method", "addkUnigram")
+        if method not in cls.METHODS:
+            raise ValueError(
+                f"lmScore: unknown method {method!r} "
+                f"(known: {', '.join(cls.METHODS)})"
+            )
+        if method == "stupidBackoff":
+            if "k" in p:
+                raise ValueError(
+                    'lmScore: "k" is the addkUnigram smoothing param; '
+                    'stupidBackoff takes "alpha"'
+                )
+            opts = _opt(p, "alpha", "roundDigits")
+        else:
+            if "alpha" in p:
+                raise ValueError(
+                    'lmScore: "alpha" is the stupidBackoff penalty; '
+                    'addkUnigram takes "k"'
+                )
+            opts = _opt(p, "k", "roundDigits")
         return cls(
             target=Input.from_json(obj["target"]),
             reference=Input.from_json(obj["reference"]),
+            method=method,
             id_column=p["idColumn"],
             text_column=p.get("textColumn", "text"),
-            options=_opt(p, "k", "roundDigits"),
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.textqc import cross_perplexity
+        from topnotch_spark.operators.textqc import (
+            cross_perplexity,
+            stupid_backoff,
+        )
 
         tgt = load_input(engine.spark, self.target, engine.registry)
         ref = load_input(engine.spark, self.reference, engine.registry)
-        return cross_perplexity(
-            tgt, ref, self.id_column, self.text_column, **self.options
+        fn = (
+            stupid_backoff
+            if self.method == "stupidBackoff"
+            else cross_perplexity
         )
+        return fn(tgt, ref, self.id_column, self.text_column, **self.options)
 
 
 @dataclass(frozen=True)
