@@ -169,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_perplexity_en": oracles.cross_perplexity_sql(
             "lang = 'en'", k=1.0
         ),
+        "nb_en_classifier": oracles.nb_train_score_sql("lang = 'en'"),
         "stupid_backoff_en": oracles.stupid_backoff_sql(
             "lang = 'en'", alpha=0.4
         ),

@@ -253,6 +253,148 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# Naive Bayes trainer / self-scorer
+# ---------------------------------------------------------------------------
+
+def _nb_replay(rows, scale=1000):
+    """rows: (id, text, y). Returns ({token: wm}, bias, {id: score})."""
+    from collections import Counter
+
+    pos, neg = Counter(), Counter()
+    np = nn = 0
+    for _, t, y in rows:
+        (pos if y else neg).update(t.lower().split())
+        np, nn = np + (1 if y else 0), nn + (0 if y else 1)
+    vocab = set(pos) | set(neg)
+    n1, n0, v = sum(pos.values()), sum(neg.values()), len(vocab)
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    wm = {
+        t: half_up(
+            (
+                math.log((pos[t] + 1) / (n1 + v))
+                - math.log((neg[t] + 1) / (n0 + v))
+            )
+            * float(scale)
+        )
+        for t in vocab
+    }
+    bias = half_up((math.log(np) - math.log(nn)) * scale)
+    scores = {
+        i: bias + sum(wm[t] for t in t_.lower().split())
+        for i, t_, _ in rows
+    }
+    return wm, bias, scores
+
+
+class TestNaiveBayes:
+    ROWS = [
+        (0, "good clean prose flows well", True),
+        (1, "good words and clean text", True),
+        (2, "spam spam buy now spam", False),
+        (3, "buy cheap now now", False),
+        (4, "clean prose with good words", True),
+    ]
+
+    def test_weights_match_replay(self, spark):
+        from topnotch_spark.operators.textqc import nb_token_weights
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, y boolean"
+        )
+        got = {
+            r["token"]: (r["c_pos"], r["c_neg"], r["weight_milli"])
+            for r in nb_token_weights(df, "text", "y").collect()
+        }
+        wm, _, _ = _nb_replay(self.ROWS)
+        assert set(got) == set(wm)
+        for t in wm:
+            assert got[t][2] == wm[t], t
+        assert got["spam"][2] < 0 < got["clean"][2]
+
+    def test_self_score_matches_replay_and_separates(self, spark):
+        from topnotch_spark.operators.textqc import nb_train_score
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, y boolean"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in nb_train_score(df, "doc_id", "text", "y").collect()
+        }
+        _, _, scores = _nb_replay(self.ROWS)
+        for i, _, y in self.ROWS:
+            assert out[i]["score_milli"] == scores[i], i
+            assert out[i]["predicted_positive"] == (scores[i] > 0)
+            assert out[i]["correct"] == ((scores[i] > 0) == y)
+        # this toy corpus is linearly separable for NB
+        assert all(out[i]["correct"] for i, _, _ in self.ROWS)
+
+    def test_null_labels_excluded_and_single_class_raises(self, spark):
+        from topnotch_spark.operators.textqc import nb_train_score
+
+        df = spark.createDataFrame(
+            [(0, "a b", True), (1, "c d", None)],
+            "doc_id long, text string, y boolean",
+        )
+        with pytest.raises(ValueError, match="both classes"):
+            nb_train_score(df, "doc_id", "text", "y")
+
+
+def test_nb_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "view",
+                "inputs": [
+                    {"ref": f"{SF}/documents.parquet", "onDisk": True}
+                ],
+                "params": {
+                    "tableAliases": ["docs"],
+                    "query": "SELECT doc_id, text, lang = 'en' AS is_en "
+                    "FROM docs",
+                },
+                "outputKey": "labeled",
+            },
+            {
+                "command": "text",
+                "input": {"ref": "labeled", "onDisk": False},
+                "params": {
+                    "method": "nbClassifier",
+                    "idColumn": "doc_id",
+                    "labelColumn": "is_en",
+                },
+                "outputKey": "nbAudit",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["nbAudit"]
+    assert {"score_milli", "predicted_positive", "correct"} <= set(
+        out.columns
+    )
+    assert out.count() > 0
+
+
+def test_nb_plan_requires_label():
+    from topnotch_spark.plans.extensions import TextCmd
+
+    with pytest.raises(ValueError, match="labelColumn"):
+        TextCmd.from_json(
+            {
+                "command": "text",
+                "input": {"ref": "x.parquet", "onDisk": True},
+                "params": {"method": "nbClassifier", "idColumn": "id"},
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 # stupid-backoff trigram LM
 # ---------------------------------------------------------------------------
 

@@ -1097,6 +1097,22 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_en_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes classifier bootstrap (textqc.nb_train_score): train
+    token milli-nat log-odds on the lang='en' label, score every
+    labeled doc with its own model, and emit the per-doc verdict —
+    training-set accuracy is the deploy-readiness floor (on this
+    synthetic corpus the text carries no language signal, so the audit
+    SHOWS the classifier can barely beat the prior — the measured
+    boundary, same policy as langid_accuracy)."""
+    from topnotch_spark.operators.textqc import nb_train_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return nb_train_score(docs, "doc_id", "text", "is_en")
+
+
 def stupid_backoff_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff LM filter (textqc.stupid_backoff, Brants
     2007): count tables from the en slice, every document scored with
@@ -3303,6 +3319,7 @@ ALL = {
     "kmv_source_jaccard": kmv_source_jaccard,
     "graph_communities_parts": graph_communities_parts,
     "stupid_backoff_en": stupid_backoff_en,
+    "nb_en_classifier": nb_en_classifier,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -1857,6 +1857,150 @@ def cross_perplexity(
     )
 
 
+def nb_token_weights(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """TRAIN a multinomial Naive Bayes text classifier from a labeled
+    corpus — the counts-based trainer that pairs with the repo's linear
+    classifier APPLIER (classifier_score's integer milli-weights): NB
+    training is pure token counting, so it is the one classical text
+    classifier whose training parallelizes embarrassingly at 100 TB
+    (McCallum & Nigam 1998) and whose weights are engine-replayable.
+
+    Per token: ``weight_milli = round(scale · (ln((c_pos+1)/(N_pos+V))
+    − ln((c_neg+1)/(N_neg+V))))`` — the add-1-smoothed log-likelihood
+    ratio in fixed-point milli-nats. A document's NB decision is then
+    ``bias_milli + Σ weight_milli(token) > 0`` (multinomial NB with term
+    frequency), i.e. exactly the linear-scorer form. Rows with a NULL
+    label are excluded (unlabeled, not negative).
+
+    Returns (token, c_pos, c_neg, weight_milli). Execution shape: ONE
+    explode + map-side-combined groupBy(token) builds both class counts
+    together; the totals ride back in via a 1-row broadcast crossJoin.
+    Output is vocabulary-sized."""
+    lab = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).cast("boolean").alias("__y__"),
+        tokens(text_col).alias("__toks__"),
+    )
+    tok = lab.select("__y__", F.explode("__toks__").alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("__y__"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("__y__"), 0).otherwise(1)).alias("c_neg"),
+    )
+    tot = counts.agg(
+        F.sum("c_pos").alias("__N1__"),
+        F.sum("c_neg").alias("__N0__"),
+        F.count(F.lit(1)).alias("__V__"),
+    )
+    w = (
+        F.log((F.col("c_pos") + 1) / (F.col("__N1__") + F.col("__V__")))
+        - F.log((F.col("c_neg") + 1) / (F.col("__N0__") + F.col("__V__")))
+    ) * F.lit(float(scale))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "c_pos",
+        "c_neg",
+        F.round(w, 0).cast("long").alias("weight_milli"),
+    )
+
+
+def nb_train_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    scale: int = 1000,
+) -> DataFrame:
+    """Train the Naive Bayes model on the labeled frame and score every
+    row with it — the classifier-bootstrap audit: per document
+    (id, label_positive, n_tokens, score_milli, predicted_positive,
+    correct). ``score_milli = bias_milli + Σ weight_milli`` over the
+    doc's tokens (term frequency); ``bias_milli`` is the milli-nat class
+    prior log-odds from document counts; prediction is score > 0.
+    Aggregating ``correct`` gives training-set accuracy — the honesty
+    floor before deploying the weights on unlabeled data (the
+    langid_accuracy policy: measure the boundary, don't assume it).
+
+    Execution shape: the tokenized labeled frame is persisted once and
+    feeds training, the doc-count priors, scoring, and the output spine;
+    training is one groupBy(token); scoring is one equi-join of exploded
+    tokens onto the vocabulary-sized weight table (broadcast when it
+    fits) + one groupBy(doc). Integer milli arithmetic end-to-end after
+    the weight table — partitioning-independent.
+
+    Raises if either class has no documents (priors undefined)."""
+    from topnotch_spark.operators.dedup import _persist
+
+    lab = _persist(
+        df.filter(F.col(label_col).isNotNull()).select(
+            F.col(id_col).alias("__id__"),
+            F.col(label_col).cast("boolean").alias("__y__"),
+            tokens(text_col).alias("__toks__"),
+        )
+    )
+    n_pos, n_neg = (
+        lab.agg(
+            F.sum(F.when(F.col("__y__"), 1).otherwise(0)),
+            F.sum(F.when(F.col("__y__"), 0).otherwise(1)),
+        ).collect()[0]
+    )
+    if not n_pos or not n_neg:
+        raise ValueError(
+            "nb_train_score: both classes must be non-empty "
+            f"(n_pos={n_pos}, n_neg={n_neg})"
+        )
+    tok = lab.select("__y__", F.explode("__toks__").alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("__y__"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("__y__"), 0).otherwise(1)).alias("c_neg"),
+    )
+    tot = counts.agg(
+        F.sum("c_pos").alias("__N1__"),
+        F.sum("c_neg").alias("__N0__"),
+        F.count(F.lit(1)).alias("__V__"),
+    )
+    wexpr = (
+        F.log((F.col("c_pos") + 1) / (F.col("__N1__") + F.col("__V__")))
+        - F.log((F.col("c_neg") + 1) / (F.col("__N0__") + F.col("__V__")))
+    ) * F.lit(float(scale))
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "token", F.round(wexpr, 0).cast("long").alias("__wm__")
+    )
+    import math as _math
+
+    # half-away-from-zero, matching SQL round() (python round() is
+    # banker's — a knife-edge mismatch against the oracle)
+    raw = (_math.log(float(n_pos)) - _math.log(float(n_neg))) * scale
+    bias_milli = int(_math.copysign(_math.floor(abs(raw) + 0.5), raw))
+    per_doc = (
+        lab.select("__id__", F.explode("__toks__").alias("token"))
+        .join(weights, "token")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__wm__").alias("__sw__"),
+        )
+    )
+    score = F.lit(bias_milli).cast("long") + F.coalesce(
+        F.col("__sw__"), F.lit(0)
+    )
+    return (
+        lab.select("__id__", "__y__")
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("__y__").alias("label_positive"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            score.alias("score_milli"),
+            (score > 0).alias("predicted_positive"),
+            ((score > 0) == F.col("__y__")).alias("correct"),
+        )
+    )
+
+
 def stupid_backoff(
     target: DataFrame,
     reference: DataFrame,

@@ -4035,6 +4035,64 @@ def vocab_overlap_sql(group_col: str = "lang", round_digits: int = 6) -> str:
     """
 
 
+def nb_train_score_sql(
+    label_predicate: str,
+    scale: int = 1000,
+) -> str:
+    """Mirror of textqc.nb_train_score over documents: add-1 multinomial
+    NB weights in milli-nats (identical double expression trees), doc
+    priors for the bias, integer score sum, prediction at > 0."""
+    tok = tokens("text")
+    sc = repr(float(scale))
+    return f"""
+        WITH lab AS (
+          SELECT doc_id, ({label_predicate}) AS y, {tok} AS __t__
+          FROM documents WHERE ({label_predicate}) IS NOT NULL
+        ),
+        pri AS (
+          SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+                 sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+          FROM lab
+        ),
+        b AS (
+          SELECT CAST(round((ln(CAST(np AS DOUBLE)) - ln(CAST(nn AS DOUBLE)))
+                            * {scale}) AS BIGINT) AS bias
+          FROM pri
+        ),
+        tokc AS MATERIALIZED (
+          SELECT token,
+                 sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                 sum(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+          FROM (SELECT y, unnest(__t__) AS token FROM lab)
+          GROUP BY token
+        ),
+        tot AS (
+          SELECT sum(c_pos) AS n1, sum(c_neg) AS n0, count(*) AS v
+          FROM tokc
+        ),
+        w AS MATERIALIZED (
+          SELECT token,
+                 CAST(round((ln((c_pos + 1) / (n1 + v))
+                             - ln((c_neg + 1) / (n0 + v))) * {sc})
+                      AS BIGINT) AS wm
+          FROM tokc, tot
+        ),
+        pd AS (
+          SELECT doc_id, count(*) AS n_tokens, sum(wm) AS sw
+          FROM (SELECT doc_id, unnest(__t__) AS token FROM lab)
+          JOIN w USING (token)
+          GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               l.y AS label_positive,
+               CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(b.bias + coalesce(pd.sw, 0) AS BIGINT) AS score_milli,
+               (b.bias + coalesce(pd.sw, 0)) > 0 AS predicted_positive,
+               ((b.bias + coalesce(pd.sw, 0)) > 0) = l.y AS correct
+        FROM lab l LEFT JOIN pd USING (doc_id), b
+    """
+
+
 def stupid_backoff_sql(
     ref_predicate: str,
     alpha: float = 0.4,

@@ -257,7 +257,13 @@ class TextCmd(Command):
     "roundDigits"]} — per-group fertility under the trained unigram
     vocab (the BPE-vs-unigram selection audit next to bpeFertility);
     langidAccuracy {"trueCol", ["roundDigits"]} — per-language
-    precision/recall/f1 of the marker langid vs a trusted label."""
+    precision/recall/f1 of the marker langid vs a trusted label;
+    nbWeights {"labelColumn", ["scale"]} — train multinomial Naive
+    Bayes token milli-nat log-odds from a boolean label (the
+    counts-based trainer whose output feeds classifierScore-style
+    gates); nbClassifier {"labelColumn", ["scale"]} — train AND
+    self-score: per-doc score_milli / prediction / correct, the
+    training-set-accuracy audit."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "tokenStats"
@@ -273,6 +279,7 @@ class TextCmd(Command):
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
+        "nbWeights", "nbClassifier",
     )
 
     @classmethod
@@ -289,6 +296,8 @@ class TextCmd(Command):
             "unigramFertility": ("partitionCol",),
             "classifierScore": ("weights",),
             "langidAccuracy": ("trueCol",),
+            "nbWeights": ("labelColumn",),
+            "nbClassifier": ("labelColumn",),
         }
         for name in required.get(p["method"], ()):
             if name not in p:
@@ -308,7 +317,7 @@ class TextCmd(Command):
                 "minAlphaRatio", "minStopHits", "orderCol", "roundDigits",
                 "vocabK", "weights", "biasMilli", "nMerges", "minCount",
                 "maxWordLen", "maxPieceLen", "seedSize", "vocabSize",
-                "nRounds", "trueCol",
+                "nRounds", "trueCol", "labelColumn", "scale",
             ),
             **cls._common(obj),
         )
@@ -386,6 +395,20 @@ class TextCmd(Command):
                 self.id_column,
                 self.text_column,
                 opts.pop("partition_col"),
+                **opts,
+            )
+        if self.method == "nbWeights":
+            opts = dict(self.options)
+            return T.nb_token_weights(
+                df, self.text_column, opts.pop("label_column"), **opts
+            )
+        if self.method == "nbClassifier":
+            opts = dict(self.options)
+            return T.nb_train_score(
+                df,
+                self.id_column,
+                self.text_column,
+                opts.pop("label_column"),
                 **opts,
             )
         if self.method == "oovRate":
