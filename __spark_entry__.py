@@ -170,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
             "lang = 'en'", k=1.0
         ),
         "nb_en_classifier": oracles.nb_train_score_sql("lang = 'en'"),
+        "dsir_select_docs": oracles.dsir_weights_sql(
+            "lang = 'en'", n_buckets=512, k_select=100
+        ),
         "stupid_backoff_en": oracles.stupid_backoff_sql(
             "lang = 'en'", alpha=0.4
         ),

@@ -253,6 +253,147 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def _dsir_replay(raw, target, n_buckets=64, k_select=3, smooth=1.0,
+                 scale=1000, salt="dsir"):
+    """raw/target: {id: text}. Returns {id: (n_features, logw, key, sel)}."""
+    import hashlib
+    from collections import Counter
+
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def feats(t):
+        w = t.lower().split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(f):
+        h = hashlib.md5(f"{salt}:{f}".encode()).hexdigest()
+        return int(h[:8], 16) % n_buckets
+
+    docb = {i: Counter(bucket(f) for f in feats(t)) for i, t in raw.items()}
+    q = Counter()
+    for c in docb.values():
+        q.update(c)
+    p = Counter()
+    for t in target.values():
+        p.update(bucket(f) for f in feats(t))
+    nq, npp = sum(q.values()), sum(p.values())
+    sb = smooth * n_buckets
+    lam = {
+        b: half_up(
+            (
+                math.log((p.get(b, 0) + smooth) / (npp + sb))
+                - math.log((q[b] + smooth) / (nq + sb))
+            )
+            * scale
+        )
+        for b in q
+    }
+    out = {}
+    for i in raw:
+        logw = sum(c * lam[b] for b, c in docb[i].items())
+        h = hashlib.md5(f"{salt}g:{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 2**32
+        g = half_up(-math.log(-math.log(u)) * scale)
+        out[i] = [sum(docb[i].values()), logw, g, logw + g, False]
+    top = sorted(out, key=lambda i: (-out[i][3], i))[:k_select]
+    for i in top:
+        out[i][4] = True
+    return {i: tuple(v) for i, v in out.items()}
+
+
+class TestDsir:
+    RAW = {
+        0: "clean prose about science and method",
+        1: "buy now cheap deals buy now",
+        2: "science method and careful prose",
+        3: "cheap cheap deals",
+        4: "prose about careful science",
+        5: "",
+    }
+    TARGET = {
+        100: "careful science prose with method",
+        101: "science method prose",
+    }
+
+    def _run(self, spark, **kw):
+        from topnotch_spark.operators.curation import dsir_weights
+
+        raw = spark.createDataFrame(
+            list(self.RAW.items()), "doc_id long, text string"
+        )
+        tgt = spark.createDataFrame(
+            list(self.TARGET.items()), "doc_id long, text string"
+        )
+        return dsir_weights(raw, tgt, "doc_id", "text", **kw)
+
+    def test_matches_python_replay(self, spark):
+        got = {
+            r["doc_id"]: (
+                r["n_features"],
+                r["logw_milli"],
+                r["gumbel_milli"],
+                r["key_milli"],
+                r["selected"],
+            )
+            for r in self._run(
+                spark, n_buckets=64, k_select=3
+            ).collect()
+        }
+        exp = _dsir_replay(self.RAW, self.TARGET, n_buckets=64, k_select=3)
+        assert got == exp
+
+    def test_target_like_docs_outscore_spam(self, spark):
+        rows = {
+            r["doc_id"]: r["logw_milli"]
+            for r in self._run(spark, n_buckets=256, k_select=2).collect()
+        }
+        # science/prose docs should carry higher importance than spam
+        assert min(rows[0], rows[2], rows[4]) > max(rows[1], rows[3])
+
+    def test_selection_count_and_empty_doc(self, spark):
+        out = self._run(spark, n_buckets=64, k_select=3).collect()
+        assert sum(r["selected"] for r in out) == 3
+        empty = [r for r in out if r["doc_id"] == 5][0]
+        assert empty["n_features"] == 0 and empty["logw_milli"] == 0
+        assert empty["key_milli"] == empty["gumbel_milli"]
+
+    def test_rejects_bad_params(self, spark):
+        with pytest.raises(ValueError, match="n_buckets"):
+            self._run(spark, n_buckets=1)
+        with pytest.raises(ValueError, match="smooth"):
+            self._run(spark, smooth=0.0)
+
+
+def test_dsir_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "dsir",
+                "raw": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "target": {"ref": f"{SF}/documents.parquet", "onDisk": True},
+                "params": {
+                    "idColumn": "doc_id",
+                    "nBuckets": 128,
+                    "kSelect": 10,
+                },
+                "outputKey": "dsirScores",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["dsirScores"]
+    assert {"logw_milli", "key_milli", "selected"} <= set(out.columns)
+    assert out.filter("selected").count() == 10
+
+
+# ---------------------------------------------------------------------------
 # Naive Bayes trainer / self-scorer
 # ---------------------------------------------------------------------------
 

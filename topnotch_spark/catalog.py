@@ -1097,6 +1097,25 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (curation.dsir_weights, Xie 2023):
+    hashed unigram+bigram bucket models — p from the en slice, q from
+    the whole corpus — fixed-point log-ratio weights per doc, and the
+    deterministic Gumbel-top-100 selection flag. The published
+    target-like data selector as a catalog query."""
+    from topnotch_spark.operators.curation import dsir_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        n_buckets=512,
+        k_select=100,
+    )
+
+
 def nb_en_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive Bayes classifier bootstrap (textqc.nb_train_score): train
     token milli-nat log-odds on the lang='en' label, score every
@@ -3320,6 +3339,7 @@ ALL = {
     "graph_communities_parts": graph_communities_parts,
     "stupid_backoff_en": stupid_backoff_en,
     "nb_en_classifier": nb_en_classifier,
+    "dsir_select_docs": dsir_select_docs,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

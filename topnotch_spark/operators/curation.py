@@ -860,6 +860,172 @@ def mixture_allocate(
     )
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    k_select: int = 100,
+    smooth: float = 1.0,
+    scale: int = 1000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, DSIR): score every RAW-corpus document by how target-like it
+    is under hashed-n-gram bag models, then Gumbel-top-k select — the
+    published scalable recipe for "give me the k web documents that
+    look most like my curated set".
+
+    Features are unigrams + adjacent bigrams hashed into ``n_buckets``
+    via md5 (the paper's hashed n-gram space). Two smoothed bucket
+    models: p from the TARGET slice, q from the RAW corpus itself; each
+    bucket's log-ratio is frozen to fixed-point
+    ``lam_milli = round(scale·(ln((c_p+s)/(N_p+s·B)) −
+    ln((c_q+s)/(N_q+s·B))))``, so a document's importance weight
+    ``logw_milli = Σ c_doc[b]·lam_milli[b]`` is an exact integer —
+    partitioning-independent and oracle-replayable. Selection is
+    Gumbel-top-k (the paper resamples ∝ w): each doc draws a
+    DETERMINISTIC Gumbel ``g = −ln(−ln(u))`` from its md5 unit fraction
+    (the weighted_sample convention — seedless, engine-portable),
+    ``key_milli = logw_milli + round(scale·g)``, and the ``k_select``
+    largest keys win (ties on id).
+
+    Emits every raw doc: (id, n_features, logw_milli, gumbel_milli,
+    key_milli, selected). Docs with no tokens keep logw 0 and compete
+    on their Gumbel alone (they are ambient-distribution documents, not
+    errors).
+
+    100 TB shape: the tokenized raw frame is persisted once and feeds
+    the q model, the per-doc bucket counts, and the output spine; both
+    models reduce to ≤ n_buckets rows (map-side-combined groupBys) and
+    ride into the scoring join as a broadcast; per-doc scoring is ONE
+    groupBy(doc). Selection is a TakeOrdered(k) — never a global sort.
+    """
+    from topnotch_spark.operators.dedup import _persist
+    from topnotch_spark.functions.text import tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"dsir_weights: n_buckets must be >= 2, got {n_buckets}")
+    if smooth <= 0:
+        raise ValueError(f"dsir_weights: smooth must be > 0, got {smooth}")
+
+    def features(col):
+        t = tokens(col)
+        n = F.size(t)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bi)
+
+    def bucket(feat):
+        return (
+            F.conv(
+                F.md5(F.concat_ws(":", F.lit(salt), feat)).substr(1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).cast("int")
+
+    arr = _persist(
+        raw.select(
+            F.col(id_col).alias("__id__"), features(text_col).alias("__f__")
+        )
+    )
+    docbkt = _persist(
+        arr.select("__id__", F.explode("__f__").alias("__feat__"))
+        .select("__id__", bucket(F.col("__feat__")).alias("__b__"))
+        .groupBy("__id__", "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    q = docbkt.groupBy("__b__").agg(F.sum("__c__").alias("c_q"))
+    # p feeds both its own total (np_) and the lam join — persist the
+    # <= n_buckets rows so the target corpus is scanned exactly once
+    p = _persist(
+        target.select(F.explode(features(text_col)).alias("__feat__"))
+        .select(bucket(F.col("__feat__")).alias("__b__"))
+        .groupBy("__b__")
+        .agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    nq = q.agg(F.sum("c_q").alias("__Nq__"))
+    np_ = p.agg(F.sum("c_p").alias("__Np__"))
+    s = float(smooth)
+    sb = s * n_buckets
+    lam_expr = (
+        F.log(
+            (F.coalesce(F.col("c_p"), F.lit(0)) + F.lit(s))
+            / (F.coalesce(F.col("__Np__"), F.lit(0)) + F.lit(sb))
+        )
+        - F.log((F.col("c_q") + F.lit(s)) / (F.col("__Nq__") + F.lit(sb)))
+    ) * F.lit(float(scale))
+    lam = (
+        q.join(p, "__b__", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "__b__", F.round(lam_expr, 0).cast("long").alias("__lam__")
+        )
+    )
+    scored = (
+        docbkt.join(F.broadcast(lam), "__b__")
+        .groupBy("__id__")
+        .agg(
+            F.sum("__c__").alias("n_features"),
+            F.sum(F.col("__c__") * F.col("__lam__")).alias("logw_milli"),
+        )
+    )
+    u = (
+        F.conv(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt + "g"), F.col("__id__").cast("string")
+                )
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    gumbel_milli = F.round(-F.log(-F.log(u)) * F.lit(float(scale)), 0).cast(
+        "long"
+    )
+    zero = F.lit(0).cast("long")
+    # the scored frame is consumed twice (winner TakeOrdered + final
+    # flag join) — persist so the scoring join runs once
+    full = _persist(
+        arr.select("__id__")
+        .join(scored, "__id__", "left")
+        .select(
+            "__id__",
+            F.coalesce("n_features", zero).alias("n_features"),
+            F.coalesce("logw_milli", zero).alias("logw_milli"),
+            gumbel_milli.alias("gumbel_milli"),
+        )
+        .withColumn(
+            "key_milli", F.col("logw_milli") + F.col("gumbel_milli")
+        )
+    )
+    winners = F.broadcast(
+        full.orderBy(F.col("key_milli").desc(), F.col("__id__").asc())
+        .limit(k_select)
+        .select("__id__", F.lit(True).alias("__sel__"))
+    )
+    return full.join(winners, "__id__", "left").select(
+        F.col("__id__").alias(id_col),
+        "n_features",
+        "logw_milli",
+        "gumbel_milli",
+        "key_milli",
+        F.coalesce("__sel__", F.lit(False)).alias("selected"),
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     id_col: str,

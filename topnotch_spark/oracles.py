@@ -4035,6 +4035,96 @@ def vocab_overlap_sql(group_col: str = "lang", round_digits: int = 6) -> str:
     """
 
 
+def dsir_weights_sql(
+    target_predicate: str,
+    n_buckets: int = 512,
+    k_select: int = 100,
+    smooth: float = 1.0,
+    scale: int = 1000,
+    salt: str = "dsir",
+) -> str:
+    """Mirror of curation.dsir_weights over documents: hashed
+    unigram+bigram buckets, smoothed p/q bucket models, fixed-point
+    log-ratio weights, deterministic md5-Gumbel top-k selection."""
+    tok = tokens("text")
+    s = repr(float(smooth))
+    sb = repr(float(smooth) * n_buckets)
+    sc = repr(float(scale))
+    feat_unnest = (
+        "unnest(list_concat(__t__, "
+        "list_transform(CASE WHEN len(__t__) >= 2 "
+        "THEN generate_series(1, len(__t__) - 1) ELSE [] END, "
+        "i -> __t__[i] || ' ' || __t__[i + 1])))"
+    )
+
+    def bucket(feat_expr: str) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5('{salt}:' || {feat_expr}), 1, 8))"
+            f" AS BIGINT) % {n_buckets} AS INT)"
+        )
+
+    return f"""
+        WITH rawt AS (SELECT doc_id, {tok} AS __t__ FROM documents),
+        rawf AS (
+          SELECT doc_id, {feat_unnest} AS feat FROM rawt
+        ),
+        docbkt AS MATERIALIZED (
+          SELECT doc_id, {bucket('feat')} AS b, count(*) AS c
+          FROM rawf GROUP BY 1, 2
+        ),
+        q AS (SELECT b, sum(c) AS c_q FROM docbkt GROUP BY b),
+        tgtt AS (
+          SELECT {tok} AS __t__ FROM documents WHERE {target_predicate}
+        ),
+        p AS (
+          SELECT b, count(*) AS c_p FROM (
+            SELECT {bucket('feat')} AS b FROM (
+              SELECT {feat_unnest} AS feat FROM tgtt
+            )
+          ) GROUP BY b
+        ),
+        nq AS (SELECT sum(c_q) AS nq FROM q),
+        np AS (SELECT sum(c_p) AS np FROM p),
+        lam AS (
+          SELECT q.b,
+                 CAST(round((ln((coalesce(p.c_p, 0) + {s})
+                                / (coalesce(np.np, 0) + {sb}))
+                             - ln((q.c_q + {s}) / (nq.nq + {sb})))
+                            * {sc}) AS BIGINT) AS lam
+          FROM q LEFT JOIN p USING (b), nq, np
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_features,
+                 CAST(sum(c * lam) AS BIGINT) AS logw_milli
+          FROM docbkt JOIN lam USING (b) GROUP BY doc_id
+        ),
+        keyed AS (
+          SELECT d.doc_id,
+                 coalesce(s.n_features, 0) AS n_features,
+                 coalesce(s.logw_milli, 0) AS logw_milli,
+                 CAST(round(-ln(-ln((CAST(('0x' || substr(md5('{salt}g:'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0)) * {sc}) AS BIGINT)
+                   AS gumbel_milli,
+                 coalesce(s.logw_milli, 0)
+                   + CAST(round(-ln(-ln((CAST(('0x' || substr(md5('{salt}g:'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0)) * {sc}) AS BIGINT)
+                   AS key_milli
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN scored s USING (doc_id)
+        ),
+        winners AS (
+          SELECT doc_id FROM keyed
+          ORDER BY key_milli DESC, doc_id ASC LIMIT {k_select}
+        )
+        SELECT k.doc_id, k.n_features, k.logw_milli, k.gumbel_milli,
+               k.key_milli, (w.doc_id IS NOT NULL) AS selected
+        FROM keyed k LEFT JOIN winners w USING (doc_id)
+    """
+
+
 def nb_train_score_sql(
     label_predicate: str,
     scale: int = 1000,

@@ -977,6 +977,48 @@ class DeconCmd(Command):
 
 
 @dataclass(frozen=True)
+class DsirCmd(Command):
+    """{"command": "dsir", "raw": <input>, "target": <input>, "params":
+    {"idColumn", ["textColumn", "nBuckets", "kSelect", "smooth",
+    "scale", "salt"]}} — DSIR importance resampling (Xie 2023,
+    curation.dsir_weights): score every raw-corpus doc by the hashed
+    n-gram log-ratio between a target-slice model and the raw model,
+    then deterministic Gumbel-top-k selection; emits per-doc weights +
+    the ``selected`` flag."""
+
+    raw: Input = None  # type: ignore[assignment]
+    target: Input = None  # type: ignore[assignment]
+    id_column: str = "id"
+    text_column: str = "text"
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.raw, self.target]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "DsirCmd":
+        p = obj["params"]
+        return cls(
+            raw=Input.from_json(obj["raw"]),
+            target=Input.from_json(obj["target"]),
+            id_column=p["idColumn"],
+            text_column=p.get("textColumn", "text"),
+            options=_opt(p, "nBuckets", "kSelect", "smooth", "scale", "salt"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.curation import dsir_weights
+
+        raw = load_input(engine.spark, self.raw, engine.registry)
+        tgt = load_input(engine.spark, self.target, engine.registry)
+        return dsir_weights(
+            raw, tgt, self.id_column, self.text_column, **self.options
+        )
+
+
+@dataclass(frozen=True)
 class LmScoreCmd(Command):
     """{"command": "lmScore", "target": <input>, "reference": <input>,
     "params": {"idColumn", ["method": addkUnigram|stupidBackoff,
@@ -2518,6 +2560,7 @@ def register() -> None:
             "sample": SampleCmd.from_json,
             "decontaminate": DeconCmd.from_json,
             "lmScore": LmScoreCmd.from_json,
+            "dsir": DsirCmd.from_json,
             "tokenize": TokenizeCmd.from_json,
             "integrity": IntegrityCmd.from_json,
             "skewProfile": SkewCmd.from_json,
