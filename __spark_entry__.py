@@ -73,6 +73,9 @@ def oracle_sql() -> dict[str, str]:
             LANG_MARKERS["en"], num_hashes=16, bands=4, threshold=0.5, shingle_n=5
         ),
         "similarity_topk": oracles.similarity_topk_sql(dim=64, k=10, n_queries=5),
+        "retrieval_mmr_topk": oracles.mmr_rerank_sql(
+            dim=64, k=10, n_candidates=50, n_queries=5, lambda_milli=700
+        ),
         "similarity_ann": oracles.similarity_ann_sql(
             dim=64, k=10, n_queries=5, n_planes=8
         ),
@@ -112,6 +115,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "drift_wasserstein_totalprice": oracles.drift_wasserstein_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
+        ),
+        "streaming_wasserstein": oracles.drift_wasserstein_two_sql(
+            "events", "value", "event_type = 'click'", "TRUE", bins=32
         ),
         "kmv_source_jaccard": oracles.kmv_group_jaccard_sql(
             "source", k=128

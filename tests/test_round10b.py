@@ -253,6 +253,180 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# MMR reranking
+# ---------------------------------------------------------------------------
+
+def _mmr_replay(corpus, query_ids, k, n_candidates, lambda_milli):
+    """corpus: {id: vector}. Pure-Python greedy MMR in micro-units."""
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = []
+    for qid in query_ids:
+        qv = corpus[qid]
+        cands = sorted(
+            (
+                (half_up(cos(qv, v) * 1e6), i)
+                for i, v in corpus.items()
+                if i != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:n_candidates]
+        rem = {i: rm for rm, i in cands}
+        sel = []
+        for rank in range(1, k + 1):
+            if not rem:
+                break
+            best = None
+            for i, rm in rem.items():
+                maxsim = max(
+                    (
+                        half_up(cos(corpus[i], corpus[s]) * 1e6)
+                        for s in sel
+                    ),
+                    default=0,
+                )
+                score = lambda_milli * rm - (1000 - lambda_milli) * maxsim
+                cand = (score, -i)
+                if best is None or cand > best[0]:
+                    best = (cand, i, score)
+            sel.append(best[1])
+            del rem[best[1]]
+            out.append((qid, best[1], best[2], rank))
+    return out
+
+
+class TestMmr:
+    def test_matches_python_replay(self, spark):
+        from topnotch_spark.operators.similarity import mmr_rerank
+
+        # deterministic pseudo-random 8-dim vectors
+        corpus = {
+            i: [((i * j * 7919) % 100) / 50.0 - 1.0 + 1e-3 for j in range(1, 9)]
+            for i in range(30)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in corpus.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["query_id"], r["mmr_rank"]): (
+                r["neighbor_id"],
+                r["mmr_score_nano"],
+            )
+            for r in mmr_rerank(
+                df,
+                df.filter("vec_id < 3"),
+                k=5,
+                n_candidates=10,
+                lambda_milli=700,
+                dim=8,
+            ).collect()
+        }
+        exp = {
+            (q, rank): (n, score)
+            for q, n, score, rank in _mmr_replay(
+                corpus, [0, 1, 2], k=5, n_candidates=10, lambda_milli=700
+            )
+        }
+        assert got == exp
+
+    def test_diversifies_vs_pure_topk(self, spark):
+        from topnotch_spark.operators.similarity import (
+            brute_force_topk,
+            mmr_rerank,
+        )
+
+        # corpus: a tight near-dup cluster around the query + a spread set
+        base = [1.0, 0.0, 0.0, 0.0]
+        vecs = {0: base}
+        for i in range(1, 6):  # near-dups of the query
+            vecs[i] = [1.0, i * 1e-4, 0.0, 0.0]
+        for i in range(6, 12):  # diverse but still relevant
+            vecs[i] = [1.0, 0.5 * (i % 3), 0.3 * (i % 2), 0.1]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter("vec_id = 0")
+        topk = {
+            r["neighbor_id"]
+            for r in brute_force_topk(df, q, k=4, dim=4).collect()
+        }
+        mmr = {
+            r["neighbor_id"]
+            for r in mmr_rerank(
+                df, q, k=4, n_candidates=11, lambda_milli=300, dim=4
+            ).collect()
+        }
+        # pure top-k fills with the near-dup clones; MMR swaps some for
+        # diverse members
+        assert topk <= set(range(1, 6))
+        assert mmr & set(range(6, 12))
+
+    def test_fewer_candidates_than_k(self, spark):
+        from topnotch_spark.operators.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(i, [1.0, float(i)]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        out = mmr_rerank(
+            df, df.filter("vec_id = 0"), k=10, n_candidates=10, dim=2
+        ).collect()
+        assert len(out) == 3  # only 3 candidates exist
+        assert {r["mmr_rank"] for r in out} == {1, 2, 3}
+
+    def test_rejects_bad_lambda(self, spark):
+        from topnotch_spark.operators.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="lambda_milli"):
+            mmr_rerank(df, df, lambda_milli=1001)
+
+
+def test_streaming_wasserstein_equals_batch(spark, tmp_path):
+    """Accumulated per-batch counts == one batch wasserstein pass."""
+    import datetime as dt
+
+    from topnotch_spark.operators.drift import wasserstein_binned
+    from topnotch_spark.streaming.ops import (
+        run_streaming_wasserstein,
+        stream_from_parquet,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, float(i % 11) + (2.0 if i % 4 == 0 else 0.0))
+        for i in range(80)
+    ]
+    schema = "event_id long, ts timestamp, value double"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "w1_replay")
+    for kk in range(2):
+        df.filter(f"event_id % 2 = {kk}").coalesce(1).write.parquet(
+            f"{src}/p{kk}"
+        )
+    ref = df.filter("event_id % 5 = 0")
+    stream = stream_from_parquet(
+        spark, f"{src}/p*", schema=schema, max_files_per_trigger=1
+    )
+    got = run_streaming_wasserstein(
+        ref, stream, "value", n_buckets=8
+    ).collect()
+    want = wasserstein_binned(ref, df, "value", n_buckets=8).collect()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights
 # ---------------------------------------------------------------------------
 

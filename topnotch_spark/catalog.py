@@ -515,6 +515,26 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity reranking (similarity.mmr_rerank, Carbonell 1998):
+    exact top-50 candidates per query, then 10 greedy rounds trading
+    relevance against redundancy at lambda=0.7 — the de-duplicating step
+    between retrieval and a context window. Every round's argmax runs on
+    rounded similarities, so the full greedy trajectory is
+    oracle-replayable."""
+    from topnotch_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb,
+        emb.filter("vec_id < 5"),
+        k=10,
+        n_candidates=50,
+        lambda_milli=700,
+        dim=64,
+    )
+
+
 def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit over the labeled embedding table
     (similarity.label_knn_agreement): each vector's 5 nearest
@@ -1952,6 +1972,26 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_drift(ref, stream, "value", n_buckets=10)
 
 
+def streaming_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover drift of the streamed event values against the static
+    'click' distribution (streaming/ops.run_streaming_wasserstein): the
+    W1 twin of streaming_drift_monitor — integer bucket counts
+    accumulate across micro-batches, final arithmetic shared with the
+    batch wasserstein_binned via drift.w1_table."""
+    from topnotch_spark.streaming import stream_from_parquet
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        run_streaming_wasserstein,
+    )
+
+    ref = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    return run_streaming_wasserstein(ref, stream, "value", n_buckets=32)
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessions via the built-in session_window state-store agg (the
     idiomatic counterpart to the applyInPandasWithState sessionizer)."""
@@ -3340,6 +3380,8 @@ ALL = {
     "stupid_backoff_en": stupid_backoff_en,
     "nb_en_classifier": nb_en_classifier,
     "dsir_select_docs": dsir_select_docs,
+    "retrieval_mmr_topk": retrieval_mmr_topk,
+    "streaming_wasserstein": streaming_wasserstein,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

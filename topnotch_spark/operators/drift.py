@@ -297,6 +297,21 @@ def wasserstein_binned(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
+    return w1_table(joined, width, n_buckets, round_digits)
+
+
+def w1_table(
+    joined: DataFrame,
+    width: float,
+    n_buckets: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """W1 arithmetic over a complete (bucket, n_ref, n_cur) spine frame —
+    shared by the batch path (wasserstein_binned) and the streaming
+    accumulator (streaming/ops.run_streaming_wasserstein), so the two
+    can never drift in their double math (the psi_table pattern). Input
+    is n_buckets rows; the ungrouped windows cost nothing at that size.
+    """
     w = Window.partitionBy().orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

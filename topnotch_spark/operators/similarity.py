@@ -74,6 +74,166 @@ def brute_force_topk(
     return _ranked_topk(pairs, k)
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_candidates: int = 50,
+    lambda_milli: int = 700,
+    round_digits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): for each query, greedily build a k-item result that
+    trades relevance against redundancy —
+    ``argmax_d λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`` — the
+    standard diversity step between retrieval and an LLM context window
+    (ten near-identical passages waste nine slots).
+
+    Candidates are the exact cosine top-``n_candidates`` per query (feed
+    the output of an ANN stage instead by passing a pre-filtered corpus
+    when the exact pass is too expensive). The greedy score is INTEGER
+    fixed-point: similarities are frozen to micro-units
+    (``round(cos·10⁶)``, a safe integer snap of the ordered-fold double)
+    and ``score_nano = lambda_milli·rel_micro −
+    (1000−lambda_milli)·maxsim_micro`` — exact BIGINT arithmetic, so the
+    argmax at every round is engine-exact with no double-rounding
+    knife-edges (λ·a-rounded-double lands on decimal ties by
+    construction — measured: Spark's round(shortest-repr) and DuckDB's
+    round(true-binary) disagree there) and ties break on the neighbor
+    id. A DuckDB oracle replays the whole trajectory with k unrolled
+    CTE rounds.
+
+    Emits (query_id, neighbor_id, rel_sim, mmr_score_nano, mmr_rank) —
+    rel_sim is the display double, the score is the integer (1e-9
+    units). Queries with fewer than k candidates return them all.
+
+    100 TB shape: candidate generation is the broadcast-queries scan +
+    one per-query top-n window (the brute_force_topk shape); the greedy
+    loop then runs k rounds ENTIRELY on the bounded
+    |queries|·n_candidates candidate frame — per round one equi-join of
+    remaining×selected on query_id (fan-out ≤ k per candidate), one
+    groupBy max, one argmax window, lineage truncated per round."""
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    if not 0 <= lambda_milli <= 1000:
+        raise ValueError(
+            f"mmr_rerank: lambda_milli must be in [0, 1000], got {lambda_milli}"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv__"),
+        norm(F.col(vec_col), dim).alias("__cn__"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        norm(F.col(vec_col), dim).alias("__qn__"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), F.col("neighbor_id").asc()
+    )
+    rel_cos = dot(F.col("__qv__"), F.col("__cv__"), dim) / (
+        F.col("__qn__") * F.col("__cn__")
+    )
+    cand = _persist(
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__cv__").alias("__v__"),
+            F.round(rel_cos, round_digits).alias("rel_sim"),
+            F.round(rel_cos * F.lit(1e6), 0).cast("long").alias("rel_micro"),
+        )
+        .withColumn("__rn__", F.row_number().over(wq))
+        .filter(F.col("__rn__") <= n_candidates)
+        .drop("__rn__")
+    )
+    pair_micro = F.round(
+        dot(F.col("__v__"), F.col("__sv__"), dim)
+        / (norm(F.col("__v__"), dim) * norm(F.col("__sv__"), dim))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    argmax = Window.partitionBy("query_id").orderBy(
+        F.col("__score__").desc(), F.col("neighbor_id").asc()
+    )
+    remaining, ckpt = _truncate_round(cand, None)
+    selected = None  # (query_id, neighbor_id, __v__) of picks so far
+    picks = []
+    lam_l = F.lit(lambda_milli).cast("long")
+    oml_l = F.lit(1000 - lambda_milli).cast("long")
+    for r in range(1, k + 1):
+        if selected is None:
+            scored = remaining.withColumn(
+                "__score__", lam_l * F.col("rel_micro")
+            )
+        else:
+            ms = (
+                remaining.join(
+                    selected.select(
+                        "query_id", F.col("__v__").alias("__sv__")
+                    ),
+                    "query_id",
+                )
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    pair_micro.alias("__ps__"),
+                )
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.max("__ps__").alias("__maxsim__"))
+            )
+            scored = remaining.join(
+                ms, ["query_id", "neighbor_id"], "left"
+            ).withColumn(
+                "__score__",
+                lam_l * F.col("rel_micro")
+                - oml_l
+                * F.coalesce(F.col("__maxsim__"), F.lit(0).cast("long")),
+            )
+        pick = (
+            scored.withColumn("__prn__", F.row_number().over(argmax))
+            .filter(F.col("__prn__") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "__v__",
+                "rel_sim",
+                "rel_micro",
+                F.col("__score__").alias("mmr_score_nano"),
+                F.lit(r).alias("mmr_rank"),
+            )
+        )
+        pick, ckpt = _truncate_round(pick, ckpt)
+        picks.append(pick)
+        sel_cols = pick.select("query_id", "neighbor_id", "__v__")
+        selected = (
+            sel_cols if selected is None else selected.unionByName(sel_cols)
+        )
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    out = out.select(
+        "query_id", "neighbor_id", "rel_sim", "mmr_score_nano", "mmr_rank"
+    )
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(out)
+        _d._CHECKPOINTED[id(out)] = ckpt
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

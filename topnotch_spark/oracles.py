@@ -582,6 +582,98 @@ def similarity_topk_sql(
     """
 
 
+def mmr_rerank_sql(
+    dim: int = 64,
+    k: int = 10,
+    n_candidates: int = 50,
+    n_queries: int = 5,
+    lambda_milli: int = 700,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of similarity.mmr_rerank: exact top-n candidates, then k
+    greedy MMR rounds unrolled as chained MATERIALIZED CTEs (each round
+    is referenced multiple times — inlining would re-evaluate the chain
+    exponentially). The greedy score is exact BIGINT micro-unit
+    arithmetic, so every round's argmax matches bit-for-bit."""
+    lam = lambda_milli
+    oml = 1000 - lambda_milli
+    rd = round_digits
+    rounds = []
+    for r in range(1, k + 1):
+        prev = r - 1
+        rounds.append(f"""
+        ms{r} AS MATERIALIZED (
+          SELECT r.query_id, r.neighbor_id,
+                 max(CAST(round({cosine('r.__v__', 's.__v__', dim)}
+                                * 1000000.0) AS BIGINT)) AS maxsim
+          FROM rem{prev} r JOIN sel{prev} s USING (query_id)
+          GROUP BY 1, 2
+        ),
+        scored{r} AS (
+          SELECT r.query_id, r.neighbor_id, r.__v__, r.rel_sim,
+                 r.rel_micro,
+                 {lam} * r.rel_micro
+                   - {oml} * coalesce(m.maxsim, 0) AS score
+          FROM rem{prev} r
+          LEFT JOIN ms{r} m
+            ON m.query_id = r.query_id AND m.neighbor_id = r.neighbor_id
+        ),
+        pick{r} AS MATERIALIZED (
+          SELECT query_id, neighbor_id, __v__, rel_sim, rel_micro,
+                 CAST(score AS BIGINT) AS mmr_score_nano, {r} AS mmr_rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS rn
+            FROM scored{r}
+          ) WHERE rn = 1
+        ),
+        sel{r} AS MATERIALIZED (
+          SELECT query_id, neighbor_id, __v__ FROM sel{prev}
+          UNION ALL
+          SELECT query_id, neighbor_id, __v__ FROM pick{r}
+        ),
+        rem{r} AS MATERIALIZED (
+          SELECT r.* FROM rem{prev} r
+          LEFT JOIN pick{r} p
+            ON p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id
+          WHERE p.neighbor_id IS NULL
+        )""")
+    chain = ",".join(rounds)
+    final = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, rel_sim, mmr_score_nano, mmr_rank "
+        f"FROM pick{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {n_queries}
+        ),
+        pairs AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding AS __v__,
+                 round({cosine('q.qv', 'c.embedding', dim)}, {rd})
+                   AS rel_sim,
+                 CAST(round({cosine('q.qv', 'c.embedding', dim)}
+                            * 1000000.0) AS BIGINT) AS rel_micro
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+        ),
+        rem0 AS MATERIALIZED (
+          SELECT query_id, neighbor_id, __v__, rel_sim, rel_micro FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY rel_micro DESC, neighbor_id ASC) AS rn
+            FROM pairs
+          ) WHERE rn <= {n_candidates}
+        ),
+        sel0 AS (
+          SELECT query_id, neighbor_id, __v__ FROM rem0 WHERE 1 = 0
+        ),{chain}
+        {final}
+    """
+
+
 def label_knn_agreement_sql(
     dim: int = 64, k: int = 5, n_planes: int = 8, min_agree: float = 0.5,
     round_digits: int = 6,
@@ -1159,6 +1251,65 @@ def drift_wasserstein_sql(
                  CAST(coalesce(sum(g), 0) AS BIGINT) AS c_ref,
                  CAST(coalesce(count(binned.bucket) - sum(g), 0) AS BIGINT)
                    AS c_cur
+          FROM (SELECT unnest(generate_series(0, {bins - 1})) AS bucket) s
+          LEFT JOIN binned ON binned.bucket = s.bucket
+          GROUP BY s.bucket
+        ),
+        ecdf AS (
+          SELECT abs(sum(c_ref) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) * sum(c_cur) OVER ()
+                     - sum(c_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) * sum(c_ref) OVER ())
+                     AS gap,
+                 sum(c_ref) OVER () AS n_ref,
+                 sum(c_cur) OVER () AS n_cur
+          FROM per_b
+        )
+        SELECT CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+                    THEN round(CAST(sum(gap) AS DOUBLE)
+                               / (CAST(max(n_ref) AS DOUBLE)
+                                  * CAST(max(n_cur) AS DOUBLE))
+                               * (SELECT width FROM stats), 6)
+               END AS w1,
+               CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+                    THEN round(CAST(sum(gap) AS DOUBLE)
+                               / (CAST(max(n_ref) AS DOUBLE)
+                                  * CAST(max(n_cur) AS DOUBLE))
+                               / CAST({bins} AS DOUBLE), 6)
+               END AS w1_norm,
+               CAST(coalesce(max(n_ref), 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(max(n_cur), 0) AS BIGINT) AS n_cur
+        FROM ecdf
+    """
+
+
+def drift_wasserstein_two_sql(
+    table: str, col: str, ref_predicate: str, cur_predicate: str, bins: int
+) -> str:
+    """Two-independent-slices variant of drift_wasserstein_sql (rows may
+    belong to both sides — e.g. the streaming monitor's ref=clicks vs
+    cur=the whole stream): same grid, same integer cumulative flows."""
+    return f"""
+        WITH raw AS (
+          SELECT CAST({col} AS DOUBLE) AS x, 1 AS is_ref, 0 AS is_cur
+          FROM {table} WHERE ({ref_predicate}) AND {col} IS NOT NULL
+          UNION ALL
+          SELECT CAST({col} AS DOUBLE), 0, 1
+          FROM {table} WHERE ({cur_predicate}) AND {col} IS NOT NULL
+        ),
+        stats AS (
+          SELECT min(x) AS mn, (max(x) - min(x)) / {bins} AS width
+          FROM raw WHERE is_ref = 1
+        ),
+        binned AS (
+          SELECT CAST(least(greatest(floor((x - mn) / width), 0),
+                            {bins - 1}) AS INT) AS bucket, is_ref, is_cur
+          FROM raw, stats
+        ),
+        per_b AS (
+          SELECT s.bucket,
+                 CAST(coalesce(sum(is_ref), 0) AS BIGINT) AS c_ref,
+                 CAST(coalesce(sum(is_cur), 0) AS BIGINT) AS c_cur
           FROM (SELECT unnest(generate_series(0, {bins - 1})) AS bucket) s
           LEFT JOIN binned ON binned.bucket = s.bucket
           GROUP BY s.bucket

@@ -440,7 +440,11 @@ class SimilarityCmd(Command):
     per-cluster simplified silhouette over the seeded IVF index.
     quantizeRecall is corpus-only ({["k", "nQueries", "dim",
     "roundDigits"]}) — recall@k of exact search over int8
-    quantize-dequantized vectors vs the raw doubles."""
+    quantize-dequantized vectors vs the raw doubles.
+    mmr reranks each query's exact top-nCandidates by Maximal Marginal
+    Relevance ({["k", "nCandidates", "lambdaMilli", "dim",
+    "roundDigits"]}) — greedy relevance-vs-redundancy selection in
+    exact integer micro-units."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -456,7 +460,7 @@ class SimilarityCmd(Command):
 
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
-        "quantizeRecall",
+        "quantizeRecall", "mmr",
     )
 
     @classmethod
@@ -483,7 +487,8 @@ class SimilarityCmd(Command):
             vec_column=p.get("vecColumn", "embedding"),
             options=_opt(
                 p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
-                "minAgree", "nCentroids", "nQueries",
+                "minAgree", "nCentroids", "nQueries", "nCandidates",
+                "lambdaMilli",
             ),
             **cls._common(obj),
         )
@@ -531,6 +536,22 @@ class SimilarityCmd(Command):
                 label_col=label_col, **opts,
             )
         queries = load_input(engine.spark, self.queries, engine.registry)
+        if self.method == "mmr":
+            opts = dict(self.options)
+            bad = sorted(
+                {"n_planes", "label_column", "min_agree", "n_centroids",
+                 "n_queries"} & opts.keys()
+            )
+            if bad:
+                raise ValueError(
+                    "similarity method 'mmr' does not accept option(s) "
+                    f"{bad}; supported: k, nCandidates, lambdaMilli, dim, "
+                    "roundDigits"
+                )
+            return S.mmr_rerank(
+                corpus, queries, id_col=self.id_column,
+                vec_col=self.vec_column, **opts,
+            )
         if self.method == "contrastive":
             opts = dict(self.options)
             opts.pop("dim", None)  # exact scorer needs no plane literals

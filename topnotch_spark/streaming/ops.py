@@ -357,6 +357,86 @@ def run_streaming_drift(
     return psi_table(joined, mn, width, eps, round_digits)
 
 
+def run_streaming_wasserstein(
+    ref: DataFrame,
+    stream: DataFrame,
+    col: str,
+    n_buckets: int = 32,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Streaming earth-mover drift monitor: the W1 twin of
+    [run_streaming_drift] — bucket bounds from the static reference,
+    per-micro-batch integer bucket counts accumulated on the driver
+    (≤ n_buckets longs of state, no state store), and the final 1-row
+    (w1, w1_norm, n_ref, n_cur) computed by drift.w1_table — the SAME
+    expression code as the batch wasserstein_binned, so the stream
+    result is bit-identical to running the batch operator over the
+    whole stream."""
+    from topnotch_spark.operators.drift import w1_table
+
+    spark = ref.sparkSession
+    r = ref.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("x")
+    )
+    mn, mx = r.agg(F.min("x"), F.max("x")).collect()[0]
+    if mn is None or mx == mn:
+        raise ValueError(
+            f"run_streaming_wasserstein: reference '{col}' is empty or "
+            "constant"
+        )
+    mn, mx = float(mn), float(mx)
+    width = (mx - mn) / n_buckets
+
+    def idx(frame: DataFrame) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+        return frame.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    ref_counts = {row["bucket"]: row["n"] for row in idx(r).collect()}
+    cur_counts: dict[int, int] = {}
+    seen_batches: set[int] = set()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen_batches:
+            return
+        seen_batches.add(batch_id)
+        rows = idx(
+            batch_df.filter(F.col(col).isNotNull()).select(
+                F.col(col).cast("double").alias("x")
+            )
+        ).collect()
+        for row in rows:
+            cur_counts[row["bucket"]] = (
+                cur_counts.get(row["bucket"], 0) + row["n"]
+            )
+
+    name = f"tn_w1_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{DEFAULT_CHECKPOINT_ROOT}/{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(f"{DEFAULT_CHECKPOINT_ROOT}/{name}", ignore_errors=True)
+
+    joined = spark.createDataFrame(
+        [
+            (b, ref_counts.get(b, 0), cur_counts.get(b, 0))
+            for b in range(n_buckets)
+        ],
+        "bucket int, n_ref long, n_cur long",
+    )
+    return w1_table(joined, width, n_buckets, round_digits)
+
+
 def session_window_metrics(
     events: DataFrame,
     ts_col: str = "ts",
