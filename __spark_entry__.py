@@ -185,6 +185,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_quantize_recall": oracles.quantize_recall_sql(
             dim=64, k=10, n_queries=5
         ),
+        "similarity_pq_recall": oracles.pq_recall_sql(
+            dim=64, m=8, n_codes=16, k=10, n_queries=5
+        ),
         "unigram_segment_docs": oracles.unigram_segment_sql(
             max_word_len=12, max_piece_len=4, seed_size=64,
             vocab_size=48, n_rounds=2,

@@ -96,6 +96,10 @@ GLOBAL_WINDOW_BOUNDED = {
     "quantile_sketch_accuracy": (
         "rank over the k=256-row TakeOrdered KMV sample"
     ),
+    "similarity_pq_recall": (
+        "code_id rank over the n_codes=16 rows surviving TakeOrdered "
+        "(the seeded codebook)"
+    ),
     "bpe_top_merges_docs": (
         "rank over the k=50 rows surviving TakeOrdered"
     ),

@@ -253,6 +253,123 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def _pq_replay(corpus, dim, m, n_codes, k, n_queries):
+    """Pure-Python PQ recall replay (seeded codebooks, ADC micro-ints)."""
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    sd = dim // m
+    ids = sorted(corpus)
+    seeds = ids[:n_codes]
+    cb = {
+        (s, c): corpus[seeds[c]][s * sd : (s + 1) * sd]
+        for s in range(m)
+        for c in range(n_codes)
+    }
+    codes = {}
+    for i in ids:
+        for s in range(m):
+            sv = corpus[i][s * sd : (s + 1) * sd]
+            best = min(
+                (
+                    (sum((x - y) ** 2 for x, y in zip(sv, cb[(s, c)])), c)
+                    for c in range(n_codes)
+                )
+            )
+            codes[(i, s)] = best[1]
+    out = {}
+    for qid in ids[:n_queries]:
+        qv = corpus[qid]
+        qn = math.sqrt(sum(x * x for x in qv))
+        cand = []
+        for i in ids:
+            if i == qid:
+                continue
+            sd_sum = sn2 = 0
+            for s in range(m):
+                c = cb[(s, codes[(i, s)])]
+                qs = qv[s * sd : (s + 1) * sd]
+                sd_sum += half_up(sum(a * b for a, b in zip(qs, c)) * 1e6)
+                sn2 += half_up(sum(a * a for a in c) * 1e6)
+            cos = (
+                (sd_sum / 1e6) / (qn * math.sqrt(sn2 / 1e6))
+                if sn2 > 0
+                else -2.0
+            )
+            cand.append((cos, i))
+        pq_top = {
+            i for _, i in sorted(cand, key=lambda t: (-t[0], t[1]))[:k]
+        }
+        exact = []
+        for i in ids:
+            if i == qid:
+                continue
+            v = corpus[i]
+            nv = math.sqrt(sum(x * x for x in v))
+            exact.append(
+                (round(sum(a * b for a, b in zip(qv, v)) / (qn * nv), 6), i)
+            )
+        ex_top = [
+            i for _, i in sorted(exact, key=lambda t: (-t[0], t[1]))[:k]
+        ]
+        hits = sum(1 for i in ex_top if i in pq_top)
+        out[qid] = (len(ex_top), hits, round(hits / len(ex_top), 6))
+    return out
+
+
+class TestPqRecall:
+    def test_matches_python_replay(self, spark):
+        from topnotch_spark.operators.similarity import pq_recall
+
+        corpus = {
+            i: [((i * j * 104729) % 200) / 100.0 - 1.0 for j in range(1, 9)]
+            for i in range(25)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in corpus.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["query_id"]: (r["k_exact"], r["n_overlap"], r["recall"])
+            for r in pq_recall(
+                df, dim=8, m=4, n_codes=4, k=5, n_queries=3
+            ).collect()
+        }
+        exp = _pq_replay(corpus, dim=8, m=4, n_codes=4, k=5, n_queries=3)
+        assert got == exp
+
+    def test_perfect_recall_when_corpus_is_codebook(self, spark):
+        from topnotch_spark.operators.similarity import pq_recall
+
+        # every vector is a seed -> every subvector matches a code with
+        # L2 = 0 -> reconstruction is exact -> recall 1.0
+        corpus = {
+            i: [((i + 1) * (j + 2) * 31 % 17) / 5.0 for j in range(8)]
+            for i in range(10)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in corpus.items()],
+            "vec_id long, embedding array<double>",
+        )
+        out = pq_recall(
+            df, dim=8, m=2, n_codes=10, k=4, n_queries=3
+        ).collect()
+        assert all(r["recall"] == 1.0 for r in out)
+
+    def test_rejects_indivisible_dim(self, spark):
+        from topnotch_spark.operators.similarity import pq_recall
+
+        df = spark.createDataFrame(
+            [(0, [1.0] * 7)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_recall(df, dim=7, m=2)
+
+
+# ---------------------------------------------------------------------------
 # MMR reranking
 # ---------------------------------------------------------------------------
 

@@ -515,6 +515,24 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization recall audit (similarity.pq_recall, Jégou
+    2011): 8 subspaces × 16 seeded codes (~32× compression), ADC
+    lookup-table scoring in exact micro-int sums, recall@10 of the PQ
+    top-k vs the raw-double top-k per query — grades the PQ
+    REPRESENTATION the way quantize_recall grades int8."""
+    from topnotch_spark.operators.similarity import pq_recall
+
+    return pq_recall(
+        load(spark, sf_dir, "embeddings"),
+        dim=64,
+        m=8,
+        n_codes=16,
+        k=10,
+        n_queries=5,
+    )
+
+
 def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity reranking (similarity.mmr_rerank, Carbonell 1998):
     exact top-50 candidates per query, then 10 greedy rounds trading
@@ -3382,6 +3400,7 @@ ALL = {
     "dsir_select_docs": dsir_select_docs,
     "retrieval_mmr_topk": retrieval_mmr_topk,
     "streaming_wasserstein": streaming_wasserstein,
+    "similarity_pq_recall": similarity_pq_recall,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

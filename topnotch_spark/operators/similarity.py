@@ -1006,6 +1006,214 @@ def cluster_silhouette(
     )
 
 
+def pq_recall(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    n_queries: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization recall audit (Jégou, Douze & Schmid, TPAMI
+    2011): split each vector into ``m`` subspaces, encode every corpus
+    vector as m codebook ids, score queries against the CODES via ADC
+    lookup tables (asymmetric distance computation — per candidate the
+    cost is m table lookups, not dim multiplies), and grade exact top-k
+    under PQ codes against exact top-k under the raw doubles — per
+    query (query_id, k_exact, n_overlap, recall). The third rung of the
+    compression-audit ladder: similarity_ann_recall grades the INDEX,
+    quantize_recall the int8 SCALAR representation, this the
+    dim/m·log2(n_codes)-bit PQ representation (~32× smaller than
+    float32 at the defaults).
+
+    Codebooks are SEEDED, not trained: subspace s's codebook is the
+    ``n_codes`` lowest-id corpus vectors' s-th subvectors (the ivf_topk
+    deterministic-centroid convention — no RNG, no iterative training,
+    so any engine reproduces the exact same index; swap in trained
+    codebooks for production recall). Encoding argmin (L2², ordered
+    fold, tie to the lower code id) and the per-(query, subspace, code)
+    ADC partial dots are frozen to micro-unit integers, so candidate
+    scores are sums of exact integers — ordering is engine-exact with
+    no float-summation-order hazard.
+
+    100 TB shape: the codebook is m·n_codes rows (broadcast); encoding
+    is one explode to m rows/vector + a broadcast join + per-(id,
+    subspace) argmin window; the ADC table is n_queries·m·n_codes rows
+    (broadcast); scoring joins the code table once and aggregates —
+    never touches the raw vectors again (that is the point of PQ)."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if dim % m != 0:
+        raise ValueError(f"pq_recall: dim={dim} not divisible by m={m}")
+    sd = dim // m
+    base = _persist(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    wseed = Window.orderBy("vid")
+    seeds = (
+        base.orderBy("vid")
+        .limit(n_codes)
+        .withColumn("code_id", F.row_number().over(wseed) - 1)
+    )
+    cb = seeds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * sd + 1, sd).alias("cvec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e__"),
+        "code_id",
+    ).select(
+        F.col("__e__.s").alias("s"), "code_id", F.col("__e__.cvec").alias("cvec")
+    )
+    cb = _persist(cb)
+    # encode: m subvector rows per vector, argmin L2^2 per (vid, s)
+    sub = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * sd + 1, sd).alias("subv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e__"),
+    ).select("vid", F.col("__e__.s").alias("s"), F.col("__e__.subv").alias("subv"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("subv"), F.col("cvec"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wenc = Window.partitionBy("vid", "s").orderBy(
+        F.col("__d__").asc(), F.col("code_id").asc()
+    )
+    codes = _persist(
+        sub.join(F.broadcast(cb), "s")
+        .select("vid", "s", "code_id", l2.alias("__d__"))
+        .withColumn("__rn__", F.row_number().over(wenc))
+        .filter(F.col("__rn__") == 1)
+        .select("vid", "s", "code_id")
+    )
+    # ADC lookup table per query: micro-int partial dots + code norms
+    q = base.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v"), dim).alias("qn"),
+    )
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sd + 1, sd).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e__"),
+    ).select(
+        "query_id", "qn", F.col("__e__.s").alias("s"),
+        F.col("__e__.qsv").alias("qsv"),
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cn2 = F.aggregate(
+        F.zip_with(F.col("cvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = qsub.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "qn",
+        "s",
+        "code_id",
+        F.round(pdot * F.lit(1e6), 0).cast("long").alias("d_micro"),
+        F.round(cn2 * F.lit(1e6), 0).cast("long").alias("n2_micro"),
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code_id"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "qn", "vid")
+        .agg(
+            F.sum("d_micro").alias("__sd__"),
+            F.sum("n2_micro").alias("__sn2__"),
+        )
+    )
+    cos_est = F.when(
+        F.col("__sn2__") > 0,
+        (F.col("__sd__").cast("double") / F.lit(1e6))
+        / (
+            F.col("qn")
+            * F.sqrt(F.col("__sn2__").cast("double") / F.lit(1e6))
+        ),
+    ).otherwise(F.lit(-2.0))
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("__cos__").desc(), F.col("vid").asc()
+    )
+    pq_top = (
+        scored.withColumn("__cos__", cos_est)
+        .withColumn("__rn__", F.row_number().over(wtop))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    exact = brute_force_topk(
+        base,
+        base.filter(F.col("vid") < n_queries),
+        id_col="vid",
+        vec_col="v",
+        k=k,
+        round_digits=round_digits,
+        dim=dim,
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(
+            pq_top.withColumn("__hit__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .select(
+            "query_id",
+            "k_exact",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("k_exact"), round_digits
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def quantize_recall(
     corpus: DataFrame,
     id_col: str = "vec_id",

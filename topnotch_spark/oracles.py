@@ -582,6 +582,121 @@ def similarity_topk_sql(
     """
 
 
+def pq_recall_sql(
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    n_queries: int = 5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of similarity.pq_recall: seeded per-subspace codebooks,
+    L2² argmin encoding (ordered-fold doubles, lower-code tiebreak),
+    micro-int ADC partial dots, exact-integer candidate sums."""
+    sd = dim // m
+    l2 = (
+        f"coalesce(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> (sub.subv[i] - cb.cvec[i]) * (sub.subv[i] - cb.cvec[i]))), "
+        f"0.0)"
+    )
+    pdot = (
+        f"coalesce(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> q.qv[cb.s * {sd} + i] * cb.cvec[i])), 0.0)"
+    )
+    cn2 = (
+        f"coalesce(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> cb.cvec[i] * cb.cvec[i])), 0.0)"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS vid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        spine AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+        seeds AS (
+          SELECT vid, v,
+                 CAST(row_number() OVER (ORDER BY vid) - 1 AS INT)
+                   AS code_id
+          FROM (SELECT * FROM base ORDER BY vid LIMIT {n_codes})
+        ),
+        cb AS MATERIALIZED (
+          SELECT spine.s, seeds.code_id,
+                 array_slice(seeds.v, spine.s * {sd} + 1,
+                             (spine.s + 1) * {sd}) AS cvec
+          FROM seeds, spine
+        ),
+        sub AS (
+          SELECT base.vid, spine.s,
+                 array_slice(base.v, spine.s * {sd} + 1,
+                             (spine.s + 1) * {sd}) AS subv
+          FROM base, spine
+        ),
+        enc AS MATERIALIZED (
+          SELECT vid, s, code_id FROM (
+            SELECT sub.vid, sub.s, cb.code_id,
+                   row_number() OVER (
+                     PARTITION BY sub.vid, sub.s
+                     ORDER BY {l2} ASC, cb.code_id ASC) AS rn
+            FROM sub JOIN cb USING (s)
+          ) WHERE rn = 1
+        ),
+        q AS (
+          SELECT vid AS query_id, v AS qv, sqrt({dot('v', 'v', dim)}) AS qn
+          FROM base WHERE vid < {n_queries}
+        ),
+        adc AS MATERIALIZED (
+          SELECT q.query_id, q.qn, cb.s, cb.code_id,
+                 CAST(round({pdot} * 1000000.0) AS BIGINT) AS d_micro,
+                 CAST(round({cn2} * 1000000.0) AS BIGINT) AS n2_micro
+          FROM q, cb
+        ),
+        scored AS (
+          SELECT a.query_id, a.qn, e.vid,
+                 sum(a.d_micro) AS sd_sum, sum(a.n2_micro) AS sn2_sum
+          FROM enc e JOIN adc a USING (s, code_id)
+          WHERE e.vid <> a.query_id
+          GROUP BY 1, 2, 3
+        ),
+        pq_top AS (
+          SELECT query_id, vid AS neighbor_id FROM (
+            SELECT query_id, vid,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY CASE WHEN sn2_sum > 0
+                       THEN (CAST(sd_sum AS DOUBLE) / 1000000.0)
+                            / (qn * sqrt(CAST(sn2_sum AS DOUBLE)
+                                         / 1000000.0))
+                       ELSE -2.0 END DESC, vid ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {k}
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vid AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round({cosine('q.qv', 'c.v', dim)},
+                                    {round_digits}) DESC,
+                              c.vid ASC) AS rn
+            FROM base c, q
+            WHERE c.vid <> q.query_id
+          ) WHERE rn <= {k}
+        )
+        SELECT e.query_id,
+               count(*) AS k_exact,
+               CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               round(CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / count(*), {round_digits}) AS recall
+        FROM exact e
+        LEFT JOIN pq_top p
+          ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
 def mmr_rerank_sql(
     dim: int = 64,
     k: int = 10,

@@ -444,7 +444,10 @@ class SimilarityCmd(Command):
     mmr reranks each query's exact top-nCandidates by Maximal Marginal
     Relevance ({["k", "nCandidates", "lambdaMilli", "dim",
     "roundDigits"]}) — greedy relevance-vs-redundancy selection in
-    exact integer micro-units."""
+    exact integer micro-units.
+    pqRecall is corpus-only ({["dim", "m", "nCodes", "k", "nQueries",
+    "roundDigits"]}) — recall@k of product-quantized ADC search vs the
+    raw doubles (seeded per-subspace codebooks)."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -460,7 +463,7 @@ class SimilarityCmd(Command):
 
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
-        "quantizeRecall", "mmr",
+        "quantizeRecall", "mmr", "pqRecall",
     )
 
     @classmethod
@@ -469,13 +472,13 @@ class SimilarityCmd(Command):
         _require_method(p, cls.METHODS, "similarity")
         if (
             p["method"] not in ("labelAgreement", "silhouette",
-                                "quantizeRecall")
+                                "quantizeRecall", "pqRecall")
             and "queries" not in obj
         ):
             raise ValueError(
                 f"similarity method {p['method']!r} requires a 'queries' "
-                "input (labelAgreement, silhouette and quantizeRecall are "
-                "corpus-only)"
+                "input (labelAgreement, silhouette, quantizeRecall and "
+                "pqRecall are corpus-only)"
             )
         return cls(
             corpus=Input.from_json(obj["corpus"]),
@@ -488,7 +491,7 @@ class SimilarityCmd(Command):
             options=_opt(
                 p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
                 "minAgree", "nCentroids", "nQueries", "nCandidates",
-                "lambdaMilli",
+                "lambdaMilli", "m", "nCodes",
             ),
             **cls._common(obj),
         )
@@ -510,6 +513,22 @@ class SimilarityCmd(Command):
                     "roundDigits"
                 )
             return S.quantize_recall(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                **opts,
+            )
+        if self.method == "pqRecall":
+            opts = dict(self.options)
+            bad = sorted(
+                {"n_planes", "label_column", "min_agree", "n_centroids",
+                 "n_candidates", "lambda_milli"} & opts.keys()
+            )
+            if bad:
+                raise ValueError(
+                    "similarity method 'pqRecall' does not accept "
+                    f"option(s) {bad}; supported: dim, m, nCodes, k, "
+                    "nQueries, roundDigits"
+                )
+            return S.pq_recall(
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,
             )
