@@ -176,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
             "lang = 'en'", k=1.0
         ),
         "nb_en_classifier": oracles.nb_train_score_sql("lang = 'en'"),
+        "zipf_fit_docs": oracles.zipf_fit_sql(vocab_k=200),
         "dsir_select_docs": oracles.dsir_weights_sql(
             "lang = 'en'", n_buckets=512, k_select=100
         ),

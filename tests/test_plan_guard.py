@@ -100,6 +100,9 @@ GLOBAL_WINDOW_BOUNDED = {
         "code_id rank over the n_codes=16 rows surviving TakeOrdered "
         "(the seeded codebook)"
     ),
+    "zipf_fit_docs": (
+        "rank over the vocab_k=200 rows surviving TakeOrdered"
+    ),
     "bpe_top_merges_docs": (
         "rank over the k=50 rows surviving TakeOrdered"
     ),

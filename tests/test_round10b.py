@@ -253,6 +253,72 @@ class TestKmvGroupJaccard:
 
 
 # ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+class TestZipfFit:
+    def test_exact_zipf_corpus_fits_alpha_one(self, spark):
+        from topnotch_spark.operators.textqc import zipf_fit
+
+        # build a corpus whose top-V counts ARE c/rank (alpha = 1)
+        words = []
+        for rank in range(1, 21):
+            words += [f"w{rank:02d}"] * (2400 // rank)
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        row = zipf_fit(df, "text", vocab_k=20).collect()[0]
+        assert row["n_vocab"] == 20
+        assert row["alpha"] == pytest.approx(1.0, abs=0.01)
+        assert row["r2"] > 0.999
+        assert row["slope"] == pytest.approx(-row["alpha"])
+
+    def test_uniform_corpus_slope_zero(self, spark):
+        from topnotch_spark.operators.textqc import zipf_fit
+
+        words = [f"u{i}" for i in range(30)] * 10
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        row = zipf_fit(df, "text", vocab_k=30).collect()[0]
+        assert row["slope"] == 0.0
+        # r2 degenerate (zero y-variance) -> NULL, not a crash
+        assert row["r2"] is None
+
+    def test_matches_python_replay(self, spark):
+        from topnotch_spark.operators.textqc import zipf_fit
+
+        def half_up(x):
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+        texts = [
+            " ".join(
+                f"t{(i * j * 7919) % 40:02d}" for j in range(1, 30)
+            )
+            for i in range(50)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        row = zipf_fit(df, "text", vocab_k=25).collect()[0]
+        from collections import Counter
+
+        c = Counter(w for t in texts for w in t.split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        pts = [
+            (half_up(math.log(r + 1) * 1000), half_up(math.log(n) * 1000))
+            for r, (_, n) in enumerate(top)
+        ]
+        n = len(pts)
+        sx, sy = sum(x for x, _ in pts), sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert row["slope"] == pytest.approx(round(slope, 6), abs=1e-6)
+
+    def test_rejects_bad_vocab_k(self, spark):
+        from topnotch_spark.operators.textqc import zipf_fit
+
+        df = spark.createDataFrame([("a b",)], "text string")
+        with pytest.raises(ValueError, match="vocab_k"):
+            zipf_fit(df, "text", vocab_k=1)
+
+
+# ---------------------------------------------------------------------------
 # product quantization
 # ---------------------------------------------------------------------------
 

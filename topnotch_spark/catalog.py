@@ -1135,6 +1135,17 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary
+    (textqc.zipf_fit): least squares through (ln rank, ln freq) of the
+    top-200 tokens in exact milli-nat integer sums — natural text sits
+    near alpha 1; spam/templated corpora deviate. The rank-frequency
+    SHAPE screen next to token_entropy's concentration summary."""
+    from topnotch_spark.operators.textqc import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"), "text", vocab_k=200)
+
+
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (curation.dsir_weights, Xie 2023):
     hashed unigram+bigram bucket models — p from the en slice, q from
@@ -3401,6 +3412,7 @@ ALL = {
     "retrieval_mmr_topk": retrieval_mmr_topk,
     "streaming_wasserstein": streaming_wasserstein,
     "similarity_pq_recall": similarity_pq_recall,
+    "zipf_fit_docs": zipf_fit_docs,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -1857,6 +1857,86 @@ def cross_perplexity(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    vocab_k: int = 200,
+    scale: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares
+    line through (ln rank, ln frequency) over the top ``vocab_k`` tokens
+    — 1 row (n_vocab, slope, alpha, intercept, r2). Natural language
+    sits near alpha ≈ 1 (slope −1); a corpus that deviates hard is
+    machine-generated, templated, or spam-dominated — the cheap
+    distribution-shape screen next to token_entropy (which summarizes
+    concentration but not the rank-frequency SHAPE).
+
+    Determinism: ln(rank) and ln(count) are frozen to fixed-point
+    milli-nats, so every regression sum (Σx, Σy, Σxy, Σxx, Σyy) is an
+    exact BIGINT and the closed-form slope/intercept/r² are single
+    double divisions of identical integers on any engine — no float
+    summation order anywhere. The milli quantization is far below the
+    fit's own noise.
+
+    Execution shape: ONE map-side-combined token groupBy (the corpus
+    reduction), TakeOrdered(vocab_k), a rank window over the bounded
+    top-k frame, and a 1-row aggregate. Scan-bound at any scale."""
+    if vocab_k < 2:
+        raise ValueError(f"zipf_fit: vocab_k must be >= 2, got {vocab_k}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    from pyspark.sql import Window as W
+
+    ranked = (
+        counts.orderBy(*order)
+        .limit(vocab_k)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+    )
+    sc = float(scale)
+    xm = F.round(F.log(F.col("rank").cast("double")) * F.lit(sc), 0).cast(
+        "long"
+    )
+    ym = F.round(F.log(F.col("cnt").cast("double")) * F.lit(sc), 0).cast(
+        "long"
+    )
+    sums = ranked.select(xm.alias("x"), ym.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(sc)
+    )
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny.cast("double")
+    )
+    return sums.select(
+        F.col("n").alias("n_vocab"),
+        F.when(den > 0, F.round(slope, round_digits)).alias("slope"),
+        F.when(den > 0, F.round(-slope, round_digits)).alias("alpha"),
+        F.when(den > 0, F.round(intercept, round_digits)).alias(
+            "intercept"
+        ),
+        F.when(
+            (den > 0) & (deny > 0), F.round(r2, round_digits)
+        ).alias("r2"),
+    )
+
+
 def nb_token_weights(
     df: DataFrame,
     text_col: str,

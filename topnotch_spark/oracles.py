@@ -4391,6 +4391,73 @@ def dsir_weights_sql(
     """
 
 
+def zipf_fit_sql(
+    vocab_k: int = 200,
+    scale: int = 1000,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.zipf_fit over documents: top-k token counts,
+    milli-nat fixed-point (ln rank, ln count), exact BIGINT regression
+    sums, single double divisions."""
+    tok = tokens("text")
+    sc = repr(float(scale))
+    return f"""
+        WITH counts AS (
+          SELECT t AS token, count(*) AS cnt
+          FROM (SELECT unnest({tok}) AS t FROM documents)
+          GROUP BY t
+        ),
+        ranked AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+          FROM (
+            SELECT * FROM counts ORDER BY cnt DESC, token ASC
+            LIMIT {vocab_k}
+          )
+        ),
+        pts AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * {sc}) AS BIGINT)
+                   AS x,
+                 CAST(round(ln(CAST(cnt AS DOUBLE)) * {sc}) AS BIGINT)
+                   AS y
+          FROM ranked
+        ),
+        sums AS (
+          SELECT count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM pts
+        )
+        SELECT n AS n_vocab,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE),
+                            {round_digits}) END AS slope,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)),
+                            {round_digits}) END AS alpha,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round((CAST(sy AS DOUBLE)
+                             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE))
+                               * CAST(sx AS DOUBLE))
+                            / CAST(n AS DOUBLE) / {sc},
+                            {round_digits}) END AS intercept,
+               CASE WHEN n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                 THEN round((CAST(n * sxy - sx * sy AS DOUBLE)
+                             * CAST(n * sxy - sx * sy AS DOUBLE))
+                            / (CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)),
+                            {round_digits}) END AS r2
+        FROM sums
+    """
+
+
 def nb_train_score_sql(
     label_predicate: str,
     scale: int = 1000,

@@ -258,6 +258,9 @@ class TextCmd(Command):
     vocab (the BPE-vs-unigram selection audit next to bpeFertility);
     langidAccuracy {"trueCol", ["roundDigits"]} — per-language
     precision/recall/f1 of the marker langid vs a trusted label;
+    zipf {["vocabK", "scale", "roundDigits"]} — Zipf rank-frequency
+    least-squares fit over the top-k vocabulary (slope/alpha/r²,
+    exact integer regression sums);
     nbWeights {"labelColumn", ["scale"]} — train multinomial Naive
     Bayes token milli-nat log-odds from a boolean label (the
     counts-based trainer whose output feeds classifierScore-style
@@ -279,7 +282,7 @@ class TextCmd(Command):
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
-        "nbWeights", "nbClassifier",
+        "nbWeights", "nbClassifier", "zipf",
     )
 
     @classmethod
@@ -397,6 +400,8 @@ class TextCmd(Command):
                 opts.pop("partition_col"),
                 **opts,
             )
+        if self.method == "zipf":
+            return T.zipf_fit(df, self.text_column, **self.options)
         if self.method == "nbWeights":
             opts = dict(self.options)
             return T.nb_token_weights(
