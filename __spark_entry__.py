@@ -177,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nb_en_classifier": oracles.nb_train_score_sql("lang = 'en'"),
         "zipf_fit_docs": oracles.zipf_fit_sql(vocab_k=200),
+        "heaps_fit_docs": oracles.heaps_fit_sql(n_checkpoints=10),
         "dsir_select_docs": oracles.dsir_weights_sql(
             "lang = 'en'", n_buckets=512, k_select=100
         ),

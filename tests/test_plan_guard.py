@@ -103,6 +103,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "zipf_fit_docs": (
         "rank over the vocab_k=200 rows surviving TakeOrdered"
     ),
+    "heaps_fit_docs": (
+        "cumulative sums over the n_checkpoints=10 spine-joined cells"
+    ),
     "bpe_top_merges_docs": (
         "rank over the k=50 rows surviving TakeOrdered"
     ),

@@ -319,6 +319,55 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# Heaps fit
+# ---------------------------------------------------------------------------
+
+class TestHeapsFit:
+    def test_power_law_corpus_recovers_beta(self, spark):
+        from topnotch_spark.operators.textqc import heaps_fit
+
+        # construct docs so that the cumulative vocab is ~sqrt of the
+        # cumulative tokens: doc i contributes 20 tokens, of which the
+        # new-vocab share shrinks like a beta=0.5 curve
+        rows = []
+        vocab_used = 0
+        total = 0
+        for i in range(50):
+            total += 20
+            target_v = int(round(total ** 0.5)) * 4
+            new = max(target_v - vocab_used, 0)
+            words = [f"n{vocab_used + j}" for j in range(new)]
+            vocab_used += new
+            words += ["filler"] * (20 - len(words))
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        row = heaps_fit(df, "doc_id", "text", n_checkpoints=10).collect()[0]
+        assert row["n_points"] == 10
+        assert 0.35 < row["beta"] < 0.65
+        assert row["r2"] > 0.95
+
+    def test_disjoint_docs_beta_one(self, spark):
+        from topnotch_spark.operators.textqc import heaps_fit
+
+        # every doc introduces only new tokens -> V grows linearly in N
+        rows = [
+            (i, " ".join(f"d{i}_{j}" for j in range(10))) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        row = heaps_fit(df, "doc_id", "text", n_checkpoints=8).collect()[0]
+        assert row["beta"] == pytest.approx(1.0, abs=0.01)
+
+    def test_guards(self, spark):
+        from topnotch_spark.operators.textqc import heaps_fit
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_checkpoints"):
+            heaps_fit(df, "doc_id", "text", n_checkpoints=1)
+        with pytest.raises(ValueError, match="distinct ids"):
+            heaps_fit(df, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # product quantization
 # ---------------------------------------------------------------------------
 

@@ -1146,6 +1146,18 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(load(spark, sf_dir, "documents"), "text", vocab_k=200)
 
 
+def heaps_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (textqc.heaps_fit): V(N) ≈ K·N^β
+    over 10 id-grid corpus prefixes, milli-nat integer regression — the
+    growth-shape companion to zipf_fit_docs and the planning curve for
+    tokenizer vocab sizing."""
+    from topnotch_spark.operators.textqc import heaps_fit
+
+    return heaps_fit(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n_checkpoints=10
+    )
+
+
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (curation.dsir_weights, Xie 2023):
     hashed unigram+bigram bucket models — p from the en slice, q from
@@ -3413,6 +3425,7 @@ ALL = {
     "streaming_wasserstein": streaming_wasserstein,
     "similarity_pq_recall": similarity_pq_recall,
     "zipf_fit_docs": zipf_fit_docs,
+    "heaps_fit_docs": heaps_fit_docs,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

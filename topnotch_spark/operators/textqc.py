@@ -1937,6 +1937,128 @@ def zipf_fit(
     )
 
 
+def heaps_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 10,
+    scale: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β over corpus
+    prefixes — 1 row (n_points, beta, k_coef, r2). Natural corpora grow
+    vocabulary at β ≈ 0.4-0.6; β near 1 means near-disjoint documents
+    (ids, hashes, boilerplate noise), β near 0 a closed templated
+    vocabulary — the growth-shape companion to [zipf_fit]'s static
+    rank-frequency shape, and the planning curve behind tokenizer
+    vocab sizing (the bpe/unigram trainers' corpus→vocab reduction
+    assumes sublinear growth).
+
+    Prefixes are deterministic by construction: ``n_checkpoints``
+    equal-width cells over the [min, max] id range (the histogram-grid
+    convention — no global row ranking); checkpoint j's corpus is every
+    doc whose id falls in cells 0..j. N_j (total tokens) and V_j
+    (distinct tokens, via each token's FIRST-occurrence cell) are exact
+    integers from one cumulative window over the n_checkpoints-row cell
+    rollup; the (ln N, ln V) regression runs in milli-nat fixed point —
+    exact BIGINT sums, single double divisions (the zipf_fit
+    machinery).
+
+    Execution shape: one per-doc token-count projection + one
+    groupBy(token) min-id (the corpus reductions), two n_checkpoints-row
+    rollups, a bounded cumulative window, a 1-row aggregate."""
+    if n_checkpoints < 2:
+        raise ValueError(
+            f"heaps_fit: n_checkpoints must be >= 2, got {n_checkpoints}"
+        )
+    from pyspark.sql import Window as W
+
+    from topnotch_spark.operators.dedup import _persist
+
+    toked = _persist(
+        df.select(
+            F.col(id_col).cast("double").alias("__id__"),
+            tokens(text_col).alias("__toks__"),
+        )
+    )
+    mn, mx = toked.agg(F.min("__id__"), F.max("__id__")).collect()[0]
+    if mn is None or mx == mn:
+        raise ValueError(
+            "heaps_fit: need at least two distinct ids to build prefixes"
+        )
+    mn, mx = float(mn), float(mx)
+    width = (mx - mn) / n_checkpoints
+
+    def cell(col):
+        return F.least(
+            F.greatest(
+                F.floor((col - F.lit(mn)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_checkpoints - 1),
+        )
+
+    per_doc = toked.select(
+        cell(F.col("__id__")).alias("cell"),
+        F.size("__toks__").cast("long").alias("n_tok"),
+    ).groupBy("cell").agg(F.sum("n_tok").alias("tok_in_cell"))
+    first_seen = (
+        toked.select("__id__", F.explode("__toks__").alias("token"))
+        .groupBy("token")
+        .agg(F.min("__id__").alias("first_id"))
+        .select(cell(F.col("first_id")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("new_in_cell"))
+    )
+    spine = toked.sparkSession.range(n_checkpoints).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    cum = W.orderBy("cell").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts = (
+        spine.join(F.broadcast(per_doc), "cell", "left")
+        .join(F.broadcast(first_seen), "cell", "left")
+        .select(
+            "cell",
+            F.sum(F.coalesce("tok_in_cell", F.lit(0))).over(cum).alias("N"),
+            F.sum(F.coalesce("new_in_cell", F.lit(0))).over(cum).alias("V"),
+        )
+        .filter((F.col("N") > 0) & (F.col("V") > 0))
+    )
+    sc = float(scale)
+    xm = F.round(F.log(F.col("N").cast("double")) * F.lit(sc), 0).cast("long")
+    ym = F.round(F.log(F.col("V").cast("double")) * F.lit(sc), 0).cast("long")
+    sums = pts.select(xm.alias("x"), ym.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(sc)
+    )
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny.cast("double")
+    )
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.when(den > 0, F.round(slope, round_digits)).alias("beta"),
+        F.when(den > 0, F.round(F.exp(intercept), round_digits)).alias(
+            "k_coef"
+        ),
+        F.when((den > 0) & (deny > 0), F.round(r2, round_digits)).alias(
+            "r2"
+        ),
+    )
+
+
 def nb_token_weights(
     df: DataFrame,
     text_col: str,

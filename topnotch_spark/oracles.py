@@ -4458,6 +4458,99 @@ def zipf_fit_sql(
     """
 
 
+def heaps_fit_sql(
+    n_checkpoints: int = 10,
+    scale: int = 1000,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.heaps_fit over documents: id-grid prefix cells,
+    first-occurrence vocabulary accounting, cumulative cell sums,
+    milli-nat integer regression (the zipf_fit arithmetic), and
+    K = exp(intercept)."""
+    tok = tokens("text")
+    m = n_checkpoints
+    sc = repr(float(scale))
+    cell = (
+        f"CAST(least(greatest(floor(({{v}} - mn) / width), 0), {m - 1}) "
+        f"AS INT)"
+    )
+    return f"""
+        WITH toked AS (
+          SELECT CAST(doc_id AS DOUBLE) AS id, {tok} AS __t__
+          FROM documents
+        ),
+        stats AS (
+          SELECT min(id) AS mn, (max(id) - min(id)) / {m} AS width
+          FROM toked
+        ),
+        perdoc AS (
+          SELECT cell, sum(ntok) AS tok_in_cell FROM (
+            SELECT {cell.format(v='id')} AS cell,
+                   CAST(len(__t__) AS BIGINT) AS ntok
+            FROM toked, stats
+          ) GROUP BY cell
+        ),
+        fs AS (
+          SELECT cell, count(*) AS new_in_cell FROM (
+            SELECT {cell.format(v='first_id')} AS cell FROM (
+              SELECT min(id) AS first_id
+              FROM (SELECT id, unnest(__t__) AS t FROM toked)
+              GROUP BY t
+            ), stats
+          ) GROUP BY cell
+        ),
+        pts AS (
+          SELECT x, y FROM (
+            SELECT s.cell,
+                   sum(coalesce(p.tok_in_cell, 0)) OVER (
+                     ORDER BY s.cell ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS N,
+                   sum(coalesce(f.new_in_cell, 0)) OVER (
+                     ORDER BY s.cell ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS V
+            FROM (SELECT unnest(generate_series(0, {m - 1})) AS cell) s
+            LEFT JOIN perdoc p ON p.cell = s.cell
+            LEFT JOIN fs f ON f.cell = s.cell
+          ), LATERAL (
+            SELECT CAST(round(ln(CAST(N AS DOUBLE)) * {sc}) AS BIGINT)
+                     AS x,
+                   CAST(round(ln(CAST(V AS DOUBLE)) * {sc}) AS BIGINT)
+                     AS y
+          )
+          WHERE N > 0 AND V > 0
+        ),
+        sums AS (
+          SELECT count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM pts
+        )
+        SELECT n AS n_points,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE),
+                            {round_digits}) END AS beta,
+               CASE WHEN n * sxx - sx * sx > 0
+                 THEN round(exp((CAST(sy AS DOUBLE)
+                             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE))
+                               * CAST(sx AS DOUBLE))
+                            / CAST(n AS DOUBLE) / {sc}),
+                            {round_digits}) END AS k_coef,
+               CASE WHEN n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                 THEN round((CAST(n * sxy - sx * sy AS DOUBLE)
+                             * CAST(n * sxy - sx * sy AS DOUBLE))
+                            / (CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)),
+                            {round_digits}) END AS r2
+        FROM sums
+    """
+
+
 def nb_train_score_sql(
     label_predicate: str,
     scale: int = 1000,

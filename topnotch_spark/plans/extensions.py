@@ -260,7 +260,9 @@ class TextCmd(Command):
     precision/recall/f1 of the marker langid vs a trusted label;
     zipf {["vocabK", "scale", "roundDigits"]} — Zipf rank-frequency
     least-squares fit over the top-k vocabulary (slope/alpha/r²,
-    exact integer regression sums);
+    exact integer regression sums); heaps {["nCheckpoints", "scale",
+    "roundDigits"]} — Heaps'-law vocabulary-growth fit over id-grid
+    corpus prefixes (beta/K/r²);
     nbWeights {"labelColumn", ["scale"]} — train multinomial Naive
     Bayes token milli-nat log-odds from a boolean label (the
     counts-based trainer whose output feeds classifierScore-style
@@ -282,7 +284,7 @@ class TextCmd(Command):
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
-        "nbWeights", "nbClassifier", "zipf",
+        "nbWeights", "nbClassifier", "zipf", "heaps",
     )
 
     @classmethod
@@ -321,6 +323,7 @@ class TextCmd(Command):
                 "vocabK", "weights", "biasMilli", "nMerges", "minCount",
                 "maxWordLen", "maxPieceLen", "seedSize", "vocabSize",
                 "nRounds", "trueCol", "labelColumn", "scale",
+                "nCheckpoints",
             ),
             **cls._common(obj),
         )
@@ -402,6 +405,10 @@ class TextCmd(Command):
             )
         if self.method == "zipf":
             return T.zipf_fit(df, self.text_column, **self.options)
+        if self.method == "heaps":
+            return T.heaps_fit(
+                df, self.id_column, self.text_column, **self.options
+            )
         if self.method == "nbWeights":
             opts = dict(self.options)
             return T.nb_token_weights(
