@@ -187,6 +187,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_quantize_recall": oracles.quantize_recall_sql(
             dim=64, k=10, n_queries=5
         ),
+        "coreset_kcenter_embeddings": oracles.kcenter_select_sql(
+            dim=64, k=12
+        ),
         "similarity_pq_recall": oracles.pq_recall_sql(
             dim=64, m=8, n_codes=16, k=10, n_queries=5
         ),

@@ -319,6 +319,87 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# k-center coreset
+# ---------------------------------------------------------------------------
+
+def _kcenter_replay(corpus, k):
+    def half_up(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def dmic(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return half_up((1.0 - d / (na * nb)) * 1e6)
+
+    ids = sorted(corpus)
+    picks = [(1, ids[0], None)]
+    mind = {
+        i: dmic(corpus[i], corpus[ids[0]]) for i in ids if i != ids[0]
+    }
+    for r in range(2, k + 1):
+        if not mind:
+            break
+        best = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        top = best[1]
+        pid = min(i for i, d in mind.items() if d == top)
+        picks.append((r, pid, top))
+        del mind[pid]
+        for i in mind:
+            mind[i] = min(mind[i], dmic(corpus[i], corpus[pid]))
+    return picks
+
+
+class TestKcenter:
+    def test_matches_python_replay(self, spark):
+        from topnotch_spark.operators.similarity import kcenter_select
+
+        corpus = {
+            i: [((i * j * 31) % 23) / 10.0 + 0.1 for j in range(1, 7)]
+            for i in range(20)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in corpus.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(
+            (r["pick_rank"], r["vec_id"], r["dist_to_selected_micro"])
+            for r in kcenter_select(df, k=6, dim=6).collect()
+        )
+        exp = sorted(_kcenter_replay(corpus, 6))
+        assert got == exp
+
+    def test_coverage_radius_non_increasing(self, spark):
+        from topnotch_spark.operators.similarity import kcenter_select
+
+        corpus = {
+            i: [((i * j * 7919) % 101) / 50.0 - 1.0 + 2e-2 for j in range(8)]
+            for i in range(30)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in corpus.items()],
+            "vec_id long, embedding array<double>",
+        )
+        rows = sorted(
+            kcenter_select(df, k=8, dim=8).collect(),
+            key=lambda r: r["pick_rank"],
+        )
+        dists = [r["dist_to_selected_micro"] for r in rows[1:]]
+        assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+    def test_k_exceeding_corpus_returns_all(self, spark):
+        from topnotch_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(i, [1.0, float(i)]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        out = kcenter_select(df, k=10, dim=2).collect()
+        assert len(out) == 4
+        assert {r["vec_id"] for r in out} == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
 # Heaps fit
 # ---------------------------------------------------------------------------
 

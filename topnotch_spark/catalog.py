@@ -515,6 +515,19 @@ def similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (similarity.kcenter_select, Gonzalez
+    1985 / Sener 2018): 12 farthest-point exemplars over the embedding
+    table in exact micro-int cosine distances — the space-covering data
+    selector; the emitted distance column is the coverage-radius
+    curve."""
+    from topnotch_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(
+        load(spark, sf_dir, "embeddings"), k=12, dim=64
+    )
+
+
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization recall audit (similarity.pq_recall, Jégou
     2011): 8 subspaces × 16 seeded codes (~32× compression), ADC
@@ -3426,6 +3439,7 @@ ALL = {
     "similarity_pq_recall": similarity_pq_recall,
     "zipf_fit_docs": zipf_fit_docs,
     "heaps_fit_docs": heaps_fit_docs,
+    "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -1214,6 +1214,117 @@ def pq_recall(
     )
 
 
+def kcenter_select(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling — the
+    2-approximation of Gonzalez 1985, used as the coreset strategy of
+    Sener & Savarese, ICLR 2018): start from the lowest-id vector, then
+    repeatedly pick the point FARTHEST from everything selected so far —
+    k maximally-spread exemplars. The diversity-first data selector
+    next to [mmr_rerank] (per-query diversity) and curation.dsir_weights
+    (distribution matching): k-center covers the embedding space, which
+    is what you want for labeling budgets, eval-set seeding, and
+    SemDeDup-style prototype picking.
+
+    Distance is cosine distance frozen to micro-unit integers
+    (``round((1−cos)·10⁶)``, ordered-fold cosine), so the running
+    min-distance state and every argmax are exact integer comparisons —
+    engine-replayable; ties break on the lower id. Emits the k picks:
+    (pick_rank, id, dist_to_selected_micro) — pick 1 (the seed) carries
+    NULL distance; the column is non-increasing and is the classic
+    coverage-radius curve (read it to choose k).
+
+    100 TB shape: the running state is one (id, vec, min_dist) frame;
+    each round is ONE broadcast of the single new pick + a projection
+    (least of two integers) + a TakeOrdered(1) — k linear passes,
+    lineage truncated per round, no pairwise materialization ever."""
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    base = _persist(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+            norm(F.col(vec_col), dim).alias("__n__"),
+        )
+    )
+    d_micro = F.round(
+        (
+            F.lit(1.0)
+            - dot(F.col("v"), F.col("__pv__"), dim)
+            / (F.col("__n__") * F.col("__pn__"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    first = base.orderBy("vid").limit(1)
+    picks = [
+        first.select(
+            F.lit(1).alias("pick_rank"),
+            F.col("vid").alias(id_col),
+            F.lit(None).cast("long").alias("dist_to_selected_micro"),
+        )
+    ]
+    psel = first.select(
+        F.col("vid").alias("__pid__"),
+        F.col("v").alias("__pv__"),
+        F.col("__n__").alias("__pn__"),
+    )
+    st = (
+        base.crossJoin(F.broadcast(psel))
+        .filter(F.col("vid") != F.col("__pid__"))
+        .select("vid", "v", "__n__", d_micro.alias("__mind__"))
+    )
+    st, ckpt = _truncate_round(st, None)
+    for r in range(2, k + 1):
+        p = st.orderBy(
+            F.col("__mind__").desc(), F.col("vid").asc()
+        ).limit(1)
+        p, ckpt = _truncate_round(p, ckpt)
+        picks.append(
+            p.select(
+                F.lit(r).alias("pick_rank"),
+                F.col("vid").alias(id_col),
+                F.col("__mind__").alias("dist_to_selected_micro"),
+            )
+        )
+        psel = p.select(
+            F.col("vid").alias("__pid__"),
+            F.col("v").alias("__pv__"),
+            F.col("__n__").alias("__pn__"),
+        )
+        st = (
+            st.crossJoin(F.broadcast(psel))
+            .filter(F.col("vid") != F.col("__pid__"))
+            .select(
+                "vid",
+                "v",
+                "__n__",
+                F.least(F.col("__mind__"), d_micro).alias("__mind__"),
+            )
+        )
+        if r < k:
+            st, ckpt = _truncate_round(st, ckpt)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    if ckpt is not None:
+        from topnotch_spark.operators import dedup as _d
+
+        _d._PERSISTED.append(out)
+        _d._CHECKPOINTED[id(out)] = ckpt
+    return out
+
+
 def quantize_recall(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -697,6 +697,64 @@ def pq_recall_sql(
     """
 
 
+def kcenter_select_sql(
+    dim: int = 64,
+    k: int = 12,
+    id_out: str = "vec_id",
+) -> str:
+    """Mirror of similarity.kcenter_select: greedy farthest-point
+    sampling with micro-int cosine distances, unrolled as k MATERIALIZED
+    CTE rounds (lowest-id seed, max-min-dist picks, lower-id ties)."""
+    def dist(a: str, b: str, an: str, bn: str) -> str:
+        return (
+            f"CAST(round((1.0 - {dot(a, b, dim)} / ({an} * {bn})) "
+            f"* 1000000.0) AS BIGINT)"
+        )
+
+    rounds = []
+    for r in range(2, k + 1):
+        prev = r - 1
+        rounds.append(f"""
+        p{r} AS MATERIALIZED (
+          SELECT vid, v, n, mind FROM st{prev}
+          ORDER BY mind DESC, vid ASC LIMIT 1
+        ),
+        st{r} AS MATERIALIZED (
+          SELECT s.vid, s.v, s.n,
+                 least(s.mind, {dist('s.v', 'p.v', 's.n', 'p.n')}) AS mind
+          FROM st{prev} s, p{r} p
+          WHERE s.vid <> p.vid
+        )""")
+    chain = ",".join(rounds)
+    final = "\nUNION ALL\n".join(
+        f"SELECT {r} AS pick_rank, vid AS {id_out}, "
+        f"mind AS dist_to_selected_micro FROM p{r}"
+        for r in range(2, k + 1)
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS vid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt({dot('embedding', 'embedding', dim)}) AS n
+          FROM embeddings
+        ),
+        p1 AS MATERIALIZED (
+          SELECT vid, v, n FROM base ORDER BY vid ASC LIMIT 1
+        ),
+        st1 AS MATERIALIZED (
+          SELECT b.vid, b.v, b.n,
+                 {dist('b.v', 'p.v', 'b.n', 'p.n')} AS mind
+          FROM base b, p1 p
+          WHERE b.vid <> p.vid
+        ),{chain}
+        SELECT 1 AS pick_rank, vid AS {id_out},
+               CAST(NULL AS BIGINT) AS dist_to_selected_micro
+        FROM p1
+        UNION ALL
+        {final}
+    """
+
+
 def mmr_rerank_sql(
     dim: int = 64,
     k: int = 10,

@@ -459,7 +459,10 @@ class SimilarityCmd(Command):
     exact integer micro-units.
     pqRecall is corpus-only ({["dim", "m", "nCodes", "k", "nQueries",
     "roundDigits"]}) — recall@k of product-quantized ADC search vs the
-    raw doubles (seeded per-subspace codebooks)."""
+    raw doubles (seeded per-subspace codebooks).
+    kcenter is corpus-only ({["k", "dim"]}) — greedy farthest-point
+    coreset selection: k maximally-spread exemplars with the
+    coverage-radius curve."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -475,7 +478,7 @@ class SimilarityCmd(Command):
 
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
-        "quantizeRecall", "mmr", "pqRecall",
+        "quantizeRecall", "mmr", "pqRecall", "kcenter",
     )
 
     @classmethod
@@ -484,7 +487,7 @@ class SimilarityCmd(Command):
         _require_method(p, cls.METHODS, "similarity")
         if (
             p["method"] not in ("labelAgreement", "silhouette",
-                                "quantizeRecall", "pqRecall")
+                                "quantizeRecall", "pqRecall", "kcenter")
             and "queries" not in obj
         ):
             raise ValueError(
@@ -525,6 +528,18 @@ class SimilarityCmd(Command):
                     "roundDigits"
                 )
             return S.quantize_recall(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                **opts,
+            )
+        if self.method == "kcenter":
+            opts = dict(self.options)
+            bad = sorted(set(opts) - {"k", "dim"})
+            if bad:
+                raise ValueError(
+                    "similarity method 'kcenter' does not accept "
+                    f"option(s) {bad}; supported: k, dim"
+                )
+            return S.kcenter_select(
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,
             )
