@@ -139,6 +139,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_distinct_users": oracles.streaming_distinct_users_sql(
             "1 hour"
         ),
+        "graph_kcore_parts": oracles.k_core_parts_sql(
+            k=4, max_rounds=8, max_basket=12, min_support=2
+        ),
         "graph_communities_parts": oracles.label_propagation_parts_sql(
             iters=4, max_basket=12, min_support=2
         ),

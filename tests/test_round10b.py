@@ -319,6 +319,53 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+class TestKCore:
+    def test_clique_with_tail(self, spark):
+        from topnotch_spark.operators.graph import k_core
+
+        # 4-clique {1..4} plus a chain 4-10-11: chain nodes have degree
+        # <= 2, peel out of the 3-core; the clique survives
+        edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        edges += [(4, 10), (10, 11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: r for r in k_core(df, k=3).collect()}
+        assert all(out[n]["in_kcore"] for n in (1, 2, 3, 4))
+        assert not out[10]["in_kcore"] and not out[11]["in_kcore"]
+        assert out[10]["core_degree"] is None
+        # within-core degree of clique members is 3 (node 4 loses the
+        # chain edge after peeling)
+        assert out[4]["degree"] == 4 and out[4]["core_degree"] == 3
+
+    def test_cascade_peel(self, spark):
+        from topnotch_spark.operators.graph import k_core
+
+        # a path 1-2-3-4-5: for k=2 every node eventually peels (ends
+        # drop first, cascading inward) — requires multiple rounds
+        edges = [(i, i + 1) for i in range(1, 5)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = k_core(df, k=2, max_rounds=8).collect()
+        assert all(not r["in_kcore"] for r in out)
+        # a cycle is its own 2-core
+        cyc = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        out2 = k_core(cyc, k=2).collect()
+        assert all(r["in_kcore"] and r["core_degree"] == 2 for r in out2)
+
+    def test_rejects_bad_params(self, spark):
+        from topnotch_spark.operators.graph import k_core
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="k must"):
+            k_core(df, k=0)
+        with pytest.raises(ValueError, match="max_rounds"):
+            k_core(df, max_rounds=0)
+
+
+# ---------------------------------------------------------------------------
 # k-center coreset
 # ---------------------------------------------------------------------------
 

@@ -1589,6 +1589,25 @@ def graph_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("node", "part_id")
 
 
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core backbone of the part co-purchase graph (graph.k_core):
+    synchronous peeling rounds delete sub-k-degree nodes until stable —
+    the dense-engagement extraction degree alone cannot make; emits
+    full-graph degree, membership, and within-core degree per node."""
+    from topnotch_spark.operators.graph import cooccurrence_edges, k_core
+
+    edges = cooccurrence_edges(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        max_basket_items=12,
+        min_support=2,
+    )
+    return k_core(edges, k=4, max_rounds=8).withColumnRenamed(
+        "node", "part_id"
+    )
+
+
 def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-item retrieval by random walk with restart
     (graph.personalized_pagerank): teleport mass goes only to the 5
@@ -3440,6 +3459,7 @@ ALL = {
     "zipf_fit_docs": zipf_fit_docs,
     "heaps_fit_docs": heaps_fit_docs,
     "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
+    "graph_kcore_parts": graph_kcore_parts,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

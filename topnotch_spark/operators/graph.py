@@ -336,6 +336,84 @@ def label_propagation(
     return out
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """K-core decomposition by iterative peeling (Seidman 1983 /
+    Batagelj–Zaveršnik): repeatedly delete nodes with degree < k until
+    none remain — the surviving subgraph is the k-core, the standard
+    "dense engaged backbone" extraction (spam rings, core catalog items,
+    tightly-coupled near-dup families) that degree alone cannot find
+    (a degree-k node hanging off a chain is NOT in the k-core).
+
+    Emits one row per node of the symmetric closure: (node, degree,
+    in_kcore, core_degree) — degree in the full graph, membership after
+    peeling, and the degree within the surviving subgraph (NULL for
+    peeled nodes). Peeling is monotone, so the fixed ``max_rounds`` cap
+    is safe: extra rounds are no-ops once stable, and an oracle
+    replaying exactly ``max_rounds`` rounds matches an early-exited run
+    bit-for-bit. Each round's survivor set is integer-exact — no
+    tie-breaks needed (deletion is simultaneous, the Batagelj
+    synchronous variant).
+
+    100 TB shape: the symmetric edge set is persisted hash-partitioned
+    by src; each round is one semi-join of edges against the shrinking
+    survivor set (broadcast when it fits), one map-side-combined degree
+    groupBy, and a 1-scalar survivor count (the early-exit probe, the
+    tol_scaled convention); lineage truncated per round."""
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _persist
+
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"k_core: max_rounds must be >= 1, got {max_rounds}")
+    sym = _persist(
+        _directed(edges.select("src", "dst")).repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+    )
+    full_deg = _persist(
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    alive = full_deg.select("src")
+    n_alive = alive.count()
+    core_deg = full_deg.select("src", F.col("degree").alias("core_degree"))
+    for _ in range(max_rounds):
+        kept_edges = sym.join(
+            F.broadcast(alive.select(F.col("src").alias("dst"))), "dst"
+        ).join(F.broadcast(alive), "src")
+        core_deg = kept_edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+        new_alive, _ = _truncate_round(
+            core_deg.filter(F.col("core_degree") >= k).select("src"), None
+        )
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_alive or n_new == 0:
+            n_alive = n_new
+            break
+        n_alive = n_new
+    survivors = (
+        sym.join(F.broadcast(alive.select(F.col("src").alias("dst"))), "dst")
+        .join(F.broadcast(alive), "src")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return (
+        full_deg.join(survivors, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "degree",
+            F.col("core_degree").isNotNull().alias("in_kcore"),
+            "core_degree",
+        )
+    )
+
+
 def _truncate_probe(
     ranks: DataFrame,
     prev: DataFrame,

@@ -5542,6 +5542,55 @@ def label_propagation_parts_sql(
     """
 
 
+def k_core_parts_sql(
+    k: int = 4,
+    max_rounds: int = 8,
+    max_basket: int = 12,
+    min_support: int = 1,
+) -> str:
+    """Mirror of graph.k_core over the co-purchase graph: synchronous
+    peeling unrolled as max_rounds MATERIALIZED CTEs (peeling is
+    monotone, so extra rounds beyond Spark's early exit are no-ops and
+    the results still match bit-for-bit)."""
+    rounds = []
+    for r in range(1, max_rounds + 1):
+        rounds.append(f"""
+        a{r} AS MATERIALIZED (
+          SELECT src FROM (
+            SELECT e.src, count(*) AS d
+            FROM sym e
+            JOIN a{r - 1} x ON e.src = x.src
+            JOIN a{r - 1} y ON e.dst = y.src
+            GROUP BY e.src
+          ) WHERE d >= {k}
+        )""")
+    chain = ",".join(rounds)
+    return f"""
+        WITH {_copurchase_edges_cte(max_basket, min_support)},
+        sym AS MATERIALIZED (
+          SELECT src, dst FROM uedges
+          UNION ALL
+          SELECT dst, src FROM uedges
+        ),
+        full_deg AS MATERIALIZED (
+          SELECT src, CAST(count(*) AS BIGINT) AS degree
+          FROM sym GROUP BY src
+        ),
+        a0 AS (SELECT src FROM full_deg),{chain},
+        surv AS (
+          SELECT e.src, CAST(count(*) AS BIGINT) AS core_degree
+          FROM sym e
+          JOIN a{max_rounds} x ON e.src = x.src
+          JOIN a{max_rounds} y ON e.dst = y.src
+          GROUP BY e.src
+        )
+        SELECT d.src AS part_id, d.degree,
+               s.core_degree IS NOT NULL AS in_kcore,
+               s.core_degree
+        FROM full_deg d LEFT JOIN surv s USING (src)
+    """
+
+
 def triangle_parts_sql(
     min_support: int = 2, max_basket: int = 12, round_digits: int = 6
 ) -> str:

@@ -1757,7 +1757,7 @@ class CmsCmd(Command):
 @dataclass(frozen=True)
 class GraphCmd(Command):
     """{"command": "graph", "input": <input>, "params": {"method":
-    pagerank|ppr|triangles|components|labelProp, EITHER
+    pagerank|ppr|triangles|components|labelProp|kcore, EITHER
     "srcColumn"+"dstColumn"
     (input is an
     undirected unique edge list) OR "basketColumn"+"itemColumn" (edges
@@ -1779,7 +1779,9 @@ class GraphCmd(Command):
     label-propagation community detection (weighted votes via
     "weightColumn", min-label tie-break; ["iters",
     "broadcastLabels"]) — density communities where components give
-    reachability."""
+    reachability. ``kcore`` peels nodes of degree < k until stable
+    ({["k", "maxRounds"]}) — the dense-backbone extraction; emits
+    degree / in_kcore / core_degree per node."""
 
     input: Input = None  # type: ignore[assignment]
     method: str = "pagerank"
@@ -1789,7 +1791,9 @@ class GraphCmd(Command):
     item_column: str | None = None
     options: dict = field(default_factory=dict)
 
-    METHODS = ("pagerank", "ppr", "triangles", "components", "labelProp")
+    METHODS = (
+        "pagerank", "ppr", "triangles", "components", "labelProp", "kcore",
+    )
 
     @property
     def inputs(self) -> list[Input]:
@@ -1829,6 +1833,8 @@ class GraphCmd(Command):
                 "broadcastRanks",
                 "tolScaled",
                 "broadcastLabels",
+                "k",
+                "maxRounds",
             ),
             **cls._common(obj),
         )
@@ -1894,6 +1900,14 @@ class GraphCmd(Command):
             )
             return personalized_pagerank(
                 edges, seeds, weight_col=weight, **walk_opts
+            )
+        if self.method == "kcore":
+            from topnotch_spark.operators.graph import k_core
+
+            return k_core(
+                edges,
+                k=o.get("k", 3),
+                max_rounds=o.get("max_rounds", 8),
             )
         if self.method == "labelProp":
             from topnotch_spark.operators.graph import label_propagation
