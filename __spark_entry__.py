@@ -180,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nb_en_classifier": oracles.nb_train_score_sql("lang = 'en'"),
         "zipf_fit_docs": oracles.zipf_fit_sql(vocab_k=200),
+        "text_c4_rules": oracles.c4_rules_sql(),
         "heaps_fit_docs": oracles.heaps_fit_sql(n_checkpoints=10),
         "dsir_select_docs": oracles.dsir_weights_sql(
             "lang = 'en'", n_buckets=512, k_select=100
@@ -282,6 +283,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_video_dedup": oracles.multimodal_video_dedup_sql(),
         "retrieval_rrf_fused": oracles.retrieval_rrf_sql(catalog.BM25_QUERIES),
         "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(),
+        "cms_join_size_orders_events": oracles.cms_join_size_sql(
+            "orders", "o_custkey", "events", "user_id",
+            width=1024, depth=4,
+        ),
         "quantile_sketch_accuracy": oracles.kmv_accuracy_sql(
             qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=256
         ),

@@ -319,6 +319,143 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# C4 rules
+# ---------------------------------------------------------------------------
+
+class TestC4Rules:
+    def test_rule_semantics(self, spark):
+        from topnotch_spark.operators.textqc import c4_rules
+
+        docs = [
+            # 3 good sentences -> keep
+            (0, "The first sentence is here today.\n"
+                "Another long sentence follows it!\n"
+                "And one more finishes the page?"),
+            # short lines + no terminal punct -> lines dropped, no keep
+            (1, "too short.\nno punctuation line at all\nmenu"),
+            # lorem ipsum page -> rejected even with sentences
+            (2, "Lorem Ipsum dolor sit amet friends.\n"
+                "A second proper sentence right here.\n"
+                "And a third proper sentence right here."),
+            # curly brace (code) page -> rejected
+            (3, "function with code brace { inline.\n"
+                "A second proper sentence right here.\n"
+                "And a third proper sentence right here."),
+            # javascript line dropped, still enough sentences
+            (4, "Please enable javascript to continue here.\n"
+                "A first proper sentence right here. And two more!"
+                " Yes really?"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in c4_rules(df, "doc_id", "text").collect()}
+        assert out[0]["keep"] and out[0]["n_kept_lines"] == 3
+        assert out[0]["n_sentences"] == 3
+        assert not out[1]["keep"] and out[1]["n_kept_lines"] == 0
+        assert out[2]["has_lorem_ipsum"] and not out[2]["keep"]
+        assert out[3]["has_brace"] and not out[3]["keep"]
+        # doc 4: the javascript line is dropped, the 3-sentence line kept
+        assert out[4]["n_kept_lines"] == 1
+        assert out[4]["n_sentences"] == 3 and out[4]["keep"]
+
+    def test_line_word_minimum(self, spark):
+        from topnotch_spark.operators.textqc import c4_rules
+
+        df = spark.createDataFrame(
+            [(0, "Four words not enough.\nBut five words are enough.")],
+            "doc_id long, text string",
+        )
+        row = c4_rules(df, "doc_id", "text").collect()[0]
+        assert row["n_lines"] == 2 and row["n_kept_lines"] == 1
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation
+# ---------------------------------------------------------------------------
+
+class TestCmsJoinSize:
+    def test_never_underestimates_and_grades(self, spark):
+        from topnotch_spark.operators.sketch import cms_join_size
+
+        left = spark.createDataFrame(
+            [(i % 20,) for i in range(300)], "k long"
+        )
+        right = spark.createDataFrame(
+            [(i % 30,) for i in range(200)], "k long"
+        )
+        row = cms_join_size(
+            left,
+            F.col("k").cast("string"),
+            right,
+            F.col("k").cast("string"),
+            width=256,
+            depth=4,
+        ).collect()[0]
+        exact = sum(
+            (300 // 20 + (1 if k < 300 % 20 else 0))
+            * (200 // 30 + (1 if k < 200 % 30 else 0))
+            for k in range(20)
+        )
+        assert row["exact_join_size"] == exact
+        assert row["est_join_size"] >= exact  # one-sided error
+        assert row["overestimate"] == row["est_join_size"] - exact
+
+    def test_disjoint_keys(self, spark):
+        from topnotch_spark.operators.sketch import cms_join_size
+
+        left = spark.createDataFrame([(1,), (2,)], "k long")
+        right = spark.createDataFrame([(10,), (11,)], "k long")
+        row = cms_join_size(
+            left,
+            F.col("k").cast("string"),
+            right,
+            F.col("k").cast("string"),
+            width=1024,
+            depth=4,
+        ).collect()[0]
+        assert row["exact_join_size"] == 0
+        assert row["rel_err"] is None
+        assert row["est_join_size"] >= 0
+
+
+def test_cms_join_size_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "cms",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "right": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {
+                    "method": "joinSize",
+                    "keyColumn": "o_custkey",
+                    "rightKeyColumn": "user_id",
+                    "width": 512,
+                },
+                "outputKey": "joinEstimate",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    row = engine.registry["joinEstimate"].collect()[0]
+    assert row["est_join_size"] >= row["exact_join_size"] > 0
+
+
+def test_cms_join_size_plan_validation():
+    from topnotch_spark.plans.extensions import CmsCmd
+
+    with pytest.raises(ValueError, match="joinSize"):
+        CmsCmd.from_json(
+            {
+                "command": "cms",
+                "input": {"ref": "x.parquet", "onDisk": True},
+                "params": {"method": "joinSize", "keyColumn": "k"},
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
 # k-core peeling
 # ---------------------------------------------------------------------------
 

@@ -1148,6 +1148,17 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (textqc.c4_rules, Raffel 2020 §2.2): per-doc
+    line-retention counts, sentence counts, lorem-ipsum/brace flags, and
+    the conjunctive keep — the published C4 filter bundle next to the
+    Gopher rules (on this punctuation-free synthetic corpus the rules
+    reject everything, which the oracle row pins exactly)."""
+    from topnotch_spark.operators.textqc import c4_rules
+
+    return c4_rules(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit over the corpus vocabulary
     (textqc.zipf_fit): least squares through (ln rank, ln freq) of the
@@ -1424,6 +1435,26 @@ def quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_accuracy(
         li, "rid", "l_extendedprice",
         qs=(0.25, 0.5, 0.75, 0.9, 0.99), k=256,
+    )
+
+
+def cms_join_size_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimate from Count-Min sketches
+    (sketch.cms_join_size, the AMS-style inner-product estimator):
+    |orders ⋈ events on custkey = user_id| predicted from two
+    dimension-sized sketch tables, graded against the exact per-key
+    counts join — the can-I-afford-this-join planner audit."""
+    from topnotch_spark.operators.sketch import cms_join_size
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    events = load(spark, sf_dir, "events").select("user_id")
+    return cms_join_size(
+        orders,
+        F.col("o_custkey").cast("string"),
+        events,
+        F.col("user_id").cast("string"),
+        width=1024,
+        depth=4,
     )
 
 
@@ -3460,6 +3491,8 @@ ALL = {
     "heaps_fit_docs": heaps_fit_docs,
     "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
     "graph_kcore_parts": graph_kcore_parts,
+    "cms_join_size_orders_events": cms_join_size_orders_events,
+    "text_c4_rules": text_c4_rules,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -176,6 +176,85 @@ def cms_query(
 # KMV quantile sketch (deterministic bottom-k-by-hash value sample)
 # ---------------------------------------------------------------------------
 
+def cms_join_size(
+    df1: DataFrame,
+    key1,
+    df2: DataFrame,
+    key2,
+    width: int = 1024,
+    depth: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketches (the AMS-style
+    inner-product estimator, Cormode & Muthukrishnan 2005 §4.2): the
+    true equi-join output size is ``Σ_k c₁(k)·c₂(k)``; with both sides'
+    CMS cells it is estimated as ``min over depth rows of
+    Σ_col cnt₁·cnt₂`` — never an UNDER-estimate (hash collisions only
+    add mass), over by ≤ N₁·N₂/width per row in expectation. The
+    planner's question — "can I afford this join / will it explode on a
+    hot key" — answered from two dimension-sized sketch tables WITHOUT
+    touching the raw tables again (sketches persist and merge across
+    loads).
+
+    Emits 1 row: (est_join_size, exact_join_size, overestimate,
+    rel_err) — the audit form, grading the estimate against one exact
+    per-key counts join (the expensive pass that exists only here;
+    production reads the sketches).
+
+    Execution shape: two CMS builds (one posexplode + map-side groupBy
+    each, ≤ depth·width cells out), the inner product on a
+    (row, col)-keyed join of the two cell tables, and the exact side's
+    two per-key rollups joined on the key. Everything after the rollups
+    is sketch-sized."""
+    s1 = cms_build(df1, key1, width, depth)
+    s2 = cms_build(df2, key2, width, depth).select(
+        "row_idx", "col_idx", F.col("cnt").alias("cnt2")
+    )
+    spine = df1.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row_idx")
+    )
+    ip = (
+        s1.join(s2, ["row_idx", "col_idx"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("cnt") * F.col("cnt2")).alias("ip"))
+    )
+    est = (
+        spine.join(ip, "row_idx", "left")
+        .agg(F.min(F.coalesce("ip", F.lit(0))).alias("est_join_size"))
+    )
+    k1 = F.col(key1) if isinstance(key1, str) else key1
+    k2 = F.col(key2) if isinstance(key2, str) else key2
+    g1 = df1.select(k1.cast("string").alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    g2 = df2.select(k2.cast("string").alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    exact = g1.join(g2, "k").agg(
+        F.coalesce(F.sum(F.col("c1") * F.col("c2")), F.lit(0)).alias(
+            "exact_join_size"
+        )
+    )
+    joined = est.crossJoin(F.broadcast(exact))
+    return joined.select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias(
+            "overestimate"
+        ),
+        F.when(
+            F.col("exact_join_size") > 0,
+            F.round(
+                (
+                    F.col("est_join_size") - F.col("exact_join_size")
+                ).cast("double")
+                / F.col("exact_join_size").cast("double"),
+                round_digits,
+            ),
+        ).alias("rel_err"),
+    )
+
+
 def kmv_build(
     df: DataFrame,
     id_col: str,

@@ -1857,6 +1857,69 @@ def cross_perplexity(
     )
 
 
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning…", §2.2) — the published heuristic set behind the
+    C4 corpus, as per-document diagnostics plus the conjunctive keep:
+    lines are retained only when they end in terminal punctuation
+    (. ! ? \"), carry at least ``min_line_words`` words, and do not
+    mention "javascript"; pages are dropped when they contain "lorem
+    ipsum" (any case) or a curly brace (code), or keep fewer than
+    ``min_sentences`` sentences. The third published filter bundle next
+    to [gopher_rules] and the quality_filter chain — each rule emitted
+    as its own column so pipelines can ablate rules without recomputing
+    (the gopher_rules contract). The paper's remaining rule —
+    three-sentence-span dedup — is the separate
+    dedup.duplicate_spans operator.
+
+    Sentences are counted as terminal-punctuation marks in the KEPT
+    lines. Execution shape: one pure-projection pass — line split, one
+    higher-order filter, scalar flags — zero shuffles, zero Python."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    trimmed = lambda l: F.trim(l)  # noqa: E731
+    words = lambda l: F.size(  # noqa: E731
+        F.filter(
+            F.split(F.trim(l), r"\s+"), lambda w: w != F.lit("")
+        )
+    )
+    last = lambda l: F.substring(F.trim(l), -1, 1)  # noqa: E731
+    line_ok = lambda l: (  # noqa: E731
+        last(l).isin(*C4_TERMINAL_PUNCT)
+        & (words(l) >= min_line_words)
+        & ~F.lower(trimmed(l)).contains("javascript")
+    )
+    kept = F.filter(lines, line_ok)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(kept_text, F.lit(r"[.!?]"), 0)
+    ).cast("long")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sentences >= min_sentences)
+            & ~has_lorem
+            & ~has_brace
+        ).alias("keep"),
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     text_col: str,

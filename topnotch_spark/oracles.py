@@ -2487,6 +2487,62 @@ def cms_heavy_hitters_sql(
     """
 
 
+def cms_join_size_sql(
+    t1: str,
+    k1: str,
+    t2: str,
+    k2: str,
+    width: int = 1024,
+    depth: int = 4,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of sketch.cms_join_size: identical double-hashed CMS cells
+    for both sides, per-row inner products, min over the depth spine,
+    exact per-key counts join for grading."""
+    h1 = "('0x' || substr(md5(key), 1, 15))::BIGINT"
+    h2 = "(('0x' || substr(md5(key), 16, 15))::BIGINT * 2 + 1)"
+
+    def cells(src: str) -> str:
+        return f"""
+          SELECT j AS row_idx,
+                 (({h1}) + j * ({h2})) % {width} AS col_idx,
+                 count(*) AS cnt
+          FROM {src}, unnest(generate_series(0, {depth - 1})) AS t(j)
+          GROUP BY 1, 2
+        """
+
+    return f"""
+        WITH ka AS (SELECT CAST({k1} AS VARCHAR) AS key FROM {t1}),
+        kb AS (SELECT CAST({k2} AS VARCHAR) AS key FROM {t2}),
+        ca AS ({cells('ka')}),
+        cb AS ({cells('kb')}),
+        ip AS (
+          SELECT ca.row_idx, sum(ca.cnt * cb.cnt) AS ip
+          FROM ca JOIN cb USING (row_idx, col_idx)
+          GROUP BY 1
+        ),
+        est AS (
+          SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_size
+          FROM (SELECT unnest(generate_series(0, {depth - 1})) AS row_idx) s
+          LEFT JOIN ip USING (row_idx)
+        ),
+        exact AS (
+          SELECT CAST(coalesce(sum(ga.c * gb.c), 0) AS BIGINT)
+            AS exact_join_size
+          FROM (SELECT key, count(*) AS c FROM ka GROUP BY key) ga
+          JOIN (SELECT key, count(*) AS c FROM kb GROUP BY key) gb
+            USING (key)
+        )
+        SELECT est_join_size, exact_join_size,
+               est_join_size - exact_join_size AS overestimate,
+               CASE WHEN exact_join_size > 0
+                 THEN round(CAST(est_join_size - exact_join_size AS DOUBLE)
+                            / CAST(exact_join_size AS DOUBLE),
+                            {round_digits}) END AS rel_err
+        FROM est, exact
+    """
+
+
 def retrieval_rrf_sql(
     queries: list[tuple[int, str]],
     dim: int = 64,
@@ -4446,6 +4502,48 @@ def dsir_weights_sql(
         SELECT k.doc_id, k.n_features, k.logw_milli, k.gumbel_milli,
                k.key_milli, (w.doc_id IS NOT NULL) AS selected
         FROM keyed k LEFT JOIN winners w USING (doc_id)
+    """
+
+
+def c4_rules_sql(
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> str:
+    """Mirror of textqc.c4_rules over documents: identical line split,
+    per-line retention predicate, kept-text sentence count, page
+    flags."""
+    line_ok = (
+        f"right(trim(l), 1) IN ('.', '!', '?', '\"') "
+        f"AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), "
+        f"w -> w <> '')) >= {min_line_words} "
+        f"AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines,
+                 list_filter(string_split(text, chr(10)),
+                             l -> {line_ok}) AS kept
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                 CAST(len(regexp_extract_all(
+                        coalesce(array_to_string(kept, chr(10)), ''),
+                        '[.!?]'))
+                      AS BIGINT) AS n_sentences,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                 contains(text, '{{') AS has_brace
+          FROM base
+        )
+        SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+               has_lorem_ipsum, has_brace,
+               (n_sentences >= {min_sentences}
+                AND NOT has_lorem_ipsum
+                AND NOT has_brace) AS keep
+        FROM scored
     """
 
 

@@ -258,6 +258,8 @@ class TextCmd(Command):
     vocab (the BPE-vs-unigram selection audit next to bpeFertility);
     langidAccuracy {"trueCol", ["roundDigits"]} — per-language
     precision/recall/f1 of the marker langid vs a trusted label;
+    c4 {["minSentences", "minLineWords"]} — the published C4 cleaning
+    rules (Raffel 2020) as per-doc diagnostics + keep;
     zipf {["vocabK", "scale", "roundDigits"]} — Zipf rank-frequency
     least-squares fit over the top-k vocabulary (slope/alpha/r²,
     exact integer regression sums); heaps {["nCheckpoints", "scale",
@@ -284,7 +286,7 @@ class TextCmd(Command):
         "calibrateRanks", "oovRate", "novelty", "bpeMerges",
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
-        "nbWeights", "nbClassifier", "zipf", "heaps",
+        "nbWeights", "nbClassifier", "zipf", "heaps", "c4",
     )
 
     @classmethod
@@ -323,7 +325,7 @@ class TextCmd(Command):
                 "vocabK", "weights", "biasMilli", "nMerges", "minCount",
                 "maxWordLen", "maxPieceLen", "seedSize", "vocabSize",
                 "nRounds", "trueCol", "labelColumn", "scale",
-                "nCheckpoints",
+                "nCheckpoints", "minSentences", "minLineWords",
             ),
             **cls._common(obj),
         )
@@ -357,6 +359,7 @@ class TextCmd(Command):
             "bpeMergeSequence": T.bpe_merge_sequence,
             "collocations": T.collocations,
             "unigramLm": T.unigram_lm_vocab,
+            "c4": T.c4_rules,
         }
         if self.method == "calibrateRanks":
             opts = dict(self.options)
@@ -1697,42 +1700,65 @@ class CorpusStatsCmd(Command):
 @dataclass(frozen=True)
 class CmsCmd(Command):
     """{"command": "cms", "input": <input>, "params": {"method":
-    build|query, "keyColumn", ["idColumn", "width", "depth"]},
-    ["sketch": <input>]} — mergeable Count-Min frequency sketch
+    build|query|joinSize, "keyColumn", ["idColumn", "width", "depth",
+    "rightKeyColumn", "roundDigits"]},
+    ["sketch": <input>], ["right": <input>]} — mergeable Count-Min
+    frequency sketch
     (operators/sketch.cms_build/cms_query). ``build`` emits the
     (row_idx, col_idx, cnt) cell table (persist it via outputs; merge
     batches by summing cells); ``query`` probes the broadcast
     ``sketch`` input and emits (id, est_count) — never underestimates.
+    ``joinSize`` estimates |input ⋈ right| on keyColumn =
+    rightKeyColumn from both sides' sketches (the AMS inner-product
+    estimator, sketch.cms_join_size) and grades it against the exact
+    per-key counts join.
     NULL keys hash as empty strings, like the bloom command."""
 
     input: Input = None  # type: ignore[assignment]
     sketch_input: Input | None = None
+    right_input: Input | None = None
     method: str = "build"
     key_column: str = "key"
+    right_key_column: str | None = None
     id_column: str = "id"
     options: dict = field(default_factory=dict)
 
-    METHODS = ("build", "query")
+    METHODS = ("build", "query", "joinSize")
 
     @property
     def inputs(self) -> list[Input]:
-        return [self.input] + (
-            [self.sketch_input] if self.sketch_input is not None else []
+        return (
+            [self.input]
+            + ([self.sketch_input] if self.sketch_input is not None else [])
+            + ([self.right_input] if self.right_input is not None else [])
         )
 
     @classmethod
     def from_json(cls, obj: dict) -> "CmsCmd":
         p = obj["params"]
         _require_method(p, cls.METHODS, "cms")
+        if p["method"] == "joinSize":
+            if "right" not in obj or "rightKeyColumn" not in p:
+                raise ValueError(
+                    'cms: method "joinSize" requires a "right" input and '
+                    'param "rightKeyColumn"'
+                )
+            opts = _opt(p, "width", "depth", "roundDigits")
+        else:
+            opts = _opt(p, "width", "depth")
         return cls(
             input=Input.from_json(obj["input"]),
             sketch_input=(
                 Input.from_json(obj["sketch"]) if "sketch" in obj else None
             ),
+            right_input=(
+                Input.from_json(obj["right"]) if "right" in obj else None
+            ),
             method=p["method"],
             key_column=p["keyColumn"],
+            right_key_column=p.get("rightKeyColumn"),
             id_column=p.get("idColumn", "id"),
-            options=_opt(p, "width", "depth"),
+            options=opts,
             **cls._common(obj),
         )
 
@@ -1743,6 +1769,14 @@ class CmsCmd(Command):
 
         df = load_input(engine.spark, self.input, engine.registry)
         key = F.coalesce(F.col(self.key_column).cast("string"), F.lit(""))
+        if self.method == "joinSize":
+            from topnotch_spark.operators.sketch import cms_join_size
+
+            right = load_input(engine.spark, self.right_input, engine.registry)
+            rkey = F.coalesce(
+                F.col(self.right_key_column).cast("string"), F.lit("")
+            )
+            return cms_join_size(df, key, right, rkey, **self.options)
         if self.method == "build":
             return cms_build(df, key, **self.options)
         if self.sketch_input is None:
