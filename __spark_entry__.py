@@ -181,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_en_classifier": oracles.nb_train_score_sql("lang = 'en'"),
         "zipf_fit_docs": oracles.zipf_fit_sql(vocab_k=200),
         "text_c4_rules": oracles.c4_rules_sql(),
+        "vocab_coverage_docs": oracles.vocab_coverage_sql(max_log2_k=10),
         "heaps_fit_docs": oracles.heaps_fit_sql(n_checkpoints=10),
         "dsir_select_docs": oracles.dsir_weights_sql(
             "lang = 'en'", n_buckets=512, k_select=100

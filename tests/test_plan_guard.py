@@ -106,6 +106,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "heaps_fit_docs": (
         "cumulative sums over the n_checkpoints=10 spine-joined cells"
     ),
+    "vocab_coverage_docs": (
+        "rank + cumulative sum over the 2^10 rows surviving TakeOrdered"
+    ),
     "bpe_top_merges_docs": (
         "rank over the k=50 rows surviving TakeOrdered"
     ),

@@ -319,6 +319,46 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# vocab coverage curve
+# ---------------------------------------------------------------------------
+
+class TestVocabCoverage:
+    def test_hand_computed(self, spark):
+        from topnotch_spark.operators.textqc import vocab_coverage
+
+        # counts: a:8, b:4, c:2, d:1  (total 15)
+        text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+        df = spark.createDataFrame([(text,)], "text string")
+        rows = {
+            r["k"]: r
+            for r in vocab_coverage(df, "text", max_log2_k=3).collect()
+        }
+        assert rows[1]["covered_tokens"] == 8
+        assert rows[2]["covered_tokens"] == 12
+        assert rows[4]["covered_tokens"] == 15
+        assert rows[4]["coverage"] == 1.0
+        # k beyond vocab clamps: k=8 uses all 4 types
+        assert rows[8]["vocab_available"] == 4
+        assert rows[8]["covered_tokens"] == 15
+        assert rows[1]["coverage"] == pytest.approx(round(8 / 15, 6))
+
+    def test_monotone_and_bounded(self, spark):
+        from topnotch_spark.operators.textqc import vocab_coverage
+
+        texts = [
+            " ".join(f"w{(i * j) % 37}" for j in range(25)) for i in range(30)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = sorted(
+            vocab_coverage(df, "text", max_log2_k=6).collect(),
+            key=lambda r: r["k"],
+        )
+        covs = [r["coverage"] for r in rows]
+        assert all(a <= b for a, b in zip(covs, covs[1:]))
+        assert 0.0 < covs[0] and covs[-1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
 # C4 rules
 # ---------------------------------------------------------------------------
 

@@ -1148,6 +1148,18 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (textqc.vocab_coverage): corpus-token
+    coverage of the top-k vocabulary at k = 1..2^10 powers — the
+    empirical what-vocab-size-covers-99% table behind the Zipf/Heaps
+    fits and BPE/unigram vocab sizing."""
+    from topnotch_spark.operators.textqc import vocab_coverage
+
+    return vocab_coverage(
+        load(spark, sf_dir, "documents"), "text", max_log2_k=10
+    )
+
+
 def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (textqc.c4_rules, Raffel 2020 §2.2): per-doc
     line-retention counts, sentence counts, lorem-ipsum/brace flags, and
@@ -3493,6 +3505,7 @@ ALL = {
     "graph_kcore_parts": graph_kcore_parts,
     "cms_join_size_orders_events": cms_join_size_orders_events,
     "text_c4_rules": text_c4_rules,
+    "vocab_coverage_docs": vocab_coverage_docs,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -1857,6 +1857,73 @@ def cross_perplexity(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    max_log2_k: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve: for k = 1, 2, 4, …, 2^max_log2_k, the
+    fraction of ALL corpus tokens covered by the top-k vocabulary —
+    (k, vocab_available, covered_tokens, total_tokens, coverage). The
+    direct answer to "what vocab size covers 99% of my corpus", the
+    empirical table behind the Zipf/Heaps fits and the first input to
+    BPE/unigram vocab-size selection. ``vocab_available`` is
+    min(k, |vocab|) — the curve flattens exactly there.
+
+    Exact integers end to end (counts, cumulative sums, one rounded
+    division). Execution shape: ONE map-side-combined token groupBy,
+    TakeOrdered(2^max_log2_k), a rank window + cumulative sum over that
+    bounded frame, and a ≤(max_log2_k+1)-row join against the powers
+    spine. Scan-bound at any scale."""
+    if max_log2_k < 0:
+        raise ValueError(
+            f"vocab_coverage: max_log2_k must be >= 0, got {max_log2_k}"
+        )
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("__total__"), F.count(F.lit(1)).alias("__V__")
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    top = (
+        counts.orderBy(*order)
+        .limit(2 ** max_log2_k)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.orderBy("rank").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+    )
+    spark = df.sparkSession
+    powers = spark.createDataFrame(
+        [(2 ** i,) for i in range(max_log2_k + 1)], "k long"
+    )
+    picked = powers.crossJoin(F.broadcast(total)).join(
+        F.broadcast(top),
+        F.col("rank") == F.least(F.col("k"), F.col("__V__")),
+    )
+    return picked.select(
+        "k",
+        F.least(F.col("k"), F.col("__V__")).alias("vocab_available"),
+        F.col("cum").alias("covered_tokens"),
+        F.col("__total__").alias("total_tokens"),
+        F.round(
+            F.col("cum").cast("double") / F.col("__total__").cast("double"),
+            round_digits,
+        ).alias("coverage"),
+    )
+
+
 C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 
 

@@ -4505,6 +4505,46 @@ def dsir_weights_sql(
     """
 
 
+def vocab_coverage_sql(
+    max_log2_k: int = 10,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.vocab_coverage over documents: top-2^max ranked
+    counts, cumulative sums, powers-of-two checkpoints."""
+    tok = tokens("text")
+    powers = ", ".join(str(2 ** i) for i in range(max_log2_k + 1))
+    return f"""
+        WITH counts AS (
+          SELECT t AS token, count(*) AS cnt
+          FROM (SELECT unnest({tok}) AS t FROM documents)
+          GROUP BY t
+        ),
+        tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM counts
+        ),
+        top AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM (SELECT * FROM counts ORDER BY cnt DESC, token ASC
+                LIMIT {2 ** max_log2_k})
+        ),
+        spine AS (SELECT unnest([{powers}]) AS k)
+        SELECT CAST(s.k AS BIGINT) AS k,
+               least(CAST(s.k AS BIGINT), tot.v) AS vocab_available,
+               t.cum AS covered_tokens,
+               tot.total AS total_tokens,
+               round(CAST(t.cum AS DOUBLE) / CAST(tot.total AS DOUBLE),
+                     {round_digits}) AS coverage
+        FROM spine s, tot
+        JOIN top t ON t.rank = least(CAST(s.k AS BIGINT), tot.v)
+    """
+
+
 def c4_rules_sql(
     min_sentences: int = 3,
     min_line_words: int = 5,

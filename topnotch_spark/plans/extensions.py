@@ -260,6 +260,8 @@ class TextCmd(Command):
     precision/recall/f1 of the marker langid vs a trusted label;
     c4 {["minSentences", "minLineWords"]} — the published C4 cleaning
     rules (Raffel 2020) as per-doc diagnostics + keep;
+    vocabCoverage {["maxLog2K", "roundDigits"]} — corpus-token coverage
+    of the top-k vocabulary at powers-of-two checkpoints;
     zipf {["vocabK", "scale", "roundDigits"]} — Zipf rank-frequency
     least-squares fit over the top-k vocabulary (slope/alpha/r²,
     exact integer regression sums); heaps {["nCheckpoints", "scale",
@@ -287,6 +289,7 @@ class TextCmd(Command):
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
         "nbWeights", "nbClassifier", "zipf", "heaps", "c4",
+        "vocabCoverage",
     )
 
     @classmethod
@@ -325,7 +328,7 @@ class TextCmd(Command):
                 "vocabK", "weights", "biasMilli", "nMerges", "minCount",
                 "maxWordLen", "maxPieceLen", "seedSize", "vocabSize",
                 "nRounds", "trueCol", "labelColumn", "scale",
-                "nCheckpoints", "minSentences", "minLineWords",
+                "nCheckpoints", "minSentences", "minLineWords", "maxLog2K",
             ),
             **cls._common(obj),
         )
@@ -408,6 +411,8 @@ class TextCmd(Command):
             )
         if self.method == "zipf":
             return T.zipf_fit(df, self.text_column, **self.options)
+        if self.method == "vocabCoverage":
+            return T.vocab_coverage(df, self.text_column, **self.options)
         if self.method == "heaps":
             return T.heaps_fit(
                 df, self.id_column, self.text_column, **self.options
