@@ -175,6 +175,16 @@ BNLJ_SMALL_FRAME = {
         "both sides broadcast the vec_id < 5 query frame (the "
         "similarity_topk convention), raw and dequantized"
     ),
+    "similarity_pq_recall": (
+        "exact side broadcasts the vec_id < 5 query frame (the "
+        "similarity_topk convention); the ADC table is "
+        "n_queries x m x n_codes rows by construction"
+    ),
+    "kmv_source_jaccard": (
+        "pair spine = distinct(group) x distinct(group) — |sources|^2 "
+        "rows, a dimension cross product, never data-sized; every "
+        "corpus-sized stage before it is bottom-k bounded"
+    ),
 }
 
 

@@ -3484,7 +3484,8 @@ def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALL = {
     # driver gate checks the LEADING 50 slots. r10 rotation:
     # queries NEW this round first (a new query must earn a
-    # driver-side CORRECTNESS row in the round that ships it),
+    # driver-side CORRECTNESS row in the round that ships it) —
+    # the 17 session-2 queries, then the 8 session-1 queries,
     # then the 13 queries whose last driver row was r05 (the
     # staleness tail the r9 verdict flagged), then the oldest
     # of the r07 cohort; slots 51+ start with the remaining
