@@ -415,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_throttle_dedup": oracles.events_throttle_dedup_sql(300),
         "event_transitions": oracles.event_transitions_sql(),
+        "user_sequence_likelihood": oracles.sequence_likelihood_sql(k=1.0),
         "winsorize_totalprice": oracles.winsorize_sql(
             "orders",
             "o_totalprice",

@@ -319,6 +319,108 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# sequence likelihood
+# ---------------------------------------------------------------------------
+
+class TestSequenceLikelihood:
+    def _df(self, spark, seqs):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, t0 + dt.timedelta(minutes=i), i, s)
+            for u, states in seqs.items()
+            for i, s in enumerate(states)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, et string"
+        )
+
+    def test_matches_python_replay(self, spark):
+        from collections import Counter
+
+        from topnotch_spark.operators.temporal import sequence_likelihood
+
+        seqs = {
+            1: ["a", "b", "a", "b", "a"],
+            2: ["a", "b", "c"],
+            3: ["c", "c", "c", "a"],
+            4: ["b"],
+        }
+        df = self._df(spark, seqs)
+        out = {
+            r["user_id"]: r
+            for r in sequence_likelihood(
+                df, "user_id", "ts", "event_id", "et"
+            ).collect()
+        }
+        trans, prior = Counter(), Counter()
+        for states in seqs.values():
+            for a, b in zip(states, states[1:]):
+                trans[(a, b)] += 1
+                prior[a] += 1
+        v = len({s for st in seqs.values() for s in st})
+        for u, states in seqs.items():
+            ps = list(zip(states, states[1:]))
+            assert out[u]["n_transitions"] == len(ps)
+            if not ps:
+                assert out[u]["avg_neg_logprob"] is None
+                continue
+            exp = sum(
+                -math.log((trans[p] + 1.0) / (prior[p[0]] + 1.0 * v))
+                for p in ps
+            ) / len(ps)
+            assert out[u]["avg_neg_logprob"] == pytest.approx(
+                round(exp, 4), abs=2e-4
+            ), u
+
+    def test_anomalous_user_scores_higher(self, spark):
+        from topnotch_spark.operators.temporal import sequence_likelihood
+
+        seqs = {u: ["view", "click", "buy"] * 3 for u in range(10)}
+        seqs[99] = ["buy", "view", "buy", "click", "view"]  # odd flow
+        df = self._df(spark, seqs)
+        out = {
+            r["user_id"]: r["avg_neg_logprob"]
+            for r in sequence_likelihood(
+                df, "user_id", "ts", "event_id", "et"
+            ).collect()
+        }
+        assert out[99] > out[0]
+
+    def test_rejects_bad_k(self, spark):
+        from topnotch_spark.operators.temporal import sequence_likelihood
+
+        df = self._df(spark, {1: ["a", "b"]})
+        with pytest.raises(ValueError, match="k must"):
+            sequence_likelihood(df, "user_id", "ts", "event_id", "et", k=0)
+
+
+def test_sequence_likelihood_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "sequence",
+                "input": {"ref": f"{SF}/events.parquet", "onDisk": True},
+                "params": {
+                    "method": "likelihood",
+                    "keyColumn": "user_id",
+                    "stateColumn": "event_type",
+                },
+                "outputKey": "seqScores",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["seqScores"]
+    assert {"user_id", "n_transitions", "avg_neg_logprob"} == set(out.columns)
+    assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
 # vocab coverage curve
 # ---------------------------------------------------------------------------
 

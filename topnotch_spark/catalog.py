@@ -1148,6 +1148,23 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence likelihood under the corpus Markov model
+    (temporal.sequence_likelihood): every user's ordered event stream
+    scored by the add-1-smoothed global transition matrix — users who
+    keep taking rare transitions (bots, broken clients) surface with
+    high avg_neg_logprob while each individual event looks normal."""
+    from topnotch_spark.operators.temporal import sequence_likelihood
+
+    return sequence_likelihood(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+    )
+
+
 def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (textqc.vocab_coverage): corpus-token
     coverage of the top-k vocabulary at k = 1..2^10 powers — the
@@ -3507,6 +3524,7 @@ ALL = {
     "cms_join_size_orders_events": cms_join_size_orders_events,
     "text_c4_rules": text_c4_rules,
     "vocab_coverage_docs": vocab_coverage_docs,
+    "user_sequence_likelihood": user_sequence_likelihood,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -318,6 +318,91 @@ def transition_counts(
     )
 
 
+def sequence_likelihood(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+    k: float = 1.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-key sequence likelihood under the corpus's own first-order
+    Markov model: score every key's ordered event sequence with the
+    add-k-smoothed transition probabilities learned from ALL keys —
+    (key, n_transitions, avg_neg_logprob). The behavioral-anomaly
+    screen [transition_counts] cannot make alone: the matrix says which
+    transitions are rare, this says WHICH KEYS keep taking them (bot
+    sessions, broken clients, fraud flows score high while every
+    individual event looks normal). The event-stream sibling of
+    textqc.bigram_logprob, same smoothing and determinism contract:
+    P(b|a) = (c(a→b) + k) / (c(a·) + k·|states|).
+
+    Keys with fewer than two events survive with 0 transitions and a
+    NULL score. Execution shape: ONE lag() window pass (the per-key
+    shuffle) persisted — it feeds the transition matrix, the row-count
+    prior, and the scoring join; the model is the bounded |states|²
+    matrix broadcast back; one final groupBy(key)."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if k <= 0:
+        raise ValueError(f"sequence_likelihood: k must be > 0, got {k}")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = _persist(
+        df.select(
+            F.col(key_col).alias("__k__"),
+            F.lag(F.col(state_col)).over(w).alias("__prev__"),
+            F.col(state_col).alias("__next__"),
+        )
+    )
+    trans = pairs.filter(F.col("__prev__").isNotNull()).groupBy(
+        "__prev__", "__next__"
+    ).agg(F.count(F.lit(1)).alias("__c2__"))
+    prior = pairs.filter(F.col("__prev__").isNotNull()).groupBy(
+        "__prev__"
+    ).agg(F.count(F.lit(1)).alias("__c1__"))
+    nstates = pairs.select(
+        F.col("__next__").alias("__s__")
+    ).distinct().agg(F.count(F.lit(1)).alias("__V__"))
+    lp = (
+        trans.join(F.broadcast(prior), "__prev__")
+        .crossJoin(F.broadcast(nstates))
+        .select(
+            "__prev__",
+            "__next__",
+            F.log(
+                (F.col("__c2__") + F.lit(float(k)))
+                / (F.col("__c1__") + F.lit(float(k)) * F.col("__V__"))
+            ).alias("__lp__"),
+        )
+    )
+    scored = (
+        pairs.filter(F.col("__prev__").isNotNull())
+        .join(F.broadcast(lp), ["__prev__", "__next__"])
+        .groupBy("__k__")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.avg(-F.col("__lp__")), round_digits).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    return (
+        pairs.select("__k__")
+        .distinct()
+        .join(scored, "__k__", "left")
+        .select(
+            F.col("__k__").alias(key_col),
+            F.coalesce("n_transitions", F.lit(0).cast("long")).alias(
+                "n_transitions"
+            ),
+            "avg_neg_logprob",
+        )
+    )
+
+
 def frequent_paths(
     df: DataFrame,
     key_col: str,

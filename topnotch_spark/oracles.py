@@ -3203,6 +3203,52 @@ def events_throttle_dedup_sql(min_gap_seconds: int = 300) -> str:
     """
 
 
+def sequence_likelihood_sql(
+    k: float = 1.0,
+    round_digits: int = 4,
+) -> str:
+    """Mirror of temporal.sequence_likelihood over events: one lag
+    window, add-k transition model, per-user mean −ln P."""
+    kk = repr(float(k))
+    return f"""
+        WITH pairs AS (
+          SELECT user_id AS key,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                 event_type AS next
+          FROM events
+        ),
+        trans AS (
+          SELECT prev, next, count(*) AS c2
+          FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        prior AS (
+          SELECT prev, count(*) AS c1
+          FROM pairs WHERE prev IS NOT NULL GROUP BY 1
+        ),
+        ns AS (SELECT count(DISTINCT next) AS v FROM pairs),
+        lp AS (
+          SELECT t.prev, t.next,
+                 ln((t.c2 + {kk}) / (p.c1 + {kk} * ns.v)) AS lp
+          FROM trans t JOIN prior p USING (prev), ns
+        ),
+        scored AS (
+          SELECT pairs.key,
+                 count(*) AS n_transitions,
+                 round(avg(-lp.lp), {round_digits}) AS avg_neg_logprob
+          FROM pairs
+          JOIN lp ON lp.prev = pairs.prev AND lp.next = pairs.next
+          GROUP BY pairs.key
+        )
+        SELECT d.key AS user_id,
+               CAST(coalesce(s.n_transitions, 0) AS BIGINT)
+                 AS n_transitions,
+               s.avg_neg_logprob
+        FROM (SELECT DISTINCT key FROM pairs) d
+        LEFT JOIN scored s USING (key)
+    """
+
+
 def event_transitions_sql() -> str:
     """Mirror of temporal.transition_counts per user over (ts, event_id)."""
     return """

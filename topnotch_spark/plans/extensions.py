@@ -1504,7 +1504,10 @@ class SequenceCmd(Command):
     "minRows", "decimals"]}, gaps: {"keyColumn"},
     paths: {"keyColumn", "stateColumn", ["nSteps", "k"]} — top-k
     frequent n-step state paths (overlapping n-grams of the per-key
-    ordered stream)}} —
+    ordered stream),
+    likelihood: {"keyColumn", "stateColumn", ["k", "roundDigits"]} —
+    per-key sequence likelihood under the corpus's own add-k Markov
+    transition model (the behavioral-anomaly screen)}} —
     per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
@@ -1538,6 +1541,15 @@ class SequenceCmd(Command):
         if self.method == "transitions":
             return Tm.transition_counts(
                 df, p["keyColumn"], ts, tiebreak, p["stateColumn"]
+            )
+        if self.method == "likelihood":
+            kwargs = {}
+            if "k" in p:
+                kwargs["k"] = p["k"]
+            if "roundDigits" in p:
+                kwargs["round_digits"] = p["roundDigits"]
+            return Tm.sequence_likelihood(
+                df, p["keyColumn"], ts, tiebreak, p["stateColumn"], **kwargs
             )
         if self.method == "funnel":
             return Tm.funnel_stages(
