@@ -113,6 +113,9 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_binned": oracles.drift_ks_binned_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),
+        "source_drift_ranking": oracles.groupwise_ks_sql(
+            "documents", "source", "n_chars", bins=32
+        ),
         "drift_wasserstein_totalprice": oracles.drift_wasserstein_sql(
             "orders", "o_totalprice", "o_orderstatus = 'F'", bins=32
         ),

@@ -1148,6 +1148,18 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS drift ranking (drift.groupwise_ks): every source's
+    doc-length distribution tested against its complement on one shared
+    32-bin grid — the which-slice-drifted drill-down when a corpus-level
+    monitor trips; integer-exact ECDF gaps per group."""
+    from topnotch_spark.operators.drift import groupwise_ks
+
+    return groupwise_ks(
+        load(spark, sf_dir, "documents"), "source", "n_chars", bins=32
+    )
+
+
 def user_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-sequence likelihood under the corpus Markov model
     (temporal.sequence_likelihood): every user's ordered event stream
@@ -3525,6 +3537,7 @@ ALL = {
     "text_c4_rules": text_c4_rules,
     "vocab_coverage_docs": vocab_coverage_docs,
     "user_sequence_likelihood": user_sequence_likelihood,
+    "source_drift_ranking": source_drift_ranking,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -340,6 +340,108 @@ def w1_table(
     )
 
 
+def groupwise_ks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 32,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Which slice deviates most? Per-group binned KS statistic of each
+    group's value distribution against its COMPLEMENT (everything else)
+    — one row per group: (group, n_group, n_rest, ks_stat). The rollup
+    form of [ks_statistic]: instead of one ref/cur pair the analyst
+    names, every slice is tested at once and the output ranks the
+    drifted ones — the first drill-down when a corpus-level monitor
+    trips. Groups containing ALL rows (no complement) yield NULL.
+
+    Same determinism contract as the binned KS: a fixed ``bins``-bucket
+    grid over the GLOBAL min/max, integer cross-multiplied ECDF gaps in
+    decimal(38,0), one double division per group at the end.
+
+    Execution shape: one 2-scalar global min/max fetch, ONE
+    map-side-combined groupBy on (group, bucket) — the only full-data
+    shuffle — then everything runs on the |groups|·bins frame: a
+    broadcast spine join, two windows partitioned by group, a final
+    per-group max."""
+    from topnotch_spark.operators.dedup import _persist
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    mn, mx = vals.agg(F.min("x"), F.max("x")).collect()[0]
+    if mn is None or mx == mn:
+        raise ValueError(
+            f"groupwise_ks: '{value_col}' is empty or constant — the "
+            "binned grid is undefined"
+        )
+    mn, mx = float(mn), float(mx)
+    width = (mx - mn) / bins
+    idx = F.least(
+        F.greatest(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    cnt = _persist(
+        vals.select("g", idx.alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+    )
+    groups = cnt.select("g").distinct()
+    totals = cnt.groupBy("bucket").agg(F.sum("c_g").alias("c_all"))
+    spine = (
+        groups.crossJoin(
+            F.broadcast(
+                df.sparkSession.range(bins).select(
+                    F.col("id").cast("int").alias("bucket")
+                )
+            )
+        )
+        .join(cnt, ["g", "bucket"], "left")
+        .join(F.broadcast(totals), "bucket", "left")
+        .select(
+            "g",
+            "bucket",
+            F.coalesce("c_g", F.lit(0)).alias("c_cur"),
+            (
+                F.coalesce("c_all", F.lit(0)) - F.coalesce("c_g", F.lit(0))
+            ).alias("c_ref"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("g")
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.sum("c_ref").over(w).cast(dec) * F.sum("c_cur").over(tot).cast(dec)
+        - F.sum("c_cur").over(w).cast(dec) * F.sum("c_ref").over(tot).cast(dec)
+    )
+    per_g = spine.select(
+        "g",
+        gap.alias("gap"),
+        F.sum("c_cur").over(tot).alias("n_group"),
+        F.sum("c_ref").over(tot).alias("n_rest"),
+    ).groupBy("g").agg(
+        F.max("gap").alias("__gap__"),
+        F.max("n_group").alias("n_group"),
+        F.max("n_rest").alias("n_rest"),
+    )
+    denom = F.col("n_group").cast("double") * F.col("n_rest").cast("double")
+    return per_g.select(
+        F.col("g").alias(group_col),
+        "n_group",
+        "n_rest",
+        F.when(
+            denom > 0,
+            F.round(F.col("__gap__").cast("double") / denom, round_digits),
+        ).alias("ks_stat"),
+    )
+
+
 def psi(
     ref: DataFrame, cur: DataFrame, col: str, n_buckets: int = 10,
     eps: float = 1e-6,

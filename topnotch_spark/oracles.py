@@ -1456,6 +1456,67 @@ def drift_wasserstein_sql(
     """
 
 
+def groupwise_ks_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    bins: int = 32,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of drift.groupwise_ks: global grid, per-(group, bucket)
+    counts, complement reference, per-group integer ECDF gaps."""
+    return f"""
+        WITH vals AS (
+          SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
+          FROM {table} WHERE {value_col} IS NOT NULL
+        ),
+        stats AS (
+          SELECT min(x) AS mn, (max(x) - min(x)) / {bins} AS width
+          FROM vals
+        ),
+        cnt AS MATERIALIZED (
+          SELECT g, CAST(least(greatest(floor((x - mn) / width), 0),
+                               {bins - 1}) AS INT) AS bucket,
+                 count(*) AS c_g
+          FROM vals, stats GROUP BY 1, 2
+        ),
+        totals AS (SELECT bucket, sum(c_g) AS c_all FROM cnt GROUP BY 1),
+        spine AS (
+          SELECT gr.g, b.bucket,
+                 CAST(coalesce(cnt.c_g, 0) AS BIGINT) AS c_cur,
+                 CAST(coalesce(t.c_all, 0) - coalesce(cnt.c_g, 0)
+                      AS BIGINT) AS c_ref
+          FROM (SELECT DISTINCT g FROM cnt) gr
+          CROSS JOIN (SELECT unnest(generate_series(0, {bins - 1}))
+                        AS bucket) b
+          LEFT JOIN cnt ON cnt.g = gr.g AND cnt.bucket = b.bucket
+          LEFT JOIN totals t ON t.bucket = b.bucket
+        ),
+        ecdf AS (
+          SELECT g,
+                 abs(sum(c_ref) OVER (PARTITION BY g ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * sum(c_cur) OVER (PARTITION BY g)
+                     - sum(c_cur) OVER (PARTITION BY g ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * sum(c_ref) OVER (PARTITION BY g)) AS gap,
+                 sum(c_cur) OVER (PARTITION BY g) AS n_group,
+                 sum(c_ref) OVER (PARTITION BY g) AS n_rest
+          FROM spine
+        )
+        SELECT g AS {group_col},
+               CAST(max(n_group) AS BIGINT) AS n_group,
+               CAST(max(n_rest) AS BIGINT) AS n_rest,
+               CASE WHEN max(n_group) > 0 AND max(n_rest) > 0
+                    THEN round(CAST(max(gap) AS DOUBLE)
+                               / (CAST(max(n_group) AS DOUBLE)
+                                  * CAST(max(n_rest) AS DOUBLE)),
+                               {round_digits})
+               END AS ks_stat
+        FROM ecdf GROUP BY g
+    """
+
+
 def drift_wasserstein_two_sql(
     table: str, col: str, ref_predicate: str, cur_predicate: str, bins: int
 ) -> str:

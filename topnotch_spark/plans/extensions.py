@@ -882,6 +882,11 @@ class DriftCmd(Command):
     tokens that climbed most in frequency rank between the two slices
     (the drill-down for a tripped tokens monitor) — between two
     datasets.
+    Group-ranking form: {"command": "drift", "input": <input>,
+    "params": {"method": "groupKs", "column", "groupColumn",
+    ["bins", "roundDigits"]}} — per-group binned KS of each slice vs
+    its complement on one shared grid (drift.groupwise_ks): the
+    which-slice-drifted ranking over ONE dataset.
     Trend form: {"command": "drift", "input": <input>, "params":
     {"method": "trend", "column", ["tsColumn", "period", "nBuckets",
     "eps", "roundDigits"]}} — per-period PSI against the earliest
@@ -905,6 +910,20 @@ class DriftCmd(Command):
     def from_json(cls, obj: dict) -> "DriftCmd":
         p = obj["params"]
         method = p.get("method", "psi")
+        if method == "groupKs":
+            if "groupColumn" not in p:
+                raise ValueError(
+                    "drift method 'groupKs' requires param 'groupColumn'"
+                )
+            inp = Input.from_json(obj["input"])
+            return cls(
+                reference=inp,
+                current=inp,
+                column=p["column"],
+                method=method,
+                options=_opt(p, "groupColumn", "bins", "roundDigits"),
+                **cls._common(obj),
+            )
         if method in ("trend", "benford"):
             if "bins" in p:
                 raise ValueError(
@@ -954,6 +973,7 @@ class DriftCmd(Command):
                       "round_digits"},
             "benford": {"int_scale", "round_digits"},
             "tokenRankShift": {"vocab_k", "k"},
+            "groupKs": {"group_column", "bins", "round_digits"},
         }
         if self.method not in allowed:
             raise ValueError(f"unknown drift method: {self.method}")
@@ -967,6 +987,13 @@ class DriftCmd(Command):
             from topnotch_spark.operators.drift import benford_first_digit
 
             return benford_first_digit(ref, self.column, **self.options)
+        if self.method == "groupKs":
+            from topnotch_spark.operators.drift import groupwise_ks
+
+            opts = dict(self.options)
+            return groupwise_ks(
+                ref, opts.pop("group_column"), self.column, **opts
+            )
         if self.method == "trend":
             from topnotch_spark.operators.drift import psi_trend
 
