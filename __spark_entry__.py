@@ -248,6 +248,13 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "text_normalize": oracles.text_normalize_sql(),
+        "fd_check_orders": oracles.fd_check_sql(
+            "orders",
+            [
+                ("o_orderkey", "o_orderpriority"),
+                ("o_custkey", "o_orderstatus"),
+            ],
+        ),
         "fk_integrity": oracles.fk_integrity_sql([
             ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
             ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),

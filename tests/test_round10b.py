@@ -319,6 +319,84 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# functional-dependency audit
+# ---------------------------------------------------------------------------
+
+class TestFdCheck:
+    def test_holds_and_violates(self, spark):
+        from topnotch_spark.operators.integrity import fd_check
+
+        rows = [
+            (1, "A", "x"),
+            (2, "A", "x"),
+            (3, "B", "y"),
+            (4, "B", "z"),  # B -> dep violated
+            (5, None, "x"),
+        ]
+        df = spark.createDataFrame(rows, "id long, det string, dep string")
+        out = {
+            (r["determinant"], r["dependent"]): r
+            for r in fd_check(
+                df, [("id", "det"), ("det", "dep")]
+            ).collect()
+        }
+        key = out[("id", "det")]
+        assert key["holds"] and key["n_violating"] == 0
+        fd = out[("det", "dep")]
+        assert not fd["holds"]
+        assert fd["n_keys"] == 3  # A, B, NULL group
+        assert fd["n_violating"] == 1
+        assert fd["violation_frac"] == pytest.approx(round(1 / 3, 6))
+
+    def test_null_dependent_is_a_value(self, spark):
+        from topnotch_spark.operators.integrity import fd_check
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, None)], "det long, dep string"
+        )
+        row = fd_check(df, [("det", "dep")]).collect()[0]
+        assert not row["holds"] and row["n_violating"] == 1
+
+    def test_rejects_empty_pairs(self, spark):
+        from topnotch_spark.operators.integrity import fd_check
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError, match="non-empty"):
+            fd_check(df, [])
+
+
+def test_fd_check_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "fdCheck",
+                "input": {"ref": f"{SF}/orders.parquet", "onDisk": True},
+                "params": {
+                    "pairs": [["o_orderkey", "o_orderstatus"]],
+                },
+                "outputKey": "fdAudit",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    row = engine.registry["fdAudit"].collect()[0]
+    assert row["holds"]  # orderkey is the PK
+
+
+def test_fd_check_plan_validation():
+    from topnotch_spark.plans.extensions import FdCheckCmd
+
+    base = {"command": "fdCheck", "input": {"ref": "x", "onDisk": True}}
+    with pytest.raises(ValueError, match="non-empty"):
+        FdCheckCmd.from_json(base | {"params": {}})
+    with pytest.raises(ValueError, match="determinant"):
+        FdCheckCmd.from_json(base | {"params": {"pairs": [["a"]]}})
+
+
+# ---------------------------------------------------------------------------
 # groupwise KS ranking
 # ---------------------------------------------------------------------------
 

@@ -1148,6 +1148,23 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (integrity.fd_check): does
+    o_orderkey → o_orderpriority hold (a key must), does
+    o_custkey → o_orderstatus (it should NOT — customers hold orders in
+    several states)? One summary row per claimed dependency — the
+    denormalization-drift detector next to fk_integrity."""
+    from topnotch_spark.operators.integrity import fd_check
+
+    return fd_check(
+        load(spark, sf_dir, "orders"),
+        [
+            ("o_orderkey", "o_orderpriority"),
+            ("o_custkey", "o_orderstatus"),
+        ],
+    )
+
+
 def source_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KS drift ranking (drift.groupwise_ks): every source's
     doc-length distribution tested against its complement on one shared
@@ -3538,6 +3555,7 @@ ALL = {
     "vocab_coverage_docs": vocab_coverage_docs,
     "user_sequence_likelihood": user_sequence_likelihood,
     "source_drift_ranking": source_drift_ranking,
+    "fd_check_orders": fd_check_orders,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -168,6 +168,68 @@ def l_diversity(
     return out.filter(~F.col("meets_l")) if risky_only else out
 
 
+def fd_check(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Functional-dependency audit: for each (determinant, dependent)
+    pair, does A → B hold — i.e. does every A value map to exactly one
+    B value? One row per pair: (determinant, dependent, n_keys,
+    n_violating, violation_frac, holds). The schema-semantics companion
+    to [referential_integrity]: FKs check that references EXIST, this
+    checks that claimed single-valued relationships ARE single-valued —
+    the denormalization-drift detector (a dimension attribute copied
+    onto a fact table quietly forking per key, a "unique" business key
+    that is not).
+
+    NULL determinants form a key group of their own (GROUP BY
+    semantics); NULL dependents count as a distinct value via the
+    sentinel convention (the l_diversity rule) — an A mapping to both
+    'x' and NULL is a violation, not a pass.
+
+    Execution shape: the projected column frame is persisted once; each
+    pair is ONE map-side-combined groupBy(determinant) with a
+    count-distinct, reduced to a 1-row summary — |pairs| bounded
+    aggregates over one scan."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if not pairs:
+        raise ValueError("fd_check: pairs must be non-empty")
+    cols = sorted({c for p in pairs for c in p})
+    base = _persist(df.select(*cols))
+    out = None
+    for det, dep in pairs:
+        sent = F.coalesce(F.col(dep).cast("string"), F.lit("__NULL__"))
+        per_key = base.groupBy(det).agg(
+            F.countDistinct(sent).alias("__nd__")
+        )
+        summary = per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("__nd__") > 1, 1).otherwise(0)
+            ).alias("n_violating"),
+        ).select(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_keys",
+            "n_violating",
+            F.when(
+                F.col("n_keys") > 0,
+                F.round(
+                    F.col("n_violating").cast("double")
+                    / F.col("n_keys").cast("double"),
+                    round_digits,
+                ),
+            ).alias("violation_frac"),
+            (F.coalesce(F.col("n_violating"), F.lit(0)) == 0).alias(
+                "holds"
+            ),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
 def t_closeness(
     df: DataFrame,
     quasi_cols: list[str],

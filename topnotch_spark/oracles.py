@@ -2071,6 +2071,35 @@ def text_normalize_sql() -> str:
     """
 
 
+def fd_check_sql(
+    table: str,
+    pairs: list,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of integrity.fd_check: per (determinant, dependent) pair
+    one summary row from a groupBy + sentinel count-distinct."""
+    parts = []
+    for det, dep in pairs:
+        parts.append(f"""
+        SELECT '{det}' AS determinant, '{dep}' AS dependent,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating,
+               CASE WHEN count(*) > 0
+                 THEN round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                            {round_digits}) END AS violation_frac,
+               coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0
+                 AS holds
+        FROM (
+          SELECT {det},
+                 count(DISTINCT coalesce(CAST({dep} AS VARCHAR),
+                                         '__NULL__')) AS nd
+          FROM {table} GROUP BY {det}
+        )""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def fk_integrity_sql(
     relations: list[tuple[str, str, str, str, str]],
 ) -> str:

@@ -1357,6 +1357,51 @@ class SampleCmd(Command):
 
 
 @dataclass(frozen=True)
+class FdCheckCmd(Command):
+    """{"command": "fdCheck", "input": <input>, "params": {"pairs":
+    [["determinant", "dependent"], ...], ["roundDigits"]}} — functional-
+    dependency audit (integrity.fd_check): one summary row per claimed
+    A → B dependency (n_keys, n_violating, violation_frac, holds) — the
+    denormalization-drift detector next to the integrity command's
+    FK orphan accounting."""
+
+    input: Input = None  # type: ignore[assignment]
+    pairs: tuple[tuple[str, str], ...] = ()
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input]
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "FdCheckCmd":
+        p = obj["params"]
+        raw = p.get("pairs")
+        if not raw:
+            raise ValueError('fdCheck: params.pairs must be a non-empty list')
+        pairs = []
+        for pair in raw:
+            if len(pair) != 2:
+                raise ValueError(
+                    f"fdCheck: each pair must be [determinant, dependent], "
+                    f"got {pair!r}"
+                )
+            pairs.append((pair[0], pair[1]))
+        return cls(
+            input=Input.from_json(obj["input"]),
+            pairs=tuple(pairs),
+            options=_opt(p, "roundDigits"),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators.integrity import fd_check
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        return fd_check(df, list(self.pairs), **self.options)
+
+
+@dataclass(frozen=True)
 class IntegrityCmd(Command):
     """{"command": "integrity", "relations": [{"name", "child": <input>,
     "fk": [...], "parent": <input>, "pk": [...]}]} — one summary row per
@@ -2722,6 +2767,7 @@ def register() -> None:
             "dsir": DsirCmd.from_json,
             "tokenize": TokenizeCmd.from_json,
             "integrity": IntegrityCmd.from_json,
+            "fdCheck": FdCheckCmd.from_json,
             "skewProfile": SkewCmd.from_json,
             "split": SplitCmd.from_json,
             "sequence": SequenceCmd.from_json,
