@@ -198,6 +198,10 @@ def oracle_sql() -> dict[str, str]:
         "coreset_kcenter_embeddings": oracles.kcenter_select_sql(
             dim=64, k=12
         ),
+        "similarity_ivfpq_recall": oracles.ivfpq_recall_sql(
+            dim=64, m=8, n_codes=16, n_centroids=16, n_probe=4,
+            k=10, n_queries=5,
+        ),
         "similarity_pq_recall": oracles.pq_recall_sql(
             dim=64, m=8, n_codes=16, k=10, n_queries=5
         ),
@@ -547,6 +551,9 @@ def oracle_sql() -> dict[str, str]:
             "lineitem",
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
             decimals=2,
+        ),
+        "lsh_tuning_16": oracles.lsh_tuning_sql(
+            num_hashes=16, threshold=0.5
         ),
         "dedup_minhash_recall": oracles.minhash_recall_sql(
             threshold=0.5, num_hashes=16, bands=4, shingle_n=5

@@ -100,6 +100,10 @@ GLOBAL_WINDOW_BOUNDED = {
         "code_id rank over the n_codes=16 rows surviving TakeOrdered "
         "(the seeded codebook)"
     ),
+    "similarity_ivfpq_recall": (
+        "code_id/centroid_id ranks over the n_codes=16 / n_centroids=16 "
+        "rows surviving TakeOrdered (seeded codebook + seeded IVF index)"
+    ),
     "zipf_fit_docs": (
         "rank over the vocab_k=200 rows surviving TakeOrdered"
     ),
@@ -184,6 +188,11 @@ BNLJ_SMALL_FRAME = {
         "pair spine = distinct(group) x distinct(group) — |sources|^2 "
         "rows, a dimension cross product, never data-sized; every "
         "corpus-sized stage before it is bottom-k bounded"
+    ),
+    "similarity_ivfpq_recall": (
+        "exact grading side broadcasts the vec_id < 5 query frame; the "
+        "IVF assignment/probe cross joins broadcast the "
+        "n_centroids=16-row seeded centroid frame"
     ),
 }
 

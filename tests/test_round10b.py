@@ -319,6 +319,89 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# LSH tuning table + IVF-PQ composition
+# ---------------------------------------------------------------------------
+
+class TestLshTuning:
+    def test_hand_computed_s_curve(self, spark):
+        from topnotch_spark.operators.dedup import lsh_tuning
+
+        rows = {
+            (r["bands"], r["rows_per_band"]): r
+            for r in lsh_tuning(spark, num_hashes=16, threshold=0.5).collect()
+        }
+        assert set(rows) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+        r44 = rows[(4, 4)]
+        assert r44["p_at_t"] == pytest.approx(
+            round(1 - (1 - 0.5 ** 4) ** 4, 6)
+        )
+        assert r44["s_half"] == pytest.approx(round(0.25 ** 0.25, 6))
+        # more bands -> catches more below-threshold pairs (higher FP)
+        assert rows[(16, 1)]["p_below"] > rows[(1, 16)]["p_below"]
+
+    def test_rejects_bad_threshold(self, spark):
+        from topnotch_spark.operators.dedup import lsh_tuning
+
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_tuning(spark, threshold=1.0)
+
+
+class TestIvfPq:
+    def _emb(self, spark, n=30, dim=8):
+        vecs = {
+            i: [((i * j * 7919) % 100) / 50.0 - 1.0 + 1e-2 for j in range(1, dim + 1)]
+            for i in range(n)
+        }
+        return spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_full_probe_equals_pq_recall(self, spark):
+        from topnotch_spark.operators.similarity import (
+            ivfpq_recall,
+            pq_recall,
+        )
+
+        df = self._emb(spark)
+        full = {
+            r["query_id"]: r["recall"]
+            for r in ivfpq_recall(
+                df, dim=8, m=4, n_codes=4, n_centroids=4, n_probe=4,
+                k=5, n_queries=3,
+            ).collect()
+        }
+        pq = {
+            r["query_id"]: r["recall"]
+            for r in pq_recall(
+                df, dim=8, m=4, n_codes=4, k=5, n_queries=3
+            ).collect()
+        }
+        # probing every list = no index loss: composed recall equals the
+        # pure-representation recall
+        assert full == pq
+
+    def test_partial_probe_bounds_candidates(self, spark):
+        from topnotch_spark.operators.similarity import ivfpq_recall
+
+        df = self._emb(spark, n=40)
+        out = ivfpq_recall(
+            df, dim=8, m=4, n_codes=4, n_centroids=8, n_probe=2,
+            k=5, n_queries=3,
+        ).collect()
+        for r in out:
+            assert 0 < r["n_candidates"] < 40
+            assert 0.0 <= r["recall"] <= 1.0
+
+    def test_rejects_indivisible_dim(self, spark):
+        from topnotch_spark.operators.similarity import ivfpq_recall
+
+        df = self._emb(spark, n=5, dim=8)
+        with pytest.raises(ValueError, match="not divisible"):
+            ivfpq_recall(df, dim=8, m=3)
+
+
+# ---------------------------------------------------------------------------
 # functional-dependency audit
 # ---------------------------------------------------------------------------
 

@@ -528,6 +528,26 @@ def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ query path, graded (similarity.ivfpq_recall):
+    seeded 16-list IVF restricts each query to 4 probed lists, seeded
+    8x16 PQ codes + ADC lookup tables score the candidates, exact top-10
+    grades the pipeline — production recall is the PRODUCT of index and
+    representation losses, which only the composed path shows."""
+    from topnotch_spark.operators.similarity import ivfpq_recall
+
+    return ivfpq_recall(
+        load(spark, sf_dir, "embeddings"),
+        dim=64,
+        m=8,
+        n_codes=16,
+        n_centroids=16,
+        n_probe=4,
+        k=10,
+        n_queries=5,
+    )
+
+
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization recall audit (similarity.pq_recall, Jégou
     2011): 8 subspaces × 16 seeded codes (~32× compression), ADC
@@ -1146,6 +1166,18 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         bins=32,
     )
+
+
+def lsh_tuning_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter S-curve table (dedup.lsh_tuning): every
+    (bands, rows) factorization of the 16-hash MinHash config evaluated
+    at the catalog's 0.5 Jaccard threshold ±0.1 — the zero-scan
+    planning step before the banded dedup; dedup_minhash_recall then
+    measures the pick."""
+    from topnotch_spark.operators.dedup import lsh_tuning
+
+    del sf_dir  # pure closed-form planning table — no corpus input
+    return lsh_tuning(spark, num_hashes=16, threshold=0.5)
 
 
 def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3556,6 +3588,8 @@ ALL = {
     "user_sequence_likelihood": user_sequence_likelihood,
     "source_drift_ranking": source_drift_ranking,
     "fd_check_orders": fd_check_orders,
+    "lsh_tuning_16": lsh_tuning_16,
+    "similarity_ivfpq_recall": similarity_ivfpq_recall,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

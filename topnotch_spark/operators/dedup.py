@@ -90,6 +90,62 @@ def _delete_path(df: DataFrame, path: str) -> None:
         pass
 
 
+def lsh_tuning(
+    spark,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    probe_delta: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Banding-parameter planning table for MinHash-LSH: for every
+    (bands b, rows-per-band r) factorization of ``num_hashes``, the
+    candidate-collision probability ``P(s) = 1 − (1 − s^r)^b`` evaluated
+    at the target Jaccard ``threshold`` and at ±``probe_delta`` around
+    it — the S-curve table you read before picking bands/rows
+    (Leskovec–Rajaraman–Ullman, MMDS ch.3): ``p_below`` is the
+    false-candidate rate on just-below-threshold pairs, ``1 − p_above``
+    the miss rate on just-above ones, and ``s_half`` = (1/b)^(1/r) the
+    curve's 50% point. Pure closed-form math over literals — no corpus
+    scan at all; the one catalog operator whose cost is zero at ANY
+    scale (it PLANS the expensive dedup, pairing with
+    dedup_minhash_recall which MEASURES the choice afterwards).
+
+    Emits one row per factorization: (bands, rows_per_band, p_at_t,
+    p_below, p_above, s_half)."""
+    if num_hashes < 1:
+        raise ValueError(f"lsh_tuning: num_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"lsh_tuning: threshold must be in (0, 1), got {threshold}"
+        )
+    facts = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    lo = max(threshold - probe_delta, 0.0)
+    hi = min(threshold + probe_delta, 1.0)
+    base = spark.createDataFrame(facts, "bands int, rows_per_band int")
+
+    def p_at(s: float):
+        return F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.lit(s), F.col("rows_per_band")),
+            F.col("bands"),
+        )
+
+    s_half = F.pow(
+        F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows_per_band")
+    )
+    return base.select(
+        "bands",
+        "rows_per_band",
+        F.round(p_at(threshold), round_digits).alias("p_at_t"),
+        F.round(p_at(lo), round_digits).alias("p_below"),
+        F.round(p_at(hi), round_digits).alias("p_above"),
+        F.round(s_half, round_digits).alias("s_half"),
+    )
+
+
 def _persist(df: DataFrame) -> DataFrame:
     """Materialize + register an intermediate for reuse across branches:
     parquet checkpoint when a checkpoint dir is set (scale path), else

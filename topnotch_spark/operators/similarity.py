@@ -1006,6 +1006,263 @@ def cluster_silhouette(
     )
 
 
+def _pq_codebook(base: DataFrame, m: int, sd: int, n_codes: int) -> DataFrame:
+    """Seeded per-subspace codebook (s, code_id, cvec): the n_codes
+    lowest-id vectors' subvectors (the ivf deterministic convention)."""
+    wseed = Window.orderBy("vid")
+    seeds = (
+        base.orderBy("vid")
+        .limit(n_codes)
+        .withColumn("code_id", F.row_number().over(wseed) - 1)
+    )
+    return seeds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * sd + 1, sd).alias("cvec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e__"),
+        "code_id",
+    ).select(
+        F.col("__e__.s").alias("s"), "code_id",
+        F.col("__e__.cvec").alias("cvec"),
+    )
+
+
+def _pq_encode(base: DataFrame, cb: DataFrame, m: int, sd: int) -> DataFrame:
+    """(vid, s, code_id): L2²-argmin code per subspace, lower-code tie."""
+    sub = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * sd + 1, sd).alias("subv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e__"),
+    ).select("vid", F.col("__e__.s").alias("s"), F.col("__e__.subv").alias("subv"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("subv"), F.col("cvec"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wenc = Window.partitionBy("vid", "s").orderBy(
+        F.col("__d__").asc(), F.col("code_id").asc()
+    )
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select("vid", "s", "code_id", l2.alias("__d__"))
+        .withColumn("__rn__", F.row_number().over(wenc))
+        .filter(F.col("__rn__") == 1)
+        .select("vid", "s", "code_id")
+    )
+
+
+def ivfpq_recall(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ query path, graded: an IVF index
+    restricts each query to its ``n_probe`` nearest inverted lists
+    (~n_probe/n_centroids of the corpus), PQ codes compress the
+    candidates ~32×, ADC lookup tables score them in m integer lookups
+    per candidate — and exact top-k grades the whole pipeline per query:
+    (query_id, k_exact, n_candidates, n_overlap, recall). This is the
+    composition the standalone audits measure in isolation
+    (similarity_ann_recall the index, pq_recall the representation);
+    production recall is the PRODUCT of both losses, which only the
+    composed path shows.
+
+    Both index and codebooks are SEEDED from the lowest-id vectors (the
+    deterministic no-RNG convention shared with ivf_topk / pq_recall),
+    assignment ties break to the lower id, ADC partial dots are
+    micro-unit integers — every candidate set and every ranking is
+    engine-exact.
+
+    100 TB shape: one broadcast centroid assignment + argmax window
+    (the IVF build), one PQ encode (broadcast codebook + argmin
+    window), then per query: an equi-join on centroid_id (the inverted
+    list — the ONLY corpus-sized access, pre-pruned to n_probe lists)
+    and an m-lookup integer sum per candidate. The exact pass exists
+    only to grade."""
+    from topnotch_spark.functions.vectors import cosine as cos_fn
+    from topnotch_spark.operators.dedup import _persist
+
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_recall: dim={dim} not divisible by m={m}")
+    sd = dim // m
+    base = _persist(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    # --- IVF: seeded centroids, corpus assignment, query probes -------
+    wseed = Window.orderBy("vid")
+    cents = _persist(
+        base.orderBy("vid")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(wseed) - 1)
+        .select("centroid_id", F.col("v").alias("cvec_full"))
+    )
+    wassign = Window.partitionBy("vid").orderBy(
+        F.col("__cc__").desc(), F.col("centroid_id").asc()
+    )
+    assign = _persist(
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", cos_fn(F.col("v"), F.col("cvec_full")))
+        .withColumn("__rn__", F.row_number().over(wassign))
+        .filter(F.col("__rn__") == 1)
+        .select("vid", "centroid_id")
+    )
+    q = base.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v"), dim).alias("qn"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("__cc__").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__cc__", cos_fn(F.col("qv"), F.col("cvec_full")))
+        .withColumn("__rn__", F.row_number().over(wprobe))
+        .filter(F.col("__rn__") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    # --- PQ: codebooks, codes, per-query ADC tables --------------------
+    cb = _persist(_pq_codebook(base, m, sd, n_codes))
+    codes = _persist(_pq_encode(base, cb, m, sd))
+    qsub = q.select(
+        "query_id",
+        "qn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qv", s * sd + 1, sd).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e__"),
+    ).select(
+        "query_id", "qn", F.col("__e__.s").alias("s"),
+        F.col("__e__.qsv").alias("qsv"),
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cn2 = F.aggregate(
+        F.zip_with(F.col("cvec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = qsub.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "qn",
+        "s",
+        "code_id",
+        F.round(pdot * F.lit(1e6), 0).cast("long").alias("d_micro"),
+        F.round(cn2 * F.lit(1e6), 0).cast("long").alias("n2_micro"),
+    )
+    scored = (
+        cands.join(codes, "vid")
+        .join(F.broadcast(adc), ["query_id", "s", "code_id"])
+        .groupBy("query_id", "qn", "vid")
+        .agg(
+            F.sum("d_micro").alias("__sd__"),
+            F.sum("n2_micro").alias("__sn2__"),
+        )
+    )
+    cos_est = F.when(
+        F.col("__sn2__") > 0,
+        (F.col("__sd__").cast("double") / F.lit(1e6))
+        / (
+            F.col("qn")
+            * F.sqrt(F.col("__sn2__").cast("double") / F.lit(1e6))
+        ),
+    ).otherwise(F.lit(-2.0))
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("__cos__").desc(), F.col("vid").asc()
+    )
+    pq_top = (
+        scored.withColumn("__cos__", cos_est)
+        .withColumn("__rn__", F.row_number().over(wtop))
+        .filter(F.col("__rn__") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    n_cands = cands.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    exact = brute_force_topk(
+        base,
+        base.filter(F.col("vid") < n_queries),
+        id_col="vid",
+        vec_col="v",
+        k=k,
+        round_digits=round_digits,
+        dim=dim,
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(
+            pq_top.withColumn("__hit__", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .join(F.broadcast(n_cands), "query_id", "left")
+        .select(
+            "query_id",
+            "k_exact",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("k_exact"), round_digits
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def pq_recall(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1057,61 +1314,8 @@ def pq_recall(
             ),
         )
     )
-    wseed = Window.orderBy("vid")
-    seeds = (
-        base.orderBy("vid")
-        .limit(n_codes)
-        .withColumn("code_id", F.row_number().over(wseed) - 1)
-    )
-    cb = seeds.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("v", s * sd + 1, sd).alias("cvec"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e__"),
-        "code_id",
-    ).select(
-        F.col("__e__.s").alias("s"), "code_id", F.col("__e__.cvec").alias("cvec")
-    )
-    cb = _persist(cb)
-    # encode: m subvector rows per vector, argmin L2^2 per (vid, s)
-    sub = base.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("v", s * sd + 1, sd).alias("subv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e__"),
-    ).select("vid", F.col("__e__.s").alias("s"), F.col("__e__.subv").alias("subv"))
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("subv"), F.col("cvec"), lambda x, c: (x - c) * (x - c)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wenc = Window.partitionBy("vid", "s").orderBy(
-        F.col("__d__").asc(), F.col("code_id").asc()
-    )
-    codes = _persist(
-        sub.join(F.broadcast(cb), "s")
-        .select("vid", "s", "code_id", l2.alias("__d__"))
-        .withColumn("__rn__", F.row_number().over(wenc))
-        .filter(F.col("__rn__") == 1)
-        .select("vid", "s", "code_id")
-    )
+    cb = _persist(_pq_codebook(base, m, sd, n_codes))
+    codes = _persist(_pq_encode(base, cb, m, sd))
     # ADC lookup table per query: micro-int partial dots + code norms
     q = base.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),

@@ -111,6 +111,39 @@ _DOC_BASE = f"""
 """
 
 
+def lsh_tuning_sql(
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    probe_delta: float = 0.1,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of dedup.lsh_tuning: the same factorizations and
+    closed-form S-curve expressions over literals."""
+    facts = ", ".join(
+        f"({b}, {num_hashes // b})"
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    )
+    t = repr(float(threshold))
+    lo = repr(max(threshold - probe_delta, 0.0))
+    hi = repr(min(threshold + probe_delta, 1.0))
+
+    def p_at(s: str) -> str:
+        return (
+            f"1.0 - power(1.0 - power({s}, rows_per_band), bands)"
+        )
+
+    return f"""
+        SELECT bands, rows_per_band,
+               round({p_at(t)}, {round_digits}) AS p_at_t,
+               round({p_at(lo)}, {round_digits}) AS p_below,
+               round({p_at(hi)}, {round_digits}) AS p_above,
+               round(power(1.0 / bands, 1.0 / rows_per_band),
+                     {round_digits}) AS s_half
+        FROM (VALUES {facts}) AS t(bands, rows_per_band)
+    """
+
+
 def dedup_exact_sql() -> str:
     return """
         SELECT doc_id,
@@ -752,6 +785,164 @@ def kcenter_select_sql(
         FROM p1
         UNION ALL
         {final}
+    """
+
+
+def ivfpq_recall_sql(
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of similarity.ivfpq_recall: seeded IVF assignment +
+    probes, seeded PQ codebooks + encoding, ADC micro-int scoring over
+    the probed candidates, exact grading."""
+    sd = dim // m
+    l2 = (
+        f"coalesce(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> (sub.subv[i] - cb.cvec[i]) * (sub.subv[i] - cb.cvec[i]))), "
+        f"0.0)"
+    )
+    pdot = (
+        f"coalesce(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> q.qv[cb.s * {sd} + i] * cb.cvec[i])), 0.0)"
+    )
+    cn2 = (
+        f"coalesce(list_sum(list_transform(generate_series(1, {sd}), "
+        f"i -> cb.cvec[i] * cb.cvec[i])), 0.0)"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS vid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        spine AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+        seeds AS (
+          SELECT vid, v,
+                 CAST(row_number() OVER (ORDER BY vid) - 1 AS INT)
+                   AS code_id
+          FROM (SELECT * FROM base ORDER BY vid LIMIT {n_codes})
+        ),
+        cb AS MATERIALIZED (
+          SELECT spine.s, seeds.code_id,
+                 array_slice(seeds.v, spine.s * {sd} + 1,
+                             (spine.s + 1) * {sd}) AS cvec
+          FROM seeds, spine
+        ),
+        sub AS (
+          SELECT base.vid, spine.s,
+                 array_slice(base.v, spine.s * {sd} + 1,
+                             (spine.s + 1) * {sd}) AS subv
+          FROM base, spine
+        ),
+        enc AS MATERIALIZED (
+          SELECT vid, s, code_id FROM (
+            SELECT sub.vid, sub.s, cb.code_id,
+                   row_number() OVER (
+                     PARTITION BY sub.vid, sub.s
+                     ORDER BY {l2} ASC, cb.code_id ASC) AS rn
+            FROM sub JOIN cb USING (s)
+          ) WHERE rn = 1
+        ),
+        cents AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT)
+                   AS centroid_id, v AS cv
+          FROM (SELECT * FROM base ORDER BY vid LIMIT {n_centroids})
+        ),
+        assign AS MATERIALIZED (
+          SELECT vid, centroid_id FROM (
+            SELECT b.vid, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.vid
+                     ORDER BY {cosine('b.v', 'c.cv', dim)} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM base b, cents c
+          ) WHERE rn = 1
+        ),
+        q AS (
+          SELECT vid AS query_id, v AS qv, sqrt({dot('v', 'v', dim)}) AS qn
+          FROM base WHERE vid < {n_queries}
+        ),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {cosine('q.qv', 'c.cv', dim)} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM q, cents c
+          ) WHERE rn <= {n_probe}
+        ),
+        cands AS MATERIALIZED (
+          SELECT p.query_id, a.vid
+          FROM probes p JOIN assign a USING (centroid_id)
+          WHERE a.vid <> p.query_id
+        ),
+        adc AS MATERIALIZED (
+          SELECT q.query_id, q.qn, cb.s, cb.code_id,
+                 CAST(round({pdot} * 1000000.0) AS BIGINT) AS d_micro,
+                 CAST(round({cn2} * 1000000.0) AS BIGINT) AS n2_micro
+          FROM q, cb
+        ),
+        scored AS (
+          SELECT a.query_id, a.qn, e.vid,
+                 sum(a.d_micro) AS sd_sum, sum(a.n2_micro) AS sn2_sum
+          FROM cands cd
+          JOIN enc e ON e.vid = cd.vid
+          JOIN adc a ON a.query_id = cd.query_id
+                    AND a.s = e.s AND a.code_id = e.code_id
+          GROUP BY 1, 2, 3
+        ),
+        pq_top AS (
+          SELECT query_id, vid AS neighbor_id FROM (
+            SELECT query_id, vid,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY CASE WHEN sn2_sum > 0
+                       THEN (CAST(sd_sum AS DOUBLE) / 1000000.0)
+                            / (qn * sqrt(CAST(sn2_sum AS DOUBLE)
+                                         / 1000000.0))
+                       ELSE -2.0 END DESC, vid ASC) AS rn
+            FROM scored
+          ) WHERE rn <= {k}
+        ),
+        ncands AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM cands GROUP BY 1
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vid AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round({cosine('q.qv', 'c.v', dim)},
+                                    {round_digits}) DESC,
+                              c.vid ASC) AS rn
+            FROM base c, q
+            WHERE c.vid <> q.query_id
+          ) WHERE rn <= {k}
+        )
+        SELECT g.query_id, g.k_exact,
+               coalesce(n.n_candidates, 0) AS n_candidates,
+               g.n_overlap,
+               round(CAST(g.n_overlap AS BIGINT) / g.k_exact,
+                     {round_digits}) AS recall
+        FROM (
+          SELECT e.query_id,
+                 count(*) AS k_exact,
+                 CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+          FROM exact e
+          LEFT JOIN pq_top p
+            ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+          GROUP BY e.query_id
+        ) g
+        LEFT JOIN ncands n USING (query_id)
     """
 
 

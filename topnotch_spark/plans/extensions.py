@@ -470,7 +470,10 @@ class SimilarityCmd(Command):
     raw doubles (seeded per-subspace codebooks).
     kcenter is corpus-only ({["k", "dim"]}) — greedy farthest-point
     coreset selection: k maximally-spread exemplars with the
-    coverage-radius curve."""
+    coverage-radius curve.
+    ivfpqRecall is corpus-only ({["dim", "m", "nCodes", "nCentroids",
+    "nProbe", "k", "nQueries", "roundDigits"]}) — the composed
+    FAISS-style IVF-PQ query path graded against exact top-k."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -486,7 +489,7 @@ class SimilarityCmd(Command):
 
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
-        "quantizeRecall", "mmr", "pqRecall", "kcenter",
+        "quantizeRecall", "mmr", "pqRecall", "kcenter", "ivfpqRecall",
     )
 
     @classmethod
@@ -495,7 +498,8 @@ class SimilarityCmd(Command):
         _require_method(p, cls.METHODS, "similarity")
         if (
             p["method"] not in ("labelAgreement", "silhouette",
-                                "quantizeRecall", "pqRecall", "kcenter")
+                                "quantizeRecall", "pqRecall", "kcenter",
+                                "ivfpqRecall")
             and "queries" not in obj
         ):
             raise ValueError(
@@ -514,7 +518,7 @@ class SimilarityCmd(Command):
             options=_opt(
                 p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
                 "minAgree", "nCentroids", "nQueries", "nCandidates",
-                "lambdaMilli", "m", "nCodes",
+                "lambdaMilli", "m", "nCodes", "nProbe",
             ),
             **cls._common(obj),
         )
@@ -536,6 +540,22 @@ class SimilarityCmd(Command):
                     "roundDigits"
                 )
             return S.quantize_recall(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                **opts,
+            )
+        if self.method == "ivfpqRecall":
+            opts = dict(self.options)
+            bad = sorted(
+                {"n_planes", "label_column", "min_agree", "n_candidates",
+                 "lambda_milli"} & opts.keys()
+            )
+            if bad:
+                raise ValueError(
+                    "similarity method 'ivfpqRecall' does not accept "
+                    f"option(s) {bad}; supported: dim, m, nCodes, "
+                    "nCentroids, nProbe, k, nQueries, roundDigits"
+                )
+            return S.ivfpq_recall(
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,
             )
