@@ -198,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "coreset_kcenter_embeddings": oracles.kcenter_select_sql(
             dim=64, k=12
         ),
+        "embedding_dim_stats": oracles.embedding_dim_stats_sql(),
         "similarity_ivfpq_recall": oracles.ivfpq_recall_sql(
             dim=64, m=8, n_codes=16, n_centroids=16, n_probe=4,
             k=10, n_queries=5,

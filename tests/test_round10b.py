@@ -346,6 +346,24 @@ class TestLshTuning:
             lsh_tuning(spark, threshold=1.0)
 
 
+class TestEmbeddingDimStats:
+    def test_hand_computed(self, spark):
+        from topnotch_spark.operators.similarity import embedding_dim_stats
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [2.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["pos"]: r for r in embedding_dim_stats(df).collect()}
+        assert rows[0]["mean"] == 2.0
+        assert rows[0]["std"] == pytest.approx(
+            round(math.sqrt(2 / 3), 6)
+        )
+        assert rows[0]["min_val"] == 1.0 and rows[0]["max_val"] == 3.0
+        # dim 1 is dead: all zeros
+        assert rows[1]["n_zero"] == 3 and rows[1]["std"] == 0.0
+
+
 class TestIvfPq:
     def _emb(self, spark, n=30, dim=8):
         vecs = {

@@ -528,6 +528,16 @@ def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile
+    (similarity.embedding_dim_stats): dead-dim and scale-imbalance
+    screen (micro-int exact sums) — the table to read before trusting
+    the int8/PQ quantization audits."""
+    from topnotch_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(load(spark, sf_dir, "embeddings"))
+
+
 def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ query path, graded (similarity.ivfpq_recall):
     seeded 16-list IVF restricts each query to 4 probed lists, seeded
@@ -3590,6 +3600,7 @@ ALL = {
     "fd_check_orders": fd_check_orders,
     "lsh_tuning_16": lsh_tuning_16,
     "similarity_ivfpq_recall": similarity_ivfpq_recall,
+    "embedding_dim_stats": embedding_dim_stats_table,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

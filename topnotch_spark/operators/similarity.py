@@ -1006,6 +1006,68 @@ def cluster_silhouette(
     )
 
 
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION embedding health report: one row per vector
+    position with (pos, n, n_zero, mean, std, min_val, max_val) — the
+    column-profile of the vector space. Dead dimensions (std ≈ 0,
+    n_zero ≈ n) waste index bits and silently break cosine geometry
+    after a bad export; grossly imbalanced per-dim scales say the
+    embedding wants normalization before PQ/int8 quantization (the
+    audits that consume this table: quantize_recall / pq_recall degrade
+    exactly when per-dim ranges are skewed).
+
+    Determinism: elements are frozen to micro-unit integers, so sums
+    and sums-of-squares are exact (decimal(38,0) — micro² terms
+    overflow BIGINT at corpus scale) and mean/std are single double
+    expressions over identical integers on any engine.
+
+    Execution shape: ONE posexplode + map-side-combined groupBy(pos) —
+    dim rows out, scan-bound at any scale."""
+    dec = "decimal(38,0)"
+    ex = df.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x")
+    ).select(
+        "pos",
+        F.round(F.col("x") * F.lit(1e6), 0).cast("long").alias("xm"),
+    )
+    g = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("xm") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.col("xm").cast(dec)).alias("__s__"),
+        F.sum((F.col("xm").cast(dec) * F.col("xm").cast(dec))).alias(
+            "__ssq__"
+        ),
+        F.min("xm").alias("__mn__"),
+        F.max("xm").alias("__mx__"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s__").cast("double") / nd / F.lit(1e6)
+    var_num = (
+        F.col("n").cast(dec) * F.col("__ssq__")
+        - F.col("__s__") * F.col("__s__")
+    )
+    std = F.sqrt(var_num.cast("double")) / nd / F.lit(1e6)
+    return g.select(
+        "pos",
+        "n",
+        "n_zero",
+        F.round(mean, round_digits).alias("mean"),
+        F.round(std, round_digits).alias("std"),
+        F.round(
+            F.col("__mn__").cast("double") / F.lit(1e6), round_digits
+        ).alias("min_val"),
+        F.round(
+            F.col("__mx__").cast("double") / F.lit(1e6), round_digits
+        ).alias("max_val"),
+    )
+
+
 def _pq_codebook(base: DataFrame, m: int, sd: int, n_codes: int) -> DataFrame:
     """Seeded per-subspace codebook (s, code_id, cvec): the n_codes
     lowest-id vectors' subvectors (the ivf deterministic convention)."""

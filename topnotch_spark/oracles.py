@@ -788,6 +788,43 @@ def kcenter_select_sql(
     """
 
 
+def embedding_dim_stats_sql(round_digits: int = 6) -> str:
+    """Mirror of similarity.embedding_dim_stats: micro-int exact sums
+    per dimension, identical double expressions for mean/std."""
+    return f"""
+        WITH ex AS (
+          SELECT i - 1 AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS xm
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS t(i)
+        ),
+        g AS (
+          SELECT pos,
+                 count(*) AS n,
+                 CAST(sum(CASE WHEN xm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero,
+                 sum(CAST(xm AS HUGEINT)) AS s,
+                 sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS ssq,
+                 min(xm) AS mn, max(xm) AS mx
+          FROM ex GROUP BY pos
+        )
+        SELECT CAST(pos AS INT) AS pos,
+               CAST(n AS BIGINT) AS n,
+               n_zero,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0,
+                     {round_digits}) AS mean,
+               round(sqrt(CAST(n * ssq - s * s AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 1000000.0,
+                     {round_digits}) AS std,
+               round(CAST(mn AS DOUBLE) / 1000000.0, {round_digits})
+                 AS min_val,
+               round(CAST(mx AS DOUBLE) / 1000000.0, {round_digits})
+                 AS max_val
+        FROM g
+    """
+
+
 def ivfpq_recall_sql(
     dim: int = 64,
     m: int = 8,

@@ -473,7 +473,9 @@ class SimilarityCmd(Command):
     coverage-radius curve.
     ivfpqRecall is corpus-only ({["dim", "m", "nCodes", "nCentroids",
     "nProbe", "k", "nQueries", "roundDigits"]}) — the composed
-    FAISS-style IVF-PQ query path graded against exact top-k."""
+    FAISS-style IVF-PQ query path graded against exact top-k.
+    dimStats is corpus-only ({["roundDigits"]}) — per-dimension
+    mean/std/zero-fraction health profile of the vector space."""
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
@@ -490,6 +492,7 @@ class SimilarityCmd(Command):
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
         "quantizeRecall", "mmr", "pqRecall", "kcenter", "ivfpqRecall",
+        "dimStats",
     )
 
     @classmethod
@@ -499,7 +502,7 @@ class SimilarityCmd(Command):
         if (
             p["method"] not in ("labelAgreement", "silhouette",
                                 "quantizeRecall", "pqRecall", "kcenter",
-                                "ivfpqRecall")
+                                "ivfpqRecall", "dimStats")
             and "queries" not in obj
         ):
             raise ValueError(
@@ -542,6 +545,17 @@ class SimilarityCmd(Command):
             return S.quantize_recall(
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,
+            )
+        if self.method == "dimStats":
+            opts = dict(self.options)
+            bad = sorted(set(opts) - {"round_digits"})
+            if bad:
+                raise ValueError(
+                    "similarity method 'dimStats' does not accept "
+                    f"option(s) {bad}; supported: roundDigits"
+                )
+            return S.embedding_dim_stats(
+                corpus, vec_col=self.vec_column, **opts
             )
         if self.method == "ivfpqRecall":
             opts = dict(self.options)
