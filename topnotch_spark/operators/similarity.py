@@ -209,6 +209,10 @@ def mmr_rerank(
                 F.lit(r).alias("mmr_rank"),
             )
         )
+        # eager per-round truncation is deliberate: each pick frame feeds
+        # THREE consumers (the output union, the selected set, the
+        # anti-join) — the deferred variant recomputes it per consumer
+        # (measured sf0.1: 6.3 s eager vs 11-14 s lazy)
         pick, ckpt = _truncate_round(pick, ckpt)
         picks.append(pick)
         sel_cols = pick.select("query_id", "neighbor_id", "__v__")
