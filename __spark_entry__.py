@@ -266,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
             ("events->customer", "events", "user_id", "customer", "c_custkey"),
         ]),
         "key_skew_orders": oracles.key_skew_topk_sql("orders", "o_custkey", k=10),
+        "salt_plan_lineitem": oracles.salt_plan_sql(
+            "lineitem", "l_suppkey", target=600, max_salt=4
+        ),
         "dedup_containment": oracles.dedup_containment_sql(
             threshold=0.5, shingle_n=5, max_shingle_df=1000
         ),

@@ -319,6 +319,70 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# salt planning
+# ---------------------------------------------------------------------------
+
+class TestSaltPlan:
+    def test_hand_computed(self, spark):
+        from topnotch_spark.operators.skew import salt_plan
+
+        rows = [("hot",)] * 25 + [("warm",)] * 11 + [("cold",)] * 5
+        df = spark.createDataFrame(rows, "k string")
+        out = {
+            r["k"]: r
+            for r in salt_plan(
+                df, ["k"], target_rows_per_task=10, max_salt=2
+            ).collect()
+        }
+        assert set(out) == {"hot", "warm"}  # cold is compliant
+        # ceil(25/10)=3 capped at 2; ceil(11/10)=2
+        assert out["hot"]["salt_factor"] == 2
+        assert out["warm"]["salt_factor"] == 2
+        assert out["hot"]["frac"] == pytest.approx(round(25 / 41, 6))
+
+    def test_exact_boundary_not_violating(self, spark):
+        from topnotch_spark.operators.skew import salt_plan
+
+        df = spark.createDataFrame([("x",)] * 10, "k string")
+        assert (
+            salt_plan(df, ["k"], target_rows_per_task=10).count() == 0
+        )
+
+    def test_rejects_bad_params(self, spark):
+        from topnotch_spark.operators.skew import salt_plan
+
+        df = spark.createDataFrame([("x",)], "k string")
+        with pytest.raises(ValueError, match="target_rows_per_task"):
+            salt_plan(df, ["k"], target_rows_per_task=0)
+        with pytest.raises(ValueError, match="max_salt"):
+            salt_plan(df, ["k"], max_salt=0)
+
+
+def test_salt_plan_plan(spark, tmp_path):
+    plan = {
+        "commands": [
+            {
+                "command": "skewProfile",
+                "input": {"ref": f"{SF}/lineitem.parquet", "onDisk": True},
+                "params": {
+                    "method": "saltPlan",
+                    "keys": ["l_suppkey"],
+                    "targetRowsPerTask": 100,
+                    "maxSalt": 8,
+                },
+                "outputKey": "saltAdvice",
+            },
+        ],
+    }
+    p = tmp_path / "plan.json"
+    p.write_text(json.dumps(plan))
+    engine = TnEngine(spark)
+    assert engine.run(str(p)) == 0
+    out = engine.registry["saltAdvice"]
+    assert {"l_suppkey", "n_rows", "frac", "salt_factor"} == set(out.columns)
+
+
+# ---------------------------------------------------------------------------
 # LSH tuning table + IVF-PQ composition
 # ---------------------------------------------------------------------------
 

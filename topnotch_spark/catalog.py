@@ -1178,6 +1178,21 @@ def drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salt_plan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew salting prescription (skew.salt_plan): per hot supplier key
+    the exact-integer salt factor that splits it to the target task
+    size — the step between key_skew_orders (detection) and salted_join
+    (application)."""
+    from topnotch_spark.operators.skew import salt_plan
+
+    return salt_plan(
+        load(spark, sf_dir, "lineitem"),
+        ["l_suppkey"],
+        target_rows_per_task=600,
+        max_salt=4,
+    )
+
+
 def lsh_tuning_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-parameter S-curve table (dedup.lsh_tuning): every
     (bands, rows) factorization of the 16-hash MinHash config evaluated
@@ -3601,6 +3616,7 @@ ALL = {
     "lsh_tuning_16": lsh_tuning_16,
     "similarity_ivfpq_recall": similarity_ivfpq_recall,
     "embedding_dim_stats": embedding_dim_stats_table,
+    "salt_plan_lineitem": salt_plan_lineitem,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

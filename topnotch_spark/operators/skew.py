@@ -50,6 +50,59 @@ def salted_join(
     return salted.join(replicated, [*on, SALT_COL], how).drop(SALT_COL)
 
 
+def salt_plan(
+    df: DataFrame,
+    keys: list[str],
+    target_rows_per_task: int = 1_000_000,
+    max_salt: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Salting PLAN for a skewed join: for every key whose row count
+    exceeds ``target_rows_per_task``, the salt factor that splits it
+    into ≤-target slices — (keys..., n_rows, frac, salt_factor) — the
+    prescription step between [key_skew_topk] (detects the hot keys)
+    and [salted_join] (applies a uniform factor): feed the max emitted
+    salt_factor to salted_join, or use the per-key table to build a
+    targeted salt map. ``salt_factor = min(ceil(n_rows / target),
+    max_salt)`` — the cap bounds build-side replication (salted_join
+    replicates the other side salt_factor-fold).
+
+    Exact integers end to end (ceil on BIGINTs via (n + t − 1) div t —
+    no float boundary); only violating keys are emitted (compliant keys
+    are the bulk and carry no action — the k_anonymity risky_only
+    convention). Execution shape: one map-side-combined groupBy + a
+    1-row total broadcast; output is at most one row per hot key.
+    """
+    if target_rows_per_task < 1:
+        raise ValueError(
+            "salt_plan: target_rows_per_task must be >= 1, got "
+            f"{target_rows_per_task}"
+        )
+    if max_salt < 1:
+        raise ValueError(f"salt_plan: max_salt must be >= 1, got {max_salt}")
+    kcols = [F.col(c) for c in keys]
+    counts = df.groupBy(*kcols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total__"))
+    t = int(target_rows_per_task)
+    factor = F.least(
+        F.expr(f"(n_rows + {t - 1}) div {t}"), F.lit(max_salt).cast("long")
+    )
+    return (
+        counts.filter(F.col("n_rows") > t)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("__total__").cast("double"),
+                round_digits,
+            ).alias("frac"),
+            factor.alias("salt_factor"),
+        )
+    )
+
+
 def key_skew_topk(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
     """Join-key skew profile: the k heaviest key values with their row
     counts and share of the table — the measurement that decides whether

@@ -2353,6 +2353,30 @@ def fk_integrity_sql(
     return "\n          UNION ALL\n".join(parts)
 
 
+def salt_plan_sql(
+    table: str,
+    key: str,
+    target: int = 600,
+    max_salt: int = 4,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of skew.salt_plan: exact integer ceil via (n + t − 1) // t
+    and the max_salt cap, violating keys only."""
+    return f"""
+        WITH counts AS (
+          SELECT {key}, count(*) AS n_rows FROM {table} GROUP BY {key}
+        ),
+        tot AS (SELECT sum(n_rows) AS total FROM counts)
+        SELECT {key}, n_rows,
+               round(CAST(n_rows AS DOUBLE) / CAST(tot.total AS DOUBLE),
+                     {round_digits}) AS frac,
+               CAST(least((n_rows + {target - 1}) // {target},
+                          {max_salt}) AS BIGINT) AS salt_factor
+        FROM counts, tot
+        WHERE n_rows > {target}
+    """
+
+
 def key_skew_topk_sql(table: str, key: str, k: int = 10) -> str:
     """Mirror of skew.key_skew_topk for a single key column."""
     return f"""

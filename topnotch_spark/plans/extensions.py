@@ -1483,31 +1483,49 @@ class IntegrityCmd(Command):
 @dataclass(frozen=True)
 class SkewCmd(Command):
     """{"command": "skewProfile", "input": <input>, "params":
-    {"keys": [...], ["k"]}} — top-k heaviest key values with row share
-    (the pre-join skew diagnostic for salted_join / AQE tuning)."""
+    {"keys": [...], ["method": topk|saltPlan, "k",
+    "targetRowsPerTask", "maxSalt"]}} — ``topk`` (default): the
+    heaviest key values with row share (the pre-join skew diagnostic);
+    ``saltPlan``: per hot key the exact-integer salt factor that splits
+    it to the target task size (the prescription salted_join then
+    applies)."""
 
     input: Input = None  # type: ignore[assignment]
     keys: tuple[str, ...] = ()
+    method: str = "topk"
     options: dict = field(default_factory=dict)
+
+    METHODS = ("topk", "saltPlan")
 
     @classmethod
     def from_json(cls, obj: dict) -> "SkewCmd":
         p = obj["params"]
+        method = p.get("method", "topk")
+        if method not in cls.METHODS:
+            raise ValueError(
+                f"skewProfile: unknown method {method!r} "
+                f"(known: {', '.join(cls.METHODS)})"
+            )
+        opts = (
+            _opt(p, "targetRowsPerTask", "maxSalt", "roundDigits")
+            if method == "saltPlan"
+            else _opt(p, "k")
+        )
         return cls(
             input=Input.from_json(obj["input"]),
             keys=tuple(p["keys"]),
-            options=_opt(p, "k"),
+            method=method,
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.skew import key_skew_topk
+        from topnotch_spark.operators.skew import key_skew_topk, salt_plan
 
-        return key_skew_topk(
-            load_input(engine.spark, self.input, engine.registry),
-            list(self.keys),
-            **self.options,
-        )
+        df = load_input(engine.spark, self.input, engine.registry)
+        if self.method == "saltPlan":
+            return salt_plan(df, list(self.keys), **self.options)
+        return key_skew_topk(df, list(self.keys), **self.options)
 
 
 @dataclass(frozen=True)
