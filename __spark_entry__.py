@@ -434,6 +434,9 @@ def oracle_sql() -> dict[str, str]:
         "events_throttle_dedup": oracles.events_throttle_dedup_sql(300),
         "event_transitions": oracles.event_transitions_sql(),
         "user_sequence_likelihood": oracles.sequence_likelihood_sql(k=1.0),
+        "cusum_value_by_user": oracles.cusum_changepoints_sql(
+            drift_k=0.5, threshold_h=3.0, decimals=2
+        ),
         "winsorize_totalprice": oracles.winsorize_sql(
             "orders",
             "o_totalprice",

@@ -319,6 +319,98 @@ class TestZipfFit:
 
 
 # ---------------------------------------------------------------------------
+# CUSUM change points
+# ---------------------------------------------------------------------------
+
+def _cusum_replay(vals, drift_k, threshold_h, decimals):
+    """Pure-Python textbook CUSUM recursion in the same integer
+    numerator form."""
+    scale = 10 ** decimals
+    v = [round(x * scale) for x in vals]
+    n, sv = len(v), sum(v)
+    k_s = round(drift_k * scale)
+    s_up = s_dn = 0
+    ups = dns = 0
+    max_stat = 0
+    first_alarm = None
+    h = n * round(threshold_h * scale)
+    for i, x in enumerate(v):
+        s_up = max(0, s_up + (n * x - sv - n * k_s))
+        s_dn = max(0, s_dn + (sv - n * x - n * k_s))
+        max_stat = max(max_stat, s_up, s_dn)
+        if s_up > h:
+            ups += 1
+        if s_dn > h:
+            dns += 1
+        if (s_up > h or s_dn > h) and first_alarm is None:
+            first_alarm = i
+    return ups, dns, round(max_stat / n / scale, 6), first_alarm
+
+
+class TestCusum:
+    def _df(self, spark, seqs):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, t0 + dt.timedelta(minutes=i), i, float(x))
+            for u, vals in seqs.items()
+            for i, x in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    def test_matches_textbook_recursion(self, spark):
+        from topnotch_spark.operators.temporal import cusum_changepoints
+
+        seqs = {
+            1: [5.0] * 10 + [6.5] * 10,  # sustained upward shift
+            2: [5.0, 4.9, 5.1, 5.0, 4.8, 5.2] * 4,  # stable
+            3: [8.0] * 8 + [6.0] * 12,  # downward shift
+        }
+        df = self._df(spark, seqs)
+        out = {
+            r["user_id"]: r
+            for r in cusum_changepoints(
+                df, "user_id", "ts", "event_id", "value",
+                drift_k=0.3, threshold_h=2.0, decimals=2,
+            ).collect()
+        }
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        for u, vals in seqs.items():
+            ups, dns, mx, first = _cusum_replay(vals, 0.3, 2.0, 2)
+            assert out[u]["n_up_alarms"] == ups, u
+            assert out[u]["n_down_alarms"] == dns, u
+            assert out[u]["max_stat"] == pytest.approx(mx, abs=1e-6), u
+            want_ts = (
+                t0 + dt.timedelta(minutes=first)
+                if first is not None
+                else None
+            )
+            assert out[u]["first_alarm_ts"] == want_ts, u
+        # semantics: the shifted users alarm, the stable one does not
+        assert out[1]["n_up_alarms"] > 0 and out[3]["n_down_alarms"] > 0
+        assert out[2]["n_up_alarms"] == 0 and out[2]["n_down_alarms"] == 0
+
+    def test_spikeless_shift_beats_zscore_blindspot(self, spark):
+        from topnotch_spark.operators.temporal import cusum_changepoints
+
+        # a +0.4 shift: never a 3-sigma spike, but CUSUM accumulates
+        base = [5.0, 5.1, 4.9, 5.05, 4.95] * 4
+        shifted = base + [5.4, 5.5, 5.35, 5.45, 5.5] * 4
+        df = self._df(spark, {7: shifted})
+        row = cusum_changepoints(
+            df, "user_id", "ts", "event_id", "value",
+            drift_k=0.1, threshold_h=1.0, decimals=2,
+        ).collect()[0]
+        assert row["n_up_alarms"] > 0
+        assert row["first_alarm_ts"] is not None
+
+
+# ---------------------------------------------------------------------------
 # salt planning
 # ---------------------------------------------------------------------------
 

@@ -1234,6 +1234,26 @@ def source_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM mean-shift detection (temporal.cusum_changepoints,
+    Page 1954): sustained small drifts in event values alarm long
+    before any single point is a z-score outlier — the shift detector
+    next to anomaly_value_zscore's spike detector; integer numerator
+    form, two window passes."""
+    from topnotch_spark.operators.temporal import cusum_changepoints
+
+    return cusum_changepoints(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        drift_k=0.5,
+        threshold_h=3.0,
+        decimals=2,
+    )
+
+
 def user_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-sequence likelihood under the corpus Markov model
     (temporal.sequence_likelihood): every user's ordered event stream
@@ -3617,6 +3637,7 @@ ALL = {
     "similarity_ivfpq_recall": similarity_ivfpq_recall,
     "embedding_dim_stats": embedding_dim_stats_table,
     "salt_plan_lineitem": salt_plan_lineitem,
+    "cusum_value_by_user": cusum_value_by_user,
     "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
     "langid_accuracy": langid_accuracy,
     "multimodal_phash_recall": multimodal_phash_recall,

@@ -403,6 +403,118 @@ def sequence_likelihood(
     )
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    drift_k: float = 0.5,
+    threshold_h: float = 5.0,
+    decimals: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key CUSUM change-point detection (Page 1954): accumulate
+    deviations from the key's own mean and alarm when the cumulative
+    drift exceeds ``threshold_h`` — the mean-SHIFT detector the rolling
+    z-score cannot make (a z-score flags single spikes; CUSUM flags a
+    sustained small shift long before any point is individually
+    anomalous). Two-sided: upward and downward statistics.
+
+    The textbook recursion ``S_t = max(0, S_{t−1} + (x_t − μ − k))`` is
+    not a window function, but it unrolls exactly to
+    ``S_t = cumsum(y) − min-so-far(cumsum(y))`` — two plain window
+    passes. Everything runs in integers: values scale to 10^decimals,
+    and the per-key mean μ is kept in NUMERATOR form (multiply the
+    recursion through by the key's row count n, in decimal(38,0)), so
+    no division happens until the final report — bit-exact on any
+    engine.
+
+    Emits one row per key: (key, n_points, n_up_alarms, n_down_alarms,
+    max_stat, first_alarm_ts) — max_stat in value units (the worst
+    cumulative drift), NULL first_alarm_ts when nothing alarmed.
+    ``drift_k`` is the slack per observation and ``threshold_h`` the
+    alarm level, both in VALUE units (classic tuning: k = δ/2 for a
+    target shift δ, h ≈ 4-5 σ).
+
+    Execution shape: one per-key aggregate joined back (broadcast), two
+    ordered window passes on the key shuffle, one final groupBy(key)."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if decimals < 0:
+        raise ValueError(f"cusum_changepoints: decimals must be >= 0")
+    scale = 10 ** decimals
+    k_s = round(float(drift_k) * scale)
+    h_s = round(float(threshold_h) * scale)
+    dec = "decimal(38,0)"
+    base = _persist(
+        df.select(
+            F.col(key_col).alias("__k__"),
+            F.col(ts_col).alias("__ts__"),
+            F.col(tiebreak_col).alias("__tb__"),
+            F.round(F.col(value_col).cast("double") * F.lit(float(scale)), 0)
+            .cast("long")
+            .alias("__v__"),
+        ).filter(F.col("__v__").isNotNull())
+    )
+    stats = base.groupBy("__k__").agg(
+        F.count(F.lit(1)).alias("__n__"), F.sum("__v__").alias("__sv__")
+    )
+    j = base.join(F.broadcast(stats), "__k__")
+    # numerator-form deviation: n·(v − μ − k) = n·v − Σv − n·k
+    y_up = (
+        F.col("__n__").cast(dec) * F.col("__v__").cast(dec)
+        - F.col("__sv__").cast(dec)
+        - F.col("__n__").cast(dec) * F.lit(k_s).cast(dec)
+    )
+    y_dn = (
+        F.col("__sv__").cast(dec)
+        - F.col("__n__").cast(dec) * F.col("__v__").cast(dec)
+        - F.col("__n__").cast(dec) * F.lit(k_s).cast(dec)
+    )
+    w = Window.partitionBy("__k__").orderBy(
+        F.col("__ts__").asc(), F.col("__tb__").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = j.select(
+        "__k__",
+        "__ts__",
+        "__tb__",
+        "__n__",
+        F.sum(y_up).over(w).alias("__cu__"),
+        F.sum(y_dn).over(w).alias("__cd__"),
+    )
+    scored = cums.select(
+        "__k__",
+        "__ts__",
+        "__n__",
+        (
+            F.col("__cu__")
+            - F.least(F.min("__cu__").over(w), F.lit(0).cast(dec))
+        ).alias("__s_up__"),
+        (
+            F.col("__cd__")
+            - F.least(F.min("__cd__").over(w), F.lit(0).cast(dec))
+        ).alias("__s_dn__"),
+    )
+    lim = F.col("__n__").cast(dec) * F.lit(h_s).cast(dec)
+    alarmed_up = F.col("__s_up__") > lim
+    alarmed_dn = F.col("__s_dn__") > lim
+    denom = F.max("__n__").cast("double") * F.lit(float(scale))
+    return scored.groupBy(F.col("__k__").alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(alarmed_up, 1).otherwise(0)).alias("n_up_alarms"),
+        F.sum(F.when(alarmed_dn, 1).otherwise(0)).alias("n_down_alarms"),
+        F.round(
+            F.greatest(F.max("__s_up__"), F.max("__s_dn__")).cast("double")
+            / denom,
+            round_digits,
+        ).alias("max_stat"),
+        F.min(
+            F.when(alarmed_up | alarmed_dn, F.col("__ts__"))
+        ).alias("first_alarm_ts"),
+    )
+
+
 def frequent_paths(
     df: DataFrame,
     key_col: str,

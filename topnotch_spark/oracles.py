@@ -3545,6 +3545,69 @@ def events_throttle_dedup_sql(min_gap_seconds: int = 300) -> str:
     """
 
 
+def cusum_changepoints_sql(
+    drift_k: float = 0.5,
+    threshold_h: float = 3.0,
+    decimals: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of temporal.cusum_changepoints over events: identical
+    integer numerator-form deviations, the cumsum-minus-running-min
+    unrolling in HUGEINT, same alarm predicate and final division."""
+    scale = 10 ** decimals
+    k_s = round(float(drift_k) * scale)
+    h_s = round(float(threshold_h) * scale)
+    win = (
+        "PARTITION BY k ORDER BY ts, tb "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+        WITH base AS (
+          SELECT user_id AS k, ts, event_id AS tb,
+                 CAST(round(CAST(value AS DOUBLE) * {float(scale)!r})
+                      AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        st AS (
+          SELECT k, count(*) AS n, sum(v) AS sv FROM base GROUP BY k
+        ),
+        j AS (
+          SELECT b.k, b.ts, b.tb, st.n, st.sv,
+                 CAST(st.n AS HUGEINT) * b.v - st.sv
+                   - CAST(st.n AS HUGEINT) * {k_s} AS y_up,
+                 CAST(st.sv AS HUGEINT) - CAST(st.n AS HUGEINT) * b.v
+                   - CAST(st.n AS HUGEINT) * {k_s} AS y_dn
+          FROM base b JOIN st USING (k)
+        ),
+        cums AS (
+          SELECT k, ts, tb, n,
+                 sum(y_up) OVER ({win}) AS cu,
+                 sum(y_dn) OVER ({win}) AS cd
+          FROM j
+        ),
+        scored AS (
+          SELECT k, ts, n,
+                 cu - least(min(cu) OVER ({win}), 0) AS s_up,
+                 cd - least(min(cd) OVER ({win}), 0) AS s_dn
+          FROM cums
+        )
+        SELECT k AS user_id,
+               count(*) AS n_points,
+               CAST(sum(CASE WHEN s_up > CAST(n AS HUGEINT) * {h_s}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_up_alarms,
+               CAST(sum(CASE WHEN s_dn > CAST(n AS HUGEINT) * {h_s}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_down_alarms,
+               round(CAST(greatest(max(s_up), max(s_dn)) AS DOUBLE)
+                     / (CAST(max(n) AS DOUBLE) * {float(scale)!r}),
+                     {round_digits}) AS max_stat,
+               min(CASE WHEN s_up > CAST(n AS HUGEINT) * {h_s}
+                         OR s_dn > CAST(n AS HUGEINT) * {h_s}
+                        THEN ts END) AS first_alarm_ts
+        FROM scored GROUP BY k
+    """
+
+
 def sequence_likelihood_sql(
     k: float = 1.0,
     round_digits: int = 4,

@@ -1631,7 +1631,11 @@ class SequenceCmd(Command):
     ordered stream),
     likelihood: {"keyColumn", "stateColumn", ["k", "roundDigits"]} —
     per-key sequence likelihood under the corpus's own add-k Markov
-    transition model (the behavioral-anomaly screen)}} —
+    transition model (the behavioral-anomaly screen),
+    cusum: {"keyColumn", "valueColumn", ["driftK", "thresholdH",
+    "decimals", "roundDigits"]} — per-key two-sided CUSUM mean-shift
+    detection (Page 1954): alarms on sustained small drifts the
+    z-score spike detector cannot see}} —
     per-key ordered-sequence operators over event streams."""
 
     input: Input = None  # type: ignore[assignment]
@@ -1665,6 +1669,17 @@ class SequenceCmd(Command):
         if self.method == "transitions":
             return Tm.transition_counts(
                 df, p["keyColumn"], ts, tiebreak, p["stateColumn"]
+            )
+        if self.method == "cusum":
+            kwargs = {}
+            for src, dst in (("driftK", "drift_k"),
+                             ("thresholdH", "threshold_h"),
+                             ("decimals", "decimals"),
+                             ("roundDigits", "round_digits")):
+                if src in p:
+                    kwargs[dst] = p[src]
+            return Tm.cusum_changepoints(
+                df, p["keyColumn"], ts, tiebreak, p["valueColumn"], **kwargs
             )
         if self.method == "likelihood":
             kwargs = {}
