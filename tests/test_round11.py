@@ -1,0 +1,173 @@
+"""Round-11 regression tests.
+
+The r10 ADVICE found that the greedy iterative operators (mmr_rerank,
+kcenter_select) deleted per-round parquet checkpoints that still backed
+live frames on the checkpoint-dir path — every test previously exercised
+only the localCheckpoint path, so the crash was invisible. These tests
+run the exact plan-reachable scale path (dedup_scope(checkpoint_dir=…))
+and assert (a) results identical to the in-memory run, (b) no
+FileNotFound from eagerly-deleted round files, (c) the scope exit
+cleans every checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vecs(n: int, d: int, seed_mult: int = 7919):
+    return {
+        i: [((i * j * seed_mult) % 100) / 50.0 - 1.0 + 1e-3 for j in range(1, d + 1)]
+        for i in range(n)
+    }
+
+
+class TestCheckpointDirIterativeOps:
+    def test_mmr_rerank_checkpoint_dir_identical_and_cleaned(
+        self, spark, tmp_path
+    ):
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in _vecs(30, 8).items()],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter("vec_id < 3")
+        with dedup_scope():
+            baseline = sorted(
+                map(
+                    tuple,
+                    mmr_rerank(
+                        df, q, k=5, n_candidates=10, lambda_milli=700, dim=8
+                    ).collect(),
+                )
+            )
+        ckpt = tmp_path / "mmr_ckpt"
+        with dedup_scope(checkpoint_dir=str(ckpt)):
+            out = mmr_rerank(
+                df, q, k=5, n_candidates=10, lambda_milli=700, dim=8
+            )
+            # two actions: the second re-scans every round's files — the
+            # r10 bug deleted them after the first round, so ANY action
+            # from round 2 on raised FileNotFound
+            assert out.count() == len(baseline)
+            got = sorted(map(tuple, out.collect()))
+            # the per-round files actually spilled to parquet
+            assert any(
+                d.startswith(("cc_round_", "tn_ckpt_"))
+                for d in os.listdir(ckpt)
+            )
+        assert got == baseline
+        # scope exit released every round's checkpoint directory
+        assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+    def test_kcenter_select_checkpoint_dir_identical_and_cleaned(
+        self, spark, tmp_path
+    ):
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in _vecs(20, 6, seed_mult=31).items()],
+            "vec_id long, embedding array<double>",
+        )
+        with dedup_scope():
+            baseline = sorted(
+                map(tuple, kcenter_select(df, k=6, dim=6).collect())
+            )
+        ckpt = tmp_path / "kc_ckpt"
+        with dedup_scope(checkpoint_dir=str(ckpt)):
+            out = kcenter_select(df, k=6, dim=6)
+            assert out.count() == 6
+            got = sorted(map(tuple, out.collect()))
+        assert got == baseline
+        assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+    def test_kcenter_select_checkpoint_dir_k1(self, spark, tmp_path):
+        """k=1 edge: the seed-only path never enters the loop; the
+        unused initial state checkpoint must still be cleaned."""
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in _vecs(8, 4).items()],
+            "vec_id long, embedding array<double>",
+        )
+        ckpt = tmp_path / "kc1_ckpt"
+        with dedup_scope(checkpoint_dir=str(ckpt)):
+            rows = kcenter_select(df, k=1, dim=4).collect()
+        assert len(rows) == 1 and rows[0]["pick_rank"] == 1
+        assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+    def test_k_core_checkpoint_dir_identical_and_cleaned(
+        self, spark, tmp_path
+    ):
+        """r10 low finding: k_core orphaned one survivor-set parquet per
+        peeling round. Now rounds hand off (prev deleted once the next
+        is materialized) and the final path is registered for release."""
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.graph import k_core
+
+        # a 4-clique with pendant chains: multiple peeling rounds
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6), (6, 7)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with dedup_scope():
+            baseline = sorted(map(tuple, k_core(df, k=3).collect()))
+        ckpt = tmp_path / "kcore_ckpt"
+        with dedup_scope(checkpoint_dir=str(ckpt)):
+            out = k_core(df, k=3)
+            assert out.count() == len(baseline)
+            got = sorted(map(tuple, out.collect()))
+            # only the last round's survivor set should remain on disk
+            # (earlier rounds deleted by the prev-path handoff)
+            round_dirs = [
+                d for d in os.listdir(ckpt) if d.startswith("cc_round_")
+            ]
+            assert len(round_dirs) == 1
+        assert got == baseline
+        assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+
+class TestSequenceLikelihoodNullStates:
+    def test_null_state_excluded_from_vocab(self, spark):
+        """|states| counts only non-NULL symbols — aligned with the
+        DuckDB oracle's count(DISTINCT next), which skips NULLs. A NULL
+        state can never score (null-unsafe transition joins in both
+        engines), so counting it would shift every smoothed
+        probability."""
+        import math
+
+        from topnotch_spark.operators.temporal import sequence_likelihood
+
+        rows = [
+            # user 1: a -> b -> a   (all transitions scoreable)
+            (1, 1, 1, "a"), (1, 2, 2, "b"), (1, 3, 3, "a"),
+            # user 2: a -> NULL -> a (NULL next + NULL prev drop out)
+            (2, 1, 4, "a"), (2, 2, 5, None), (2, 3, 6, "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, state string"
+        )
+        got = {
+            r["user_id"]: (r["n_transitions"], r["avg_neg_logprob"])
+            for r in sequence_likelihood(
+                df, "user_id", "ts", "event_id", "state", k=1.0
+            ).collect()
+        }
+        # vocabulary is {a, b} -> V=2 (NOT 3 with the NULL row).
+        # transition counts over non-null prev:
+        #   a->b:1, b->a:1, a->NULL:1 (unscoreable), NULL->a dropped
+        # priors: c(a.)=2, c(b.)=1
+        lp_ab = math.log((1 + 1.0) / (2 + 1.0 * 2))  # ln(2/4)
+        lp_ba = math.log((1 + 1.0) / (1 + 1.0 * 2))  # ln(2/3)
+        exp_u1 = round(-(lp_ab + lp_ba) / 2, 4)
+        assert got[1] == (2, exp_u1)
+        # user 2's only non-null-prev transition (a->NULL) cannot join
+        # the model, so the user survives via the distinct-keys left
+        # join with 0 scoreable transitions and a NULL score
+        assert got[2][0] == 0 and got[2][1] is None

@@ -60,11 +60,12 @@ _PERSISTED: list[DataFrame] = []
 # directory instead of executor storage (SCALE.md §6: at 100 TB the
 # shingle/signature tables of a multi-branch dedup plan do not fit the
 # BlockManager; a parquet checkpoint also truncates lineage). Entries
-# are tracked in _CHECKPOINTED (id(df) → path) and the path is deleted
-# on release. Set via set_checkpoint_dir(), the checkpoint_dir argument
-# of dedup_scope(), or a plan-level "checkpointDir" field.
+# are tracked in _CHECKPOINTED (id(df) → path or list of paths) and
+# the path(s) are deleted on release. Set via set_checkpoint_dir(), the
+# checkpoint_dir argument of dedup_scope(), or a plan-level
+# "checkpointDir" field.
 _CHECKPOINT_DIR: str | None = None
-_CHECKPOINTED: dict[int, str] = {}
+_CHECKPOINTED: dict[int, str | list[str]] = {}
 _CHECKPOINT_SEQ = 0
 
 
@@ -221,12 +222,36 @@ def _persist_if_large(
 
 
 def _release(df: DataFrame, blocking: bool = False) -> None:
-    """Free one registry entry: drop the parquet checkpoint or unpersist."""
-    path = _CHECKPOINTED.pop(id(df), None)
-    if path is not None:
-        _delete_path(df, path)
+    """Free one registry entry: drop the parquet checkpoint(s) or
+    unpersist. An entry may own several checkpoint directories (a
+    greedy loop's per-round files, see _register_checkpoints)."""
+    paths = _CHECKPOINTED.pop(id(df), None)
+    if paths is not None:
+        for p in [paths] if isinstance(paths, str) else paths:
+            _delete_path(df, p)
     else:
         df.unpersist(blocking)
+
+
+def _register_checkpoints(out: DataFrame, paths: list[str | None]) -> None:
+    """Defer deletion of per-round checkpoint directories that still
+    back ``out``'s lineage to release time. Greedy loops (mmr_rerank,
+    kcenter_select) checkpoint every round's pick, and the anti-join /
+    union lineage of the FINAL output still scans those files — so a
+    round may never delete its predecessor's path eagerly (the frames
+    are not superseded, unlike a pagerank walk's ranks). The paths are
+    keyed to ``out`` in the registry and deleted only when the owning
+    scope/run releases the output."""
+    live = [p for p in paths if p is not None]
+    if not live:
+        return
+    if id(out) not in _CHECKPOINTED:
+        _PERSISTED.append(out)
+        _CHECKPOINTED[id(out)] = list(live)
+    else:
+        prev = _CHECKPOINTED[id(out)]
+        merged = [prev] if isinstance(prev, str) else list(prev)
+        _CHECKPOINTED[id(out)] = merged + live
 
 
 def snapshot_intermediates() -> set[int]:

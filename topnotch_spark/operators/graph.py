@@ -381,6 +381,7 @@ def k_core(
     alive = full_deg.select("src")
     n_alive = alive.count()
     core_deg = full_deg.select("src", F.col("degree").alias("core_degree"))
+    ckpt = None
     for _ in range(max_rounds):
         kept_edges = sym.join(
             F.broadcast(alive.select(F.col("src").alias("dst"))), "dst"
@@ -388,8 +389,13 @@ def k_core(
         core_deg = kept_edges.groupBy("src").agg(
             F.count(F.lit(1)).alias("core_degree")
         )
-        new_alive, _ = _truncate_round(
-            core_deg.filter(F.col("core_degree") >= k).select("src"), None
+        # prev-path handoff: round r's survivor set is superseded the
+        # moment round r+1's is materialized — _truncate_round deletes
+        # the previous round's files only after writing the new ones.
+        # The LAST path backs `alive` through the final recomputation,
+        # so it is registered on the output for release-time deletion.
+        new_alive, ckpt = _truncate_round(
+            core_deg.filter(F.col("core_degree") >= k).select("src"), ckpt
         )
         n_new = new_alive.count()
         alive = new_alive
@@ -403,7 +409,7 @@ def k_core(
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
-    return (
+    out = (
         full_deg.join(survivors, "src", "left")
         .select(
             F.col("src").alias("node"),
@@ -412,6 +418,11 @@ def k_core(
             "core_degree",
         )
     )
+    if ckpt is not None:
+        from topnotch_spark.operators.dedup import _register_checkpoints
+
+        _register_checkpoints(out, [ckpt])
+    return out
 
 
 def _truncate_probe(

@@ -162,7 +162,14 @@ def mmr_rerank(
     argmax = Window.partitionBy("query_id").orderBy(
         F.col("__score__").desc(), F.col("neighbor_id").asc()
     )
-    remaining, ckpt = _truncate_round(cand, None)
+    # Every round's checkpoint files stay live until the OUTPUT is
+    # released: `remaining` chains anti-joins over the round-0 candidate
+    # checkpoint, and each round's pick backs the selected set AND the
+    # final union — so no path is ever superseded mid-loop. Collect them
+    # all and register on the output (deleted at release time); eager
+    # per-round deletion would FileNotFound any action from round 2 on.
+    remaining, ckpt0 = _truncate_round(cand, None)
+    round_paths: list[str | None] = [ckpt0]
     selected = None  # (query_id, neighbor_id, __v__) of picks so far
     picks = []
     lam_l = F.lit(lambda_milli).cast("long")
@@ -213,7 +220,8 @@ def mmr_rerank(
         # THREE consumers (the output union, the selected set, the
         # anti-join) — the deferred variant recomputes it per consumer
         # (measured sf0.1: 6.3 s eager vs 11-14 s lazy)
-        pick, ckpt = _truncate_round(pick, ckpt)
+        pick, pick_path = _truncate_round(pick, None)
+        round_paths.append(pick_path)
         picks.append(pick)
         sel_cols = pick.select("query_id", "neighbor_id", "__v__")
         selected = (
@@ -230,11 +238,9 @@ def mmr_rerank(
     out = out.select(
         "query_id", "neighbor_id", "rel_sim", "mmr_score_nano", "mmr_rank"
     )
-    if ckpt is not None:
-        from topnotch_spark.operators import dedup as _d
+    from topnotch_spark.operators.dedup import _register_checkpoints
 
-        _d._PERSISTED.append(out)
-        _d._CHECKPOINTED[id(out)] = ckpt
+    _register_checkpoints(out, round_paths)
     return out
 
 
@@ -1554,12 +1560,21 @@ def kcenter_select(
         .filter(F.col("vid") != F.col("__pid__"))
         .select("vid", "v", "__n__", d_micro.alias("__mind__"))
     )
-    st, ckpt = _truncate_round(st, None)
+    # Two checkpoint families with DIFFERENT lifetimes: the running
+    # state `st` is genuinely superseded once the next round's state is
+    # materialized (prev-path handoff, the pagerank pattern — each pick
+    # is checkpointed separately BEFORE the handoff deletes the state it
+    # was read from), while every pick's files back the final union and
+    # must live until the OUTPUT is released. Conflating the two (one
+    # shared prev path) deleted files that live frames still scanned.
+    st, st_ckpt = _truncate_round(st, None)
+    pick_paths: list[str | None] = []
     for r in range(2, k + 1):
         p = st.orderBy(
             F.col("__mind__").desc(), F.col("vid").asc()
         ).limit(1)
-        p, ckpt = _truncate_round(p, ckpt)
+        p, pick_path = _truncate_round(p, None)
+        pick_paths.append(pick_path)
         picks.append(
             p.select(
                 F.lit(r).alias("pick_rank"),
@@ -1583,15 +1598,17 @@ def kcenter_select(
             )
         )
         if r < k:
-            st, ckpt = _truncate_round(st, ckpt)
+            st, st_ckpt = _truncate_round(st, st_ckpt)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
-    if ckpt is not None:
-        from topnotch_spark.operators import dedup as _d
+    from topnotch_spark.operators import dedup as _d
 
-        _d._PERSISTED.append(out)
-        _d._CHECKPOINTED[id(out)] = ckpt
+    if st_ckpt is not None:
+        # the last state checkpoint's only consumer was the final pick,
+        # already materialized above — safe to drop immediately
+        _d._delete_path(out, st_ckpt)
+    _d._register_checkpoints(out, pick_paths)
     return out
 
 

@@ -363,9 +363,17 @@ def sequence_likelihood(
     prior = pairs.filter(F.col("__prev__").isNotNull()).groupBy(
         "__prev__"
     ).agg(F.count(F.lit(1)).alias("__c1__"))
-    nstates = pairs.select(
-        F.col("__next__").alias("__s__")
-    ).distinct().agg(F.count(F.lit(1)).alias("__V__"))
+    # NULL states are excluded from the vocabulary |states|: a NULL
+    # symbol can never score anyway (the transition joins are
+    # null-unsafe in both engines), and DuckDB's count(DISTINCT next)
+    # oracle skips NULLs — counting a NULL row here would silently
+    # shift every smoothed probability on nullable state columns.
+    nstates = (
+        pairs.filter(F.col("__next__").isNotNull())
+        .select(F.col("__next__").alias("__s__"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__V__"))
+    )
     lp = (
         trans.join(F.broadcast(prior), "__prev__")
         .crossJoin(F.broadcast(nstates))
