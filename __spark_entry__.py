@@ -210,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
             max_word_len=12, max_piece_len=4, seed_size=64,
             vocab_size=48, n_rounds=2,
         ),
+        "bpe_segment_docs": oracles.bpe_segment_sql(n_merges=8),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

@@ -171,3 +171,200 @@ class TestSequenceLikelihoodNullStates:
         # the model, so the user survives via the distinct-keys left
         # join with 0 scoreable transitions and a NULL score
         assert got[2][0] == 0 and got[2][1] is None
+
+
+# ---------------------------------------------------------------------------
+# BPE apply step (textqc.bpe_segment)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_py(word: str, merges: list[tuple[str, str]]) -> int:
+    """Pure-Python replay of the greedy left-to-right non-overlapping
+    merge fold: the subword count of ``word`` after applying the merge
+    list in rank order (replace() semantics — continue scanning AFTER
+    each replacement)."""
+    syms = list(word)
+    for lhs, rhs in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == lhs
+                and syms[i + 1] == rhs
+            ):
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+class TestBpeSegment:
+    def test_matches_python_replay(self, spark):
+        """Train on corpus A, apply to corpus B (with words unseen in
+        A): per-doc counts match the pure-Python greedy fold of the
+        trained merge list."""
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import (
+            bpe_merge_sequence,
+            bpe_segment,
+        )
+
+        dfa = spark.createDataFrame(
+            [(1, "low lower lowest low low"), (2, "new newer newest new")],
+            ["doc_id", "text"],
+        )
+        target_docs = {10: "low newer slower", 11: "zebra", 12: ""}
+        dfb = spark.createDataFrame(
+            list(target_docs.items()), ["doc_id", "text"]
+        )
+        with dedup_scope():
+            merges = bpe_merge_sequence(dfa, "doc_id", "text", n_merges=6)
+            mlist = [
+                (r["lhs"], r["rhs"])
+                for r in merges.orderBy("merge_rank").collect()
+            ]
+            got = {
+                r["doc_id"]: r
+                for r in bpe_segment(dfb, merges, "doc_id", "text").collect()
+            }
+        for doc_id, text in target_docs.items():
+            words = text.lower().split()
+            exp_sub = sum(_bpe_apply_py(w, mlist) for w in words)
+            assert got[doc_id]["n_tokens"] == len(words)
+            assert got[doc_id]["n_subwords"] == exp_sub
+        # open vocabulary: every word segments (characters at worst) —
+        # 'zebra' shares no trained merge, so 5 single chars
+        assert got[11]["n_subwords"] == 5
+        assert got[12]["n_tokens"] == 0 and got[12]["fertility"] is None
+
+    def test_apply_on_training_corpus_matches_fertility_audit(self, spark):
+        """Folding the emitted merge list over the training corpus
+        reproduces the trainer's final state: bpe_segment's corpus
+        totals equal bpe_fertility_by_group's (which re-runs the
+        trainer internally and reads its final vocab state)."""
+        from pyspark.sql import functions as F  # noqa: F811
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import (
+            bpe_fertility_by_group,
+            bpe_merge_sequence,
+            bpe_segment,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        with dedup_scope():
+            merges = bpe_merge_sequence(docs, "doc_id", "text", n_merges=6)
+            seg_tot = (
+                bpe_segment(docs, merges, "doc_id", "text")
+                .agg(
+                    F.sum("n_tokens").alias("t"),
+                    F.sum("n_subwords").alias("s"),
+                )
+                .collect()[0]
+            )
+            fert_tot = (
+                bpe_fertility_by_group(
+                    docs, "doc_id", "text", "source", n_merges=6
+                )
+                .agg(
+                    F.sum("n_tokens").alias("t"),
+                    F.sum("n_subwords").alias("s"),
+                )
+                .collect()[0]
+            )
+        assert (seg_tot["t"], seg_tot["s"]) == (fert_tot["t"], fert_tot["s"])
+
+    def test_empty_merge_list_segments_to_characters(self, spark):
+        from topnotch_spark.operators.textqc import bpe_segment
+
+        target = spark.createDataFrame([(1, "ab abc")], ["doc_id", "text"])
+        merges = spark.createDataFrame(
+            [], "merge_rank int, lhs string, rhs string"
+        )
+        row = bpe_segment(target, merges, "doc_id", "text").collect()[0]
+        assert (row["n_tokens"], row["n_subwords"]) == (2, 5)
+
+    def test_tokenize_plan_command_bpe(self, spark, tmp_path):
+        """Train bpeMergeSequence in one command, encode via the
+        registry with tokenize method 'bpe' in the next."""
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, "aa ab aa ab"), (2, "ab ba ab")], ["doc_id", "text"]
+        ).write.parquet(src)
+        plan = {
+            "commands": [
+                {
+                    "command": "text",
+                    "input": {"ref": src, "onDisk": True},
+                    "params": {"method": "bpeMergeSequence",
+                               "idColumn": "doc_id",
+                               "textColumn": "text", "nMerges": 3},
+                    "outputKey": "merges",
+                },
+                {
+                    "command": "tokenize",
+                    "input": {"ref": src, "onDisk": True},
+                    "vocab": {"ref": "merges", "onDisk": False},
+                    "params": {"method": "bpe", "idColumn": "doc_id",
+                               "textColumn": "text"},
+                    "outputKey": "encoded",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        rows = {r["doc_id"]: r for r in engine.registry["encoded"].collect()}
+        assert set(rows) == {1, 2}
+        assert all(r["n_subwords"] >= r["n_tokens"] for r in rows.values())
+
+    def test_tokenize_plan_rejects_unigram_options_for_bpe(self):
+        from topnotch_spark.plans.extensions import TokenizeCmd
+
+        with pytest.raises(ValueError, match="not valid for method 'bpe'"):
+            TokenizeCmd.from_json(
+                {
+                    "command": "tokenize",
+                    "input": {"ref": "a", "onDisk": False},
+                    "vocab": {"ref": "b", "onDisk": False},
+                    "params": {"method": "bpe", "idColumn": "doc_id",
+                               "maxPieceLen": 4},
+                    "outputKey": "x",
+                }
+            )
+
+    def test_coverage_count_matches_catalog(self):
+        """Docs drift guard (r10 verdict item 8): COVERAGE.md's
+        hand-maintained inventory count must track the live catalog, so
+        a session adding queries cannot silently drift the docs."""
+        import re
+
+        import __spark_entry__ as entry
+
+        text = open("/root/repo/COVERAGE.md").read()
+        m = re.search(r"Catalog total: (\d+) queries", text)
+        assert m, "COVERAGE.md lost its 'Catalog total: N queries' marker"
+        assert int(m.group(1)) == len(entry.queries())
+
+    def test_tokenize_plan_rejects_unknown_method(self):
+        from topnotch_spark.plans.extensions import TokenizeCmd
+
+        with pytest.raises(ValueError, match="unknown method"):
+            TokenizeCmd.from_json(
+                {
+                    "command": "tokenize",
+                    "input": {"ref": "a", "onDisk": False},
+                    "vocab": {"ref": "b", "onDisk": False},
+                    "params": {"method": "wordpiece", "idColumn": "doc_id"},
+                    "outputKey": "x",
+                }
+            )

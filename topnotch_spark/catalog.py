@@ -971,6 +971,24 @@ def unigram_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY step, BPE half (textqc.bpe_segment — the encode
+    twin of unigram_segment_docs): train 8 merges on documents
+    (bpe_merge_sequence's loop), then encode every document by folding
+    the merge list over its words — per-doc n_tokens/n_subwords/
+    fertility. In production the merge list is a previously persisted
+    trainer output; here it is trained inline so the oracle replays
+    train → apply end to end."""
+    from topnotch_spark.operators.textqc import (
+        bpe_merge_sequence,
+        bpe_segment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_merge_sequence(docs, "doc_id", "text", n_merges=8)
+    return bpe_segment(docs, merges, "doc_id", "text")
+
+
 def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY step (textqc.unigram_segment): train the unigram
     vocab on documents (unigram_lm_vocab's EM loop), then segment every
@@ -3646,6 +3664,7 @@ ALL = {
     "cross_perplexity_en": cross_perplexity_en,
     "similarity_quantize_recall": similarity_quantize_recall,
     "unigram_segment_docs": unigram_segment_docs,
+    "bpe_segment_docs": bpe_segment_docs,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,

@@ -1236,6 +1236,106 @@ def bpe_fertility_by_group(
     return result
 
 
+def bpe_segment(
+    target: DataFrame,
+    merges: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """APPLY a trained BPE merge sequence to new data — the encode twin
+    of :func:`unigram_segment`, completing the BPE half of the
+    tokenizer lifecycle (train: :func:`bpe_merge_sequence` → audit:
+    :func:`bpe_fertility_by_group` → apply: this). ``merges`` is any
+    frame with (merge_rank, lhs, rhs) columns — typically the trainer's
+    output read back from a mounted table or the plan registry, so a
+    tokenizer trained once encodes every future batch identically.
+
+    Per target document: (id, n_tokens, n_subwords, fertility). Unlike
+    the unigram apply, BPE segments EVERY word (unmatched words fall
+    back to characters — the open-vocabulary property that motivated
+    BPE in the first place, Sennrich et al. 2016 §3), so no token is
+    ever excluded; documents with no tokens survive with 0/0 and NULL
+    fertility.
+
+    Determinism contract: the trainer's doubled-space representation
+    and greedy ``replace()`` merge are replayed verbatim, folded over
+    the merge list in merge_rank order — applying a trained sequence to
+    its own training corpus reproduces the trainer's final state
+    bit-for-bit (property-tested), and sentinel/identity rounds the
+    trainer filtered out are simply absent from the list.
+
+    Execution shape (100 TB): the merge list aggregates to ONE
+    rank-sorted array row (model-sized, broadcast — never collected to
+    the driver) and the fold is a single codegen'd ``aggregate()``
+    projection over the TARGET's distinct words (Heaps-sublinear);
+    one corpus-tokens → word equi-join + map-side-combined groupBy(doc)
+    rolls the counts up. No per-merge join, no corpus rewrite, no
+    Python in the loop."""
+    from topnotch_spark.operators.dedup import _persist
+
+    mrow = F.broadcast(
+        merges.select(
+            F.struct(
+                F.col("merge_rank").cast("long").alias("merge_rank"),
+                F.col("lhs").cast("string").alias("lhs"),
+                F.col("rhs").cast("string").alias("rhs"),
+            ).alias("__m__")
+        ).agg(F.array_sort(F.collect_list("__m__")).alias("__merges__"))
+    )
+    words = _persist(
+        target.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace("word", "(.)", " $1 "),
+                F.lit(" "),
+            ).alias("s"),
+        )
+    )
+    segmented = words.crossJoin(mrow).select(
+        "word",
+        F.expr(
+            "aggregate(__merges__, s, (acc, m) -> "
+            "replace(acc, concat(' ', m.lhs, '  ', m.rhs, ' '), "
+            "concat(' ', m.lhs, m.rhs, ' ')))"
+        ).alias("s"),
+    )
+    word_sub = segmented.select(
+        "word", F.expr(f"size({_BPE_SYMS})").cast("long").alias("__nsub__")
+    )
+    tok = target.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    per_doc = (
+        tok.join(word_sub, "word")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nsub__").alias("n_subwords"),
+        )
+    )
+    return (
+        target.select(F.col(id_col).alias("__id__"))
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_subwords", F.lit(0).cast("long")).alias(
+                "n_subwords"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_subwords") / F.col("n_tokens"),
+                        round_digits),
+            ).alias("fertility"),
+        )
+    )
+
+
 def collocations(
     df: DataFrame,
     id_col: str,

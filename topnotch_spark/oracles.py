@@ -2135,6 +2135,84 @@ def bpe_merge_sequence_sql(n_merges: int = 8) -> str:
     """
 
 
+def bpe_segment_sql(n_merges: int = 8, round_digits: int = 6) -> str:
+    """Mirror of catalog.bpe_segment_docs: train ``n_merges`` BPE
+    rounds inline (the bpe_fertility_sql chained-round prefix, word key
+    carried through), then roll the final per-word subword counts up
+    PER DOCUMENT — the oracle replays train → apply end to end, and
+    replaying the rounds on the training corpus equals folding the
+    emitted merge list over it (the engine's apply path). Sentinel
+    padding matches the operator (an exhausted corpus keeps an
+    identity state, which the engine-side merge list simply omits)."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        rounds.append(f"""
+        p{r} AS (
+          SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+          FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                     i -> syms[i] || ' ' || syms[i + 1])) AS pair, wc
+            FROM (SELECT list_filter(string_split(s, '  '),
+                           x -> x <> '') AS syms, wc
+                  FROM {prev})
+          ) GROUP BY pair
+        ),
+        b{r} AS (
+          SELECT pair FROM (
+            SELECT pair, n FROM p{r}
+            UNION ALL SELECT chr(1) || ' ' || chr(1), -1
+          ) ORDER BY n DESC, pair ASC LIMIT 1
+        ),
+        s{r} AS (
+          SELECT word,
+                 replace(s,
+                   ' ' || split_part(pair, ' ', 1) || '  '
+                       || split_part(pair, ' ', 2) || ' ',
+                   ' ' || split_part(pair, ' ', 1)
+                       || split_part(pair, ' ', 2) || ' ') AS s,
+                 wc
+          FROM {prev}, b{r}
+        )""")
+    return f"""
+        {_DOC_BASE},
+        vocab AS (
+          SELECT word, count(*) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          GROUP BY word
+        ),
+        s0 AS (
+          SELECT word,
+                 ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' '
+                   AS s,
+                 wc
+          FROM vocab
+        ),
+        {",".join(rounds)},
+        word_sub AS (
+          SELECT word,
+                 CAST(len(list_filter(string_split(s, '  '),
+                          x -> x <> '')) AS BIGINT) AS nsub
+          FROM s{n_merges}
+        ),
+        tok AS (SELECT doc_id, unnest(__t__) AS word FROM toked),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(nsub) AS BIGINT) AS n_subwords
+          FROM tok JOIN word_sub USING (word)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_subwords, 0) AS n_subwords,
+               CASE WHEN per.n_tokens > 0
+                    THEN round(per.n_subwords * 1.0 / per.n_tokens,
+                               {round_digits})
+               END AS fertility
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
 def text_novelty_sql(shingle_n: int = 3, round_digits: int = 6) -> str:
     """Mirror of textqc.ngram_novelty: distinct shingles per doc,
     corpus document frequency per shingle, per-doc share with df = 1.

@@ -1233,15 +1233,21 @@ class LmScoreCmd(Command):
 @dataclass(frozen=True)
 class TokenizeCmd(Command):
     """{"command": "tokenize", "input": <target>, "vocab": <input>,
-    "params": {"idColumn", ["textColumn", "maxPieceLen", "maxWordLen",
-    "roundDigits"]}} — apply a TRAINED unigram-LM piece vocabulary
-    (any frame with piece/lp_milli columns, e.g. a text.unigramLm
-    output read from the registry or a mounted table) to segment new
-    data (textqc.unigram_segment): per doc n_tokens/n_subwords/
-    fertility. The deployment step of the tokenizer lifecycle."""
+    "params": {"idColumn", ["method", "textColumn", "maxPieceLen",
+    "maxWordLen", "roundDigits"]}} — apply a TRAINED tokenizer to
+    segment new data: per doc n_tokens/n_subwords/fertility, the
+    deployment step of the tokenizer lifecycle. method "unigram"
+    (default) expects a piece/lp_milli vocabulary (a text.unigramLm
+    output read from the registry or a mounted table) and runs
+    textqc.unigram_segment; method "bpe" expects a merge_rank/lhs/rhs
+    merge list (a text.bpeMergeSequence output) and runs
+    textqc.bpe_segment. maxPieceLen/maxWordLen are unigram-only (BPE
+    segments every word — the open-vocabulary fallback to characters
+    needs no bounds) and are rejected under method "bpe"."""
 
     input: Input = None  # type: ignore[assignment]
     vocab: Input = None  # type: ignore[assignment]
+    method: str = "unigram"
     id_column: str = "id"
     text_column: str = "text"
     options: dict = field(default_factory=dict)
@@ -1253,23 +1259,41 @@ class TokenizeCmd(Command):
     @classmethod
     def from_json(cls, obj: dict) -> "TokenizeCmd":
         p = obj["params"]
+        method = p.get("method", "unigram")
+        if method not in ("unigram", "bpe"):
+            raise ValueError(
+                f"tokenize: unknown method {method!r} "
+                "(expected 'unigram' or 'bpe')"
+            )
+        if method == "bpe":
+            bad = {"maxPieceLen", "maxWordLen"} & p.keys()
+            if bad:
+                raise ValueError(
+                    f"tokenize: {sorted(bad)} not valid for method 'bpe'"
+                )
+            opts = _opt(p, "roundDigits")
+        else:
+            opts = _opt(p, "maxPieceLen", "maxWordLen", "roundDigits")
         return cls(
             input=Input.from_json(obj["input"]),
             vocab=Input.from_json(obj["vocab"]),
+            method=method,
             id_column=p["idColumn"],
             text_column=p.get("textColumn", "text"),
-            options=_opt(p, "maxPieceLen", "maxWordLen", "roundDigits"),
+            options=opts,
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
-        from topnotch_spark.operators.textqc import unigram_segment
+        from topnotch_spark.operators.textqc import (
+            bpe_segment,
+            unigram_segment,
+        )
 
         tgt = load_input(engine.spark, self.input, engine.registry)
         voc = load_input(engine.spark, self.vocab, engine.registry)
-        return unigram_segment(
-            tgt, voc, self.id_column, self.text_column, **self.options
-        )
+        fn = bpe_segment if self.method == "bpe" else unigram_segment
+        return fn(tgt, voc, self.id_column, self.text_column, **self.options)
 
 
 @dataclass(frozen=True)
