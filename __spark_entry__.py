@@ -63,6 +63,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": oracles.bloom_membership_sql(
             m_bits=2048, k_hashes=3
         ),
+        "dedup_semantic_trained": oracles.semantic_dedup_trained_sql(
+            dim=64, n_centroids=8, n_rounds=2, threshold=0.35, gate=0.15
+        ),
         "dedup_semantic": oracles.semantic_dedup_sql(
             dim=64, n_clusters=16, threshold=0.35
         ),

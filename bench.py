@@ -5,8 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
  "spread": {...}, "reps": N, "sf": ...}
 
 Each query is fully executed via the noop sink (computes everything,
-writes nothing). A warmup pass of the first query absorbs JVM/codegen
-startup so per-query numbers reflect steady-state throughput.
+writes nothing). Every query gets ONE untimed warmup execution before
+its timed reps (r10 verdict item 2): JIT/codegen of a query's generated
+classes and first-touch Python-worker/Arrow spawn land on the query's
+FIRST execution, which showed as 3-9x first-rep outliers in the r10
+samples (embedding_quantize [4.87, 0.63, 0.56]) — a global warmup of
+one query cannot absorb per-plan codegen. Disable with
+SPARK_GRAFT_BENCH_WARMUP=0 when wall-clock is tighter than variance.
 
 Run-to-run variance on local[32] measured at +/-25%, so each query runs
 $SPARK_GRAFT_BENCH_REPS times (default 3) and "queries" carries per-query
@@ -60,13 +65,8 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
-    # warmup: absorb session/codegen startup
-    try:
-        run_query(next(iter(qs.values())), spark, sf_dir)
-    except Exception:
-        pass
-
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     samples: dict[str, list[float]] = {name: [] for name in qs}
     persist_users: set[str] = set()
     # Two phases: all batch queries first, then the streaming family.
@@ -79,6 +79,15 @@ def main() -> None:
     batch_qs = {n: f for n, f in qs.items() if not n.startswith("streaming_")}
     stream_qs = {n: f for n, f in qs.items() if n.startswith("streaming_")}
     for phase in (batch_qs, stream_qs):
+        if warmup:
+            # one untimed execution per query: absorbs the per-plan
+            # JIT/codegen + worker-spawn cost that otherwise lands on
+            # the first timed rep
+            for name, fn in phase.items():
+                try:
+                    run_query(fn, spark, sf_dir)
+                except Exception:
+                    pass  # the timed loop records the failure
         for _ in range(reps):
             for name, fn in phase.items():
                 t0 = time.time()

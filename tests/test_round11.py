@@ -368,3 +368,163 @@ class TestBpeSegment:
                     "outputKey": "x",
                 }
             )
+
+
+# ---------------------------------------------------------------------------
+# Trained-clustering SemDeDup path (kmeans_centroids_exact -> semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+class TestKmeansExact:
+    def _df(self, spark):
+        # three well-separated 4-dim clusters around axis vectors
+        rows = []
+        for i in range(30):
+            axis = i % 3
+            v = [0.05 * ((i * 7) % 5)] * 4
+            v[axis] += 1.0
+            rows.append((i, v))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_recovers_separable_clusters(self, spark):
+        from topnotch_spark.operators.similarity import kmeans_centroids_exact
+
+        cents, assign = kmeans_centroids_exact(
+            self._df(spark), n_centroids=3, n_rounds=4
+        )
+        groups: dict[int, set[int]] = {}
+        for r in assign.collect():
+            groups.setdefault(r["centroid_id"], set()).add(r["id"] % 3)
+        # every trained cluster is pure: one axis family per centroid
+        assert all(len(g) == 1 for g in groups.values())
+        n = {r["centroid_id"]: r["n_members"] for r in cents.collect()}
+        assert sum(n.values()) == 30
+
+    def test_deterministic_across_runs_and_layouts(self, spark):
+        """The exactness contract: identical output even when the input
+        partitioning differs (the double-mean kmeans only promises
+        determinism GIVEN a fixed layout)."""
+        from topnotch_spark.operators.similarity import kmeans_centroids_exact
+
+        df = self._df(spark)
+        c1, a1 = kmeans_centroids_exact(df, n_centroids=3, n_rounds=3)
+        c2, a2 = kmeans_centroids_exact(
+            df.repartition(7, "vec_id"), n_centroids=3, n_rounds=3
+        )
+        assert sorted(map(tuple, c1.collect())) == sorted(
+            map(tuple, c2.collect())
+        )
+        assert sorted(map(tuple, a1.collect())) == sorted(
+            map(tuple, a2.collect())
+        )
+
+    def test_mean_micro_half_away_from_zero(self):
+        from topnotch_spark.operators.similarity import kmeans_centroids_exact  # noqa: F401
+        # the in-closure helper is exercised end-to-end above; replicate
+        # the formula here to pin the rounding convention
+        def mm(s, n):
+            return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+
+        assert mm(3, 2) == 2      # 1.5 -> 2
+        assert mm(-3, 2) == -2    # -1.5 -> -2
+        assert mm(5, 2) == 3      # 2.5 -> 3
+        assert mm(4, 2) == 2      # exact 2
+        assert mm(-1, 3) == 0     # -0.33 -> 0 (half-away, not floor)
+
+    def test_semantic_dedup_accepts_trained_centroids(self, spark):
+        from topnotch_spark.operators.dedup import dedup_scope, semantic_dedup
+        from topnotch_spark.operators.similarity import kmeans_centroids_exact
+
+        df = self._df(spark)
+        with dedup_scope():
+            cents, assign = kmeans_centroids_exact(
+                df, n_centroids=3, n_rounds=3
+            )
+            out = semantic_dedup(
+                df, "vec_id", "embedding", threshold=0.999, centroids=cents
+            ).collect()
+            exp_assign = {r["id"]: r["centroid_id"] for r in assign.collect()}
+        # assignment under the trained centroids matches kmeans's own
+        # (same max-cos/lower-id convention; cosine snap can only differ
+        # on micro-unit knife edges absent from this synthetic data)
+        assert {r["id"]: r["centroid_id"] for r in out} == exp_assign
+        # identical vectors within a cluster dedup; the keeper is the
+        # lowest id of each duplicate set
+        kept = {r["id"] for r in out if r["keep"]}
+        assert all(
+            any(k <= r["id"] for k in kept) for r in out
+        )
+        assert len(kept) < 30  # the repeated-pattern vectors collapsed
+
+    def test_kmeans_plan_method_and_trained_semantic(self, spark, tmp_path):
+        """similarity method 'kmeans' trains centroids into the
+        registry; dedup method 'semantic' consumes them via the index
+        input — the trained SemDeDup lifecycle inside one plan."""
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "emb.parquet")
+        self._df(spark).write.parquet(src)
+        plan = {
+            "commands": [
+                {
+                    "command": "similarity",
+                    "corpus": {"ref": src, "onDisk": True},
+                    "params": {"method": "kmeans", "idColumn": "vec_id",
+                               "vecColumn": "embedding",
+                               "nCentroids": 3, "nRounds": 2},
+                    "outputKey": "centroids",
+                },
+                {
+                    "command": "dedup",
+                    "input": {"ref": src, "onDisk": True},
+                    "index": {"ref": "centroids", "onDisk": False},
+                    "params": {"method": "semantic", "idColumn": "vec_id",
+                               "vecColumn": "embedding",
+                               "threshold": 0.999},
+                    "outputKey": "deduped",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        cents = engine.registry["centroids"].collect()
+        assert len(cents) == 3 and {"centroid_id", "centroid", "n_members"} <= set(
+            engine.registry["centroids"].columns
+        )
+        dd = engine.registry["deduped"].collect()
+        assert len(dd) == 30
+        assert {r["centroid_id"] for r in dd} <= {0, 1, 2}
+
+    def test_semantic_plan_rejects_bad_centroid_frame(self, spark, tmp_path):
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "emb2.parquet")
+        self._df(spark).write.parquet(src)
+        plan = {
+            "commands": [
+                {
+                    "command": "dedup",
+                    "input": {"ref": src, "onDisk": True},
+                    "index": {"ref": src, "onDisk": True},
+                    "params": {"method": "semantic", "idColumn": "vec_id",
+                               "vecColumn": "embedding"},
+                    "outputKey": "x",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        with pytest.raises(
+            ValueError, match="centroid_id/centroid columns"
+        ):
+            engine.run(str(p))
+

@@ -397,6 +397,52 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on a TRAINED clustering, silhouette-gated (the full
+    Abbas-2023 shape): engine-exact spherical k-means
+    (similarity.kmeans_centroids_exact, 8 centroids x 2 fixed
+    integer-mean rounds) -> within-cluster cosine prune at 0.35
+    (dedup.semantic_dedup with the trained centroids) -> per-cluster
+    simplified silhouette (similarity.cluster_silhouette) gating the
+    prune: a duplicate verdict inside a badly-separated cluster
+    (mean_silhouette < 0.15) is NOT trusted — keep wins. Output per
+    vector: (vec_id, centroid_id, keep_raw, mean_silhouette, keep).
+    The oracle replays the deterministic kmeans rounds end to end."""
+    from topnotch_spark.operators.dedup import semantic_dedup
+    from topnotch_spark.operators.similarity import (
+        cluster_silhouette,
+        kmeans_centroids_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_centroids_exact(
+        emb, "vec_id", "embedding", n_centroids=8, n_rounds=2
+    )
+    # driver-literal-backed k x dim frame: cache so the dedup and
+    # silhouette branches don't re-trigger its (tiny) lineage
+    cents = cents.cache()
+    dd = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, centroids=cents
+    )
+    sil = cluster_silhouette(emb, "vec_id", "embedding", centroids=cents)
+    return (
+        dd.join(
+            sil.select("centroid_id", "mean_silhouette"),
+            "centroid_id",
+            "left",
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            "centroid_id",
+            F.col("keep").alias("keep_raw"),
+            "mean_silhouette",
+            (F.col("keep") | (F.col("mean_silhouette") < 0.15)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-N / snapshot-N+1 ingestion: even doc_ids form the already-
     accepted corpus (index of content hashes only), odd doc_ids arrive as
@@ -3749,6 +3795,7 @@ ALL = {
     "dedup_incremental": dedup_incremental,
     "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_semantic": dedup_semantic,
+    "dedup_semantic_trained": dedup_semantic_trained,
     "drift_chi2_priority": drift_chi2_priority,
     "drift_orders_totalprice": drift_orders_totalprice,
     "embedding_norm_outliers": embedding_norm_outliers,

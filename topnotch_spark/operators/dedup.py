@@ -935,6 +935,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.9,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding space, then prune
@@ -944,10 +945,13 @@ def semantic_dedup(
     (id, centroid_id, keep) where keep=false iff a lower-id member of
     the SAME cluster has rounded cosine >= ``threshold``.
 
-    Centroids are the ``n_clusters`` lowest-id vectors — deterministic,
-    no RNG, reproducible by any engine (same scheme as
-    similarity.ivf_topk's seeded index; swap in kmeans_centroids output
-    for a trained clustering with the identical downstream path).
+    Default centroids are the ``n_clusters`` lowest-id vectors —
+    deterministic, no RNG, reproducible by any engine (same scheme as
+    similarity.ivf_topk's seeded index). Pass ``centroids`` (any frame
+    with centroid_id, centroid columns — e.g.
+    similarity.kmeans_centroids_exact output) for a TRAINED clustering
+    with the identical downstream path (the cluster_silhouette
+    convention).
 
     Execution shape (100 TB): assignment is a broadcast cross join
     against ``n_clusters`` rows + one per-id window (exactly
@@ -961,16 +965,21 @@ def semantic_dedup(
 
     from topnotch_spark.functions.vectors import cosine, dot, norm
 
-    cents = (
-        df.orderBy(id_col)
-        .limit(n_clusters)
-        .select(
-            # the seed vector's own id IS the cluster id (same scheme as
-            # similarity.ivf_topk) — no global row_number window needed
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("__cvec__"),
+    if centroids is None:
+        cents = (
+            df.orderBy(id_col)
+            .limit(n_clusters)
+            .select(
+                # the seed vector's own id IS the cluster id (same scheme
+                # as similarity.ivf_topk) — no global row_number window
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("__cvec__"),
+            )
         )
-    )
+    else:
+        cents = centroids.select(
+            "centroid_id", F.col("centroid").alias("__cvec__")
+        )
     scored = (
         df.select(
             F.col(id_col).alias("id"),

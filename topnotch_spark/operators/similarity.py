@@ -606,6 +606,130 @@ def kmeans_centroids(
     return centroids, assignments.select("id", "centroid_id")
 
 
+def kmeans_centroids_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_rounds: int = 3,
+) -> tuple:
+    """ENGINE-EXACT spherical k-means — the oracle-replayable upgrade of
+    :func:`kmeans_centroids` for trained-index paths that must be
+    bit-reproducible on any engine (SemDeDup with trained clusters,
+    graded IVF indexes). Two changes buy exactness:
+
+    - fixed ``n_rounds`` (no convergence probe), so a replay runs the
+      identical number of assignment/update rounds;
+    - all cross-partition arithmetic is fixed-point: assignment ranks on
+      ``round(cos·10⁶)`` BIGINTs (centroid-id tiebreak), and the mean
+      recompute sums micro-unit longs — an order-independent integer
+      sum, unlike :func:`kmeans_centroids`'s double partial sums whose
+      accumulation order can move a component by an ulp between cluster
+      layouts. The new component is round-half-away-from-zero
+      ``(2|s| + n) // 2n`` in pure integers (no decimal-tie knife edge)
+      divided by 10⁶ — the same IEEE double on every engine.
+
+    Returns ``(centroids, assignments)``: centroids (centroid_id,
+    centroid: array<double>, n_members), assignments (id, centroid_id)
+    under the FINAL centroids (one extra assignment pass, so the pair
+    is self-consistent). Init = the ``n_centroids`` lowest-id vectors,
+    centroid_id = 0-based seed rank; empty clusters keep their previous
+    centroid.
+
+    Execution shape (100 TB): per round one broadcast cross join
+    against ``n_centroids`` rows + one per-id window (the ivf_topk
+    assign shape) and one posexplode → map-side-combined
+    groupBy(centroid, dim). The ONLY driver data is the k × dim
+    integer mean matrix (bounded by definition — the broadcast-literal
+    convention of kmeans_centroids)."""
+    from topnotch_spark.functions.vectors import cosine as _cos
+
+    if n_centroids < 1:
+        raise ValueError(
+            f"kmeans_centroids_exact: n_centroids must be >= 1"
+        )
+    if n_rounds < 1:
+        raise ValueError(f"kmeans_centroids_exact: n_rounds must be >= 1")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = base.orderBy("id").limit(n_centroids).collect()
+    cents = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)
+    ]
+
+    def assign(cent_list):
+        cdf = spark.createDataFrame(
+            cent_list, "centroid_id int, cvec array<double>"
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("__ccm__").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            base.crossJoin(F.broadcast(cdf))
+            .select(
+                "id",
+                "v",
+                "centroid_id",
+                F.round(_cos(F.col("v"), F.col("cvec")) * F.lit(1e6), 0)
+                .cast("long")
+                .alias("__ccm__"),
+            )
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("id", "v", "centroid_id")
+        )
+
+    def mean_micro(s: int, n: int) -> int:
+        return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+
+    for _ in range(n_rounds):
+        per_dim = (
+            assign(cents)
+            .select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val") * F.lit(1e6), 0).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in per_dim:
+            sums.setdefault(r["centroid_id"], {})[r["pos"]] = r["s"]
+            counts[r["centroid_id"]] = r["n"]
+        cents = [
+            (
+                cid,
+                [
+                    mean_micro(sums[cid][p], counts[cid]) / 1e6
+                    for p in sorted(sums[cid])
+                ]
+                if cid in sums
+                else vec,  # empty cluster keeps its previous centroid
+            )
+            for cid, vec in cents
+        ]
+    assignments = assign(cents)
+    cdf = spark.createDataFrame(
+        cents, "centroid_id int, centroid array<double>"
+    )
+    members = assignments.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    centroids = cdf.join(members, "centroid_id", "left").select(
+        "centroid_id",
+        "centroid",
+        F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+    )
+    return centroids, assignments.select("id", "centroid_id")
+
+
 def embedding_norm_outliers(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -592,6 +592,123 @@ def semantic_dedup_sql(
     """
 
 
+def semantic_dedup_trained_sql(
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_rounds: int = 2,
+    threshold: float = 0.35,
+    gate: float = 0.15,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.dedup_semantic_trained: replay the
+    ENGINE-EXACT kmeans rounds (micro-int cosine assignment ranks,
+    order-independent BIGINT mean sums, half-away-from-zero integer
+    division, component = mean_micro / 10⁶), then the semantic_dedup
+    prune and the silhouette gate against the trained centroids.
+    Every cross-engine comparison is on integers or on identical IEEE
+    doubles built from integers — no double partial-sum ordering
+    anywhere (similarity.kmeans_centroids_exact's contract)."""
+    ccm = f"CAST(round({cosine('b.v', 'c.cvec', dim)} * 1000000) AS BIGINT)"
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = f"c{r - 1}"
+        rounds.append(f"""
+        a{r} AS (
+          SELECT id, v, centroid_id FROM (
+            SELECT b.id, b.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {ccm} DESC, c.centroid_id ASC) AS rn
+            FROM base b CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        ),
+        m{r} AS (
+          SELECT centroid_id, i AS pos,
+                 CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT))
+                   AS BIGINT) AS s,
+                 count(*) AS n
+          FROM a{r}, generate_series(1, {dim}) AS g(i)
+          GROUP BY centroid_id, i
+        ),
+        n{r} AS (
+          SELECT centroid_id, list(comp ORDER BY pos) AS cvec FROM (
+            SELECT centroid_id, pos,
+                   (CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                         ELSE -(((-2 * s) + n) // (2 * n)) END)
+                     / 1000000.0 AS comp
+            FROM m{r}
+          ) GROUP BY centroid_id
+        ),
+        c{r} AS (
+          SELECT c.centroid_id, coalesce(n.cvec, c.cvec) AS cvec
+          FROM {prev} c LEFT JOIN n{r} n USING (centroid_id)
+        )""")
+    last = f"c{n_rounds}"
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)
+                   AS centroid_id,
+                 v AS cvec
+          FROM (SELECT id, v FROM base ORDER BY id LIMIT {n_centroids})
+        ),
+        {",".join(rounds)},
+        scored AS (
+          SELECT b.id, b.v, c.centroid_id,
+                 {cosine('b.v', 'c.cvec', dim)} AS cc
+          FROM base b CROSS JOIN {last} c
+        ),
+        members AS (
+          SELECT id, v, centroid_id FROM (
+            SELECT id, v, centroid_id,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY cc DESC, centroid_id ASC
+                   ) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ),
+        dominated AS (
+          SELECT DISTINCT b.id AS dom
+          FROM members a JOIN members b USING (centroid_id)
+          WHERE a.id < b.id
+            AND round({cosine('a.v', 'b.v', dim)}, {round_digits})
+                  >= {threshold}
+        ),
+        ranked AS (
+          SELECT id, centroid_id, cc,
+                 row_number() OVER (
+                   PARTITION BY id ORDER BY cc DESC, centroid_id ASC
+                 ) AS rn
+          FROM scored
+        ),
+        per_vec AS (
+          SELECT f.centroid_id AS own,
+                 CAST(round(CASE WHEN (1.0 - s.cc) <= 0 THEN 0.0
+                      ELSE (f.cc - s.cc) / (1.0 - s.cc) END * 1000000)
+                   AS BIGINT) AS sm
+          FROM (SELECT id, centroid_id, cc FROM ranked WHERE rn = 1) f
+          JOIN (SELECT id, cc FROM ranked WHERE rn = 2) s USING (id)
+        ),
+        sil AS (
+          SELECT own AS centroid_id,
+                 round(CAST(sum(sm) AS DOUBLE) / (count(*) * 1000000.0),
+                       {round_digits}) AS mean_silhouette
+          FROM per_vec GROUP BY own
+        )
+        SELECT m.id AS vec_id, m.centroid_id,
+               (d.dom IS NULL) AS keep_raw,
+               sil.mean_silhouette,
+               ((d.dom IS NULL) OR sil.mean_silhouette < {gate}) AS keep
+        FROM members m
+        LEFT JOIN dominated d ON m.id = d.dom
+        LEFT JOIN sil USING (centroid_id)
+    """
+
+
 def similarity_topk_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, round_digits: int = 6
 ) -> str:

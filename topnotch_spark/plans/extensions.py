@@ -136,6 +136,21 @@ class DedupCmd(Command):
         from topnotch_spark.operators import dedup as D
 
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.method == "semantic" and self.index is not None:
+            # trained-clustering SemDeDup: the optional "index" input is
+            # a (centroid_id, centroid) frame — e.g. a similarity
+            # method "kmeans" output read back from the registry
+            cents = load_input(engine.spark, self.index, engine.registry)
+            if not {"centroid_id", "centroid"} <= set(cents.columns):
+                raise ValueError(
+                    'dedup: method "semantic" index input must carry '
+                    "centroid_id/centroid columns (a trained centroids "
+                    "frame, e.g. similarity method 'kmeans' output)"
+                )
+            return D.semantic_dedup(
+                df, self.id_column, self.value_column,
+                centroids=cents, **self.options,
+            )
         if self.method == "incremental":
             if self.index is None:
                 raise ValueError(
@@ -492,7 +507,7 @@ class SimilarityCmd(Command):
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
         "quantizeRecall", "mmr", "pqRecall", "kcenter", "ivfpqRecall",
-        "dimStats",
+        "dimStats", "kmeans",
     )
 
     @classmethod
@@ -502,7 +517,7 @@ class SimilarityCmd(Command):
         if (
             p["method"] not in ("labelAgreement", "silhouette",
                                 "quantizeRecall", "pqRecall", "kcenter",
-                                "ivfpqRecall", "dimStats")
+                                "ivfpqRecall", "dimStats", "kmeans")
             and "queries" not in obj
         ):
             raise ValueError(
@@ -521,7 +536,7 @@ class SimilarityCmd(Command):
             options=_opt(
                 p, "k", "nPlanes", "dim", "roundDigits", "labelColumn",
                 "minAgree", "nCentroids", "nQueries", "nCandidates",
-                "lambdaMilli", "m", "nCodes", "nProbe",
+                "lambdaMilli", "m", "nCodes", "nProbe", "nRounds",
             ),
             **cls._common(obj),
         )
@@ -573,6 +588,19 @@ class SimilarityCmd(Command):
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,
             )
+        if self.method == "kmeans":
+            opts = dict(self.options)
+            bad = sorted(set(opts) - {"n_centroids", "n_rounds"})
+            if bad:
+                raise ValueError(
+                    "similarity method 'kmeans' does not accept "
+                    f"option(s) {bad}; supported: nCentroids, nRounds"
+                )
+            cents, _ = S.kmeans_centroids_exact(
+                corpus, id_col=self.id_column, vec_col=self.vec_column,
+                **opts,
+            )
+            return cents
         if self.method == "kcenter":
             opts = dict(self.options)
             bad = sorted(set(opts) - {"k", "dim"})
