@@ -214,6 +214,9 @@ def oracle_sql() -> dict[str, str]:
             vocab_size=48, n_rounds=2,
         ),
         "bpe_segment_docs": oracles.bpe_segment_sql(n_merges=8),
+        "dedup_spans_rewrite": oracles.rewrite_duplicate_spans_sql(
+            span_tokens=20, min_occurrences=2
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

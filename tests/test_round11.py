@@ -371,6 +371,149 @@ class TestBpeSegment:
 
 
 # ---------------------------------------------------------------------------
+# Span-rewrite dedup (dedup.rewrite_duplicate_spans, Lee 2022 cut/keep-first)
+# ---------------------------------------------------------------------------
+
+
+def _spans_rewrite_py(
+    docs: dict[int, str], k: int, min_occ: int
+) -> dict[int, tuple[int, int, int, str]]:
+    """Pure-Python replay: window extraction, keep-first per span over
+    global (id, pos) order, range union, token cut."""
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(max(len(ts) - k + 1, 0)):
+            occ.setdefault(" ".join(ts[p:p + k]), []).append((i, p))
+    cut: dict[int, set[int]] = {i: set() for i in toks}
+    for span, places in occ.items():
+        if len(places) < min_occ:
+            continue
+        for i, p in sorted(places)[1:]:  # keep-first
+            cut[i].update(range(p, p + k))
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for p, t in enumerate(ts) if p not in cut[i]]
+        out[i] = (len(ts), len(ts) - len(kept), len(kept), " ".join(kept))
+    return out
+
+
+class TestSpansRewrite:
+    DOCS = {
+        1: "alpha beta gamma delta unique one",
+        2: "prefix alpha beta gamma delta suffix",
+        3: "alpha beta gamma delta",
+        4: "totally different text here",
+        5: "x alpha beta gamma delta y alpha beta gamma delta z",
+        6: "",
+    }
+
+    def test_matches_python_replay(self, spark):
+        from topnotch_spark.operators.dedup import (
+            dedup_scope,
+            rewrite_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            list(self.DOCS.items()), ["doc_id", "text"]
+        )
+        with dedup_scope():
+            got = {
+                r["id"]: (
+                    r["n_tokens_in"], r["n_tokens_cut"],
+                    r["n_tokens_out"], r["text_rewritten"],
+                )
+                for r in rewrite_duplicate_spans(
+                    df, "doc_id", "text", span_tokens=4, min_occurrences=2
+                ).collect()
+            }
+        assert got == _spans_rewrite_py(self.DOCS, 4, 2)
+
+    def test_conservation_on_corpus(self, spark):
+        """tokens_out = tokens_in − cut spans, corpus-wide, at the
+        catalog's own parameters on real testdata."""
+        from pyspark.sql import functions as F  # noqa: F811
+        from topnotch_spark.operators.dedup import (
+            dedup_scope,
+            rewrite_duplicate_spans,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        with dedup_scope():
+            out = rewrite_duplicate_spans(
+                docs, "doc_id", "text", span_tokens=20, min_occurrences=2
+            )
+            rows = out.withColumn(
+                "rebuilt_tokens",
+                F.size(F.filter(F.split("text_rewritten", " "),
+                                lambda t: t != F.lit(""))),
+            ).collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert r["n_tokens_out"] == r["n_tokens_in"] - r["n_tokens_cut"]
+            # the rewritten text really contains n_tokens_out tokens
+            assert r["rebuilt_tokens"] == r["n_tokens_out"]
+
+    def test_first_occurrence_survives(self, spark):
+        from topnotch_spark.operators.dedup import (
+            dedup_scope,
+            rewrite_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            list(self.DOCS.items()), ["doc_id", "text"]
+        )
+        with dedup_scope():
+            got = {
+                r["id"]: r["text_rewritten"]
+                for r in rewrite_duplicate_spans(
+                    df, "doc_id", "text", span_tokens=4, min_occurrences=2
+                ).collect()
+            }
+        assert got[1] == self.DOCS[1]  # first occurrence keeps its text
+        assert "alpha" not in got[2] and got[2] == "prefix suffix"
+        assert got[3] == ""            # fully duplicated doc empties
+        assert got[5] == "x y z"       # both later occurrences cut
+        assert got[6] == ""            # empty doc survives as empty
+
+    def test_spans_rewrite_plan_method(self, spark, tmp_path):
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "docs_sr.parquet")
+        spark.createDataFrame(
+            list(self.DOCS.items()), ["doc_id", "text"]
+        ).write.parquet(src)
+        plan = {
+            "commands": [
+                {
+                    "command": "dedup",
+                    "input": {"ref": src, "onDisk": True},
+                    "params": {"method": "spansRewrite",
+                               "idColumn": "doc_id",
+                               "textColumn": "text",
+                               "spanTokens": 4, "minOccurrences": 2},
+                    "outputKey": "rewritten",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        rows = engine.registry["rewritten"].collect()
+        assert len(rows) == len(self.DOCS)
+        assert all(
+            r["n_tokens_out"] == r["n_tokens_in"] - r["n_tokens_cut"]
+            for r in rows
+        )
+
+
+# ---------------------------------------------------------------------------
 # Trained-clustering SemDeDup path (kmeans_centroids_exact -> semantic_dedup)
 # ---------------------------------------------------------------------------
 

@@ -523,6 +523,21 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut/keep-first span rewriter (dedup.rewrite_duplicate_spans —
+    the action step of Lee et al. ACL 2022's ExactSubstr dedup):
+    every 20-token window occurring 2+ times keeps only its
+    globally-first occurrence; all other occurrences' token ranges are
+    cut and the surviving corpus is emitted per doc with conservation
+    counters (n_tokens_out = n_tokens_in - n_tokens_cut)."""
+    from topnotch_spark.operators.dedup import rewrite_duplicate_spans
+
+    return rewrite_duplicate_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        span_tokens=20, min_occurrences=2,
+    ).withColumnRenamed("id", "doc_id")
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full production dedup flow: near-dup pairs → connected
     components → keep the highest-quality doc per cluster."""
@@ -3732,6 +3747,7 @@ ALL = {
     "dedup_clusters": dedup_clusters,
     "dedup_containment": dedup_containment,
     "dedup_duplicate_spans": dedup_duplicate_spans,
+    "dedup_spans_rewrite": dedup_spans_rewrite,
     "dedup_keep_best": dedup_keep_best,
     "dedup_lines_footer": dedup_lines_footer,
     "dedup_minhash_recall": dedup_minhash_recall,

@@ -928,6 +928,122 @@ def duplicate_spans(
     )
 
 
+def rewrite_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The CUT/KEEP-FIRST rewriter that makes :func:`duplicate_spans`'
+    finding actionable — the dedup step of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022, §4.1
+    ExactSubstr): for every ``span_tokens``-token window occurring
+    ``min_occurrences``+ times corpus-wide, the GLOBALLY-FIRST
+    occurrence (lowest (id, pos)) keeps its text and every other
+    occurrence's token range is cut; overlapping cut ranges within a
+    document union. Emits one row per document:
+    (id, n_tokens_in, n_tokens_cut, n_tokens_out, text_rewritten) —
+    the rewritten text is the surviving tokens of the NORMALIZED stream
+    (lowercased, single-spaced: the token space the spans are defined
+    over, which is what the paper rewrites too), '' when everything was
+    cut, and conservation n_tokens_out = n_tokens_in − n_tokens_cut
+    holds by construction (property-tested).
+
+    Execution shape (100 TB): the corpus tokenizes ONCE into a
+    persisted (id, token array) frame feeding the span windows, the
+    position explode, and the per-doc totals; duplicate detection is
+    the duplicate_spans shape (groupBy(span_key) + join-back, AQE skew
+    split on viral spans); the keep-first rank is one window over the
+    DUPLICATED subset only; cut positions explode ×span_tokens over
+    that same small subset; the final cut is one corpus-tokens →
+    cut-positions anti join on (id, pos) and one per-doc
+    sort-and-rejoin (bounded by document length, the same bound as the
+    input text column). No driver data, no Python in the loop."""
+    if span_tokens < 1:
+        raise ValueError(
+            f"rewrite_duplicate_spans: span_tokens must be >= 1"
+        )
+    from pyspark.sql import Window
+
+    ta = _persist(
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t__"))
+    )
+    spans = _persist(
+        ta.select(
+            "id",
+            F.posexplode(
+                # CASE guard because Spark's sequence(1, 0) DESCENDS
+                # ([1, 0]) instead of being empty like DuckDB's
+                # generate_series — a short doc must yield no windows
+                F.expr(
+                    f"CASE WHEN size(__t__) >= {span_tokens} THEN "
+                    f"transform(sequence(1, size(__t__) - "
+                    f"{span_tokens} + 1), "
+                    f"i -> array_join(slice(__t__, i, {span_tokens}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("pos", "span"),
+        ).select("id", "pos", F.md5("span").alias("span_key"))
+    )
+    dup_occ = spans.join(
+        spans.groupBy("span_key")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= min_occurrences)
+        .select("span_key"),
+        "span_key",
+    )
+    wk = Window.partitionBy("span_key").orderBy(
+        F.col("id").asc(), F.col("pos").asc()
+    )
+    cuts = (
+        dup_occ.withColumn("__rn__", F.row_number().over(wk))
+        .filter(F.col("__rn__") > 1)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.lit(span_tokens - 1)
+                )
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = (
+        ta.select("id", F.posexplode("__t__").alias("tpos", "tok"))
+        .join(cuts, ["id", "tpos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__nout__"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tpos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("__text__"),
+        )
+    )
+    return (
+        ta.select("id", F.size("__t__").cast("long").alias("n_tokens_in"))
+        .join(kept, "id", "left")
+        .select(
+            "id",
+            "n_tokens_in",
+            (
+                F.col("n_tokens_in")
+                - F.coalesce("__nout__", F.lit(0).cast("long"))
+            ).alias("n_tokens_cut"),
+            F.coalesce("__nout__", F.lit(0).cast("long")).alias(
+                "n_tokens_out"
+            ),
+            F.coalesce("__text__", F.lit("")).alias("text_rewritten"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

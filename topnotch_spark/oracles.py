@@ -4397,6 +4397,71 @@ def duplicate_spans_sql(span_tokens: int = 20, min_occurrences: int = 2) -> str:
     """
 
 
+def rewrite_duplicate_spans_sql(
+    span_tokens: int = 20, min_occurrences: int = 2
+) -> str:
+    """Mirror of dedup.rewrite_duplicate_spans: the duplicate_spans_sql
+    occurrence CTEs, a keep-first rank per span_key over (doc, pos),
+    cut ranges exploded to token positions, anti-joined against the
+    position-indexed token stream, and the survivors re-joined in
+    order. Same 0-based positions, same normalized token space."""
+    return f"""
+        {_DOC_BASE},
+        sp AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(__t__) - {span_tokens} + 1, 0)),
+                   i -> array_to_string(__t__[i:i+{span_tokens}-1], ' ')
+                 ) AS spans
+          FROM toked
+        ),
+        occur AS (
+          SELECT doc_id, u.pos - 1 AS pos, md5(u.s) AS span_key
+          FROM sp, LATERAL (
+            SELECT generate_subscripts(spans, 1) AS pos, unnest(spans) AS s
+          ) u
+        ),
+        dup_occ AS (
+          SELECT doc_id, pos, span_key,
+                 row_number() OVER (
+                   PARTITION BY span_key ORDER BY doc_id ASC, pos ASC
+                 ) AS rn
+          FROM occur
+          WHERE span_key IN (
+            SELECT span_key FROM occur
+            GROUP BY span_key HAVING count(*) >= {min_occurrences}
+          )
+        ),
+        cutpos AS (
+          SELECT DISTINCT doc_id, pos + i AS tpos
+          FROM dup_occ, generate_series(0, {span_tokens - 1}) AS g(i)
+          WHERE rn > 1
+        ),
+        tok AS (
+          SELECT doc_id, u.tpos - 1 AS tpos, u.tok
+          FROM toked, LATERAL (
+            SELECT generate_subscripts(__t__, 1) AS tpos, unnest(__t__) AS tok
+          ) u
+        ),
+        kept AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS nout,
+                 string_agg(t.tok, ' ' ORDER BY t.tpos) AS text_out
+          FROM tok t
+          LEFT JOIN cutpos c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+          WHERE c.doc_id IS NULL
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.__t__) AS BIGINT) AS n_tokens_in,
+               CAST(len(d.__t__) - coalesce(k.nout, 0) AS BIGINT)
+                 AS n_tokens_cut,
+               coalesce(k.nout, 0) AS n_tokens_out,
+               coalesce(k.text_out, '') AS text_rewritten
+        FROM toked d LEFT JOIN kept k USING (doc_id)
+    """
+
+
 def text_bigram_logprob_sql(k: float = 1.0, round_digits: int = 4) -> str:
     """Mirror of textqc.bigram_logprob: bigrams from the token list
     (1-based adjacent joins — identical strings to the Spark regex

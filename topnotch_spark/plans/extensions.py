@@ -99,8 +99,8 @@ class DedupCmd(Command):
     METHODS = (
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
-        "fuzzy", "phash", "audio", "video", "incremental", "sourceMatrix",
-        "minhashRecall", "phashRecall",
+        "spansRewrite", "fuzzy", "phash", "audio", "video", "incremental",
+        "sourceMatrix", "minhashRecall", "phashRecall",
     )
 
     @classmethod
@@ -179,6 +179,7 @@ class DedupCmd(Command):
             "clusters": self._clusters,
             "lines": self._lines,
             "spans": D.duplicate_spans,
+            "spansRewrite": D.rewrite_duplicate_spans,
             "fuzzy": self._fuzzy,
             "phash": self._phash,
             "audio": self._audio,
