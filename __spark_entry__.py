@@ -217,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans_rewrite": oracles.rewrite_duplicate_spans_sql(
             span_tokens=20, min_occurrences=2
         ),
+        "dedup_index_compaction": oracles.dedup_index_compaction_sql(),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

@@ -514,6 +514,132 @@ class TestSpansRewrite:
 
 
 # ---------------------------------------------------------------------------
+# Incremental-dedup index compaction (dedup.upsert_dedup_index)
+# ---------------------------------------------------------------------------
+
+
+class TestIndexCompaction:
+    def test_three_sequential_batches_stable_index(self, spark, tmp_path):
+        """Drive 3 ingestion rounds through the on-disk bucketed index:
+        content is stable (matches the in-memory fold), replays are
+        idempotent, and the index never grows past distinct-content
+        size."""
+        import os
+
+        from topnotch_spark.operators.dedup import (
+            dedup_against_index,
+            dedup_scope,
+            upsert_dedup_index,
+        )
+
+        idx_path = str(tmp_path / "dedup_index")
+        texts = {i: f"content {i % 7}" for i in range(21)}  # 7 distinct
+        batches = [
+            spark.createDataFrame(
+                [(i, texts[i]) for i in range(r * 7, (r + 1) * 7)],
+                ["doc_id", "text"],
+            )
+            for r in range(3)
+        ]
+        with dedup_scope():
+            # round 0 creates the index from its own accepted rows
+            from pyspark.sql import functions as F  # noqa: F811
+
+            first = batches[0].select(
+                F.md5(F.coalesce("text", F.lit(""))).alias("dup_key"),
+                F.col("doc_id").alias("index_id"),
+            )
+            stats0 = upsert_dedup_index(spark, idx_path, first).collect()[0]
+            assert stats0["n_entries_written"] == 7
+            for b in batches[1:]:
+                index = spark.read.parquet(idx_path).select(
+                    "dup_key", "index_id"
+                )
+                accepted = (
+                    dedup_against_index(b, index, "doc_id", "text")
+                    .filter("keep")
+                    .select("dup_key", F.col("doc_id").alias("index_id"))
+                )
+                upsert_dedup_index(spark, idx_path, accepted).collect()
+        final = spark.read.parquet(idx_path)
+        rows = {r["dup_key"]: r["index_id"] for r in final.collect()}
+        # stable: all content seen in round 0, so owners are 0..6 and
+        # later rounds added NOTHING
+        assert sorted(rows.values()) == list(range(7))
+        assert final.count() == 7  # never grew past distinct content
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        """The partition-pruning contract: an upsert touching one
+        bucket must not rewrite the others' files (checked by mtime)."""
+        import glob
+        import os
+        import time
+
+        from pyspark.sql import functions as F  # noqa: F811
+        from topnotch_spark.operators.dedup import (
+            dedup_scope,
+            upsert_dedup_index,
+        )
+
+        idx_path = str(tmp_path / "bucket_index")
+        base = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(40)], ["doc_id", "text"]
+        ).select(
+            F.md5(F.coalesce("text", F.lit(""))).alias("dup_key"),
+            F.col("doc_id").alias("index_id"),
+        )
+        with dedup_scope():
+            upsert_dedup_index(spark, idx_path, base).collect()
+            before = {
+                f: os.path.getmtime(f)
+                for f in glob.glob(f"{idx_path}/bucket=*/*.parquet")
+            }
+            assert len({os.path.dirname(f) for f in before}) > 1
+            # single new entry -> exactly one bucket touched
+            one = spark.createDataFrame(
+                [(999, "a brand new document")], ["doc_id", "text"]
+            ).select(
+                F.md5(F.coalesce("text", F.lit(""))).alias("dup_key"),
+                F.col("doc_id").alias("index_id"),
+            )
+            time.sleep(1.1)  # mtime granularity
+            stats = upsert_dedup_index(spark, idx_path, one).collect()[0]
+        assert stats["n_buckets_touched"] == 1
+        touched_dirs = set()
+        for f, m in before.items():
+            if not os.path.exists(f) or os.path.getmtime(f) != m:
+                touched_dirs.add(os.path.dirname(f))
+        # at most the one bucket the new key hashes into changed
+        assert len(touched_dirs) <= 1
+        # and the new entry is readable alongside the old ones
+        assert spark.read.parquet(idx_path).count() == 41
+
+    def test_empty_batch_noop(self, spark, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F811
+        from topnotch_spark.operators.dedup import (
+            dedup_scope,
+            upsert_dedup_index,
+        )
+
+        idx_path = str(tmp_path / "noop_index")
+        base = spark.createDataFrame(
+            [(1, "something")], ["doc_id", "text"]
+        ).select(
+            F.md5(F.coalesce("text", F.lit(""))).alias("dup_key"),
+            F.col("doc_id").alias("index_id"),
+        )
+        empty = base.filter("index_id < 0")
+        with dedup_scope():
+            upsert_dedup_index(spark, idx_path, base).collect()
+            stats = upsert_dedup_index(spark, idx_path, empty).collect()[0]
+        assert (stats["n_buckets_touched"], stats["n_entries_written"]) == (
+            0,
+            0,
+        )
+        assert spark.read.parquet(idx_path).count() == 1
+
+
+# ---------------------------------------------------------------------------
 # Trained-clustering SemDeDup path (kmeans_centroids_exact -> semantic_dedup)
 # ---------------------------------------------------------------------------
 

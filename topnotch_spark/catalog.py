@@ -461,6 +461,35 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three sequential ingestion rounds folded through the incremental
+    dedup path (dedup.build_dedup_index + dedup_against_index, the
+    upsert_dedup_index merge rule): documents arrive as doc_id % 3
+    batches; each round dedups against the index-so-far and the
+    accepted rows upsert in. The final index is emitted — per content
+    key, the owner is the lowest id of the EARLIEST round containing
+    the key (not the global min id), which is exactly what the
+    round-ordered oracle replays."""
+    from topnotch_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_dedup_index(
+        docs.filter("doc_id % 3 = 0"), "doc_id", "text"
+    )
+    for r in (1, 2):
+        batch = docs.filter(f"doc_id % 3 = {r}")
+        accepted = (
+            dedup_against_index(batch, index, "doc_id", "text")
+            .filter("keep")
+            .select("dup_key", F.col("doc_id").alias("index_id"))
+        )
+        index = index.unionByName(accepted)
+    return index
+
+
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom seen-set over the even-doc_id half's content, probed by ALL
     documents: (doc_id, bloom_hit, exact_hit). bloom_hit && !exact_hit
@@ -3809,6 +3838,7 @@ ALL = {
     "asof_nearest_click": asof_nearest_click,
     "bloom_membership": bloom_membership,
     "dedup_incremental": dedup_incremental,
+    "dedup_index_compaction": dedup_index_compaction,
     "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,

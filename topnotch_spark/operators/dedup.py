@@ -1168,6 +1168,93 @@ def build_dedup_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def upsert_dedup_index(
+    spark,
+    index_path: str,
+    new_entries: DataFrame,
+) -> DataFrame:
+    """Partition-pruned UPSERT of accepted batch entries into an
+    ON-DISK dedup index — the compaction step that keeps repeated
+    ingestion rounds from re-scanning (or rewriting) the whole index.
+    ``new_entries`` is a (dup_key, index_id) frame — typically
+    ``dedup_against_index(...).filter("keep")`` renamed — and the index
+    at ``index_path`` is parquet partitioned by ``bucket`` =
+    the first two hex chars of dup_key (256 md5-uniform buckets).
+
+    Per upsert, ONLY the buckets the new entries touch are read
+    (partition pruning on the bucket filter — at 100 TB a small batch
+    touches a few hundred MB of a multi-TB index, not all of it),
+    merged (min index_id per key — idempotent, so replaying a batch is
+    safe), and rewritten via dynamic partition overwrite; untouched
+    bucket directories are never read and never rewritten (tested by
+    file mtime). First call creates the index. Returns one row:
+    (n_buckets_touched, n_entries_written).
+
+    The bounded driver data is the touched-bucket list (≤ 256 strings).
+    Writes commit through Spark's FileOutputCommitter, so a failed
+    upsert leaves the previous index intact."""
+    entries = new_entries.select(
+        "dup_key",
+        "index_id",
+        F.substring("dup_key", 1, 2).alias("bucket"),
+    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        merged = entries.groupBy("bucket", "dup_key").agg(
+            F.min("index_id").alias("index_id")
+        )
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
+            index_path
+        )
+        written = spark.read.parquet(index_path)
+        return written.agg(
+            F.count_distinct("bucket").alias("n_buckets_touched"),
+            F.count(F.lit(1)).alias("n_entries_written"),
+        )
+    buckets = [
+        r["bucket"] for r in entries.select("bucket").distinct().collect()
+    ]
+    if not buckets:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_buckets_touched"),
+            F.lit(0).cast("long").alias("n_entries_written"),
+        )
+    old = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(buckets)
+    )
+    merged = _persist(
+        old.select("bucket", "dup_key", "index_id")
+        .unionByName(entries)
+        .groupBy("bucket", "dup_key")
+        .agg(F.min("index_id").alias("index_id"))
+    )
+    # stats collected BEFORE the overwrite: the agg action materializes
+    # the persisted merge while `old`'s source files are still intact —
+    # reading `merged` after the write would race its lineage against
+    # the very partitions it replaced
+    stats = merged.agg(
+        F.count_distinct("bucket").alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
+            index_path
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    return spark.range(1).select(
+        F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
+        F.lit(stats["n"]).cast("long").alias("n_entries_written"),
+    )
+
+
 def dedup_against_index(
     batch: DataFrame, index: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

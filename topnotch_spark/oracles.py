@@ -4397,6 +4397,28 @@ def duplicate_spans_sql(span_tokens: int = 20, min_occurrences: int = 2) -> str:
     """
 
 
+def dedup_index_compaction_sql() -> str:
+    """Mirror of catalog.dedup_index_compaction: the 3-round
+    incremental fold collapses to one closed form — per content key the
+    owner is the lowest doc_id of the EARLIEST round (doc_id % 3)
+    holding the key, because each round only admits keys absent from
+    every earlier round and picks its own min-id holder."""
+    return """
+        WITH keyed AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS dup_key,
+                 doc_id % 3 AS round
+          FROM documents
+        )
+        SELECT dup_key, doc_id AS index_id FROM (
+          SELECT dup_key, doc_id,
+                 row_number() OVER (
+                   PARTITION BY dup_key ORDER BY round ASC, doc_id ASC
+                 ) AS rn
+          FROM keyed
+        ) WHERE rn = 1
+    """
+
+
 def rewrite_duplicate_spans_sql(
     span_tokens: int = 20, min_occurrences: int = 2
 ) -> str:
