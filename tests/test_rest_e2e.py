@@ -109,3 +109,87 @@ def test_rest_reader_missing_plan_fails_clearly(spark, http_server):
     base, _ = http_server
     with pytest.raises(Exception):
         TnEngine(spark).run("plans/nope.json", plan_server_url=base)
+
+
+class _FlakyHandler(_Handler):
+    """Fails the first N PUTs per path with the configured status, then
+    succeeds — the rolling-deploy hiccup the writer's retry absorbs."""
+
+    fail_first: int = 1
+    fail_status: int = 503
+    attempts: dict[str, int] = {}
+
+    def do_PUT(self):  # noqa: N802
+        n = self.attempts.get(self.path, 0)
+        self.attempts[self.path] = n + 1
+        if n < self.fail_first:
+            length = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(length)
+            self.send_response(self.fail_status)
+            self.end_headers()
+            return
+        super().do_PUT()
+
+
+@pytest.fixture()
+def flaky_server():
+    def make(fail_first: int, fail_status: int = 503):
+        _FlakyHandler.plans = {}
+        _FlakyHandler.puts = {}
+        _FlakyHandler.attempts = {}
+        _FlakyHandler.fail_first = fail_first
+        _FlakyHandler.fail_status = fail_status
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyHandler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return f"http://127.0.0.1:{srv.server_address[1]}", _FlakyHandler
+
+    yield make
+
+
+def test_rest_writer_retries_transient_5xx(flaky_server):
+    from topnotch_spark.reports.writers import RESTWriter
+
+    base, handler = flaky_server(fail_first=1, fail_status=503)
+    w = RESTWriter(f"{base}/reports/", retries=2, backoff_base_s=0.05)
+    w.add_section({"ok": True})
+    w.write_report("retryRun")  # must not raise
+    assert handler.attempts["/reports/retryRun"] == 2  # 1 failure + 1 ok
+    assert handler.puts["/reports/retryRun"] is not None
+
+
+def test_rest_writer_exhausts_retries_then_raises(flaky_server):
+    import urllib.error
+
+    from topnotch_spark.reports.writers import RESTWriter
+
+    base, handler = flaky_server(fail_first=10, fail_status=503)
+    w = RESTWriter(f"{base}/reports/", retries=2, backoff_base_s=0.05)
+    w.add_section({"ok": True})
+    with pytest.raises(urllib.error.HTTPError):
+        w.write_report("doomedRun")
+    assert handler.attempts["/reports/doomedRun"] == 3  # 1 + 2 retries
+
+
+def test_rest_writer_does_not_retry_4xx(flaky_server):
+    import urllib.error
+
+    from topnotch_spark.reports.writers import RESTWriter
+
+    base, handler = flaky_server(fail_first=10, fail_status=400)
+    w = RESTWriter(f"{base}/reports/", retries=3, backoff_base_s=0.05)
+    w.add_section({"ok": True})
+    with pytest.raises(urllib.error.HTTPError):
+        w.write_report("clientErr")
+    assert handler.attempts["/reports/clientErr"] == 1  # no retry on 4xx
+
+
+def test_rest_writer_retries_configurable_from_plan_io():
+    from topnotch_spark.reports.writers import RESTWriter, get_writer
+
+    w = get_writer(
+        {"io": {"writer": "rest", "dest": "http://x/", "retries": 5,
+                "backoffBaseS": 0.01}}
+    )
+    assert isinstance(w, RESTWriter)
+    assert w.retries == 5 and w.backoff_base_s == 0.01

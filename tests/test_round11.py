@@ -514,6 +514,52 @@ class TestSpansRewrite:
 
 
 # ---------------------------------------------------------------------------
+# Streaming state-store backend knob (SPARK_GRAFT_STATE_STORE)
+# ---------------------------------------------------------------------------
+
+
+class TestStateStoreKnob:
+    def test_rocksdb_env_sets_provider(self, spark, monkeypatch):
+        from topnotch_spark.session import get_spark
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+        s = get_spark("knob-test")
+        try:
+            assert s.conf.get(key).endswith("RocksDBStateStoreProvider")
+        finally:
+            s.conf.unset(key)
+
+    def test_invalid_value_rejected(self, monkeypatch):
+        from topnotch_spark.session import get_spark
+
+        monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "cassandra")
+        with pytest.raises(ValueError, match="hdfs.*rocksdb|rocksdb"):
+            get_spark("knob-bad")
+
+    def test_stateful_query_identical_under_rocksdb(self, spark):
+        """The provider is a storage choice, not a semantics choice:
+        the ewma stateful stream produces identical rows under both
+        backends (SCALE.md §4's measured pair)."""
+        import __spark_entry__ as entry
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        fn = entry.queries()["streaming_ewma"]
+        sf = "/root/testdata/sf0.001"
+        baseline = sorted(map(tuple, fn(spark, sf).collect()))
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            got = sorted(map(tuple, fn(spark, sf).collect()))
+        finally:
+            spark.conf.unset(key)
+        assert got == baseline
+
+
+# ---------------------------------------------------------------------------
 # Incremental-dedup index compaction (dedup.upsert_dedup_index)
 # ---------------------------------------------------------------------------
 

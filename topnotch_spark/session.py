@@ -68,6 +68,28 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # Streaming state-store backend. Default (unset) is Spark's
+    # HDFSBackedStateStoreProvider: every key lives on the executor
+    # JVM heap with a full snapshot per checkpoint — fine locally, but
+    # at 100 TB a high-cardinality stateful query (per-user sessionize /
+    # ewma / paths over billions of keys) blows executor memory.
+    # SPARK_GRAFT_STATE_STORE=rocksdb selects the RocksDB provider:
+    # state spills to local SSD with incremental changelog checkpoints,
+    # bounding heap by the RocksDB block cache instead of |state|.
+    # Measured locally at sf0.1 (SCALE.md §4): HDFS-backed wins at this
+    # scale (tiny state, no JNI overhead), so it stays the default; the
+    # knob is the documented 100x-scale escape hatch.
+    ss = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if ss == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] = "true"
+    elif ss and ss != "hdfs":
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_STORE must be 'hdfs' or 'rocksdb', got {ss!r}"
+        )
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if extra_conf:
         conf.update(extra_conf)
