@@ -165,6 +165,11 @@ BNLJ_SMALL_FRAME = {
     "similarity_ann_recall": "query frame = vec_id < 5, three indexes",
     "similarity_ivf": "query frame = vec_id < 5; centroid seeds TakeOrdered",
     "dedup_semantic": "centroid seed frame = deterministic k-row sample",
+    "dedup_semantic_trained": (
+        "centroids frame = k-row driver literal (kmeans_centroids_exact "
+        "returns a createDataFrame of the k x dim mean matrix; "
+        "ExistingRDD scan, bounded by construction)"
+    ),
     "decontaminate_embedding": "benchmark frame = bounded holdout slice",
     "retrieval_rrf_fused": (
         "dense run's query frame = 3 fixed BM25 query ids (vec_id isin)"

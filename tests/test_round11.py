@@ -364,7 +364,8 @@ class TestBpeSegment:
                     "command": "tokenize",
                     "input": {"ref": "a", "onDisk": False},
                     "vocab": {"ref": "b", "onDisk": False},
-                    "params": {"method": "wordpiece", "idColumn": "doc_id"},
+                    "params": {"method": "sentencepiece",
+                               "idColumn": "doc_id"},
                     "outputKey": "x",
                 }
             )
@@ -511,6 +512,226 @@ class TestSpansRewrite:
             r["n_tokens_out"] == r["n_tokens_in"] - r["n_tokens_cut"]
             for r in rows
         )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style tokenizer family (textqc.wordpiece_vocab / _segment)
+# ---------------------------------------------------------------------------
+
+
+def _wp_vocab_py(
+    docs: list[str], max_piece_len: int, vocab_size: int, max_word_len: int
+) -> set[str]:
+    from collections import Counter
+
+    wc = Counter(
+        w
+        for t in docs
+        for w in t.lower().split()
+        if len(w) <= max_word_len
+    )
+    cand: Counter = Counter()
+    for w, c in wc.items():
+        for p in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - p) + 1):
+                cand[w[p:p + l]] += c
+    chars = {p for p in cand if len(p) == 1}
+    multi = sorted(
+        (p for p in cand if len(p) >= 2),
+        key=lambda p: (-cand[p], p),
+    )[:vocab_size]
+    return chars | set(multi)
+
+
+def _wp_walk_py(word: str, pieces: set[str], max_piece_len: int):
+    """Greedy longest-match-first; None when stuck."""
+    pos, n = 0, 0
+    while pos < len(word):
+        step = 0
+        for l in range(min(max_piece_len, len(word) - pos), 0, -1):
+            if word[pos:pos + l] in pieces:
+                step = l
+                break
+        if step == 0:
+            return None
+        pos += step
+        n += 1
+    return n
+
+
+class TestWordpiece:
+    DOCS = ["hello hell low lower", "hello world lowly", "hell no"]
+
+    def test_segment_matches_python_replay(self, spark):
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import (
+            wordpiece_segment,
+            wordpiece_vocab,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(self.DOCS)), ["doc_id", "text"]
+        )
+        with dedup_scope():
+            v = wordpiece_vocab(
+                df, "doc_id", "text", max_piece_len=4, vocab_size=6
+            )
+            got = {
+                r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+                for r in wordpiece_segment(
+                    df, v, "doc_id", "text", max_piece_len=4
+                ).collect()
+            }
+        pieces = _wp_vocab_py(self.DOCS, 4, 6, 12)
+        for i, t in enumerate(self.DOCS):
+            words = t.lower().split()
+            subs = [_wp_walk_py(w, pieces, 4) for w in words]
+            scorable = [s for s in subs if s is not None]
+            assert got[i] == (len(scorable), sum(scorable))
+
+    def test_unseen_char_word_excluded(self, spark):
+        """A target word with a character absent from training cannot
+        walk — excluded like unigram_segment's uncoverable words."""
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import (
+            wordpiece_segment,
+            wordpiece_vocab,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "abc abd abe")], ["doc_id", "text"]
+        )
+        target = spark.createDataFrame(
+            [(10, "abc xyz"), (11, "")], ["doc_id", "text"]
+        )
+        with dedup_scope():
+            v = wordpiece_vocab(train, "doc_id", "text", vocab_size=4)
+            got = {
+                r["doc_id"]: r
+                for r in wordpiece_segment(
+                    target, v, "doc_id", "text"
+                ).collect()
+            }
+        assert got[10]["n_tokens"] == 1  # only 'abc' is walkable
+        assert got[11]["n_tokens"] == 0 and got[11]["fertility"] is None
+
+    def test_greedy_longest_match_property(self, spark):
+        """'hello' with vocab {h,e,l,o,hell} walks hell+o (2 pieces),
+        never h+e+l+l+o — the longest-match-first contract."""
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import wordpiece_segment
+
+        target = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+        vocab = spark.createDataFrame(
+            [("h",), ("e",), ("l",), ("o",), ("hell",)], ["piece"]
+        )
+        with dedup_scope():
+            row = wordpiece_segment(
+                target, vocab, "doc_id", "text"
+            ).collect()[0]
+        assert (row["n_tokens"], row["n_subwords"]) == (1, 2)
+
+    def test_wordpiece_checkpoint_dir_identical_and_cleaned(
+        self, spark, tmp_path
+    ):
+        """The walk's parquet-checkpoint path: identical results, and
+        the lmatch + round files are released on scope exit."""
+        import os
+
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import (
+            wordpiece_segment,
+            wordpiece_vocab,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(self.DOCS)), ["doc_id", "text"]
+        )
+        with dedup_scope():
+            v = wordpiece_vocab(
+                df, "doc_id", "text", max_piece_len=4, vocab_size=6
+            )
+            baseline = sorted(
+                map(
+                    tuple,
+                    wordpiece_segment(
+                        df, v, "doc_id", "text", max_piece_len=4
+                    ).collect(),
+                )
+            )
+        ckpt = tmp_path / "wp_ckpt"
+        with dedup_scope(checkpoint_dir=str(ckpt)):
+            v = wordpiece_vocab(
+                df, "doc_id", "text", max_piece_len=4, vocab_size=6
+            )
+            out = wordpiece_segment(df, v, "doc_id", "text", max_piece_len=4)
+            assert out.count() == len(baseline)  # second action below re-scans
+            got = sorted(map(tuple, out.collect()))
+        assert got == baseline
+        assert not os.path.exists(ckpt) or os.listdir(ckpt) == []
+
+    def test_wordpiece_plan_lifecycle(self, spark, tmp_path):
+        """text method wordpieceVocab trains into the registry;
+        tokenize method 'wordpiece' encodes with it."""
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "wp_docs.parquet")
+        spark.createDataFrame(
+            list(enumerate(self.DOCS)), ["doc_id", "text"]
+        ).write.parquet(src)
+        plan = {
+            "commands": [
+                {
+                    "command": "text",
+                    "input": {"ref": src, "onDisk": True},
+                    "params": {"method": "wordpieceVocab",
+                               "idColumn": "doc_id",
+                               "textColumn": "text",
+                               "maxPieceLen": 4, "vocabSize": 6},
+                    "outputKey": "wpvocab",
+                },
+                {
+                    "command": "tokenize",
+                    "input": {"ref": src, "onDisk": True},
+                    "vocab": {"ref": "wpvocab", "onDisk": False},
+                    "params": {"method": "wordpiece", "idColumn": "doc_id",
+                               "textColumn": "text", "maxPieceLen": 4},
+                    "outputKey": "wp_encoded",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        rows = {
+            r["doc_id"]: r for r in engine.registry["wp_encoded"].collect()
+        }
+        assert set(rows) == set(range(len(self.DOCS)))
+        assert all(
+            r["n_subwords"] >= r["n_tokens"] for r in rows.values()
+        )
+
+    def test_vocab_contains_all_chars_plus_topn(self, spark):
+        from topnotch_spark.operators.dedup import dedup_scope
+        from topnotch_spark.operators.textqc import wordpiece_vocab
+
+        df = spark.createDataFrame(
+            list(enumerate(self.DOCS)), ["doc_id", "text"]
+        )
+        with dedup_scope():
+            rows = wordpiece_vocab(
+                df, "doc_id", "text", max_piece_len=4, vocab_size=6
+            ).collect()
+        pieces = {r["piece"] for r in rows}
+        assert pieces == _wp_vocab_py(self.DOCS, 4, 6, 12)
+        # rank is dense 1..N in (count desc, piece asc) order
+        ranked = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in ranked] == list(range(1, len(rows) + 1))
+        counts = [r["n_occurrences"] for r in ranked]
+        assert counts == sorted(counts, reverse=True)
 
 
 # ---------------------------------------------------------------------------

@@ -418,9 +418,6 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, _ = kmeans_centroids_exact(
         emb, "vec_id", "embedding", n_centroids=8, n_rounds=2
     )
-    # driver-literal-backed k x dim frame: cache so the dedup and
-    # silhouette branches don't re-trigger its (tiny) lineage
-    cents = cents.cache()
     dd = semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.35, centroids=cents
     )
@@ -471,13 +468,18 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key (not the global min id), which is exactly what the
     round-ordered oracle replays."""
     from topnotch_spark.operators.dedup import (
+        _persist,
         build_dedup_index,
         dedup_against_index,
     )
 
     docs = load(spark, sf_dir, "documents")
-    index = build_dedup_index(
-        docs.filter("doc_id % 3 = 0"), "doc_id", "text"
+    # each round's index is persisted — the in-memory stand-in for the
+    # on-disk index upsert_dedup_index maintains in production, and
+    # what keeps round k+1 from re-deriving (re-scanning) every prior
+    # round's lineage (the scan-count plan guard)
+    index = _persist(
+        build_dedup_index(docs.filter("doc_id % 3 = 0"), "doc_id", "text")
     )
     for r in (1, 2):
         batch = docs.filter(f"doc_id % 3 = {r}")
@@ -486,7 +488,7 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("keep")
             .select("dup_key", F.col("doc_id").alias("index_id"))
         )
-        index = index.unionByName(accepted)
+        index = _persist(index.unionByName(accepted))
     return index
 
 
@@ -1098,6 +1100,28 @@ def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return unigram_segment(docs, vocab, "doc_id", "text",
                            max_piece_len=4, max_word_len=12)
+
+
+def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third tokenizer family end-to-end (textqc.wordpiece_vocab +
+    wordpiece_segment): frequency-seeded WordPiece-style vocabulary
+    (every char + top-48 substrings) applied with the greedy
+    longest-match-first walk BERT uses — per-doc n_tokens/n_subwords/
+    fertility, output-compatible with unigram_segment_docs and
+    bpe_segment_docs so the three families are drop-in comparable."""
+    from topnotch_spark.operators.textqc import (
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(
+        docs, "doc_id", "text", max_piece_len=4, vocab_size=48,
+        max_word_len=12,
+    )
+    return wordpiece_segment(
+        docs, vocab, "doc_id", "text", max_piece_len=4, max_word_len=12
+    )
 
 
 def cross_perplexity_en(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3755,6 +3779,7 @@ ALL = {
     "similarity_quantize_recall": similarity_quantize_recall,
     "unigram_segment_docs": unigram_segment_docs,
     "bpe_segment_docs": bpe_segment_docs,
+    "wordpiece_segment_docs": wordpiece_segment_docs,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,

@@ -640,8 +640,10 @@ def kmeans_centroids_exact(
     against ``n_centroids`` rows + one per-id window (the ivf_topk
     assign shape) and one posexplode → map-side-combined
     groupBy(centroid, dim). The ONLY driver data is the k × dim
-    integer mean matrix (bounded by definition — the broadcast-literal
-    convention of kmeans_centroids)."""
+    integer mean matrix plus the k member counts (bounded by definition
+    — the broadcast-literal convention of kmeans_centroids); the
+    returned centroids frame is a LocalTableScan, so downstream
+    broadcast cross joins against it are provably row-bounded."""
     from topnotch_spark.functions.vectors import cosine as _cos
 
     if n_centroids < 1:
@@ -715,17 +717,24 @@ def kmeans_centroids_exact(
             )
             for cid, vec in cents
         ]
-    assignments = assign(cents)
-    cdf = spark.createDataFrame(
-        cents, "centroid_id int, centroid array<double>"
-    )
-    members = assignments.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    centroids = cdf.join(members, "centroid_id", "left").select(
-        "centroid_id",
-        "centroid",
-        F.coalesce("n_members", F.lit(0).cast("long")).alias("n_members"),
+    # localCheckpoint: the counts collect below and the caller's use of
+    # `assignments` share one materialization instead of re-running the
+    # final assignment pass
+    assignments = assign(cents).localCheckpoint()
+    # member counts collected driver-side (k rows — the same bounded
+    # budget as the mean matrix) so the returned centroids frame is ONE
+    # LocalTableScan: every downstream broadcast cross join against it
+    # is then provably row-bounded by plan shape (the BNLJ plan guard),
+    # instead of an unbounded-looking join lineage
+    counts = {
+        r["centroid_id"]: r["n"]
+        for r in assignments.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    centroids = spark.createDataFrame(
+        [(cid, vec, int(counts.get(cid, 0))) for cid, vec in cents],
+        "centroid_id int, centroid array<double>, n_members long",
     )
     return centroids, assignments.select("id", "centroid_id")
 

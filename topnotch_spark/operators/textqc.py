@@ -2680,3 +2680,247 @@ def unigram_segment(
             ).alias("fertility"),
         )
     )
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 48,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Frequency-seeded WordPiece-style piece vocabulary — the third
+    tokenizer family next to [bpe_merge_sequence] (merge-based) and
+    [unigram_lm_vocab] (likelihood-based): every corpus CHARACTER
+    (the coverage floor real WordPiece also guarantees) plus the
+    ``vocab_size`` most frequent multi-char substrings of length
+    ≤ ``max_piece_len`` (count desc, piece asc tiebreak; counts are
+    occurrence-position counts weighted by word frequency —
+    overlap-inclusive, exact integers). The greedy longest-match-first
+    segmenter :func:`wordpiece_segment` consumes the piece column.
+
+    Emits (rank, piece, piece_len, n_occurrences) ordered by rank =
+    row_number over (n_occurrences desc, piece asc) across the whole
+    vocabulary. Training words are whitespace tokens with
+    ``length ≤ max_word_len`` — the unigram trainer's corpus contract,
+    which also bounds the oracle's candidate enumeration.
+
+    Execution shape (100 TB): the corpus reduces to its vocabulary once
+    (map-side-combined groupBy(word), Heaps-sublinear); candidates are
+    a bounded ≤ word_len × max_piece_len explode of that frame; one
+    groupBy(piece) and one (vocab_size + alphabet)-row rank window."""
+    if max_piece_len < 2:
+        raise ValueError(
+            f"wordpiece_vocab: max_piece_len must be >= 2, got {max_piece_len}"
+        )
+    if vocab_size < 0:
+        raise ValueError(
+            f"wordpiece_vocab: vocab_size must be >= 0, got {vocab_size}"
+        )
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    from topnotch_spark.operators.dedup import _persist
+
+    wc = _persist(wc)
+    # all substrings of length 1..P at every position, never past the
+    # word end: (pos, L) pairs with pos + L <= len + 1 (1-based substr)
+    cand = wc.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), p -> "
+                f"transform(sequence(1, least({max_piece_len}, "
+                f"length(word) - p + 1)), "
+                f"l -> substring(word, p, l))))"
+            )
+        ).alias("piece"),
+        "wc",
+    ).groupBy("piece").agg(F.sum("wc").alias("n_occurrences"))
+    chars = cand.filter(F.length("piece") == 1)
+    multi = (
+        cand.filter(F.length("piece") >= 2)
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("n_occurrences").desc(), F.col("piece").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn__") <= vocab_size)
+        .drop("__rn__")
+    )
+    out = chars.unionByName(multi)
+    return out.select(
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("n_occurrences").desc(), F.col("piece").asc())
+        )
+        .alias("rank"),
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "n_occurrences",
+    )
+
+
+def wordpiece_segment(
+    target: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """APPLY a WordPiece-style vocabulary with GREEDY
+    LONGEST-MATCH-FIRST segmentation (the WordPiece/BERT runtime
+    algorithm — Devlin et al. 2019 use exactly this left-to-right
+    longest-prefix walk): at each position take the longest vocab piece
+    matching there and advance; a word stuck at any position (a
+    character the vocab lacks) is unsegmentable and excluded on BOTH
+    engines, like :func:`unigram_segment`'s uncoverable words.
+    ``vocab`` is any frame with a ``piece`` column — typically
+    :func:`wordpiece_vocab` output read back from a mounted table or
+    the plan registry.
+
+    Per target document: (id, n_tokens, n_subwords, fertility) over the
+    scorable words (length ≤ ``max_word_len``, fully walkable);
+    documents with no scorable tokens survive with 0/0 and NULL
+    fertility — the [unigram_segment] output contract, so the three
+    tokenizer families' apply steps are drop-in comparable.
+
+    Execution shape (100 TB): the TARGET reduces to its distinct words
+    (Heaps-sublinear, persisted); the longest-match table is one
+    bounded ≤ word_len × max_piece_len explode joined against the
+    broadcast vocab and reduced by groupBy(word, pos) max, then
+    eagerly lineage-truncated — after which the greedy walk is
+    ``max_word_len`` rounds of one equi-join each against that table
+    (deterministic pointer-chasing, constant partition width, lazy
+    cadence-3 truncation); one corpus-tokens → word equi-join +
+    groupBy(doc) rolls the counts up."""
+    from topnotch_spark.operators.dedup import _persist
+
+    if max_word_len < 1:
+        raise ValueError(
+            f"wordpiece_segment: max_word_len must be >= 1, got {max_word_len}"
+        )
+    pieces = F.broadcast(vocab.select("piece").distinct())
+    words = _persist(
+        target.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .distinct()
+    )
+    from topnotch_spark.operators.cluster import _truncate_round
+    from topnotch_spark.operators.dedup import _register_checkpoints
+
+    # longest-match table: step(word, pos) = max piece length matching
+    # at 0-based pos, candidates never reading past the word end.
+    # EAGERLY truncated (not just persisted): every one of the walk's
+    # lazy checkpoints below re-plans its full upstream, and this
+    # lambda-heavy subtree (nested HOFs + the vocab windows behind the
+    # broadcast) costs ~3 s PER PLANNING in Catalyst — truncating it to
+    # an RDD scan once cut segment construction 12 s → ~2 s
+    lmatch, lm_ckpt = _truncate_round(
+        words.select(
+            "word",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), p -> "
+                    f"transform(sequence(1, least({max_piece_len}, "
+                    f"length(word) - p + 1)), "
+                    f"l -> struct(p - 1 AS pos, l AS len, "
+                    f"substring(word, p, l) AS sub))))"
+                )
+            ).alias("c"),
+        )
+        .select("word", F.col("c.pos").alias("pos"), F.col("c.len").alias("len"),
+                F.col("c.sub").alias("piece"))
+        .join(pieces, "piece")
+        .groupBy("word", "pos")
+        .agg(F.max("len").alias("step")),
+        None,
+    )
+    # Greedy pointer-chasing walk. Each round references the previous
+    # state TWICE (finished passthrough + advance join), so without
+    # per-round lineage truncation the logical plan doubles per round
+    # (2^max_word_len nodes); _truncate_round caps it at one round's
+    # shape. eager=False keeps the whole walk ONE job (each lazy
+    # checkpoint materializes once and both same-round references share
+    # it — the pagerank fixed-iteration convention; measured: 12 eager
+    # rounds cost ~30 s of scheduled jobs at sf0.01, lazy ~2 s). The
+    # prev-path handoff is valid on the parquet path (each state
+    # supersedes the last once materialized); the FINAL path backs
+    # word_sub through the output, so it registers for release-time
+    # deletion.
+    state, ckpt = _truncate_round(
+        words.select(
+            "word",
+            F.lit(0).alias("pos"),
+            F.lit(0).alias("n"),
+            F.length("word").alias("__len__"),
+        ),
+        None,
+        eager=False,
+    )
+    n_parts = target.sparkSession.sparkContext.defaultParallelism
+    for r in range(1, max_word_len + 1):
+        advanced = (
+            state.filter(F.col("pos") < F.col("__len__"))
+            .join(lmatch, ["word", "pos"])
+            .select(
+                "word",
+                (F.col("pos") + F.col("step")).alias("pos"),
+                (F.col("n") + 1).alias("n"),
+                "__len__",
+            )
+        )
+        # coalesce BEFORE the checkpoint: the union concatenates the
+        # passthrough and advance sides' partitions, so without it the
+        # state doubles its partition count per round — 2^max_word_len
+        # empty tasks by the end (measured: rounds went 0.4 s → 32 s
+        # before the cap; flat ~0.4 s after). Truncation every 3rd
+        # round (and on the last): between truncations the plan grows
+        # ≤ 2³ copies of one round's small subtree, vs 12 per-round
+        # physical plannings at ~1 s each (measured 12.6 s → ~4 s)
+        state = state.filter(
+            F.col("pos") >= F.col("__len__")
+        ).unionByName(advanced).coalesce(n_parts)
+        if r % 3 == 0 or r == max_word_len:
+            state, ckpt = _truncate_round(state, ckpt, eager=False)
+    word_sub = state.filter(F.col("pos") == F.col("__len__")).select(
+        "word", F.col("n").cast("long").alias("__nsub__")
+    )
+    tok = target.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    per_doc = (
+        tok.join(word_sub, "word")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nsub__").alias("n_subwords"),
+        )
+    )
+    out = (
+        target.select(F.col(id_col).alias("__id__"))
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_subwords", F.lit(0).cast("long")).alias(
+                "n_subwords"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_subwords") / F.col("n_tokens"),
+                        round_digits),
+            ).alias("fertility"),
+        )
+    )
+    _register_checkpoints(out, [lm_ckpt, ckpt])
+    return out

@@ -7121,6 +7121,97 @@ def quantize_recall_sql(
     """
 
 
+def wordpiece_segment_sql(
+    max_piece_len: int = 4,
+    vocab_size: int = 48,
+    max_word_len: int = 12,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.wordpiece_segment_docs: train the char + top-N
+    substring vocabulary inline (constant-bounded candidate cross join
+    — both engines enumerate positions 1..max_word_len × lengths
+    1..max_piece_len and filter to the word), precompute the
+    longest-match table with a plain GROUP BY max (aggregates are legal
+    outside the recursive term), then replay the greedy walk as a
+    recursive CTE of pure joins — each word advances deterministically
+    (pos → pos + step), so a word reaches pos = length(word) at most
+    once; stuck words never finish and are excluded exactly like the
+    Spark side."""
+    W, P = int(max_word_len), int(max_piece_len)
+    return f"""
+        WITH RECURSIVE toked AS (
+          SELECT doc_id, text, {tokens()} AS __t__ FROM documents
+        ),
+        vwords AS (
+          SELECT word, count(*) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          WHERE length(word) <= {W}
+          GROUP BY word
+        ),
+        cand AS (
+          SELECT substr(word, p, l) AS piece,
+                 CAST(sum(wc) AS BIGINT) AS n_occurrences
+          FROM vwords,
+               generate_series(1, {W}) AS gp(p),
+               generate_series(1, {P}) AS gl(l)
+          WHERE p <= length(word) AND l <= length(word) - p + 1
+          GROUP BY 1
+        ),
+        pieces AS (
+          SELECT piece FROM cand WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece FROM (
+            SELECT piece,
+                   row_number() OVER (
+                     ORDER BY n_occurrences DESC, piece ASC
+                   ) AS rn
+            FROM cand WHERE length(piece) >= 2
+          ) WHERE rn <= {vocab_size}
+        ),
+        words AS (
+          SELECT DISTINCT word
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          WHERE length(word) <= {W}
+        ),
+        lmatch AS (
+          SELECT word, p - 1 AS pos, max(l) AS step
+          FROM words,
+               generate_series(1, {W}) AS gp(p),
+               generate_series(1, {P}) AS gl(l)
+          WHERE p <= length(word) AND l <= length(word) - p + 1
+            AND substr(word, p, l) IN (SELECT piece FROM pieces)
+          GROUP BY word, p
+        ),
+        walk AS (
+          SELECT word, length(word) AS len, 0 AS pos, 0 AS n FROM words
+          UNION ALL
+          SELECT w.word, w.len, w.pos + l.step, w.n + 1
+          FROM walk w JOIN lmatch l
+            ON l.word = w.word AND l.pos = w.pos
+          WHERE w.pos < w.len
+        ),
+        word_sub AS (
+          SELECT word, CAST(n AS BIGINT) AS nsub
+          FROM walk WHERE pos = len
+        ),
+        tok AS (SELECT doc_id, unnest(__t__) AS word FROM toked),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(nsub) AS BIGINT) AS n_subwords
+          FROM tok JOIN word_sub USING (word)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_subwords, 0) AS n_subwords,
+               CASE WHEN per.n_tokens > 0
+                    THEN round(per.n_subwords * 1.0 / per.n_tokens,
+                               {round_digits})
+               END AS fertility
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
 def unigram_segment_sql(
     max_word_len: int = 12,
     max_piece_len: int = 4,

@@ -272,6 +272,9 @@ class TextCmd(Command):
     unigramFertility {"partitionCol", [same trainer options,
     "roundDigits"]} — per-group fertility under the trained unigram
     vocab (the BPE-vs-unigram selection audit next to bpeFertility);
+    wordpieceVocab {["maxPieceLen", "vocabSize", "maxWordLen"]} — the
+    frequency-seeded WordPiece-style piece vocabulary (every char +
+    top-N substrings; feed to tokenize method "wordpiece");
     langidAccuracy {"trueCol", ["roundDigits"]} — per-language
     precision/recall/f1 of the marker langid vs a trusted label;
     c4 {["minSentences", "minLineWords"]} — the published C4 cleaning
@@ -305,7 +308,7 @@ class TextCmd(Command):
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
         "nbWeights", "nbClassifier", "zipf", "heaps", "c4",
-        "vocabCoverage",
+        "vocabCoverage", "wordpieceVocab",
     )
 
     @classmethod
@@ -378,6 +381,7 @@ class TextCmd(Command):
             "bpeMergeSequence": T.bpe_merge_sequence,
             "collocations": T.collocations,
             "unigramLm": T.unigram_lm_vocab,
+            "wordpieceVocab": T.wordpiece_vocab,
             "c4": T.c4_rules,
         }
         if self.method == "calibrateRanks":
@@ -1270,9 +1274,12 @@ class TokenizeCmd(Command):
     output read from the registry or a mounted table) and runs
     textqc.unigram_segment; method "bpe" expects a merge_rank/lhs/rhs
     merge list (a text.bpeMergeSequence output) and runs
-    textqc.bpe_segment. maxPieceLen/maxWordLen are unigram-only (BPE
-    segments every word — the open-vocabulary fallback to characters
-    needs no bounds) and are rejected under method "bpe"."""
+    textqc.bpe_segment; method "wordpiece" expects a piece frame (a
+    text.wordpieceVocab output) and runs textqc.wordpiece_segment's
+    greedy longest-match walk. maxPieceLen/maxWordLen apply to unigram
+    and wordpiece (BPE segments every word — the open-vocabulary
+    fallback to characters needs no bounds) and are rejected under
+    method "bpe"."""
 
     input: Input = None  # type: ignore[assignment]
     vocab: Input = None  # type: ignore[assignment]
@@ -1289,10 +1296,10 @@ class TokenizeCmd(Command):
     def from_json(cls, obj: dict) -> "TokenizeCmd":
         p = obj["params"]
         method = p.get("method", "unigram")
-        if method not in ("unigram", "bpe"):
+        if method not in ("unigram", "bpe", "wordpiece"):
             raise ValueError(
                 f"tokenize: unknown method {method!r} "
-                "(expected 'unigram' or 'bpe')"
+                "(expected 'unigram', 'bpe', or 'wordpiece')"
             )
         if method == "bpe":
             bad = {"maxPieceLen", "maxWordLen"} & p.keys()
@@ -1317,11 +1324,16 @@ class TokenizeCmd(Command):
         from topnotch_spark.operators.textqc import (
             bpe_segment,
             unigram_segment,
+            wordpiece_segment,
         )
 
         tgt = load_input(engine.spark, self.input, engine.registry)
         voc = load_input(engine.spark, self.vocab, engine.registry)
-        fn = bpe_segment if self.method == "bpe" else unigram_segment
+        fn = {
+            "bpe": bpe_segment,
+            "unigram": unigram_segment,
+            "wordpiece": wordpiece_segment,
+        }[self.method]
         return fn(tgt, voc, self.id_column, self.text_column, **self.options)
 
 
