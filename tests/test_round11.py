@@ -1037,6 +1037,59 @@ class TestKmeansExact:
         assert len(dd) == 30
         assert {r["centroid_id"] for r in dd} <= {0, 1, 2}
 
+    def test_silhouette_plan_with_trained_centroids(self, spark, tmp_path):
+        """similarity method 'silhouette' grades a TRAINED clustering
+        when given a 'centroids' input — the full plan-side SemDeDup
+        audit trio: kmeans -> silhouette."""
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "emb_sil.parquet")
+        self._df(spark).write.parquet(src)
+        plan = {
+            "commands": [
+                {
+                    "command": "similarity",
+                    "corpus": {"ref": src, "onDisk": True},
+                    "params": {"method": "kmeans", "idColumn": "vec_id",
+                               "vecColumn": "embedding",
+                               "nCentroids": 3, "nRounds": 2},
+                    "outputKey": "cents",
+                },
+                {
+                    "command": "similarity",
+                    "corpus": {"ref": src, "onDisk": True},
+                    "centroids": {"ref": "cents", "onDisk": False},
+                    "params": {"method": "silhouette",
+                               "idColumn": "vec_id",
+                               "vecColumn": "embedding"},
+                    "outputKey": "sil",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        rows = engine.registry["sil"].collect()
+        assert {r["centroid_id"] for r in rows} <= {0, 1, 2}
+        assert all(r["n_members"] >= 1 for r in rows)
+
+    def test_centroids_input_rejected_for_other_methods(self):
+        from topnotch_spark.plans.extensions import SimilarityCmd
+
+        with pytest.raises(ValueError, match="only valid for.*silhouette"):
+            SimilarityCmd.from_json(
+                {
+                    "command": "similarity",
+                    "corpus": {"ref": "a", "onDisk": False},
+                    "centroids": {"ref": "b", "onDisk": False},
+                    "params": {"method": "kcenter"},
+                    "outputKey": "x",
+                }
+            )
+
     def test_semantic_plan_rejects_bad_centroid_frame(self, spark, tmp_path):
         import json
 

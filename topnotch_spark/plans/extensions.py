@@ -477,7 +477,13 @@ class SimilarityCmd(Command):
     contrastive mines top-k same-label positives + hardest different-
     label negatives per anchor in "queries" ({"labelColumn"} option).
     silhouette is corpus-only too ({["nCentroids", "roundDigits"]}) —
-    per-cluster simplified silhouette over the seeded IVF index.
+    per-cluster simplified silhouette over the seeded IVF index; pass
+    an optional "centroids" input (a centroid_id/centroid frame, e.g.
+    a method-"kmeans" output from the registry) to grade a TRAINED
+    clustering instead.
+    kmeans is corpus-only ({["nCentroids", "nRounds"]}) — engine-exact
+    spherical k-means; emits the trained (centroid_id, centroid,
+    n_members) frame for semantic dedup / silhouette / IVF consumers.
     quantizeRecall is corpus-only ({["k", "nQueries", "dim",
     "roundDigits"]}) — recall@k of exact search over int8
     quantize-dequantized vectors vs the raw doubles.
@@ -499,6 +505,7 @@ class SimilarityCmd(Command):
 
     corpus: Input = None  # type: ignore[assignment]
     queries: Input = None  # type: ignore[assignment]
+    centroids: Input | None = None
     method: str = "bruteForce"
     id_column: str = "vec_id"
     vec_column: str = "embedding"
@@ -507,7 +514,11 @@ class SimilarityCmd(Command):
     # parser discovers inputs via `inputs` attribute (duck-typed)
     @property
     def inputs(self) -> list[Input]:
-        return [i for i in (self.corpus, self.queries) if i is not None]
+        return [
+            i
+            for i in (self.corpus, self.queries, self.centroids)
+            if i is not None
+        ]
 
     METHODS = (
         "bruteForce", "ann", "labelAgreement", "contrastive", "silhouette",
@@ -530,10 +541,20 @@ class SimilarityCmd(Command):
                 "input (labelAgreement, silhouette, quantizeRecall and "
                 "pqRecall are corpus-only)"
             )
+        if "centroids" in obj and p["method"] != "silhouette":
+            raise ValueError(
+                "similarity: a 'centroids' input is only valid for "
+                "method 'silhouette' (trained-clustering grading)"
+            )
         return cls(
             corpus=Input.from_json(obj["corpus"]),
             queries=(
                 Input.from_json(obj["queries"]) if "queries" in obj else None
+            ),
+            centroids=(
+                Input.from_json(obj["centroids"])
+                if "centroids" in obj
+                else None
             ),
             method=p["method"],
             id_column=p.get("idColumn", "vec_id"),
@@ -645,6 +666,17 @@ class SimilarityCmd(Command):
                     "similarity method 'silhouette' does not accept "
                     f"option(s) {bad}; supported: nCentroids, roundDigits"
                 )
+            if self.centroids is not None:
+                cents = load_input(
+                    engine.spark, self.centroids, engine.registry
+                )
+                if not {"centroid_id", "centroid"} <= set(cents.columns):
+                    raise ValueError(
+                        "similarity: silhouette 'centroids' input must "
+                        "carry centroid_id/centroid columns (a trained "
+                        "centroids frame, e.g. method 'kmeans' output)"
+                    )
+                opts["centroids"] = cents
             return S.cluster_silhouette(
                 corpus, id_col=self.id_column, vec_col=self.vec_column,
                 **opts,
