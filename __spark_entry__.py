@@ -221,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_segment_docs": oracles.wordpiece_segment_sql(
             max_piece_len=4, vocab_size=48, max_word_len=12
         ),
+        "dedup_incremental_minhash": oracles.dedup_incremental_minhash_sql(
+            num_hashes=16, bands=4, threshold=0.5, shingle_n=3
+        ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(
             n_merges=6, group_col="source"
         ),

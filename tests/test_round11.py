@@ -515,6 +515,147 @@ class TestSpansRewrite:
 
 
 # ---------------------------------------------------------------------------
+# Incremental near-dup ingestion (dedup.build_minhash_index + batch screen)
+# ---------------------------------------------------------------------------
+
+
+class TestIncrementalMinhash:
+    def _docs(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different content about spark and parquet"),
+            (4, "a third unrelated document mentioning window functions"),
+            # batch (odd ids):
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "fresh new text that matches nothing in the index"),
+            (5, ""),  # no shingles -> trivially kept
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_near_dup_flagged_fresh_kept(self, spark):
+        from topnotch_spark.operators.dedup import (
+            build_minhash_index,
+            dedup_batch_against_minhash_index,
+            dedup_scope,
+        )
+
+        docs = self._docs(spark)
+        with dedup_scope():
+            idx = build_minhash_index(
+                docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+            )
+            got = {
+                r["doc_id"]: r
+                for r in dedup_batch_against_minhash_index(
+                    docs.filter("doc_id % 2 = 1"), idx, "doc_id", "text",
+                    threshold=0.5,
+                ).collect()
+            }
+        # doc 1 is an exact copy of doc 0: every signature component
+        # agrees -> estimate 1.0, not kept
+        assert got[1]["best_match_id"] == 0
+        assert got[1]["best_est_jaccard"] == 1.0
+        assert got[1]["keep"] is False
+        # fresh content and the empty doc survive
+        assert got[3]["keep"] is True
+        assert got[5]["keep"] is True and got[5]["n_candidates"] == 0
+
+    def test_index_roundtrips_through_parquet(self, spark, tmp_path):
+        """The index is a persistable artifact: write it, read it back
+        in a later 'run', screen a batch — identical to the in-memory
+        path (the signature family is deterministic across runs)."""
+        from topnotch_spark.operators.dedup import (
+            build_minhash_index,
+            dedup_batch_against_minhash_index,
+            dedup_scope,
+        )
+
+        docs = self._docs(spark)
+        idx_path = str(tmp_path / "mh_index")
+        with dedup_scope():
+            build_minhash_index(
+                docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+            ).write.parquet(idx_path)
+            mem = sorted(
+                map(
+                    tuple,
+                    dedup_batch_against_minhash_index(
+                        docs.filter("doc_id % 2 = 1"),
+                        build_minhash_index(
+                            docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+                        ),
+                        "doc_id",
+                        "text",
+                    ).collect(),
+                )
+            )
+            disk = sorted(
+                map(
+                    tuple,
+                    dedup_batch_against_minhash_index(
+                        docs.filter("doc_id % 2 = 1"),
+                        spark.read.parquet(idx_path),
+                        "doc_id",
+                        "text",
+                    ).collect(),
+                )
+            )
+        assert mem == disk
+
+    def test_incremental_minhash_plan_method(self, spark, tmp_path):
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        src = str(tmp_path / "mh_docs.parquet")
+        self._docs(spark).write.parquet(src)
+        idx_src = str(tmp_path / "mh_even.parquet")
+        self._docs(spark).filter("doc_id % 2 = 0").write.parquet(idx_src)
+        plan = {
+            "commands": [
+                {
+                    "command": "dedup",
+                    "input": {"ref": src, "onDisk": True},
+                    "index": {"ref": idx_src, "onDisk": True},
+                    "params": {"method": "incrementalMinhash",
+                               "idColumn": "doc_id",
+                               "textColumn": "text", "threshold": 0.5},
+                    "outputKey": "screened",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        rows = {r["doc_id"]: r for r in engine.registry["screened"].collect()}
+        # the raw-snapshot index input was auto-built; the exact copy
+        # (doc 0 appears in BOTH input and index) is flagged
+        assert rows[0]["keep"] is False  # doc 0 matches itself in index
+        assert rows[3]["keep"] is True
+
+    def test_plan_requires_index_input(self, spark):
+        from topnotch_spark.plans.extensions import DedupCmd
+
+        cmd = DedupCmd.from_json(
+            {
+                "command": "dedup",
+                "input": {"ref": "a", "onDisk": False},
+                "params": {"method": "incrementalMinhash",
+                           "idColumn": "doc_id"},
+                "outputKey": "x",
+            }
+        )
+        engine = type(
+            "E",
+            (),
+            {"spark": spark, "registry": {"a": self._docs(spark)}},
+        )()
+        with pytest.raises(ValueError, match='requires an .index. input'):
+            cmd.execute(engine)
+
+
+# ---------------------------------------------------------------------------
 # WordPiece-style tokenizer family (textqc.wordpiece_vocab / _segment)
 # ---------------------------------------------------------------------------
 

@@ -458,6 +458,31 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion (dedup.build_minhash_index +
+    dedup_batch_against_minhash_index — the fuzzy sibling of
+    dedup_incremental's exact-hash path): even doc_ids form the
+    accepted corpus whose signature/bucket index is all that persists,
+    odd doc_ids arrive as the new batch and are screened against the
+    index buckets with the signature-estimated Jaccard (fraction of
+    agreeing minhash components — the index stores no text to verify
+    against). Per batch doc: n_candidates, best match, estimate,
+    keep."""
+    from topnotch_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_batch_against_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_minhash_index(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+    )
+    return dedup_batch_against_minhash_index(
+        docs.filter("doc_id % 2 = 1"), index, "doc_id", "text",
+        threshold=0.5,
+    )
+
+
 def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three sequential ingestion rounds folded through the incremental
     dedup path (dedup.build_dedup_index + dedup_against_index, the
@@ -3864,6 +3889,7 @@ ALL = {
     "bloom_membership": bloom_membership,
     "dedup_incremental": dedup_incremental,
     "dedup_index_compaction": dedup_index_compaction,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,

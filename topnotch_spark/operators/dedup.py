@@ -1288,6 +1288,170 @@ def dedup_against_index(
     )
 
 
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-dup signature index of an accepted corpus snapshot — the
+    MinHash sibling of :func:`build_dedup_index` (exact content hash):
+    one row per (band_idx, bucket) membership of every document,
+    carrying the full signature vector: (index_id, band_idx, bucket,
+    sigs array<bigint>). Persist this table (parquet, partitionable by
+    band_idx/bucket prefix exactly like upsert_dedup_index's layout)
+    between pipeline runs — incremental ingestion then probes the
+    bucket table and never re-shingles the old corpus. Signatures are
+    the minhash_lsh_dedup affine family (same coeffs, same 60-bit md5
+    reduction), so index and batch signatures are interchangeable
+    across runs.
+
+    Execution shape (100 TB): one shingle explode + one
+    map-side-combined groupBy(id) for the signature vector; the bands
+    explode is ×bands of the doc count. No text is stored — the index
+    is (16 longs + bands md5s) per doc regardless of document size."""
+    rows_per_band = num_hashes // bands
+    arr = shingle_arrays(df, id_col, text_col, shingle_n)
+    a_co, b_co = minhash_coeffs(num_hashes)
+    exploded = arr.select("id", F.explode("shs").alias("sh")).select(
+        "id", hash60(F.col("sh")).alias("hp")
+    )
+    sigs = exploded.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a_co[h]) * F.col("hp") + F.lit(b_co[h])) % MINHASH_P
+            ).alias(f"sig_{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"sig_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    sig_arr = F.array(
+        *[F.col(f"sig_{h}") for h in range(num_hashes)]
+    ).alias("sigs")
+    banded = sigs.select("id", sig_arr, *band_cols)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    return banded.selectExpr(
+        "id as index_id",
+        "sigs",
+        f"stack({bands}, {stack_expr}) as (band_idx, bucket)",
+    ).select("index_id", "band_idx", "bucket", "sigs")
+
+
+def dedup_batch_against_minhash_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup screen of a new batch against a persisted
+    :func:`build_minhash_index` — the fuzzy sibling of
+    :func:`dedup_against_index`: the old corpus is never re-read (not
+    even its text; only its bucket/signature table joins in).
+    Candidates come from the (band_idx, bucket) equi-join; each
+    candidate pair is scored with the SIGNATURE-ESTIMATED Jaccard —
+    the classic MinHash estimator, the fraction of agreeing signature
+    components (exact integer equality, so the estimate is
+    engine-exact) — because the index stores no shingles to verify
+    against. Returns one row per batch document:
+    (id, n_candidates, best_match_id, best_est_jaccard, keep) with
+    best = (estimate desc, index_id asc) and keep iff no candidate
+    estimates ≥ ``threshold``. Within-batch near-dups are out of
+    scope (run minhash_lsh_dedup on the batch for those).
+
+    Execution shape (100 TB): batch-sized signature build; the
+    candidate join hits only the index buckets the batch collides with
+    (partition-prunable under the upsert_dedup_index bucket layout);
+    the estimator is ``num_hashes`` integer comparisons per candidate
+    — no shingle materialization for the index side, ever."""
+    from pyspark.sql import Window
+
+    bidx = _persist(
+        build_minhash_index(
+            batch, id_col, text_col, num_hashes, bands, shingle_n
+        )
+    )
+    cand = (
+        bidx.select(
+            F.col("index_id").alias("__bid__"),
+            "band_idx",
+            "bucket",
+            F.col("sigs").alias("__bs__"),
+        )
+        .join(
+            index.select(
+                "index_id", "band_idx", "bucket",
+                F.col("sigs").alias("__is__"),
+            ),
+            ["band_idx", "bucket"],
+        )
+        .select("__bid__", "index_id", "__bs__", "__is__")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__bs__", "__is__", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    scored = cand.select(
+        "__bid__",
+        "index_id",
+        F.round(est, 6).alias("__est__"),
+    )
+    w = Window.partitionBy("__bid__").orderBy(
+        F.col("__est__").desc(), F.col("index_id").asc()
+    )
+    per_doc = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .groupBy("__bid__")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("index_id"))
+            ).alias("best_match_id"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("__est__"))
+            ).alias("best_est_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("__bid__"))
+        .join(per_doc, "__bid__", "left")
+        .select(
+            F.col("__bid__").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_match_id",
+            "best_est_jaccard",
+            (
+                F.coalesce("best_est_jaccard", F.lit(0.0))
+                < F.lit(float(threshold))
+            ).alias("keep"),
+        )
+    )
+
+
 def minhash_recall(
     df: DataFrame,
     id_col: str,

@@ -224,6 +224,94 @@ def dedup_minhash_sql(
     """
 
 
+def dedup_incremental_minhash_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """Mirror of catalog.dedup_incremental_minhash: the dedup_minhash
+    signature/banding CTEs split into index (even ids) and batch (odd
+    ids) sides, candidates from the bucket join, scored with the
+    signature-estimated Jaccard — an unrolled sum of exact integer
+    component equalities over 16.0 (a dyadic ratio, identical IEEE on
+    both engines) — best match by (estimate desc, index id asc)."""
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n               ".join(
+        f"{minhash_component(h, num_hashes)} AS sig_{h}"
+        for h in range(num_hashes)
+    )
+    band_cols = ",\n               ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"sig_{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = "\n          UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, band_{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sb.sig_{h} = si.sig_{h} THEN 1 ELSE 0 END)"
+        for h in range(num_hashes)
+    )
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (
+          SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0
+        ),
+        sigs AS (
+          SELECT id, {sig_cols} FROM base
+        ),
+        banded AS (
+          SELECT id, {band_cols} FROM sigs
+        ),
+        buckets AS (
+          {band_union}
+        ),
+        cand AS (
+          SELECT DISTINCT b.id AS bid, i.id AS iid
+          FROM buckets b JOIN buckets i
+            ON b.band_idx = i.band_idx AND b.bucket = i.bucket
+          WHERE b.id % 2 = 1 AND i.id % 2 = 0
+        ),
+        scored AS (
+          SELECT c.bid, c.iid,
+                 round(({agree}) / {float(num_hashes)}, 6) AS est
+          FROM cand c
+          JOIN sigs sb ON sb.id = c.bid
+          JOIN sigs si ON si.id = c.iid
+        ),
+        per AS (
+          SELECT bid,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 max(CASE WHEN rn = 1 THEN iid END) AS best_match_id,
+                 max(CASE WHEN rn = 1 THEN est END) AS best_est_jaccard
+          FROM (
+            SELECT bid, iid, est,
+                   row_number() OVER (
+                     PARTITION BY bid ORDER BY est DESC, iid ASC
+                   ) AS rn
+            FROM scored
+          ) GROUP BY bid
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_candidates, 0) AS n_candidates,
+               per.best_match_id,
+               per.best_est_jaccard,
+               (coalesce(per.best_est_jaccard, 0.0) < {threshold})
+                 AS keep
+        FROM documents d LEFT JOIN per ON d.doc_id = per.bid
+        WHERE d.doc_id % 2 = 1
+    """
+
+
 def cross_source_dup_sql(
     num_hashes: int = 16,
     bands: int = 4,

@@ -83,7 +83,14 @@ class DedupCmd(Command):
     names the binary column for all three. ``minhashRecall`` /
     ``phashRecall`` emit the one-row banding-recall report (found vs
     exact pairs) for the text and image pipelines respectively —
-    the config-audit rows to gate a full-corpus dedup on."""
+    the config-audit rows to gate a full-corpus dedup on.
+    ``incremental`` / ``incrementalMinhash`` screen a new batch against
+    an "index" input (raw snapshot or the prebuilt artifact): exact
+    content-hash membership vs near-dup signature-estimated Jaccard —
+    the persisted-index ingestion pair (see
+    dedup.upsert_dedup_index / build_minhash_index). ``spansRewrite``
+    emits the deduplicated corpus for ``spans``' findings (cut /
+    keep-first, Lee 2022)."""
 
     input: Input = None  # type: ignore[assignment]
     index: Input | None = None
@@ -100,7 +107,8 @@ class DedupCmd(Command):
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
         "spansRewrite", "fuzzy", "phash", "audio", "video", "incremental",
-        "sourceMatrix", "minhashRecall", "phashRecall",
+        "incrementalMinhash", "sourceMatrix", "minhashRecall",
+        "phashRecall",
     )
 
     @classmethod
@@ -166,6 +174,31 @@ class DedupCmd(Command):
                 )
             return D.dedup_against_index(
                 df, idx, self.id_column, self.value_column
+            )
+        if self.method == "incrementalMinhash":
+            if self.index is None:
+                raise ValueError(
+                    'dedup: method "incrementalMinhash" requires an '
+                    '"index" input (the prior snapshot, raw or a '
+                    "prebuilt signature index)"
+                )
+            idx = load_input(engine.spark, self.index, engine.registry)
+            opts = dict(self.options)
+            build_opts = {
+                k: opts[k]
+                for k in ("num_hashes", "bands", "shingle_n")
+                if k in opts
+            }
+            # accept either a prebuilt signature/bucket index — the
+            # persisted artifact of a previous run — or the raw snapshot
+            if not {"index_id", "band_idx", "bucket", "sigs"} <= set(
+                idx.columns
+            ):
+                idx = D.build_minhash_index(
+                    idx, self.id_column, self.value_column, **build_opts
+                )
+            return D.dedup_batch_against_minhash_index(
+                df, idx, self.id_column, self.value_column, **opts
             )
         fns = {
             "exact": D.exact_dedup,
