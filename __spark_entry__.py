@@ -221,6 +221,10 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_segment_docs": oracles.wordpiece_segment_sql(
             max_piece_len=4, vocab_size=48, max_word_len=12
         ),
+        "wordpiece_fertility_by_source": oracles.wordpiece_fertility_sql(
+            group_col="source", max_piece_len=4, vocab_size=48,
+            max_word_len=12,
+        ),
         "dedup_incremental_minhash": oracles.dedup_incremental_minhash_sql(
             num_hashes=16, bands=4, threshold=0.5, shingle_n=3
         ),

@@ -1149,6 +1149,28 @@ def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordpiece_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source tokenizer fit under the trained WordPiece-style vocab
+    (textqc.wordpiece_fertility_by_group): train the char + top-48
+    substring vocabulary on the whole documents corpus, greedy-longest-
+    match-walk the distinct words once, and roll fertility
+    (subwords/token) and chars-per-subword up per source — the third
+    column of the tokenizer-selection table next to
+    bpe_fertility_by_source and unigram_fertility_by_source, so all
+    three families are per-slice comparable. Walk touches distinct
+    words only; the corpus is never rewritten."""
+    from topnotch_spark.operators.textqc import (
+        wordpiece_fertility_by_group,
+    )
+
+    return wordpiece_fertility_by_group(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        max_piece_len=4, vocab_size=48, max_word_len=12,
+    )
+
+
 def cross_perplexity_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-corpus LM filter (textqc.cross_perplexity):
     add-1 unigram LM trained on the lang='en' documents slice, every
@@ -3805,6 +3827,7 @@ ALL = {
     "unigram_segment_docs": unigram_segment_docs,
     "bpe_segment_docs": bpe_segment_docs,
     "wordpiece_segment_docs": wordpiece_segment_docs,
+    "wordpiece_fertility_by_source": wordpiece_fertility_by_source,
     "streaming_sessionize": streaming_sessionize,
     "streaming_sliding_metrics": streaming_sliding_metrics,
     "streaming_transitions": streaming_transitions,

@@ -1168,6 +1168,25 @@ def build_dedup_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _read_partitioned_index(spark, index_path: str) -> DataFrame:
+    """Read a bucket/pfx-partitioned on-disk index with partition-value
+    type inference DISABLED: all-digit hex partition values like "00"
+    must come back as the 2-char strings they were written as, not
+    integer 0. An inferred-int partition column silently SPLITS the
+    layout on the next upsert — the merged rows coerce back to string
+    "0" and rewrite under bucket=0 while the stale bucket=00 directory
+    survives the dynamic overwrite, duplicating every key in it."""
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        # schema + partition discovery happen eagerly at read time, so
+        # restoring the conf afterwards cannot re-infer
+        return spark.read.parquet(index_path)
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def upsert_dedup_index(
     spark,
     index_path: str,
@@ -1207,7 +1226,7 @@ def upsert_dedup_index(
         merged.write.partitionBy("bucket").mode("overwrite").parquet(
             index_path
         )
-        written = spark.read.parquet(index_path)
+        written = _read_partitioned_index(spark, index_path)
         return written.agg(
             F.count_distinct("bucket").alias("n_buckets_touched"),
             F.count(F.lit(1)).alias("n_entries_written"),
@@ -1220,35 +1239,50 @@ def upsert_dedup_index(
             F.lit(0).cast("long").alias("n_buckets_touched"),
             F.lit(0).cast("long").alias("n_entries_written"),
         )
-    old = spark.read.parquet(index_path).filter(
+    old = _read_partitioned_index(spark, index_path).filter(
         F.col("bucket").isin(buckets)
     )
-    merged = _persist(
+    merged = (
         old.select("bucket", "dup_key", "index_id")
         .unionByName(entries)
         .groupBy("bucket", "dup_key")
         .agg(F.min("index_id").alias("index_id"))
     )
-    # stats collected BEFORE the overwrite: the agg action materializes
-    # the persisted merge while `old`'s source files are still intact —
-    # reading `merged` after the write would race its lineage against
-    # the very partitions it replaced
-    stats = merged.agg(
-        F.count_distinct("bucket").alias("b"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    prev_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # HARD lineage break before the overwrite: the merge is staged to a
+    # sibling temp path first, and the dynamic-partition overwrite reads
+    # ONLY the staged files. A cache-based decoupling (the previous
+    # shape) recomputes `merged` from the very partitions being replaced
+    # if cached blocks are evicted or an executor dies mid-write
+    # (ADVICE r11); staging makes that recompute path read the staging
+    # parquet instead, which is immutable for the duration.
+    staging = index_path.rstrip("/") + "__staging__"
+    spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
     try:
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(
-            index_path
+        # staged UNPARTITIONED: bucket stays a real string column —
+        # a partitioned staging dir would round-trip "00" through
+        # partition-value type inference as integer 0
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        stats = staged.agg(
+            F.count_distinct("bucket").alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
-    finally:
         spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_mode
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
+        try:
+            staged.write.partitionBy("bucket").mode("overwrite").parquet(
+                index_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    finally:
+        fs.delete(spath, True)
     return spark.range(1).select(
         F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
         F.lit(stats["n"]).cast("long").alias("n_entries_written"),
@@ -1350,6 +1384,106 @@ def build_minhash_index(
     ).select("index_id", "band_idx", "bucket", "sigs")
 
 
+def upsert_minhash_index(
+    spark,
+    index_path: str,
+    new_entries: DataFrame,
+) -> DataFrame:
+    """Partition-pruned UPSERT of accepted batch signatures into an
+    ON-DISK MinHash index — the near-dup sibling of
+    :func:`upsert_dedup_index`, completing the incremental-ingestion
+    trio (exact-key upsert ✓, near-dup probe ✓, near-dup index GROWTH —
+    this): each ingestion round's accepted documents get their
+    (index_id, band_idx, bucket, sigs) rows from
+    :func:`build_minhash_index` appended into the persisted index, so
+    the next round's :func:`dedup_batch_against_minhash_index` probe
+    sees them WITHOUT anything ever re-shingling the old corpus.
+
+    The index at ``index_path`` is parquet partitioned by ``pfx`` = the
+    first two hex chars of the md5 band bucket (256 uniform
+    partitions). Per upsert, ONLY the partitions the new entries touch
+    are read (partition pruning on the pfx filter — at 100 TB a small
+    batch touches a few hundred MB of a multi-TB index, not all of
+    it), merged (row-level DISTINCT — a replayed batch re-derives
+    byte-identical signature rows, so replays are idempotent), staged
+    to a sibling temp path (HARD lineage break: the dynamic-partition
+    overwrite reads only immutable staged files, never the partitions
+    it replaces — the upsert_dedup_index staging discipline), and
+    rewritten via dynamic partition overwrite; untouched partition
+    directories are never read and never rewritten (tested by file
+    mtime). First call creates the index. Returns one row:
+    (n_partitions_touched, n_entries_written).
+
+    Bounded driver data: the touched-pfx list (≤ 256 strings). Writes
+    commit through Spark's FileOutputCommitter, so a failed upsert
+    leaves the previous index intact."""
+    entries = new_entries.select(
+        "index_id",
+        "band_idx",
+        "bucket",
+        "sigs",
+        F.substring("bucket", 1, 2).alias("pfx"),
+    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        merged = entries.distinct()
+        merged.write.partitionBy("pfx").mode("overwrite").parquet(
+            index_path
+        )
+        written = _read_partitioned_index(spark, index_path)
+        return written.agg(
+            F.count_distinct("pfx").alias("n_partitions_touched"),
+            F.count(F.lit(1)).alias("n_entries_written"),
+        )
+    pfxs = [r["pfx"] for r in entries.select("pfx").distinct().collect()]
+    if not pfxs:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_partitions_touched"),
+            F.lit(0).cast("long").alias("n_entries_written"),
+        )
+    old = _read_partitioned_index(spark, index_path).filter(
+        F.col("pfx").isin(pfxs)
+    )
+    merged = (
+        old.select("index_id", "band_idx", "bucket", "sigs", "pfx")
+        .unionByName(entries)
+        .distinct()
+    )
+    staging = index_path.rstrip("/") + "__staging__"
+    spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    try:
+        # staged UNPARTITIONED: pfx stays a real string column — a
+        # partitioned staging dir would round-trip "00" through
+        # partition-value type inference as integer 0
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        stats = staged.agg(
+            F.count_distinct("pfx").alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            staged.write.partitionBy("pfx").mode("overwrite").parquet(
+                index_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    finally:
+        fs.delete(spath, True)
+    return spark.range(1).select(
+        F.lit(stats["p"]).cast("long").alias("n_partitions_touched"),
+        F.lit(stats["n"]).cast("long").alias("n_entries_written"),
+    )
+
+
 def dedup_batch_against_minhash_index(
     batch: DataFrame,
     index: DataFrame,
@@ -1397,7 +1531,24 @@ def dedup_batch_against_minhash_index(
         .join(
             index.select(
                 "index_id", "band_idx", "bucket",
-                F.col("sigs").alias("__is__"),
+                # guard: an index built with a DIFFERENT num_hashes must
+                # fail loudly, not silently null-pad through zip_with and
+                # deflate the Jaccard estimate (ADVICE r11). when() keeps
+                # the check row-local — no extra job for valid indexes.
+                F.when(
+                    F.size("sigs") == num_hashes, F.col("sigs")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("minhash index sigs length "),
+                            F.size("sigs").cast("string"),
+                            F.lit(
+                                f" != num_hashes {num_hashes}; rebuild "
+                                "the index or pass its num_hashes"
+                            ),
+                        )
+                    )
+                ).alias("__is__"),
             ),
             ["band_idx", "bucket"],
         )

@@ -2741,18 +2741,17 @@ def wordpiece_vocab(
         "wc",
     ).groupBy("piece").agg(F.sum("wc").alias("n_occurrences"))
     chars = cand.filter(F.length("piece") == 1)
+    # top-N as a DISTRIBUTED TakeOrderedAndProject (orderBy + limit:
+    # per-partition heaps, no single-partition sort exchange), not a
+    # global row_number window over every candidate — the candidate
+    # frame is alphabet-bounded so the window survived scale-up, but
+    # the limit shape is strictly better and silences the "No Partition
+    # Defined for Window" planning warning (VERDICT r11 #4). Only the
+    # winners (≤ vocab_size + alphabet rows) see a rank window below.
     multi = (
         cand.filter(F.length("piece") >= 2)
-        .withColumn(
-            "__rn__",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("n_occurrences").desc(), F.col("piece").asc()
-                )
-            ),
-        )
-        .filter(F.col("__rn__") <= vocab_size)
-        .drop("__rn__")
+        .orderBy(F.col("n_occurrences").desc(), F.col("piece").asc())
+        .limit(vocab_size)
     )
     out = chars.unionByName(multi)
     return out.select(
@@ -2767,56 +2766,26 @@ def wordpiece_vocab(
     )
 
 
-def wordpiece_segment(
-    target: DataFrame,
+def _wordpiece_walk(
+    words: DataFrame,
     vocab: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_piece_len: int = 4,
-    max_word_len: int = 12,
-    round_digits: int = 6,
-) -> DataFrame:
-    """APPLY a WordPiece-style vocabulary with GREEDY
-    LONGEST-MATCH-FIRST segmentation (the WordPiece/BERT runtime
-    algorithm — Devlin et al. 2019 use exactly this left-to-right
-    longest-prefix walk): at each position take the longest vocab piece
-    matching there and advance; a word stuck at any position (a
-    character the vocab lacks) is unsegmentable and excluded on BOTH
-    engines, like :func:`unigram_segment`'s uncoverable words.
-    ``vocab`` is any frame with a ``piece`` column — typically
-    :func:`wordpiece_vocab` output read back from a mounted table or
-    the plan registry.
-
-    Per target document: (id, n_tokens, n_subwords, fertility) over the
-    scorable words (length ≤ ``max_word_len``, fully walkable);
-    documents with no scorable tokens survive with 0/0 and NULL
-    fertility — the [unigram_segment] output contract, so the three
-    tokenizer families' apply steps are drop-in comparable.
-
-    Execution shape (100 TB): the TARGET reduces to its distinct words
-    (Heaps-sublinear, persisted); the longest-match table is one
-    bounded ≤ word_len × max_piece_len explode joined against the
-    broadcast vocab and reduced by groupBy(word, pos) max, then
-    eagerly lineage-truncated — after which the greedy walk is
-    ``max_word_len`` rounds of one equi-join each against that table
-    (deterministic pointer-chasing, constant partition width, lazy
-    cadence-3 truncation); one corpus-tokens → word equi-join +
-    groupBy(doc) rolls the counts up."""
-    from topnotch_spark.operators.dedup import _persist
-
-    if max_word_len < 1:
-        raise ValueError(
-            f"wordpiece_segment: max_word_len must be >= 1, got {max_word_len}"
-        )
-    pieces = F.broadcast(vocab.select("piece").distinct())
-    words = _persist(
-        target.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") <= max_word_len)
-        .distinct()
-    )
+    max_piece_len: int,
+    max_word_len: int,
+):
+    """Greedy longest-match-first walk over a DISTINCT-words frame —
+    the shared core of :func:`wordpiece_segment` (per-document apply)
+    and :func:`wordpiece_fertility_by_group` (per-slice audit).
+    Returns ``(word_sub, checkpoints)``: one row per fully-walkable
+    word — (word, __nsub__ subword count, __nchr__ char count) — plus
+    the checkpoint paths the caller must register on its output frame
+    for release-time deletion. Unsegmentable words (stuck at a
+    character the vocab lacks) never reach pos == len and are excluded,
+    identically on both engines. See :func:`wordpiece_segment` for the
+    plan-size discipline notes (eager truncation of the longest-match
+    table, per-round coalesce, cadence-3 lazy truncation)."""
     from topnotch_spark.operators.cluster import _truncate_round
-    from topnotch_spark.operators.dedup import _register_checkpoints
 
+    pieces = F.broadcast(vocab.select("piece").distinct())
     # longest-match table: step(word, pos) = max piece length matching
     # at 0-based pos, candidates never reading past the word end.
     # EAGERLY truncated (not just persisted): every one of the walk's
@@ -2854,8 +2823,8 @@ def wordpiece_segment(
     # rounds cost ~30 s of scheduled jobs at sf0.01, lazy ~2 s). The
     # prev-path handoff is valid on the parquet path (each state
     # supersedes the last once materialized); the FINAL path backs
-    # word_sub through the output, so it registers for release-time
-    # deletion.
+    # word_sub through the output, so the caller registers it for
+    # release-time deletion.
     state, ckpt = _truncate_round(
         words.select(
             "word",
@@ -2866,7 +2835,7 @@ def wordpiece_segment(
         None,
         eager=False,
     )
-    n_parts = target.sparkSession.sparkContext.defaultParallelism
+    n_parts = words.sparkSession.sparkContext.defaultParallelism
     for r in range(1, max_word_len + 1):
         advanced = (
             state.filter(F.col("pos") < F.col("__len__"))
@@ -2892,7 +2861,64 @@ def wordpiece_segment(
         if r % 3 == 0 or r == max_word_len:
             state, ckpt = _truncate_round(state, ckpt, eager=False)
     word_sub = state.filter(F.col("pos") == F.col("__len__")).select(
-        "word", F.col("n").cast("long").alias("__nsub__")
+        "word",
+        F.col("n").cast("long").alias("__nsub__"),
+        F.col("__len__").cast("long").alias("__nchr__"),
+    )
+    return word_sub, [lm_ckpt, ckpt]
+
+
+def wordpiece_segment(
+    target: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """APPLY a WordPiece-style vocabulary with GREEDY
+    LONGEST-MATCH-FIRST segmentation (the WordPiece/BERT runtime
+    algorithm — Devlin et al. 2019 use exactly this left-to-right
+    longest-prefix walk): at each position take the longest vocab piece
+    matching there and advance; a word stuck at any position (a
+    character the vocab lacks) is unsegmentable and excluded on BOTH
+    engines, like :func:`unigram_segment`'s uncoverable words.
+    ``vocab`` is any frame with a ``piece`` column — typically
+    :func:`wordpiece_vocab` output read back from a mounted table or
+    the plan registry.
+
+    Per target document: (id, n_tokens, n_subwords, fertility) over the
+    scorable words (length ≤ ``max_word_len``, fully walkable);
+    documents with no scorable tokens survive with 0/0 and NULL
+    fertility — the [unigram_segment] output contract, so the three
+    tokenizer families' apply steps are drop-in comparable.
+
+    Execution shape (100 TB): the TARGET reduces to its distinct words
+    (Heaps-sublinear, persisted); the longest-match table is one
+    bounded ≤ word_len × max_piece_len explode joined against the
+    broadcast vocab and reduced by groupBy(word, pos) max, then
+    eagerly lineage-truncated — after which the greedy walk is
+    ``max_word_len`` rounds of one equi-join each against that table
+    (deterministic pointer-chasing, constant partition width, lazy
+    cadence-3 truncation); one corpus-tokens → word equi-join +
+    groupBy(doc) rolls the counts up."""
+    from topnotch_spark.operators.dedup import (
+        _persist,
+        _register_checkpoints,
+    )
+
+    if max_word_len < 1:
+        raise ValueError(
+            f"wordpiece_segment: max_word_len must be >= 1, got {max_word_len}"
+        )
+    words = _persist(
+        target.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .distinct()
+    )
+    word_sub, ckpts = _wordpiece_walk(
+        words, vocab, max_piece_len, max_word_len
     )
     tok = target.select(
         F.col(id_col).alias("__id__"),
@@ -2922,5 +2948,83 @@ def wordpiece_segment(
             ).alias("fertility"),
         )
     )
-    _register_checkpoints(out, [lm_ckpt, ckpt])
+    _register_checkpoints(out, ckpts)
     return out
+
+
+def wordpiece_fertility_by_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 48,
+    max_word_len: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer fit per corpus slice under the TRAINED WordPiece-style
+    vocabulary — the third member of the per-slice selection table next
+    to :func:`bpe_fertility_by_group` (merge-based) and
+    :func:`unigram_fertility_by_group` (likelihood-based), making the
+    three tokenizer families drop-in comparable end-to-end (train →
+    audit → apply for all three): train :func:`wordpiece_vocab` on the
+    whole corpus, greedy-longest-match-walk each distinct word once
+    (:func:`_wordpiece_walk`), and report per ``group_col`` fertility =
+    subwords per whitespace token and chars_per_subword.
+
+    Output: (group_col, n_tokens, n_subwords, fertility,
+    chars_per_subword), one row per group, ratios rounded to
+    ``round_digits`` from exact integer sums. Tokens longer than
+    ``max_word_len`` or unsegmentable under the vocab (impossible when
+    training corpus == audited corpus — the char floor covers every
+    trained word) are excluded from the sums, mirroring
+    :func:`wordpiece_segment`'s scorable-word contract.
+
+    Execution shape (100 TB): trainer reduces the corpus to its
+    vocabulary once (Heaps-sublinear); the walk touches only DISTINCT
+    words; one corpus-tokens → word equi-join + map-side-combined
+    groupBy(group) rolls the slice sums up — the corpus is never
+    rewritten (the bpe/unigram fertility shape). ``id_col`` unused
+    (uniform text-op signature)."""
+    from topnotch_spark.operators.dedup import (
+        _persist,
+        _register_checkpoints,
+    )
+
+    vocab = wordpiece_vocab(
+        df, id_col, text_col, max_piece_len, vocab_size, max_word_len
+    )
+    words = _persist(
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.length("word") <= max_word_len)
+        .distinct()
+    )
+    word_sub, ckpts = _wordpiece_walk(
+        words, vocab, max_piece_len, max_word_len
+    )
+    tok = df.select(
+        F.col(group_col).alias("__grp__"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    result = (
+        tok.join(word_sub, "word")
+        .groupBy("__grp__")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__nsub__").alias("n_subwords"),
+            F.sum("__nchr__").alias("__chars__"),
+        )
+        .select(
+            F.col("__grp__").alias(group_col),
+            "n_tokens",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords") / F.col("n_tokens"), round_digits
+            ).alias("fertility"),
+            F.round(
+                F.col("__chars__") / F.col("n_subwords"), round_digits
+            ).alias("chars_per_subword"),
+        )
+    )
+    _register_checkpoints(result, ckpts)
+    return result

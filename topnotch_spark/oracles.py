@@ -7300,6 +7300,89 @@ def wordpiece_segment_sql(
     """
 
 
+def wordpiece_fertility_sql(
+    group_col: str = "source",
+    max_piece_len: int = 4,
+    vocab_size: int = 48,
+    max_word_len: int = 12,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of textqc.wordpiece_fertility_by_group: the
+    wordpiece_segment_sql train + greedy-walk prefix (vocab inline,
+    longest-match table, recursive pure-join walk), then the per-group
+    fertility rollup of unigram_fertility_sql (tokens longer than
+    max_word_len, or stuck mid-walk, drop from the join on both
+    sides)."""
+    W, P = int(max_word_len), int(max_piece_len)
+    return f"""
+        WITH RECURSIVE toked AS (
+          SELECT doc_id, text, {group_col},
+                 {tokens()} AS __t__ FROM documents
+        ),
+        vwords AS (
+          SELECT word, count(*) AS wc
+          FROM (SELECT unnest(__t__) AS word FROM toked)
+          WHERE length(word) <= {W}
+          GROUP BY word
+        ),
+        cand AS (
+          SELECT substr(word, p, l) AS piece,
+                 CAST(sum(wc) AS BIGINT) AS n_occurrences
+          FROM vwords,
+               generate_series(1, {W}) AS gp(p),
+               generate_series(1, {P}) AS gl(l)
+          WHERE p <= length(word) AND l <= length(word) - p + 1
+          GROUP BY 1
+        ),
+        pieces AS (
+          SELECT piece FROM cand WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece FROM (
+            SELECT piece,
+                   row_number() OVER (
+                     ORDER BY n_occurrences DESC, piece ASC
+                   ) AS rn
+            FROM cand WHERE length(piece) >= 2
+          ) WHERE rn <= {vocab_size}
+        ),
+        words AS (SELECT word FROM vwords),
+        lmatch AS (
+          SELECT word, p - 1 AS pos, max(l) AS step
+          FROM words,
+               generate_series(1, {W}) AS gp(p),
+               generate_series(1, {P}) AS gl(l)
+          WHERE p <= length(word) AND l <= length(word) - p + 1
+            AND substr(word, p, l) IN (SELECT piece FROM pieces)
+          GROUP BY word, p
+        ),
+        walk AS (
+          SELECT word, length(word) AS len, 0 AS pos, 0 AS n FROM words
+          UNION ALL
+          SELECT w.word, w.len, w.pos + l.step, w.n + 1
+          FROM walk w JOIN lmatch l
+            ON l.word = w.word AND l.pos = w.pos
+          WHERE w.pos < w.len
+        ),
+        word_sub AS (
+          SELECT word, CAST(n AS BIGINT) AS nsub,
+                 CAST(len AS BIGINT) AS nchr
+          FROM walk WHERE pos = len
+        ),
+        tok AS (
+          SELECT {group_col} AS grp, unnest(__t__) AS word FROM toked
+        )
+        SELECT grp AS {group_col},
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(nsub) AS BIGINT) AS n_subwords,
+               round(CAST(sum(nsub) AS DOUBLE) / count(*),
+                     {round_digits}) AS fertility,
+               round(CAST(sum(nchr) AS DOUBLE) / sum(nsub),
+                     {round_digits}) AS chars_per_subword
+        FROM tok JOIN word_sub USING (word)
+        GROUP BY grp
+    """
+
+
 def unigram_segment_sql(
     max_word_len: int = 12,
     max_piece_len: int = 4,

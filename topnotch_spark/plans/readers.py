@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import os
-import urllib.request
+import urllib.error
 from pathlib import PurePosixPath
 
 
@@ -84,14 +84,43 @@ class FileReader:
 
 
 class RESTReader:
-    def __init__(self, base_url: str, variables: dict[str, str] | None = None):
+    """Plan-server GET (reference TnReader.scala REST path) with the same
+    bounded retry/backoff/timeout envelope as the report writer
+    (topnotch_spark.net.http_request_with_retry): a plan fetched from a
+    plan server mid-rolling-deploy (refused connection, 503) retries
+    instead of failing the run before it starts; 4xx (plan genuinely
+    absent) raises immediately."""
+
+    def __init__(
+        self,
+        base_url: str,
+        variables: dict[str, str] | None = None,
+        retries: int = 2,
+        backoff_base_s: float = 0.5,
+        timeout_s: float = 30.0,
+    ):
         self.base_url = base_url if base_url.endswith("/") else base_url + "/"
         self.variables = variables or {}
+        self.retries = max(0, int(retries))
+        self.backoff_base_s = backoff_base_s
+        self.timeout_s = timeout_s
 
     def read_configuration(self, config_path: str, referrer: dict | None = None) -> dict:
+        from topnotch_spark.net import http_request_with_retry
+
         url = self.base_url + config_path.lstrip("/")
-        with urllib.request.urlopen(url) as resp:  # noqa: S310 — user-provided server
-            if resp.status != 200:
-                raise ValueError(f"Cant find configurations at {config_path}.")
-            text = resp.read().decode("utf-8")
-        return json.loads(replace_variables(text, self.variables))
+        try:
+            body = http_request_with_retry(
+                url,
+                retries=self.retries,
+                backoff_base_s=self.backoff_base_s,
+                timeout_s=self.timeout_s,
+                jitter_key=config_path,
+            )
+        except urllib.error.HTTPError as e:
+            if 400 <= e.code < 500:  # plan genuinely absent on the server
+                raise ValueError(
+                    f"Cant find configurations at {config_path}."
+                ) from e
+            raise  # 5xx survived the retries: a server problem, say so
+        return json.loads(replace_variables(body.decode("utf-8"), self.variables))

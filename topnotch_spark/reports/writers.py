@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import urllib.request
 
 
 class _SectionedWriter:
@@ -58,63 +57,45 @@ class FileWriter(_SectionedWriter):
 
 class RESTWriter(_SectionedWriter):
     """PUT the merged report to ``dest/key`` (reference TnRESTWriter,
-    TnWriter.scala:115-137), with bounded retry: a report PUT is the
-    LAST action of a plan run, so a transient endpoint hiccup (refused
-    connection during a rolling deploy, a 503) would otherwise throw
-    away the whole run's results. ``retries`` extra attempts with
-    exponential backoff + deterministic jitter (seeded from the report
-    key — reproducible, no RNG state); client errors (4xx) never
-    retry — the payload will not get better."""
+    TnWriter.scala:115-137), with bounded retry AND a per-attempt
+    timeout (topnotch_spark.net.http_request_with_retry): a report PUT
+    is the LAST action of a plan run, so a transient endpoint hiccup
+    (refused connection during a rolling deploy, a 503) would otherwise
+    throw away the whole run's results — and a HUNG endpoint (accepts,
+    never answers) would block the run forever without the timeout,
+    with the retry never engaging because nothing raises. ``retries``
+    extra attempts, exponential backoff + deterministic jitter seeded
+    from the report key; client errors (4xx) never retry."""
 
     def __init__(
         self,
         dest: str,
         retries: int = 2,
         backoff_base_s: float = 0.5,
+        timeout_s: float = 30.0,
     ):
         super().__init__()
         self.dest = dest if dest.endswith("/") else dest + "/"
         self.retries = max(0, int(retries))
         self.backoff_base_s = backoff_base_s
+        self.timeout_s = timeout_s
 
     def write_report(self, key: str) -> None:
-        import time
-        import urllib.error
+        from topnotch_spark.net import http_request_with_retry
 
-        payload = self.merged().encode("utf-8")
-        last: Exception | None = None
-        for attempt in range(self.retries + 1):
-            if attempt:
-                # exponential backoff with ±25% deterministic jitter
-                # (md5 of key+attempt), so simultaneous writers from a
-                # fleet of plan runs do not re-collide in lockstep
-                import hashlib
-
-                h = hashlib.md5(f"{key}:{attempt}".encode()).digest()[0]
-                jitter = 0.75 + 0.5 * (h / 255.0)
-                time.sleep(
-                    self.backoff_base_s * (2 ** (attempt - 1)) * jitter
-                )
-            req = urllib.request.Request(
-                self.dest + key,
-                data=payload,
-                method="PUT",
-                headers={
-                    "Accept": "application/json",
-                    "Content-Type": "application/json",
-                },
-            )
-            try:
-                urllib.request.urlopen(req)  # noqa: S310 — user endpoint
-                return
-            except urllib.error.HTTPError as e:
-                if 400 <= e.code < 500:
-                    raise  # client error: retrying cannot help
-                last = e
-            except (urllib.error.URLError, OSError) as e:
-                last = e
-        assert last is not None
-        raise last
+        http_request_with_retry(
+            self.dest + key,
+            data=self.merged().encode("utf-8"),
+            method="PUT",
+            headers={
+                "Accept": "application/json",
+                "Content-Type": "application/json",
+            },
+            retries=self.retries,
+            backoff_base_s=self.backoff_base_s,
+            timeout_s=self.timeout_s,
+            jitter_key=key,
+        )
 
 
 def get_writer(root: dict, spark=None) -> _SectionedWriter:
@@ -129,6 +110,7 @@ def get_writer(root: dict, spark=None) -> _SectionedWriter:
             io["dest"],
             retries=io.get("retries", 2),
             backoff_base_s=io.get("backoffBaseS", 0.5),
+            timeout_s=io.get("timeoutS", 30.0),
         )
     if kind == "hbase":
         raise NotImplementedError(
