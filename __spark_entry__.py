@@ -66,6 +66,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_trained": oracles.semantic_dedup_trained_sql(
             dim=64, n_centroids=8, n_rounds=2, threshold=0.35, gate=0.15
         ),
+        "dedup_incremental_semantic": oracles.dedup_incremental_semantic_sql(
+            dim=64, n_centroids=8, n_rounds=2, threshold=0.35
+        ),
         "dedup_semantic": oracles.semantic_dedup_sql(
             dim=64, n_clusters=16, threshold=0.35
         ),
@@ -226,6 +229,9 @@ def oracle_sql() -> dict[str, str]:
             max_word_len=12,
         ),
         "dedup_incremental_minhash": oracles.dedup_incremental_minhash_sql(
+            num_hashes=16, bands=4, threshold=0.5, shingle_n=3
+        ),
+        "dedup_minhash_compaction": oracles.dedup_minhash_compaction_sql(
             num_hashes=16, bands=4, threshold=0.5, shingle_n=3
         ),
         "bpe_fertility_by_source": oracles.bpe_fertility_sql(

@@ -199,6 +199,131 @@ class TestUpsertStaging:
 
 
 # ---------------------------------------------------------------------------
+# upsert_minhash_index (verdict r11 #1): partition-pruned near-dup
+# index growth
+# ---------------------------------------------------------------------------
+
+
+def _mh_entries(spark, rows):
+    """(index_id, band_idx, bucket, sigs) literal frame."""
+    return spark.createDataFrame(
+        rows,
+        "index_id long, band_idx int, bucket string, "
+        "sigs array<bigint>",
+    )
+
+
+class TestUpsertMinhashIndex:
+    def test_create_then_grow_and_replay_idempotent(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import (
+            _read_partitioned_index,
+            upsert_minhash_index,
+        )
+
+        idx = str(tmp_path / "mhidx")
+        first = _mh_entries(
+            spark,
+            [(1, 0, "aa111", [1, 2]), (1, 1, "bb222", [1, 2])],
+        )
+        s0 = upsert_minhash_index(spark, idx, first).collect()[0]
+        assert s0["n_partitions_touched"] == 2
+        assert s0["n_entries_written"] == 2
+        second = _mh_entries(spark, [(2, 0, "aa333", [3, 4])])
+        s1 = upsert_minhash_index(spark, idx, second).collect()[0]
+        assert s1["n_partitions_touched"] == 1  # only pfx "aa"
+        assert s1["n_entries_written"] == 2  # merged rows IN that pfx
+        # replaying the same batch is a no-op on contents
+        upsert_minhash_index(spark, idx, second).collect()
+        got = {
+            (r["index_id"], r["band_idx"], r["bucket"], tuple(r["sigs"]))
+            for r in _read_partitioned_index(spark, idx).collect()
+        }
+        assert got == {
+            (1, 0, "aa111", (1, 2)),
+            (1, 1, "bb222", (1, 2)),
+            (2, 0, "aa333", (3, 4)),
+        }
+        assert not os.path.exists(idx + "__staging__")
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        """The pruning contract: an upsert touching pfx 'aa' must leave
+        the pfx 'bb' directory byte-untouched (mtime check — the same
+        guarantee upsert_dedup_index's exact-key layout has)."""
+        import time
+
+        from topnotch_spark.operators.dedup import upsert_minhash_index
+
+        idx = str(tmp_path / "mhidx")
+        base = _mh_entries(
+            spark,
+            [(1, 0, "aa111", [1]), (2, 0, "bb222", [2])],
+        )
+        upsert_minhash_index(spark, idx, base).collect()
+        bb_dir = os.path.join(idx, "pfx=bb")
+        before = {
+            f: os.path.getmtime(os.path.join(bb_dir, f))
+            for f in os.listdir(bb_dir)
+        }
+        time.sleep(1.1)  # mtime granularity
+        one = _mh_entries(spark, [(3, 0, "aa333", [3])])
+        stats = upsert_minhash_index(spark, idx, one).collect()[0]
+        assert stats["n_partitions_touched"] == 1
+        after = {
+            f: os.path.getmtime(os.path.join(bb_dir, f))
+            for f in os.listdir(bb_dir)
+        }
+        assert after == before
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import upsert_minhash_index
+
+        idx = str(tmp_path / "mhidx")
+        upsert_minhash_index(
+            spark, idx, _mh_entries(spark, [(1, 0, "aa111", [1])])
+        ).collect()
+        stats = upsert_minhash_index(
+            spark, idx, _mh_entries(spark, [])
+        ).collect()[0]
+        assert stats["n_partitions_touched"] == 0
+        assert stats["n_entries_written"] == 0
+
+    def test_screen_sees_upserted_rows(self, spark, tmp_path):
+        """End-to-end loop: a doc accepted and upserted in round N must
+        be FOUND as a near-dup match by round N+1's screen."""
+        from topnotch_spark.operators.dedup import (
+            _read_partitioned_index,
+            build_minhash_index,
+            dedup_batch_against_minhash_index,
+            upsert_minhash_index,
+        )
+
+        idx = str(tmp_path / "mhidx")
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        r1 = spark.createDataFrame(
+            [(10, text)], "doc_id long, text string"
+        )
+        upsert_minhash_index(
+            spark, idx, build_minhash_index(r1, "doc_id", "text")
+        ).collect()
+        r2 = spark.createDataFrame(
+            [(21, text), (22, "completely different words entirely here")],
+            "doc_id long, text string",
+        )
+        index = _read_partitioned_index(spark, idx).select(
+            "index_id", "band_idx", "bucket", "sigs"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup_batch_against_minhash_index(
+                r2, index, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        assert out[21]["best_match_id"] == 10
+        assert out[21]["keep"] is False
+        assert out[22]["keep"] is True
+
+
+# ---------------------------------------------------------------------------
 # dedup_batch_against_minhash_index: signature-width guard (ADVICE r11)
 # ---------------------------------------------------------------------------
 
@@ -247,6 +372,90 @@ class TestMinhashIndexWidthGuard:
             docs, index, "doc_id", "text", num_hashes=16, bands=4
         ).collect()
         assert len(out) == 1 and out[0]["n_candidates"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic screen (verdict r11 #3)
+# ---------------------------------------------------------------------------
+
+
+class TestSemanticIndexScreen:
+    def _frames(self, spark):
+        import math
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta)] + [0.0] * 2
+
+        corpus = spark.createDataFrame(
+            [(0, unit(0.0)), (2, unit(1.5)), (4, unit(3.0)),
+             (6, unit(0.05))],
+            "vec_id long, embedding array<double>",
+        )
+        batch = spark.createDataFrame(
+            [(1, unit(0.01)),   # near-dup of vec 0 (cos ~ 1.0)
+             (3, unit(2.2))],   # not near anything at 0.9
+            "vec_id long, embedding array<double>",
+        )
+        return corpus, batch
+
+    def test_screen_routes_and_keeps_correctly(self, spark):
+        from topnotch_spark.operators.dedup import (
+            build_semantic_index,
+            dedup_batch_against_semantic_index,
+        )
+        from topnotch_spark.operators.similarity import (
+            kmeans_centroids_exact,
+        )
+
+        corpus, batch = self._frames(spark)
+        cents, assigns = kmeans_centroids_exact(
+            corpus, "vec_id", "embedding", n_centroids=2, n_rounds=1
+        )
+        index = build_semantic_index(
+            corpus, assigns, "vec_id", "embedding"
+        )
+        out = {
+            r["vec_id"]: r
+            for r in dedup_batch_against_semantic_index(
+                batch, index, cents, "vec_id", "embedding",
+                threshold=0.9,
+            ).collect()
+        }
+        assert out[1]["keep"] is False
+        assert out[1]["best_match_id"] == 0
+        assert out[1]["best_cosine"] >= 0.99
+        assert out[3]["keep"] is True
+        # every batch row got routed and screened
+        assert set(out) == {1, 3}
+        assert all(r["n_candidates"] >= 1 for r in out.values())
+
+    def test_empty_cluster_keeps(self, spark):
+        """A batch vector routed to a centroid with no members must
+        survive with n_candidates=0 and NULL best columns."""
+        from topnotch_spark.operators.dedup import (
+            dedup_batch_against_semantic_index,
+        )
+
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0), (1, [-1.0, 0.0], 0)],
+            "centroid_id int, centroid array<double>, n_members long",
+        )
+        index = spark.createDataFrame(
+            [], "index_id long, vec array<double>, nrm double, "
+                "centroid_id int",
+        )
+        batch = spark.createDataFrame(
+            [(7, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        )
+        out = dedup_batch_against_semantic_index(
+            batch, index, centroids, "vec_id", "embedding",
+            threshold=0.35,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["keep"] is True
+        assert r["n_candidates"] == 0
+        assert r["best_match_id"] is None and r["best_cosine"] is None
 
 
 # ---------------------------------------------------------------------------

@@ -517,6 +517,96 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index
 
 
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC ingestion — the third leg of the trio next
+    to dedup_incremental (exact keys) and dedup_incremental_minhash
+    (near-dup text): even vec_ids form the accepted corpus, on which a
+    TRAINED index persists (similarity.kmeans_centroids_exact centroids
+    + dedup.build_semantic_index member table); odd vec_ids arrive as
+    the new batch and are screened (dedup_batch_against_semantic_index)
+    by routing each to its nearest trained centroid (engine-exact
+    micro-int cosine rank) and comparing against that cluster's members
+    only — the old corpus is never re-embedded or re-clustered. Per
+    batch vector: (vec_id, centroid_id, n_candidates, best_match_id,
+    best_cosine, keep) with keep iff no member cosine ≥ 0.35."""
+    from topnotch_spark.operators.dedup import (
+        build_semantic_index,
+        dedup_batch_against_semantic_index,
+    )
+    from topnotch_spark.operators.similarity import kmeans_centroids_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id % 2 = 0")
+    cents, assigns = kmeans_centroids_exact(
+        corpus, "vec_id", "embedding", n_centroids=8, n_rounds=2
+    )
+    index = build_semantic_index(corpus, assigns, "vec_id", "embedding")
+    return dedup_batch_against_semantic_index(
+        emb.filter("vec_id % 2 = 1"), index, cents, "vec_id",
+        "embedding", threshold=0.35,
+    )
+
+
+def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three sequential NEAR-dup ingestion rounds folded through a
+    PERSISTED ON-DISK MinHash index — the full incremental-ingestion
+    loop (dedup.build_minhash_index → dedup_batch_against_minhash_index
+    → dedup.upsert_minhash_index) on a real parquet index with the
+    partition-pruned pfx layout, not an in-memory stand-in: round 0
+    seeds the index with the doc_id%3==0 batch's signature rows;
+    rounds 1 and 2 screen their batch against the index-so-far (keep
+    iff best signature-estimated Jaccard < 0.5) and UPSERT the accepted
+    docs' rows, so each round's probe sees everything previously
+    accepted without any re-shingling of the old corpus. Emits the
+    final index rows (index_id, band_idx, bucket, sigs); the oracle
+    replays the round-ordered accept/reject decisions exactly."""
+    import tempfile
+
+    from topnotch_spark.operators.dedup import (
+        _read_partitioned_index,
+        _register_checkpoints,
+        build_minhash_index,
+        dedup_batch_against_minhash_index,
+        upsert_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="tn_minhash_compaction_")
+    idx_path = root + "/index"
+    # pfx_chars=1 (16 partition dirs): at test scale 256 directories'
+    # filesystem metadata dominates the write; production guidance
+    # (operator docstring) is the 2-char default
+    seed = build_minhash_index(
+        docs.filter("doc_id % 3 = 0"), "doc_id", "text"
+    )
+    upsert_minhash_index(spark, idx_path, seed, pfx_chars=1).collect()
+    for r in (1, 2):
+        batch = docs.filter(f"doc_id % 3 = {r}")
+        index = _read_partitioned_index(spark, idx_path).select(
+            "index_id", "band_idx", "bucket", "sigs"
+        )
+        accepted = (
+            dedup_batch_against_minhash_index(
+                batch, index, "doc_id", "text", threshold=0.5
+            )
+            .filter("keep")
+            .select("doc_id")
+        )
+        entries = build_minhash_index(
+            batch.join(accepted, "doc_id", "left_semi"), "doc_id", "text"
+        )
+        upsert_minhash_index(
+            spark, idx_path, entries, pfx_chars=1
+        ).collect()
+    out = _read_partitioned_index(spark, idx_path).select(
+        "index_id", "band_idx", "bucket", "sigs"
+    )
+    # the temp index root is released (deleted) with the run's other
+    # intermediates once the output frame is done
+    _register_checkpoints(out, [root])
+    return out
+
+
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom seen-set over the even-doc_id half's content, probed by ALL
     documents: (doc_id, bloom_hit, exact_hit). bloom_hit && !exact_hit
@@ -3913,6 +4003,8 @@ ALL = {
     "dedup_incremental": dedup_incremental,
     "dedup_index_compaction": dedup_index_compaction,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "dedup_minhash_compaction": dedup_minhash_compaction,
+    "dedup_incremental_semantic": dedup_incremental_semantic,
     "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,

@@ -1212,81 +1212,94 @@ def upsert_dedup_index(
     The bounded driver data is the touched-bucket list (≤ 256 strings).
     Writes commit through Spark's FileOutputCommitter, so a failed
     upsert leaves the previous index intact."""
+    from pyspark import StorageLevel
+
+    # function-local persist: the upsert issues several actions over
+    # the entries (bucket list, staging write) and the caller's lineage
+    # is typically a whole screen-batch pipeline — without this it
+    # re-executes per action (the upsert_minhash_index lesson)
     entries = new_entries.select(
         "dup_key",
         "index_id",
         F.substring("dup_key", 1, 2).alias("bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        merged = entries.groupBy("bucket", "dup_key").agg(
-            F.min("index_id").alias("index_id")
-        )
-        merged.write.partitionBy("bucket").mode("overwrite").parquet(
-            index_path
-        )
-        written = _read_partitioned_index(spark, index_path)
-        return written.agg(
-            F.count_distinct("bucket").alias("n_buckets_touched"),
-            F.count(F.lit(1)).alias("n_entries_written"),
-        )
-    buckets = [
-        r["bucket"] for r in entries.select("bucket").distinct().collect()
-    ]
-    if not buckets:
-        return spark.range(1).select(
-            F.lit(0).cast("long").alias("n_buckets_touched"),
-            F.lit(0).cast("long").alias("n_entries_written"),
-        )
-    old = _read_partitioned_index(spark, index_path).filter(
-        F.col("bucket").isin(buckets)
-    )
-    merged = (
-        old.select("bucket", "dup_key", "index_id")
-        .unionByName(entries)
-        .groupBy("bucket", "dup_key")
-        .agg(F.min("index_id").alias("index_id"))
-    )
-    # HARD lineage break before the overwrite: the merge is staged to a
-    # sibling temp path first, and the dynamic-partition overwrite reads
-    # ONLY the staged files. A cache-based decoupling (the previous
-    # shape) recomputes `merged` from the very partitions being replaced
-    # if cached blocks are evicted or an executor dies mid-write
-    # (ADVICE r11); staging makes that recompute path read the staging
-    # parquet instead, which is immutable for the duration.
-    staging = index_path.rstrip("/") + "__staging__"
-    spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
     try:
-        # staged UNPARTITIONED: bucket stays a real string column —
-        # a partitioned staging dir would round-trip "00" through
-        # partition-value type inference as integer 0
-        merged.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        stats = staged.agg(
-            F.count_distinct("bucket").alias("b"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        prev_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        if not fs.exists(jpath):
+            merged = entries.groupBy("bucket", "dup_key").agg(
+                F.min("index_id").alias("index_id")
+            )
+            # repartition by the partition column first: each bucket
+            # dir then receives ONE file instead of one per shuffle
+            # task (32 tasks x 256 dirs = 8k tiny files otherwise —
+            # commit overhead dominates the write)
+            merged.repartition("bucket").write.partitionBy(
+                "bucket"
+            ).mode("overwrite").parquet(index_path)
+            written = _read_partitioned_index(spark, index_path)
+            return written.agg(
+                F.count_distinct("bucket").alias("n_buckets_touched"),
+                F.count(F.lit(1)).alias("n_entries_written"),
+            )
+        buckets = [
+            r["bucket"] for r in entries.select("bucket").distinct().collect()
+        ]
+        if not buckets:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n_buckets_touched"),
+                F.lit(0).cast("long").alias("n_entries_written"),
+            )
+        old = _read_partitioned_index(spark, index_path).filter(
+            F.col("bucket").isin(buckets)
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        merged = (
+            old.select("bucket", "dup_key", "index_id")
+            .unionByName(entries)
+            .groupBy("bucket", "dup_key")
+            .agg(F.min("index_id").alias("index_id"))
         )
+        # HARD lineage break before the overwrite: the merge is staged to a
+        # sibling temp path first, and the dynamic-partition overwrite reads
+        # ONLY the staged files. A cache-based decoupling (the previous
+        # shape) recomputes `merged` from the very partitions being replaced
+        # if cached blocks are evicted or an executor dies mid-write
+        # (ADVICE r11); staging makes that recompute path read the staging
+        # parquet instead, which is immutable for the duration.
+        staging = index_path.rstrip("/") + "__staging__"
+        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
         try:
-            staged.write.partitionBy("bucket").mode("overwrite").parquet(
-                index_path
+            # staged UNPARTITIONED: bucket stays a real string column —
+            # a partitioned staging dir would round-trip "00" through
+            # partition-value type inference as integer 0
+            merged.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            stats = staged.agg(
+                F.count_distinct("bucket").alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
+            try:
+                staged.repartition("bucket").write.partitionBy(
+                    "bucket"
+                ).mode("overwrite").parquet(index_path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        finally:
+            fs.delete(spath, True)
+        return spark.range(1).select(
+            F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
+            F.lit(stats["n"]).cast("long").alias("n_entries_written"),
+        )
     finally:
-        fs.delete(spath, True)
-    return spark.range(1).select(
-        F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
-        F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-    )
+        entries.unpersist()
 
 
 def dedup_against_index(
@@ -1388,6 +1401,7 @@ def upsert_minhash_index(
     spark,
     index_path: str,
     new_entries: DataFrame,
+    pfx_chars: int = 2,
 ) -> DataFrame:
     """Partition-pruned UPSERT of accepted batch signatures into an
     ON-DISK MinHash index — the near-dup sibling of
@@ -1400,11 +1414,14 @@ def upsert_minhash_index(
     sees them WITHOUT anything ever re-shingling the old corpus.
 
     The index at ``index_path`` is parquet partitioned by ``pfx`` = the
-    first two hex chars of the md5 band bucket (256 uniform
-    partitions). Per upsert, ONLY the partitions the new entries touch
-    are read (partition pruning on the pfx filter — at 100 TB a small
-    batch touches a few hundred MB of a multi-TB index, not all of
-    it), merged (row-level DISTINCT — a replayed batch re-derives
+    first ``pfx_chars`` hex chars of the md5 band bucket (16^pfx_chars
+    uniform partitions — 256 at the default 2, the right grain for a
+    multi-TB index at 100 TB; pass 1 for small corpora where 256
+    directories' filesystem metadata would dominate the write). Per
+    upsert, ONLY the partitions the new entries touch are read
+    (partition pruning on the pfx filter — at 100 TB a small batch
+    touches a few hundred MB of a multi-TB index, not all of it),
+    merged (row-level DISTINCT — a replayed batch re-derives
     byte-identical signature rows, so replays are idempotent), staged
     to a sibling temp path (HARD lineage break: the dynamic-partition
     overwrite reads only immutable staged files, never the partitions
@@ -1417,71 +1434,84 @@ def upsert_minhash_index(
     Bounded driver data: the touched-pfx list (≤ 256 strings). Writes
     commit through Spark's FileOutputCommitter, so a failed upsert
     leaves the previous index intact."""
+    from pyspark import StorageLevel
+
+    # function-local persist: the upsert issues SEVERAL actions over
+    # the entries (pfx list, staging write) and the caller's lineage is
+    # typically a whole screen-batch pipeline — without this it would
+    # re-execute per action (measured 26.5 s → 9 s warm on the
+    # 3-round compaction catalog row at sf0.1)
     entries = new_entries.select(
         "index_id",
         "band_idx",
         "bucket",
         "sigs",
-        F.substring("bucket", 1, 2).alias("pfx"),
-    )
+        F.substring("bucket", 1, int(pfx_chars)).alias("pfx"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        merged = entries.distinct()
-        merged.write.partitionBy("pfx").mode("overwrite").parquet(
-            index_path
-        )
-        written = _read_partitioned_index(spark, index_path)
-        return written.agg(
-            F.count_distinct("pfx").alias("n_partitions_touched"),
-            F.count(F.lit(1)).alias("n_entries_written"),
-        )
-    pfxs = [r["pfx"] for r in entries.select("pfx").distinct().collect()]
-    if not pfxs:
-        return spark.range(1).select(
-            F.lit(0).cast("long").alias("n_partitions_touched"),
-            F.lit(0).cast("long").alias("n_entries_written"),
-        )
-    old = _read_partitioned_index(spark, index_path).filter(
-        F.col("pfx").isin(pfxs)
-    )
-    merged = (
-        old.select("index_id", "band_idx", "bucket", "sigs", "pfx")
-        .unionByName(entries)
-        .distinct()
-    )
-    staging = index_path.rstrip("/") + "__staging__"
-    spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
     try:
-        # staged UNPARTITIONED: pfx stays a real string column — a
-        # partitioned staging dir would round-trip "00" through
-        # partition-value type inference as integer 0
-        merged.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        stats = staged.agg(
-            F.count_distinct("pfx").alias("p"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        prev_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        if not fs.exists(jpath):
+            merged = entries.distinct()
+            # one file per pfx dir (see upsert_dedup_index note)
+            merged.repartition("pfx").write.partitionBy("pfx").mode(
+                "overwrite"
+            ).parquet(index_path)
+            written = _read_partitioned_index(spark, index_path)
+            return written.agg(
+                F.count_distinct("pfx").alias("n_partitions_touched"),
+                F.count(F.lit(1)).alias("n_entries_written"),
+            )
+        pfxs = [
+            r["pfx"] for r in entries.select("pfx").distinct().collect()
+        ]
+        if not pfxs:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n_partitions_touched"),
+                F.lit(0).cast("long").alias("n_entries_written"),
+            )
+        old = _read_partitioned_index(spark, index_path).filter(
+            F.col("pfx").isin(pfxs)
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        merged = (
+            old.select("index_id", "band_idx", "bucket", "sigs", "pfx")
+            .unionByName(entries)
+            .distinct()
         )
+        staging = index_path.rstrip("/") + "__staging__"
+        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
         try:
-            staged.write.partitionBy("pfx").mode("overwrite").parquet(
-                index_path
+            # staged UNPARTITIONED: pfx stays a real string column — a
+            # partitioned staging dir would round-trip "00" through
+            # partition-value type inference as integer 0
+            merged.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            stats = staged.agg(
+                F.count_distinct("pfx").alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
+            try:
+                staged.repartition("pfx").write.partitionBy("pfx").mode(
+                    "overwrite"
+                ).parquet(index_path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        finally:
+            fs.delete(spath, True)
+        return spark.range(1).select(
+            F.lit(stats["p"]).cast("long").alias("n_partitions_touched"),
+            F.lit(stats["n"]).cast("long").alias("n_entries_written"),
+        )
     finally:
-        fs.delete(spath, True)
-    return spark.range(1).select(
-        F.lit(stats["p"]).cast("long").alias("n_partitions_touched"),
-        F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-    )
+        entries.unpersist()
 
 
 def dedup_batch_against_minhash_index(
@@ -1598,6 +1628,141 @@ def dedup_batch_against_minhash_index(
             (
                 F.coalesce("best_est_jaccard", F.lit(0.0))
                 < F.lit(float(threshold))
+            ).alias("keep"),
+        )
+    )
+
+
+def build_semantic_index(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """SEMANTIC member index of an accepted corpus snapshot — the
+    SemDeDup sibling of :func:`build_dedup_index` (exact) and
+    :func:`build_minhash_index` (near-dup text): one row per corpus
+    vector, (index_id, centroid_id, vec, nrm), under a TRAINED
+    clustering (``assignments`` = the (id, centroid_id) frame of
+    similarity.kmeans_centroids_exact, so the layout is engine-exact
+    and replayable). Persist this table (parquet, partitionable by
+    centroid_id — the partition-pruning key a batch probe filters on)
+    between pipeline runs together with the centroid matrix; repeated
+    ingestion then screens new batches against ONLY their assigned
+    cluster's members and never re-reads (or re-clusters) the rest of
+    the corpus. Norms are projected once here so probes never
+    recompute them."""
+    from topnotch_spark.functions.vectors import norm
+
+    return corpus.select(
+        F.col(id_col).alias("index_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).join(
+        assignments.select(
+            F.col("id").alias("index_id"), "centroid_id"
+        ),
+        "index_id",
+    )
+
+
+def dedup_batch_against_semantic_index(
+    batch: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental SEMANTIC screen of a new batch against a persisted
+    :func:`build_semantic_index` — the SemDeDup (Abbas et al. 2023)
+    analogue of :func:`dedup_batch_against_minhash_index`, completing
+    the incremental-ingestion trio's third leg: the old corpus is never
+    re-embedded, re-clustered, or re-scanned; only the centroid matrix
+    (k rows, broadcast) and the batch's assigned clusters' member rows
+    join in. Each batch vector is assigned to its nearest trained
+    centroid with the ENGINE-EXACT micro-int cosine rank
+    (kmeans_centroids_exact's assignment rule, so an oracle replays the
+    routing bit-for-bit), then compared against that cluster's members
+    only. Returns one row per batch vector: (id, centroid_id,
+    n_candidates, best_match_id, best_cosine, keep) with best =
+    (rounded cosine desc, index_id asc) and keep iff no member's
+    rounded cosine reaches ``threshold`` (an empty cluster keeps).
+
+    Execution shape (100 TB): batch × k broadcast cross join for the
+    routing; the member join is an equi-join on centroid_id hitting
+    only the clusters the batch routes to (partition-prunable under the
+    build_semantic_index layout); per-candidate cost is one
+    codegen'd dot product — no pairwise over the corpus, ever."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.functions.vectors import cosine, dot, norm
+
+    cents = centroids.select(
+        "centroid_id", F.col("centroid").alias("__cvec__")
+    )
+    w = Window.partitionBy("__bid__").orderBy(
+        F.col("__ccm__").desc(), F.col("centroid_id").asc()
+    )
+    assigned = _persist(
+        batch.select(
+            F.col(id_col).alias("__bid__"),
+            F.col(vec_col).alias("__bv__"),
+            norm(F.col(vec_col)).alias("__bn__"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__ccm__",
+            F.round(cosine(F.col("__bv__"), F.col("__cvec__")) * F.lit(1e6), 0)
+            .cast("long"),
+        )
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("__bid__", "__bv__", "__bn__", "centroid_id")
+    )
+    scored = (
+        assigned.join(index, "centroid_id")
+        .select(
+            "__bid__",
+            "index_id",
+            F.round(
+                dot(F.col("__bv__"), F.col("vec"))
+                / (F.col("__bn__") * F.col("nrm")),
+                round_digits,
+            ).alias("__cos__"),
+        )
+    )
+    w2 = Window.partitionBy("__bid__").orderBy(
+        F.col("__cos__").desc(), F.col("index_id").asc()
+    )
+    per = (
+        scored.withColumn("__rn__", F.row_number().over(w2))
+        .groupBy("__bid__")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("index_id"))
+            ).alias("best_match_id"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("__cos__"))
+            ).alias("best_cosine"),
+        )
+    )
+    return (
+        assigned.select("__bid__", "centroid_id")
+        .join(per, "__bid__", "left")
+        .select(
+            F.col("__bid__").alias(id_col),
+            "centroid_id",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_match_id",
+            "best_cosine",
+            (
+                F.col("best_cosine").isNull()
+                | (F.col("best_cosine") < F.lit(float(threshold)))
             ).alias("keep"),
         )
     )

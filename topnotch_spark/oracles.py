@@ -312,6 +312,97 @@ def dedup_incremental_minhash_sql(
     """
 
 
+def dedup_minhash_compaction_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> str:
+    """Mirror of catalog.dedup_minhash_compaction: the shared
+    signature/banding CTEs, then the three round-ordered accept sets
+    replayed in SQL — idx0 = the %3==0 seed; per round the rejected
+    batch ids are those with any bucket-collision candidate in the
+    index-so-far whose signature-estimated Jaccard (exact integer
+    component agreements / num_hashes, rounded like the Spark side)
+    reaches the threshold; accepted ids' bucket rows join the final
+    index. Docs with no shingles never enter the index on either
+    engine (they have no signature rows)."""
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n               ".join(
+        f"{minhash_component(h, num_hashes)} AS sig_{h}"
+        for h in range(num_hashes)
+    )
+    band_cols = ",\n               ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"sig_{b * rows_per_band + r}::VARCHAR"
+            for r in range(rows_per_band)
+        )
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = "\n          UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, band_{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sb.sig_{h} = si.sig_{h} THEN 1 ELSE 0 END)"
+        for h in range(num_hashes)
+    )
+    est = f"round(({agree}) / {float(num_hashes)}, 6)"
+    sig_list = "[" + ", ".join(f"s.sig_{h}" for h in range(num_hashes)) + "]"
+
+    def rej(round_mod: int, idx: str) -> str:
+        return f"""
+          SELECT DISTINCT b.id FROM buckets b
+          JOIN buckets i
+            ON b.band_idx = i.band_idx AND b.bucket = i.bucket
+          JOIN {idx} ON i.id = {idx}.id
+          JOIN sigs sb ON sb.id = b.id
+          JOIN sigs si ON si.id = i.id
+          WHERE b.id % 3 = {round_mod} AND {est} >= {threshold}
+        """
+
+    return f"""
+        {_DOC_BASE},
+        shingled AS (
+          SELECT doc_id AS id, {shingles(n=shingle_n)} AS __sh__ FROM toked
+        ),
+        base AS (
+          SELECT id, __sh__ FROM shingled WHERE len(__sh__) > 0
+        ),
+        sigs AS (
+          SELECT id, {sig_cols} FROM base
+        ),
+        banded AS (
+          SELECT id, {band_cols} FROM sigs
+        ),
+        buckets AS (
+          {band_union}
+        ),
+        idx0 AS (SELECT id FROM base WHERE id % 3 = 0),
+        rej1 AS ({rej(1, "idx0")}),
+        idx1 AS (
+          SELECT id FROM idx0
+          UNION
+          SELECT id FROM base WHERE id % 3 = 1
+            AND id NOT IN (SELECT id FROM rej1)
+        ),
+        rej2 AS ({rej(2, "idx1")}),
+        idx2 AS (
+          SELECT id FROM idx1
+          UNION
+          SELECT id FROM base WHERE id % 3 = 2
+            AND id NOT IN (SELECT id FROM rej2)
+        )
+        SELECT bk.id AS index_id, bk.band_idx, bk.bucket,
+               {sig_list} AS sigs
+        FROM buckets bk
+        JOIN sigs s ON s.id = bk.id
+        JOIN idx2 ON bk.id = idx2.id
+    """
+
+
 def cross_source_dup_sql(
     num_hashes: int = 16,
     bands: int = 4,
@@ -794,6 +885,123 @@ def semantic_dedup_trained_sql(
         FROM members m
         LEFT JOIN dominated d ON m.id = d.dom
         LEFT JOIN sil USING (centroid_id)
+    """
+
+
+def dedup_incremental_semantic_sql(
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_rounds: int = 2,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.dedup_incremental_semantic: replay the
+    ENGINE-EXACT kmeans rounds on the EVEN-id corpus only (the
+    semantic_dedup_trained_sql machinery restricted to the training
+    half), derive the corpus member table and the batch routing with
+    the same micro-int cosine rank the Spark assignment uses, then
+    score each batch vector against its assigned cluster's members
+    with the rounded cosine; keep iff best < threshold (or the cluster
+    is empty of members)."""
+    ccm = f"CAST(round({cosine('b.v', 'c.cvec', dim)} * 1000000) AS BIGINT)"
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = f"c{r - 1}"
+        rounds.append(f"""
+        a{r} AS (
+          SELECT id, v, centroid_id FROM (
+            SELECT b.id, b.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {ccm} DESC, c.centroid_id ASC) AS rn
+            FROM base b CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        ),
+        m{r} AS (
+          SELECT centroid_id, i AS pos,
+                 CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT))
+                   AS BIGINT) AS s,
+                 count(*) AS n
+          FROM a{r}, generate_series(1, {dim}) AS g(i)
+          GROUP BY centroid_id, i
+        ),
+        n{r} AS (
+          SELECT centroid_id, list(comp ORDER BY pos) AS cvec FROM (
+            SELECT centroid_id, pos,
+                   (CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                         ELSE -(((-2 * s) + n) // (2 * n)) END)
+                     / 1000000.0 AS comp
+            FROM m{r}
+          ) GROUP BY centroid_id
+        ),
+        c{r} AS (
+          SELECT c.centroid_id, coalesce(n.cvec, c.cvec) AS cvec
+          FROM {prev} c LEFT JOIN n{r} n USING (centroid_id)
+        )""")
+    last = f"c{n_rounds}"
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        batch AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)
+                   AS centroid_id,
+                 v AS cvec
+          FROM (SELECT id, v FROM base ORDER BY id LIMIT {n_centroids})
+        ),
+        {",".join(rounds)},
+        members AS (
+          SELECT id AS index_id, v AS iv, centroid_id FROM (
+            SELECT b.id, b.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {ccm} DESC, c.centroid_id ASC) AS rn
+            FROM base b CROSS JOIN {last} c
+          ) WHERE rn = 1
+        ),
+        routed AS (
+          SELECT id, v AS bv, centroid_id FROM (
+            SELECT b.id, b.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {ccm} DESC, c.centroid_id ASC) AS rn
+            FROM batch b CROSS JOIN {last} c
+          ) WHERE rn = 1
+        ),
+        scored AS (
+          SELECT r.id, m.index_id,
+                 round({cosine('r.bv', 'm.iv', dim)},
+                       {round_digits}) AS cos
+          FROM routed r JOIN members m USING (centroid_id)
+        ),
+        per AS (
+          SELECT id,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 max(CASE WHEN rn = 1 THEN index_id END)
+                   AS best_match_id,
+                 max(CASE WHEN rn = 1 THEN cos END) AS best_cosine
+          FROM (
+            SELECT id, index_id, cos,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY cos DESC, index_id ASC
+                   ) AS rn
+            FROM scored
+          ) GROUP BY id
+        )
+        SELECT r.id AS vec_id, r.centroid_id,
+               coalesce(per.n_candidates, 0) AS n_candidates,
+               per.best_match_id,
+               per.best_cosine,
+               (per.best_cosine IS NULL
+                OR per.best_cosine < {threshold}) AS keep
+        FROM routed r LEFT JOIN per ON r.id = per.id
     """
 
 
