@@ -146,9 +146,17 @@ def main() -> None:
         for name, ts in samples.items()
     }
     total = round(sum(t for t in times.values() if t is not None), 3)
+    # contention-robust headline alongside the median headline: the sum
+    # of per-query MINS. The r11 driver run showed median-of-3 moving
+    # ~19% above sum-of-mins purely from machine interference (7 queries
+    # with >3x max/min spread, outlier uniformly distributed across rep
+    # positions); round-over-round comparison should key on value_min
+    # when the two diverge (VERDICT r11 #5).
+    total_min = round(sum(t for t in mins.values() if t is not None), 3)
     compact = {
         "metric": "catalog_total_wallclock",
         "value": total,
+        "value_min": total_min,
         "unit": "sec",
         "queries": times,
         "reps": reps,
@@ -174,6 +182,7 @@ def main() -> None:
     summary = {
         "metric": "catalog_total_wallclock",
         "value": total,
+        "value_min": total_min,
         "unit": "sec",
         "n_queries": len(times),
         "n_failed": n_failed,

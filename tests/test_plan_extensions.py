@@ -1285,7 +1285,7 @@ EXAMPLE_PLANS = sorted(
 def test_all_examples_are_covered():
     """The parametrized run below must track the shipped set — a new
     example that nobody wired into tests should fail here, not rot."""
-    assert len(EXAMPLE_PLANS) == 14, EXAMPLE_PLANS
+    assert len(EXAMPLE_PLANS) == 15, EXAMPLE_PLANS
 
 
 @pytest.mark.parametrize(

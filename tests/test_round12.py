@@ -375,6 +375,160 @@ class TestMinhashIndexWidthGuard:
 
 
 # ---------------------------------------------------------------------------
+# Ingestion lifecycle plan (verdict r11 #7): build -> screen -> upsert
+# chained through the registry, plus the index plan command
+# ---------------------------------------------------------------------------
+
+
+class TestIngestionLifecyclePlan:
+    def test_example_plan_end_to_end(self, spark, tmp_path):
+        from topnotch_spark.engine import TnEngine
+
+        engine = TnEngine(spark)
+        num_failed = engine.run(
+            "/root/repo/examples/incremental_ingestion_plan.json",
+            variables={"sfDir": SF, "workDir": str(tmp_path / "w")},
+        )
+        assert num_failed == 0
+        reg = engine.registry
+        # NOTE: registry frames are lazy — re-counting a screen frame
+        # HERE would re-read the on-disk index, which the plan's later
+        # upserts have since grown (so every batch key now looks
+        # in_index). Assert against ground truth computed independently
+        # and against the upsert stats frames (literal columns, stable).
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        expected_keys = (
+            docs.filter("doc_id % 3 IN (0, 1)")
+            .selectExpr("md5(coalesce(text, '')) AS k")
+            .distinct()
+            .count()
+        )
+        final = spark.read.parquet(str(tmp_path / "w" / "index/exact"))
+        # after seed + round-1 upsert the index owns exactly the distinct
+        # content keys of both ingested rounds
+        assert final.count() == expected_keys
+        assert final.select("dup_key").distinct().count() == expected_keys
+        # round-1 upsert added the batch's novel keys (literal stats)
+        stats1 = reg["exactUpsertStats1"].collect()[0]
+        assert stats1["n_entries_written"] > 0
+        # minhash index exists, is pfx-partitioned, and carries complete
+        # signature rows
+        mh_final = spark.read.parquet(
+            str(tmp_path / "w" / "index/minhash")
+        )
+        assert mh_final.count() > 0
+        assert {"index_id", "band_idx", "bucket", "sigs"} <= set(
+            mh_final.columns
+        )
+        assert os.path.isdir(
+            str(tmp_path / "w" / "index/minhash")
+        )
+        mh_stats = reg["mhUpsertStats1"].collect()[0]
+        assert mh_stats["n_partitions_touched"] <= 16
+
+    def test_index_cmd_validation(self, spark):
+        from topnotch_spark.plans.extensions import IndexCmd
+
+        with pytest.raises(ValueError, match="unknown method"):
+            IndexCmd.from_json(
+                {"command": "index",
+                 "input": {"ref": "a", "onDisk": False},
+                 "params": {"method": "rebuildEverything"},
+                 "outputKey": "x"}
+            )
+        with pytest.raises(ValueError, match="indexPath"):
+            IndexCmd.from_json(
+                {"command": "index",
+                 "input": {"ref": "a", "onDisk": False},
+                 "params": {"method": "upsertExact"},
+                 "outputKey": "x"}
+            )
+        with pytest.raises(ValueError, match="centroids"):
+            IndexCmd.from_json(
+                {"command": "index",
+                 "input": {"ref": "a", "onDisk": False},
+                 "params": {"method": "buildSemantic",
+                            "idColumn": "vec_id", "vecColumn": "v"},
+                 "outputKey": "x"}
+            )
+
+    def test_semantic_plan_path(self, spark, tmp_path):
+        """buildSemantic + dedup incrementalSemantic as plan commands:
+        the trained-cluster screen chained through the registry."""
+        from topnotch_spark.engine import TnEngine
+
+        plan = {
+            "commands": [
+                {
+                    "command": "view",
+                    "inputs": [
+                        {"ref": f"{SF}/embeddings.parquet", "onDisk": True}
+                    ],
+                    "params": {
+                        "tableAliases": ["e"],
+                        "query": "SELECT vec_id, embedding FROM e "
+                                 "WHERE vec_id % 2 = 0",
+                    },
+                    "outputKey": "corpus",
+                },
+                {
+                    "command": "similarity",
+                    "corpus": {"ref": "corpus", "onDisk": False},
+                    "params": {"method": "kmeans", "idColumn": "vec_id",
+                               "vecColumn": "embedding",
+                               "nCentroids": 4, "nRounds": 1},
+                    "outputKey": "cents",
+                },
+                {
+                    "command": "index",
+                    "input": {"ref": "corpus", "onDisk": False},
+                    "centroids": {"ref": "cents", "onDisk": False},
+                    "params": {"method": "buildSemantic",
+                               "idColumn": "vec_id",
+                               "vecColumn": "embedding"},
+                    "outputKey": "semIndex",
+                },
+                {
+                    "command": "view",
+                    "inputs": [
+                        {"ref": f"{SF}/embeddings.parquet", "onDisk": True}
+                    ],
+                    "params": {
+                        "tableAliases": ["e"],
+                        "query": "SELECT vec_id, embedding FROM e "
+                                 "WHERE vec_id % 2 = 1",
+                    },
+                    "outputKey": "batch",
+                },
+                {
+                    "command": "dedup",
+                    "input": {"ref": "batch", "onDisk": False},
+                    "index": {"ref": "semIndex", "onDisk": False},
+                    "centroids": {"ref": "cents", "onDisk": False},
+                    "params": {"method": "incrementalSemantic",
+                               "idColumn": "vec_id",
+                               "vecColumn": "embedding",
+                               "threshold": 0.35},
+                    "outputKey": "screened",
+                },
+            ]
+        }
+        import json as _json
+
+        p = tmp_path / "plan.json"
+        p.write_text(_json.dumps(plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(p)) == 0
+        screened = engine.registry["screened"]
+        n_batch = engine.registry["batch"].count()
+        assert screened.count() == n_batch
+        assert {"vec_id", "centroid_id", "n_candidates",
+                "best_match_id", "best_cosine", "keep"} == set(
+            screened.columns
+        )
+
+
+# ---------------------------------------------------------------------------
 # Incremental semantic screen (verdict r11 #3)
 # ---------------------------------------------------------------------------
 
@@ -517,6 +671,130 @@ class TestWordpieceFertility:
             F.sum("n_tokens").alias("t"), F.sum("n_subwords").alias("s")
         ).collect()[0]
         assert (tot["t"], tot["s"]) == (tot2["t"], tot2["s"])
+
+
+# ---------------------------------------------------------------------------
+# Spans-rewriter raw-text fidelity (verdict r11 #8): cut_ranges
+# ---------------------------------------------------------------------------
+
+
+def _apply_cut_ranges(text: str, ranges) -> str:
+    """Delete the [s, e) character ranges from the ORIGINAL text —
+    exactly what a Lee-2022-style raw-bytes rewriter does."""
+    out = text
+    for r in sorted(ranges, key=lambda r: r["s"], reverse=True):
+        out = out[: r["s"]] + out[r["e"]:]
+    return out
+
+
+class TestSpansRewriteCutRanges:
+    def test_ranges_reproduce_rewritten_tokens_handcrafted(self, spark):
+        """Messy whitespace + mixed case: applying cut_ranges to the
+        RAW text must yield the same token stream as text_rewritten."""
+        from topnotch_spark.operators.dedup import (
+            rewrite_duplicate_spans,
+        )
+
+        dup = "Alpha  Beta\tGamma"
+        rows = [
+            (1, f"  {dup} \n one two three"),
+            (2, f"zero {dup}   four"),
+            (3, "nothing duplicated here at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: r
+            for r in rewrite_duplicate_spans(
+                df, "doc_id", "text", span_tokens=3, min_occurrences=2,
+                emit_cut_ranges=True,
+            ).collect()
+        }
+        raw = dict(rows)
+        for i, r in out.items():
+            survived = _apply_cut_ranges(raw[i], r["cut_ranges"])
+            assert survived.lower().split() == r["text_rewritten"].split()
+        # keep-first: exactly one of the two occurrences was cut
+        assert (out[1]["n_tokens_cut"] > 0) != (out[2]["n_tokens_cut"] > 0)
+        assert out[3]["cut_ranges"] == []
+        # ranges are sorted and non-overlapping
+        for r in out.values():
+            spans = [(x["s"], x["e"]) for x in r["cut_ranges"]]
+            assert spans == sorted(spans)
+            assert all(
+                a[1] <= b[0] for a, b in zip(spans, spans[1:])
+            )
+
+    def test_ranges_property_on_corpus(self, spark):
+        """Property over real documents: for every doc, deleting
+        cut_ranges from the original text is token-identical to
+        text_rewritten, and conservation holds."""
+        from topnotch_spark.operators.dedup import (
+            rewrite_duplicate_spans,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        out = rewrite_duplicate_spans(
+            docs, "doc_id", "text", span_tokens=5, min_occurrences=2,
+            emit_cut_ranges=True,
+        ).collect()
+        raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+        n_cut_docs = 0
+        for r in out:
+            assert r["n_tokens_out"] == r["n_tokens_in"] - r["n_tokens_cut"]
+            text = raw[r["id"]] or ""
+            survived = _apply_cut_ranges(text, r["cut_ranges"])
+            assert survived.lower().split() == r["text_rewritten"].split()
+            if r["cut_ranges"]:
+                n_cut_docs += 1
+        assert n_cut_docs > 0  # the corpus has duplicated spans
+
+    def test_default_output_schema_unchanged(self, spark):
+        from topnotch_spark.operators.dedup import (
+            rewrite_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        cols = rewrite_duplicate_spans(df, "doc_id", "text").columns
+        assert cols == ["id", "n_tokens_in", "n_tokens_cut",
+                        "n_tokens_out", "text_rewritten"]
+
+
+class TestTokenCharOffsets:
+    def test_offsets_align_with_tokens(self, spark):
+        from topnotch_spark.functions.text import (
+            token_char_offsets,
+            tokens,
+        )
+
+        rows = [
+            (1, "  leading and   trailing  "),
+            (2, "tabs\tand\nnewlines mixed\t\n in"),
+            (3, ""),
+            (4, None),
+            (5, "single"),
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {
+            r["i"]: (r["offs"], r["toks"])
+            for r in df.select(
+                "i",
+                token_char_offsets("t").alias("offs"),
+                tokens("t").alias("toks"),
+            ).collect()
+        }
+        raw = dict(rows)
+        for i, (offs, toks) in got.items():
+            text = raw[i]
+            if text is None:
+                assert offs is None
+                continue
+            assert len(offs) == len(toks)
+            for off, tok in zip(offs, toks):
+                assert text[off["s"]: off["e"]].lower() == tok
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,50 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def token_char_offsets(col: Column | str) -> Column:
+    """Per-token (s, e) CHARACTER offsets of every whitespace-delimited
+    token in the RAW, un-normalized string — index-aligned with
+    :func:`tokens` (identical ``\\s+`` boundaries; lowercasing never
+    moves them), so token position i of the normalized stream maps to
+    ``offsets[i]`` of the original text. ``e`` is exclusive
+    (``substr(text, s+1, e-s)`` is the token).
+
+    Pure JVM: one zero-width split (each segment = one token plus its
+    trailing whitespace, with at most one leading all-whitespace
+    segment) folded by ``aggregate`` into running offsets — no Python,
+    no second regex pass per token."""
+    c = F.col(col) if isinstance(col, str) else col
+    seg = F.split(c, r"(?<=\s)(?=\S)")
+    return F.aggregate(
+        seg,
+        F.struct(
+            F.lit(0).cast("int").alias("off"),
+            F.expr(
+                "CAST(array() AS array<struct<s: int, e: int>>)"
+            ).alias("acc"),
+        ),
+        lambda st, s: F.struct(
+            (st["off"] + F.length(s)).cast("int").alias("off"),
+            F.when(
+                s.rlike(r"^\S"),
+                F.array_append(
+                    st["acc"],
+                    F.struct(
+                        st["off"].cast("int").alias("s"),
+                        (
+                            st["off"]
+                            + F.length(
+                                F.regexp_replace(s, r"\s+$", "")
+                            )
+                        ).cast("int").alias("e"),
+                    ),
+                ),
+            ).otherwise(st["acc"]).alias("acc"),
+        ),
+        lambda st: st["acc"],
+    )
+
+
 # GPT-2-flavored pre-tokenizer regex, restricted to constructs RE2 also
 # supports (no lookarounds, explicit ASCII classes) so the DuckDB oracle
 # runs the IDENTICAL pattern: contractions, space-prefixed letter runs,

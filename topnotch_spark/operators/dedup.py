@@ -934,6 +934,7 @@ def rewrite_duplicate_spans(
     text_col: str,
     span_tokens: int = 20,
     min_occurrences: int = 2,
+    emit_cut_ranges: bool = False,
 ) -> DataFrame:
     """The CUT/KEEP-FIRST rewriter that makes :func:`duplicate_spans`'
     finding actionable — the dedup step of Lee et al., "Deduplicating
@@ -949,6 +950,18 @@ def rewrite_duplicate_spans(
     over, which is what the paper rewrites too), '' when everything was
     cut, and conservation n_tokens_out = n_tokens_in − n_tokens_cut
     holds by construction (property-tested).
+
+    ``emit_cut_ranges=True`` adds a ``cut_ranges``
+    array<struct<s, e>> column: the cut token ranges mapped back to
+    CHARACTER offsets in the ORIGINAL, un-normalized text (s inclusive,
+    e exclusive, sorted, non-overlapping — consecutive cut tokens
+    merge), so a caller can rewrite the raw bytes exactly as Lee 2022
+    does instead of adopting the normalized stream. Deleting the
+    ranges from the original text yields a string whose token stream
+    equals ``text_rewritten``'s (property-tested; tokens() boundaries
+    are \\s+ on the raw text, so offsets align index-for-index via
+    functions.text.token_char_offsets — one extra JVM aggregate per
+    doc, no Python).
 
     Execution shape (100 TB): the corpus tokenizes ONCE into a
     persisted (id, token array) frame feeding the span windows, the
@@ -966,8 +979,15 @@ def rewrite_duplicate_spans(
         )
     from pyspark.sql import Window
 
+    raw_cols = (
+        [F.col(text_col).alias("__raw__")] if emit_cut_ranges else []
+    )
     ta = _persist(
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t__"))
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(text_col).alias("__t__"),
+            *raw_cols,
+        )
     )
     spans = _persist(
         ta.select(
@@ -1009,6 +1029,10 @@ def rewrite_duplicate_spans(
         )
         .distinct()
     )
+    if emit_cut_ranges:
+        # the cut-position set feeds both the anti join and the
+        # gaps-and-islands rollup below
+        cuts = _persist(cuts)
     kept = (
         ta.select("id", F.posexplode("__t__").alias("tpos", "tok"))
         .join(cuts, ["id", "tpos"], "left_anti")
@@ -1026,7 +1050,7 @@ def rewrite_duplicate_spans(
             ).alias("__text__"),
         )
     )
-    return (
+    out = (
         ta.select("id", F.size("__t__").cast("long").alias("n_tokens_in"))
         .join(kept, "id", "left")
         .select(
@@ -1040,6 +1064,55 @@ def rewrite_duplicate_spans(
                 "n_tokens_out"
             ),
             F.coalesce("__text__", F.lit("")).alias("text_rewritten"),
+        )
+    )
+    if not emit_cut_ranges:
+        return out
+    from topnotch_spark.functions.text import token_char_offsets
+
+    # gaps-and-islands: consecutive cut token positions collapse into
+    # one (token_start, token_end) range per run — tpos minus its
+    # per-doc rank is constant within a run
+    wg = Window.partitionBy("id").orderBy("tpos")
+    tok_ranges = (
+        cuts.withColumn(
+            "__grp__", F.col("tpos") - F.row_number().over(wg)
+        )
+        .groupBy("id", "__grp__")
+        .agg(F.min("tpos").alias("__ts__"), F.max("tpos").alias("__te__"))
+    )
+    offs = ta.select(
+        "id", token_char_offsets(F.col("__raw__")).alias("__offs__")
+    )
+    ranges = (
+        tok_ranges.join(offs, "id")
+        .select(
+            "id",
+            "__ts__",
+            F.struct(
+                F.element_at(
+                    "__offs__", F.col("__ts__").cast("int") + 1
+                )["s"].alias("s"),
+                F.element_at(
+                    "__offs__", F.col("__te__").cast("int") + 1
+                )["e"].alias("e"),
+            ).alias("__rng__"),
+        )
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ts__", "__rng__"))),
+                lambda x: x["__rng__"],
+            ).alias("cut_ranges")
+        )
+    )
+    empty = F.expr("CAST(array() AS array<struct<s: int, e: int>>)")
+    return (
+        out.join(ranges, "id", "left")
+        .select(
+            "id", "n_tokens_in", "n_tokens_cut", "n_tokens_out",
+            "text_rewritten",
+            F.coalesce("cut_ranges", empty).alias("cut_ranges"),
         )
     )
 
@@ -1237,10 +1310,17 @@ def upsert_dedup_index(
             merged.repartition("bucket").write.partitionBy(
                 "bucket"
             ).mode("overwrite").parquet(index_path)
-            written = _read_partitioned_index(spark, index_path)
-            return written.agg(
-                F.count_distinct("bucket").alias("n_buckets_touched"),
-                F.count(F.lit(1)).alias("n_entries_written"),
+            # literal stats (from the persisted entries, not a lazy read
+            # of the index path — a frame whose lineage reads the index
+            # would silently re-count a LATER, grown index when the
+            # caller evaluates it after more upserts)
+            stats = merged.agg(
+                F.count_distinct("bucket").alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return spark.range(1).select(
+                F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
+                F.lit(stats["n"]).cast("long").alias("n_entries_written"),
             )
         buckets = [
             r["bucket"] for r in entries.select("bucket").distinct().collect()
@@ -1457,10 +1537,16 @@ def upsert_minhash_index(
             merged.repartition("pfx").write.partitionBy("pfx").mode(
                 "overwrite"
             ).parquet(index_path)
-            written = _read_partitioned_index(spark, index_path)
-            return written.agg(
-                F.count_distinct("pfx").alias("n_partitions_touched"),
-                F.count(F.lit(1)).alias("n_entries_written"),
+            # literal stats — see upsert_dedup_index's first-write note
+            stats = merged.agg(
+                F.count_distinct("pfx").alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return spark.range(1).select(
+                F.lit(stats["p"]).cast("long").alias(
+                    "n_partitions_touched"
+                ),
+                F.lit(stats["n"]).cast("long").alias("n_entries_written"),
             )
         pfxs = [
             r["pfx"] for r in entries.select("pfx").distinct().collect()
@@ -1635,9 +1721,10 @@ def dedup_batch_against_minhash_index(
 
 def build_semantic_index(
     corpus: DataFrame,
-    assignments: DataFrame,
+    assignments: DataFrame | None,
     id_col: str,
     vec_col: str,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SEMANTIC member index of an accepted corpus snapshot — the
     SemDeDup sibling of :func:`build_dedup_index` (exact) and
@@ -1651,14 +1738,46 @@ def build_semantic_index(
     ingestion then screens new batches against ONLY their assigned
     cluster's members and never re-reads (or re-clusters) the rest of
     the corpus. Norms are projected once here so probes never
-    recompute them."""
-    from topnotch_spark.functions.vectors import norm
+    recompute them.
 
-    return corpus.select(
+    Pass ``assignments=None`` with a ``centroids`` frame (centroid_id,
+    centroid) to derive the routing here instead — the same
+    engine-exact micro-int cosine rank the kmeans trainer and the batch
+    screen use, so all three agree on cluster membership."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.functions.vectors import cosine, norm
+
+    base = corpus.select(
         F.col(id_col).alias("index_id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-    ).join(
+    )
+    if assignments is None:
+        if centroids is None:
+            raise ValueError(
+                "build_semantic_index: pass assignments or centroids"
+            )
+        cents = centroids.select(
+            "centroid_id", F.col("centroid").alias("__cvec__")
+        )
+        w = Window.partitionBy("index_id").orderBy(
+            F.col("__ccm__").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__ccm__",
+                F.round(
+                    cosine(F.col("vec"), F.col("__cvec__")) * F.lit(1e6),
+                    0,
+                ).cast("long"),
+            )
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("index_id", "vec", "nrm", "centroid_id")
+        )
+    return base.join(
         assignments.select(
             F.col("id").alias("index_id"), "centroid_id"
         ),

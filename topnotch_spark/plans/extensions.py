@@ -84,16 +84,19 @@ class DedupCmd(Command):
     ``phashRecall`` emit the one-row banding-recall report (found vs
     exact pairs) for the text and image pipelines respectively —
     the config-audit rows to gate a full-corpus dedup on.
-    ``incremental`` / ``incrementalMinhash`` screen a new batch against
-    an "index" input (raw snapshot or the prebuilt artifact): exact
-    content-hash membership vs near-dup signature-estimated Jaccard —
-    the persisted-index ingestion pair (see
-    dedup.upsert_dedup_index / build_minhash_index). ``spansRewrite``
+    ``incremental`` / ``incrementalMinhash`` / ``incrementalSemantic``
+    screen a new batch against an "index" input (raw snapshot or the
+    prebuilt artifact): exact content-hash membership, near-dup
+    signature-estimated Jaccard, or trained-cluster cosine (the
+    SemDeDup screen — additionally requires a "centroids" input) — the
+    persisted-index ingestion trio (see dedup.upsert_dedup_index /
+    build_minhash_index / build_semantic_index). ``spansRewrite``
     emits the deduplicated corpus for ``spans``' findings (cut /
     keep-first, Lee 2022)."""
 
     input: Input = None  # type: ignore[assignment]
     index: Input | None = None
+    centroids: Input | None = None
     method: str = "exact"
     id_column: str = "id"
     value_column: str = "text"
@@ -101,14 +104,18 @@ class DedupCmd(Command):
 
     @property
     def inputs(self) -> list[Input]:
-        return [self.input] + ([self.index] if self.index is not None else [])
+        return (
+            [self.input]
+            + ([self.index] if self.index is not None else [])
+            + ([self.centroids] if self.centroids is not None else [])
+        )
 
     METHODS = (
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
         "spansRewrite", "fuzzy", "phash", "audio", "video", "incremental",
-        "incrementalMinhash", "sourceMatrix", "minhashRecall",
-        "phashRecall",
+        "incrementalMinhash", "incrementalSemantic", "sourceMatrix",
+        "minhashRecall", "phashRecall",
     )
 
     @classmethod
@@ -119,10 +126,20 @@ class DedupCmd(Command):
             raise ValueError(
                 'dedup: method "sourceMatrix" requires param "sourceColumn"'
             )
+        if p["method"] == "incrementalSemantic" and "centroids" not in obj:
+            raise ValueError(
+                'dedup: method "incrementalSemantic" requires a '
+                '"centroids" input (centroid_id, centroid)'
+            )
         return cls(
             input=Input.from_json(obj["input"]),
             index=(
                 Input.from_json(obj["index"]) if "index" in obj else None
+            ),
+            centroids=(
+                Input.from_json(obj["centroids"])
+                if "centroids" in obj
+                else None
             ),
             method=p["method"],
             id_column=p["idColumn"],
@@ -135,7 +152,7 @@ class DedupCmd(Command):
                 "roundDigits", "sep", "maxLineDf", "minChars", "spanTokens",
                 "minOccurrences", "nClusters", "maxDistance", "maxKeyDf",
                 "hashType", "grid", "nFrames", "everyN", "minMatchFrac",
-                "sourceColumn",
+                "sourceColumn", "emitCutRanges",
             ),
             **cls._common(obj),
         )
@@ -199,6 +216,29 @@ class DedupCmd(Command):
                 )
             return D.dedup_batch_against_minhash_index(
                 df, idx, self.id_column, self.value_column, **opts
+            )
+        if self.method == "incrementalSemantic":
+            if self.index is None:
+                raise ValueError(
+                    'dedup: method "incrementalSemantic" requires an '
+                    '"index" input (the member table or raw snapshot)'
+                )
+            idx = load_input(engine.spark, self.index, engine.registry)
+            cents = load_input(
+                engine.spark, self.centroids, engine.registry
+            )
+            # accept either a prebuilt member table — the persisted
+            # artifact of a previous run — or the raw snapshot
+            if not {"index_id", "vec", "nrm", "centroid_id"} <= set(
+                idx.columns
+            ):
+                idx = D.build_semantic_index(
+                    idx, None, self.id_column, self.value_column,
+                    centroids=cents,
+                )
+            return D.dedup_batch_against_semantic_index(
+                df, idx, cents, self.id_column, self.value_column,
+                **self.options,
             )
         fns = {
             "exact": D.exact_dedup,
@@ -2939,6 +2979,110 @@ class RetrieveCmd(Command):
         )
 
 
+@dataclass(frozen=True)
+class IndexCmd(Command):
+    """{"command": "index", "input": <accepted rows>, "params":
+    {"method": buildExact|buildMinhash|buildSemantic|upsertExact|
+    upsertMinhash, "idColumn", "textColumn"|"vecColumn",
+    buildMinhash: numHashes/bands/shingleN, upsert*: "indexPath"
+    (+"pfxChars" for minhash)}} — the persisted dedup-index LIFECYCLE
+    as plan steps, so repeated-ingestion pipelines chain build → screen
+    (dedup methods incremental/incrementalMinhash/incrementalSemantic)
+    → upsert through the registry:
+
+    - ``buildExact`` → (dup_key, index_id) content-hash index
+      (dedup.build_dedup_index); ``buildMinhash`` → (index_id,
+      band_idx, bucket, sigs) signature index (build_minhash_index);
+      ``buildSemantic`` → (index_id, vec, nrm, centroid_id) member
+      table (build_semantic_index — requires a "centroids" input, e.g.
+      the similarity kmeans output). Persist the frame with
+      outputPath/tableName to carry it across runs.
+    - ``upsertExact`` / ``upsertMinhash`` fold accepted entries into
+      the ON-DISK index at ``indexPath`` via partition-pruned dynamic
+      overwrite (dedup.upsert_dedup_index / upsert_minhash_index) and
+      return the one-row stats frame (n_*_touched, n_entries_written)
+      for downstream assertions."""
+
+    input: Input = None  # type: ignore[assignment]
+    centroids: Input | None = None
+    method: str = "buildExact"
+    id_column: str = "id"
+    value_column: str = "text"
+    index_path: str | None = None
+    options: dict = field(default_factory=dict)
+
+    @property
+    def inputs(self) -> list[Input]:
+        return [self.input] + (
+            [self.centroids] if self.centroids is not None else []
+        )
+
+    METHODS = (
+        "buildExact", "buildMinhash", "buildSemantic",
+        "upsertExact", "upsertMinhash",
+    )
+
+    @classmethod
+    def from_json(cls, obj: dict) -> "IndexCmd":
+        p = obj["params"]
+        _require_method(p, cls.METHODS, "index")
+        if p["method"].startswith("upsert") and "indexPath" not in p:
+            raise ValueError(
+                f'index: method "{p["method"]}" requires param "indexPath"'
+            )
+        if p["method"] == "buildSemantic" and "centroids" not in obj:
+            raise ValueError(
+                'index: method "buildSemantic" requires a "centroids" '
+                "input (centroid_id, centroid)"
+            )
+        return cls(
+            input=Input.from_json(obj["input"]),
+            centroids=(
+                Input.from_json(obj["centroids"])
+                if "centroids" in obj
+                else None
+            ),
+            method=p["method"],
+            id_column=p.get("idColumn", "id"),
+            value_column=p.get(
+                "textColumn", p.get("vecColumn", "text")
+            ),
+            index_path=p.get("indexPath"),
+            options=_opt(
+                p, "numHashes", "bands", "shingleN", "pfxChars"
+            ),
+            **cls._common(obj),
+        )
+
+    def execute(self, engine) -> DataFrame:
+        from topnotch_spark.operators import dedup as D
+
+        df = load_input(engine.spark, self.input, engine.registry)
+        if self.method == "buildExact":
+            return D.build_dedup_index(
+                df, self.id_column, self.value_column
+            )
+        if self.method == "buildMinhash":
+            return D.build_minhash_index(
+                df, self.id_column, self.value_column, **self.options
+            )
+        if self.method == "buildSemantic":
+            cents = load_input(
+                engine.spark, self.centroids, engine.registry
+            )
+            return D.build_semantic_index(
+                df, None, self.id_column, self.value_column,
+                centroids=cents,
+            )
+        if self.method == "upsertExact":
+            return D.upsert_dedup_index(
+                engine.spark, self.index_path, df
+            )
+        return D.upsert_minhash_index(
+            engine.spark, self.index_path, df, **self.options
+        )
+
+
 def register() -> None:
     from topnotch_spark.plans.parser import EXTENSION_COMMANDS
 
@@ -2979,6 +3123,7 @@ def register() -> None:
             "spatialJoin": SpatialJoinCmd.from_json,
             "intervalJoin": IntervalJoinCmd.from_json,
             "compact": CompactCmd.from_json,
+            "index": IndexCmd.from_json,
         }
     )
 

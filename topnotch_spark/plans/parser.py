@@ -93,11 +93,14 @@ def parse_commands(
     reader,
     defined_output_keys: set[str] | None = None,
     spark=None,
+    produced_paths: set[str] | None = None,
 ) -> list[Command]:
     from topnotch_spark.plans import extensions  # noqa: F401  (registers commands)
 
     if defined_output_keys is None:
         defined_output_keys = set()
+    if produced_paths is None:
+        produced_paths = set()
     out: list[Command] = []
     for i, cmd_obj in enumerate(root.get("commands", [])):
         try:
@@ -114,7 +117,12 @@ def parse_commands(
             if kind == "plan":
                 nested = dict(merged.get("params", {}))
                 nested.setdefault("path", root.get("path", ""))
-                out.extend(parse_commands(nested, reader, defined_output_keys, spark))
+                out.extend(
+                    parse_commands(
+                        nested, reader, defined_output_keys, spark,
+                        produced_paths,
+                    )
+                )
                 continue
             if kind == "assertion":
                 cmd: Command = AssertionCmd.from_json(merged)
@@ -143,8 +151,17 @@ def parse_commands(
                 inp.ref
                 for inp in _cmd_inputs(cmd)
                 if not _input_exists(inp, defined_output_keys, spark)
+                # an on-disk path an EARLIER command of this plan writes
+                # (outputPath sink, index upsert indexPath) exists by
+                # the time this command runs — static validation must
+                # not reject the build → screen → upsert chaining shape
+                and inp.ref not in produced_paths
             ]
             defined_output_keys.add(cmd.output_key)
+            if getattr(cmd, "output_path", None):
+                produced_paths.add(cmd.output_path)
+            if getattr(cmd, "index_path", None):
+                produced_paths.add(cmd.index_path)
             if invalid:
                 out.append(
                     ErrorCmd(
