@@ -69,6 +69,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_semantic": oracles.dedup_incremental_semantic_sql(
             dim=64, n_centroids=8, n_rounds=2, threshold=0.35
         ),
+        "dedup_semantic_compaction": oracles.dedup_semantic_compaction_sql(
+            dim=64, n_centroids=8, n_rounds=2, threshold=0.35
+        ),
         "dedup_semantic": oracles.semantic_dedup_sql(
             dim=64, n_clusters=16, threshold=0.35
         ),

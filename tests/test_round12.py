@@ -529,6 +529,102 @@ class TestIngestionLifecyclePlan:
 
 
 # ---------------------------------------------------------------------------
+# Semantic index on-disk growth (upsert_semantic_index)
+# ---------------------------------------------------------------------------
+
+
+def _sem_entries(spark, rows):
+    """(index_id, vec, nrm, centroid_id) literal frame."""
+    return spark.createDataFrame(
+        rows,
+        "index_id long, vec array<double>, nrm double, centroid_id int",
+    )
+
+
+class TestUpsertSemanticIndex:
+    def test_create_grow_replay_and_prune(self, spark, tmp_path):
+        import time
+
+        from topnotch_spark.operators.dedup import (
+            read_semantic_index,
+            upsert_semantic_index,
+        )
+
+        idx = str(tmp_path / "semidx")
+        first = _sem_entries(
+            spark,
+            [(1, [1.0, 0.0], 1.0, 0), (2, [0.0, 1.0], 1.0, 1)],
+        )
+        s0 = upsert_semantic_index(spark, idx, first).collect()[0]
+        assert s0["n_partitions_touched"] == 2
+        assert s0["n_entries_written"] == 2
+        c1_dir = os.path.join(idx, "cid=1")
+        before = {
+            f: os.path.getmtime(os.path.join(c1_dir, f))
+            for f in os.listdir(c1_dir)
+        }
+        time.sleep(1.1)
+        second = _sem_entries(spark, [(3, [0.9, 0.1], 0.905539, 0)])
+        s1 = upsert_semantic_index(spark, idx, second).collect()[0]
+        assert s1["n_partitions_touched"] == 1  # only cluster 0
+        # replay is a no-op on contents
+        upsert_semantic_index(spark, idx, second).collect()
+        got = {
+            (r["index_id"], r["centroid_id"])
+            for r in read_semantic_index(spark, idx).collect()
+        }
+        assert got == {(1, 0), (2, 1), (3, 0)}
+        # untouched cluster directory byte-identical
+        after = {
+            f: os.path.getmtime(os.path.join(c1_dir, f))
+            for f in os.listdir(c1_dir)
+        }
+        assert after == before
+        assert not os.path.exists(idx + "__staging__")
+
+    def test_screen_sees_upserted_members(self, spark, tmp_path):
+        """Full loop: a vector accepted and upserted in round N is found
+        as a near-dup by round N+1's screen against the on-disk index."""
+        from topnotch_spark.operators.dedup import (
+            build_semantic_index,
+            dedup_batch_against_semantic_index,
+            read_semantic_index,
+            upsert_semantic_index,
+        )
+
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1), (1, [-1.0, 0.0], 1)],
+            "centroid_id int, centroid array<double>, n_members long",
+        )
+        idx = str(tmp_path / "semidx")
+        r1 = spark.createDataFrame(
+            [(10, [0.99, 0.05])], "vec_id long, embedding array<double>"
+        )
+        upsert_semantic_index(
+            spark, idx,
+            build_semantic_index(
+                r1, None, "vec_id", "embedding", centroids=centroids
+            ),
+        ).collect()
+        r2 = spark.createDataFrame(
+            [(21, [0.99, 0.06]),     # near-dup of 10, same cluster
+             (22, [-0.9, 0.3])],     # other cluster, no members
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r
+            for r in dedup_batch_against_semantic_index(
+                r2, read_semantic_index(spark, idx), centroids,
+                "vec_id", "embedding", threshold=0.9,
+            ).collect()
+        }
+        assert out[21]["keep"] is False
+        assert out[21]["best_match_id"] == 10
+        assert out[22]["keep"] is True
+        assert out[22]["n_candidates"] == 0
+
+
+# ---------------------------------------------------------------------------
 # Incremental semantic screen (verdict r11 #3)
 # ---------------------------------------------------------------------------
 

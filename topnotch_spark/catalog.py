@@ -547,6 +547,64 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three sequential SEMANTIC ingestion rounds folded through a
+    PERSISTED ON-DISK member index — the SemDeDup compaction loop
+    (similarity.kmeans_centroids_exact trained once on the seed →
+    dedup.build_semantic_index → dedup_batch_against_semantic_index →
+    dedup.upsert_semantic_index), completing the on-disk growth story
+    for all three incremental families: vec_id%3==0 seeds the trained
+    clustering AND the member index; rounds 1 and 2 route their batch
+    to the trained centroids, screen against ONLY the assigned
+    cluster's on-disk members (keep iff best rounded cosine < 0.35),
+    and upsert the accepted vectors' member rows. Emits the final index
+    membership (index_id, centroid_id, nrm rounded) — the oracle
+    replays the kmeans training and the round-ordered accept set."""
+    import tempfile
+
+    from topnotch_spark.operators.dedup import (
+        _register_checkpoints,
+        build_semantic_index,
+        dedup_batch_against_semantic_index,
+        read_semantic_index,
+        upsert_semantic_index,
+    )
+    from topnotch_spark.operators.similarity import kmeans_centroids_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed = emb.filter("vec_id % 3 = 0")
+    cents, assigns = kmeans_centroids_exact(
+        seed, "vec_id", "embedding", n_centroids=8, n_rounds=2
+    )
+    root = tempfile.mkdtemp(prefix="tn_semantic_compaction_")
+    idx_path = root + "/index"
+    upsert_semantic_index(
+        spark, idx_path,
+        build_semantic_index(seed, assigns, "vec_id", "embedding"),
+    ).collect()
+    for r in (1, 2):
+        batch = emb.filter(f"vec_id % 3 = {r}")
+        index = read_semantic_index(spark, idx_path)
+        accepted = (
+            dedup_batch_against_semantic_index(
+                batch, index, cents, "vec_id", "embedding",
+                threshold=0.35,
+            )
+            .filter("keep")
+            .select("vec_id")
+        )
+        entries = build_semantic_index(
+            batch.join(accepted, "vec_id", "left_semi"), None,
+            "vec_id", "embedding", centroids=cents,
+        )
+        upsert_semantic_index(spark, idx_path, entries).collect()
+    out = read_semantic_index(spark, idx_path).select(
+        "index_id", "centroid_id", F.round("nrm", 6).alias("nrm")
+    )
+    _register_checkpoints(out, [root])
+    return out
+
+
 def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three sequential NEAR-dup ingestion rounds folded through a
     PERSISTED ON-DISK MinHash index — the full incremental-ingestion
@@ -4005,6 +4063,7 @@ ALL = {
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_minhash_compaction": dedup_minhash_compaction,
     "dedup_incremental_semantic": dedup_incremental_semantic,
+    "dedup_semantic_compaction": dedup_semantic_compaction,
     "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_semantic": dedup_semantic,
     "dedup_semantic_trained": dedup_semantic_trained,

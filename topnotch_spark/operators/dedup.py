@@ -1785,6 +1785,117 @@ def build_semantic_index(
     )
 
 
+def upsert_semantic_index(
+    spark,
+    index_path: str,
+    new_entries: DataFrame,
+) -> DataFrame:
+    """Partition-pruned UPSERT of accepted batch members into an
+    ON-DISK semantic index — the third on-disk growth path next to
+    :func:`upsert_dedup_index` (exact keys) and
+    :func:`upsert_minhash_index` (near-dup signatures), so ALL three
+    incremental-ingestion families persist and grow their index without
+    ever re-reading the old corpus. ``new_entries`` is a
+    :func:`build_semantic_index` frame (index_id, vec, nrm,
+    centroid_id) — typically built from the accepted rows of
+    :func:`dedup_batch_against_semantic_index` with the SAME centroids.
+
+    The index at ``index_path`` is parquet partitioned by ``cid`` (the
+    centroid id as a string partition value — k directories, which is
+    exactly the partition-pruning key the batch screen filters on: a
+    probe reads ONLY the clusters its batch routes to). Per upsert,
+    only the touched clusters are read, merged (row-level DISTINCT —
+    replays are idempotent), staged to a sibling temp path (the hard
+    lineage break of the sibling upserts), and rewritten via dynamic
+    partition overwrite; untouched cluster directories are never read
+    or rewritten. First call creates the index. Returns one row:
+    (n_partitions_touched, n_entries_written). Bounded driver data:
+    the touched-cid list (≤ k strings)."""
+    from pyspark import StorageLevel
+
+    entries = new_entries.select(
+        "index_id",
+        "vec",
+        "nrm",
+        "centroid_id",
+        F.col("centroid_id").cast("string").alias("cid"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        if not fs.exists(jpath):
+            merged = entries.distinct()
+            merged.repartition("cid").write.partitionBy("cid").mode(
+                "overwrite"
+            ).parquet(index_path)
+            stats = merged.agg(
+                F.count_distinct("cid").alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return spark.range(1).select(
+                F.lit(stats["p"]).cast("long").alias(
+                    "n_partitions_touched"
+                ),
+                F.lit(stats["n"]).cast("long").alias("n_entries_written"),
+            )
+        cids = [r["cid"] for r in entries.select("cid").distinct().collect()]
+        if not cids:
+            return spark.range(1).select(
+                F.lit(0).cast("long").alias("n_partitions_touched"),
+                F.lit(0).cast("long").alias("n_entries_written"),
+            )
+        old = _read_partitioned_index(spark, index_path).filter(
+            F.col("cid").isin(cids)
+        )
+        merged = (
+            old.select("index_id", "vec", "nrm", "centroid_id", "cid")
+            .unionByName(entries)
+            .distinct()
+        )
+        staging = index_path.rstrip("/") + "__staging__"
+        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            stats = staged.agg(
+                F.count_distinct("cid").alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                staged.repartition("cid").write.partitionBy("cid").mode(
+                    "overwrite"
+                ).parquet(index_path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        finally:
+            fs.delete(spath, True)
+        return spark.range(1).select(
+            F.lit(stats["p"]).cast("long").alias("n_partitions_touched"),
+            F.lit(stats["n"]).cast("long").alias("n_entries_written"),
+        )
+    finally:
+        entries.unpersist()
+
+
+def read_semantic_index(spark, index_path: str) -> DataFrame:
+    """Read an :func:`upsert_semantic_index` layout back as the member
+    frame the batch screen consumes: (index_id, vec, nrm, centroid_id).
+    Partition-value inference stays off (the shared index-read
+    discipline); centroid_id rides as a data column, the ``cid``
+    partition key is only the pruning handle."""
+    return _read_partitioned_index(spark, index_path).select(
+        "index_id", "vec", "nrm", "centroid_id"
+    )
+
+
 def dedup_batch_against_semantic_index(
     batch: DataFrame,
     index: DataFrame,

@@ -1005,6 +1005,120 @@ def dedup_incremental_semantic_sql(
     """
 
 
+def dedup_semantic_compaction_sql(
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_rounds: int = 2,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.dedup_semantic_compaction: replay the
+    engine-exact kmeans rounds on the vec_id%3==0 SEED, then fold the
+    two ingestion rounds — each batch routed with the micro-int cosine
+    rank, rejected iff any member of its assigned cluster IN THE
+    MEMBERS-SO-FAR reaches the rounded-cosine threshold, accepted rows
+    joining the member set for the next round. Emits the final member
+    table (index_id, centroid_id, nrm rounded)."""
+    ccm = f"CAST(round({cosine('b.v', 'c.cvec', dim)} * 1000000) AS BIGINT)"
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = f"c{r - 1}"
+        rounds.append(f"""
+        a{r} AS (
+          SELECT id, v, centroid_id FROM (
+            SELECT b.id, b.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {ccm} DESC, c.centroid_id ASC) AS rn
+            FROM base b CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        ),
+        m{r} AS (
+          SELECT centroid_id, i AS pos,
+                 CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT))
+                   AS BIGINT) AS s,
+                 count(*) AS n
+          FROM a{r}, generate_series(1, {dim}) AS g(i)
+          GROUP BY centroid_id, i
+        ),
+        n{r} AS (
+          SELECT centroid_id, list(comp ORDER BY pos) AS cvec FROM (
+            SELECT centroid_id, pos,
+                   (CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                         ELSE -(((-2 * s) + n) // (2 * n)) END)
+                     / 1000000.0 AS comp
+            FROM m{r}
+          ) GROUP BY centroid_id
+        ),
+        c{r} AS (
+          SELECT c.centroid_id, coalesce(n.cvec, c.cvec) AS cvec
+          FROM {prev} c LEFT JOIN n{r} n USING (centroid_id)
+        )""")
+    last = f"c{n_rounds}"
+
+    def route(src: str) -> str:
+        return f"""
+          SELECT id, v, centroid_id FROM (
+            SELECT b.id, b.v, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY b.id
+                     ORDER BY {ccm} DESC, c.centroid_id ASC) AS rn
+            FROM {src} b CROSS JOIN {last} c
+          ) WHERE rn = 1
+        """
+
+    cos_rm = f"round({cosine('r.v', 'm.v', dim)}, {round_digits})"
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id % 3 = 0
+        ),
+        batch1 AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id % 3 = 1
+        ),
+        batch2 AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id % 3 = 2
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)
+                   AS centroid_id,
+                 v AS cvec
+          FROM (SELECT id, v FROM base ORDER BY id LIMIT {n_centroids})
+        ),
+        {",".join(rounds)},
+        mem0 AS ({route("base")}),
+        r1 AS ({route("batch1")}),
+        rej1 AS (
+          SELECT DISTINCT r.id FROM r1 r JOIN mem0 m USING (centroid_id)
+          WHERE {cos_rm} >= {threshold}
+        ),
+        mem1 AS (
+          SELECT * FROM mem0
+          UNION ALL
+          SELECT * FROM r1 WHERE id NOT IN (SELECT id FROM rej1)
+        ),
+        r2 AS ({route("batch2")}),
+        rej2 AS (
+          SELECT DISTINCT r.id FROM r2 r JOIN mem1 m USING (centroid_id)
+          WHERE {cos_rm} >= {threshold}
+        ),
+        mem2 AS (
+          SELECT * FROM mem1
+          UNION ALL
+          SELECT * FROM r2 WHERE id NOT IN (SELECT id FROM rej2)
+        )
+        SELECT id AS index_id, centroid_id,
+               round(sqrt({dot('m.v', 'm.v', dim)}), {round_digits})
+                 AS nrm
+        FROM mem2 m
+    """
+
+
 def similarity_topk_sql(
     dim: int = 64, k: int = 10, n_queries: int = 5, round_digits: int = 6
 ) -> str:

@@ -2983,7 +2983,7 @@ class RetrieveCmd(Command):
 class IndexCmd(Command):
     """{"command": "index", "input": <accepted rows>, "params":
     {"method": buildExact|buildMinhash|buildSemantic|upsertExact|
-    upsertMinhash, "idColumn", "textColumn"|"vecColumn",
+    upsertMinhash|upsertSemantic, "idColumn", "textColumn"|"vecColumn",
     buildMinhash: numHashes/bands/shingleN, upsert*: "indexPath"
     (+"pfxChars" for minhash)}} — the persisted dedup-index LIFECYCLE
     as plan steps, so repeated-ingestion pipelines chain build → screen
@@ -2997,11 +2997,12 @@ class IndexCmd(Command):
       table (build_semantic_index — requires a "centroids" input, e.g.
       the similarity kmeans output). Persist the frame with
       outputPath/tableName to carry it across runs.
-    - ``upsertExact`` / ``upsertMinhash`` fold accepted entries into
-      the ON-DISK index at ``indexPath`` via partition-pruned dynamic
-      overwrite (dedup.upsert_dedup_index / upsert_minhash_index) and
-      return the one-row stats frame (n_*_touched, n_entries_written)
-      for downstream assertions."""
+    - ``upsertExact`` / ``upsertMinhash`` / ``upsertSemantic`` fold
+      accepted entries into the ON-DISK index at ``indexPath`` via
+      partition-pruned dynamic overwrite (dedup.upsert_dedup_index /
+      upsert_minhash_index / upsert_semantic_index) and return the
+      one-row stats frame (n_*_touched, n_entries_written) for
+      downstream assertions."""
 
     input: Input = None  # type: ignore[assignment]
     centroids: Input | None = None
@@ -3019,7 +3020,7 @@ class IndexCmd(Command):
 
     METHODS = (
         "buildExact", "buildMinhash", "buildSemantic",
-        "upsertExact", "upsertMinhash",
+        "upsertExact", "upsertMinhash", "upsertSemantic",
     )
 
     @classmethod
@@ -3076,6 +3077,10 @@ class IndexCmd(Command):
             )
         if self.method == "upsertExact":
             return D.upsert_dedup_index(
+                engine.spark, self.index_path, df
+            )
+        if self.method == "upsertSemantic":
+            return D.upsert_semantic_index(
                 engine.spark, self.index_path, df
             )
         return D.upsert_minhash_index(
