@@ -348,6 +348,10 @@ class TextCmd(Command):
     wordpieceVocab {["maxPieceLen", "vocabSize", "maxWordLen"]} — the
     frequency-seeded WordPiece-style piece vocabulary (every char +
     top-N substrings; feed to tokenize method "wordpiece");
+    wordpieceFertility {"partitionCol", ["maxPieceLen", "vocabSize",
+    "maxWordLen", "roundDigits"]} — per-group fertility under the
+    trained WordPiece vocab (the third column of the
+    tokenizer-selection audit next to bpeFertility/unigramFertility);
     langidAccuracy {"trueCol", ["roundDigits"]} — per-language
     precision/recall/f1 of the marker langid vs a trusted label;
     c4 {["minSentences", "minLineWords"]} — the published C4 cleaning
@@ -381,7 +385,7 @@ class TextCmd(Command):
         "bpeMergeSequence", "bpeFertility", "classifierScore",
         "collocations", "unigramLm", "unigramFertility", "langidAccuracy",
         "nbWeights", "nbClassifier", "zipf", "heaps", "c4",
-        "vocabCoverage", "wordpieceVocab",
+        "vocabCoverage", "wordpieceVocab", "wordpieceFertility",
     )
 
     @classmethod
@@ -396,6 +400,7 @@ class TextCmd(Command):
             "oovRate": ("partitionCol",),
             "bpeFertility": ("partitionCol",),
             "unigramFertility": ("partitionCol",),
+            "wordpieceFertility": ("partitionCol",),
             "classifierScore": ("weights",),
             "langidAccuracy": ("trueCol",),
             "nbWeights": ("labelColumn",),
@@ -496,6 +501,15 @@ class TextCmd(Command):
         if self.method == "unigramFertility":
             opts = dict(self.options)
             return T.unigram_fertility_by_group(
+                df,
+                self.id_column,
+                self.text_column,
+                opts.pop("partition_col"),
+                **opts,
+            )
+        if self.method == "wordpieceFertility":
+            opts = dict(self.options)
+            return T.wordpiece_fertility_by_group(
                 df,
                 self.id_column,
                 self.text_column,
