@@ -170,6 +170,12 @@ BNLJ_SMALL_FRAME = {
         "returns a createDataFrame of the k x dim mean matrix; "
         "ExistingRDD scan, bounded by construction)"
     ),
+    "dedup_incremental_semantic": (
+        "batch-routing crossJoin broadcasts the same k-row "
+        "kmeans_centroids_exact driver literal as dedup_semantic_trained "
+        "(ExistingRDD scan, bounded by construction); the member join "
+        "is a hash equi-join on centroid_id, not a BNLJ"
+    ),
     "decontaminate_embedding": "benchmark frame = bounded holdout slice",
     "retrieval_rrf_fused": (
         "dense run's query frame = 3 fixed BM25 query ids (vec_id isin)"

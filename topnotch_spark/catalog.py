@@ -616,8 +616,11 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff best signature-estimated Jaccard < 0.5) and UPSERT the accepted
     docs' rows, so each round's probe sees everything previously
     accepted without any re-shingling of the old corpus. Emits the
-    final index rows (index_id, band_idx, bucket, sigs); the oracle
-    replays the round-ordered accept/reject decisions exactly."""
+    final index rows (index_id, band_idx, bucket, sig_digest) — the
+    signature vector folded to an md5 over its '|'-joined components
+    (the driver's canonicalizer compares scalar columns only; the
+    digest still pins every signature bit); the oracle replays the
+    round-ordered accept/reject decisions exactly."""
     import tempfile
 
     from topnotch_spark.operators.dedup import (
@@ -657,7 +660,14 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, idx_path, entries, pfx_chars=1
         ).collect()
     out = _read_partitioned_index(spark, idx_path).select(
-        "index_id", "band_idx", "bucket", "sigs"
+        "index_id",
+        "band_idx",
+        "bucket",
+        F.md5(
+            F.array_join(
+                F.transform("sigs", lambda x: x.cast("string")), "|"
+            )
+        ).alias("sig_digest"),
     )
     # the temp index root is released (deleted) with the run's other
     # intermediates once the output frame is done

@@ -350,7 +350,13 @@ def dedup_minhash_compaction_sql(
         for h in range(num_hashes)
     )
     est = f"round(({agree}) / {float(num_hashes)}, 6)"
-    sig_list = "[" + ", ".join(f"s.sig_{h}" for h in range(num_hashes)) + "]"
+    sig_digest = (
+        "md5("
+        + " || '|' || ".join(
+            f"s.sig_{h}::VARCHAR" for h in range(num_hashes)
+        )
+        + ")"
+    )
 
     def rej(round_mod: int, idx: str) -> str:
         return f"""
@@ -396,7 +402,7 @@ def dedup_minhash_compaction_sql(
             AND id NOT IN (SELECT id FROM rej2)
         )
         SELECT bk.id AS index_id, bk.band_idx, bk.bucket,
-               {sig_list} AS sigs
+               {sig_digest} AS sig_digest
         FROM buckets bk
         JOIN sigs s ON s.id = bk.id
         JOIN idx2 ON bk.id = idx2.id
