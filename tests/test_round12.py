@@ -1,7 +1,12 @@
 """Round-12 additions: ADVICE r11 hardening (upsert staging lineage
-break, minhash-index signature-width guard, REST timeouts), the REST
-plan-READER retry (verdict #6), the WordPiece fertility audit
-(verdict #2), and the wordpiece_vocab distributed top-N (verdict #4)."""
+break + the partition-type-inference fix it surfaced, minhash-index
+signature-width guard, REST timeouts), the REST plan-READER retry
+(verdict #6), the WordPiece fertility audit (verdict #2), the
+wordpiece_vocab distributed top-N (verdict #4), the completed
+incremental-ingestion trio (upsert_minhash_index #1, the semantic
+screen #3, upsert_semantic_index), the ingestion lifecycle plan +
+'index' command (#7), and the spans-rewriter raw-text cut_ranges
+(#8)."""
 
 from __future__ import annotations
 
