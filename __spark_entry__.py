@@ -354,6 +354,9 @@ def oracle_sql() -> dict[str, str]:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ),
         "streaming_dedup": oracles.streaming_dedup_sql(),
+        "streaming_incremental_dedup": (
+            oracles.streaming_incremental_dedup_sql()
+        ),
         "streaming_enriched_metrics": """
             SELECT time_bucket(INTERVAL 1 day, CAST(e.ts AS TIMESTAMP))
                        AS window_start,

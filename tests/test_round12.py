@@ -684,6 +684,33 @@ class TestSemanticIndexScreen:
         assert set(out) == {1, 3}
         assert all(r["n_candidates"] >= 1 for r in out.values())
 
+    def test_mismatched_embedding_dim_raises(self, spark):
+        """An index stored with a different embedding dimension must
+        fail loudly, not null-pad the dot product (the minhash
+        sigs-width lesson)."""
+        from topnotch_spark.operators.dedup import (
+            dedup_batch_against_semantic_index,
+        )
+
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1)],
+            "centroid_id int, centroid array<double>, n_members long",
+        )
+        index = spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0, 0.0], 1.0, 0)],  # dim 4 index
+            "index_id long, vec array<double>, nrm double, "
+            "centroid_id int",
+        )
+        batch = spark.createDataFrame(
+            [(7, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        )
+        out = dedup_batch_against_semantic_index(
+            batch, index, centroids, "vec_id", "embedding",
+            threshold=0.35,
+        )
+        with pytest.raises(Exception, match="vec dim"):
+            out.collect()
+
     def test_empty_cluster_keeps(self, spark):
         """A batch vector routed to a centroid with no members must
         survive with n_candidates=0 and NULL best columns."""

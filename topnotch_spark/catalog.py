@@ -2453,6 +2453,117 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS ingestion against the PERSISTED on-disk dedup index —
+    the production shape of the incremental trio under Structured
+    Streaming: the deterministic events replay (3 time-cut micro-
+    batches, maxFilesPerTrigger=1 over mtime-pinned files) drives a
+    foreachBatch loop in which every micro-batch is screened against
+    the index-so-far (dedup.dedup_against_index; batch 0 bootstraps
+    with the within-batch keyed_dedup winners) and its accepted rows
+    are folded in with the partition-pruned dynamic overwrite
+    (dedup.upsert_dedup_index) — the old stream is never replayed, only
+    its (16-byte key, id) index survives between micro-batches, exactly
+    as it would between pipeline RUNS at 100 TB. Content key =
+    concat_ws('|', user_id, event_type). Emits one row per micro-batch:
+    (batch_id, n_rows, n_known_keys = distinct batch keys the index
+    already owned, n_new_keys = novel keys accepted and upserted,
+    cum_index_keys = index size after the upsert) — the per-round
+    accept/reject ledger, which pins the SCREEN itself (a loop that
+    ignored the index would report n_known_keys = 0 and inflated
+    accepts, even though the final min-merged index would look the
+    same on time-ordered ids). The oracle replays the time-cut
+    batching in SQL."""
+    import tempfile
+
+    from topnotch_spark.operators.dedup import (
+        _read_partitioned_index,
+        _register_checkpoints,
+        dedup_against_index,
+        keyed_dedup,
+        upsert_dedup_index,
+    )
+    from topnotch_spark.streaming.ops import (
+        events_replay_dir,
+        stream_from_parquet,
+    )
+
+    src = events_replay_dir(spark, sf_dir)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    root = tempfile.mkdtemp(prefix="tn_stream_incdedup_")
+    idx_path = root + "/index"
+    ledger: list[tuple[int, int, int, int, int]] = []
+
+    def ingest(batch_df, batch_id) -> None:
+        from pyspark import StorageLevel
+
+        sp = batch_df.sparkSession
+        b = batch_df.select(
+            "event_id",
+            F.concat_ws("|", "user_id", "event_type").alias("__content__"),
+        )
+        jp = sp._jvm.org.apache.hadoop.fs.Path(idx_path)
+        fs = jp.getFileSystem(sp._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            idx = _read_partitioned_index(sp, idx_path).select(
+                "dup_key", "index_id"
+            )
+            screened = dedup_against_index(
+                b, idx, "event_id", "__content__"
+            )
+        else:
+            screened = keyed_dedup(
+                b,
+                "event_id",
+                F.md5(F.coalesce(F.col("__content__"), F.lit(""))),
+            ).withColumn("in_index", F.lit(False))
+        # batch-local persist: the ledger agg and the upsert both read it
+        screened = screened.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = screened.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(
+                F.when(F.col("in_index"), F.col("dup_key"))
+            ).alias("n_known"),
+            F.sum(F.col("keep").cast("long")).alias("n_new"),
+        ).collect()[0]
+        accepted = screened.filter("keep").select(
+            "dup_key", F.col("event_id").alias("index_id")
+        )
+        # bucket_chars=1: 16 partition dirs at test scale (the
+        # pfx_chars=1 convention of dedup_minhash_compaction)
+        upsert_dedup_index(
+            sp, idx_path, accepted, bucket_chars=1
+        ).collect()
+        screened.unpersist()
+        cum = _read_partitioned_index(sp, idx_path).count()
+        ledger.append(
+            (
+                int(batch_id),
+                int(counts["n_rows"]),
+                int(counts["n_known"]),
+                int(counts["n_new"] or 0),
+                int(cum),
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.createDataFrame(
+        sorted(ledger),
+        "batch_id long, n_rows long, n_known_keys long, "
+        "n_new_keys long, cum_index_keys long",
+    )
+    _register_checkpoints(out, [root])
+    return out
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first arrival per (user_id, event_type)
     across micro-batches; final state = the distinct key set."""
@@ -4102,6 +4213,7 @@ ALL = {
     "source_mix": source_mix,
     "streaming_assertion_metrics": streaming_assertion_metrics,
     "streaming_dedup": streaming_dedup,
+    "streaming_incremental_dedup": streaming_incremental_dedup,
     "streaming_drift_monitor": streaming_drift_monitor,
     "streaming_enriched_metrics": streaming_enriched_metrics,
     "streaming_error_click_join": streaming_error_click_join,

@@ -1264,14 +1264,17 @@ def upsert_dedup_index(
     spark,
     index_path: str,
     new_entries: DataFrame,
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Partition-pruned UPSERT of accepted batch entries into an
     ON-DISK dedup index — the compaction step that keeps repeated
     ingestion rounds from re-scanning (or rewriting) the whole index.
     ``new_entries`` is a (dup_key, index_id) frame — typically
     ``dedup_against_index(...).filter("keep")`` renamed — and the index
-    at ``index_path`` is parquet partitioned by ``bucket`` =
-    the first two hex chars of dup_key (256 md5-uniform buckets).
+    at ``index_path`` is parquet partitioned by ``bucket`` = the first
+    ``bucket_chars`` hex chars of dup_key (16^bucket_chars md5-uniform
+    buckets — 256 at the default 2, the multi-TB grain; pass 1 for
+    small corpora where 256 directories' metadata dominates).
 
     Per upsert, ONLY the buckets the new entries touch are read
     (partition pruning on the bucket filter — at 100 TB a small batch
@@ -1294,7 +1297,7 @@ def upsert_dedup_index(
     entries = new_entries.select(
         "dup_key",
         "index_id",
-        F.substring("dup_key", 1, 2).alias("bucket"),
+        F.substring("dup_key", 1, int(bucket_chars)).alias("bucket"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1957,7 +1960,27 @@ def dedup_batch_against_semantic_index(
             "__bid__",
             "index_id",
             F.round(
-                dot(F.col("__bv__"), F.col("vec"))
+                dot(
+                    F.col("__bv__"),
+                    # guard: an index stored with a DIFFERENT embedding
+                    # dimension must fail loudly — zip_with would
+                    # silently null-pad the dot product and skew every
+                    # cosine (the minhash sigs-width lesson, ADVICE
+                    # r11). when() keeps the check row-local.
+                    F.when(
+                        F.size("vec") == F.size("__bv__"), F.col("vec")
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit("semantic index vec dim "),
+                                F.size("vec").cast("string"),
+                                F.lit(" != batch dim "),
+                                F.size("__bv__").cast("string"),
+                                F.lit("; rebuild the index"),
+                            )
+                        )
+                    ),
+                )
                 / (F.col("__bn__") * F.col("nrm")),
                 round_digits,
             ).alias("__cos__"),

@@ -3913,6 +3913,57 @@ def streaming_dedup_sql() -> str:
     return "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def streaming_incremental_dedup_sql(
+    cuts: tuple[str, ...] = ("2024-01-11", "2024-01-21"),
+) -> str:
+    """Mirror of catalog.streaming_incremental_dedup: the deterministic
+    replay's micro-batches ARE the time cuts, so the per-batch
+    accept/reject ledger is replayable in SQL — per content key
+    (concat_ws of user_id/event_type, identical skip-null semantics on
+    both engines), a batch KNOWS a key iff an earlier cut contained it
+    and ACCEPTS exactly the keys whose first cut it is; the index size
+    after each upsert is the running sum of accepts."""
+    cases = " ".join(
+        f"WHEN ts < TIMESTAMP '{c} 00:00:00' THEN {i}"
+        for i, c in enumerate(cuts)
+    )
+    n_batches = len(cuts) + 1
+    return f"""
+        WITH keyed AS (
+          SELECT event_id,
+                 md5(concat_ws('|', user_id, event_type)) AS dup_key,
+                 CASE {cases} ELSE {len(cuts)} END AS cut
+          FROM events
+        ),
+        first_cut AS (
+          SELECT dup_key, min(cut) AS c0 FROM keyed GROUP BY dup_key
+        ),
+        per AS (
+          SELECT k.cut AS batch_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT CASE WHEN f.c0 < k.cut
+                                          THEN k.dup_key END)
+                      AS BIGINT) AS n_known_keys,
+                 CAST(count(DISTINCT CASE WHEN f.c0 = k.cut
+                                          THEN k.dup_key END)
+                      AS BIGINT) AS n_new_keys
+          FROM keyed k JOIN first_cut f USING (dup_key)
+          GROUP BY k.cut
+        ),
+        ids AS (
+          SELECT unnest(generate_series(0, {n_batches - 1})) AS batch_id
+        )
+        SELECT CAST(i.batch_id AS BIGINT) AS batch_id,
+               coalesce(p.n_rows, 0) AS n_rows,
+               coalesce(p.n_known_keys, 0) AS n_known_keys,
+               coalesce(p.n_new_keys, 0) AS n_new_keys,
+               CAST(sum(coalesce(p.n_new_keys, 0))
+                    OVER (ORDER BY i.batch_id) AS BIGINT)
+                 AS cum_index_keys
+        FROM ids i LEFT JOIN per p ON i.batch_id = p.batch_id
+    """
+
+
 def streaming_window_metrics_sql(window: str = "1 hour") -> str:
     """Batch equivalent of the streaming tumbling-window aggregation.
     complete output mode emits every window, so the oracle is a plain
