@@ -431,6 +431,36 @@ class TestIngestionLifecyclePlan:
         mh_stats = reg["mhUpsertStats1"].collect()[0]
         assert mh_stats["n_partitions_touched"] <= 16
 
+    def test_index_stats_operator(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import (
+            index_stats,
+            upsert_dedup_index,
+        )
+
+        idx = str(tmp_path / "idx")
+        entries = spark.createDataFrame(
+            [("aa11", 1), ("aa22", 2), ("bb33", 3)],
+            "dup_key string, index_id long",
+        )
+        upsert_dedup_index(spark, idx, entries).collect()
+        rows = {r["partition"]: r for r in index_stats(spark, idx).collect()}
+        assert set(rows) == {"aa", "bb"}
+        assert rows["aa"]["n_rows"] == 2 and rows["bb"]["n_rows"] == 1
+        assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in rows.values())
+        # mean rows/partition = 1.5 -> skew 2/1.5 and 1/1.5
+        assert abs(rows["aa"]["rows_skew"] - 2 / 1.5) < 1e-6
+        assert abs(rows["bb"]["rows_skew"] - 1 / 1.5) < 1e-6
+
+    def test_index_stats_requires_path(self, spark):
+        from topnotch_spark.plans.extensions import IndexCmd
+
+        with pytest.raises(ValueError, match="indexPath"):
+            IndexCmd.from_json(
+                {"command": "index",
+                 "params": {"method": "stats"},
+                 "outputKey": "x"}
+            )
+
     def test_index_cmd_validation(self, spark):
         from topnotch_spark.plans.extensions import IndexCmd
 

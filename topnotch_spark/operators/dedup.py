@@ -1888,6 +1888,69 @@ def upsert_semantic_index(
         entries.unpersist()
 
 
+def index_stats(spark, index_path: str) -> DataFrame:
+    """Health audit of any on-disk index layout this module writes
+    (exact-key ``bucket``, minhash ``pfx``, semantic ``cid``): one row
+    per partition directory with (partition, n_rows, n_files, bytes,
+    rows_skew) where rows_skew = n_rows / (total / n_partitions) — the
+    observability step a maintenance plan runs between ingestion rounds
+    to spot hot buckets (salting candidates), tiny-file buildup
+    (compaction candidates), or a layout drifting from md5-uniform.
+
+    Driver data is bounded by the partition count (≤ 256 for the hex
+    layouts, k for the semantic one): row counts come from ONE
+    map-side-combined groupBy on the partition column; file/byte counts
+    from a filesystem listing of the partition directories — no data
+    files are read for them."""
+    df = _read_partitioned_index(spark, index_path)
+    part_col = next(
+        (c for c in ("bucket", "pfx", "cid") if c in df.columns), None
+    )
+    if part_col is None:
+        raise ValueError(
+            f"index_stats: no known partition column in {index_path} "
+            f"(expected one of bucket/pfx/cid; got {df.columns})"
+        )
+    counts = {
+        r[part_col]: r["n"]
+        for r in df.groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or "=" not in name:
+            continue
+        part = name.split("=", 1)[1]
+        n_files = 0
+        n_bytes = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.isFile() and not f.getPath().getName().startswith("_"):
+                n_files += 1
+                n_bytes += f.getLen()
+        rows.append((part, int(counts.get(part, 0)), n_files, n_bytes))
+    total = sum(r[1] for r in rows)
+    mean = total / len(rows) if rows else 0.0
+    out = [
+        (
+            p,
+            n,
+            nf,
+            nb,
+            round(n / mean, 6) if mean else None,
+        )
+        for p, n, nf, nb in sorted(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "partition string, n_rows long, n_files long, bytes long, "
+        "rows_skew double",
+    )
+
+
 def read_semantic_index(spark, index_path: str) -> DataFrame:
     """Read an :func:`upsert_semantic_index` layout back as the member
     frame the batch screen consumes: (index_id, vec, nrm, centroid_id).

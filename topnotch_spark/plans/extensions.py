@@ -3016,7 +3016,12 @@ class IndexCmd(Command):
       partition-pruned dynamic overwrite (dedup.upsert_dedup_index /
       upsert_minhash_index / upsert_semantic_index) and return the
       one-row stats frame (n_*_touched, n_entries_written) for
-      downstream assertions."""
+      downstream assertions.
+    - ``stats`` (indexPath only, no row input) audits the on-disk
+      layout: per partition directory (partition, n_rows, n_files,
+      bytes, rows_skew) — the between-rounds health check for hot
+      buckets, tiny-file buildup, or non-uniform layouts
+      (dedup.index_stats)."""
 
     input: Input = None  # type: ignore[assignment]
     centroids: Input | None = None
@@ -3028,22 +3033,32 @@ class IndexCmd(Command):
 
     @property
     def inputs(self) -> list[Input]:
-        return [self.input] + (
+        return ([self.input] if self.input is not None else []) + (
             [self.centroids] if self.centroids is not None else []
         )
 
     METHODS = (
         "buildExact", "buildMinhash", "buildSemantic",
-        "upsertExact", "upsertMinhash", "upsertSemantic",
+        "upsertExact", "upsertMinhash", "upsertSemantic", "stats",
     )
 
     @classmethod
     def from_json(cls, obj: dict) -> "IndexCmd":
         p = obj["params"]
         _require_method(p, cls.METHODS, "index")
-        if p["method"].startswith("upsert") and "indexPath" not in p:
+        if (
+            p["method"].startswith("upsert") or p["method"] == "stats"
+        ) and "indexPath" not in p:
             raise ValueError(
                 f'index: method "{p["method"]}" requires param "indexPath"'
+            )
+        if p["method"] == "stats":
+            # no row input: the stats read the on-disk layout directly
+            return cls(
+                input=None,
+                method="stats",
+                index_path=p["indexPath"],
+                **cls._common(obj),
             )
         if p["method"] == "buildSemantic" and "centroids" not in obj:
             raise ValueError(
@@ -3072,6 +3087,8 @@ class IndexCmd(Command):
     def execute(self, engine) -> DataFrame:
         from topnotch_spark.operators import dedup as D
 
+        if self.method == "stats":
+            return D.index_stats(engine.spark, self.index_path)
         df = load_input(engine.spark, self.input, engine.registry)
         if self.method == "buildExact":
             return D.build_dedup_index(
