@@ -1826,6 +1826,32 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual NEAR-dup ingestion for MEDIA — the image
+    leg of the incremental family (multimodal.build_phash_index +
+    dedup_batch_against_phash_index): even doc_ids form the accepted
+    image corpus whose bucket/signature table is all that persists,
+    odd doc_ids arrive as the new batch, are hashed (integer-exact
+    ahash over the synthetic TNIMG blobs), routed by shared
+    (band_idx, bucket) membership, and verified with exact Hamming —
+    the old corpus's blobs are never re-decoded. Per batch blob:
+    n_candidates, best match, best hamming, keep iff nothing within
+    max_hamming=3 (= bands-1, the pigeonhole-exact config)."""
+    from topnotch_spark.operators.multimodal import (
+        build_phash_index,
+        dedup_batch_against_phash_index,
+    )
+
+    docs = _synthetic_tnimg_docs(spark, sf_dir)
+    index = build_phash_index(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "content"
+    )
+    return dedup_batch_against_phash_index(
+        docs.filter("doc_id % 2 = 1"), index, "doc_id", "content",
+        max_hamming=3,
+    )
+
+
 def _synthetic_tnimg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, content) with one deterministic synthetic TNIMG blob per
     document — the shared fixture of multimodal_phash_dedup /
@@ -4241,6 +4267,7 @@ ALL = {
     "quality_calibrated_ranks": quality_calibrated_ranks,
     "vocab_oov_by_source": vocab_oov_by_source,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "dedup_incremental_phash": dedup_incremental_phash,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "multimodal_video_dedup": multimodal_video_dedup,
     "assertion_invalid_rows": assertion_invalid_rows,

@@ -365,6 +365,163 @@ def phash_near_dups(
     return bitstring_band_pairs(base, bits, band_bits, max_hamming)
 
 
+def build_phash_index(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    hash_type: str = "ahash",
+    grid: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Perceptual-hash signature index of an accepted MEDIA corpus
+    snapshot — the image sibling of dedup.build_minhash_index: one row
+    per (band_idx, bucket) membership of every blob, carrying the full
+    grid²-bit hash string: (index_id, band_idx, bucket, phash). Persist
+    this between pipeline runs (partitionable by a bucket prefix,
+    exactly like the text indexes — the dedup.upsert_minhash_index
+    layout applies unchanged); incremental ingestion then probes the
+    bucket table and never re-decodes the old corpus's blobs. No media
+    bytes are stored — the index is |bands| bucket strings + one
+    64-char hash per blob regardless of blob size.
+
+    Execution shape (100 TB): hashing is a narrow mapInPandas (blobs
+    never shuffle); the bands explode is ×bands of the blob count over
+    the tiny signature table."""
+    bits = grid * grid
+    if bits % band_bits:
+        raise ValueError(
+            f"build_phash_index: band_bits={band_bits} must divide "
+            f"grid²={bits}"
+        )
+    n_bands = bits // band_bits
+    base = perceptual_hash(
+        df, bin_col, keep_cols=(id_col,), hash_type=hash_type, grid=grid
+    ).select(F.col(id_col).alias("index_id"), "phash")
+    band_cols = [
+        F.substring("phash", b * band_bits + 1, band_bits).alias(
+            f"band_{b}"
+        )
+        for b in range(n_bands)
+    ]
+    banded = base.select("index_id", "phash", *band_cols)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    return banded.selectExpr(
+        "index_id",
+        "phash",
+        f"stack({n_bands}, {stack_expr}) as (band_idx, bucket)",
+    ).select("index_id", "band_idx", "bucket", "phash")
+
+
+def dedup_batch_against_phash_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    hash_type: str = "ahash",
+    grid: int = 8,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental perceptual near-dup screen of a new MEDIA batch
+    against a persisted :func:`build_phash_index` — the image leg of
+    the incremental-ingestion family (exact keys / minhash text /
+    semantic embeddings / THIS): the old corpus's blobs are never
+    re-decoded; only its bucket/signature table joins in. Candidates
+    come from the (band_idx, bucket) equi-join (pigeonhole: hamming ≤
+    bands-1 guarantees a shared band); each candidate pair is verified
+    with the exact codegen'd Hamming distance. Returns one row per
+    batch blob: (id, n_candidates, best_match_id, best_hamming, keep)
+    with best = (hamming asc, index_id asc) and keep iff no candidate
+    is within ``max_hamming``. An index built with a different grid
+    raises instead of silently comparing misaligned bit-strings."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.operators.dedup import (
+        _bitstring_hamming,
+        _persist,
+    )
+
+    bits = grid * grid
+    if bits % band_bits:
+        raise ValueError(
+            f"dedup_batch_against_phash_index: band_bits={band_bits} "
+            f"must divide grid²={bits}"
+        )
+    bidx = _persist(
+        build_phash_index(
+            batch, id_col, bin_col, hash_type, grid, band_bits
+        )
+    )
+    cand = (
+        bidx.select(
+            F.col("index_id").alias("__bid__"),
+            "band_idx",
+            "bucket",
+            F.col("phash").alias("__bh__"),
+        )
+        .join(
+            index.select(
+                "index_id",
+                "band_idx",
+                "bucket",
+                F.when(
+                    F.length("phash") == bits, F.col("phash")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("phash index bit width "),
+                            F.length("phash").cast("string"),
+                            F.lit(f" != grid² {bits}; rebuild the index"),
+                        )
+                    )
+                ).alias("__ih__"),
+            ),
+            ["band_idx", "bucket"],
+        )
+        .select("__bid__", "index_id", "__bh__", "__ih__")
+        .distinct()
+    )
+    scored = cand.select(
+        "__bid__",
+        "index_id",
+        _bitstring_hamming("__bh__", "__ih__", bits)
+        .cast("bigint")
+        .alias("__hd__"),
+    )
+    w = Window.partitionBy("__bid__").orderBy(
+        F.col("__hd__").asc(), F.col("index_id").asc()
+    )
+    per = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .groupBy("__bid__")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("index_id"))
+            ).alias("best_match_id"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("__hd__"))
+            ).alias("best_hamming"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("__bid__"))
+        .join(per, "__bid__", "left")
+        .select(
+            F.col("__bid__").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_match_id",
+            "best_hamming",
+            (
+                F.col("best_hamming").isNull()
+                | (F.col("best_hamming") > F.lit(int(max_hamming)))
+            ).alias("keep"),
+        )
+    )
+
+
 def phash_recall(
     df: DataFrame,
     id_col: str = "media_id",

@@ -3627,6 +3627,62 @@ def multimodal_phash_dedup_sql(
     """
 
 
+def dedup_incremental_phash_sql(
+    grid: int = 8, band_bits: int = 16, max_hamming: int = 3
+) -> str:
+    """Mirror of catalog.dedup_incremental_phash: the shared synthetic
+    TNIMG ahash CTEs split into index (even ids) and batch (odd ids)
+    sides, candidates from the (band_idx, bucket) join, exact Hamming
+    per candidate, best = (hamming asc, index id asc), keep iff no
+    candidate within max_hamming."""
+    bits = grid * grid
+    n_bands = bits // band_bits
+    return f"""
+        WITH {_phash_bits_ctes(grid)},
+        buckets AS (
+          SELECT doc_id, sh, b AS band_idx,
+                 substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
+          FROM bits_t,
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid,
+                          b.sh AS bsh, i.sh AS ish
+          FROM buckets b JOIN buckets i
+            ON b.band_idx = i.band_idx AND b.bucket = i.bucket
+          WHERE b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        ),
+        scored AS (
+          SELECT bid, iid,
+                 CAST(len(list_filter(generate_series(1, {bits}),
+                          i -> substr(bsh, i, 1) <> substr(ish, i, 1)))
+                      AS BIGINT) AS hd
+          FROM cand
+        ),
+        per AS (
+          SELECT bid,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 max(CASE WHEN rn = 1 THEN iid END) AS best_match_id,
+                 max(CASE WHEN rn = 1 THEN hd END) AS best_hamming
+          FROM (
+            SELECT bid, iid, hd,
+                   row_number() OVER (
+                     PARTITION BY bid ORDER BY hd ASC, iid ASC
+                   ) AS rn
+            FROM scored
+          ) GROUP BY bid
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_candidates, 0) AS n_candidates,
+               per.best_match_id,
+               per.best_hamming,
+               (per.best_hamming IS NULL
+                OR per.best_hamming > {max_hamming}) AS keep
+        FROM documents d LEFT JOIN per ON d.doc_id = per.bid
+        WHERE d.doc_id % 2 = 1
+    """
+
+
 def multimodal_phash_recall_sql(
     grid: int = 8, band_bits: int = 16, max_hamming: int = 3,
     round_digits: int = 6,
