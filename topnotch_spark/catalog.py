@@ -2563,14 +2563,19 @@ def streaming_incremental_dedup(
             sp, idx_path, accepted, bucket_chars=1
         ).collect()
         screened.unpersist()
-        cum = _read_partitioned_index(sp, idx_path).count()
+        # cumulative index size by ARITHMETIC, not a per-batch full
+        # index count: the min-merge adds exactly the accepted novel
+        # keys, so cum = prev + n_new — at 100 TB a metadata count per
+        # micro-batch would still list every index file
+        n_new = int(counts["n_new"] or 0)
+        cum = (ledger[-1][4] if ledger else 0) + n_new
         ledger.append(
             (
                 int(batch_id),
                 int(counts["n_rows"]),
                 int(counts["n_known"]),
-                int(counts["n_new"] or 0),
-                int(cum),
+                n_new,
+                cum,
             )
         )
 
