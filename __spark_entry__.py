@@ -326,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_by_source": oracles.vocab_oov_rate_sql(vocab_k=40),
         "multimodal_phash_dedup": oracles.multimodal_phash_dedup_sql(),
         "dedup_incremental_phash": oracles.dedup_incremental_phash_sql(),
+        "dedup_incremental_audio": oracles.dedup_incremental_audio_sql(),
         "multimodal_audio_dedup": oracles.multimodal_audio_dedup_sql(),
         "multimodal_video_dedup": oracles.multimodal_video_dedup_sql(),
         "retrieval_rrf_fused": oracles.retrieval_rrf_sql(catalog.BM25_QUERIES),

@@ -838,6 +838,57 @@ class TestPhashIndexScreen:
         with pytest.raises(ValueError, match="must divide"):
             build_phash_index(df, "doc_id", "content", band_bits=7)
 
+    def test_audio_screen_finds_near_dup_clips(self, spark):
+        from topnotch_spark.catalog import _synthetic_tnaud_docs
+        from topnotch_spark.operators.multimodal import (
+            build_audio_index,
+            dedup_batch_against_audio_index,
+        )
+
+        clips = _synthetic_tnaud_docs(spark, "/root/testdata/sf0.001")
+        index = build_audio_index(
+            clips.filter("doc_id % 2 = 0"), "doc_id", "content"
+        )
+        out = dedup_batch_against_audio_index(
+            clips.filter("doc_id % 2 = 1"), index, "doc_id", "content",
+            max_hamming=3,
+        ).collect()
+        assert len(out) == clips.filter("doc_id % 2 = 1").count()
+        dropped = [r for r in out if not r["keep"]]
+        # within a burst of 8 every odd clip sits within hamming 3 of an
+        # even sibling at this corpus size, so the dropped set dominates
+        # (the exact keep/drop values are pinned by the strict oracle);
+        # here we check the verdict invariants hold on every row
+        assert dropped
+        for r in out:
+            if r["keep"]:
+                assert r["best_hamming"] is None or r["best_hamming"] > 3
+            else:
+                assert r["best_hamming"] <= 3
+                assert r["best_match_id"] % 2 == 0
+
+    def test_bitsig_width_guard_raises(self, spark):
+        """Generic core: an index whose sh width differs from the probe
+        bits raises when buckets collide."""
+        from topnotch_spark.operators.dedup import (
+            build_bitsig_index,
+            dedup_batch_against_bitsig_index,
+        )
+
+        # 16-bit index, same band substring as the probe's first band
+        idx = build_bitsig_index(
+            spark.createDataFrame(
+                [(1, "0101010101010101")], "id long, sh string"
+            ),
+            16, 8,
+        )
+        batch = spark.createDataFrame(
+            [(2, "01010101" * 4)], "id long, sh string"  # 32-bit probe
+        )
+        out = dedup_batch_against_bitsig_index(batch, idx, 32, 8, 3)
+        with pytest.raises(Exception, match="bitsig index width"):
+            out.collect()
+
 
 # ---------------------------------------------------------------------------
 # WordPiece fertility audit (verdict r11 #2)

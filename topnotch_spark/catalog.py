@@ -2209,6 +2209,43 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     loud-frame positions."""
     from topnotch_spark.operators.multimodal import audio_near_dups
 
+    return audio_near_dups(
+        _synthetic_tnaud_docs(spark, sf_dir), "doc_id", "content"
+    )
+
+
+def dedup_incremental_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental energy-envelope NEAR-dup ingestion for AUDIO — the
+    audio leg of the incremental family (multimodal.build_audio_index +
+    dedup_batch_against_audio_index over the shared generic
+    dedup.build_bitsig_index core): even doc_ids form the accepted clip
+    corpus whose bucket/signature table is all that persists, odd
+    doc_ids arrive as the new batch, are fingerprinted (integer-exact
+    frame energies over the synthetic TNAUD clips), routed by shared
+    (band_idx, bucket) membership, and verified with exact Hamming —
+    old clips are never re-decoded. Per batch clip: n_candidates, best
+    match, best hamming, keep iff nothing within max_hamming=3
+    (= bands-1, pigeonhole-exact)."""
+    from topnotch_spark.operators.multimodal import (
+        build_audio_index,
+        dedup_batch_against_audio_index,
+    )
+
+    clips = _synthetic_tnaud_docs(spark, sf_dir)
+    index = build_audio_index(
+        clips.filter("doc_id % 2 = 0"), "doc_id", "content"
+    )
+    return dedup_batch_against_audio_index(
+        clips.filter("doc_id % 2 = 1"), index, "doc_id", "content",
+        max_hamming=3,
+    )
+
+
+def _synthetic_tnaud_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) with one deterministic synthetic TNAUD clip per
+    document — the shared fixture of multimodal_audio_dedup /
+    dedup_incremental_audio (see multimodal_audio_dedup's docstring for
+    the burst/flip construction)."""
     gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
     h32 = F.md5(F.concat(gs, F.lit("aud")))
     d = F.col("doc_id")
@@ -2255,7 +2292,7 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("544E41554400003E8000000040"), samples)
         ).alias("content"),
     )
-    return audio_near_dups(clips, "doc_id", "content")
+    return clips
 
 
 def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4273,6 +4310,7 @@ ALL = {
     "vocab_oov_by_source": vocab_oov_by_source,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "dedup_incremental_phash": dedup_incremental_phash,
+    "dedup_incremental_audio": dedup_incremental_audio,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "multimodal_video_dedup": multimodal_video_dedup,
     "assertion_invalid_rows": assertion_invalid_rows,

@@ -800,6 +800,137 @@ def bitstring_band_pairs(
     )
 
 
+def build_bitsig_index(
+    sig: DataFrame,
+    bits: int,
+    band_bits: int,
+) -> DataFrame:
+    """Generic banded BIT-SIGNATURE index from an (id, sh) signature
+    frame, where ``sh`` is a ``bits``-char '0'/'1' string — the shared
+    index layout of every bit-signature family (perceptual image hash,
+    audio energy envelope, simhash): one row per (band_idx, bucket)
+    membership, (index_id, band_idx, bucket, sh) with bucket = the
+    band's bit substring. Persist between runs (partitionable by a
+    bucket prefix — :func:`upsert_minhash_index`'s pfx layout applies
+    unchanged since buckets are plain strings); incremental ingestion
+    then probes the bucket table and never re-derives the old corpus's
+    signatures. Pigeonhole: hamming ≤ bands-1 guarantees a shared
+    band, so a probe's recall bound is the same as the self-join
+    pipeline's (:func:`bitstring_band_pairs`)."""
+    if bits % band_bits:
+        raise ValueError(
+            f"build_bitsig_index: band_bits={band_bits} must divide "
+            f"bits={bits}"
+        )
+    n_bands = bits // band_bits
+    band_cols = [
+        F.substring("sh", b * band_bits + 1, band_bits).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col("id").alias("index_id"), "sh", *band_cols
+    )
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    return banded.selectExpr(
+        "index_id",
+        "sh",
+        f"stack({n_bands}, {stack_expr}) as (band_idx, bucket)",
+    ).select("index_id", "band_idx", "bucket", "sh")
+
+
+def dedup_batch_against_bitsig_index(
+    batch_sig: DataFrame,
+    index: DataFrame,
+    bits: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Incremental bit-signature screen of a new batch's (id, sh)
+    signature frame against a persisted :func:`build_bitsig_index` —
+    the generic core behind the phash/audio incremental paths:
+    candidates from the (band_idx, bucket) equi-join, exact codegen'd
+    Hamming verify per candidate, one row per batch id:
+    (id, n_candidates, best_match_id, best_hamming, keep) with best =
+    (hamming asc, index_id asc) and keep iff nothing within
+    ``max_hamming``. An index stored with a different signature width
+    raises instead of silently comparing misaligned bit-strings (the
+    minhash sigs-width convention). ``batch_sig`` must carry EVERY
+    batch id (one signature per item); the caller persists it when its
+    lineage is expensive (it feeds the banding probe and the final
+    left join)."""
+    from pyspark.sql import Window
+
+    bidx = build_bitsig_index(batch_sig, bits, band_bits)
+    cand = (
+        bidx.select(
+            F.col("index_id").alias("__bid__"),
+            "band_idx",
+            "bucket",
+            F.col("sh").alias("__bh__"),
+        )
+        .join(
+            index.select(
+                "index_id",
+                "band_idx",
+                "bucket",
+                F.when(
+                    F.length("sh") == bits, F.col("sh")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("bitsig index width "),
+                            F.length("sh").cast("string"),
+                            F.lit(f" != bits {bits}; rebuild the index"),
+                        )
+                    )
+                ).alias("__ih__"),
+            ),
+            ["band_idx", "bucket"],
+        )
+        .select("__bid__", "index_id", "__bh__", "__ih__")
+        .distinct()
+    )
+    scored = cand.select(
+        "__bid__",
+        "index_id",
+        _bitstring_hamming("__bh__", "__ih__", bits)
+        .cast("bigint")
+        .alias("__hd__"),
+    )
+    w = Window.partitionBy("__bid__").orderBy(
+        F.col("__hd__").asc(), F.col("index_id").asc()
+    )
+    per = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .groupBy("__bid__")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("index_id"))
+            ).alias("best_match_id"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("__hd__"))
+            ).alias("best_hamming"),
+        )
+    )
+    return (
+        batch_sig.select(F.col("id").alias("__bid__"))
+        .join(per, "__bid__", "left")
+        .select(
+            F.col("__bid__").alias("id"),
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_match_id",
+            "best_hamming",
+            (
+                F.col("best_hamming").isNull()
+                | (F.col("best_hamming") > F.lit(int(max_hamming)))
+            ).alias("keep"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,

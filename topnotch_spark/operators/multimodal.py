@@ -376,7 +376,8 @@ def build_phash_index(
     """Perceptual-hash signature index of an accepted MEDIA corpus
     snapshot — the image sibling of dedup.build_minhash_index: one row
     per (band_idx, bucket) membership of every blob, carrying the full
-    grid²-bit hash string: (index_id, band_idx, bucket, phash). Persist
+    grid²-bit hash string: (index_id, band_idx, bucket, sh — the
+    generic dedup.build_bitsig_index layout). Persist
     this between pipeline runs (partitionable by a bucket prefix,
     exactly like the text indexes — the dedup.upsert_minhash_index
     layout applies unchanged); incremental ingestion then probes the
@@ -387,29 +388,18 @@ def build_phash_index(
     Execution shape (100 TB): hashing is a narrow mapInPandas (blobs
     never shuffle); the bands explode is ×bands of the blob count over
     the tiny signature table."""
+    from topnotch_spark.operators.dedup import build_bitsig_index
+
     bits = grid * grid
     if bits % band_bits:
         raise ValueError(
             f"build_phash_index: band_bits={band_bits} must divide "
             f"grid²={bits}"
         )
-    n_bands = bits // band_bits
     base = perceptual_hash(
         df, bin_col, keep_cols=(id_col,), hash_type=hash_type, grid=grid
-    ).select(F.col(id_col).alias("index_id"), "phash")
-    band_cols = [
-        F.substring("phash", b * band_bits + 1, band_bits).alias(
-            f"band_{b}"
-        )
-        for b in range(n_bands)
-    ]
-    banded = base.select("index_id", "phash", *band_cols)
-    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
-    return banded.selectExpr(
-        "index_id",
-        "phash",
-        f"stack({n_bands}, {stack_expr}) as (band_idx, bucket)",
-    ).select("index_id", "band_idx", "bucket", "phash")
+    ).select(F.col(id_col).alias("id"), F.col("phash").alias("sh"))
+    return build_bitsig_index(base, bits, band_bits)
 
 
 def dedup_batch_against_phash_index(
@@ -434,11 +424,9 @@ def dedup_batch_against_phash_index(
     with best = (hamming asc, index_id asc) and keep iff no candidate
     is within ``max_hamming``. An index built with a different grid
     raises instead of silently comparing misaligned bit-strings."""
-    from pyspark.sql import Window
-
     from topnotch_spark.operators.dedup import (
-        _bitstring_hamming,
         _persist,
+        dedup_batch_against_bitsig_index,
     )
 
     bits = grid * grid
@@ -447,79 +435,76 @@ def dedup_batch_against_phash_index(
             f"dedup_batch_against_phash_index: band_bits={band_bits} "
             f"must divide grid²={bits}"
         )
-    bidx = _persist(
-        build_phash_index(
-            batch, id_col, bin_col, hash_type, grid, band_bits
+    bsig = _persist(
+        perceptual_hash(
+            batch, bin_col, keep_cols=(id_col,), hash_type=hash_type,
+            grid=grid,
+        ).select(F.col(id_col).alias("id"), F.col("phash").alias("sh"))
+    )
+    return dedup_batch_against_bitsig_index(
+        bsig, index, bits, band_bits, max_hamming
+    ).withColumnRenamed("id", id_col)
+
+
+def build_audio_index(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    n_frames: int = 32,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Energy-envelope signature index of an accepted AUDIO corpus
+    snapshot — the audio leg of the incremental family
+    (dedup.build_bitsig_index over audio_fingerprint signatures):
+    (index_id, band_idx, bucket, sh), one row per band membership.
+    Persist between runs; incremental ingestion probes the bucket
+    table and never re-decodes the old corpus's clips."""
+    from topnotch_spark.operators.dedup import build_bitsig_index
+
+    if n_frames % band_bits:
+        raise ValueError(
+            f"build_audio_index: band_bits={band_bits} must divide "
+            f"n_frames={n_frames}"
         )
+    base = audio_fingerprint(
+        df, bin_col, keep_cols=(id_col,), n_frames=n_frames
+    ).select(F.col(id_col).alias("id"), F.col("afp").alias("sh"))
+    return build_bitsig_index(base, n_frames, band_bits)
+
+
+def dedup_batch_against_audio_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    n_frames: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental audio near-dup screen of a new clip batch against a
+    persisted :func:`build_audio_index` — same generic core as the
+    image screen (dedup.dedup_batch_against_bitsig_index): banded
+    bucket probes, exact Hamming verify, per-clip (id, n_candidates,
+    best_match_id, best_hamming, keep); old clips never re-decode and
+    a width-mismatched index raises."""
+    from topnotch_spark.operators.dedup import (
+        _persist,
+        dedup_batch_against_bitsig_index,
     )
-    cand = (
-        bidx.select(
-            F.col("index_id").alias("__bid__"),
-            "band_idx",
-            "bucket",
-            F.col("phash").alias("__bh__"),
+
+    if n_frames % band_bits:
+        raise ValueError(
+            f"dedup_batch_against_audio_index: band_bits={band_bits} "
+            f"must divide n_frames={n_frames}"
         )
-        .join(
-            index.select(
-                "index_id",
-                "band_idx",
-                "bucket",
-                F.when(
-                    F.length("phash") == bits, F.col("phash")
-                ).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit("phash index bit width "),
-                            F.length("phash").cast("string"),
-                            F.lit(f" != grid² {bits}; rebuild the index"),
-                        )
-                    )
-                ).alias("__ih__"),
-            ),
-            ["band_idx", "bucket"],
-        )
-        .select("__bid__", "index_id", "__bh__", "__ih__")
-        .distinct()
+    bsig = _persist(
+        audio_fingerprint(
+            batch, bin_col, keep_cols=(id_col,), n_frames=n_frames
+        ).select(F.col(id_col).alias("id"), F.col("afp").alias("sh"))
     )
-    scored = cand.select(
-        "__bid__",
-        "index_id",
-        _bitstring_hamming("__bh__", "__ih__", bits)
-        .cast("bigint")
-        .alias("__hd__"),
-    )
-    w = Window.partitionBy("__bid__").orderBy(
-        F.col("__hd__").asc(), F.col("index_id").asc()
-    )
-    per = (
-        scored.withColumn("__rn__", F.row_number().over(w))
-        .groupBy("__bid__")
-        .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.max(
-                F.when(F.col("__rn__") == 1, F.col("index_id"))
-            ).alias("best_match_id"),
-            F.max(
-                F.when(F.col("__rn__") == 1, F.col("__hd__"))
-            ).alias("best_hamming"),
-        )
-    )
-    return (
-        batch.select(F.col(id_col).alias("__bid__"))
-        .join(per, "__bid__", "left")
-        .select(
-            F.col("__bid__").alias(id_col),
-            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
-                "n_candidates"
-            ),
-            "best_match_id",
-            "best_hamming",
-            (
-                F.col("best_hamming").isNull()
-                | (F.col("best_hamming") > F.lit(int(max_hamming)))
-            ).alias("keep"),
-        )
-    )
+    return dedup_batch_against_bitsig_index(
+        bsig, index, n_frames, band_bits, max_hamming
+    ).withColumnRenamed("id", id_col)
 
 
 def phash_recall(

@@ -3732,18 +3732,14 @@ def multimodal_phash_recall_sql(
     """
 
 
-def multimodal_audio_dedup_sql(
-    n_frames: int = 32, band_bits: int = 8, max_hamming: int = 3
-) -> str:
-    """Mirror of catalog.multimodal_audio_dedup: rebuild each synthetic
-    clip's SAMPLE VALUES from the same md5(burst)-envelope + per-doc
-    flips formula the Spark side packs into TNAUD blobs, then the
-    identical integer energy fingerprint (frame energy = Σ sample²,
-    bit = n_frames·e > Σe), banding, candidate join, Hamming verify."""
-    n_bands = n_frames // band_bits
+def _audio_bits_ctes(n_frames: int) -> str:
+    """Shared CTE prefix rebuilding the synthetic TNAUD corpus's
+    energy-envelope signature table (doc_id, sh): md5(burst||'aud')
+    loud/quiet frames + per-doc flips, integer bit = n_frames·e > Σe.
+    Used by the audio dedup mirror and the incremental-audio mirror."""
     n_samples = n_frames * 2
     return f"""
-        WITH ks AS (
+        ks AS (
           SELECT unnest(generate_series(0, {n_samples - 1})) AS i
         ),
         hx AS (
@@ -3775,7 +3771,20 @@ def multimodal_audio_dedup_sql(
                    '' ORDER BY frame) AS sh
           FROM en JOIN tot USING (doc_id)
           GROUP BY en.doc_id
-        ),
+        )"""
+
+
+def multimodal_audio_dedup_sql(
+    n_frames: int = 32, band_bits: int = 8, max_hamming: int = 3
+) -> str:
+    """Mirror of catalog.multimodal_audio_dedup: rebuild each synthetic
+    clip's SAMPLE VALUES from the same md5(burst)-envelope + per-doc
+    flips formula the Spark side packs into TNAUD blobs, then the
+    identical integer energy fingerprint (frame energy = Σ sample²,
+    bit = n_frames·e > Σe), banding, candidate join, Hamming verify."""
+    n_bands = n_frames // band_bits
+    return f"""
+        WITH {_audio_bits_ctes(n_frames)},
         buckets AS (
           SELECT doc_id, sh, b AS band_idx,
                  substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
@@ -3799,6 +3808,59 @@ def multimodal_audio_dedup_sql(
         )
         SELECT id_1, id_2, hamming FROM verified
         WHERE hamming <= {max_hamming}
+    """
+
+
+def dedup_incremental_audio_sql(
+    n_frames: int = 32, band_bits: int = 8, max_hamming: int = 3
+) -> str:
+    """Mirror of catalog.dedup_incremental_audio: the shared synthetic
+    TNAUD envelope CTEs split into index (even ids) and batch (odd ids)
+    sides — same screen shape as dedup_incremental_phash_sql."""
+    n_bands = n_frames // band_bits
+    return f"""
+        WITH {_audio_bits_ctes(n_frames)},
+        buckets AS (
+          SELECT doc_id, sh, b AS band_idx,
+                 substr(sh, b * {band_bits} + 1, {band_bits}) AS bucket
+          FROM bits_t,
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid,
+                          b.sh AS bsh, i.sh AS ish
+          FROM buckets b JOIN buckets i
+            ON b.band_idx = i.band_idx AND b.bucket = i.bucket
+          WHERE b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+        ),
+        scored AS (
+          SELECT bid, iid,
+                 CAST(len(list_filter(generate_series(1, {n_frames}),
+                          i -> substr(bsh, i, 1) <> substr(ish, i, 1)))
+                      AS BIGINT) AS hd
+          FROM cand
+        ),
+        per AS (
+          SELECT bid,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 max(CASE WHEN rn = 1 THEN iid END) AS best_match_id,
+                 max(CASE WHEN rn = 1 THEN hd END) AS best_hamming
+          FROM (
+            SELECT bid, iid, hd,
+                   row_number() OVER (
+                     PARTITION BY bid ORDER BY hd ASC, iid ASC
+                   ) AS rn
+            FROM scored
+          ) GROUP BY bid
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_candidates, 0) AS n_candidates,
+               per.best_match_id,
+               per.best_hamming,
+               (per.best_hamming IS NULL
+                OR per.best_hamming > {max_hamming}) AS keep
+        FROM documents d LEFT JOIN per ON d.doc_id = per.bid
+        WHERE d.doc_id % 2 = 1
     """
 
 
