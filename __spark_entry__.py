@@ -327,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_dedup": oracles.multimodal_phash_dedup_sql(),
         "dedup_incremental_phash": oracles.dedup_incremental_phash_sql(),
         "dedup_incremental_audio": oracles.dedup_incremental_audio_sql(),
+        "dedup_incremental_video": oracles.dedup_incremental_video_sql(),
         "multimodal_audio_dedup": oracles.multimodal_audio_dedup_sql(),
         "multimodal_video_dedup": oracles.multimodal_video_dedup_sql(),
         "retrieval_rrf_fused": oracles.retrieval_rrf_sql(catalog.BM25_QUERIES),

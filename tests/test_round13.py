@@ -1,0 +1,431 @@
+"""Round-13 surface: the shared staged-upsert core's ``_tn_meta.json``
+layout sidecar (pfx/bucket-width, signature-width, and centroid-matrix
+guards), the video leg of incremental ingestion (frame-signature index
++ batch screen + on-disk upsert), and the generic bitsig index upsert.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from topnotch_spark.operators import multimodal as mm
+from topnotch_spark.operators.dedup import (
+    build_bitsig_index,
+    dedup_batch_against_bitsig_index,
+    dedup_scope,
+    read_bitsig_index,
+    read_index_meta,
+    read_video_index,
+    upsert_bitsig_index,
+    upsert_dedup_index,
+    upsert_minhash_index,
+    upsert_video_index,
+    write_index_meta,
+)
+
+
+def _key_entries(spark, texts):
+    return spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    ).select(
+        F.md5(F.coalesce("text", F.lit(""))).alias("dup_key"),
+        F.col("doc_id").alias("index_id"),
+    )
+
+
+class TestIndexMeta:
+    def test_sidecar_written_and_read(self, spark, tmp_path):
+        idx = str(tmp_path / "idx")
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx,
+                _key_entries(spark, {i: f"t{i}" for i in range(5)}),
+                bucket_chars=1,
+            ).collect()
+        assert os.path.exists(f"{idx}/_tn_meta.json")
+        meta = read_index_meta(spark, idx)
+        assert meta["family"] == "exact"
+        assert meta["part_col"] == "bucket"
+        assert meta["bucket_chars"] == 1
+        # the sidecar is invisible to the parquet reader
+        assert spark.read.parquet(idx).count() == 5
+
+    def test_exact_bucket_width_mismatch_raises(self, spark, tmp_path):
+        idx = str(tmp_path / "idx")
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx, _key_entries(spark, {1: "a"}), bucket_chars=1
+            ).collect()
+            with pytest.raises(ValueError, match="bucket_chars"):
+                upsert_dedup_index(
+                    spark, idx, _key_entries(spark, {2: "b"}),
+                    bucket_chars=2,
+                )
+
+    def test_minhash_pfx_width_mismatch_raises(self, spark, tmp_path):
+        """The r12-verdict hazard: a pfx_chars=1 index re-upserted with
+        the default 2 must raise, not silently fragment the layout."""
+        from topnotch_spark.operators.dedup import build_minhash_index
+
+        idx = str(tmp_path / "mh")
+        docs = spark.createDataFrame(
+            [(i, f"some document text number {i}") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        with dedup_scope():
+            seed = build_minhash_index(
+                docs.filter("doc_id < 3"), "doc_id", "text"
+            )
+            upsert_minhash_index(spark, idx, seed, pfx_chars=1).collect()
+            more = build_minhash_index(
+                docs.filter("doc_id >= 3"), "doc_id", "text"
+            )
+            with pytest.raises(ValueError, match="pfx_chars"):
+                upsert_minhash_index(spark, idx, more)  # default 2
+
+    def test_minhash_num_hashes_mismatch_raises(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import build_minhash_index
+
+        idx = str(tmp_path / "mh")
+        docs = spark.createDataFrame(
+            [(i, f"some document text number {i}") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        with dedup_scope():
+            upsert_minhash_index(
+                spark, idx,
+                build_minhash_index(
+                    docs.filter("doc_id < 3"), "doc_id", "text",
+                    num_hashes=16,
+                ),
+                pfx_chars=1,
+            ).collect()
+            with pytest.raises(ValueError, match="num_hashes"):
+                upsert_minhash_index(
+                    spark, idx,
+                    build_minhash_index(
+                        docs.filter("doc_id >= 3"), "doc_id", "text",
+                        num_hashes=8, bands=4,
+                    ),
+                    pfx_chars=1,
+                )
+
+    def test_missing_sidecar_is_lenient(self, spark, tmp_path):
+        """Pre-meta indexes (no sidecar on disk) keep working: the
+        guard validates only what the index recorded."""
+        idx = str(tmp_path / "idx")
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx, _key_entries(spark, {1: "a"}), bucket_chars=2
+            ).collect()
+            os.remove(f"{idx}/_tn_meta.json")
+            upsert_dedup_index(
+                spark, idx, _key_entries(spark, {2: "b"}), bucket_chars=2
+            ).collect()
+        assert spark.read.parquet(idx).count() == 2
+
+    def test_meta_roundtrip_unicode(self, spark, tmp_path):
+        p = str(tmp_path / "any")
+        os.makedirs(p)
+        write_index_meta(spark, p, {"family": "x", "note": "π≈3.14159"})
+        assert read_index_meta(spark, p)["note"] == "π≈3.14159"
+
+
+class TestSemanticCentroidPinning:
+    def _emb(self, spark):
+        # three well-separated 4-dim axis clusters
+        rows = [
+            (i, [float(j == i % 2) * 10 + (i % 5) * 0.01 for j in range(4)])
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_pinned_centroids_roundtrip_and_screen(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import (
+            build_semantic_index,
+            dedup_batch_against_semantic_index,
+            read_semantic_centroids,
+            read_semantic_index,
+            screen_batch_against_semantic_index,
+            upsert_semantic_index,
+        )
+        from topnotch_spark.operators.similarity import (
+            kmeans_centroids_exact,
+        )
+
+        idx = str(tmp_path / "sem")
+        emb = self._emb(spark)
+        corpus = emb.filter("vec_id % 2 = 0")
+        with dedup_scope():
+            cents, assigns = kmeans_centroids_exact(
+                corpus, "vec_id", "embedding", n_centroids=2, n_rounds=2
+            )
+            upsert_semantic_index(
+                spark, idx,
+                build_semantic_index(corpus, assigns, "vec_id", "embedding"),
+                centroids=cents,
+            ).collect()
+            # the pinned matrix round-trips exactly
+            got = {
+                r["centroid_id"]: r["centroid"]
+                for r in read_semantic_centroids(spark, idx).collect()
+            }
+            want = {
+                r["centroid_id"]: r["centroid"] for r in cents.collect()
+            }
+            assert got == want
+            # centroid-free screen == explicit-centroid screen
+            batch = emb.filter("vec_id % 2 = 1")
+            a = sorted(
+                map(
+                    tuple,
+                    screen_batch_against_semantic_index(
+                        spark, idx, batch, "vec_id", "embedding",
+                        threshold=0.9,
+                    ).collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    dedup_batch_against_semantic_index(
+                        batch, read_semantic_index(spark, idx), cents,
+                        "vec_id", "embedding", threshold=0.9,
+                    ).collect(),
+                )
+            )
+            assert a == b
+
+    def test_retrained_centroids_raise_on_upsert(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import (
+            build_semantic_index,
+            upsert_semantic_index,
+        )
+        from topnotch_spark.operators.similarity import (
+            kmeans_centroids_exact,
+        )
+
+        idx = str(tmp_path / "sem")
+        emb = self._emb(spark)
+        corpus = emb.filter("vec_id % 2 = 0")
+        with dedup_scope():
+            cents, assigns = kmeans_centroids_exact(
+                corpus, "vec_id", "embedding", n_centroids=2, n_rounds=2
+            )
+            upsert_semantic_index(
+                spark, idx,
+                build_semantic_index(corpus, assigns, "vec_id", "embedding"),
+                centroids=cents,
+            ).collect()
+            # a RE-TRAIN on different data produces a different matrix
+            cents2, assigns2 = kmeans_centroids_exact(
+                emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+                n_centroids=2, n_rounds=2,
+            )
+            entries = build_semantic_index(
+                emb.filter("vec_id % 2 = 1"), assigns2, "vec_id", "embedding"
+            )
+            with pytest.raises(ValueError, match="centroids"):
+                upsert_semantic_index(spark, idx, entries, centroids=cents2)
+
+    def test_screen_without_pinned_matrix_raises(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import (
+            build_semantic_index,
+            screen_batch_against_semantic_index,
+            upsert_semantic_index,
+        )
+        from topnotch_spark.operators.similarity import (
+            kmeans_centroids_exact,
+        )
+
+        idx = str(tmp_path / "sem")
+        emb = self._emb(spark)
+        corpus = emb.filter("vec_id % 2 = 0")
+        with dedup_scope():
+            cents, assigns = kmeans_centroids_exact(
+                corpus, "vec_id", "embedding", n_centroids=2, n_rounds=2
+            )
+            upsert_semantic_index(
+                spark, idx,
+                build_semantic_index(corpus, assigns, "vec_id", "embedding"),
+            ).collect()  # no centroids= -> nothing pinned
+            with pytest.raises(ValueError, match="centroid matrix"):
+                screen_batch_against_semantic_index(
+                    spark, idx, emb.filter("vec_id % 2 = 1"),
+                    "vec_id", "embedding",
+                )
+
+
+def _vids(spark, specs):
+    """specs: {vid_id: [frame_seed, ...]} — each frame is a
+    deterministic 8x8 pattern from its seed; equal seeds give equal
+    frames (hence equal signatures)."""
+    rows = []
+    for vid, seeds in specs.items():
+        # one high pixel at position seed%64 over a flat background:
+        # ahash = exactly that bit set, so distinct seeds (mod 64) give
+        # distinct signatures and equal seeds give equal ones
+        frames = [
+            bytes((224 if k == s % 64 else 32) for k in range(64))
+            for s in seeds
+        ]
+        rows.append((vid, mm.encode_tnvid(8, 8, frames)))
+    return spark.createDataFrame(rows, "media_id int, content binary")
+
+
+class TestVideoIncremental:
+    def test_screen_matches_overlap_rule(self, spark):
+        with dedup_scope():
+            corpus = _vids(spark, {0: [1, 2, 3, 4], 2: [9, 9, 8, 8]})
+            index = mm.build_video_index(corpus)
+            # 11: full copy of 0; 13: half-overlap with 0 (frames 0-1);
+            # 15: one shared frame (below 0.5); 17: disjoint
+            batch = _vids(
+                spark,
+                {
+                    11: [1, 2, 3, 4],
+                    13: [1, 2, 30, 40],
+                    15: [1, 50, 60, 70],
+                    17: [5, 6, 7, 77],
+                },
+            )
+            got = {
+                r["media_id"]: (
+                    r["n_candidates"],
+                    r["best_match_id"],
+                    r["best_match_frac"],
+                    r["keep"],
+                )
+                for r in mm.dedup_batch_against_video_index(
+                    batch, index, min_match_frac=0.5
+                ).collect()
+            }
+        assert got[11] == (1, 0, 1.0, False)
+        assert got[13] == (1, 0, 0.5, False)
+        assert got[15] == (1, 0, 0.25, True)
+        assert got[17] == (0, None, None, True)
+
+    def test_mismatched_grid_raises(self, spark):
+        with dedup_scope():
+            corpus = _vids(spark, {0: [1, 2]})
+            index = mm.build_video_index(corpus, grid=4)
+            batch = _vids(spark, {1: [1, 2]})
+            with pytest.raises(Exception, match="signature width"):
+                mm.dedup_batch_against_video_index(
+                    batch, index, grid=8
+                ).collect()
+
+    def test_upsert_grow_probe_and_pruning(self, spark, tmp_path):
+        idx = str(tmp_path / "vid")
+        with dedup_scope():
+            r0 = _vids(spark, {0: [1, 2, 3, 4], 2: [9, 9, 8, 8]})
+            stats = upsert_video_index(
+                spark, idx, mm.build_video_index(r0), pfx_chars=1
+            ).collect()[0]
+            assert stats["n_entries_written"] == 8
+            meta = read_index_meta(spark, idx)
+            assert (meta["family"], meta["bits"], meta["pfx_chars"]) == (
+                "video", 64, 1,
+            )
+            before = {
+                f: os.path.getmtime(f)
+                for f in glob.glob(f"{idx}/pfx=*/*.parquet")
+            }
+            # on-disk probe == in-memory probe
+            batch = _vids(spark, {11: [1, 2, 3, 4], 17: [5, 6, 7, 77]})
+            disk = sorted(
+                map(
+                    tuple,
+                    mm.dedup_batch_against_video_index(
+                        batch, read_video_index(spark, idx)
+                    ).collect(),
+                )
+            )
+            mem = sorted(
+                map(
+                    tuple,
+                    mm.dedup_batch_against_video_index(
+                        batch, mm.build_video_index(r0)
+                    ).collect(),
+                )
+            )
+            assert disk == mem
+            # grow with a video whose frames all hash into pfx=1 (high
+            # pixel at position 0 -> sh starts '1'); replay idempotent
+            acc = _vids(spark, {19: [0, 64, 128, 192]})
+            time.sleep(1.1)
+            for _ in range(2):
+                upsert_video_index(
+                    spark, idx, mm.build_video_index(acc), pfx_chars=1
+                ).collect()
+            assert read_video_index(spark, idx).count() == 12
+            # the grow touched ONLY pfx=1: every pre-existing pfx=0
+            # file survives byte-for-byte (partition pruning)
+            touched = {
+                os.path.dirname(f)
+                for f, m in before.items()
+                if not os.path.exists(f) or os.path.getmtime(f) != m
+            }
+            assert not touched
+            grown = {
+                os.path.basename(os.path.dirname(f))
+                for f in glob.glob(f"{idx}/pfx=*/*.parquet")
+            }
+            assert grown == {"pfx=0", "pfx=1"}
+            # wrong pfx width raises
+            with pytest.raises(ValueError, match="pfx_chars"):
+                upsert_video_index(
+                    spark, idx, mm.build_video_index(acc), pfx_chars=2
+                )
+
+
+class TestBitsigUpsert:
+    def test_upsert_and_probe(self, spark, tmp_path):
+        idx = str(tmp_path / "bs")
+        sigs = spark.createDataFrame(
+            [
+                (0, "00110011"),
+                (1, "00110000"),
+                (2, "11111111"),
+            ],
+            "id long, sh string",
+        )
+        with dedup_scope():
+            upsert_bitsig_index(
+                spark, idx, build_bitsig_index(sigs, 8, 4), pfx_chars=1
+            ).collect()
+            batch = spark.createDataFrame(
+                [(10, "00110010"), (11, "01010101")], "id long, sh string"
+            )
+            got = {
+                r["id"]: (r["best_match_id"], r["best_hamming"], r["keep"])
+                for r in dedup_batch_against_bitsig_index(
+                    batch, read_bitsig_index(spark, idx), 8, 4, 1
+                ).collect()
+            }
+        assert got[10] == (0, 1, False)
+        assert got[11] == (None, None, True)
+
+    def test_replay_idempotent_and_width_guard(self, spark, tmp_path):
+        idx = str(tmp_path / "bs")
+        sigs = spark.createDataFrame(
+            [(0, "00110011")], "id long, sh string"
+        )
+        with dedup_scope():
+            ent = build_bitsig_index(sigs, 8, 4)
+            upsert_bitsig_index(spark, idx, ent, pfx_chars=1).collect()
+            upsert_bitsig_index(spark, idx, ent, pfx_chars=1).collect()
+            assert read_bitsig_index(spark, idx).count() == 2  # 2 bands
+            wide = build_bitsig_index(
+                spark.createDataFrame(
+                    [(1, "0011001111110000")], "id long, sh string"
+                ),
+                16, 4,
+            )
+            with pytest.raises(ValueError, match="bits"):
+                upsert_bitsig_index(spark, idx, wide, pfx_chars=1)

@@ -557,16 +557,22 @@ def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering AND the member index; rounds 1 and 2 route their batch
     to the trained centroids, screen against ONLY the assigned
     cluster's on-disk members (keep iff best rounded cosine < 0.35),
-    and upsert the accepted vectors' member rows. Emits the final index
-    membership (index_id, centroid_id, nrm rounded) — the oracle
+    and upsert the accepted vectors' member rows. The trained centroid
+    matrix is PINNED in the index's _tn_meta.json sidecar at create
+    time (r13): every screen routes with the on-disk matrix
+    (screen_batch_against_semantic_index — no centroid frame crosses
+    the loop at all), and a re-trained matrix at upsert time would
+    raise instead of silently drifting the routing. Emits the final
+    index membership (index_id, centroid_id, nrm rounded) — the oracle
     replays the kmeans training and the round-ordered accept set."""
     import tempfile
 
     from topnotch_spark.operators.dedup import (
         _register_checkpoints,
         build_semantic_index,
-        dedup_batch_against_semantic_index,
+        read_semantic_centroids,
         read_semantic_index,
+        screen_batch_against_semantic_index,
         upsert_semantic_index,
     )
     from topnotch_spark.operators.similarity import kmeans_centroids_exact
@@ -581,13 +587,13 @@ def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert_semantic_index(
         spark, idx_path,
         build_semantic_index(seed, assigns, "vec_id", "embedding"),
+        centroids=cents,
     ).collect()
     for r in (1, 2):
         batch = emb.filter(f"vec_id % 3 = {r}")
-        index = read_semantic_index(spark, idx_path)
         accepted = (
-            dedup_batch_against_semantic_index(
-                batch, index, cents, "vec_id", "embedding",
+            screen_batch_against_semantic_index(
+                spark, idx_path, batch, "vec_id", "embedding",
                 threshold=0.35,
             )
             .filter("keep")
@@ -595,9 +601,13 @@ def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         entries = build_semantic_index(
             batch.join(accepted, "vec_id", "left_semi"), None,
-            "vec_id", "embedding", centroids=cents,
+            "vec_id", "embedding",
+            centroids=read_semantic_centroids(spark, idx_path),
         )
-        upsert_semantic_index(spark, idx_path, entries).collect()
+        upsert_semantic_index(
+            spark, idx_path, entries,
+            centroids=read_semantic_centroids(spark, idx_path),
+        ).collect()
     out = read_semantic_index(spark, idx_path).select(
         "index_id", "centroid_id", F.round("nrm", 6).alias("nrm")
     )
@@ -2311,6 +2321,46 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures never collide."""
     from topnotch_spark.operators.multimodal import video_near_dups
 
+    return video_near_dups(
+        _synthetic_tnvid_docs(spark, sf_dir), "doc_id", "content"
+    )
+
+
+def dedup_incremental_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keyframe-signature NEAR-dup ingestion for VIDEO —
+    the last modality of the incremental family
+    (multimodal.build_video_index + dedup_batch_against_video_index):
+    even doc_ids form the accepted video corpus, of which ONLY the
+    per-frame (frame_idx, 64-char ahash) signature table persists; odd
+    doc_ids arrive as the new batch, are frame-hashed (integer-exact
+    ahash over the synthetic 4-frame TNVID blobs), and candidates come
+    from the exact (frame_idx, signature) equi-join — the
+    video_near_dups overlap rule, a video being a SET of frame
+    signatures. Old videos are never re-decoded. Per batch video:
+    (doc_id, n_candidates, best_match_id, best_match_frac, keep) with
+    match_frac = shared frames / max(frames hashed either side) and
+    keep iff no candidate reaches 0.5."""
+    from topnotch_spark.operators.multimodal import (
+        build_video_index,
+        dedup_batch_against_video_index,
+    )
+
+    vids = _synthetic_tnvid_docs(spark, sf_dir)
+    index = build_video_index(
+        vids.filter("doc_id % 2 = 0"), "doc_id", "content"
+    )
+    return dedup_batch_against_video_index(
+        vids.filter("doc_id % 2 = 1"), index, "doc_id", "content",
+        min_match_frac=0.5,
+    )
+
+
+def _synthetic_tnvid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) with one deterministic synthetic 4-frame 8x8
+    TNVID blob per document — the shared fixture of
+    multimodal_video_dedup / dedup_incremental_video (see
+    multimodal_video_dedup's docstring for the burst/corruption
+    design)."""
     gs = F.expr("CAST(doc_id DIV 8 AS STRING)")
     d = F.col("doc_id")
     # mark-string formulation (r8 perf): translate the 64 hex digits to
@@ -2352,13 +2402,12 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l", "DF",
             )
         )
-    vids = load(spark, sf_dir, "documents").select(
+    return load(spark, sf_dir, "documents").select(
         "doc_id",
         F.unhex(
             F.concat(F.lit("544E564944000400080008"), *frames)
         ).alias("content"),
     )
-    return video_near_dups(vids, "doc_id", "content")
 
 
 # --------------------------------------------------------------------------
@@ -4311,6 +4360,7 @@ ALL = {
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "dedup_incremental_phash": dedup_incremental_phash,
     "dedup_incremental_audio": dedup_incremental_audio,
+    "dedup_incremental_video": dedup_incremental_video,
     "multimodal_audio_dedup": multimodal_audio_dedup,
     "multimodal_video_dedup": multimodal_video_dedup,
     "assertion_invalid_rows": assertion_invalid_rows,

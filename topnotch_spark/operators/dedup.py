@@ -838,6 +838,132 @@ def build_bitsig_index(
     ).select("index_id", "band_idx", "bucket", "sh")
 
 
+def upsert_bitsig_index(
+    spark,
+    index_path: str,
+    new_entries: DataFrame,
+    pfx_chars: int = 2,
+) -> DataFrame:
+    """Partition-pruned UPSERT of accepted bit-signature rows into an
+    ON-DISK banded index — the persisted-growth step for every
+    :func:`build_bitsig_index` family (perceptual image hash, audio
+    energy envelope, simhash): each ingestion round's accepted items
+    append their (index_id, band_idx, bucket, sh) rows, so the next
+    round's :func:`dedup_batch_against_bitsig_index` probe sees them
+    WITHOUT re-decoding any old blob. Partition key ``pfx`` = the
+    first ``pfx_chars`` chars of the band bucket; buckets here are
+    '0'/'1' strings, so the alphabet is binary — 2^pfx_chars
+    partitions (pass ~8 for 256 dirs at the multi-TB grain; the
+    default 2 → 4 dirs suits test-scale corpora). Merge rule:
+    row-level DISTINCT (replays re-derive byte-identical rows —
+    idempotent). First call records pfx_chars + signature width in the
+    ``_tn_meta.json`` sidecar; mismatched re-upserts raise. Returns
+    one row: (n_partitions_touched, n_entries_written). Mechanics:
+    :func:`_staged_partition_upsert`."""
+    entries = new_entries.select(
+        "index_id",
+        "band_idx",
+        "bucket",
+        "sh",
+        F.substring("bucket", 1, int(pfx_chars)).alias("pfx"),
+    )
+
+    def meta_fn(e):
+        meta = {
+            "family": "bitsig",
+            "part_col": "pfx",
+            "pfx_chars": int(pfx_chars),
+            "version": 1,
+        }
+        row = e.select(F.length("sh").alias("w")).first()
+        if row is not None:
+            meta["bits"] = int(row["w"])
+        return meta
+
+    return _staged_partition_upsert(
+        spark,
+        index_path,
+        entries,
+        "pfx",
+        lambda df: df.distinct(),
+        "n_partitions_touched",
+        meta_fn=meta_fn,
+    )
+
+
+def read_bitsig_index(spark, index_path: str) -> DataFrame:
+    """Read an :func:`upsert_bitsig_index` layout back as the probe
+    frame :func:`dedup_batch_against_bitsig_index` consumes:
+    (index_id, band_idx, bucket, sh). Partition-value inference stays
+    off (the shared index-read discipline — an all-digit binary bucket
+    prefix must come back as the string it was written as)."""
+    return _read_partitioned_index(spark, index_path).select(
+        "index_id", "band_idx", "bucket", "sh"
+    )
+
+
+def upsert_video_index(
+    spark,
+    index_path: str,
+    new_entries: DataFrame,
+    pfx_chars: int = 2,
+) -> DataFrame:
+    """Partition-pruned UPSERT of accepted per-frame video signatures
+    into an ON-DISK frame index — the persisted-growth step for
+    :func:`topnotch_spark.operators.multimodal.build_video_index`
+    entries (index_id, frame_idx, sh, n_hashed): each ingestion
+    round's accepted videos append their frame rows, so the next
+    round's ``dedup_batch_against_video_index`` probe sees them
+    WITHOUT re-decoding any old video. Partition key ``pfx`` = the
+    first ``pfx_chars`` chars of the frame signature ('0'/'1'
+    alphabet — 2^pfx_chars partitions; pass ~8 for 256 dirs at the
+    multi-TB grain). Merge: row-level DISTINCT (replays re-derive
+    byte-identical frame rows — idempotent). First call records
+    pfx_chars + signature width in the ``_tn_meta.json`` sidecar;
+    mismatched re-upserts raise. Returns one row:
+    (n_partitions_touched, n_entries_written). Mechanics:
+    :func:`_staged_partition_upsert`."""
+    entries = new_entries.select(
+        "index_id",
+        "frame_idx",
+        "sh",
+        "n_hashed",
+        F.substring("sh", 1, int(pfx_chars)).alias("pfx"),
+    )
+
+    def meta_fn(e):
+        meta = {
+            "family": "video",
+            "part_col": "pfx",
+            "pfx_chars": int(pfx_chars),
+            "version": 1,
+        }
+        row = e.select(F.length("sh").alias("w")).first()
+        if row is not None:
+            meta["bits"] = int(row["w"])
+        return meta
+
+    return _staged_partition_upsert(
+        spark,
+        index_path,
+        entries,
+        "pfx",
+        lambda df: df.distinct(),
+        "n_partitions_touched",
+        meta_fn=meta_fn,
+    )
+
+
+def read_video_index(spark, index_path: str) -> DataFrame:
+    """Read an :func:`upsert_video_index` layout back as the probe
+    frame ``dedup_batch_against_video_index`` consumes: (index_id,
+    frame_idx, sh, n_hashed); partition-value inference off (the
+    shared index-read discipline)."""
+    return _read_partitioned_index(spark, index_path).select(
+        "index_id", "frame_idx", "sh", "n_hashed"
+    )
+
+
 def dedup_batch_against_bitsig_index(
     batch_sig: DataFrame,
     index: DataFrame,
@@ -1391,6 +1517,204 @@ def _read_partitioned_index(spark, index_path: str) -> DataFrame:
         spark.conf.set(conf_key, prev)
 
 
+INDEX_META_FILE = "_tn_meta.json"
+
+
+def write_index_meta(spark, index_path: str, meta: dict) -> None:
+    """Persist the index-layout sidecar ``_tn_meta.json`` inside the
+    index directory (the ``_`` prefix hides it from Spark's partition
+    discovery, so readers never see it as data). The sidecar records
+    the layout parameters the index was CREATED with — partition
+    column, prefix width, signature width, centroid matrix — so later
+    upserts/probes validate against the on-disk truth instead of
+    trusting caller kwargs (an index created with pfx_chars=1 upserted
+    with the default 2 would silently fragment its layout: old entries
+    filtered on 2-char prefixes match no 1-char partition, and new
+    rows land under a second partition grain). Written through the
+    Hadoop FileSystem API, so it works on any scheme the index does."""
+    import json
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        index_path.rstrip("/") + "/" + INDEX_META_FILE
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_index_meta(spark, index_path: str) -> dict | None:
+    """Read an index's ``_tn_meta.json`` sidecar; None when absent (an
+    index created before the sidecar existed — callers stay lenient on
+    missing meta so old layouts keep working, and strict on present
+    meta so new layouts can't fragment)."""
+    import json
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        index_path.rstrip("/") + "/" + INDEX_META_FILE
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # JVM-side drain: py4j passes arrays by value, so a Python-side
+        # stream.read(buf) loop never sees the bytes — commons-io (on
+        # Spark's classpath via hadoop-client) drains in-JVM and hands
+        # back one byte[].
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def _check_index_meta(spark, index_path: str, expected: dict, caller: str):
+    """Validate caller layout kwargs against the on-disk sidecar. Keys
+    present in BOTH must agree; missing sidecar (pre-meta index) or
+    keys only on one side pass. Raises with the full mismatch list."""
+    meta = read_index_meta(spark, index_path)
+    if meta is None:
+        return None
+    diffs = {
+        k: (meta[k], v)
+        for k, v in expected.items()
+        if k in meta and meta[k] != v
+    }
+    if diffs:
+        detail = "; ".join(
+            f"{k}: index has {idx!r}, caller passed {got!r}"
+            for k, (idx, got) in sorted(diffs.items())
+        )
+        raise ValueError(
+            f"{caller}: layout mismatch with the on-disk index at "
+            f"{index_path} ({detail}). Re-upserting under a different "
+            "layout silently fragments the index; pass the index's own "
+            "parameters (read_index_meta) or rebuild it."
+        )
+    return meta
+
+
+def _staged_partition_upsert(
+    spark,
+    index_path: str,
+    entries: DataFrame,
+    part_col: str,
+    merge,
+    part_stat_name: str,
+    meta_fn=None,
+) -> DataFrame:
+    """Shared core of every on-disk index upsert (exact keys, MinHash
+    signatures, semantic members, bit-signature media, video frames):
+    partition-pruned read of only the partitions the new entries touch,
+    ``merge`` collapse of old ∪ new (distinct or groupBy-min — the
+    family's idempotency rule), staged write to a sibling temp path
+    (HARD lineage break: the dynamic-partition overwrite reads only
+    immutable staged files, never the partitions it replaces — the
+    ADVICE-r11 discipline), then dynamic partition overwrite; untouched
+    partition directories are never read or rewritten (mtime-tested).
+
+    ``entries`` must already carry the string partition column
+    ``part_col``. First call creates the index AND persists the
+    ``meta_fn(entries)`` layout sidecar (:func:`write_index_meta`);
+    later calls validate it (:func:`_check_index_meta`) so a caller
+    passing a different prefix width / signature width / centroid
+    matrix raises instead of silently fragmenting the layout. Returns
+    one literal row: (``part_stat_name``, n_entries_written) — literal
+    because a frame whose lineage reads the index path would silently
+    re-count a LATER, grown index when evaluated after more upserts.
+
+    Bounded driver data: the touched-partition value list (≤ 256
+    strings for the hex layouts, k for the semantic one). Writes commit
+    through Spark's FileOutputCommitter, so a failed upsert leaves the
+    previous index intact."""
+    from pyspark import StorageLevel
+
+    # function-local persist: the upsert issues several actions over
+    # the entries (partition list, staging write) and the caller's
+    # lineage is typically a whole screen-batch pipeline — without this
+    # it re-executes per action (measured 26.5 s → 9 s warm on the
+    # 3-round minhash compaction row at sf0.1)
+    entries = entries.persist(StorageLevel.MEMORY_AND_DISK)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _stats_row(parts, n):
+        return spark.range(1).select(
+            F.lit(parts).cast("long").alias(part_stat_name),
+            F.lit(n).cast("long").alias("n_entries_written"),
+        )
+
+    try:
+        if not fs.exists(jpath):
+            merged = merge(entries)
+            # repartition by the partition column first: each partition
+            # dir then receives ONE file instead of one per shuffle
+            # task (32 tasks x 256 dirs = 8k tiny files otherwise —
+            # commit overhead dominates the write)
+            merged.repartition(part_col).write.partitionBy(
+                part_col
+            ).mode("overwrite").parquet(index_path)
+            if meta_fn is not None:
+                write_index_meta(spark, index_path, meta_fn(entries))
+            stats = merged.agg(
+                F.count_distinct(part_col).alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return _stats_row(stats["p"], stats["n"])
+        if meta_fn is not None:
+            _check_index_meta(
+                spark, index_path, meta_fn(entries), "upsert"
+            )
+        parts = [
+            r[part_col]
+            for r in entries.select(part_col).distinct().collect()
+        ]
+        if not parts:
+            return _stats_row(0, 0)
+        old = _read_partitioned_index(spark, index_path).filter(
+            F.col(part_col).isin(parts)
+        )
+        merged = merge(
+            old.select(*entries.columns).unionByName(entries)
+        )
+        staging = index_path.rstrip("/") + "__staging__"
+        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        try:
+            # staged UNPARTITIONED: the partition key stays a real
+            # string column — a partitioned staging dir would
+            # round-trip "00" through partition-value type inference
+            # as integer 0
+            merged.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            stats = staged.agg(
+                F.count_distinct(part_col).alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            prev_mode = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                staged.repartition(part_col).write.partitionBy(
+                    part_col
+                ).mode("overwrite").parquet(index_path)
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev_mode
+                )
+        finally:
+            fs.delete(spath, True)
+        return _stats_row(stats["p"], stats["n"])
+    finally:
+        entries.unpersist()
+
+
 def upsert_dedup_index(
     spark,
     index_path: str,
@@ -1405,115 +1729,35 @@ def upsert_dedup_index(
     at ``index_path`` is parquet partitioned by ``bucket`` = the first
     ``bucket_chars`` hex chars of dup_key (16^bucket_chars md5-uniform
     buckets — 256 at the default 2, the multi-TB grain; pass 1 for
-    small corpora where 256 directories' metadata dominates).
-
-    Per upsert, ONLY the buckets the new entries touch are read
-    (partition pruning on the bucket filter — at 100 TB a small batch
-    touches a few hundred MB of a multi-TB index, not all of it),
-    merged (min index_id per key — idempotent, so replaying a batch is
-    safe), and rewritten via dynamic partition overwrite; untouched
-    bucket directories are never read and never rewritten (tested by
-    file mtime). First call creates the index. Returns one row:
-    (n_buckets_touched, n_entries_written).
-
-    The bounded driver data is the touched-bucket list (≤ 256 strings).
-    Writes commit through Spark's FileOutputCommitter, so a failed
-    upsert leaves the previous index intact."""
-    from pyspark import StorageLevel
-
-    # function-local persist: the upsert issues several actions over
-    # the entries (bucket list, staging write) and the caller's lineage
-    # is typically a whole screen-batch pipeline — without this it
-    # re-executes per action (the upsert_minhash_index lesson)
+    small corpora where 256 directories' metadata dominates). The merge
+    rule is min index_id per key — idempotent, so replaying a batch is
+    safe. First call records ``bucket_chars`` in the ``_tn_meta.json``
+    sidecar; a later upsert passing a different width raises instead of
+    silently fragmenting the layout. Returns one row:
+    (n_buckets_touched, n_entries_written). Mechanics (pruned read,
+    staging, dynamic overwrite, bounded driver data):
+    :func:`_staged_partition_upsert`."""
     entries = new_entries.select(
         "dup_key",
         "index_id",
         F.substring("dup_key", 1, int(bucket_chars)).alias("bucket"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        if not fs.exists(jpath):
-            merged = entries.groupBy("bucket", "dup_key").agg(
-                F.min("index_id").alias("index_id")
-            )
-            # repartition by the partition column first: each bucket
-            # dir then receives ONE file instead of one per shuffle
-            # task (32 tasks x 256 dirs = 8k tiny files otherwise —
-            # commit overhead dominates the write)
-            merged.repartition("bucket").write.partitionBy(
-                "bucket"
-            ).mode("overwrite").parquet(index_path)
-            # literal stats (from the persisted entries, not a lazy read
-            # of the index path — a frame whose lineage reads the index
-            # would silently re-count a LATER, grown index when the
-            # caller evaluates it after more upserts)
-            stats = merged.agg(
-                F.count_distinct("bucket").alias("b"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            return spark.range(1).select(
-                F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
-                F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-            )
-        buckets = [
-            r["bucket"] for r in entries.select("bucket").distinct().collect()
-        ]
-        if not buckets:
-            return spark.range(1).select(
-                F.lit(0).cast("long").alias("n_buckets_touched"),
-                F.lit(0).cast("long").alias("n_entries_written"),
-            )
-        old = _read_partitioned_index(spark, index_path).filter(
-            F.col("bucket").isin(buckets)
-        )
-        merged = (
-            old.select("bucket", "dup_key", "index_id")
-            .unionByName(entries)
-            .groupBy("bucket", "dup_key")
-            .agg(F.min("index_id").alias("index_id"))
-        )
-        # HARD lineage break before the overwrite: the merge is staged to a
-        # sibling temp path first, and the dynamic-partition overwrite reads
-        # ONLY the staged files. A cache-based decoupling (the previous
-        # shape) recomputes `merged` from the very partitions being replaced
-        # if cached blocks are evicted or an executor dies mid-write
-        # (ADVICE r11); staging makes that recompute path read the staging
-        # parquet instead, which is immutable for the duration.
-        staging = index_path.rstrip("/") + "__staging__"
-        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        try:
-            # staged UNPARTITIONED: bucket stays a real string column —
-            # a partitioned staging dir would round-trip "00" through
-            # partition-value type inference as integer 0
-            merged.write.mode("overwrite").parquet(staging)
-            staged = spark.read.parquet(staging)
-            stats = staged.agg(
-                F.count_distinct("bucket").alias("b"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            prev_mode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                staged.repartition("bucket").write.partitionBy(
-                    "bucket"
-                ).mode("overwrite").parquet(index_path)
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
-        finally:
-            fs.delete(spath, True)
-        return spark.range(1).select(
-            F.lit(stats["b"]).cast("long").alias("n_buckets_touched"),
-            F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-        )
-    finally:
-        entries.unpersist()
+    )
+    return _staged_partition_upsert(
+        spark,
+        index_path,
+        entries,
+        "bucket",
+        lambda df: df.groupBy("bucket", "dup_key").agg(
+            F.min("index_id").alias("index_id")
+        ),
+        "n_buckets_touched",
+        meta_fn=lambda e: {
+            "family": "exact",
+            "part_col": "bucket",
+            "bucket_chars": int(bucket_chars),
+            "version": 1,
+        },
+    )
 
 
 def dedup_against_index(
@@ -1645,93 +1889,52 @@ def upsert_minhash_index(
     mtime). First call creates the index. Returns one row:
     (n_partitions_touched, n_entries_written).
 
+    First call records ``pfx_chars`` AND the signature width
+    (num_hashes, read from the entries themselves) in the
+    ``_tn_meta.json`` sidecar; a later upsert passing a different
+    prefix width — or signatures of a different width — raises instead
+    of silently fragmenting the partition grain / mixing signature
+    widths (the r12-verdict hazard: a pfx_chars=1 index upserted at
+    the default 2 filters old entries on 2-char prefixes that match no
+    1-char partition, then writes under a second grain — per-partition
+    DISTINCT, pruning, and replay idempotency all degrade).
+
     Bounded driver data: the touched-pfx list (≤ 256 strings). Writes
     commit through Spark's FileOutputCommitter, so a failed upsert
-    leaves the previous index intact."""
-    from pyspark import StorageLevel
-
-    # function-local persist: the upsert issues SEVERAL actions over
-    # the entries (pfx list, staging write) and the caller's lineage is
-    # typically a whole screen-batch pipeline — without this it would
-    # re-execute per action (measured 26.5 s → 9 s warm on the
-    # 3-round compaction catalog row at sf0.1)
+    leaves the previous index intact. Mechanics:
+    :func:`_staged_partition_upsert`."""
     entries = new_entries.select(
         "index_id",
         "band_idx",
         "bucket",
         "sigs",
         F.substring("bucket", 1, int(pfx_chars)).alias("pfx"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        if not fs.exists(jpath):
-            merged = entries.distinct()
-            # one file per pfx dir (see upsert_dedup_index note)
-            merged.repartition("pfx").write.partitionBy("pfx").mode(
-                "overwrite"
-            ).parquet(index_path)
-            # literal stats — see upsert_dedup_index's first-write note
-            stats = merged.agg(
-                F.count_distinct("pfx").alias("p"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            return spark.range(1).select(
-                F.lit(stats["p"]).cast("long").alias(
-                    "n_partitions_touched"
-                ),
-                F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-            )
-        pfxs = [
-            r["pfx"] for r in entries.select("pfx").distinct().collect()
-        ]
-        if not pfxs:
-            return spark.range(1).select(
-                F.lit(0).cast("long").alias("n_partitions_touched"),
-                F.lit(0).cast("long").alias("n_entries_written"),
-            )
-        old = _read_partitioned_index(spark, index_path).filter(
-            F.col("pfx").isin(pfxs)
-        )
-        merged = (
-            old.select("index_id", "band_idx", "bucket", "sigs", "pfx")
-            .unionByName(entries)
-            .distinct()
-        )
-        staging = index_path.rstrip("/") + "__staging__"
-        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        try:
-            # staged UNPARTITIONED: pfx stays a real string column — a
-            # partitioned staging dir would round-trip "00" through
-            # partition-value type inference as integer 0
-            merged.write.mode("overwrite").parquet(staging)
-            staged = spark.read.parquet(staging)
-            stats = staged.agg(
-                F.count_distinct("pfx").alias("p"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            prev_mode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                staged.repartition("pfx").write.partitionBy("pfx").mode(
-                    "overwrite"
-                ).parquet(index_path)
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
-        finally:
-            fs.delete(spath, True)
-        return spark.range(1).select(
-            F.lit(stats["p"]).cast("long").alias("n_partitions_touched"),
-            F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-        )
-    finally:
-        entries.unpersist()
+    )
+
+    def meta_fn(e):
+        meta = {
+            "family": "minhash",
+            "part_col": "pfx",
+            "pfx_chars": int(pfx_chars),
+            "version": 1,
+        }
+        # signature width from the (persisted) entries themselves — one
+        # cheap first() against cached blocks; empty batches skip the
+        # key (nothing to validate against)
+        row = e.select(F.size("sigs").alias("w")).first()
+        if row is not None:
+            meta["num_hashes"] = int(row["w"])
+        return meta
+
+    return _staged_partition_upsert(
+        spark,
+        index_path,
+        entries,
+        "pfx",
+        lambda df: df.distinct(),
+        "n_partitions_touched",
+        meta_fn=meta_fn,
+    )
 
 
 def dedup_batch_against_minhash_index(
@@ -1919,10 +2122,26 @@ def build_semantic_index(
     )
 
 
+def _centroid_matrix(centroids: DataFrame) -> list:
+    """Serialize a (centroid_id, centroid) frame to a deterministic
+    [[cid, [floats...]], ...] list, ordered by centroid_id — k×dim
+    doubles, tiny driver data (k clusters). JSON round-trips doubles
+    exactly (repr-based), so equality on re-load is exact equality on
+    the training output: the engine-exact k-means is deterministic, so
+    only a genuine RE-TRAIN produces a different matrix."""
+    return [
+        [int(r["centroid_id"]), [float(x) for x in r["centroid"]]]
+        for r in centroids.select("centroid_id", "centroid")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+
+
 def upsert_semantic_index(
     spark,
     index_path: str,
     new_entries: DataFrame,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Partition-pruned UPSERT of accepted batch members into an
     ON-DISK semantic index — the third on-disk growth path next to
@@ -1944,79 +2163,96 @@ def upsert_semantic_index(
     partition overwrite; untouched cluster directories are never read
     or rewritten. First call creates the index. Returns one row:
     (n_partitions_touched, n_entries_written). Bounded driver data:
-    the touched-cid list (≤ k strings)."""
-    from pyspark import StorageLevel
+    the touched-cid list (≤ k strings).
 
+    Pass ``centroids`` (the trained (centroid_id, centroid) frame the
+    entries were routed with) to pin the ROUTING in the
+    ``_tn_meta.json`` sidecar: the k×dim matrix is tiny and rides with
+    the index, so (a) a later upsert whose caller re-trained between
+    rounds raises on the matrix mismatch instead of silently writing
+    members routed under a DIFFERENT clustering (probe recall then
+    silently degrades — the r12-verdict drift hazard), and (b)
+    :func:`screen_batch_against_semantic_index` can route probes from
+    the index alone, no centroid frame needed. Mechanics:
+    :func:`_staged_partition_upsert`."""
     entries = new_entries.select(
         "index_id",
         "vec",
         "nrm",
         "centroid_id",
         F.col("centroid_id").cast("string").alias("cid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    try:
-        if not fs.exists(jpath):
-            merged = entries.distinct()
-            merged.repartition("cid").write.partitionBy("cid").mode(
-                "overwrite"
-            ).parquet(index_path)
-            stats = merged.agg(
-                F.count_distinct("cid").alias("p"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            return spark.range(1).select(
-                F.lit(stats["p"]).cast("long").alias(
-                    "n_partitions_touched"
-                ),
-                F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-            )
-        cids = [r["cid"] for r in entries.select("cid").distinct().collect()]
-        if not cids:
-            return spark.range(1).select(
-                F.lit(0).cast("long").alias("n_partitions_touched"),
-                F.lit(0).cast("long").alias("n_entries_written"),
-            )
-        old = _read_partitioned_index(spark, index_path).filter(
-            F.col("cid").isin(cids)
+    )
+
+    def meta_fn(e):
+        meta = {
+            "family": "semantic",
+            "part_col": "cid",
+            "version": 1,
+        }
+        row = e.select(F.size("vec").alias("d")).first()
+        if row is not None:
+            meta["dim"] = int(row["d"])
+        if centroids is not None:
+            meta["centroids"] = _centroid_matrix(centroids)
+        return meta
+
+    return _staged_partition_upsert(
+        spark,
+        index_path,
+        entries,
+        "cid",
+        lambda df: df.distinct(),
+        "n_partitions_touched",
+        meta_fn=meta_fn,
+    )
+
+
+def read_semantic_centroids(spark, index_path: str) -> DataFrame:
+    """Re-hydrate the trained (centroid_id, centroid) frame from a
+    semantic index's ``_tn_meta.json`` sidecar — the matrix the index's
+    members were routed with, so probes and later routing use the
+    on-disk truth rather than a caller-supplied (possibly re-trained)
+    frame. Raises when the index has no pinned matrix (created without
+    ``centroids=``)."""
+    meta = read_index_meta(spark, index_path)
+    if meta is None or "centroids" not in meta:
+        raise ValueError(
+            f"read_semantic_centroids: no centroid matrix pinned at "
+            f"{index_path}; recreate the index with "
+            "upsert_semantic_index(..., centroids=...)"
         )
-        merged = (
-            old.select("index_id", "vec", "nrm", "centroid_id", "cid")
-            .unionByName(entries)
-            .distinct()
-        )
-        staging = index_path.rstrip("/") + "__staging__"
-        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        try:
-            merged.write.mode("overwrite").parquet(staging)
-            staged = spark.read.parquet(staging)
-            stats = staged.agg(
-                F.count_distinct("cid").alias("p"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            prev_mode = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
-            )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                staged.repartition("cid").write.partitionBy("cid").mode(
-                    "overwrite"
-                ).parquet(index_path)
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev_mode
-                )
-        finally:
-            fs.delete(spath, True)
-        return spark.range(1).select(
-            F.lit(stats["p"]).cast("long").alias("n_partitions_touched"),
-            F.lit(stats["n"]).cast("long").alias("n_entries_written"),
-        )
-    finally:
-        entries.unpersist()
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def screen_batch_against_semantic_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Path-based semantic batch screen: loads BOTH the member table
+    (:func:`read_semantic_index`) and the trained centroid matrix
+    (:func:`read_semantic_centroids`, from the ``_tn_meta.json``
+    sidecar) from the index itself, then runs
+    :func:`dedup_batch_against_semantic_index`. The caller supplies no
+    centroid frame at all — the routing-drift hazard (screening with a
+    matrix different from the one the members were routed under) is
+    structurally impossible through this entry point."""
+    return dedup_batch_against_semantic_index(
+        batch,
+        read_semantic_index(spark, index_path),
+        read_semantic_centroids(spark, index_path),
+        id_col,
+        vec_col,
+        threshold=threshold,
+        round_digits=round_digits,
+    )
 
 
 def index_stats(spark, index_path: str) -> DataFrame:

@@ -507,6 +507,150 @@ def dedup_batch_against_audio_index(
     ).withColumnRenamed("id", id_col)
 
 
+def build_video_index(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    hash_type: str = "ahash",
+    grid: int = 8,
+    every_n: int = 1,
+) -> DataFrame:
+    """Frame-signature index of an accepted VIDEO corpus snapshot —
+    the video leg of the incremental family (exact keys / minhash text
+    / semantic embeddings / image phash / audio envelope / THIS). A
+    video is a SET of per-frame signatures, so the index is one row
+    per sampled frame: (index_id, frame_idx, sh, n_hashed) from
+    [video_frame_hashes] — the (frame_idx, sh) pair IS the candidate
+    bucket (the video_near_dups matching rule: re-encoded copies agree
+    on most frame signatures at the same index), and n_hashed is the
+    per-video denominator a match rate needs. Persist between runs
+    (:func:`topnotch_spark.operators.dedup.upsert_video_index` grows
+    it partition-pruned); incremental ingestion then probes the
+    signature table and never re-decodes the old corpus's videos. No
+    video bytes are stored — the index is (frames × 64-char hash) per
+    video regardless of blob size.
+
+    Execution shape (100 TB): hashing is a narrow mapInPandas (blobs
+    never shuffle); only the per-frame signature table persists."""
+    return video_frame_hashes(
+        df, bin_col, keep_cols=(id_col,), hash_type=hash_type,
+        grid=grid, every_n=every_n,
+    ).select(
+        F.col(id_col).alias("index_id"), "frame_idx",
+        F.col("phash").alias("sh"), "n_hashed",
+    )
+
+
+def dedup_batch_against_video_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "content",
+    hash_type: str = "ahash",
+    grid: int = 8,
+    every_n: int = 1,
+    min_match_frac: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental keyframe-signature screen of a new VIDEO batch
+    against a persisted :func:`build_video_index` — the last modality
+    of the incremental-ingestion family: the old corpus's videos are
+    never re-decoded; only their (frame_idx, 64-char hash) table joins
+    in. Candidates come from the exact (frame_idx, sh) equi-join (the
+    [video_near_dups] overlap rule — the bucket is videos sharing an
+    identical frame signature at the same index, so the join is
+    |real matches|-sized, never all-pairs); each candidate pair is
+    scored match_frac = shared frames / max(frames hashed on either
+    side). Returns one row per batch video: (id, n_candidates,
+    best_match_id, best_match_frac, keep) with best = (match_frac
+    desc, index_id asc) and keep iff no candidate reaches
+    ``min_match_frac``. An index stored with a different grid raises
+    instead of silently bucketing misaligned signature widths.
+
+    Execution shape (100 TB): batch-sized frame hashing (narrow
+    mapInPandas, blobs never shuffle); the candidate join hits only
+    the index rows whose (frame_idx, signature) the batch collides
+    with — partition-prunable under the upsert_video_index pfx
+    layout."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.operators.dedup import _persist
+
+    bits = grid * grid
+    bsig = _persist(
+        video_frame_hashes(
+            batch, bin_col, keep_cols=(id_col,), hash_type=hash_type,
+            grid=grid, every_n=every_n,
+        ).select(
+            F.col(id_col).alias("__bid__"), "frame_idx",
+            F.col("phash").alias("sh"),
+            F.col("n_hashed").alias("__nb__"),
+        )
+    )
+    iside = index.select(
+        "index_id",
+        "frame_idx",
+        # guard: an index built with a DIFFERENT grid must fail loudly,
+        # not silently never-collide on misaligned widths (the shared
+        # sigs-width convention). when() keeps the check row-local.
+        F.when(F.length("sh") == bits, F.col("sh")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("video index signature width "),
+                    F.length("sh").cast("string"),
+                    F.lit(f" != grid² {bits}; rebuild the index"),
+                )
+            )
+        ).alias("sh"),
+        F.col("n_hashed").alias("__ni__"),
+    )
+    matched = (
+        bsig.join(iside, ["frame_idx", "sh"])
+        .groupBy("__bid__", "index_id", "__nb__", "__ni__")
+        .agg(F.count(F.lit(1)).alias("__nm__"))
+    )
+    scored = matched.select(
+        "__bid__",
+        "index_id",
+        F.round(
+            F.col("__nm__") / F.greatest("__nb__", "__ni__"), round_digits
+        ).alias("__frac__"),
+    )
+    w = Window.partitionBy("__bid__").orderBy(
+        F.col("__frac__").desc(), F.col("index_id").asc()
+    )
+    per = (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .groupBy("__bid__")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("index_id"))
+            ).alias("best_match_id"),
+            F.max(
+                F.when(F.col("__rn__") == 1, F.col("__frac__"))
+            ).alias("best_match_frac"),
+        )
+    )
+    return (
+        bsig.select("__bid__")
+        .distinct()
+        .join(per, "__bid__", "left")
+        .select(
+            F.col("__bid__").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_match_id",
+            "best_match_frac",
+            (
+                F.col("best_match_frac").isNull()
+                | (F.col("best_match_frac") < F.lit(float(min_match_frac)))
+            ).alias("keep"),
+        )
+    )
+
+
 def phash_recall(
     df: DataFrame,
     id_col: str = "media_id",

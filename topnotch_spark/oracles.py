@@ -3864,18 +3864,15 @@ def dedup_incremental_audio_sql(
     """
 
 
-def multimodal_video_dedup_sql(
-    grid: int = 8, n_frames: int = 4, min_match_frac: float = 0.5,
-    round_digits: int = 6,
-) -> str:
-    """Mirror of catalog.multimodal_video_dedup: rebuild each synthetic
-    video's per-frame PIXEL VALUES from the same md5(burst||'v'||f)
-    pattern + corrupted-frame flip formula the Spark side packs into
-    TNVID blobs, per-frame integer ahash, then pair videos on equal
-    (frame_idx, signature) and keep match_frac >= the threshold."""
+def _video_sig_ctes(grid: int, n_frames: int) -> str:
+    """Shared CTE block of the TNVID oracles (multimodal_video_dedup /
+    dedup_incremental_video): rebuild each synthetic video's per-frame
+    PIXEL VALUES from the same md5(burst||'v'||f) pattern +
+    corrupted-frame flip formula the Spark side packs into TNVID
+    blobs, then the per-frame integer ahash — ends with ``sig``
+    (doc_id, f, sh)."""
     bits = grid * grid
-    return f"""
-        WITH ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
+    return f"""ks AS (SELECT unnest(generate_series(0, {bits - 1})) AS k),
         fs AS (SELECT unnest(generate_series(0, {n_frames - 1})) AS f),
         hx AS (
           SELECT doc_id, f,
@@ -3908,7 +3905,19 @@ def multimodal_video_dedup_sql(
                             '' ORDER BY k) AS sh
           FROM px JOIN tot USING (doc_id, f)
           GROUP BY px.doc_id, px.f
-        ),
+        )"""
+
+
+def multimodal_video_dedup_sql(
+    grid: int = 8, n_frames: int = 4, min_match_frac: float = 0.5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.multimodal_video_dedup: the shared TNVID
+    signature CTEs (:func:`_video_sig_ctes`), then pair videos on
+    equal (frame_idx, signature) and keep match_frac >= the
+    threshold."""
+    return f"""
+        WITH {_video_sig_ctes(grid, n_frames)},
         pairs AS (
           SELECT a.doc_id AS id_1, b.doc_id AS id_2,
                  count(*) AS n_matched
@@ -3922,6 +3931,56 @@ def multimodal_video_dedup_sql(
         FROM pairs
         WHERE round(n_matched * 1.0 / {n_frames}, {round_digits})
                 >= {min_match_frac}
+    """
+
+
+def dedup_incremental_video_sql(
+    grid: int = 8, n_frames: int = 4, min_match_frac: float = 0.5,
+    round_digits: int = 6,
+) -> str:
+    """Mirror of catalog.dedup_incremental_video: the shared TNVID
+    signature CTEs split into index (even ids) and batch (odd ids)
+    sides, candidates from the exact (frame_idx, signature) equi-join,
+    match_frac = shared frames / n_frames (all fixture videos hash
+    every one of their {n_frames} frames, so max(either side) =
+    n_frames), best = (frac desc, index id asc), keep iff no candidate
+    reaches the threshold."""
+    return f"""
+        WITH {_video_sig_ctes(grid, n_frames)},
+        cand AS (
+          SELECT b.doc_id AS bid, i.doc_id AS iid,
+                 count(*) AS n_matched
+          FROM sig b JOIN sig i ON b.f = i.f AND b.sh = i.sh
+          WHERE b.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+          GROUP BY b.doc_id, i.doc_id
+        ),
+        scored AS (
+          SELECT bid, iid,
+                 round(n_matched * 1.0 / {n_frames}, {round_digits})
+                   AS frac
+          FROM cand
+        ),
+        per AS (
+          SELECT bid,
+                 CAST(count(*) AS BIGINT) AS n_candidates,
+                 max(CASE WHEN rn = 1 THEN iid END) AS best_match_id,
+                 max(CASE WHEN rn = 1 THEN frac END) AS best_match_frac
+          FROM (
+            SELECT bid, iid, frac,
+                   row_number() OVER (
+                     PARTITION BY bid ORDER BY frac DESC, iid ASC
+                   ) AS rn
+            FROM scored
+          ) GROUP BY bid
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_candidates, 0) AS n_candidates,
+               per.best_match_id,
+               per.best_match_frac,
+               (per.best_match_frac IS NULL
+                OR per.best_match_frac < {min_match_frac}) AS keep
+        FROM documents d LEFT JOIN per ON d.doc_id = per.bid
+        WHERE d.doc_id % 2 = 1
     """
 
 
