@@ -224,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
             span_tokens=20, min_occurrences=2
         ),
         "dedup_index_compaction": oracles.dedup_index_compaction_sql(),
+        "dedup_index_retirement": oracles.dedup_index_retirement_sql(),
         "wordpiece_segment_docs": oracles.wordpiece_segment_sql(
             max_piece_len=4, vocab_size=48, max_word_len=12
         ),

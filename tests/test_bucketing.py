@@ -137,3 +137,136 @@ def test_bucketed_diff_correct_and_shuffle_light(spark, bucketed_orders):
     assert not plan_has_exchange(
         df1.join(df2, df1["o_orderkey"] == df2["o_orderkey"], "outer")
     )
+
+
+def test_plan_declarative_bucketed_write_then_shuffle_free_diff(
+    spark, tmp_path
+):
+    """The full declarative loop (r13): a plan WRITES both snapshots
+    bucketed on the diff keys (bucketBy/numBuckets in the output
+    options — the layout SCALE.md §5 prescribes), and the follow-up
+    diff plan over the two tables runs with ZERO Exchange."""
+    import json
+
+    from topnotch_spark.engine import TnEngine
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_plan = {
+            "commands": [
+                {
+                    "command": "view",
+                    "inputs": [
+                        {
+                            "ref": f"{SF}/orders.parquet",
+                            "onDisk": True,
+                            "format": "parquet",
+                            "name": "orders",
+                        }
+                    ],
+                    "params": {
+                        "tableAliases": ["orders"],
+                        "query": "SELECT * FROM orders",
+                    },
+                    "outputKey": "snapA",
+                    "tableName": "plan_orders_a",
+                    "bucketBy": ["o_orderkey"],
+                    "numBuckets": 4,
+                },
+                {
+                    "command": "view",
+                    "inputs": [
+                        {
+                            "ref": f"{SF}/orders.parquet",
+                            "onDisk": True,
+                            "format": "parquet",
+                            "name": "orders",
+                        }
+                    ],
+                    "params": {
+                        "tableAliases": ["orders"],
+                        "query": "SELECT o_orderkey, o_custkey, "
+                        "o_orderstatus, CASE WHEN o_orderkey % 10 = 0 "
+                        "THEN o_totalprice + 1 ELSE o_totalprice END AS "
+                        "o_totalprice FROM orders"
+                    },
+                    "outputKey": "snapB",
+                    "tableName": "plan_orders_b",
+                    "bucketBy": ["o_orderkey"],
+                    "numBuckets": 4,
+                },
+            ]
+        }
+        # the write-once plan creates both bucketed snapshots; static
+        # validation resolves table refs at parse time, so the repeated
+        # diff is its own plan (the production cadence anyway)
+        path = tmp_path / "bucketed_write_plan.json"
+        path.write_text(json.dumps(write_plan))
+        assert TnEngine(spark).run(str(path)) == 0
+        diff_plan = {
+            "commands": [
+                {
+                    "command": "diff",
+                    "input1": {
+                        "ref": "plan_orders_a",
+                        "onDisk": True,
+                        "format": "table",
+                    },
+                    "input1Name": "a",
+                    "input2": {
+                        "ref": "plan_orders_b",
+                        "onDisk": True,
+                        "format": "table",
+                    },
+                    "input2Name": "b",
+                    "outputKey": "bucketedDiff2",
+                    "filterEqualRows": True,
+                    "params": {
+                        "input1Columns": {
+                            "joinColumns": ["o_orderkey"],
+                            "diffColumns": ["o_totalprice"],
+                        },
+                        "input2Columns": {
+                            "joinColumns": ["o_orderkey"],
+                            "diffColumns": ["o_totalprice"],
+                        },
+                    },
+                },
+            ]
+        }
+        dpath = tmp_path / "bucketed_diff_plan2.json"
+        dpath.write_text(json.dumps(diff_plan))
+        engine = TnEngine(spark)
+        assert engine.run(str(dpath)) == 0
+        out = engine.registry["bucketedDiff2"]
+        assert not plan_has_exchange(out)
+        expect = read_table(spark, "plan_orders_a").filter(
+            "o_orderkey % 10 = 0"
+        ).count()
+        assert out.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS plan_orders_a")
+        spark.sql("DROP TABLE IF EXISTS plan_orders_b")
+
+
+def test_bucketed_write_validation(spark, tmp_path):
+    from topnotch_spark.sources.outputs import store_output
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="tableName"):
+        store_output(
+            spark, df, "k", {}, output_path=str(tmp_path / "x"),
+            bucket_by=["id"], num_buckets=4,
+        )
+    with pytest.raises(ValueError, match="numBuckets"):
+        store_output(
+            spark, df, "k", {}, table_name="t_no_buckets",
+            bucket_by=["id"],
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        store_output(
+            spark, df, "k", {}, table_name="t_zb",
+            bucket_by=["id"], num_buckets=4, zorder_by=["id", "id"],
+        )

@@ -354,6 +354,16 @@ class TestBpeSegment:
         m = re.search(r"Catalog total: (\d+) queries", text)
         assert m, "COVERAGE.md lost its 'Catalog total: N queries' marker"
         assert int(m.group(1)) == len(entry.queries())
+        # r13 extension (r12 verdict item 6): the TOPMOST per-round
+        # "Catalog at close: N queries." marker must also track the
+        # live catalog, so close prose can't drift from the artifacts
+        # the way the round-12 close paragraph did.
+        m2 = re.search(r"Catalog at close: (\d+) queries\.", text)
+        assert m2, (
+            "COVERAGE.md's current round section lost its 'Catalog at "
+            "close: N queries.' marker"
+        )
+        assert int(m2.group(1)) == len(entry.queries())
 
     def test_tokenize_plan_rejects_unknown_method(self):
         from topnotch_spark.plans.extensions import TokenizeCmd

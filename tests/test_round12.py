@@ -409,10 +409,14 @@ class TestIngestionLifecyclePlan:
             .count()
         )
         final = spark.read.parquet(str(tmp_path / "w" / "index/exact"))
-        # after seed + round-1 upsert the index owns exactly the distinct
-        # content keys of both ingested rounds
-        assert final.count() == expected_keys
-        assert final.select("dup_key").distinct().count() == expected_keys
+        # after seed + round-1 upsert the index owned exactly the
+        # distinct content keys of both ingested rounds; the r13
+        # retirement phase then deleted the %10==0 owners (literal
+        # count in its stats frame)
+        n_retired = reg["retireStats"].collect()[0]["n_entries_deleted"]
+        assert n_retired > 0
+        assert final.count() == expected_keys - n_retired
+        assert final.filter("index_id % 10 = 0").count() == 0
         # round-1 upsert added the batch's novel keys (literal stats)
         stats1 = reg["exactUpsertStats1"].collect()[0]
         assert stats1["n_entries_written"] > 0

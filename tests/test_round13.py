@@ -384,6 +384,127 @@ class TestVideoIncremental:
                 )
 
 
+class TestDeleteFromIndex:
+    def test_retire_reaccept_and_pruning(self, spark, tmp_path):
+        """The full retirement lifecycle on the exact-key index: delete
+        removes every row of the retired owners, touches only the
+        buckets holding them (mtime), and the retired content becomes
+        re-acceptable to the next screen."""
+        from topnotch_spark.operators.dedup import (
+            dedup_against_index,
+            delete_from_index,
+        )
+
+        idx = str(tmp_path / "idx")
+        texts = {i: f"doc body {i}" for i in range(30)}
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx, _key_entries(spark, texts), bucket_chars=1
+            ).collect()
+            before = {
+                f: os.path.getmtime(f)
+                for f in glob.glob(f"{idx}/bucket=*/*.parquet")
+            }
+            assert len({os.path.dirname(f) for f in before}) > 4
+            # retire one owner
+            rid = spark.createDataFrame([(7,)], ["index_id"])
+            time.sleep(1.1)
+            stats = delete_from_index(spark, idx, rid).collect()[0]
+            assert (
+                stats["n_partitions_touched"],
+                stats["n_entries_deleted"],
+            ) == (1, 1)
+            assert spark.read.parquet(idx).count() == 29
+            touched = {
+                os.path.dirname(f)
+                for f, m in before.items()
+                if not os.path.exists(f) or os.path.getmtime(f) != m
+            }
+            assert len(touched) <= 1
+            # the retired content is re-acceptable: a new batch holding
+            # it now keeps (no index owner remains)
+            batch = spark.createDataFrame(
+                [(107, "doc body 7"), (108, "doc body 8")],
+                ["doc_id", "text"],
+            )
+            index = spark.read.parquet(idx).select("dup_key", "index_id")
+            got = {
+                r["doc_id"]: (r["in_index"], r["keep"])
+                for r in dedup_against_index(
+                    batch, index, "doc_id", "text"
+                ).collect()
+            }
+            assert got[107] == (False, True)   # owner retired
+            assert got[108] == (True, False)   # owner still live
+            # deleting an absent id is a no-op
+            stats2 = delete_from_index(
+                spark, idx, spark.createDataFrame([(7,)], ["index_id"])
+            ).collect()[0]
+            assert (
+                stats2["n_partitions_touched"],
+                stats2["n_entries_deleted"],
+            ) == (0, 0)
+
+    def test_fully_retired_partition_directory_removed(
+        self, spark, tmp_path
+    ):
+        from topnotch_spark.operators.dedup import delete_from_index
+
+        idx = str(tmp_path / "idx")
+        texts = {i: f"unique body {i}" for i in range(40)}
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx, _key_entries(spark, texts), bucket_chars=1
+            ).collect()
+            dirs = glob.glob(f"{idx}/bucket=*")
+            assert len(dirs) > 4
+            # retire EVERY owner in one bucket -> its dir must vanish
+            victim = os.path.basename(dirs[0]).split("=", 1)[1]
+            owners = [
+                (r["index_id"],)
+                for r in spark.read.parquet(idx)
+                .filter(F.col("bucket") == victim)
+                .collect()
+            ]
+            assert owners
+            delete_from_index(
+                spark, idx, spark.createDataFrame(owners, ["index_id"])
+            ).collect()
+            assert not os.path.exists(dirs[0])
+            assert (
+                spark.read.parquet(idx).count() == 40 - len(owners)
+            )
+
+    def test_delete_removes_all_band_rows(self, spark, tmp_path):
+        """On the minhash layout a doc owns one row per band — retiring
+        the doc must remove them ALL, across every pfx partition they
+        landed in."""
+        from topnotch_spark.operators.dedup import (
+            build_minhash_index,
+            delete_from_index,
+        )
+
+        idx = str(tmp_path / "mh")
+        docs = spark.createDataFrame(
+            [(i, f"the quick brown document number {i}") for i in range(8)],
+            ["doc_id", "text"],
+        )
+        with dedup_scope():
+            upsert_minhash_index(
+                spark, idx,
+                build_minhash_index(docs, "doc_id", "text"),
+                pfx_chars=1,
+            ).collect()
+            total = spark.read.parquet(idx).count()
+            assert total == 8 * 4  # 4 bands per doc
+            delete_from_index(
+                spark, idx, spark.createDataFrame([(3,), (5,)], ["index_id"])
+            ).collect()
+            left = spark.read.parquet(idx)
+            assert left.count() == total - 8
+            assert left.filter(F.col("index_id").isin([3, 5])).count() == 0
+
+
 class TestBitsigUpsert:
     def test_upsert_and_probe(self, spark, tmp_path):
         idx = str(tmp_path / "bs")
@@ -429,3 +550,216 @@ class TestBitsigUpsert:
             )
             with pytest.raises(ValueError, match="bits"):
                 upsert_bitsig_index(spark, idx, wide, pfx_chars=1)
+
+
+class TestPlanMediaLifecycle:
+    def test_video_lifecycle_plan(self, spark, tmp_path):
+        """Plan-declarative media ingestion lifecycle (r13): buildVideo
+        → incrementalVideo screen → upsertVideo → delete → stats, all
+        through the JSON plan engine."""
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        corpus = _vids(spark, {0: [1, 2, 3, 4], 2: [9, 9, 8, 8]})
+        batch = _vids(spark, {11: [1, 2, 3, 4], 17: [5, 6, 7, 77]})
+        cpath = str(tmp_path / "corpus.parquet")
+        bpath = str(tmp_path / "batch.parquet")
+        rpath = str(tmp_path / "retired.parquet")
+        corpus.write.parquet(cpath)
+        batch.write.parquet(bpath)
+        spark.createDataFrame([(0,)], ["index_id"]).write.parquet(rpath)
+        idx = str(tmp_path / "vidx")
+        plan = {
+            "commands": [
+                {
+                    "command": "index",
+                    "input": {"ref": cpath, "onDisk": True},
+                    "params": {"method": "buildVideo",
+                               "idColumn": "media_id",
+                               "textColumn": "content"},
+                    "outputKey": "vidIndex",
+                },
+                {
+                    "command": "dedup",
+                    "input": {"ref": bpath, "onDisk": True},
+                    "index": {"ref": "vidIndex", "onDisk": False},
+                    "params": {"method": "incrementalVideo",
+                               "idColumn": "media_id",
+                               "binColumn": "content",
+                               "minMatchFrac": 0.5},
+                    "outputKey": "screen",
+                },
+                {
+                    "command": "index",
+                    "input": {"ref": "vidIndex", "onDisk": False},
+                    "params": {"method": "upsertVideo",
+                               "idColumn": "media_id",
+                               "indexPath": idx,
+                               "pfxChars": 1},
+                    "outputKey": "upserted",
+                },
+                {
+                    "command": "index",
+                    "input": {"ref": rpath, "onDisk": True},
+                    "params": {"method": "delete",
+                               "idColumn": "index_id",
+                               "indexPath": idx},
+                    "outputKey": "retired",
+                },
+                {
+                    "command": "index",
+                    "params": {"method": "stats", "indexPath": idx},
+                    "outputKey": "layout",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        eng = TnEngine(spark)
+        assert eng.run(str(p)) == 0
+        reg = eng.registry
+        screen = {
+            r["media_id"]: (r["best_match_id"], r["keep"])
+            for r in reg["screen"].collect()
+        }
+        assert screen[11] == (0, False)
+        assert screen[17] == (None, True)
+        assert reg["upserted"].collect()[0]["n_entries_written"] == 8
+        assert reg["retired"].collect()[0]["n_entries_deleted"] == 4
+        # video 0's 4 frame rows are gone; video 2's remain
+        from topnotch_spark.operators.dedup import read_video_index
+
+        left = read_video_index(spark, idx)
+        assert left.count() == 4
+        assert left.filter("index_id = 0").count() == 0
+        assert sum(r["n_rows"] for r in reg["layout"].collect()) == 4
+
+    def test_incremental_phash_plan_method(self, spark, tmp_path):
+        """The image leg through the plan surface: incrementalPhash
+        screens a blob batch against raw snapshot blobs (index built
+        in-flight)."""
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        def imgs(specs):
+            rows = [
+                (i, mm.encode_tnimg(
+                    8, 8,
+                    bytes((224 if k == s % 64 else 32) for k in range(64)),
+                ))
+                for i, s in specs.items()
+            ]
+            return spark.createDataFrame(rows, "media_id int, content binary")
+
+        cpath = str(tmp_path / "imgs.parquet")
+        bpath = str(tmp_path / "imgb.parquet")
+        imgs({0: 5, 2: 9}).write.parquet(cpath)
+        imgs({11: 5, 13: 40}).write.parquet(bpath)
+        plan = {
+            "commands": [
+                {
+                    "command": "dedup",
+                    "input": {"ref": bpath, "onDisk": True},
+                    "index": {"ref": cpath, "onDisk": True},
+                    "params": {"method": "incrementalPhash",
+                               "idColumn": "media_id",
+                               "binColumn": "content",
+                               "maxHamming": 1},
+                    "outputKey": "screen",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        eng = TnEngine(spark)
+        assert eng.run(str(p)) == 0
+        got = {
+            r["media_id"]: (r["best_match_id"], r["keep"])
+            for r in eng.registry["screen"].collect()
+        }
+        assert got[11] == (0, False)   # same single-pixel hash as 0
+        # 13 shares the all-zero bands with everything (candidates
+        # exist) but its best hamming (2) exceeds maxHamming=1 -> keep
+        assert got[13] == (0, True)
+
+
+class TestCompactIndex:
+    def test_compacts_only_fat_partitions(self, spark, tmp_path):
+        from topnotch_spark.operators.dedup import compact_index
+
+        idx = str(tmp_path / "idx")
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx,
+                _key_entries(spark, {i: f"body {i}" for i in range(30)}),
+                bucket_chars=1,
+            ).collect()
+            # fatten ONE partition with appended small files (what an
+            # interrupted job / external writer leaves behind)
+            victim = os.path.basename(
+                glob.glob(f"{idx}/bucket=*")[0]
+            ).split("=", 1)[1]
+            extra = spark.createDataFrame(
+                [(f"{victim}{'f' * 31}", 1000 + i, victim) for i in range(3)],
+                ["dup_key", "index_id", "bucket"],
+            )
+            for _ in range(2):
+                extra.repartition(2).write.mode("append").partitionBy(
+                    "bucket"
+                ).parquet(idx)
+            pre_rows = spark.read.parquet(idx).count()
+            fat_files = glob.glob(f"{idx}/bucket={victim}/*.parquet")
+            assert len(fat_files) > 1
+            before = {
+                f: os.path.getmtime(f)
+                for f in glob.glob(f"{idx}/bucket=*/*.parquet")
+                if f"bucket={victim}/" not in f
+            }
+            time.sleep(1.1)
+            stats = compact_index(spark, idx).collect()[0]
+            assert stats["n_partitions_compacted"] == 1
+            assert stats["n_files_before"] == len(fat_files)
+            assert stats["n_files_after"] == 1
+            # rows byte-stable, compliant partitions untouched (mtime)
+            assert spark.read.parquet(idx).count() == pre_rows
+            assert len(glob.glob(f"{idx}/bucket={victim}/*.parquet")) == 1
+            untouched = all(
+                os.path.exists(f) and os.path.getmtime(f) == m
+                for f, m in before.items()
+            )
+            assert untouched
+            # already-compact index: no-op
+            stats2 = compact_index(spark, idx).collect()[0]
+            assert stats2["n_partitions_compacted"] == 0
+
+    def test_plan_method(self, spark, tmp_path):
+        import json
+
+        from topnotch_spark.engine import TnEngine
+
+        idx = str(tmp_path / "idx")
+        with dedup_scope():
+            upsert_dedup_index(
+                spark, idx,
+                _key_entries(spark, {i: f"x{i}" for i in range(10)}),
+                bucket_chars=1,
+            ).collect()
+        plan = {
+            "commands": [
+                {
+                    "command": "index",
+                    "params": {"method": "compactFiles",
+                               "indexPath": idx,
+                               "maxFilesPerPartition": 1},
+                    "outputKey": "compacted",
+                },
+            ]
+        }
+        p = tmp_path / "plan.json"
+        p.write_text(json.dumps(plan))
+        eng = TnEngine(spark)
+        assert eng.run(str(p)) == 0
+        row = eng.registry["compacted"].collect()[0]
+        assert row["n_partitions_compacted"] == 0  # fresh upsert: 1 file/dir

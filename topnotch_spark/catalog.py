@@ -517,6 +517,54 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index
 
 
+def dedup_index_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index RETIREMENT folded through the on-disk exact-key index —
+    the right-to-be-forgotten / corrected-batch lifecycle the
+    growth-only upserts lacked (dedup.upsert_dedup_index →
+    dedup.delete_from_index → re-screen): even doc_ids build the
+    persisted bucket-partitioned index; owners divisible by 10 then
+    RETIRE (partition-pruned delete — only the buckets holding retired
+    keys are rewritten, a fully-retired bucket's directory is removed);
+    finally the odd-id batch screens against the post-delete index.
+    Content whose owner retired is absent from the index, so its batch
+    duplicates now come back keep=true — a deleted document must be
+    re-acceptable. Per batch doc: (doc_id, dup_key, in_index, dup_of,
+    keep)."""
+    import tempfile
+
+    from topnotch_spark.operators.dedup import (
+        _read_partitioned_index,
+        _register_checkpoints,
+        build_dedup_index,
+        dedup_against_index,
+        delete_from_index,
+        upsert_dedup_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="tn_index_retirement_")
+    idx_path = root + "/index"
+    upsert_dedup_index(
+        spark, idx_path,
+        build_dedup_index(
+            docs.filter("doc_id % 2 = 0"), "doc_id", "text"
+        ),
+        bucket_chars=1,
+    ).collect()
+    retired = docs.filter("doc_id % 2 = 0 AND doc_id % 10 = 0").select(
+        F.col("doc_id").alias("index_id")
+    )
+    delete_from_index(spark, idx_path, retired).collect()
+    index = _read_partitioned_index(spark, idx_path).select(
+        "dup_key", "index_id"
+    )
+    out = dedup_against_index(
+        docs.filter("doc_id % 2 = 1"), index, "doc_id", "text"
+    )
+    _register_checkpoints(out, [root])
+    return out
+
+
 def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SEMANTIC ingestion — the third leg of the trio next
     to dedup_incremental (exact keys) and dedup_incremental_minhash
@@ -4298,6 +4346,7 @@ ALL = {
     "bloom_membership": bloom_membership,
     "dedup_incremental": dedup_incremental,
     "dedup_index_compaction": dedup_index_compaction,
+    "dedup_index_retirement": dedup_index_retirement,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_minhash_compaction": dedup_minhash_compaction,
     "dedup_incremental_semantic": dedup_incremental_semantic,

@@ -179,6 +179,8 @@ class TnEngine:
             sort_partitions=cmd.sort_partitions,
             zorder_by=list(cmd.zorder_by) or None,
             zorder_bits=cmd.zorder_bits,
+            bucket_by=list(cmd.bucket_by) or None,
+            num_buckets=cmd.num_buckets,
         )
 
     @staticmethod

@@ -2255,6 +2255,204 @@ def screen_batch_against_semantic_index(
     )
 
 
+def delete_from_index(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    id_col: str = "index_id",
+) -> DataFrame:
+    """Partition-pruned DELETE of retired ids from any on-disk index
+    this module writes (exact ``bucket``, minhash/bitsig/video ``pfx``,
+    semantic ``cid`` layouts) — the retirement path the growth-only
+    upserts lacked (right-to-be-forgotten, corrected-batch
+    re-ingestion): EVERY row owned by a retired id is removed (a
+    minhash doc's bands rows, a video's frame rows), so content whose
+    owner retired becomes re-acceptable to the next batch screen.
+
+    ``ids`` is a one-column frame of ids to retire (column ``id_col``).
+    Execution: one scan of the SIGNATURE index (never the corpus — at
+    100 TB the index is the small table) broadcast-semi-joined with the
+    retired ids locates the touched partitions (bounded driver list);
+    only those partitions are then re-read, anti-joined, staged to a
+    sibling temp path (the upsert lineage-break discipline), and
+    rewritten via dynamic partition overwrite. A partition whose rows
+    ALL retire gets its directory deleted explicitly — dynamic
+    overwrite only replaces partitions present in the written data, so
+    without the explicit delete the stale rows would silently survive.
+    Untouched partitions are never read or rewritten (mtime-tested).
+    Deleting ids not in the index is a no-op (idempotent replays).
+    Returns one row: (n_partitions_touched, n_entries_deleted)."""
+    from pyspark import StorageLevel
+
+    meta = read_index_meta(spark, index_path)
+    df = _read_partitioned_index(spark, index_path)
+    part_col = (meta or {}).get("part_col") or next(
+        (c for c in ("bucket", "pfx", "cid") if c in df.columns), None
+    )
+    if part_col is None:
+        raise ValueError(
+            f"delete_from_index: no known partition column in "
+            f"{index_path} (expected one of bucket/pfx/cid; got "
+            f"{df.columns})"
+        )
+    rid = ids.select(F.col(id_col).alias("index_id")).distinct()
+    touched = [
+        r[part_col]
+        for r in df.join(F.broadcast(rid), "index_id", "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+
+    def _stats_row(parts, n):
+        return spark.range(1).select(
+            F.lit(parts).cast("long").alias("n_partitions_touched"),
+            F.lit(n).cast("long").alias("n_entries_deleted"),
+        )
+
+    if not touched:
+        return _stats_row(0, 0)
+    old = _read_partitioned_index(spark, index_path).filter(
+        F.col(part_col).isin(touched)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        n_deleted = old.join(rid, "index_id", "left_semi").count()
+        remaining = old.join(rid, "index_id", "left_anti")
+        staging = index_path.rstrip("/") + "__staging__"
+        spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        try:
+            remaining.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            kept_parts = {
+                r[part_col]
+                for r in staged.select(part_col).distinct().collect()
+            }
+            if kept_parts:
+                prev_mode = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    staged.repartition(part_col).write.partitionBy(
+                        part_col
+                    ).mode("overwrite").parquet(index_path)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode",
+                        prev_mode,
+                    )
+        finally:
+            fs.delete(spath, True)
+        # fully-retired partitions: no rows remained, so the dynamic
+        # overwrite never touched their directories — remove them
+        for part in set(touched) - kept_parts:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{index_path.rstrip('/')}/{part_col}={part}"
+                ),
+                True,
+            )
+        return _stats_row(len(touched), n_deleted)
+    finally:
+        old.unpersist()
+
+
+def compact_index(
+    spark,
+    index_path: str,
+    max_files_per_partition: int = 1,
+) -> DataFrame:
+    """Partition-pruned FILE COMPACTION of an on-disk index — the
+    maintenance step for the tiny-file buildup :func:`index_stats`
+    flags (every upsert rewrites a touched partition as one file, but
+    interrupted jobs, historic layouts, or external writers can leave
+    partitions with many small files, and at 100 TB open/commit
+    overhead on thousands of tiny files dominates probe latency).
+    ONLY partitions holding more than ``max_files_per_partition``
+    data files are rewritten (listing-driven pruning — no data read
+    decides the candidate set); each is re-read, staged to the sibling
+    temp path (the upsert lineage-break discipline), and rewritten as
+    one file per partition via dynamic partition overwrite. Rows are
+    untouched — byte-stable contentwise; compliant partitions are
+    never read or rewritten (mtime-tested). Returns one row:
+    (n_partitions_compacted, n_files_before, n_files_after)."""
+    meta = read_index_meta(spark, index_path)
+    df = _read_partitioned_index(spark, index_path)
+    part_col = (meta or {}).get("part_col") or next(
+        (c for c in ("bucket", "pfx", "cid") if c in df.columns), None
+    )
+    if part_col is None:
+        raise ValueError(
+            f"compact_index: no known partition column in {index_path} "
+            f"(expected one of bucket/pfx/cid; got {df.columns})"
+        )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fat = []
+    n_before = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or "=" not in name:
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        )
+        if n_files > int(max_files_per_partition):
+            fat.append(name.split("=", 1)[1])
+            n_before += n_files
+
+    def _stats_row(parts, before, after):
+        return spark.range(1).select(
+            F.lit(parts).cast("long").alias("n_partitions_compacted"),
+            F.lit(before).cast("long").alias("n_files_before"),
+            F.lit(after).cast("long").alias("n_files_after"),
+        )
+
+    if not fat:
+        return _stats_row(0, 0, 0)
+    old = _read_partitioned_index(spark, index_path).filter(
+        F.col(part_col).isin(fat)
+    )
+    staging = index_path.rstrip("/") + "__staging__"
+    spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    try:
+        old.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            staged.repartition(part_col).write.partitionBy(
+                part_col
+            ).mode("overwrite").parquet(index_path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    finally:
+        fs.delete(spath, True)
+    n_after = 0
+    for part in fat:
+        pdir = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_path.rstrip('/')}/{part_col}={part}"
+        )
+        n_after += sum(
+            1
+            for f in fs.listStatus(pdir)
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        )
+    return _stats_row(len(fat), n_before, n_after)
+
+
 def index_stats(spark, index_path: str) -> DataFrame:
     """Health audit of any on-disk index layout this module writes
     (exact-key ``bucket``, minhash ``pfx``, semantic ``cid``): one row

@@ -736,6 +736,38 @@ def dedup_incremental_sql() -> str:
     """
 
 
+def dedup_index_retirement_sql() -> str:
+    """Mirror of catalog.dedup_index_retirement: the even-id exact-key
+    index minus its retired owners (doc_id % 10 = 0), then the odd-id
+    batch screened against what remains — content whose owner retired
+    reads as absent, so its batch duplicates come back keep=true."""
+    return """
+        WITH index_side AS (
+          SELECT md5(coalesce(text, '')) AS dup_key,
+                 min(doc_id) AS index_id
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        ),
+        live AS (
+          SELECT * FROM index_side WHERE index_id % 10 <> 0
+        ),
+        batch AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS dup_key
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        flags AS (
+          SELECT doc_id, dup_key,
+                 doc_id = min(doc_id) OVER (PARTITION BY dup_key)
+                   AS first_in_batch
+          FROM batch
+        )
+        SELECT f.doc_id, f.dup_key,
+               (l.index_id IS NOT NULL) AS in_index,
+               l.index_id AS dup_of,
+               (f.first_in_batch AND l.index_id IS NULL) AS keep
+        FROM flags f LEFT JOIN live l USING (dup_key)
+    """
+
+
 def semantic_dedup_sql(
     dim: int = 64,
     n_clusters: int = 16,

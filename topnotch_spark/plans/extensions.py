@@ -90,7 +90,12 @@ class DedupCmd(Command):
     signature-estimated Jaccard, or trained-cluster cosine (the
     SemDeDup screen — additionally requires a "centroids" input) — the
     persisted-index ingestion trio (see dedup.upsert_dedup_index /
-    build_minhash_index / build_semantic_index). ``spansRewrite``
+    build_minhash_index / build_semantic_index).
+    ``incrementalPhash`` / ``incrementalAudio`` / ``incrementalVideo``
+    (r13) extend the family to MEDIA: screen a blob batch against an
+    "index" input (prebuilt signature index or raw snapshot blobs) via
+    the multimodal dedup_batch_against_{phash,audio,video}_index
+    screens — old blobs are never re-decoded. ``spansRewrite``
     emits the deduplicated corpus for ``spans``' findings (cut /
     keep-first, Lee 2022)."""
 
@@ -114,7 +119,8 @@ class DedupCmd(Command):
         "exact", "fingerprint", "minhash", "jaccard", "containment",
         "simhash", "embedding", "semantic", "clusters", "lines", "spans",
         "spansRewrite", "fuzzy", "phash", "audio", "video", "incremental",
-        "incrementalMinhash", "incrementalSemantic", "sourceMatrix",
+        "incrementalMinhash", "incrementalSemantic", "incrementalPhash",
+        "incrementalAudio", "incrementalVideo", "sourceMatrix",
         "minhashRecall", "phashRecall",
     )
 
@@ -215,6 +221,53 @@ class DedupCmd(Command):
                     idx, self.id_column, self.value_column, **build_opts
                 )
             return D.dedup_batch_against_minhash_index(
+                df, idx, self.id_column, self.value_column, **opts
+            )
+        if self.method in (
+            "incrementalPhash", "incrementalAudio", "incrementalVideo"
+        ):
+            # media legs of the incremental family: screen a blob batch
+            # against an "index" input — a prebuilt signature index (the
+            # persisted artifact of a previous run, e.g. an IndexCmd
+            # buildPhash/buildAudio/buildVideo output or the on-disk
+            # upsert layouts read back) or the raw snapshot blobs
+            if self.index is None:
+                raise ValueError(
+                    f'dedup: method "{self.method}" requires an "index" '
+                    "input (the prior snapshot blobs or a prebuilt "
+                    "signature index)"
+                )
+            from topnotch_spark.operators import multimodal as M
+
+            idx = load_input(engine.spark, self.index, engine.registry)
+            opts = dict(self.options)
+            if self.method == "incrementalVideo":
+                build_keys = ("hash_type", "grid", "every_n")
+                prebuilt = {"index_id", "frame_idx", "sh", "n_hashed"}
+                build, screen = (
+                    M.build_video_index,
+                    M.dedup_batch_against_video_index,
+                )
+            elif self.method == "incrementalPhash":
+                build_keys = ("hash_type", "grid", "band_bits")
+                prebuilt = {"index_id", "band_idx", "bucket", "sh"}
+                build, screen = (
+                    M.build_phash_index,
+                    M.dedup_batch_against_phash_index,
+                )
+            else:
+                build_keys = ("n_frames", "band_bits")
+                prebuilt = {"index_id", "band_idx", "bucket", "sh"}
+                build, screen = (
+                    M.build_audio_index,
+                    M.dedup_batch_against_audio_index,
+                )
+            if not prebuilt <= set(idx.columns):
+                idx = build(
+                    idx, self.id_column, self.value_column,
+                    **{k: opts[k] for k in build_keys if k in opts},
+                )
+            return screen(
                 df, idx, self.id_column, self.value_column, **opts
             )
         if self.method == "incrementalSemantic":
@@ -2996,10 +3049,14 @@ class RetrieveCmd(Command):
 @dataclass(frozen=True)
 class IndexCmd(Command):
     """{"command": "index", "input": <accepted rows>, "params":
-    {"method": buildExact|buildMinhash|buildSemantic|upsertExact|
-    upsertMinhash|upsertSemantic, "idColumn", "textColumn"|"vecColumn",
-    buildMinhash: numHashes/bands/shingleN, upsert*: "indexPath"
-    (+"pfxChars" for minhash)}} — the persisted dedup-index LIFECYCLE
+    {"method": buildExact|buildMinhash|buildSemantic|buildPhash|
+    buildAudio|buildVideo|upsertExact|upsertMinhash|upsertSemantic|
+    upsertBitsig|upsertVideo|delete|stats, "idColumn",
+    "textColumn"|"vecColumn" (binary column for the media builds),
+    buildMinhash: numHashes/bands/shingleN, media builds:
+    hashType/grid/bandBits/nFrames/everyN, upsert*/delete/stats:
+    "indexPath" (+"pfxChars"/"bucketChars")}} — the persisted
+    dedup-index LIFECYCLE
     as plan steps, so repeated-ingestion pipelines chain build → screen
     (dedup methods incremental/incrementalMinhash/incrementalSemantic)
     → upsert through the registry:
@@ -3017,6 +3074,19 @@ class IndexCmd(Command):
       upsert_minhash_index / upsert_semantic_index) and return the
       one-row stats frame (n_*_touched, n_entries_written) for
       downstream assertions.
+    - ``upsertBitsig`` / ``upsertVideo`` (r13) grow the media-side
+      signature indexes; ``upsertSemantic`` takes an optional
+      "centroids" input to PIN the routing matrix in the index's
+      _tn_meta.json sidecar (re-trained matrices then raise).
+    - ``delete`` (r13) retires ids: the input frame's ``idColumn``
+      values are removed from EVERY partition of the index at
+      ``indexPath`` (dedup.delete_from_index — right-to-be-forgotten /
+      corrected-batch re-ingestion), fully-retired partition dirs
+      dropped.
+    - ``compactFiles`` (r13, indexPath only; maxFilesPerPartition)
+      rewrites ONLY the partitions whose data-file count exceeds the
+      bound, one file per partition (dedup.compact_index) — the
+      maintenance step for the tiny-file buildup ``stats`` flags.
     - ``stats`` (indexPath only, no row input) audits the on-disk
       layout: per partition directory (partition, n_rows, n_files,
       bytes, rows_skew) — the between-rounds health check for hot
@@ -3038,8 +3108,10 @@ class IndexCmd(Command):
         )
 
     METHODS = (
-        "buildExact", "buildMinhash", "buildSemantic",
-        "upsertExact", "upsertMinhash", "upsertSemantic", "stats",
+        "buildExact", "buildMinhash", "buildSemantic", "buildPhash",
+        "buildAudio", "buildVideo", "upsertExact", "upsertMinhash",
+        "upsertSemantic", "upsertBitsig", "upsertVideo", "delete",
+        "stats", "compactFiles",
     )
 
     @classmethod
@@ -3047,17 +3119,19 @@ class IndexCmd(Command):
         p = obj["params"]
         _require_method(p, cls.METHODS, "index")
         if (
-            p["method"].startswith("upsert") or p["method"] == "stats"
+            p["method"].startswith("upsert")
+            or p["method"] in ("stats", "delete", "compactFiles")
         ) and "indexPath" not in p:
             raise ValueError(
                 f'index: method "{p["method"]}" requires param "indexPath"'
             )
-        if p["method"] == "stats":
-            # no row input: the stats read the on-disk layout directly
+        if p["method"] in ("stats", "compactFiles"):
+            # no row input: both read the on-disk layout directly
             return cls(
                 input=None,
-                method="stats",
+                method=p["method"],
                 index_path=p["indexPath"],
+                options=_opt(p, "maxFilesPerPartition"),
                 **cls._common(obj),
             )
         if p["method"] == "buildSemantic" and "centroids" not in obj:
@@ -3079,17 +3153,54 @@ class IndexCmd(Command):
             ),
             index_path=p.get("indexPath"),
             options=_opt(
-                p, "numHashes", "bands", "shingleN", "pfxChars"
+                p, "numHashes", "bands", "shingleN", "pfxChars",
+                "hashType", "grid", "bandBits", "nFrames", "everyN",
+                "bucketChars",
             ),
             **cls._common(obj),
         )
 
     def execute(self, engine) -> DataFrame:
         from topnotch_spark.operators import dedup as D
+        from topnotch_spark.operators import multimodal as M
 
         if self.method == "stats":
             return D.index_stats(engine.spark, self.index_path)
+        if self.method == "compactFiles":
+            # listing-driven tiny-file compaction (dedup.compact_index)
+            # — the maintenance step for what "stats" flags
+            return D.compact_index(
+                engine.spark, self.index_path, **self.options
+            )
         df = load_input(engine.spark, self.input, engine.registry)
+        if self.method == "delete":
+            # input = the retired-id frame; idColumn names its column.
+            # Partition-pruned removal across any index layout
+            # (dedup.delete_from_index) — the retirement step.
+            return D.delete_from_index(
+                engine.spark, self.index_path, df,
+                id_col=self.id_column,
+            )
+        if self.method == "buildPhash":
+            return M.build_phash_index(
+                df, self.id_column, self.value_column, **self.options
+            )
+        if self.method == "buildAudio":
+            return M.build_audio_index(
+                df, self.id_column, self.value_column, **self.options
+            )
+        if self.method == "buildVideo":
+            return M.build_video_index(
+                df, self.id_column, self.value_column, **self.options
+            )
+        if self.method == "upsertBitsig":
+            return D.upsert_bitsig_index(
+                engine.spark, self.index_path, df, **self.options
+            )
+        if self.method == "upsertVideo":
+            return D.upsert_video_index(
+                engine.spark, self.index_path, df, **self.options
+            )
         if self.method == "buildExact":
             return D.build_dedup_index(
                 df, self.id_column, self.value_column
@@ -3108,11 +3219,20 @@ class IndexCmd(Command):
             )
         if self.method == "upsertExact":
             return D.upsert_dedup_index(
-                engine.spark, self.index_path, df
+                engine.spark, self.index_path, df, **self.options
             )
         if self.method == "upsertSemantic":
+            # optional "centroids" input pins the routing matrix in the
+            # index _tn_meta.json sidecar (r13): later upserts with a
+            # re-trained matrix raise, and the incrementalSemantic
+            # screen can route from the on-disk truth
+            cents = (
+                load_input(engine.spark, self.centroids, engine.registry)
+                if self.centroids is not None
+                else None
+            )
             return D.upsert_semantic_index(
-                engine.spark, self.index_path, df
+                engine.spark, self.index_path, df, centroids=cents
             )
         return D.upsert_minhash_index(
             engine.spark, self.index_path, df, **self.options

@@ -32,6 +32,8 @@ class Command:
     sort_partitions: int | None = None
     zorder_by: tuple[str, ...] = ()
     zorder_bits: int = 16
+    bucket_by: tuple[str, ...] = ()
+    num_buckets: int | None = None
 
     @staticmethod
     def _common(obj: dict) -> dict:
@@ -46,6 +48,8 @@ class Command:
             sort_partitions=obj.get("sortPartitions"),
             zorder_by=tuple(obj.get("zorderBy", [])),
             zorder_bits=int(obj.get("zorderBits", 16)),
+            bucket_by=tuple(obj.get("bucketBy", [])),
+            num_buckets=obj.get("numBuckets"),
         )
 
 

@@ -32,6 +32,8 @@ def store_output(
     sort_partitions: int | None = None,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
+    bucket_by: list[str] | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """``sort_by`` writes a DATA-SKIPPING layout: rows are range-
     repartitioned on the sort columns and sorted within each partition,
@@ -49,7 +51,22 @@ def store_output(
     (functions/layout.z_value) — every file then covers a small
     rectangle, so min/max stats stay tight on BOTH columns at once (the
     Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout). Costs one 2×2-scalar
-    min/max aggregate plus the same single range-exchange."""
+    min/max aggregate plus the same single range-exchange.
+
+    ``bucket_by`` (+ required ``num_buckets`` and ``table_name``)
+    writes a BUCKETED table — the 100 TB layout for repeated keyed
+    operations (SCALE.md §5: two snapshots bucketed on the diff keys
+    delete BOTH exchanges from every subsequent diff/join, paying the
+    shuffle once at write time; reference output-options surface:
+    tnengine/TnEngine.scala:217-226). Bucket metadata lives in the
+    table catalog, so the sink is ``saveAsTable`` — ``table_name`` is
+    mandatory and ``output_path`` (optional) makes it an external
+    table. ``sort_by`` then means BUCKET-LOCAL sort (defaults to the
+    bucket columns — the sort-merge-join-ready layout); ``zorder_by``
+    is mutually exclusive (bucketing IS the layout). Keep
+    ``num_buckets`` identical across tables that will join — Spark
+    avoids both shuffles only when counts match (or divide, with
+    bucketed-scan coalescing)."""
     if output_format not in _SINK_FORMATS:
         raise ValueError(
             f"Unsupported output format: {output_format!r} "
@@ -61,9 +78,39 @@ def store_output(
         raise ValueError(
             f"zorder_by takes exactly two columns, got {list(zorder_by)}"
         )
+    if bucket_by:
+        if zorder_by:
+            raise ValueError(
+                "bucket_by and zorder_by are mutually exclusive"
+            )
+        if not num_buckets or int(num_buckets) <= 0:
+            raise ValueError(
+                "bucket_by requires a positive numBuckets"
+            )
+        if not table_name:
+            raise ValueError(
+                "bucket_by requires tableName: bucket metadata lives in "
+                "the table catalog (plain path writes cannot carry it)"
+            )
     if cache:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     registry[output_key] = df
+    if bucket_by:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        writer = (
+            df.write.mode("overwrite")
+            .format(output_format)
+            .bucketBy(int(num_buckets), *bucket_by)
+            .sortBy(*(sort_by or bucket_by))
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if output_format == "csv":
+            writer = writer.option("header", "true")
+        if output_path:
+            writer = writer.option("path", output_path)
+        writer.saveAsTable(table_name)
+        return df
     if output_path:
         out_df = df
         if zorder_by:
