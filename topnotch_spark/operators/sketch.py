@@ -277,7 +277,16 @@ def kmv_build(
     re-reading the corpus. ``kmv_merge`` composes incremental loads:
     bottom-k of a union is bottom-k of the parts' bottom-k's, so
     merge-of-parts EQUALS sketch-of-whole bit-for-bit (asserted in
-    tests, not approximately like the HLL)."""
+    tests, not approximately like the HLL).
+
+    The ordering tiebreaks on ``value``: when ``id_col`` is not unique,
+    duplicate ids hash identically while carrying different values, and
+    a bottom-k boundary cutting through such a tie group would make the
+    selected sample engine- and partitioning-dependent (observed: the
+    sf0.001 lineitem rid has 1,161 duplicated keys and Spark/DuckDB
+    picked different tie members at the k=256 boundary). (h, value) is
+    a total order up to fully-identical rows, which are
+    interchangeable."""
     h = F.md5(
         F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
     )
@@ -286,7 +295,7 @@ def kmv_build(
             F.col(value_col).cast("double").alias("value"),
             h.alias("__h__"),
         )
-        .orderBy("__h__")
+        .orderBy("__h__", "value")
         .limit(k)
     )
 
@@ -294,13 +303,13 @@ def kmv_build(
 def kmv_merge(parts: list[DataFrame], k: int = 256) -> DataFrame:
     """Merge sketches built with the SAME salt/k: union, re-take the
     k smallest hashes. Exact: equals the sketch of the concatenated
-    inputs."""
+    inputs. Same (h, value) deterministic tie order as kmv_build."""
     if not parts:
         raise ValueError("kmv_merge: parts must be non-empty")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("__h__").limit(k)
+    return out.orderBy("__h__", "value").limit(k)
 
 
 def kmv_group_jaccard(

@@ -3393,8 +3393,11 @@ def kmv_accuracy_sql(
           FROM lineitem
         ),
         sk AS (
+          -- (h, value) tie order mirrors sketch.kmv_build: duplicate ids
+          -- hash identically with different values, and the bottom-k
+          -- boundary must cut tie groups the same way in every engine
           SELECT value, md5('{salt}:' || id) AS h
-          FROM vals ORDER BY md5('{salt}:' || id) LIMIT {k}
+          FROM vals ORDER BY md5('{salt}:' || id), value LIMIT {k}
         ),
         ranked AS (
           SELECT value,
