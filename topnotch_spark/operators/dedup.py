@@ -868,16 +868,15 @@ def upsert_bitsig_index(
         F.substring("bucket", 1, int(pfx_chars)).alias("pfx"),
     )
 
-    def meta_fn(e):
+    def meta_fn(probe):
         meta = {
             "family": "bitsig",
             "part_col": "pfx",
             "pfx_chars": int(pfx_chars),
             "version": 1,
         }
-        row = e.select(F.length("sh").alias("w")).first()
-        if row is not None:
-            meta["bits"] = int(row["w"])
+        if probe["bits"] is not None:
+            meta["bits"] = int(probe["bits"])
         return meta
 
     return _staged_partition_upsert(
@@ -888,6 +887,7 @@ def upsert_bitsig_index(
         lambda df: df.distinct(),
         "n_partitions_touched",
         meta_fn=meta_fn,
+        probe_aggs={"bits": F.max(F.length("sh"))},
     )
 
 
@@ -931,16 +931,15 @@ def upsert_video_index(
         F.substring("sh", 1, int(pfx_chars)).alias("pfx"),
     )
 
-    def meta_fn(e):
+    def meta_fn(probe):
         meta = {
             "family": "video",
             "part_col": "pfx",
             "pfx_chars": int(pfx_chars),
             "version": 1,
         }
-        row = e.select(F.length("sh").alias("w")).first()
-        if row is not None:
-            meta["bits"] = int(row["w"])
+        if probe["bits"] is not None:
+            meta["bits"] = int(probe["bits"])
         return meta
 
     return _staged_partition_upsert(
@@ -951,6 +950,7 @@ def upsert_video_index(
         lambda df: df.distinct(),
         "n_partitions_touched",
         meta_fn=meta_fn,
+        probe_aggs={"bits": F.max(F.length("sh"))},
     )
 
 
@@ -1606,6 +1606,7 @@ def _staged_partition_upsert(
     merge,
     part_stat_name: str,
     meta_fn=None,
+    probe_aggs=None,
 ) -> DataFrame:
     """Shared core of every on-disk index upsert (exact keys, MinHash
     signatures, semantic members, bit-signature media, video frames):
@@ -1619,13 +1620,22 @@ def _staged_partition_upsert(
 
     ``entries`` must already carry the string partition column
     ``part_col``. First call creates the index AND persists the
-    ``meta_fn(entries)`` layout sidecar (:func:`write_index_meta`);
+    ``meta_fn(probe)`` layout sidecar (:func:`write_index_meta`);
     later calls validate it (:func:`_check_index_meta`) so a caller
     passing a different prefix width / signature width / centroid
-    matrix raises instead of silently fragmenting the layout. Returns
-    one literal row: (``part_stat_name``, n_entries_written) — literal
-    because a frame whose lineage reads the index path would silently
-    re-count a LATER, grown index when evaluated after more upserts.
+    matrix raises instead of silently fragmenting the layout.
+    ``probe_aggs`` is a dict of named aggregate Columns over the
+    entries (e.g. ``{"bits": F.max(F.length("sh"))}``) whose values are
+    handed to ``meta_fn`` as a dict — they ride the SAME single
+    aggregation job that collects the touched-partition list, so a
+    layout probe never schedules its own job (the r13 finding: a
+    separate ``first()`` against the cold cache ran executeTake's
+    incremental partition ramp — ~11 scheduled jobs per upsert).
+    A probe value is None when the entries are empty; meta_fn should
+    then omit the key. Returns one literal row: (``part_stat_name``,
+    n_entries_written) — literal because a frame whose lineage reads
+    the index path would silently re-count a LATER, grown index when
+    evaluated after more upserts.
 
     Bounded driver data: the touched-partition value list (≤ 256
     strings for the hex layouts, k for the semantic one). Writes commit
@@ -1649,6 +1659,18 @@ def _staged_partition_upsert(
         )
 
     try:
+        # ONE aggregation job computes the touched-partition list AND
+        # every layout-probe value, fully materializing the entries
+        # cache as a side effect (each later action then reads the
+        # cache instead of re-running the caller's screen pipeline)
+        aggs = [F.collect_set(F.col(part_col)).alias("__parts__")]
+        probe_names = list(probe_aggs or {})
+        for name in probe_names:
+            aggs.append(probe_aggs[name].alias(name))
+        prow = entries.agg(*aggs).collect()[0]
+        parts = list(prow["__parts__"])
+        probe = {n: prow[n] for n in probe_names}
+        meta = meta_fn(probe) if meta_fn is not None else None
         if not fs.exists(jpath):
             merged = merge(entries)
             # repartition by the partition column first: each partition
@@ -1658,21 +1680,15 @@ def _staged_partition_upsert(
             merged.repartition(part_col).write.partitionBy(
                 part_col
             ).mode("overwrite").parquet(index_path)
-            if meta_fn is not None:
-                write_index_meta(spark, index_path, meta_fn(entries))
+            if meta is not None:
+                write_index_meta(spark, index_path, meta)
             stats = merged.agg(
                 F.count_distinct(part_col).alias("p"),
                 F.count(F.lit(1)).alias("n"),
             ).collect()[0]
             return _stats_row(stats["p"], stats["n"])
-        if meta_fn is not None:
-            _check_index_meta(
-                spark, index_path, meta_fn(entries), "upsert"
-            )
-        parts = [
-            r[part_col]
-            for r in entries.select(part_col).distinct().collect()
-        ]
+        if meta is not None:
+            _check_index_meta(spark, index_path, meta, "upsert")
         if not parts:
             return _stats_row(0, 0)
         old = _read_partitioned_index(spark, index_path).filter(
@@ -1687,8 +1703,14 @@ def _staged_partition_upsert(
             # staged UNPARTITIONED: the partition key stays a real
             # string column — a partitioned staging dir would
             # round-trip "00" through partition-value type inference
-            # as integer 0
-            merged.write.mode("overwrite").parquet(staging)
+            # as integer 0. Staged PRE-HASH-PARTITIONED on part_col:
+            # the final partitionBy write then needs no exchange of
+            # its own (each staged file holds whole partition-value
+            # groups, so every write task still emits one file per
+            # value it owns — same file count, one less shuffle).
+            merged.repartition(part_col).write.mode("overwrite").parquet(
+                staging
+            )
             staged = spark.read.parquet(staging)
             stats = staged.agg(
                 F.count_distinct(part_col).alias("p"),
@@ -1701,7 +1723,7 @@ def _staged_partition_upsert(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
             try:
-                staged.repartition(part_col).write.partitionBy(
+                staged.write.partitionBy(
                     part_col
                 ).mode("overwrite").parquet(index_path)
             finally:
@@ -1751,7 +1773,7 @@ def upsert_dedup_index(
             F.min("index_id").alias("index_id")
         ),
         "n_buckets_touched",
-        meta_fn=lambda e: {
+        meta_fn=lambda probe: {
             "family": "exact",
             "part_col": "bucket",
             "bucket_chars": int(bucket_chars),
@@ -1911,19 +1933,17 @@ def upsert_minhash_index(
         F.substring("bucket", 1, int(pfx_chars)).alias("pfx"),
     )
 
-    def meta_fn(e):
+    def meta_fn(probe):
         meta = {
             "family": "minhash",
             "part_col": "pfx",
             "pfx_chars": int(pfx_chars),
             "version": 1,
         }
-        # signature width from the (persisted) entries themselves — one
-        # cheap first() against cached blocks; empty batches skip the
-        # key (nothing to validate against)
-        row = e.select(F.size("sigs").alias("w")).first()
-        if row is not None:
-            meta["num_hashes"] = int(row["w"])
+        # signature width rides the shared probe aggregation; empty
+        # batches skip the key (nothing to validate against)
+        if probe["num_hashes"] is not None:
+            meta["num_hashes"] = int(probe["num_hashes"])
         return meta
 
     return _staged_partition_upsert(
@@ -1934,6 +1954,7 @@ def upsert_minhash_index(
         lambda df: df.distinct(),
         "n_partitions_touched",
         meta_fn=meta_fn,
+        probe_aggs={"num_hashes": F.max(F.size("sigs"))},
     )
 
 
@@ -2129,11 +2150,14 @@ def _centroid_matrix(centroids: DataFrame) -> list:
     exactly (repr-based), so equality on re-load is exact equality on
     the training output: the engine-exact k-means is deterministic, so
     only a genuine RE-TRAIN produces a different matrix."""
+    # sort DRIVER-SIDE over the k collected rows: an orderBy on the
+    # (k-row, 32-partition) frame schedules a range-partitioning sample
+    # job plus shuffle per call (measured: 3 jobs × 32 tasks per round)
+    rows = centroids.select("centroid_id", "centroid").collect()
+    rows.sort(key=lambda r: int(r["centroid_id"]))
     return [
         [int(r["centroid_id"]), [float(x) for x in r["centroid"]]]
-        for r in centroids.select("centroid_id", "centroid")
-        .orderBy("centroid_id")
-        .collect()
+        for r in rows
     ]
 
 
@@ -2183,15 +2207,14 @@ def upsert_semantic_index(
         F.col("centroid_id").cast("string").alias("cid"),
     )
 
-    def meta_fn(e):
+    def meta_fn(probe):
         meta = {
             "family": "semantic",
             "part_col": "cid",
             "version": 1,
         }
-        row = e.select(F.size("vec").alias("d")).first()
-        if row is not None:
-            meta["dim"] = int(row["d"])
+        if probe["dim"] is not None:
+            meta["dim"] = int(probe["dim"])
         if centroids is not None:
             meta["centroids"] = _centroid_matrix(centroids)
         return meta
@@ -2204,6 +2227,7 @@ def upsert_semantic_index(
         lambda df: df.distinct(),
         "n_partitions_touched",
         meta_fn=meta_fn,
+        probe_aggs={"dim": F.max(F.size("vec"))},
     )
 
 
@@ -2323,7 +2347,12 @@ def delete_from_index(
         staging = index_path.rstrip("/") + "__staging__"
         spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
         try:
-            remaining.write.mode("overwrite").parquet(staging)
+            # staged pre-hash-partitioned on part_col: the final
+            # partitionBy write then needs no exchange (the
+            # _staged_partition_upsert discipline)
+            remaining.repartition(part_col).write.mode(
+                "overwrite"
+            ).parquet(staging)
             staged = spark.read.parquet(staging)
             kept_parts = {
                 r[part_col]
@@ -2337,7 +2366,7 @@ def delete_from_index(
                     "spark.sql.sources.partitionOverwriteMode", "dynamic"
                 )
                 try:
-                    staged.repartition(part_col).write.partitionBy(
+                    staged.write.partitionBy(
                         part_col
                     ).mode("overwrite").parquet(index_path)
                 finally:
@@ -2422,7 +2451,10 @@ def compact_index(
     staging = index_path.rstrip("/") + "__staging__"
     spath = spark._jvm.org.apache.hadoop.fs.Path(staging)
     try:
-        old.write.mode("overwrite").parquet(staging)
+        # staged pre-hash-partitioned on part_col: the final
+        # partitionBy write then needs no exchange (the
+        # _staged_partition_upsert discipline)
+        old.repartition(part_col).write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
         prev_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -2431,7 +2463,7 @@ def compact_index(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         try:
-            staged.repartition(part_col).write.partitionBy(
+            staged.write.partitionBy(
                 part_col
             ).mode("overwrite").parquet(index_path)
         finally:
