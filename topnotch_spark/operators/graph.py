@@ -55,7 +55,18 @@ from pyspark.sql import functions as F
 # lineage-truncation cadence of the pagerank/PPR walk loops: one
 # checkpoint every _CKPT_CADENCE rounds (plus the final round).
 # Module-level so the SCALE.md cadence experiment can override it.
-_CKPT_CADENCE = 2
+# r13 re-measurement: cadence 1 beats 2 (ppr 8.9s → 7.2s, pagerank
+# 7.2s → 5.7s medians at sf0.1). The r11 cadence-2 pick predated the
+# per-round broadcast of `shares`: with a LAZY checkpoint every other
+# round, the uncheckpointed round's broadcast build re-executes the
+# previous round's full edge aggregation inside its own job (profiled:
+# four ~1.4s duplicate-contrib broadcast jobs per 8-round walk).
+# Truncating every round makes each broadcast read a checkpoint
+# instead — the duplicate work disappears and the extra checkpoints
+# are node-sized. Values are unchanged by cadence (pure lineage
+# mechanics; tol-gated probes fire at checkpoints, and the cataloged
+# walks pin tol_scaled=None).
+_CKPT_CADENCE = 1
 
 
 def cooccurrence_edges(
