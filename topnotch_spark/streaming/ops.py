@@ -41,7 +41,29 @@ from topnotch_spark.operators.assertions import (
     run_assertions,
 )
 
-DEFAULT_CHECKPOINT_ROOT = "/root/repo/.tmp/checkpoints"
+def _default_checkpoint_root() -> str:
+    """Root for the SINGLE-USE checkpoints of memory-sink runs (each
+    run creates a fresh directory and deletes it on completion — see
+    run_stream_to_table). Because these checkpoints are throwaway by
+    construction, a RAM-backed filesystem is the right default where
+    one exists: the HDFS-backed state store writes a snapshot + commit
+    log per state partition per micro-batch, and at bench cadence the
+    resulting fsync bursts measurably stall batches on local disk
+    (r13: streaming_sessionize reps of 9.2s / 20.5s on-disk vs a
+    stable ~5.1s on /dev/shm at sf0.1). DURABLE checkpoints — anything
+    that must survive a restart — are the caller's ``checkpoint_dir``
+    parameter, unaffected by this default. Override with
+    $SPARK_GRAFT_STREAM_CKPT_ROOT (e.g. point it at HDFS/objectstore
+    on a real cluster when even throwaway runs should live there)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_CKPT_ROOT")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/topnotch_spark_checkpoints"
+    return "/root/repo/.tmp/checkpoints"
+
+
+DEFAULT_CHECKPOINT_ROOT = _default_checkpoint_root()
 REPLAY_ROOT = "/root/repo/.tmp/events_replay"
 REPLAY_CUTS = ("2024-01-11", "2024-01-21")
 
