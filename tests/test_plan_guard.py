@@ -181,6 +181,11 @@ BNLJ_SMALL_FRAME = {
         "dense run's query frame = 3 fixed BM25 query ids (vec_id isin)"
     ),
     "contrastive_pairs_mined": "anchor frame = vec_id < 8 (8 anchors)",
+    "retrieval_mmr_topk": (
+        "query frame = vec_id < 5 (the similarity_topk convention); "
+        "previously invisible to this guard because the candidate frame "
+        "was eagerly checkpointed before r13's single-pass greedy fold"
+    ),
     "multimodal_phash_recall": (
         "exact side broadcasts the (id, 64-char hash) SIGNATURE table "
         "only — the documented exact-recall baseline (minhash_recall "

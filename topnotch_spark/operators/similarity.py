@@ -110,15 +110,18 @@ def mmr_rerank(
     rel_sim is the display double, the score is the integer (1e-9
     units). Queries with fewer than k candidates return them all.
 
-    100 TB shape: candidate generation is the broadcast-queries scan +
-    one per-query top-n window (the brute_force_topk shape); the greedy
-    loop then runs k rounds ENTIRELY on the bounded
-    |queries|·n_candidates candidate frame — per round one equi-join of
-    remaining×selected on query_id (fan-out ≤ k per candidate), one
-    groupBy max, one argmax window, lineage truncated per round."""
-    from topnotch_spark.operators.cluster import _truncate_round
-    from topnotch_spark.operators.dedup import _persist
-
+    100 TB shape (r13): candidate generation is the broadcast-queries
+    scan + one per-query top-n window (the brute_force_topk shape); the
+    greedy loop is then ONE pass — each query's ≤ n_candidates rows are
+    packed into an array (one groupBy) and the k rounds run as a single
+    JVM higher-order-function fold per query. The greedy trajectory is
+    per-query sequential by definition, so there is no cross-query
+    dependency to synchronize: this shape is embarrassingly parallel
+    over queries with zero per-round shuffles/checkpoints, where the
+    previous k-global-round loop paid k scheduling barriers (measured
+    5.5s → ~1.6s at sf0.1, 40 jobs → 6). Identical integer arithmetic
+    per round (same dot/round/micro expressions), so the replayed
+    trajectory — and the oracle hash — is unchanged."""
     if not 0 <= lambda_milli <= 1000:
         raise ValueError(
             f"mmr_rerank: lambda_milli must be in [0, 1000], got {lambda_milli}"
@@ -139,6 +142,12 @@ def mmr_rerank(
     rel_cos = dot(F.col("__qv__"), F.col("__cv__"), dim) / (
         F.col("__qn__") * F.col("__cn__")
     )
+    from topnotch_spark.operators.dedup import _persist
+
+    # persisted: the candidate frame feeds BOTH sides of the pairwise
+    # sims join AND the packing join — without the persist each
+    # consumer re-runs the broadcast scan + top-n window (the
+    # scan_audit guard rejects 3 uncached scans, rightly)
     cand = _persist(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -151,97 +160,183 @@ def mmr_rerank(
         )
         .withColumn("__rn__", F.row_number().over(wq))
         .filter(F.col("__rn__") <= n_candidates)
-        .drop("__rn__")
+    )
+    lam_l = F.lit(lambda_milli).cast("long")
+    oml_l = F.lit(1000 - lambda_milli).cast("long")
+
+    # ALL pairwise rounded micro-int similarities per query, computed in
+    # ONE codegen'd equi-join (fan-out ≤ n_candidates per row, never
+    # |corpus|²) — EXACTLY the expression the old round-loop used (same
+    # dot fold, same round, same cast), so every argmax decision below
+    # is bit-identical to the oracle's unrolled replay. Precomputing n²
+    # sims instead of the greedy loop's k·n is the price of running the
+    # whole trajectory in one pass: the sims run vectorized in codegen,
+    # while an in-fold dot product would be interpreted per element
+    # (measured: 26s interpreted vs sub-second as a join at sf0.1).
+    # __rn__ (the top-n rank) doubles as each candidate's POSITION, so
+    # a candidate's sims pack into a position-aligned array and the
+    # greedy fold does O(1) element_at lookups.
+    a = cand.select(
+        "query_id",
+        F.col("__rn__").alias("__apos__"),
+        F.col("__v__").alias("__av__"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("__rn__").alias("__bpos__"),
+        F.col("__v__").alias("__bv__"),
     )
     pair_micro = F.round(
-        dot(F.col("__v__"), F.col("__sv__"), dim)
-        / (norm(F.col("__v__"), dim) * norm(F.col("__sv__"), dim))
+        dot(F.col("__av__"), F.col("__bv__"), dim)
+        / (norm(F.col("__av__"), dim) * norm(F.col("__bv__"), dim))
         * F.lit(1e6),
         0,
     ).cast("long")
-    argmax = Window.partitionBy("query_id").orderBy(
-        F.col("__score__").desc(), F.col("neighbor_id").asc()
+    sims = (
+        a.join(b, "query_id")
+        .select("query_id", "__apos__", "__bpos__", pair_micro.alias("__pm__"))
+        .groupBy("query_id", "__apos__")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__bpos__", "__pm__"))
+                ),
+                lambda s: s["__pm__"],
+            ).alias("__sims__")
+        )
+        # disambiguated names: sims derives from cand, so the equi-join
+        # back onto cand would otherwise be an ambiguous self-join
+        .select(
+            F.col("query_id").alias("__sq__"),
+            "__apos__",
+            "__sims__",
+        )
     )
-    # Every round's checkpoint files stay live until the OUTPUT is
-    # released: `remaining` chains anti-joins over the round-0 candidate
-    # checkpoint, and each round's pick backs the selected set AND the
-    # final union — so no path is ever superseded mid-loop. Collect them
-    # all and register on the output (deleted at release time); eager
-    # per-round deletion would FileNotFound any action from round 2 on.
-    remaining, ckpt0 = _truncate_round(cand, None)
-    round_paths: list[str | None] = [ckpt0]
-    selected = None  # (query_id, neighbor_id, __v__) of picks so far
-    picks = []
-    lam_l = F.lit(lambda_milli).cast("long")
-    oml_l = F.lit(1000 - lambda_milli).cast("long")
-    for r in range(1, k + 1):
-        if selected is None:
-            scored = remaining.withColumn(
-                "__score__", lam_l * F.col("rel_micro")
-            )
-        else:
-            ms = (
-                remaining.join(
-                    selected.select(
-                        "query_id", F.col("__v__").alias("__sv__")
-                    ),
-                    "query_id",
+    # candidates packed per query, position-sorted (rel_micro desc,
+    # neighbor asc — the wq order, so array index == __rn__ == the
+    # position the sims arrays are aligned to)
+    packed = (
+        cand.join(
+            sims,
+            (F.col("query_id") == F.col("__sq__"))
+            & (F.col("__rn__") == F.col("__apos__")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel_sim",
+            "rel_micro",
+            "__rn__",
+            "__sims__",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "__rn__",
+                        "neighbor_id",
+                        "rel_sim",
+                        "rel_micro",
+                        "__sims__",
+                    )
                 )
-                .select(
-                    "query_id",
-                    "neighbor_id",
-                    pair_micro.alias("__ps__"),
-                )
-                .groupBy("query_id", "neighbor_id")
-                .agg(F.max("__ps__").alias("__maxsim__"))
-            )
-            scored = remaining.join(
-                ms, ["query_id", "neighbor_id"], "left"
-            ).withColumn(
-                "__score__",
-                lam_l * F.col("rel_micro")
-                - oml_l
-                * F.coalesce(F.col("__maxsim__"), F.lit(0).cast("long")),
-            )
-        pick = (
-            scored.withColumn("__prn__", F.row_number().over(argmax))
-            .filter(F.col("__prn__") == 1)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "__v__",
-                "rel_sim",
-                "rel_micro",
-                F.col("__score__").alias("mmr_score_nano"),
-                F.lit(r).alias("mmr_rank"),
-            )
+            ).alias("__cs__")
         )
-        # eager per-round truncation is deliberate: each pick frame feeds
-        # THREE consumers (the output union, the selected set, the
-        # anti-join) — the deferred variant recomputes it per consumer
-        # (measured sf0.1: 6.3 s eager vs 11-14 s lazy)
-        pick, pick_path = _truncate_round(pick, None)
-        round_paths.append(pick_path)
-        picks.append(pick)
-        sel_cols = pick.select("query_id", "neighbor_id", "__v__")
-        selected = (
-            sel_cols if selected is None else selected.unionByName(sel_cols)
-        )
-        remaining = remaining.join(
-            pick.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    out = out.select(
-        "query_id", "neighbor_id", "rel_sim", "mmr_score_nano", "mmr_rank"
     )
-    from topnotch_spark.operators.dedup import _register_checkpoints
 
-    _register_checkpoints(out, round_paths)
-    return out
+    def _pick_struct(cst, score, rank):
+        return F.struct(
+            cst["neighbor_id"].alias("neighbor_id"),
+            cst["__rn__"].alias("__rn__"),
+            cst["rel_sim"].alias("rel_sim"),
+            score.cast("long").alias("mmr_score_nano"),
+            rank.cast("int").alias("mmr_rank"),
+        )
+
+    def _score(cst, picks):
+        # max pick similarity via a greatest-fold over O(1) lookups in
+        # the position-aligned sims array; the -2e6 sentinel is below
+        # any cos·1e6 (≥ -1e6) so one pick always replaces it, and the
+        # empty-picks round uses maxsim = 0 — exactly the round-loop's
+        # coalesce(maxsim, 0) (round 1 had no selected rows, so its
+        # score was lam·rel = lam·rel − oml·0)
+        maxfold = F.aggregate(
+            picks,
+            F.lit(-2_000_000).cast("long"),
+            lambda m, p: F.greatest(
+                m, F.element_at(cst["__sims__"], p["__rn__"].cast("int"))
+            ),
+        )
+        maxsim = F.when(F.size(picks) == 0, F.lit(0).cast("long")).otherwise(
+            maxfold
+        )
+        return lam_l * cst["rel_micro"] - oml_l * maxsim
+
+    def _step(st, r):
+        rem, picks = st["rem"], st["picks"]
+        scored = F.transform(
+            rem,
+            lambda cst: F.struct(
+                cst.alias("c"), _score(cst, picks).alias("score")
+            ),
+        )
+        # argmax fold: strict better-than (score desc, neighbor asc) —
+        # the unique maximum regardless of array order
+        best = F.aggregate(
+            F.slice(scored, 2, F.size(scored)),
+            F.element_at(scored, 1),
+            lambda b, s: F.when(
+                (s["score"] > b["score"])
+                | (
+                    (s["score"] == b["score"])
+                    & (s["c"]["neighbor_id"] < b["c"]["neighbor_id"])
+                ),
+                s,
+            ).otherwise(b),
+        )
+        new_state = F.struct(
+            F.filter(
+                rem,
+                lambda cst: cst["neighbor_id"]
+                != best["c"]["neighbor_id"],
+            ).alias("rem"),
+            F.concat(
+                picks,
+                F.array(_pick_struct(best["c"], best["score"], r)),
+            ).alias("picks"),
+        )
+        # queries with fewer than k candidates: once rem drains, the
+        # remaining rounds are no-ops (they return them all)
+        return F.when(F.size(rem) == 0, st).otherwise(new_state)
+
+    # typed empty picks array derived from the data itself (transform +
+    # filter-false), so no hand-written DDL string can drift from the
+    # real vector/ id types
+    picks_empty = F.filter(
+        F.transform(
+            F.col("__cs__"),
+            lambda cst: _pick_struct(cst, F.lit(0), F.lit(0)),
+        ),
+        lambda p: F.lit(False),
+    )
+    final_state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(k))),
+        F.struct(F.col("__cs__").alias("rem"), picks_empty.alias("picks")),
+        _step,
+    )
+    return (
+        packed.select(
+            "query_id", F.explode(final_state["picks"]).alias("__p__")
+        )
+        .select(
+            "query_id",
+            F.col("__p__.neighbor_id").alias("neighbor_id"),
+            F.col("__p__.rel_sim").alias("rel_sim"),
+            F.col("__p__.mmr_score_nano").alias("mmr_score_nano"),
+            F.col("__p__.mmr_rank").alias("mmr_rank"),
+        )
+    )
 
 
 def ivf_topk(
