@@ -312,6 +312,38 @@ def dedup_scope(checkpoint_dir: str | None = None) -> Iterator[None]:
         release_new_intermediates(snap)
 
 
+def spread_cpu(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive parallelism spread for CPU-heavy narrow work
+    (guide §2/§6): the bench tables are single-row-group parquet files,
+    and a row group is the parquet reader's atomic split unit — so any
+    expensive per-row stage FUSED with the scan (shingling, tokenize +
+    explode, vector math, sketch updates) runs at row-group
+    parallelism: 1-3 tasks on a 32-core executor (measured: the minhash
+    signature map stage 0.8s on ONE task). When the input's partition
+    count is far below the executor cores, hash-repartition on the
+    given key columns so the heavy stage runs cores-wide.
+
+    Hash partitioning (not round-robin): deterministic row→partition
+    placement independent of input order — no sort-before-repartition
+    pass, no retry hazards, and downstream per-key aggregations reuse
+    the partitioning. At real scale the condition never fires (any
+    multi-TB table has orders of magnitude more row groups than cores),
+    so no shuffle is added — parallelism is derived from the input
+    layout, not tuned for local mode. Apply ONLY where per-row work
+    dominates: for cheap scans the added exchange is a pure loss
+    (measured: a blanket version in catalog.load cost +0.4s on
+    sub-second queries and was reverted)."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * 4 > cores:
+        return df
+    return df.repartition(cores, *[F.col(c) for c in key_cols])
+
+
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shs): distinct word n-gram shingles as an array per document.
 
@@ -331,6 +363,10 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     pat = r"(?<=^|\s)(?=((?:\S+ ){" + str(n - 1) + r"}\S+))"
+    # NOT spread_cpu-wrapped (r13 A/B): the minhash family is
+    # shuffle/groupBy-bound — spreading the shingle map stage won ~0.3s
+    # on the full-corpus rows but cost ~1s on the 3-round compaction
+    # loop (extra exchange per round on 1/3-sized batches); net wash.
     return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("shs"),

@@ -65,13 +65,21 @@ def fuzzy_match_pairs(
             "implemented); got "
             f"{max_distance}"
         )
-    from topnotch_spark.operators.dedup import _persist
+    from topnotch_spark.operators.dedup import _persist, spread_cpu
 
+    # spread BEFORE the persist: a parallelism-starved scan (single
+    # row group) would otherwise cache as one partition, serializing
+    # the deletion-neighborhood explode and both verify-join sides on
+    # one task (measured: 1.25-1.6s single-task stage at sf0.1;
+    # spread_cpu is a no-op when the scan already has partitions)
     base = _persist(
-        df.select(
-            F.col(id_col).alias("__id__"),
-            F.lower(F.trim(F.col(text_col))).alias("__s__"),
-        ).filter(F.length("__s__") > 0)
+        spread_cpu(
+            df.select(
+                F.col(id_col).alias("__id__"),
+                F.lower(F.trim(F.col(text_col))).alias("__s__"),
+            ).filter(F.length("__s__") > 0),
+            "__id__",
+        )
     )
     keyed = base.select(
         "__id__", F.explode(_deletion_keys("__s__")).alias("__k__")
