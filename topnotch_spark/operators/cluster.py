@@ -83,7 +83,11 @@ def connected_components(
     switches to O(log d) halving after the grace rounds. ``0`` jumps
     from the first round."""
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetric closure: propagate along both directions of each pair
+    # symmetric closure: propagate along both directions of each pair.
+    # (r13: an explicit hash-repartition by "a" before the persist was
+    # measured a wash locally — the per-round join keys on "b", so the
+    # "a" partitioning removes no exchange — and at scale it would add
+    # one; left as-is.)
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
