@@ -2206,23 +2206,26 @@ def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer "which parts does the affinity graph pull toward these five
     anchors"."""
     from topnotch_spark.operators.graph import (
+        basket_items,
         cooccurrence_edges,
         personalized_pagerank,
     )
 
     li = load(spark, sf_dir, "lineitem")
+    # one persisted (order, part) distinct feeds BOTH the edge build and
+    # the seed ranking (r13) — previously the seed frame re-ran the same
+    # fact-table distinct the edge build had already materialized
+    items = basket_items(li, "l_orderkey", "l_partkey")
     edges = cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", max_basket_items=12, min_support=2
+        li, "l_orderkey", "l_partkey", max_basket_items=12, min_support=2,
+        items=items,
     )
     seeds = (
-        li.select("l_orderkey", "l_partkey")
-        .where(F.col("l_partkey").isNotNull())
-        .distinct()
-        .groupBy("l_partkey")
+        items.groupBy("__i__")
         .agg(F.count(F.lit(1)).alias("__cnt__"))
-        .orderBy(F.col("__cnt__").desc(), F.col("l_partkey").asc())
+        .orderBy(F.col("__cnt__").desc(), F.col("__i__").asc())
         .limit(5)
-        .select(F.col("l_partkey").alias("node"))
+        .select(F.col("__i__").alias("node"))
     )
     return personalized_pagerank(
         edges, seeds, iters=8, weight_col="pair_count"

@@ -69,29 +69,43 @@ from pyspark.sql import functions as F
 _CKPT_CADENCE = 1
 
 
+def basket_items(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Persisted distinct ``(__b__, __i__)`` presence set of a basket
+    table — the shared input of :func:`cooccurrence_edges`. Exposed so
+    callers that ALSO need a per-item basket count (e.g. a popularity
+    seed ranking) can pass it back via the ``items`` parameter and pay
+    the fact-table distinct exactly once instead of once per consumer."""
+    from topnotch_spark.operators.dedup import _persist
+
+    return _persist(
+        df.select(F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__"))
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+
+
 def cooccurrence_edges(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     max_basket_items: int | None = 12,
     min_support: int = 1,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """Undirected unique co-occurrence edges ``(src < dst, pair_count)``:
     items sharing at least ``min_support`` baskets. Presence is set
     semantics (duplicate (basket, item) rows count once); baskets above
     ``max_basket_items`` distinct items are dropped from pairing (the
     skew valve — margins of a mega-basket would dominate the pair join).
+    ``items`` optionally supplies a precomputed :func:`basket_items`
+    frame (already distinct, item non-null, persisted) to share across
+    consumers.
     """
-    from topnotch_spark.operators.dedup import _persist
-
     # the distinct projection feeds the valve, its anti-join, and BOTH
     # sides of the pair self-join — materialize it once (the
     # market_basket_pairs convention; released by dedup_scope)
-    items = _persist(
-        df.select(F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__"))
-        .where(F.col(item_col).isNotNull())
-        .distinct()
-    )
+    if items is None:
+        items = basket_items(df, basket_col, item_col)
     if max_basket_items is not None:
         big = (
             items.groupBy("__b__")
@@ -162,7 +176,6 @@ def pagerank(
     itself exceeds executor memory; the equi-join path then reuses the
     same hash partitioning across rounds.
     """
-    from topnotch_spark.operators.cluster import _truncate_round
     from topnotch_spark.operators.dedup import _persist
 
     # The symmetric edge set is persisted HASH-PARTITIONED BY dst — the
@@ -183,29 +196,36 @@ def pagerank(
     # 1-row node-count frame rides into the plan via a broadcast cross
     # join (never a driver-side collect)
     nn = F.broadcast(deg.select(F.count(F.lit(1)).alias("__n__")))
-    teleport = F.expr(
-        f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} div {damp_den}) "
-        "div __n__"
-    )
-    ranks, ckpt = _truncate_round(
+    # Teleport mass, initial rank and out-degree are all per-node
+    # constants of the walk — materialize them ONCE (r13): previously
+    # every round's plan re-ran the node-count broadcast + crossJoin +
+    # a deg⋈ranks join, re-planned and re-executed at each lazy
+    # checkpoint's materialization. With outdeg carried inside the
+    # ranks frame, `shares` is a pure projection of the previous
+    # checkpoint (no join) and the final output needs no deg join.
+    # Same integer expressions, computed once — values unchanged.
+    tpf = _persist(
         deg.crossJoin(nn).select(
             F.col("src").alias("node"),
-            F.expr(f"CAST({scale} AS BIGINT) div __n__").alias("rank"),
-        ),
-        None,
+            F.expr(
+                f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} "
+                f"div {damp_den}) div __n__"
+            ).alias("__tp__"),
+            F.expr(f"CAST({scale} AS BIGINT) div __n__").alias("__r0__"),
+            "outdeg",
+        )
     )
+    ranks = tpf.select("node", F.col("__r0__").alias("rank"), "outdeg")
+    ckpt = None
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
     prev = ranks
     realized = iters
     for it in range(iters):
-        shares = (
-            deg.join(ranks, deg["src"] == ranks["node"])
-            .select(
-                "src",
-                F.expr(
-                    f"(rank * {damp_num} div {damp_den}) div outdeg"
-                ).alias("share"),
-            )
+        shares = ranks.select(
+            F.col("node").alias("src"),
+            F.expr(f"(rank * {damp_num} div {damp_den}) div outdeg").alias(
+                "share"
+            ),
         )
         contrib = (
             sym.join(hint(shares), "src")
@@ -213,21 +233,19 @@ def pagerank(
             .agg(F.sum("share").alias("contrib"))
         )
         ranks = (
-            deg.crossJoin(nn)
-            .select(F.col("src").alias("node"), teleport.alias("__tp__"))
-            .join(contrib, "node", "left")
+            tpf.join(contrib, "node", "left")
             .select(
                 "node",
                 (F.col("__tp__") + F.coalesce(F.col("contrib"), F.lit(0))).alias(
                     "rank"
                 ),
+                "outdeg",
             )
         )
-        # truncate lineage every OTHER round (and on the last): one
-        # checkpoint covers two broadcast-joined rounds' plan depth, and
-        # each eager truncation is a whole scheduled job on a node-sized
-        # frame — fixed overhead worth halving (cadence 2 vs 3 vs 4
-        # measured at sf0.1 — SCALE.md §5; 2 won)
+        # truncate lineage every round (and on the last): each round's
+        # broadcast build otherwise re-executes the previous round's
+        # full aggregation inside its own job (cadence 1 vs 2 vs 3
+        # measured at sf0.1 — see _CKPT_CADENCE note)
         if it % _CKPT_CADENCE == _CKPT_CADENCE - 1 or it == iters - 1:
             ranks, ckpt, converged = _truncate_probe(
                 ranks, prev, ckpt, tol_scaled
@@ -236,10 +254,9 @@ def pagerank(
             if converged:
                 realized = it + 1
                 break
-    out = ranks.join(
-        deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
-        "node",
-    ).select("node", "out_degree", F.col("rank").alias("rank_scaled"))
+    out = ranks.select(
+        "node", F.col("outdeg").alias("out_degree"), F.col("rank").alias("rank_scaled")
+    )
     if tol_scaled is not None:
         out = out.withColumn("n_rounds", F.lit(realized))
     if ckpt is not None:
@@ -578,7 +595,6 @@ def personalized_pagerank(
     ``tol_scaled`` adds the same per-checkpoint delta early-exit (and
     ``n_rounds`` output column) as :func:`pagerank`; ``iters`` caps.
     """
-    from topnotch_spark.operators.cluster import _truncate_round
     from topnotch_spark.operators.dedup import _persist
 
     w = (
@@ -622,41 +638,40 @@ def personalized_pagerank(
         )
     ns = F.broadcast(seeds.select(F.count(F.lit(1)).alias("__ns__")))
     base = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} div {damp_den})"
-    node_frame = (
-        deg.select(F.col("src").alias("node"))
+    seed_flag = F.col("__seed__").isNotNull()
+    # Per-node walk constants (teleport mass, initial rank, degrees)
+    # materialized ONCE (r13) — same restructure as pagerank: the seed
+    # broadcast join + seed-count crossJoin + deg⋈ranks join previously
+    # re-planned and re-executed at every round's checkpoint
+    # materialization. With wout carried inside the ranks frame,
+    # `shares` is a pure projection; outdeg rides along for the final
+    # output. Same integer expressions — values unchanged.
+    tpf = _persist(
+        deg.select(F.col("src").alias("node"), "outdeg", "wout")
         .join(F.broadcast(seeds), "node", "left")
         .crossJoin(ns)
-    )
-    ranks, ckpt = _truncate_round(
-        node_frame.select(
+        .select(
             "node",
-            F.when(
-                F.col("__seed__").isNotNull(),
-                F.expr(f"CAST({scale} AS BIGINT) div __ns__"),
-            )
+            F.when(seed_flag, F.expr(f"{base} div __ns__"))
             .otherwise(F.lit(0).cast("long"))
-            .alias("rank"),
-        ),
-        None,
-    )
-    hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    tp = (
-        F.when(
-            F.col("__seed__").isNotNull(), F.expr(f"{base} div __ns__")
+            .alias("__tp__"),
+            F.when(seed_flag, F.expr(f"CAST({scale} AS BIGINT) div __ns__"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("__r0__"),
+            "outdeg",
+            "wout",
         )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("__tp__")
     )
+    ranks = tpf.select("node", F.col("__r0__").alias("rank"), "outdeg", "wout")
+    ckpt = None
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     prev = ranks
     realized = iters
     for it in range(iters):
-        shares = (
-            deg.join(ranks, deg["src"] == ranks["node"])
-            .select(
-                "src",
-                F.expr(f"rank * {damp_num} div {damp_den}").alias("damped"),
-                "wout",
-            )
+        shares = ranks.select(
+            F.col("node").alias("src"),
+            F.expr(f"rank * {damp_num} div {damp_den}").alias("damped"),
+            "wout",
         )
         contrib = (
             sym.join(hint(shares), "src")
@@ -668,13 +683,14 @@ def personalized_pagerank(
             .agg(F.sum("part").alias("contrib"))
         )
         ranks = (
-            node_frame.select("node", tp)
-            .join(contrib, "node", "left")
+            tpf.join(contrib, "node", "left")
             .select(
                 "node",
                 (F.col("__tp__") + F.coalesce(F.col("contrib"), F.lit(0))).alias(
                     "rank"
                 ),
+                "outdeg",
+                "wout",
             )
         )
         if it % _CKPT_CADENCE == _CKPT_CADENCE - 1 or it == iters - 1:
@@ -685,10 +701,9 @@ def personalized_pagerank(
             if converged:
                 realized = it + 1
                 break
-    out = ranks.join(
-        deg.select(F.col("src").alias("node"), F.col("outdeg").alias("out_degree")),
-        "node",
-    ).select("node", "out_degree", F.col("rank").alias("rank_scaled"))
+    out = ranks.select(
+        "node", F.col("outdeg").alias("out_degree"), F.col("rank").alias("rank_scaled")
+    )
     if tol_scaled is not None:
         out = out.withColumn("n_rounds", F.lit(realized))
     if ckpt is not None:
