@@ -228,7 +228,11 @@ def test_pagerank_tol_scaled_converges_early(spark):
     n_rounds = {r["n_rounds"] for r in rows}
     assert len(n_rounds) == 1
     realized = n_rounds.pop()
-    assert realized == 2  # stopped at the first checkpoint
+    # stopped at the first checkpoint — whose round number is the
+    # cadence (probes only fire at checkpoints)
+    from topnotch_spark.operators.graph import _CKPT_CADENCE
+
+    assert realized == _CKPT_CADENCE
     got = {r["node"]: r["rank_scaled"] for r in rows}
     assert got == _py_pagerank(K4, realized)
     # a slow-mixing graph (star: center<->leaf mass oscillates, damps
@@ -256,7 +260,10 @@ def test_ppr_tol_scaled_converges_early(spark):
             damp_num=1, damp_den=10,
         ).collect()
     realized = rows[0]["n_rounds"]
-    assert realized < 8 and realized % 2 == 0
+    # early exit happens at a checkpoint round, before the cap
+    from topnotch_spark.operators.graph import _CKPT_CADENCE
+
+    assert realized < 8 and realized % _CKPT_CADENCE == 0
     # ranks at the realized round count match an un-tol'd run pinned there
     with dedup_scope():
         want = {

@@ -152,7 +152,8 @@ def pagerank(
     DuckDB oracle chains the same ``iters`` CTEs).
 
     ``tol_scaled`` turns on delta-based early exit: at every lineage
-    checkpoint (every other round), compute ``max |rank - rank_prev|``
+    checkpoint (every ``_CKPT_CADENCE`` rounds — currently every
+    round), compute ``max |rank - rank_prev|``
     against the PREVIOUS checkpoint's ranks (one node-sized join +
     scalar aggregate per check — the only driver-side value this
     operator ever collects) and stop once it is ≤ ``tol_scaled``
