@@ -84,13 +84,18 @@ def connected_components(
     from the first round."""
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetric closure: propagate along both directions of each pair.
-    # (r13: an explicit hash-repartition by "a" before the persist was
-    # measured a wash locally — the per-round join keys on "b", so the
-    # "a" partitioning removes no exchange — and at scale it would add
-    # one; left as-is.)
+    # Persisted HASH-PARTITIONED BY "b" — the key EVERY round's
+    # neighbor join probes — so the edge-sized side never re-shuffles
+    # inside the loop: each round only exchanges the node-sized labels
+    # frame. (r13: an explicit "a" repartition was measured a wash —
+    # the rounds join on "b" — but the "b" repartition removes the
+    # per-round edge exchange AND stops AQE coalescing the tiny local
+    # cache to one partition, which serialized every round's join onto
+    # a single task at bench scale.)
     sym = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # start: own id, tightened by direct neighbors (saves one round)
