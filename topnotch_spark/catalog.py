@@ -1721,13 +1721,17 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.curation import dsir_weights
 
     docs = load(spark, sf_dir, "documents")
+    # target_pred (r13): the en slice is a predicate over the same
+    # table, so the p model folds out of the one tokenized pass instead
+    # of re-tokenizing the slice
     return dsir_weights(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == "en"),
+        docs.select("doc_id", "text", "lang"),
+        None,
         "doc_id",
         "text",
         n_buckets=512,
         k_select=100,
+        target_pred=F.col("lang") == "en",
     )
 
 

@@ -862,7 +862,7 @@ def mixture_allocate(
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     n_buckets: int = 1024,
@@ -870,6 +870,7 @@ def dsir_weights(
     smooth: float = 1.0,
     scale: int = 1000,
     salt: str = "dsir",
+    target_pred=None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023, DSIR): score every RAW-corpus document by how target-like it
@@ -901,6 +902,15 @@ def dsir_weights(
     models reduce to ≤ n_buckets rows (map-side-combined groupBys) and
     ride into the scoring join as a broadcast; per-doc scoring is ONE
     groupBy(doc). Selection is a TakeOrdered(k) — never a global sort.
+
+    ``target_pred`` (r13): when the target slice IS a predicate over
+    ``raw`` (the common "my curated rows are flagged in the same
+    table" case), pass the boolean Column instead of a ``target``
+    frame (``target`` is then ignored and may be None). The p model is
+    derived from the already-computed per-doc bucket counts — bucket
+    counts are additive over docs, so filtering the counted frame is
+    value-identical to re-tokenizing the slice — and the second
+    tokenize+hash pass over the target text disappears.
     """
     from topnotch_spark.operators.dedup import _persist
     from topnotch_spark.functions.text import tokens
@@ -933,26 +943,40 @@ def dsir_weights(
             % n_buckets
         ).cast("int")
 
-    arr = _persist(
-        raw.select(
-            F.col(id_col).alias("__id__"), features(text_col).alias("__f__")
+    if target is None and target_pred is None:
+        raise ValueError(
+            "dsir_weights: pass either a target frame or target_pred"
         )
-    )
+    cols = [F.col(id_col).alias("__id__"), features(text_col).alias("__f__")]
+    grp_extra: list[str] = []
+    if target_pred is not None:
+        # the flag is functionally dependent on __id__, so carrying it
+        # through the (doc, bucket) group keys changes no counts
+        cols.append(target_pred.cast("boolean").alias("__tgt__"))
+        grp_extra = ["__tgt__"]
+    arr = _persist(raw.select(*cols))
     docbkt = _persist(
-        arr.select("__id__", F.explode("__f__").alias("__feat__"))
-        .select("__id__", bucket(F.col("__feat__")).alias("__b__"))
-        .groupBy("__id__", "__b__")
+        arr.select("__id__", *grp_extra, F.explode("__f__").alias("__feat__"))
+        .select("__id__", *grp_extra, bucket(F.col("__feat__")).alias("__b__"))
+        .groupBy("__id__", "__b__", *grp_extra)
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
     q = docbkt.groupBy("__b__").agg(F.sum("__c__").alias("c_q"))
     # p feeds both its own total (np_) and the lam join — persist the
     # <= n_buckets rows so the target corpus is scanned exactly once
-    p = _persist(
-        target.select(F.explode(features(text_col)).alias("__feat__"))
-        .select(bucket(F.col("__feat__")).alias("__b__"))
-        .groupBy("__b__")
-        .agg(F.count(F.lit(1)).alias("c_p"))
-    )
+    if target_pred is not None:
+        p = _persist(
+            docbkt.filter(F.col("__tgt__"))
+            .groupBy("__b__")
+            .agg(F.sum("__c__").alias("c_p"))
+        )
+    else:
+        p = _persist(
+            target.select(F.explode(features(text_col)).alias("__feat__"))
+            .select(bucket(F.col("__feat__")).alias("__b__"))
+            .groupBy("__b__")
+            .agg(F.count(F.lit(1)).alias("c_p"))
+        )
     nq = q.agg(F.sum("c_q").alias("__Nq__"))
     np_ = p.agg(F.sum("c_p").alias("__Np__"))
     s = float(smooth)
