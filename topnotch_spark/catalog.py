@@ -607,10 +607,11 @@ def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's on-disk members (keep iff best rounded cosine < 0.35),
     and upsert the accepted vectors' member rows. The trained centroid
     matrix is PINNED in the index's _tn_meta.json sidecar at create
-    time (r13): every screen routes with the on-disk matrix
-    (screen_batch_against_semantic_index — no centroid frame crosses
-    the loop at all), and a re-trained matrix at upsert time would
-    raise instead of silently drifting the routing. Emits the final
+    time (r13): every round re-reads the on-disk matrix (never a frame
+    carried across the loop) and routes the batch ONCE
+    (dedup.route_batch_to_centroids) — the routing frame feeds both
+    the screen and the accepted entries; a re-trained matrix at upsert
+    time would raise instead of silently drifting. Emits the final
     index membership (index_id, centroid_id, nrm rounded) — the oracle
     replays the kmeans training and the round-ordered accept set."""
     import tempfile
@@ -618,9 +619,10 @@ def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.dedup import (
         _register_checkpoints,
         build_semantic_index,
+        dedup_batch_against_semantic_index,
         read_semantic_centroids,
         read_semantic_index,
-        screen_batch_against_semantic_index,
+        route_batch_to_centroids,
         upsert_semantic_index,
     )
     from topnotch_spark.operators.similarity import kmeans_centroids_exact
@@ -639,22 +641,31 @@ def dedup_semantic_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     for r in (1, 2):
         batch = emb.filter(f"vec_id % 3 = {r}")
+        # one batch x k routing per round (r13): the persisted routing
+        # frame feeds the screen AND, semi-joined to the accepted ids,
+        # the upsert entries — the batch is never re-routed (and the
+        # sidecar matrix is read once per round, still from the index)
+        cents_r = read_semantic_centroids(spark, idx_path)
+        assigned = route_batch_to_centroids(
+            batch, cents_r, "vec_id", "embedding"
+        )
         accepted = (
-            screen_batch_against_semantic_index(
-                spark, idx_path, batch, "vec_id", "embedding",
-                threshold=0.35,
+            dedup_batch_against_semantic_index(
+                batch, read_semantic_index(spark, idx_path), cents_r,
+                "vec_id", "embedding", threshold=0.35,
+                assigned=assigned,
             )
             .filter("keep")
-            .select("vec_id")
+            .select(F.col("vec_id").alias("__bid__"))
         )
-        entries = build_semantic_index(
-            batch.join(accepted, "vec_id", "left_semi"), None,
-            "vec_id", "embedding",
-            centroids=read_semantic_centroids(spark, idx_path),
+        entries = assigned.join(accepted, "__bid__", "left_semi").select(
+            F.col("__bid__").alias("index_id"),
+            F.col("__bv__").alias("vec"),
+            F.col("__bn__").alias("nrm"),
+            "centroid_id",
         )
         upsert_semantic_index(
-            spark, idx_path, entries,
-            centroids=read_semantic_centroids(spark, idx_path),
+            spark, idx_path, entries, centroids=cents_r
         ).collect()
     out = read_semantic_index(spark, idx_path).select(
         "index_id", "centroid_id", F.round("nrm", 6).alias("nrm")
@@ -682,6 +693,7 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from topnotch_spark.operators.dedup import (
+        _persist,
         _read_partitioned_index,
         _register_checkpoints,
         build_minhash_index,
@@ -704,16 +716,19 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = _read_partitioned_index(spark, idx_path).select(
             "index_id", "band_idx", "bucket", "sigs"
         )
+        # one signature build per round (r13): the persisted batch
+        # index feeds the screen AND, semi-joined to the accepted ids,
+        # the upsert entries — the batch is never re-shingled
+        bidx = _persist(build_minhash_index(batch, "doc_id", "text"))
         accepted = (
             dedup_batch_against_minhash_index(
-                batch, index, "doc_id", "text", threshold=0.5
+                batch, index, "doc_id", "text", threshold=0.5,
+                batch_index=bidx,
             )
             .filter("keep")
-            .select("doc_id")
+            .select(F.col("doc_id").alias("index_id"))
         )
-        entries = build_minhash_index(
-            batch.join(accepted, "doc_id", "left_semi"), "doc_id", "text"
-        )
+        entries = bidx.join(accepted, "index_id", "left_semi")
         upsert_minhash_index(
             spark, idx_path, entries, pfx_chars=1
         ).collect()

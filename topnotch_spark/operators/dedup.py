@@ -2003,6 +2003,7 @@ def dedup_batch_against_minhash_index(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup screen of a new batch against a persisted
     :func:`build_minhash_index` — the fuzzy sibling of
@@ -2023,12 +2024,23 @@ def dedup_batch_against_minhash_index(
     candidate join hits only the index buckets the batch collides with
     (partition-prunable under the upsert_dedup_index bucket layout);
     the estimator is ``num_hashes`` integer comparisons per candidate
-    — no shingle materialization for the index side, ever."""
+    — no shingle materialization for the index side, ever.
+
+    ``batch_index`` (r13): a precomputed (ideally persisted)
+    :func:`build_minhash_index` of THIS batch. Ingestion loops that
+    both screen a batch and upsert its accepted rows need the same
+    signature rows twice — passing them here means the batch is
+    shingled and minhashed exactly once per round instead of twice
+    (the accepted-subset rows are a semi-join of these)."""
     from pyspark.sql import Window
 
-    bidx = _persist(
-        build_minhash_index(
-            batch, id_col, text_col, num_hashes, bands, shingle_n
+    bidx = (
+        batch_index
+        if batch_index is not None
+        else _persist(
+            build_minhash_index(
+                batch, id_col, text_col, num_hashes, bands, shingle_n
+            )
         )
     )
     cand = (
@@ -2595,6 +2607,50 @@ def read_semantic_index(spark, index_path: str) -> DataFrame:
     )
 
 
+def route_batch_to_centroids(
+    batch: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Persisted routing frame ``(__bid__, __bv__, __bn__,
+    centroid_id)`` of a batch under a trained centroid matrix — the
+    engine-exact micro-int cosine argmax every semantic consumer
+    (k-means assignment, batch screen, index build) uses. Exposed (r13)
+    so an ingestion loop that both screens a batch and upserts its
+    accepted rows routes the batch ONCE: pass it to
+    :func:`dedup_batch_against_semantic_index` via ``assigned`` and
+    semi-join the accepted ids for the upsert entries (rename
+    ``__bid__/__bv__/__bn__`` to ``index_id/vec/nrm``) — value-identical
+    to re-routing the accepted subset, which is per-row independent."""
+    from pyspark.sql import Window
+
+    from topnotch_spark.functions.vectors import cosine, norm
+
+    cents = centroids.select(
+        "centroid_id", F.col("centroid").alias("__cvec__")
+    )
+    w = Window.partitionBy("__bid__").orderBy(
+        F.col("__ccm__").desc(), F.col("centroid_id").asc()
+    )
+    return _persist(
+        batch.select(
+            F.col(id_col).alias("__bid__"),
+            F.col(vec_col).alias("__bv__"),
+            norm(F.col(vec_col)).alias("__bn__"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__ccm__",
+            F.round(cosine(F.col("__bv__"), F.col("__cvec__")) * F.lit(1e6), 0)
+            .cast("long"),
+        )
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("__bid__", "__bv__", "__bn__", "centroid_id")
+    )
+
+
 def dedup_batch_against_semantic_index(
     batch: DataFrame,
     index: DataFrame,
@@ -2603,6 +2659,7 @@ def dedup_batch_against_semantic_index(
     vec_col: str,
     threshold: float = 0.9,
     round_digits: int = 6,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SEMANTIC screen of a new batch against a persisted
     :func:`build_semantic_index` — the SemDeDup (Abbas et al. 2023)
@@ -2623,33 +2680,17 @@ def dedup_batch_against_semantic_index(
     routing; the member join is an equi-join on centroid_id hitting
     only the clusters the batch routes to (partition-prunable under the
     build_semantic_index layout); per-candidate cost is one
-    codegen'd dot product — no pairwise over the corpus, ever."""
+    codegen'd dot product — no pairwise over the corpus, ever.
+
+    ``assigned`` (r13): a precomputed :func:`route_batch_to_centroids`
+    frame of THIS batch under THESE centroids, so ingestion loops
+    that also upsert accepted rows pay the batch × k routing once."""
     from pyspark.sql import Window
 
-    from topnotch_spark.functions.vectors import cosine, dot, norm
+    from topnotch_spark.functions.vectors import dot
 
-    cents = centroids.select(
-        "centroid_id", F.col("centroid").alias("__cvec__")
-    )
-    w = Window.partitionBy("__bid__").orderBy(
-        F.col("__ccm__").desc(), F.col("centroid_id").asc()
-    )
-    assigned = _persist(
-        batch.select(
-            F.col(id_col).alias("__bid__"),
-            F.col(vec_col).alias("__bv__"),
-            norm(F.col(vec_col)).alias("__bn__"),
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "__ccm__",
-            F.round(cosine(F.col("__bv__"), F.col("__cvec__")) * F.lit(1e6), 0)
-            .cast("long"),
-        )
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select("__bid__", "__bv__", "__bn__", "centroid_id")
-    )
+    if assigned is None:
+        assigned = route_batch_to_centroids(batch, centroids, id_col, vec_col)
     scored = (
         assigned.join(index, "centroid_id")
         .select(
