@@ -71,6 +71,21 @@ def plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
+def lit_double_array(vals: list[float]) -> Column:
+    """Literal ``array<double>`` built with ONE py4j call.
+
+    ``F.array(*[F.lit(v) ...])`` creates one JVM round trip per element
+    from the Python driver; at dim=64 × 8 planes that is ~500 round
+    trips per srp_bucket call site, which was measured (r13) as seconds
+    of pure DataFrame-CONSTRUCTION time per similarity query — the JVM
+    sat idle waiting on py4j while Python assembled Columns. Python's
+    ``repr`` of a double round-trips exactly through the SQL parser's
+    double literal, so the parsed array is value-identical."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+    )
+
+
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column:
     """Sign-random-projection bucket id: ``n_planes``-char '0'/'1' string.
 
@@ -90,7 +105,7 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column
         # ~2× SLOWER end-to-end (measured r8 on label_noise_knn) — the
         # literal sign arrays are the win here, the fold is fine
         def bit_fast(p: int) -> Column:
-            signs = F.array(*[F.lit(s) for s in plane_signs(p, dim)])
+            signs = lit_double_array(plane_signs(p, dim))
             proj = F.aggregate(
                 F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
                 F.lit(0.0),

@@ -889,14 +889,14 @@ def project_embeddings(
     scalar rows (id, pos, value) so oracle checking and columnar sinks
     stay simple; collect back with sort_array(collect_list(...)) when
     an array is wanted."""
-    from topnotch_spark.functions.vectors import dot, plane_signs
+    from topnotch_spark.functions.vectors import dot, lit_double_array, plane_signs
 
     projections = F.array(
         *[
             F.round(
                 dot(
                     F.col(vec_col),
-                    F.array(*[F.lit(s) for s in plane_signs(p, dim)]),
+                    lit_double_array(plane_signs(p, dim)),
                 ),
                 round_digits,
             )
