@@ -20,7 +20,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _sql_ref(c: Column | str) -> str | None:
+    """SQL fragment for a plain column NAME, else None. Only names are
+    inlined — anything already a Column keeps the composed path."""
+    return f"`{c}`" if isinstance(c, str) else None
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # the exact SQL spelling of the composed fold below: zip_with
+    # multiply in double, left-fold add from 0.0D — parses to the same
+    # lambda expressions, so results are bit-identical
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential-fold dot product in double precision.
 
     ``dim`` is accepted for call-site uniformity with srp_bucket but
@@ -30,8 +46,18 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     planes × dim into projections actively regresses once Catalyst
     duplicates the tree (label_noise_knn 6.5 s → 44 s before the
     Generate barrier fix). The HOF tax is per-ELEMENT-call overhead;
-    at 64 doubles per pair it is already amortized."""
+    at 64 doubles per pair it is already amortized.
+
+    Accepts column NAMES as well as Columns (r13): with names the whole
+    fold is emitted as ONE parsed SQL expression — the composed form is
+    ~30 py4j round trips of driver-side construction per call, which
+    dominated the similarity family's wall time at bench scale."""
     del dim  # measured: unrolling is not a win — see docstring
+    ra, rb = _sql_ref(a), _sql_ref(b)
+    if ra is not None and rb is not None:
+        return F.expr(_dot_sql(ra, rb))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,11 +65,20 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    ra = _sql_ref(a)
+    if ra is not None:
+        return F.expr(f"sqrt({_dot_sql(ra, ra)})")
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    ra, rb = _sql_ref(a), _sql_ref(b)
+    if ra is not None and rb is not None:
+        return F.expr(
+            f"{_dot_sql(ra, rb)} / (sqrt({_dot_sql(ra, ra)}) * "
+            f"sqrt({_dot_sql(rb, rb)}))"
+        )
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -86,7 +121,9 @@ def lit_double_array(vals: list[float]) -> Column:
     )
 
 
-def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column:
+def srp_bucket(
+    vec: Column | str, n_planes: int = 8, dim: int | None = None
+) -> Column:
     """Sign-random-projection bucket id: ``n_planes``-char '0'/'1' string.
 
     At 100 TB scale this is the blocking key for near-dup joins: the
@@ -104,6 +141,26 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column
         # ~512-term projection blew past the codegen sweet spot and ran
         # ~2× SLOWER end-to-end (measured r8 on label_noise_knn) — the
         # literal sign arrays are the win here, the fold is fine
+        rv = _sql_ref(vec)
+        if rv is not None:
+            # whole bucket as ONE parsed expression (r13): the composed
+            # form was ~40 py4j construction round trips per plane
+            def bit_sql(p: int) -> str:
+                arr = "array(" + ",".join(
+                    repr(float(s)) + "D" for s in plane_signs(p, dim)
+                ) + ")"
+                return (
+                    f"if(aggregate(zip_with({rv}, {arr}, (x, s) -> "
+                    "CAST(x AS DOUBLE) * s), 0.0D, (acc, v) -> acc + v) "
+                    ">= 0, '1', '0')"
+                )
+
+            return F.expr(
+                "concat("
+                + ", ".join(bit_sql(p) for p in range(n_planes))
+                + ")"
+            )
+
         def bit_fast(p: int) -> Column:
             signs = lit_double_array(plane_signs(p, dim))
             proj = F.aggregate(
@@ -114,6 +171,9 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int | None = None) -> Column
             return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
         return F.concat(*[bit_fast(p) for p in range(n_planes)])
+
+    if isinstance(vec, str):
+        vec = F.col(vec)
 
     def bit(p: int) -> Column:
         proj = F.aggregate(

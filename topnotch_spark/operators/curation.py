@@ -340,17 +340,17 @@ def embedding_decontaminate(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col)).alias("__cn__"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("__bkt__"),
+        norm(vec_col).alias("__cn__"),
+        srp_bucket(vec_col, n_planes, dim).alias("__bkt__"),
     )
     b = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).alias("__bv__"),
-        norm(F.col(vec_col)).alias("__bn__"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("__bkt__"),
+        norm(vec_col).alias("__bn__"),
+        srp_bucket(vec_col, n_planes, dim).alias("__bkt__"),
     )
     cos = F.round(
-        dot(F.col("__cv__"), F.col("__bv__"))
+        dot("__cv__", "__bv__")
         / (F.col("__cn__") * F.col("__bn__")),
         round_digits,
     )

@@ -662,19 +662,23 @@ def simhash_dedup(
     ex = shingle_rows(df, id_col, text_col, shingle_n).select(
         "id", hash_bits_int(F.md5("sh"), bits).alias("h")
     )
+    # one parsed expression per aggregate / per concat (r13): the
+    # per-bit Column compositions were ~2,700 py4j round trips of pure
+    # driver-side construction per query (the JVM sat idle); the SQL
+    # forms parse to the identical expressions (& == bitwiseAND,
+    # if() == CASE WHEN)
     votes = ex.groupBy("id").agg(
         *[
-            F.sum(
-                F.shiftright("h", bits - 1 - b).bitwiseAND(F.lit(1)) * 2 - 1
+            F.expr(
+                f"sum((shiftright(h, {bits - 1 - b}) & 1) * 2 - 1)"
             ).alias(f"v_{b}")
             for b in range(bits)
         ]
     )
-    sh_col = F.concat(
-        *[
-            F.when(F.col(f"v_{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for b in range(bits)
-        ]
+    sh_col = F.expr(
+        "concat("
+        + ", ".join(f"if(v_{b} > 0, '1', '0')" for b in range(bits))
+        + ")"
     )
     base = _persist(votes.select("id", sh_col.alias("sh")))
     return bitstring_band_pairs(base, bits, band_bits, max_hamming)
@@ -1113,8 +1117,8 @@ def embedding_near_dups(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        norm(vec_col).alias("nrm"),
+        srp_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     left = base.select(
         F.col("id").alias("id_1"),
@@ -1135,7 +1139,7 @@ def embedding_near_dups(
             "id_1",
             "id_2",
             F.round(
-                dot(F.col("__v1__"), F.col("__v2__"))
+                dot("__v1__", "__v2__")
                 / (F.col("__n1__") * F.col("__n2__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -1466,10 +1470,10 @@ def semantic_dedup(
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col)).alias("nrm"),
+            norm(vec_col).alias("nrm"),
         )
         .crossJoin(F.broadcast(cents))
-        .withColumn("__cc__", cosine(F.col("vec"), F.col("__cvec__")))
+        .withColumn("__cc__", cosine("vec", "__cvec__"))
     )
     w = Window.partitionBy("id").orderBy(
         F.col("__cc__").desc(), F.col("centroid_id").asc()
@@ -1496,7 +1500,7 @@ def semantic_dedup(
         .filter(F.col("id_1") < F.col("id_2"))
         .filter(
             F.round(
-                dot(F.col("__v1__"), F.col("__v2__"))
+                dot("__v1__", "__v2__")
                 / (F.col("__n1__") * F.col("__n2__")),
                 round_digits,
             )
@@ -2157,7 +2161,7 @@ def build_semantic_index(
     base = corpus.select(
         F.col(id_col).alias("index_id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
+        norm(vec_col).alias("nrm"),
     )
     if assignments is None:
         if centroids is None:
@@ -2175,7 +2179,7 @@ def build_semantic_index(
             .withColumn(
                 "__ccm__",
                 F.round(
-                    cosine(F.col("vec"), F.col("__cvec__")) * F.lit(1e6),
+                    cosine("vec", "__cvec__") * F.lit(1e6),
                     0,
                 ).cast("long"),
             )
@@ -2637,12 +2641,12 @@ def route_batch_to_centroids(
         batch.select(
             F.col(id_col).alias("__bid__"),
             F.col(vec_col).alias("__bv__"),
-            norm(F.col(vec_col)).alias("__bn__"),
+            norm(vec_col).alias("__bn__"),
         )
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "__ccm__",
-            F.round(cosine(F.col("__bv__"), F.col("__cvec__")) * F.lit(1e6), 0)
+            F.round(cosine("__bv__", "__cvec__") * F.lit(1e6), 0)
             .cast("long"),
         )
         .withColumn("__rn__", F.row_number().over(w))

@@ -51,12 +51,12 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col), dim).alias("__cn__"),
+        norm(vec_col, dim).alias("__cn__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col), dim).alias("__qn__"),
+        norm(vec_col, dim).alias("__qn__"),
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -65,7 +65,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"), dim)
+                dot("__qv__", "__cv__", dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -129,17 +129,17 @@ def mmr_rerank(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col), dim).alias("__cn__"),
+        norm(vec_col, dim).alias("__cn__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col), dim).alias("__qn__"),
+        norm(vec_col, dim).alias("__qn__"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("rel_micro").desc(), F.col("neighbor_id").asc()
     )
-    rel_cos = dot(F.col("__qv__"), F.col("__cv__"), dim) / (
+    rel_cos = dot("__qv__", "__cv__", dim) / (
         F.col("__qn__") * F.col("__cn__")
     )
     from topnotch_spark.operators.dedup import _persist
@@ -187,8 +187,8 @@ def mmr_rerank(
         F.col("__v__").alias("__bv__"),
     )
     pair_micro = F.round(
-        dot(F.col("__av__"), F.col("__bv__"), dim)
-        / (norm(F.col("__av__"), dim) * norm(F.col("__bv__"), dim))
+        dot("__av__", "__bv__", dim)
+        / (norm("__av__", dim) * norm("__bv__", dim))
         * F.lit(1e6),
         0,
     ).cast("long")
@@ -405,10 +405,10 @@ def ivf_topk(
             df.select(
                 F.col(id_col).alias(out_id),
                 F.col(vec_col).alias(out_vec),
-                norm(F.col(vec_col), dim).alias(out_norm),  # once per row, pre-join
+                norm(vec_col, dim).alias(out_norm),  # once per row, pre-join
             )
             .crossJoin(F.broadcast(cents))
-            .withColumn("__cc__", cosine(F.col(out_vec), F.col("__cvec__")))
+            .withColumn("__cc__", cosine(out_vec, "__cvec__"))
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("__cc__").desc(), F.col("centroid_id").asc()
@@ -428,7 +428,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"), dim)
+                dot("__qv__", "__cv__", dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -474,10 +474,10 @@ def srp_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col), dim).alias("__cn__"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        norm(vec_col, dim).alias("__cn__"),
+        srp_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
-    qbucket = srp_bucket(F.col(vec_col), n_planes, dim)
+    qbucket = srp_bucket(vec_col, n_planes, dim)
     if hamming_probes == 1:
         def flip(b, i):
             return F.concat(
@@ -494,7 +494,7 @@ def srp_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col), dim).alias("__qn__"),
+        norm(vec_col, dim).alias("__qn__"),
         qbucket.alias("bucket"),
     )
     pairs = (
@@ -504,7 +504,7 @@ def srp_ann_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"), dim)
+                dot("__qv__", "__cv__", dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -640,7 +640,7 @@ def kmeans_centroids(
             cents, "centroid_id int, cvec array<double>"
         )
         scored = base.crossJoin(F.broadcast(cdf)).withColumn(
-            "__cc__", cosine(F.col("v"), F.col("cvec"))
+            "__cc__", cosine("v", "cvec")
         )
         w = Window.partitionBy("id").orderBy(
             F.col("__cc__").desc(), F.col("centroid_id").asc()
@@ -853,7 +853,7 @@ def embedding_norm_outliers(
     label). One shuffle total, nothing collected to the driver."""
     from topnotch_spark.functions.vectors import norm
 
-    rn = F.round(norm(F.col(vec_col)), round_digits)
+    rn = F.round(norm(vec_col), round_digits)
     base = df.select(
         F.col(id_col), F.col(label_col), rn.alias("l2_norm")
     )
@@ -993,8 +993,8 @@ def label_knn_agreement(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__nl__"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col), dim).alias("__cn__"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        norm(vec_col, dim).alias("__cn__"),
+        srp_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     # Probe buckets by exploded INDEX, flipping the materialized bucket
     # column ABOVE the Generate: an explode(array(bucket, flip(bucket,
@@ -1007,8 +1007,8 @@ def label_knn_agreement(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("__ql__"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col), dim).alias("__qn__"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("__b0__"),
+        norm(vec_col, dim).alias("__qn__"),
+        srp_bucket(vec_col, n_planes, dim).alias("__b0__"),
     ).select(
         "*",
         F.explode(
@@ -1040,7 +1040,7 @@ def label_knn_agreement(
             "__nl__",
             "neighbor_id",
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"), dim)
+                dot("__qv__", "__cv__", dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -1103,13 +1103,13 @@ def contrastive_pairs(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("__cv__"),
-        norm(F.col(vec_col), dim).alias("__cn__"),
+        norm(vec_col, dim).alias("__cn__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         F.col(vec_col).alias("__qv__"),
-        norm(F.col(vec_col), dim).alias("__qn__"),
+        norm(vec_col, dim).alias("__qn__"),
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -1124,7 +1124,7 @@ def contrastive_pairs(
                 F.lit("pos"),
             ).otherwise(F.lit("neg")).alias("kind"),
             F.round(
-                dot(F.col("__qv__"), F.col("__cv__"), dim)
+                dot("__qv__", "__cv__", dim)
                 / (F.col("__qn__") * F.col("__cn__")),
                 round_digits,
             ).alias("cos_sim"),
@@ -1440,7 +1440,7 @@ def ivfpq_recall(
     q = base.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("qv"),
-        norm(F.col("v"), dim).alias("qn"),
+        norm("v", dim).alias("qn"),
     )
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("__cc__").desc(), F.col("centroid_id").asc()
@@ -1620,7 +1620,7 @@ def pq_recall(
     q = base.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("qv"),
-        norm(F.col("v"), dim).alias("qn"),
+        norm("v", dim).alias("qn"),
     )
     qsub = q.select(
         "query_id",
@@ -1758,13 +1758,13 @@ def kcenter_select(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
                 "v"
             ),
-            norm(F.col(vec_col), dim).alias("__n__"),
+            norm(vec_col, dim).alias("__n__"),
         )
     )
     d_micro = F.round(
         (
             F.lit(1.0)
-            - dot(F.col("v"), F.col("__pv__"), dim)
+            - dot("v", "__pv__", dim)
             / (F.col("__n__") * F.col("__pn__"))
         )
         * F.lit(1e6),
