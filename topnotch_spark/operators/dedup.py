@@ -462,19 +462,23 @@ def minhash_lsh_dedup(
     exploded = arr.select("id", F.explode("shs").alias("sh")).select(
         "id", hash60(F.col("sh")).alias("hp")
     )
+    # parsed-expression forms (r13) — see build_minhash_index: the
+    # L-suffixed long literals parse to the same LongType arithmetic
     sigs = exploded.groupBy("id").agg(
         *[
-            F.min((F.lit(a_co[h]) * F.col("hp") + F.lit(b_co[h])) % MINHASH_P).alias(
-                f"sig_{h}"
-            )
+            F.expr(
+                f"min(({a_co[h]}L * hp + {b_co[h]}L) % {MINHASH_P}L)"
+            ).alias(f"sig_{h}")
             for h in range(num_hashes)
         ]
     )
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
             )
+            + "))"
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -1885,28 +1889,30 @@ def build_minhash_index(
     exploded = arr.select("id", F.explode("shs").alias("sh")).select(
         "id", hash60(F.col("sh")).alias("hp")
     )
+    # one parsed expression per aggregate/band/array (r13): the
+    # composed per-hash Column chains were ~2,400 py4j construction
+    # round trips per call site; the L-suffixed long literals parse to
+    # the same LongType arithmetic, so signatures are bit-identical
     sigs = exploded.groupBy("id").agg(
         *[
-            F.min(
-                (F.lit(a_co[h]) * F.col("hp") + F.lit(b_co[h])) % MINHASH_P
+            F.expr(
+                f"min(({a_co[h]}L * hp + {b_co[h]}L) % {MINHASH_P}L)"
             ).alias(f"sig_{h}")
             for h in range(num_hashes)
         ]
     )
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"sig_{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
             )
+            + "))"
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    sig_arr = F.array(
-        *[F.col(f"sig_{h}") for h in range(num_hashes)]
+    sig_arr = F.expr(
+        "array(" + ", ".join(f"sig_{h}" for h in range(num_hashes)) + ")"
     ).alias("sigs")
     banded = sigs.select("id", sig_arr, *band_cols)
     stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))

@@ -2843,14 +2843,14 @@ def _wordpiece_walk(
     )
     n_parts = words.sparkSession.sparkContext.defaultParallelism
     for r in range(1, max_word_len + 1):
+        # string predicates/projections (r13): the Column forms cost
+        # ~45 py4j construction round trips per round × 12 rounds;
+        # the parsed forms are the same expressions
         advanced = (
-            state.filter(F.col("pos") < F.col("__len__"))
+            state.filter("pos < __len__")
             .join(lmatch, ["word", "pos"])
-            .select(
-                "word",
-                (F.col("pos") + F.col("step")).alias("pos"),
-                (F.col("n") + 1).alias("n"),
-                "__len__",
+            .selectExpr(
+                "word", "pos + step AS pos", "n + 1 AS n", "__len__"
             )
         )
         # coalesce BEFORE the checkpoint: the union concatenates the
@@ -2861,9 +2861,9 @@ def _wordpiece_walk(
         # round (and on the last): between truncations the plan grows
         # ≤ 2³ copies of one round's small subtree, vs 12 per-round
         # physical plannings at ~1 s each (measured 12.6 s → ~4 s)
-        state = state.filter(
-            F.col("pos") >= F.col("__len__")
-        ).unionByName(advanced).coalesce(n_parts)
+        state = state.filter("pos >= __len__").unionByName(
+            advanced
+        ).coalesce(n_parts)
         if r % 3 == 0 or r == max_word_len:
             state, ckpt = _truncate_round(state, ckpt, eager=False)
     word_sub = state.filter(F.col("pos") == F.col("__len__")).select(
