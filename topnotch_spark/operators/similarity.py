@@ -770,7 +770,7 @@ def kmeans_centroids_exact(
                 "id",
                 "v",
                 "centroid_id",
-                F.round(_cos(F.col("v"), F.col("cvec")) * F.lit(1e6), 0)
+                F.round(_cos("v", "cvec") * F.lit(1e6), 0)
                 .cast("long")
                 .alias("__ccm__"),
             )
@@ -1186,7 +1186,7 @@ def cluster_silhouette(
             "centroid_id", F.col("centroid").alias("cvec")
         )
     scored = base.crossJoin(F.broadcast(cents)).select(
-        "id", "centroid_id", _cos(F.col("v"), F.col("cvec")).alias("cc")
+        "id", "centroid_id", _cos("v", "cvec").alias("cc")
     )
     # the two best cosines per vector come from ONE groupBy(id) over a
     # collect_list bounded by |centroids| rows per id — a window +
@@ -1315,18 +1315,12 @@ def _pq_codebook(base: DataFrame, m: int, sd: int, n_codes: int) -> DataFrame:
         .limit(n_codes)
         .withColumn("code_id", F.row_number().over(wseed) - 1)
     )
+    sub_structs = ", ".join(
+        f"struct({s} AS s, slice(v, {s * sd + 1}, {sd}) AS cvec)"
+        for s in range(m)
+    )
     return seeds.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("v", s * sd + 1, sd).alias("cvec"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e__"),
+        F.expr(f"explode(array({sub_structs}))").alias("__e__"),
         "code_id",
     ).select(
         F.col("__e__.s").alias("s"), "code_id",
@@ -1336,19 +1330,13 @@ def _pq_codebook(base: DataFrame, m: int, sd: int, n_codes: int) -> DataFrame:
 
 def _pq_encode(base: DataFrame, cb: DataFrame, m: int, sd: int) -> DataFrame:
     """(vid, s, code_id): L2²-argmin code per subspace, lower-code tie."""
+    sub_structs = ", ".join(
+        f"struct({s} AS s, slice(v, {s * sd + 1}, {sd}) AS subv)"
+        for s in range(m)
+    )
     sub = base.select(
         "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("v", s * sd + 1, sd).alias("subv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e__"),
+        F.expr(f"explode(array({sub_structs}))").alias("__e__"),
     ).select("vid", F.col("__e__.s").alias("s"), F.col("__e__.subv").alias("subv"))
     l2 = F.aggregate(
         F.zip_with(
@@ -1463,15 +1451,12 @@ def ivfpq_recall(
     qsub = q.select(
         "query_id",
         "qn",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("qv", s * sd + 1, sd).alias("qsv"),
-                    )
+        F.expr(
+            "explode(array({}))".format(
+                ", ".join(
+                    f"struct({s} AS s, slice(qv, {s * sd + 1}, {sd}) AS qsv)"
                     for s in range(m)
-                ]
+                )
             )
         ).alias("__e__"),
     ).select(
@@ -1625,15 +1610,12 @@ def pq_recall(
     qsub = q.select(
         "query_id",
         "qn",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("qv", s * sd + 1, sd).alias("qsv"),
-                    )
+        F.expr(
+            "explode(array({}))".format(
+                ", ".join(
+                    f"struct({s} AS s, slice(qv, {s * sd + 1}, {sd}) AS qsv)"
                     for s in range(m)
-                ]
+                )
             )
         ).alias("__e__"),
     ).select(
