@@ -456,7 +456,13 @@ def minhash_lsh_dedup(
     exact Jaccard via array_intersect on the persisted arrays, so the
     verification cost is |candidates|, not |corpus|."""
     rows_per_band = num_hashes // bands
-    arr = _persist(shingle_arrays(df, id_col, text_col, shingle_n))
+    # spread_cpu at the FULL-CORPUS entry only (guide §2/§6): the fused
+    # scan→shingle→signature map stage otherwise runs at row-group
+    # parallelism (1 task at bench layout). The incremental/compaction
+    # loops go through build_minhash_index, which stays unspread — the
+    # r13 A/B showed spreading their 1/3-sized batches costs more in
+    # added exchanges than the map stage gains.
+    arr = _persist(shingle_arrays(spread_cpu(df, id_col), id_col, text_col, shingle_n))
     a_co, b_co = minhash_coeffs(num_hashes)
 
     exploded = arr.select("id", F.explode("shs").alias("sh")).select(
@@ -542,8 +548,9 @@ def ngram_jaccard_pairs(
     setting; pass ``max_shingle_df=None`` to explicitly opt in to exact
     all-pairs-sharing-a-shingle semantics (quadratic in the hottest
     shingle's document frequency)."""
-    # feeds explode + both size joins
-    arr = _persist(shingle_arrays(df, id_col, text_col, shingle_n))
+    # feeds explode + both size joins; spread: full-corpus entry whose
+    # shingle map stage is otherwise fused onto the row-group-limited scan
+    arr = _persist(shingle_arrays(spread_cpu(df, id_col), id_col, text_col, shingle_n))
     exploded = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("n_sh"))
     if max_shingle_df is not None:
@@ -601,7 +608,8 @@ def containment_pairs(
     ``max_shingle_df`` valve: shingles above the document-frequency cap
     leave the JOIN only, sizes still count them — strictly conservative
     for the containment score."""
-    arr = _persist(shingle_arrays(df, id_col, text_col, shingle_n))
+    # spread: same full-corpus-entry rationale as ngram_jaccard_pairs
+    arr = _persist(shingle_arrays(spread_cpu(df, id_col), id_col, text_col, shingle_n))
     exploded = arr.select("id", F.explode("shs").alias("shingle"))
     sizes = arr.select("id", F.size("shs").alias("n_sh"))
     if max_shingle_df is not None:
@@ -663,7 +671,8 @@ def simhash_dedup(
     persisted because it feeds both sides of the candidate self-join."""
     from topnotch_spark.functions.text import hash_bits_int
 
-    ex = shingle_rows(df, id_col, text_col, shingle_n).select(
+    # spread: same full-corpus-entry rationale as minhash_lsh_dedup
+    ex = shingle_rows(spread_cpu(df, id_col), id_col, text_col, shingle_n).select(
         "id", hash_bits_int(F.md5("sh"), bits).alias("h")
     )
     # one parsed expression per aggregate / per concat (r13): the
