@@ -521,10 +521,18 @@ def triangle_counts(edges: DataFrame, round_digits: int = 6) -> DataFrame:
     wedges = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).join(
         e2, "b"
     )
-    tris = wedges.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
-        ["a", "c"],
-    ).select("a", "b", "c")
+    # persisted: the corner union below projects tris THREE times, and
+    # union branches are independent subtrees — unpersisted, each branch
+    # re-runs the whole wedge+closure join (measured 3x the 67-task join
+    # stages and ~5s of first-plan analysis on the tripled tree at
+    # sf0.1). Cached, the join runs once and the plan carries one
+    # InMemoryRelation; |tris| is three longs per triangle.
+    tris = _persist(
+        wedges.join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            ["a", "c"],
+        ).select("a", "b", "c")
+    )
     corners = (
         tris.select(F.col("a").alias("node"))
         .union(tris.select(F.col("b").alias("node")))
