@@ -747,10 +747,18 @@ def kmeans_centroids_exact(
         )
     if n_rounds < 1:
         raise ValueError(f"kmeans_centroids_exact: n_rounds must be >= 1")
+    from topnotch_spark.operators.dedup import _persist
+
     spark = df.sparkSession
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    # persisted: the (id, v) projection feeds the seeds collect, one
+    # assignment cross-join PER ROUND and the final assignment pass —
+    # 2·n_rounds+2 corpus scans unpersisted (measured: four 32-task
+    # 0.5s scan+cast stages per cataloged 2-round train at sf0.1)
+    base = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
     )
     seeds = base.orderBy("id").limit(n_centroids).collect()
     cents = [
