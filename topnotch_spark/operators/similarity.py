@@ -477,25 +477,35 @@ def srp_ann_topk(
         norm(vec_col, dim).alias("__cn__"),
         srp_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
-    qbucket = srp_bucket(vec_col, n_planes, dim)
-    if hamming_probes == 1:
-        def flip(b, i):
-            return F.concat(
-                F.substring(b, 1, i),
-                F.when(F.substring(b, i + 1, 1) == "1", F.lit("0")).otherwise(
-                    F.lit("1")
-                ),
-                F.substring(b, i + 2, n_planes - i - 1),
-            )
-
-        qbucket = F.explode(
-            F.array(qbucket, *[flip(qbucket, i) for i in range(n_planes)])
-        )
-    q = queries.select(
+    # The SRP bucket expression (n_planes dot-product folds over literal
+    # sign arrays) is computed into a NAMED column first; the multiprobe
+    # flips then reference the column. Inlined, the explode embedded the
+    # full bucket expression 3·n_planes+1 times (≈12,800 literal doubles
+    # at 8 planes × dim 64) — Spark analyzes the logical plan eagerly on
+    # EVERY transformation, so that one projection dominated driver-side
+    # construction (guide §4, the boundary; CollapseProject keeps
+    # non-cheap multiply-referenced aliases un-inlined, so the split
+    # projection survives optimization too).
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv__"),
         norm(vec_col, dim).alias("__qn__"),
-        qbucket.alias("bucket"),
+        srp_bucket(vec_col, n_planes, dim).alias("__b0__"),
+    )
+    if hamming_probes == 1:
+        # one parsed expression for the whole probe set (if() == CASE
+        # WHEN — the same flip semantics the Column form built op by op)
+        flips = ", ".join(
+            f"concat(substring(__b0__, 1, {i}), "
+            f"if(substring(__b0__, {i + 1}, 1) = '1', '0', '1'), "
+            f"substring(__b0__, {i + 2}, {n_planes - i - 1}))"
+            for i in range(n_planes)
+        )
+        bucket = F.expr(f"explode(array(__b0__, {flips}))")
+    else:
+        bucket = F.col("__b0__")
+    q = q0.select(
+        "query_id", "__qv__", "__qn__", bucket.alias("bucket")
     )
     pairs = (
         c.join(F.broadcast(q), "bucket")
