@@ -4,23 +4,14 @@ physical plan REALLY scan each parquet relation?
 A plan that scans the same source 3-4x with no ReusedExchange /
 InMemoryTableScan re-runs the whole upstream subtree per branch — the
 "recompute the corpus N times" scale bug (VERDICT r6).  This module
-counts *uncached* `Scan parquet` nodes per relation root path in the
-FORMATTED explain.  Two display artifacts must NOT be counted:
-
-  * InMemoryRelation blocks: the formatted tree re-prints the cached
-    plan under EVERY InMemoryTableScan branch, and an AQE cached plan
-    prints both "== Final Plan ==" and "== Initial Plan ==" sections —
-    so one materialize-once scan can appear 8x in the text (the r7
-    false positives on drift_weekly_psi / timeseries_resample).
-  * Node-id repeats: the same physical node id shown twice is one node.
-
-Rule: a scan is real iff its node id appears in the tree at least once
-OUTSIDE any InMemoryRelation subtree; counts are per DISTINCT node id.
-Subtree membership uses the column of the node text (Spark indents each
-tree level by a fixed 3 columns, and nested-cached-plan lines such as
-`ResultQueryStage (12)` that carry no `+- ` marker still sit strictly
-deeper than their InMemoryRelation ancestor) — not the `+- ` marker
-position, which those lines lack (the r7 parser bug).
+counts *uncached* file-relation LEAVES of the optimized LOGICAL plan
+per relation root path (r13; see scan_counts for why the earlier
+formatted-explain text parser was replaced: the display of materialized
+nested AQE cached plans outdents past its InMemoryRelation owner, which
+made the text rule session-order-dependent).  Cached subtrees collapse
+to InMemoryRelation leaves and are excluded by construction — a cached
+plan executes once at materialization no matter how many branches
+reference it.
 
 Usage:
     python scripts/scan_audit.py [sf_dir] [query ...]   # default: all batch
@@ -33,64 +24,45 @@ bound over the whole batch catalog, so this can't silently regress.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# A tree line, after stripping the `[ :+-]` gutter, starts with an
-# optional codegen `*`, then the node name, then the node id:
-#   `* HashAggregate (10)`, `Scan parquet  (3)`,
-#   `BroadcastHashJoin LeftOuter BuildRight (29)`,
-#   `ShuffleQueryStage (9), Statistics(...)`.
-# Section headers (`== Final Plan ==`) carry no id and are skipped.
-_NODE = re.compile(r"^\*?\s*([A-Za-z][\w]*(?: [A-Za-z][\w]*)*)\s*\((\d+)\)")
-_GUTTER = re.compile(r"^[\s:+-]*")
-
-
 def scan_counts(df) -> dict[str, int]:
-    """relation root path -> number of DISTINCT uncached `Scan parquet`
-    node ids in the formatted plan tree.  Scans whose every appearance
-    is inside an InMemoryRelation cached-plan display are excluded (the
-    cached plan executes once at materialization no matter how many
-    InMemoryTableScan branches re-print it)."""
-    import contextlib
-    import io
+    """relation root path -> number of uncached file-relation leaves in
+    the OPTIMIZED LOGICAL plan.  Cached subtrees are excluded by
+    construction: once a frame is persisted, the cache manager replaces
+    its subtree with an InMemoryRelation LEAF (the cached plan executes
+    once at materialization no matter how many branches reference it),
+    so walking logical leaves counts exactly the real per-branch scans.
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    txt = buf.getvalue()
-
-    # id -> relation path, from the numbered detail blocks:
-    #   (3) Scan parquet
-    #   Location: InMemoryFileIndex [file:/root/testdata/.../events.parquet]
-    id_path: dict[str, str] = {}
-    for m in re.finditer(r"\n\((\d+)\) Scan parquet ?\n(.*?)(?=\n\(\d+\)|\Z)",
-                         txt, re.S):
-        loc = re.search(r"Location:[^\[]*\[([^\],]+)", m.group(2))
-        id_path[m.group(1)] = loc.group(1) if loc else "<unknown>"
-
-    tree = txt.split("\n\n")[0]
-    imr_depths: list[int] = []      # columns of open InMemoryRelation nodes
-    uncached_ids: set[str] = set()
-    for line in tree.splitlines():
-        gutter = _GUTTER.match(line).group(0)
-        node = _NODE.match(line[len(gutter):])
-        if not node:
-            continue            # section header / detail text: no stack edit
-        depth = len(gutter)     # column of the node text = tree depth
-        name, nid = node.group(1), node.group(2)
-        while imr_depths and depth <= imr_depths[-1]:
-            imr_depths.pop()
-        if name == "InMemoryRelation":
-            imr_depths.append(depth)
-        elif name == "Scan parquet" and not imr_depths:
-            uncached_ids.add(nid)
-
+    This replaced the r8 formatted-text parser (r13): the text walker
+    attributed subtree membership by indentation column, but the display
+    of a MATERIALIZED cached plan that itself contains AQE stages prints
+    its `== Final/Initial Plan ==` sections OUTDENTED past the owning
+    InMemoryRelation, so a cache-inside-a-cache (e.g. the persisted
+    bucket table over the persisted shingle table once the shingle plan
+    gained a spread Exchange) made cached scans count as real depending
+    on which caches happened to be materialized — i.e. on test/session
+    ORDER, not on the plan. The logical plan has no display artifacts.
+    Subquery plans are not traversed (collectLeaves stays in the main
+    plan); optimizer-duplicated subquery filters — the view_big_qty_orders
+    ALLOWED_MULTI case — are an optimizer prune-early trade, never an
+    operator recompute bug, which is exactly the class this audit hunts."""
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    leaves = jplan.collectLeaves()
     counts: dict[str, int] = {}
-    for nid in uncached_ids:
-        path = id_path.get(nid, "<unknown>")
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        path = "<unknown>"
+        try:
+            roots = leaf.relation().location().rootPaths()
+            if roots.size() > 0:
+                path = roots.apply(0).toString()
+        except Exception:
+            pass
         counts[path] = counts.get(path, 0) + 1
     return counts
 

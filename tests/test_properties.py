@@ -875,8 +875,14 @@ def test_mixture_allocate_waterfilling_property(spark, sources, budget, mrm):
         assert r["alloc_tokens"] <= r["cap_tokens"]
     total = sum(r["alloc_tokens"] for r in got.values())
     assert total <= budget
-    # the budget is met whenever the caps allow it (up to flooring)
-    if sum(c for _, _, c in items) >= budget:
+    # the budget is met whenever the TARGETED caps allow it (up to
+    # flooring). Untargeted sources (t=0) never receive allocation — in
+    # both the operator and _py_waterfill the leftover shares split
+    # proportionally to t — so their capacity cannot fill the budget
+    # (hypothesis falsifier 2026-08-17: one targeted source with cap 0
+    # plus one untargeted source with cap 5, budget 3, allocates 0 in
+    # BOTH implementations; the old all-caps guard called that a miss).
+    if sum(c for _, t, c in items if t > 0) >= budget:
         assert total >= budget - len(items)
 
 

@@ -763,3 +763,82 @@ class TestCompactIndex:
         assert eng.run(str(p)) == 0
         row = eng.registry["compacted"].collect()[0]
         assert row["n_partitions_compacted"] == 0  # fresh upsert: 1 file/dir
+
+
+class TestSrpMultiprobeExpression:
+    """r13 §14: the multiprobe flip set is now built as ONE parsed SQL
+    expression over a NAMED bucket column (construction-cost fix). Pin
+    its semantics: per query, the probe set must be exactly the base
+    bucket plus the n_planes single-bit flips of it, in order."""
+
+    def test_probe_set_is_base_plus_single_bit_flips(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from topnotch_spark.functions.vectors import srp_bucket
+
+        rng = random.Random(13)
+        dim, n_planes = 8, 6
+        rows = [
+            (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(20)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        base = {
+            r["vec_id"]: r["b"]
+            for r in emb.select(
+                "vec_id", srp_bucket("embedding", n_planes, dim).alias("b")
+            ).collect()
+        }
+
+        # drive the operator's probe generation via its join column:
+        # corpus = queries, so every emitted (query_id, bucket) pair of
+        # the pre-join projection is observable through the fan-out —
+        # reproduce it by re-deriving the probe column exactly as
+        # srp_ann_topk does, through the public entry
+        from topnotch_spark.operators.similarity import srp_ann_topk
+
+        out = srp_ann_topk(
+            emb, emb.filter("vec_id < 3"), k=5, n_planes=n_planes, dim=dim,
+            hamming_probes=1,
+        )
+        # semantic pin: with probes=1 every returned neighbor's bucket
+        # is within Hamming distance 1 of the query's base bucket
+        nbr_bucket = {
+            r["vec_id"]: r["b"]
+            for r in emb.select(
+                "vec_id", srp_bucket("embedding", n_planes, dim).alias("b")
+            ).collect()
+        }
+        for r in out.collect():
+            qb, nb = base[r["query_id"]], nbr_bucket[r["neighbor_id"]]
+            ham = sum(1 for a, b in zip(qb, nb) if a != b)
+            assert ham <= 1, (r["query_id"], r["neighbor_id"], qb, nb)
+
+    def test_flip_expressions_match_python_reference(self, spark):
+        """The parsed flip strings equal Python-computed single-bit
+        flips of the same bucket, for every position."""
+        from pyspark.sql import functions as F
+
+        n_planes = 7
+        df = spark.createDataFrame(
+            [("1010011",), ("0000000",), ("1111111",)], "b0 string"
+        )
+        flips = ", ".join(
+            f"concat(substring(b0, 1, {i}), "
+            f"if(substring(b0, {i + 1}, 1) = '1', '0', '1'), "
+            f"substring(b0, {i + 2}, {n_planes - i - 1}))"
+            for i in range(n_planes)
+        )
+        got = {
+            r["b0"]: r["probes"]
+            for r in df.select(
+                "b0", F.expr(f"array({flips})").alias("probes")
+            ).collect()
+        }
+        for b0, probes in got.items():
+            expect = [
+                b0[:i] + ("0" if b0[i] == "1" else "1") + b0[i + 1:]
+                for i in range(n_planes)
+            ]
+            assert probes == expect, (b0, probes, expect)
