@@ -66,6 +66,9 @@ def _default_checkpoint_root() -> str:
 DEFAULT_CHECKPOINT_ROOT = _default_checkpoint_root()
 REPLAY_ROOT = "/root/repo/.tmp/events_replay"
 REPLAY_CUTS = ("2024-01-11", "2024-01-21")
+# replay dirs whose ts dtype was already probed OK this process,
+# keyed (dest, marker mtime_ns) — see events_replay_dir
+_VALIDATED_REPLAY_DIRS: set = set()
 
 
 def events_replay_dir(
@@ -99,9 +102,16 @@ def events_replay_dir(
     if os.path.exists(marker):
         # Guard against a replay dir built from stale testdata whose ts was
         # not yet normalized to the plain (LTZ) timestamp type — watermarks
-        # reject TIMESTAMP_NTZ, so rebuild rather than reuse.
+        # reject TIMESTAMP_NTZ, so rebuild rather than reuse. The parquet
+        # dtype probe costs a footer read per call, so a dir validated once
+        # this process is remembered (keyed on the marker's mtime — a
+        # rebuild writes a fresh marker and misses the memo).
         try:
+            mkey = (dest, os.stat(marker).st_mtime_ns)
+            if mkey in _VALIDATED_REPLAY_DIRS:
+                return dest
             if dict(spark.read.parquet(dest).dtypes).get("ts") == "timestamp":
+                _VALIDATED_REPLAY_DIRS.add(mkey)
                 return dest
         except Exception:
             pass
@@ -156,7 +166,12 @@ def stream_from_parquet(
     sequence of micro-batches — how the tests drive multi-batch behavior.
     """
     if schema is None:
-        schema = spark.read.parquet(path).schema
+        from topnotch_spark.catalog import _read_parquet_cached_schema
+
+        # stat-keyed schema memo (catalog.load's): the batch probe reads
+        # the parquet footer every call otherwise; a rebuilt dir has a
+        # fresh mtime and re-infers
+        schema = _read_parquet_cached_schema(spark, path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
