@@ -1359,13 +1359,18 @@ def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer output; here it is trained inline so the oracle replays
     train → apply end to end."""
     from topnotch_spark.operators.textqc import (
+        bpe_corpus_vocab,
         bpe_merge_sequence,
         bpe_segment,
     )
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_merge_sequence(docs, "doc_id", "text", n_merges=8)
-    return bpe_segment(docs, merges, "doc_id", "text")
+    # train and apply share ONE persisted corpus-vocabulary reduction
+    # (r13: each half otherwise re-scans + re-shuffles the corpus words)
+    vocab = bpe_corpus_vocab(docs, "text")
+    merges = bpe_merge_sequence(docs, "doc_id", "text", n_merges=8,
+                                vocab=vocab)
+    return bpe_segment(docs, merges, "doc_id", "text", words=vocab)
 
 
 def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,15 +1383,19 @@ def unigram_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topnotch_spark.operators.textqc import (
         unigram_lm_vocab,
         unigram_segment,
+        word_counts,
     )
 
     docs = load(spark, sf_dir, "documents")
+    # train and apply share ONE persisted (word, wc) corpus reduction
+    # (r13: each half otherwise re-scans + re-shuffles the corpus words)
+    wc = word_counts(docs, "text", max_word_len=12)
     vocab = unigram_lm_vocab(
         docs, "doc_id", "text", max_word_len=12, max_piece_len=4,
-        seed_size=64, vocab_size=48, n_rounds=2,
+        seed_size=64, vocab_size=48, n_rounds=2, words=wc,
     )
     return unigram_segment(docs, vocab, "doc_id", "text",
-                           max_piece_len=4, max_word_len=12)
+                           max_piece_len=4, max_word_len=12, words=wc)
 
 
 def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,17 +1406,22 @@ def wordpiece_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fertility, output-compatible with unigram_segment_docs and
     bpe_segment_docs so the three families are drop-in comparable."""
     from topnotch_spark.operators.textqc import (
+        word_counts,
         wordpiece_segment,
         wordpiece_vocab,
     )
 
     docs = load(spark, sf_dir, "documents")
+    # train and apply share ONE persisted (word, wc) corpus reduction
+    # (r13: each half otherwise re-scans + re-shuffles the corpus words)
+    wc = word_counts(docs, "text", max_word_len=12)
     vocab = wordpiece_vocab(
         docs, "doc_id", "text", max_piece_len=4, vocab_size=48,
-        max_word_len=12,
+        max_word_len=12, words=wc,
     )
     return wordpiece_segment(
-        docs, vocab, "doc_id", "text", max_piece_len=4, max_word_len=12
+        docs, vocab, "doc_id", "text", max_piece_len=4, max_word_len=12,
+        words=wc,
     )
 
 

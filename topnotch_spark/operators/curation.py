@@ -273,8 +273,16 @@ def cross_corpus_overlap(
     cap and the leakage join (2 corpus scans without it); consume inside
     ``dedup_scope()`` or call ``unpersist_intermediates()`` to release
     the storage."""
-    from topnotch_spark.operators.dedup import _persist, shingle_arrays
+    from topnotch_spark.operators.dedup import (
+        _persist,
+        shingle_arrays,
+        spread_cpu,
+    )
 
+    # corpus side is the full-corpus shingle entry: spread the fused
+    # scan→shingle map stage onto the cores (guide §2/§6); the bench
+    # side stays unspread (a filtered slice, broadcast anyway)
+    corpus = spread_cpu(corpus, id_col)
     c = _persist(
         shingle_arrays(corpus, id_col, text_col, shingle_n).select(
             F.col("id").alias("corpus_id"), F.explode("shs").alias("sh")

@@ -1218,6 +1218,10 @@ def duplicate_spans(
     driver data, no UDFs."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     pat = r"(?<=^|\s)(?=((?:\S+ ){" + str(span_tokens - 1) + r"}\S+))"
+    # spread_cpu at the FULL-CORPUS entry (guide §2/§6): the regex span
+    # extraction + posexplode + md5 is fused onto the single-row-group
+    # scan and otherwise runs at row-group parallelism
+    df = spread_cpu(df, id_col)
     spans = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias(
@@ -1292,6 +1296,11 @@ def rewrite_duplicate_spans(
     raw_cols = (
         [F.col(text_col).alias("__raw__")] if emit_cut_ranges else []
     )
+    # spread_cpu before the persisted token-array base: the persist
+    # inherits the scan's row-group partitioning, so EVERY downstream
+    # narrow stage (span windows, posexplode, per-doc totals) would
+    # otherwise run at 1-3 tasks (guide §2/§6)
+    df = spread_cpu(df, id_col)
     ta = _persist(
         df.select(
             F.col(id_col).alias("id"),

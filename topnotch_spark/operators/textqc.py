@@ -932,9 +932,15 @@ def ngram_novelty(
     hot-key valve needed: viral shingles only ever contribute a single
     counter row, never a pair blow-up, so the plan is skew-safe at any
     corpus size."""
-    from topnotch_spark.operators.dedup import _persist, shingle_rows
+    from topnotch_spark.operators.dedup import (
+        _persist,
+        shingle_rows,
+        spread_cpu,
+    )
 
-    sh = _persist(shingle_rows(df, id_col, text_col, shingle_n))
+    # full-corpus shingle entry: spread the fused scan→shingle map
+    # stage onto the cores (guide §2/§6, the pair-mining discipline)
+    sh = _persist(shingle_rows(spread_cpu(df, id_col), id_col, text_col, shingle_n))
     dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
     return (
         sh.join(dfc, "sh")
@@ -1019,6 +1025,7 @@ def bpe_merge_sequence(
     id_col: str,
     text_col: str,
     n_merges: int = 8,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """The full BPE trainer loop (Sennrich et al. 2016), ``n_merges``
     rounds of count → merge → recount: each round counts every adjacent
@@ -1055,8 +1062,12 @@ def bpe_merge_sequence(
     again, and no driver-side collect happens anywhere."""
     if n_merges < 1:
         raise ValueError("bpe_merge_sequence: n_merges must be >= 1")
+    # ``vocab`` optionally supplies a precomputed :func:`bpe_corpus_vocab`
+    # (word, s, wc) frame so a train→apply pipeline reduces the corpus once
     bests, _, ckpt = _bpe_rounds(
-        _bpe_vocab(df, text_col), n_merges, apply_last=False
+        vocab if vocab is not None else _bpe_vocab(df, text_col),
+        n_merges,
+        apply_last=False,
     )
     out = bests[0]
     for b in bests[1:]:
@@ -1080,6 +1091,37 @@ def bpe_merge_sequence(
         _d._PERSISTED.append(result)
         _d._CHECKPOINTED[id(result)] = ckpt
     return result
+
+
+def word_counts(
+    df: DataFrame, text_col: str, max_word_len: int | None = None
+) -> DataFrame:
+    """Persisted corpus word-frequency reduction ``(word, wc)`` — the
+    shared train/apply input of the unigram-LM and WordPiece tokenizer
+    lifecycles. Train (:func:`unigram_lm_vocab` / :func:`wordpiece_vocab`)
+    and apply (:func:`unigram_segment` / :func:`wordpiece_segment`) each
+    reduce the corpus to this exact frame; computing it once and passing
+    it to both halves of a train→apply pipeline saves a full corpus
+    scan + word shuffle per consumer (the graph ``basket_items`` /
+    DSIR ``target_pred`` sharing pattern). ``max_word_len`` must match
+    the consumers' trainer contract."""
+    from topnotch_spark.operators.dedup import _persist
+
+    w = df.select(F.explode(tokens(text_col)).alias("word"))
+    if max_word_len is not None:
+        w = w.filter(F.length("word") <= max_word_len)
+    return _persist(w.groupBy("word").agg(F.count(F.lit(1)).alias("wc")))
+
+
+def bpe_corpus_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Persisted ``(word, s, wc)`` corpus vocabulary in the BPE trainer's
+    doubled-space symbol representation — the shared train/apply input of
+    the BPE lifecycle (pass to :func:`bpe_merge_sequence` via ``vocab``
+    and to :func:`bpe_segment` via ``words`` so a train→apply pipeline
+    reduces the corpus exactly once)."""
+    from topnotch_spark.operators.dedup import _persist
+
+    return _persist(_bpe_vocab(df, text_col))
 
 
 _BPE_SYMS = "filter(split(s, '  '), x -> x <> '')"
@@ -1248,6 +1290,7 @@ def bpe_segment(
     id_col: str,
     text_col: str,
     round_digits: int = 6,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY a trained BPE merge sequence to new data — the encode twin
     of :func:`unigram_segment`, completing the BPE half of the
@@ -1289,18 +1332,24 @@ def bpe_segment(
             ).alias("__m__")
         ).agg(F.array_sort(F.collect_list("__m__")).alias("__merges__"))
     )
-    words = _persist(
-        target.select(F.explode(tokens(text_col)).alias("word"))
-        .distinct()
-        .select(
-            "word",
-            F.concat(
-                F.lit(" "),
-                F.regexp_replace("word", "(.)", " $1 "),
-                F.lit(" "),
-            ).alias("s"),
+    # ``words`` optionally supplies a precomputed :func:`bpe_corpus_vocab`
+    # frame — its (word, s) projection is exactly this distinct set, so a
+    # train→apply pipeline skips a second corpus scan + word shuffle
+    if words is not None:
+        words = words.select("word", "s")
+    else:
+        words = _persist(
+            target.select(F.explode(tokens(text_col)).alias("word"))
+            .distinct()
+            .select(
+                "word",
+                F.concat(
+                    F.lit(" "),
+                    F.regexp_replace("word", "(.)", " $1 "),
+                    F.lit(" "),
+                ).alias("s"),
+            )
         )
-    )
     segmented = words.crossJoin(mrow).select(
         "word",
         F.expr(
@@ -1586,6 +1635,7 @@ def unigram_lm_vocab(
     seed_size: int = 64,
     vocab_size: int = 48,
     n_rounds: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece
     algorithm; the subword-regularization counterpart of
@@ -1626,7 +1676,7 @@ def unigram_lm_vocab(
     row frame."""
     words, lp, ckpt = _unigram_train(
         df, text_col, max_word_len, max_piece_len, seed_size, vocab_size,
-        n_rounds,
+        n_rounds, words=words,
     )
     w = Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
     result = lp.select(
@@ -1651,6 +1701,7 @@ def _unigram_train(
     seed_size: int,
     vocab_size: int,
     n_rounds: int,
+    words: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, str | None]:
     """The unigram-LM EM loop shared by :func:`unigram_lm_vocab` and
     :func:`unigram_fertility_by_group`: returns (words, final lp frame,
@@ -1665,12 +1716,15 @@ def _unigram_train(
         raise ValueError("unigram_lm_vocab: max_piece_len must be >= 2")
     P = int(max_piece_len)
 
-    words = _persist(
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") <= max_word_len)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
+    # ``words`` optionally supplies a precomputed :func:`word_counts`
+    # (word, wc) frame (already persisted, same max_word_len contract)
+    if words is None:
+        words = _persist(
+            df.select(F.explode(tokens(text_col)).alias("word"))
+            .filter(F.length("word") <= max_word_len)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
     # every substring occurrence of length 1..P, weighted by word freq
     subs = words.select(
         F.explode(
@@ -2615,6 +2669,7 @@ def unigram_segment(
     max_piece_len: int = 4,
     max_word_len: int = 12,
     round_digits: int = 6,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY a trained unigram-LM piece vocabulary to new data — the
     deployment step of the tokenizer lifecycle (train:
@@ -2641,12 +2696,16 @@ def unigram_segment(
     from topnotch_spark.operators.dedup import _persist
 
     lp = vocab.select("piece", "lp_milli")
-    words = _persist(
-        target.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") <= max_word_len)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
+    # ``words`` optionally supplies a precomputed :func:`word_counts`
+    # frame (same max_word_len contract) so a train→apply pipeline
+    # reduces the corpus exactly once
+    if words is None:
+        words = _persist(
+            target.select(F.explode(tokens(text_col)).alias("word"))
+            .filter(F.length("word") <= max_word_len)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
     # words the vocab cannot FULLY segment (a character no piece covers)
     # are excluded exactly like the oracle's complete-path enumeration —
     # any unreachable piece drags the DP cost below _UNI_MINF / 2
@@ -2695,6 +2754,7 @@ def wordpiece_vocab(
     max_piece_len: int = 4,
     vocab_size: int = 48,
     max_word_len: int = 12,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Frequency-seeded WordPiece-style piece vocabulary — the third
     tokenizer family next to [bpe_merge_sequence] (merge-based) and
@@ -2724,15 +2784,19 @@ def wordpiece_vocab(
         raise ValueError(
             f"wordpiece_vocab: vocab_size must be >= 0, got {vocab_size}"
         )
-    wc = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") <= max_word_len)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
-    from topnotch_spark.operators.dedup import _persist
+    # ``words`` optionally supplies a precomputed :func:`word_counts`
+    # frame (same max_word_len contract)
+    if words is not None:
+        wc = words
+    else:
+        from topnotch_spark.operators.dedup import _persist
 
-    wc = _persist(wc)
+        wc = _persist(
+            df.select(F.explode(tokens(text_col)).alias("word"))
+            .filter(F.length("word") <= max_word_len)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        )
     # all substrings of length 1..P at every position, never past the
     # word end: (pos, L) pairs with pos + L <= len + 1 (1-based substr)
     cand = wc.select(
@@ -2882,6 +2946,7 @@ def wordpiece_segment(
     max_piece_len: int = 4,
     max_word_len: int = 12,
     round_digits: int = 6,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY a WordPiece-style vocabulary with GREEDY
     LONGEST-MATCH-FIRST segmentation (the WordPiece/BERT runtime
@@ -2918,11 +2983,17 @@ def wordpiece_segment(
         raise ValueError(
             f"wordpiece_segment: max_word_len must be >= 1, got {max_word_len}"
         )
-    words = _persist(
-        target.select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.length("word") <= max_word_len)
-        .distinct()
-    )
+    # ``words`` optionally supplies a precomputed :func:`word_counts`
+    # frame (same max_word_len contract) — its word column is exactly
+    # this distinct set
+    if words is not None:
+        words = words.select("word")
+    else:
+        words = _persist(
+            target.select(F.explode(tokens(text_col)).alias("word"))
+            .filter(F.length("word") <= max_word_len)
+            .distinct()
+        )
     word_sub, ckpts = _wordpiece_walk(
         words, vocab, max_piece_len, max_word_len
     )
