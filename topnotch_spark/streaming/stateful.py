@@ -27,7 +27,7 @@ row-at-a-time Python).
 from __future__ import annotations
 
 import re
-from typing import Any, Iterator
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -61,13 +61,22 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _session_row(user_id: int, start_us: int, last_us: int, n: int) -> dict[str, Any]:
-    return {
-        "user_id": user_id,
-        "session_start": pd.Timestamp(start_us, unit="us"),
-        "session_end": pd.Timestamp(last_us, unit="us"),
-        "n_events": n,
-    }
+def _session_frame(
+    user_id: int, start_us: list[int], last_us: list[int], n: list[int]
+) -> pd.DataFrame:
+    # columnar construction with explicit datetime64[us] arrays: a
+    # list-of-dicts frame of pd.Timestamp objects goes through pandas'
+    # object-dtype datetime inference (objects_to_datetime64) — measured
+    # as a top CPU consumer in worker stack samples, ~|sessions| times
+    # per micro-batch
+    return pd.DataFrame(
+        {
+            "user_id": user_id,
+            "session_start": np.array(start_us, dtype="datetime64[us]"),
+            "session_end": np.array(last_us, dtype="datetime64[us]"),
+            "n_events": n,
+        }
+    )
 
 
 def sessionize_stream(
@@ -93,7 +102,7 @@ def sessionize_stream(
         if state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
-            yield pd.DataFrame([_session_row(user_id, start_us, last_us, n)])
+            yield _session_frame(user_id, [start_us], [last_us], [n])
             return
 
         chunks = list(pdfs)
@@ -105,10 +114,14 @@ def sessionize_stream(
         else:
             start_us, last_us, n = None, None, 0
 
-        closed: list[dict[str, Any]] = []
+        c_start: list[int] = []
+        c_last: list[int] = []
+        c_n: list[int] = []
         for t in ts_us.tolist():
             if last_us is not None and t - last_us > gap_us:
-                closed.append(_session_row(user_id, start_us, last_us, n))
+                c_start.append(start_us)
+                c_last.append(last_us)
+                c_n.append(n)
                 start_us, n = None, 0
             if start_us is None:
                 start_us = t
@@ -118,11 +131,16 @@ def sessionize_stream(
         # close the open session when event-time passes last event + gap;
         # timeout API is epoch millis — round UP so we never fire early
         state.setTimeoutTimestamp((last_us + gap_us + 999) // 1000)
-        if closed:
-            yield pd.DataFrame(closed)
+        if c_start:
+            yield _session_frame(user_id, c_start, c_last, c_n)
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        # explicit projection: applyInPandasWithState is opaque to
+        # Catalyst, so every child column would otherwise cross the
+        # Arrow boundary per group (guide §4) — the fn reads only
+        # (user, ts)
+        events.select(user_col, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
@@ -309,7 +327,10 @@ def transitions_stream(
             )
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        # opaque-op projection (guide §4): fn reads (user, ts, state,
+        # tiebreak) only
+        events.select(user_col, ts_col, state_col, tiebreak_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
@@ -413,7 +434,10 @@ def funnel_stream(
             )
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        # opaque-op projection (guide §4): fn reads (user, ts, state,
+        # tiebreak) only
+        events.select(user_col, ts_col, state_col, tiebreak_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
@@ -551,7 +575,10 @@ def anomaly_stream(
             )
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        # opaque-op projection (guide §4): fn reads (user, ts, value,
+        # tiebreak) only
+        events.select(user_col, ts_col, value_col, tiebreak_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
@@ -672,7 +699,10 @@ def ewma_stream(
         )
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        # opaque-op projection (guide §4): fn reads (user, ts, value,
+        # tiebreak) only
+        events.select(user_col, ts_col, value_col, tiebreak_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
@@ -800,7 +830,10 @@ def paths_stream(
             yield pd.DataFrame({"user_id": user_id, "path": paths})
 
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        # opaque-op projection (guide §4): fn reads (user, ts, state,
+        # tiebreak) only
+        events.select(user_col, ts_col, state_col, tiebreak_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
